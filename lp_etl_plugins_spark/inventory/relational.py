@@ -1,0 +1,701 @@
+"""Relational operator inventory (SURVEY §2.2–§2.5) over the star schema.
+
+Each query exercises one operator family from the reference, re-expressed
+as a declarative DataFrame plan (joins stay broadcast-able, aggregations
+get map-side partials, filters/pruning push down to the parquet scan).
+
+Reference parity notes cite `/root/reference` file:line per SURVEY §2.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..tables import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------------
+# Flagship: pricing summary (aggregation family A1/A3; TPC-H Q1 shape)
+# --------------------------------------------------------------------------
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped aggregation with map-side partials; the flagship query.
+
+    Aggregation semantics per SURVEY §2.4 (the reference's only aggregates
+    are counts/first — this generalizes them to the standard kernel).
+    Rounding-to-grid per inventory contract (see package docstring).
+    """
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= F.lit("2001-09-02").cast("timestamp"))
+    disc_price = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    charge = disc_price * (F.lit(1.0) + F.col("l_tax"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 4).alias("sum_disc_price"),
+            F.round(F.sum(charge), 6).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+Q1_SQL = """
+SELECT
+  l_returnflag,
+  l_linestatus,
+  round(sum(l_quantity), 2) AS sum_qty,
+  round(sum(l_extendedprice), 2) AS sum_base_price,
+  round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS sum_disc_price,
+  round(sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)), 6) AS sum_charge,
+  round(avg(l_quantity), 6) AS avg_qty,
+  round(avg(l_extendedprice), 6) AS avg_price,
+  round(avg(l_discount), 6) AS avg_disc,
+  count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# --------------------------------------------------------------------------
+# J1 — multi-way equi-join chain (BGP shape; TPC-H Q5 shape)
+# --------------------------------------------------------------------------
+
+
+def j1_star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-join chain semantics of SPARQL BGPs (FdpMeasure.java:34-48)
+    generalized to the star schema: revenue per nation within one region.
+
+    Dimension tables (region/nation) are tiny → explicit broadcast so the
+    big fact join never shuffles the dimension side at 100 TB.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    dim = (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .filter(F.col("r_name") == "ASIA")
+        .select("c_custkey", "n_name")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(dim, orders.o_custkey == dim.c_custkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))), 4).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+J1_SQL = """
+SELECT
+  n_name,
+  round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue,
+  count(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name
+"""
+
+
+# --------------------------------------------------------------------------
+# J2 — left outer join (OPTIONAL shape, FdpMeasure.java:49-56)
+# --------------------------------------------------------------------------
+
+
+def j2_left_outer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIONAL-pattern semantics: every customer row survives; customers
+    without orders get zero count and null last date."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.max("o_orderdate").alias("last_order"),
+    )
+    return (
+        cust.join(per_cust, cust.c_custkey == per_cust.o_custkey, "left")
+        .select(
+            "c_custkey",
+            "c_mktsegment",
+            F.coalesce(F.col("n_orders"), F.lit(0)).alias("n_orders"),
+            F.col("last_order"),
+        )
+    )
+
+
+J2_SQL = """
+SELECT
+  c_custkey,
+  c_mktsegment,
+  coalesce(n_orders, 0) AS n_orders,
+  last_order
+FROM customer
+LEFT JOIN (
+  SELECT o_custkey, count(*) AS n_orders, max(o_orderdate) AS last_order
+  FROM orders GROUP BY o_custkey
+) po ON c_custkey = po.o_custkey
+"""
+
+
+# --------------------------------------------------------------------------
+# J3 — anti join (FILTER NOT EXISTS, MultiAttributeDimension.java:56)
+# --------------------------------------------------------------------------
+
+
+def j3_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTER NOT EXISTS semantics: customers that never placed an order."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").select("o_custkey")
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+J3_SQL = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+# --------------------------------------------------------------------------
+# J4 — inline VALUES lookup join (MultiAttributeDimension.java:38-43)
+# --------------------------------------------------------------------------
+
+_SEGMENT_TIERS = [
+    ("AUTOMOBILE", "consumer"),
+    ("MACHINERY", "industrial"),
+    ("BUILDING", "industrial"),
+    ("FURNITURE", "consumer"),
+    ("HOUSEHOLD", "consumer"),
+]
+
+
+def j4_values_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join against a constant inline table (SPARQL VALUES), broadcast —
+    the lookup never shuffles the probe side."""
+    cust = _t(spark, sf_dir, "customer")
+    tiers = spark.createDataFrame(_SEGMENT_TIERS, "c_mktsegment string, tier string")
+    return (
+        cust.join(F.broadcast(tiers), "c_mktsegment", "left")
+        .groupBy("tier")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+        )
+    )
+
+
+J4_SQL = """
+SELECT
+  tier,
+  count(*) AS n_customers,
+  round(sum(c_acctbal), 2) AS total_acctbal
+FROM customer
+LEFT JOIN (
+  VALUES ('AUTOMOBILE', 'consumer'), ('MACHINERY', 'industrial'),
+         ('BUILDING', 'industrial'), ('FURNITURE', 'consumer'),
+         ('HOUSEHOLD', 'consumer')
+) AS tiers(c_mktsegment, tier) USING (c_mktsegment)
+GROUP BY tier
+"""
+
+
+# --------------------------------------------------------------------------
+# J5 — property-path (2-hop) join (DcatAp11ToCkanBatch.java:259)
+# --------------------------------------------------------------------------
+
+
+def j5_two_hop_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-hop chained equi-join (publisher/name path shape):
+    supplier → nation → region."""
+    sup = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return (
+        sup.join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("s_suppkey", "s_name", F.col("n_name").alias("nation_name"), F.col("r_name").alias("region_name"))
+    )
+
+
+J5_SQL = """
+SELECT s_suppkey, s_name, n_name AS nation_name, r_name AS region_name
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+"""
+
+
+# --------------------------------------------------------------------------
+# J6 — broadcast codelist lookup (DcatAp11ToCkanBatch.java:425-431)
+# --------------------------------------------------------------------------
+
+
+def j6_codelist_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension-table label join: part is the 'codelist', lineitem the
+    facts; broadcast left join preserves unmatched facts."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey, "left")
+        .groupBy("p_brand")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+J6_SQL = """
+SELECT p_brand, round(sum(l_quantity), 2) AS total_qty, count(*) AS n_lines
+FROM lineitem
+LEFT JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+"""
+
+
+# --------------------------------------------------------------------------
+# J7 — diff/merge against existing state (DcatAp11ToCkanBatch.java:209-251)
+# --------------------------------------------------------------------------
+
+
+def j7_diff_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-pass match-with-fallback + coalesce, the CKAN resource
+    diff/merge join shape: match lineitem rows ("incoming") to orders
+    ("existing state") primarily by exact key when linenumber==1,
+    falling back to the order key alone; unmatched incoming rows keep a
+    null match id (they would be created fresh)."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber", "l_extendedprice")
+    existing = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    primary = existing.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_orderkey").alias("pk"), F.lit("primary").alias("match_kind_1")
+    )
+    fallback = existing.select(F.col("o_orderkey").alias("fk"), F.lit("fallback").alias("match_kind_2"))
+    return (
+        li.join(primary, li.l_orderkey == primary.pk, "left")
+        .join(fallback, li.l_orderkey == fallback.fk, "left")
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.coalesce(F.col("match_kind_1"), F.col("match_kind_2"), F.lit("unmatched")).alias("match_kind"),
+        )
+        .groupBy("match_kind")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+J7_SQL = """
+SELECT
+  coalesce(p.match_kind_1, f.match_kind_2, 'unmatched') AS match_kind,
+  count(*) AS n_rows
+FROM lineitem
+LEFT JOIN (
+  SELECT o_orderkey AS pk, 'primary' AS match_kind_1 FROM orders WHERE o_orderstatus = 'F'
+) p ON l_orderkey = p.pk
+LEFT JOIN (
+  SELECT o_orderkey AS fk, 'fallback' AS match_kind_2 FROM orders
+) f ON l_orderkey = f.fk
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# J8 — map-lookup with override precedence (DcatAp11ToCkanBatch.java:511-519)
+# --------------------------------------------------------------------------
+
+
+def j8_lookup_with_override(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast lookup + per-row override: nation name resolved through
+    the lookup map unless the row carries an override (here: BUILDING
+    segment customers get a fixed org), mirroring ckan_organizationID
+    precedence."""
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    override = F.when(F.col("c_mktsegment") == "BUILDING", F.lit("OVERRIDE-ORG"))
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey, "left")
+        .select("c_custkey", F.coalesce(override, F.col("n_name")).alias("org_name"))
+        .groupBy("org_name")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+J8_SQL = """
+SELECT
+  coalesce(CASE WHEN c_mktsegment = 'BUILDING' THEN 'OVERRIDE-ORG' END, n_name) AS org_name,
+  count(*) AS n_customers
+FROM customer
+LEFT JOIN nation ON c_nationkey = n_nationkey
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# A1 — grouped count distinct + join-back filter
+# (MultiAttributeDimension.java:93-100)
+# --------------------------------------------------------------------------
+
+
+def a1_group_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) per group, joined back as a filter — the
+    attribute-count subquery shape: order priorities that are used by
+    more than 20 distinct customers."""
+    orders = _t(spark, sf_dir, "orders")
+    counts = orders.groupBy("o_orderpriority").agg(F.countDistinct("o_custkey").alias("n_cust"))
+    return counts.filter(F.col("n_cust") > 20)
+
+
+A1_SQL = """
+SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_cust
+FROM orders
+GROUP BY o_orderpriority
+HAVING count(DISTINCT o_custkey) > 20
+"""
+
+
+# --------------------------------------------------------------------------
+# A2 — DISTINCT projection (HierarchicalDimension.java:22)
+# --------------------------------------------------------------------------
+
+
+def a2_distinct_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .select("c_mktsegment", "n_name")
+        .distinct()
+    )
+
+
+A2_SQL = """
+SELECT DISTINCT c_mktsegment, n_name
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+"""
+
+
+# --------------------------------------------------------------------------
+# A3 — scalar/first aggregate (QueryResults.singleResult,
+# DcatAp11ToCkanBatch.java:627-641)
+# --------------------------------------------------------------------------
+
+
+def a3_scalar_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-match-wins scalar per key, made deterministic by taking the
+    minimum (the reference's 'first' is query-order dependent; the
+    engine's contract is min-by-key)."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy("o_custkey").agg(
+        F.min("o_orderdate").alias("first_order_date"),
+        F.min("o_orderkey").alias("first_order_key"),
+    )
+
+
+A3_SQL = """
+SELECT o_custkey, min(o_orderdate) AS first_order_date, min(o_orderkey) AS first_order_key
+FROM orders GROUP BY o_custkey
+"""
+
+
+# --------------------------------------------------------------------------
+# A4 — list aggregate + string join (DcatAp11ToCkanBatch.java:253-256,396-402)
+# --------------------------------------------------------------------------
+
+
+def a4_collect_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect-list + concat (keyword/theme aggregation shape); sorted
+    before joining so the result is deterministic under parallelism."""
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return (
+        nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.concat_ws(" ", F.array_sort(F.collect_list("n_name"))).alias("nations"),
+            F.count(F.lit(1)).alias("n_nations"),
+        )
+    )
+
+
+A4_SQL = """
+SELECT
+  r_name,
+  string_agg(n_name, ' ' ORDER BY n_name) AS nations,
+  count(*) AS n_nations
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+# --------------------------------------------------------------------------
+# A5/W1 — row number in stable order (Mapper.java:32,85)
+# --------------------------------------------------------------------------
+
+
+def w1_row_number(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stable per-key row numbering (observation-number semantics): order
+    sequence per customer by date then key. Partitioned window — scales
+    as one shuffle on the partition key, no global sort."""
+    orders = _t(spark, sf_dir, "orders")
+    win = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number().over(win).alias("seq"),
+    )
+
+
+W1_SQL = """
+SELECT
+  o_custkey,
+  o_orderkey,
+  row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS seq
+FROM orders
+"""
+
+
+# --------------------------------------------------------------------------
+# U1 — union / concat of branches (FdpToRdf.java:298-311)
+# --------------------------------------------------------------------------
+
+
+def u1_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unionByName of two generated branches (.nt passthrough ∪ generated
+    triples shape)."""
+    orders = _t(spark, sf_dir, "orders")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_orderkey", F.lit("urgent").alias("branch")
+    )
+    big = orders.filter(F.col("o_totalprice") > 200000.0).select("o_orderkey", F.lit("big").alias("branch"))
+    return urgent.unionByName(big).groupBy("branch").agg(F.count(F.lit(1)).alias("n_rows"))
+
+
+U1_SQL = """
+SELECT branch, count(*) AS n_rows FROM (
+  SELECT o_orderkey, 'urgent' AS branch FROM orders WHERE o_orderpriority = '1-URGENT'
+  UNION ALL
+  SELECT o_orderkey, 'big' AS branch FROM orders WHERE o_totalprice > 200000.0
+) u
+GROUP BY branch
+"""
+
+
+# --------------------------------------------------------------------------
+# U2 — last-wins dedup by key (organizations.put overwrite,
+# DcatAp11ToCkanBatch.java:132; SURVEY §7 hard part 3)
+# --------------------------------------------------------------------------
+
+
+def u2_last_wins_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-wins map semantics as an explicit descending-window dedup
+    (NOT dropDuplicates, which is first-wins/nondeterministic): latest
+    order per customer, ties broken by highest key."""
+    orders = _t(spark, sf_dir, "orders")
+    win = W.partitionBy("o_custkey").orderBy(F.col("o_orderdate").desc(), F.col("o_orderkey").desc())
+    return (
+        orders.withColumn("rn", F.row_number().over(win))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", "o_orderdate")
+    )
+
+
+U2_SQL = """
+SELECT o_custkey, o_orderkey, o_orderdate FROM (
+  SELECT o_custkey, o_orderkey, o_orderdate,
+         row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+  FROM orders
+) t WHERE rn = 1
+"""
+
+
+# --------------------------------------------------------------------------
+# L1 — deterministic top-k (QueryResults.singleResult generalized)
+# --------------------------------------------------------------------------
+
+
+def l1_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """limit-after-total-order with a full tie-break so the row set is
+    deterministic; Spark runs this as TakeOrderedAndProject (no global
+    sort materialization)."""
+    cust = _t(spark, sf_dir, "customer")
+    return cust.orderBy(F.col("c_acctbal").desc(), F.col("c_custkey")).limit(10).select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+
+
+L1_SQL = """
+SELECT c_custkey, c_name, c_acctbal
+FROM customer ORDER BY c_acctbal DESC, c_custkey LIMIT 10
+"""
+
+
+# --------------------------------------------------------------------------
+# P — filter / predicate family (SURVEY §2.2)
+# --------------------------------------------------------------------------
+
+
+def p3_null_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-skip predicate (FdpMeasure.java:88): drop rows whose computed
+    'cell' is null (here: left-join miss), count survivors per status."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 0).select("c_custkey")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey, "left")
+        .filter(F.col("c_custkey").isNotNull())
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+P3_SQL = """
+SELECT o_orderstatus, count(*) AS n_orders
+FROM orders
+LEFT JOIN (SELECT c_custkey FROM customer WHERE c_acctbal > 0) c ON o_custkey = c_custkey
+WHERE c_custkey IS NOT NULL
+GROUP BY o_orderstatus
+"""
+
+
+def p5_range_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equality + range predicates (DateDimension.java:50 shape) pushed to
+    the parquet scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_quantity") >= 10.0)
+            & (F.col("l_quantity") <= 20.0)
+            & (F.col("l_returnflag") == "R")
+        )
+        .groupBy("l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        )
+    )
+
+
+P5_SQL = """
+SELECT l_linestatus, count(*) AS n_rows, round(sum(l_extendedprice), 2) AS sum_price
+FROM lineitem
+WHERE l_quantity >= 10.0 AND l_quantity <= 20.0 AND l_returnflag = 'R'
+GROUP BY l_linestatus
+"""
+
+
+def p12_coalesce_preference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """downloadURL-over-accessURL preference (DcatAp11ToCkanBatch.java:434-444):
+    prefer a primary value, fall back, drop rows where both absent."""
+    orders = _t(spark, sf_dir, "orders")
+    key_str = F.col("o_orderkey").cast("string")
+    primary = F.when(F.col("o_orderstatus") == "O", F.concat(F.lit("open/"), key_str))
+    fallback = F.when(F.col("o_totalprice") > 100000.0, F.concat(F.lit("big/"), key_str))
+    return (
+        orders.select("o_orderkey", F.coalesce(primary, fallback).alias("url"))
+        .filter(F.col("url").isNotNull())
+        .withColumn("kind", F.split(F.col("url"), "/").getItem(0))
+        .groupBy("kind")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+P12_SQL = """
+SELECT kind, count(*) AS n_rows FROM (
+  SELECT str_split(coalesce(
+           CASE WHEN o_orderstatus = 'O' THEN 'open/' || CAST(o_orderkey AS VARCHAR) END,
+           CASE WHEN o_totalprice > 100000.0 THEN 'big/' || CAST(o_orderkey AS VARCHAR) END
+         ), '/')[1] AS kind
+  FROM orders
+  WHERE o_orderstatus = 'O' OR o_totalprice > 100000.0
+) t GROUP BY kind
+"""
+
+
+def p13_default_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Default-fill for missing values (DcatAp11ToDkanBatch.java:505-516):
+    customers without a nation match get the 'unknown' label."""
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation").filter(F.col("n_regionkey") != 0).select("n_nationkey", "n_name")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey, "left")
+        .select("c_custkey", F.coalesce(F.col("n_name"), F.lit("unknown-nation")).alias("nation_name"))
+        .groupBy("nation_name")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+P13_SQL = """
+SELECT coalesce(n_name, 'unknown-nation') AS nation_name, count(*) AS n_customers
+FROM customer
+LEFT JOIN (SELECT n_nationkey, n_name FROM nation WHERE n_regionkey != 0) n
+  ON c_nationkey = n_nationkey
+GROUP BY 1
+"""
+
+
+QUERIES = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "j1_star_join_revenue": j1_star_join_revenue,
+    "j2_left_outer_orders": j2_left_outer_orders,
+    "j3_anti_join": j3_anti_join,
+    "j4_values_lookup": j4_values_lookup,
+    "j5_two_hop_path": j5_two_hop_path,
+    "j6_codelist_lookup": j6_codelist_lookup,
+    "j7_diff_merge": j7_diff_merge,
+    "j8_lookup_with_override": j8_lookup_with_override,
+    "a1_group_count_distinct": a1_group_count_distinct,
+    "a2_distinct_projection": a2_distinct_projection,
+    "a3_scalar_first": a3_scalar_first,
+    "a4_collect_concat": a4_collect_concat,
+    "w1_row_number": w1_row_number,
+    "u1_union": u1_union,
+    "u2_last_wins_dedup": u2_last_wins_dedup,
+    "l1_top_k": l1_top_k,
+    "p3_null_skip": p3_null_skip,
+    "p5_range_filters": p5_range_filters,
+    "p12_coalesce_preference": p12_coalesce_preference,
+    "p13_default_fill": p13_default_fill,
+}
+
+ORACLES = {
+    "q1_pricing_summary": Q1_SQL,
+    "j1_star_join_revenue": J1_SQL,
+    "j2_left_outer_orders": J2_SQL,
+    "j3_anti_join": J3_SQL,
+    "j4_values_lookup": J4_SQL,
+    "j5_two_hop_path": J5_SQL,
+    "j6_codelist_lookup": J6_SQL,
+    "j7_diff_merge": J7_SQL,
+    "j8_lookup_with_override": J8_SQL,
+    "a1_group_count_distinct": A1_SQL,
+    "a2_distinct_projection": A2_SQL,
+    "a3_scalar_first": A3_SQL,
+    "a4_collect_concat": A4_SQL,
+    "w1_row_number": W1_SQL,
+    "u1_union": U1_SQL,
+    "u2_last_wins_dedup": U2_SQL,
+    "l1_top_k": L1_SQL,
+    "p3_null_skip": P3_SQL,
+    "p5_range_filters": P5_SQL,
+    "p12_coalesce_preference": P12_SQL,
+    "p13_default_fill": P13_SQL,
+}

@@ -1,0 +1,35 @@
+"""SparkSession factory tuned for this engine.
+
+Local testing runs ``local[N]``; the confs below are chosen so the same
+logical plans scale to a real cluster: AQE on (runtime re-plan, skew-join
+handling, partition coalescing), Arrow on (fast pandas-UDF boundary),
+shuffle partitions sized to the test box rather than the 200 default.
+
+Note: engine code never *requires* this session — every public function
+takes the caller's SparkSession/DataFrames, so it composes with whatever
+session a host application (or the correctness driver) provides.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "lp_etl_plugins_spark", cpus: int | None = None) -> SparkSession:
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0") or 0) or os.cpu_count() or 4
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()
