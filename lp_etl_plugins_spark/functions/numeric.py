@@ -1,0 +1,43 @@
+"""Numeric scalar functions.
+
+Reference parity:
+- parse_localized_number — FdpAttribute.java:48-65 (DecimalFormat with
+  configurable decimal/group separators; parse failure → null)
+- money_round — FdpMeasure.java:91-92 (multiply by factor in double,
+  then fixed-point HALF_UP rounding to 2 places)
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def parse_localized_number(
+    col: Column | str,
+    decimal_sep: str = ".",
+    group_sep: str = " ",
+) -> Column:
+    """Parse a locale-formatted number string into a double.
+
+    Strips every group separator, swaps the decimal separator to ``.``,
+    then try_cast → double; any unparseable input yields NULL (matching
+    the reference's catch-and-null at FdpAttribute.java:59-61) even when
+    the session runs in ANSI mode.
+    """
+    col = F.col(col) if isinstance(col, str) else col
+    cleaned = F.regexp_replace(col, re.escape(group_sep), "")
+    if decimal_sep != ".":
+        cleaned = F.replace(cleaned, F.lit(decimal_sep), F.lit("."))
+    return cleaned.try_cast("double")
+
+
+def money_round(col: Column | str, factor: float = 1.0) -> Column:
+    """``round(value * factor, 2)`` with HALF_UP ties — Spark's ``round``
+    is decimal-HALF_UP over the double's shortest representation, which
+    is exactly ``new BigDecimal(v * factor).setScale(2, HALF_UP)``
+    (FdpMeasure.java:91-92)."""
+    col = F.col(col) if isinstance(col, str) else col
+    return F.round(col * F.lit(float(factor)), 2)
