@@ -2,21 +2,21 @@
 
 A from-scratch engine with the query and data-processing capabilities of
 the LinkedPipes-ETL plugin suite ``opendatacz/lp-etl-plugins`` (see
-SURVEY.md), re-expressed Spark-first:
+SURVEY.md), re-expressed Spark-first.
 
-- ``model``      — RDF triples-as-DataFrame data model + loaders (SURVEY §1.1)
-- ``graphq``     — graph (SPARQL-shaped) query layer over triples (SURVEY §2.3)
-- ``plans.cube`` — Fiscal-Data-Package descriptor → RDF Data Cube compiler
-                   (reference: t-fdpToRdf, SURVEY §3.1)
-- ``dcat``       — DCAT-AP extraction → CKAN/DKAN payloads (SURVEY §3.2)
-- ``catalog``    — REST catalog connectors + purge pipelines (SURVEY §2.1 S5,S9-S11)
-- ``operators``  — large-scale training-data ops: dedup, similarity search,
-                   text analysis, multimodal columns
-- ``streaming``  — Structured Streaming windows over event streams
+Shipped modules:
+
+- ``functions``  — scalar expression library (text/dates/numeric/rdf),
+                   built-in-function compositions, one pandas UDF (NFD)
+- ``inventory``  — the correctness surface: one query + DuckDB oracle per
+                   implemented operator from SURVEY §2
+- ``tables``     — loaders for the driver-generated test tables
+- ``session``    — SparkSession factory (AQE, Arrow, UTC)
+- ``testing``    — local oracle-parity harness mirroring the driver check
 
 Everything is declarative DataFrame code so Catalyst handles pushdown,
 pruning, join selection and whole-stage codegen; Python-side row code is
 limited to a handful of clearly-marked pandas UDFs.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"

@@ -35,9 +35,15 @@ def parse_localized_number(
 
 
 def money_round(col: Column | str, factor: float = 1.0) -> Column:
-    """``round(value * factor, 2)`` with HALF_UP ties — Spark's ``round``
-    is decimal-HALF_UP over the double's shortest representation, which
-    is exactly ``new BigDecimal(v * factor).setScale(2, HALF_UP)``
-    (FdpMeasure.java:91-92)."""
+    """``round(value * factor, 2)`` with HALF_UP ties.
+
+    Deviation from the reference (documented, deliberate): FdpMeasure.java:91
+    rounds ``new BigDecimal(v * factor)`` — the exact binary expansion of the
+    double — while Spark's ``round(double)`` uses the shortest decimal
+    representation (``BigDecimal.valueOf`` semantics). They differ on
+    tie-adjacent values whose shortest form reads as a tie but whose binary
+    expansion sits just below it (e.g. 2.675: reference → 2.67, here → 2.68).
+    The engine keeps Spark semantics: it is the common decimal-grid intent,
+    stays in whole-stage codegen, and matches the DuckDB oracle."""
     col = F.col(col) if isinstance(col, str) else col
     return F.round(col * F.lit(float(factor)), 2)

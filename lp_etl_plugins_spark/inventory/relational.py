@@ -253,11 +253,13 @@ JOIN region ON n_regionkey = r_regionkey
 
 def j6_codelist_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dimension-table label join: part is the 'codelist', lineitem the
-    facts; broadcast left join preserves unmatched facts."""
+    facts. No broadcast hint — ``part`` scales with sf (unlike a real
+    bounded codelist), so a forced broadcast would OOM at 100×; AQE
+    picks broadcast when the built side is actually small."""
     li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey, "left")
+        li.join(part, li.l_partkey == part.p_partkey, "left")
         .groupBy("p_brand")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("total_qty"),
@@ -280,24 +282,27 @@ GROUP BY p_brand
 
 
 def j7_diff_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two-pass match-with-fallback + coalesce, the CKAN resource
-    diff/merge join shape: match lineitem rows ("incoming") to orders
-    ("existing state") primarily by exact key when linenumber==1,
-    falling back to the order key alone; unmatched incoming rows keep a
-    null match id (they would be created fresh)."""
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber", "l_extendedprice")
+    """Match-with-fallback + coalesce, the CKAN resource diff/merge join
+    shape: match lineitem rows ("incoming") to orders ("existing state"),
+    classifying the match as primary (status F) or fallback, with
+    unmatched incoming rows kept (they would be created fresh).
+
+    One join on the shared key — the primary/fallback distinction is a
+    conditional on the matched row, not a second big-side shuffle (the
+    fallback key set is a superset of the primary's, so two sequential
+    left joins would do the same work twice).
+    """
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber")
     existing = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
-    primary = existing.filter(F.col("o_orderstatus") == "F").select(
-        F.col("o_orderkey").alias("pk"), F.lit("primary").alias("match_kind_1")
-    )
-    fallback = existing.select(F.col("o_orderkey").alias("fk"), F.lit("fallback").alias("match_kind_2"))
     return (
-        li.join(primary, li.l_orderkey == primary.pk, "left")
-        .join(fallback, li.l_orderkey == fallback.fk, "left")
+        li.join(existing, li.l_orderkey == existing.o_orderkey, "left")
         .select(
             "l_orderkey",
             "l_linenumber",
-            F.coalesce(F.col("match_kind_1"), F.col("match_kind_2"), F.lit("unmatched")).alias("match_kind"),
+            F.when(F.col("o_orderkey").isNull(), F.lit("unmatched"))
+            .when(F.col("o_orderstatus") == "F", F.lit("primary"))
+            .otherwise(F.lit("fallback"))
+            .alias("match_kind"),
         )
         .groupBy("match_kind")
         .agg(F.count(F.lit(1)).alias("n_rows"))
@@ -306,15 +311,12 @@ def j7_diff_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 J7_SQL = """
 SELECT
-  coalesce(p.match_kind_1, f.match_kind_2, 'unmatched') AS match_kind,
+  CASE WHEN o_orderkey IS NULL THEN 'unmatched'
+       WHEN o_orderstatus = 'F' THEN 'primary'
+       ELSE 'fallback' END AS match_kind,
   count(*) AS n_rows
 FROM lineitem
-LEFT JOIN (
-  SELECT o_orderkey AS pk, 'primary' AS match_kind_1 FROM orders WHERE o_orderstatus = 'F'
-) p ON l_orderkey = p.pk
-LEFT JOIN (
-  SELECT o_orderkey AS fk, 'fallback' AS match_kind_2 FROM orders
-) f ON l_orderkey = f.fk
+LEFT JOIN orders ON l_orderkey = o_orderkey
 GROUP BY 1
 """
 

@@ -29,6 +29,10 @@ def get_spark(app_name: str = "lp_etl_plugins_spark", cpus: int | None = None) -
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # TESTDATA events.ts is TIMESTAMP(NANOS); Spark reads it as long
+        # under this flag (tables.load_table rebuilds the timestamp).
+        # Declared here, once, so readers don't mutate session conf.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
     )

@@ -39,6 +39,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # read nanos as long and rebuild a microsecond timestamp. `div` is
         # integer division — float division would lose precision on int64
         # epoch-nanos (~1.7e18 > 2^53).
+        #
+        # The legacy flag is process-wide and consulted at scan *execution*
+        # time, so it cannot be save/restored around this lazy read. It is
+        # set in session.get_spark for our own sessions; setting it here too
+        # keeps the loader correct under a caller-provided session (e.g. the
+        # correctness driver's). It is only ever set to "true", so repeated
+        # calls are idempotent and no other value is ever clobbered.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         return spark.read.parquet(path).withColumn(
             "ts", F.expr("timestamp_micros(ts div 1000)")

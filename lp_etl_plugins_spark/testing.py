@@ -52,7 +52,10 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
             return "<NULL>"
         if isinstance(v, float):
             if math.isnan(v):
-                return "<NULL>"
+                # Distinct from "<NULL>": a query returning NaN where the
+                # oracle returns NULL is a semantic divergence and must
+                # fail locally (the driver's hash check would catch it).
+                return "<NaN>"
             return repr(v)
         if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
             return "[" + ",".join(str(canon(x)) for x in v) + "]"
