@@ -1,0 +1,245 @@
+"""Graph (SPARQL-shaped) query layer over the triples DataFrame (SURVEY §7.2).
+
+The reference queries every metadata graph with SPARQL SELECT strings
+(FdpToRdf.java:82-109, DcatAp11ToCkanBatch.java:627-679). This module
+replaces that with ~8 composable functions over the triples schema of
+:mod:`lp_etl_plugins_spark.model`; each SPARQL construct the reference
+uses maps to exactly one function:
+
+    basic graph pattern (joins)       -> bgp            (J1)
+    OPTIONAL                          -> optional       (J2)
+    FILTER NOT EXISTS                 -> not_exists     (J3)
+    VALUES incl. UNDEF                -> values         (J4)
+    property paths incl. inverse ^p   -> path           (J5)
+    FILTER(LANGMATCHES(LANG(?x),l))   -> lang_filter    (P4)
+    COUNT(DISTINCT …) GROUP BY        -> group_count    (A1)
+    QueryResults.singleResult scalar  -> scalar         (A3)
+
+Binding representation: a *solution DataFrame* whose columns are variable
+names (without the ``?``). An object-position variable additionally
+carries companion metadata columns ``<var>__type`` / ``<var>__lang`` /
+``<var>__dt`` so language/datatype filters stay expressible after the
+join. Joins between patterns compare ``o_value`` lexical forms —
+sufficient for the reference's graphs, where no IRI collides with a
+literal's lexical form.
+
+Scale: metadata graphs are tiny (KBs) and every pattern filter prunes by
+predicate first; at 100 TB triples (the `.nt` path) these are plain
+shuffled hash joins on bounded-cardinality keys, with AQE choosing
+broadcast when one side is small. Nothing here collects to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .model import RDF_TYPE
+
+__all__ = [
+    "bgp",
+    "optional",
+    "not_exists",
+    "values",
+    "path",
+    "lang_filter",
+    "group_count",
+    "scalar",
+    "join_solutions",
+    "RDF_TYPE",
+]
+
+UNDEF = None  # SPARQL UNDEF marker inside values() rows
+
+
+def _is_var(term: str | None) -> bool:
+    return isinstance(term, str) and term.startswith("?")
+
+
+def _var(term: str) -> str:
+    return term[1:]
+
+
+def _meta_cols(var: str) -> tuple[str, str, str]:
+    return f"{var}__type", f"{var}__lang", f"{var}__dt"
+
+
+def _pattern_df(triples: DataFrame, pattern: tuple[str, str, str]) -> DataFrame:
+    """One (s, p, o) pattern → solution DF. Terms starting with ``?`` are
+    variables; everything else is a constant (IRI for s/p, lexical match
+    for o)."""
+    s, p, o = pattern
+    df = triples
+    cols: list[Column] = []
+    if _is_var(s):
+        cols.append(F.col("s").alias(_var(s)))
+    else:
+        df = df.filter(F.col("s") == s)
+    if _is_var(p):
+        cols.append(F.col("p").alias(_var(p)))
+    else:
+        df = df.filter(F.col("p") == p)
+    if _is_var(o):
+        v = _var(o)
+        t, l, d = _meta_cols(v)
+        cols += [
+            F.col("o_value").alias(v),
+            F.col("o_type").alias(t),
+            F.col("o_lang").alias(l),
+            F.col("o_datatype").alias(d),
+        ]
+    else:
+        df = df.filter(F.col("o_value") == o)
+    if not cols:
+        cols = [F.lit(1).alias("__matched")]
+    return df.select(*cols)
+
+
+def _plain_vars(df: DataFrame) -> set[str]:
+    return {c for c in df.columns if "__" not in c}
+
+
+def join_solutions(left: DataFrame, right: DataFrame, how: str = "inner") -> DataFrame:
+    """Join two solution DFs on their shared variables (SPARQL-compatible
+    join). Metadata columns of shared variables are kept from the left
+    side only; disjoint variable sets produce a cross join (SPARQL
+    cartesian product)."""
+    shared = sorted(_plain_vars(left) & _plain_vars(right))
+    drop = [c for v in shared for c in _meta_cols(v) if c in right.columns and c in left.columns]
+    right = right.drop(*drop)
+    if not shared:
+        if how != "inner":
+            raise ValueError("outer join with no shared variables")
+        return left.crossJoin(right)
+    return left.join(right, on=shared, how=how)
+
+
+def bgp(triples: DataFrame, patterns: list[tuple[str, str, str]]) -> DataFrame:
+    """Basic graph pattern: conjunction of triple patterns joined on
+    shared variables (the SPARQL WHERE block of e.g.
+    FdpMeasure.java:34-48)."""
+    if not patterns:
+        raise ValueError("bgp needs at least one pattern")
+    out = _pattern_df(triples, patterns[0])
+    for pat in patterns[1:]:
+        out = join_solutions(out, _pattern_df(triples, pat))
+    return out
+
+
+def optional(
+    base: DataFrame,
+    triples: DataFrame,
+    patterns: list[tuple[str, str, str]],
+) -> DataFrame:
+    """OPTIONAL { patterns }: left join the base solutions against the
+    pattern block's solutions (FdpMeasure.java:49-56)."""
+    return join_solutions(base, bgp(triples, patterns), "left")
+
+
+def not_exists(
+    base: DataFrame,
+    triples: DataFrame,
+    patterns: list[tuple[str, str, str]],
+) -> DataFrame:
+    """FILTER NOT EXISTS { patterns }: anti join on the shared variables
+    (MultiAttributeDimension.java:56)."""
+    return join_solutions(base, bgp(triples, patterns), "left_anti")
+
+
+def values(
+    base: DataFrame,
+    spark: SparkSession,
+    columns: list[str],
+    rows: list[tuple],
+) -> DataFrame:
+    """SPARQL VALUES block: join base solutions against an inline
+    constant table; ``None`` cells are UNDEF and match any binding
+    (MultiAttributeDimension.java:38-43). The constant table is
+    broadcast — it is bounded by construction."""
+    vars_ = [_var(c) if _is_var(c) else c for c in columns]
+    aliased = [f"v__{v}" for v in vars_]
+    const = spark.createDataFrame(rows, ", ".join(f"{a} string" for a in aliased))
+    cond = None
+    for v, a in zip(vars_, aliased):
+        if v in base.columns:
+            c = F.col(a).isNull() | (F.col(a) == F.col(v))
+        else:
+            c = F.lit(True)
+        cond = c if cond is None else (cond & c)
+    joined = base.join(F.broadcast(const), cond, "inner")
+    # VALUES also *binds* variables not already bound in base
+    select: list[Column] = [base[c] for c in base.columns]
+    for v, a in zip(vars_, aliased):
+        if v not in base.columns:
+            select.append(F.col(a).alias(v))
+    return joined.select(*select)
+
+
+def path(
+    triples: DataFrame,
+    start: str,
+    steps: list[str],
+    end: str,
+) -> DataFrame:
+    """Property path ``start step1/step2/… end``; a ``^``-prefixed step
+    traverses the edge inversely (DcatAp11ToCkanBatch.java:372:
+    ``^foaf:primaryTopic/dcterms:source``). Returns a 2-column solution
+    DF [start, end] (+ object metadata for the final forward step)."""
+    if not steps:
+        raise ValueError("path needs at least one step")
+    cur = _var(start)
+    out: DataFrame | None = None
+    for idx, step in enumerate(steps):
+        last = idx == len(steps) - 1
+        # intermediate hop vars: single leading underscore so they still
+        # count as plain variables for the shared-var join (double
+        # underscore marks metadata columns); dropped before returning.
+        nxt = _var(end) if last else f"_hop{idx}"
+        if step.startswith("^"):
+            hop = _pattern_df(triples, (f"?{nxt}", step[1:], f"?{cur}"))
+            # inverse edge: `cur` sits in object position here, but the
+            # path already bound it — strip the duplicate metadata.
+            hop = hop.drop(*[c for c in hop.columns if c.startswith(f"{cur}__")])
+        else:
+            hop = _pattern_df(triples, (f"?{cur}", step, f"?{nxt}"))
+        out = hop if out is None else join_solutions(out, hop)
+        cur = nxt
+    assert out is not None
+    return out.drop(*[c for c in out.columns if c.startswith("_hop")])
+
+
+def lang_filter(df: DataFrame, var: str, lang: str) -> DataFrame:
+    """FILTER(LANGMATCHES(LANG(?var), lang)) — exact primary-tag match,
+    which is all the reference uses (DcatAp11ToCkanBatch.java:254,340)."""
+    v = _var(var) if _is_var(var) else var
+    return df.filter(F.lower(F.col(f"{v}__lang")) == lang.lower())
+
+
+def group_count(
+    df: DataFrame,
+    group: list[str],
+    var: str,
+    alias: str,
+    distinct: bool = True,
+) -> DataFrame:
+    """SELECT group (COUNT([DISTINCT] ?var) AS alias) GROUP BY group
+    (MultiAttributeDimension.java:93-99)."""
+    v = _var(var) if _is_var(var) else var
+    agg = F.countDistinct(v) if distinct else F.count(v)
+    return df.groupBy(*[_var(g) if _is_var(g) else g for g in group]).agg(agg.alias(alias))
+
+
+def scalar(
+    df: DataFrame,
+    group: list[str],
+    var: str,
+    alias: str | None = None,
+) -> DataFrame:
+    """Scalar subquery semantics (QueryResults.singleResult,
+    DcatAp11ToCkanBatch.java:627-641): one value per group. The
+    reference takes the first result in query order — nondeterministic
+    under parallelism — so the engine's documented contract is
+    min-by-value, which is stable and parallel-safe."""
+    v = _var(var) if _is_var(var) else var
+    keys = [_var(g) if _is_var(g) else g for g in group]
+    return df.groupBy(*keys).agg(F.min(v).alias(alias or v))

@@ -1,4 +1,343 @@
-"""Placeholder — populated in a later milestone."""
+"""Graph query layer inventory (SURVEY §2.3/§7.2) — g* entries.
 
-QUERIES: dict = {}
-ORACLES: dict = {}
+Each entry exercises one graphq construct over a *real triples
+DataFrame* built by unpivoting the driver parquet tables through
+:func:`lp_etl_plugins_spark.model.table_to_triples` (single-scan
+explode). The DuckDB oracle rebuilds the identical triples relation with
+a UNION-ALL CTE and re-expresses the SPARQL construct as plain SQL —
+so the graph layer's join semantics (not just its shape) are
+hash-checked.
+
+Reference parity: the constructs mirror the SPARQL the reference runs —
+BGP joins (FdpMeasure.java:34-48), OPTIONAL (FdpMeasure.java:49-56),
+FILTER NOT EXISTS (MultiAttributeDimension.java:56), VALUES with UNDEF
+(MultiAttributeDimension.java:38-43), property paths incl. inverse
+(DcatAp11ToCkanBatch.java:259,372), LANGMATCHES filters
+(DcatAp11ToCkanBatch.java:254), grouped counts
+(MultiAttributeDimension.java:93-99) and scalar lookups
+(DcatAp11ToCkanBatch.java:627-641).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import graphq
+from ..model import TripleMapping, table_to_triples
+from ..tables import load_table
+
+_T = "urn:type"
+_NAME = "urn:name"
+_REGION = "urn:region"
+_NATION = "urn:nation"
+_SEG = "urn:segment"
+_PREMIUM = "urn:premium"
+_TITLE = "urn:title"
+_SOURCE = "urn:source"
+
+
+def _graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared test graph: region/nation/supplier/customer/documents
+    unpivoted to triples. One narrow scan per table, no shuffle."""
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    supplier = load_table(spark, sf_dir, "supplier")
+    customer = load_table(spark, sf_dir, "customer")
+    documents = load_table(spark, sf_dir, "documents")
+
+    t_region = table_to_triples(
+        region,
+        F.concat(F.lit("urn:region/"), F.col("r_regionkey")),
+        [
+            TripleMapping(_T, F.lit("urn:Region"), "iri"),
+            TripleMapping(_NAME, "r_name"),
+        ],
+    )
+    t_nation = table_to_triples(
+        nation,
+        F.concat(F.lit("urn:nation/"), F.col("n_nationkey")),
+        [
+            TripleMapping(_T, F.lit("urn:Nation"), "iri"),
+            TripleMapping(_NAME, "n_name"),
+            TripleMapping(_REGION, F.concat(F.lit("urn:region/"), F.col("n_regionkey")), "iri"),
+        ],
+    )
+    t_supplier = table_to_triples(
+        supplier,
+        F.concat(F.lit("urn:supplier/"), F.col("s_suppkey")),
+        [
+            TripleMapping(_T, F.lit("urn:Supplier"), "iri"),
+            TripleMapping(_NAME, "s_name"),
+            TripleMapping(_NATION, F.concat(F.lit("urn:nation/"), F.col("s_nationkey")), "iri"),
+        ],
+    )
+    t_customer = table_to_triples(
+        customer,
+        F.concat(F.lit("urn:customer/"), F.col("c_custkey")),
+        [
+            TripleMapping(_T, F.lit("urn:Customer"), "iri"),
+            TripleMapping(_NAME, "c_name"),
+            TripleMapping(_NATION, F.concat(F.lit("urn:nation/"), F.col("c_nationkey")), "iri"),
+            TripleMapping(_SEG, "c_mktsegment"),
+            # sparse property: only high-balance customers carry it
+            # (exercises OPTIONAL's null leg)
+            TripleMapping(_PREMIUM, F.when(F.col("c_acctbal") > 5000.0, F.lit("true"))),
+        ],
+    )
+    t_documents = table_to_triples(
+        documents,
+        F.concat(F.lit("urn:doc/"), F.col("doc_id")),
+        [
+            TripleMapping(_TITLE, F.substring("text", 1, 40), lang="lang"),
+            TripleMapping(_SOURCE, "source"),
+        ],
+    )
+    out = t_region
+    for t in (t_nation, t_supplier, t_customer, t_documents):
+        out = out.unionByName(t)
+    return out
+
+
+# The DuckDB twin of _graph() — must produce the identical relation.
+_CTE = """
+WITH triples AS (
+  SELECT 'urn:region/' || r_regionkey AS s, 'urn:type' AS p, 'urn:Region' AS o_value,
+         'iri' AS o_type, NULL AS o_lang FROM region
+  UNION ALL
+  SELECT 'urn:region/' || r_regionkey, 'urn:name', r_name, 'literal', NULL FROM region
+  UNION ALL
+  SELECT 'urn:nation/' || n_nationkey, 'urn:type', 'urn:Nation', 'iri', NULL FROM nation
+  UNION ALL
+  SELECT 'urn:nation/' || n_nationkey, 'urn:name', n_name, 'literal', NULL FROM nation
+  UNION ALL
+  SELECT 'urn:nation/' || n_nationkey, 'urn:region', 'urn:region/' || n_regionkey, 'iri', NULL FROM nation
+  UNION ALL
+  SELECT 'urn:supplier/' || s_suppkey, 'urn:type', 'urn:Supplier', 'iri', NULL FROM supplier
+  UNION ALL
+  SELECT 'urn:supplier/' || s_suppkey, 'urn:name', s_name, 'literal', NULL FROM supplier
+  UNION ALL
+  SELECT 'urn:supplier/' || s_suppkey, 'urn:nation', 'urn:nation/' || s_nationkey, 'iri', NULL FROM supplier
+  UNION ALL
+  SELECT 'urn:customer/' || c_custkey, 'urn:type', 'urn:Customer', 'iri', NULL FROM customer
+  UNION ALL
+  SELECT 'urn:customer/' || c_custkey, 'urn:name', c_name, 'literal', NULL FROM customer
+  UNION ALL
+  SELECT 'urn:customer/' || c_custkey, 'urn:nation', 'urn:nation/' || c_nationkey, 'iri', NULL FROM customer
+  UNION ALL
+  SELECT 'urn:customer/' || c_custkey, 'urn:segment', c_mktsegment, 'literal', NULL FROM customer
+  UNION ALL
+  SELECT 'urn:customer/' || c_custkey, 'urn:premium', 'true', 'literal', NULL FROM customer
+  WHERE c_acctbal > 5000.0
+  UNION ALL
+  SELECT 'urn:doc/' || doc_id, 'urn:title', substring(text, 1, 40), 'literal', lang FROM documents
+  UNION ALL
+  SELECT 'urn:doc/' || doc_id, 'urn:source', source, 'literal', NULL FROM documents
+)
+"""
+
+
+def g1_bgp_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 as a real graph query: supplier→nation→region BGP chain,
+    suppliers counted per region name."""
+    tr = _graph(spark, sf_dir)
+    sols = graphq.bgp(
+        tr,
+        [
+            ("?s", _T, "urn:Supplier"),
+            ("?s", _NATION, "?n"),
+            ("?n", _REGION, "?r"),
+            ("?r", _NAME, "?rname"),
+        ],
+    )
+    return graphq.group_count(sols, ["?rname"], "?s", "n_suppliers", distinct=True)
+
+
+G1_SQL = _CTE + """
+SELECT rn.o_value AS rname, count(DISTINCT st.s) AS n_suppliers
+FROM triples st
+JOIN triples sn ON sn.s = st.s AND sn.p = 'urn:nation'
+JOIN triples nr ON nr.s = sn.o_value AND nr.p = 'urn:region'
+JOIN triples rn ON rn.s = nr.o_value AND rn.p = 'urn:name'
+WHERE st.p = 'urn:type' AND st.o_value = 'urn:Supplier'
+GROUP BY rn.o_value
+"""
+
+
+def g2_optional_premium(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2/OPTIONAL: customers per segment with the count of those
+    carrying the sparse urn:premium property (null leg preserved)."""
+    tr = _graph(spark, sf_dir)
+    base = graphq.bgp(tr, [("?c", _T, "urn:Customer"), ("?c", _SEG, "?seg")])
+    sols = graphq.optional(base, tr, [("?c", _PREMIUM, "?prem")])
+    return sols.groupBy("seg").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.count("prem").alias("n_premium"),
+    )
+
+
+G2_SQL = _CTE + """
+SELECT cs.o_value AS seg, count(*) AS n_customers, count(pr.o_value) AS n_premium
+FROM triples ct
+JOIN triples cs ON cs.s = ct.s AND cs.p = 'urn:segment'
+LEFT JOIN triples pr ON pr.s = ct.s AND pr.p = 'urn:premium'
+WHERE ct.p = 'urn:type' AND ct.o_value = 'urn:Customer'
+GROUP BY cs.o_value
+"""
+
+
+def g3_not_exists_premium(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3/FILTER NOT EXISTS: customers that do NOT carry the sparse
+    urn:premium property, counted per segment (non-empty at every sf,
+    unlike a nations-without-suppliers anti join)."""
+    tr = _graph(spark, sf_dir)
+    base = graphq.bgp(tr, [("?c", _T, "urn:Customer"), ("?c", _SEG, "?seg")])
+    sols = graphq.not_exists(base, tr, [("?c", _PREMIUM, "?p")])
+    return sols.groupBy("seg").agg(F.count(F.lit(1)).alias("n_regular"))
+
+
+G3_SQL = _CTE + """
+SELECT cs.o_value AS seg, count(*) AS n_regular
+FROM triples ct
+JOIN triples cs ON cs.s = ct.s AND cs.p = 'urn:segment'
+WHERE ct.p = 'urn:type' AND ct.o_value = 'urn:Customer'
+  AND NOT EXISTS (SELECT 1 FROM triples x WHERE x.p = 'urn:premium' AND x.s = ct.s)
+GROUP BY cs.o_value
+"""
+
+
+def g4_values_undef(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4/VALUES with UNDEF: segment→tier inline table where the UNDEF
+    row matches every binding (SPARQL multiset join semantics)."""
+    tr = _graph(spark, sf_dir)
+    base = graphq.bgp(tr, [("?c", _T, "urn:Customer"), ("?c", _SEG, "?seg")])
+    sols = graphq.values(
+        base,
+        spark,
+        ["?seg", "?tier"],
+        [
+            ("AUTOMOBILE", "consumer"),
+            ("MACHINERY", "industrial"),
+            (None, "any"),
+        ],
+    )
+    return sols.groupBy("tier").agg(F.count(F.lit(1)).alias("n_rows"))
+
+
+G4_SQL = _CTE + """
+SELECT v.tier, count(*) AS n_rows
+FROM triples ct
+JOIN triples cs ON cs.s = ct.s AND cs.p = 'urn:segment'
+JOIN (VALUES ('AUTOMOBILE', 'consumer'), ('MACHINERY', 'industrial'), (NULL, 'any'))
+     AS v(seg, tier)
+  ON v.seg IS NULL OR v.seg = cs.o_value
+WHERE ct.p = 'urn:type' AND ct.o_value = 'urn:Customer'
+GROUP BY v.tier
+"""
+
+
+def g5_path_inverse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 property path with an inverse step
+    (?c urn:nation/^urn:nation ?peer): customer–supplier same-nation
+    pairs, counted per customer segment."""
+    tr = _graph(spark, sf_dir)
+    pairs = graphq.path(tr, "?c", [_NATION, "^" + _NATION], "?peer")
+    # keep only supplier peers (customers also point at nations)
+    peers = graphq.join_solutions(
+        pairs, graphq.bgp(tr, [("?peer", _T, "urn:Supplier")])
+    )
+    segs = graphq.bgp(tr, [("?c", _T, "urn:Customer"), ("?c", _SEG, "?seg")])
+    sols = graphq.join_solutions(segs, peers)
+    return sols.groupBy("seg").agg(F.count(F.lit(1)).alias("n_pairs"))
+
+
+G5_SQL = _CTE + """
+SELECT cs.o_value AS seg, count(*) AS n_pairs
+FROM triples ct
+JOIN triples cs ON cs.s = ct.s AND cs.p = 'urn:segment'
+JOIN triples cn ON cn.s = ct.s AND cn.p = 'urn:nation'
+JOIN triples sn ON sn.o_value = cn.o_value AND sn.p = 'urn:nation'
+JOIN triples st ON st.s = sn.s AND st.p = 'urn:type' AND st.o_value = 'urn:Supplier'
+WHERE ct.p = 'urn:type' AND ct.o_value = 'urn:Customer'
+GROUP BY cs.o_value
+"""
+
+
+def g6_lang_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4 LANGMATCHES: documents per source whose title is English."""
+    tr = _graph(spark, sf_dir)
+    sols = graphq.bgp(tr, [("?d", _TITLE, "?t"), ("?d", _SOURCE, "?src")])
+    en = graphq.lang_filter(sols, "?t", "en")
+    return en.groupBy("src").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+G6_SQL = _CTE + """
+SELECT sr.o_value AS src, count(*) AS n_docs
+FROM triples tt
+JOIN triples sr ON sr.s = tt.s AND sr.p = 'urn:source'
+WHERE tt.p = 'urn:title' AND lower(tt.o_lang) = 'en'
+GROUP BY sr.o_value
+"""
+
+
+def g7_group_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 on the graph: distinct suppliers per nation IRI."""
+    tr = _graph(spark, sf_dir)
+    sols = graphq.join_solutions(
+        graphq.bgp(tr, [("?s", _T, "urn:Supplier")]),
+        graphq.bgp(tr, [("?s", _NATION, "?n")]),
+    )
+    return graphq.group_count(sols, ["?n"], "?s", "n_suppliers", distinct=True)
+
+
+G7_SQL = _CTE + """
+SELECT sn.o_value AS n, count(DISTINCT sn.s) AS n_suppliers
+FROM triples st
+JOIN triples sn ON sn.s = st.s AND sn.p = 'urn:nation'
+WHERE st.p = 'urn:type' AND st.o_value = 'urn:Supplier'
+GROUP BY sn.o_value
+"""
+
+
+def g8_scalar_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 scalar per group with the engine's deterministic min-by-value
+    contract: first customer name per nation IRI."""
+    tr = _graph(spark, sf_dir)
+    sols = graphq.bgp(
+        tr,
+        [("?c", _T, "urn:Customer"), ("?c", _NATION, "?n"), ("?c", _NAME, "?cname")],
+    )
+    return graphq.scalar(sols, ["?n"], "?cname", "first_name")
+
+
+G8_SQL = _CTE + """
+SELECT cn.o_value AS n, min(nm.o_value) AS first_name
+FROM triples ct
+JOIN triples cn ON cn.s = ct.s AND cn.p = 'urn:nation'
+JOIN triples nm ON nm.s = ct.s AND nm.p = 'urn:name'
+WHERE ct.p = 'urn:type' AND ct.o_value = 'urn:Customer'
+GROUP BY cn.o_value
+"""
+
+
+QUERIES = {
+    "g1_bgp_star": g1_bgp_star,
+    "g2_optional_premium": g2_optional_premium,
+    "g3_not_exists_premium": g3_not_exists_premium,
+    "g4_values_undef": g4_values_undef,
+    "g5_path_inverse": g5_path_inverse,
+    "g6_lang_filter": g6_lang_filter,
+    "g7_group_count": g7_group_count,
+    "g8_scalar_min": g8_scalar_min,
+}
+
+ORACLES = {
+    "g1_bgp_star": G1_SQL,
+    "g2_optional_premium": G2_SQL,
+    "g3_not_exists_premium": G3_SQL,
+    "g4_values_undef": G4_SQL,
+    "g5_path_inverse": G5_SQL,
+    "g6_lang_filter": G6_SQL,
+    "g7_group_count": G7_SQL,
+    "g8_scalar_min": G8_SQL,
+}

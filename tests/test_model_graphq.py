@@ -1,0 +1,151 @@
+"""Tests for the triples data model + graph query layer.
+
+Golden assertions come from reading the reference fixture
+`l-dcatAp11ToCkanBatch/src/test/resources/input.ttl` by hand (2 datasets,
+one organizationID override, Czech publisher name, multilingual keywords,
+an inverse-path CatalogRecord link).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from lp_etl_plugins_spark import graphq, model
+
+INPUT_TTL = "/root/reference/l-dcatAp11ToCkanBatch/src/test/resources/input.ttl"
+SKOS_TTL = "/root/reference/l-dcatAp11ToCkanBatch/src/test/resources/filetypes-skos.ttl"
+
+DCAT = "http://www.w3.org/ns/dcat#"
+DCT = "http://purl.org/dc/terms/"
+FOAF = "http://xmlns.com/foaf/0.1/"
+CKAN = "http://linked.opendata.cz/ontology/ckan/"
+
+
+@pytest.fixture(scope="module")
+def fixture_triples(spark):
+    tr = model.triples_from_turtle(spark, INPUT_TTL)
+    tr.cache().count()
+    return tr
+
+
+def test_parse_turtle_literals():
+    triples = model.parse_turtle(
+        '@prefix ex: <urn:ex/> .\n'
+        'ex:s ex:plain "v" ; ex:lang "cs"@cs ; ex:typed "1"^^ex:t ; ex:int 42 ; '
+        'ex:dec 4.5 ; ex:bool true .'
+    )
+    by_p = {t.p.rsplit("/", 1)[-1]: t for t in triples}
+    assert by_p["plain"].o_lang is None and by_p["plain"].o_datatype is None
+    assert by_p["lang"].o_lang == "cs"
+    assert by_p["typed"].o_datatype == "urn:ex/t"
+    assert by_p["int"].o_datatype == model.XSD + "integer"
+    assert by_p["dec"].o_datatype == model.XSD + "decimal"
+    assert by_p["bool"].o_value == "true"
+
+
+def test_parse_turtle_escapes_and_bnodes():
+    triples = model.parse_turtle(
+        '<urn:s> <urn:p> "a\\"b\\\\c\\nd\\u00e9" ; <urn:q> [ <urn:r> "x" ] .'
+    )
+    lit = next(t for t in triples if t.p == "urn:p")
+    assert lit.o_value == 'a"b\\c\ndé'
+    anon = next(t for t in triples if t.p == "urn:q")
+    assert anon.o_type == "bnode"
+    inner = next(t for t in triples if t.s == anon.o_value)
+    assert inner.p == "urn:r" and inner.o_value == "x"
+
+
+def test_fixture_parse_counts(fixture_triples):
+    # hand-counted facts from input.ttl
+    datasets = fixture_triples.filter(
+        f"p = '{model.RDF_TYPE}' and o_value = '{DCAT}Dataset'"
+    )
+    assert datasets.count() == 2
+    kw = fixture_triples.filter(f"p = '{DCAT}keyword'")
+    # dataset1: 2 @en; dataset2: 2 @en + 2 @cs
+    assert kw.count() == 6
+    assert kw.filter("o_lang = 'cs'").count() == 2
+
+
+def test_skos_fixture_parses(spark):
+    sk = model.triples_from_turtle(spark, SKOS_TTL)
+    pref = sk.filter(
+        "p = 'http://www.w3.org/2004/02/skos/core#prefLabel' and o_lang = 'en'"
+    )
+    assert pref.count() > 100  # EU file-type authority table
+
+
+def test_ntriples_roundtrip(spark, fixture_triples, tmp_path):
+    nasty = spark.createDataFrame(
+        [("urn:x", "urn:p", 'q" b\\ n\n t\t.', "literal", None, None)],
+        model.TRIPLES_SCHEMA,
+    )
+    both = fixture_triples.unionByName(nasty)
+    out = str(tmp_path / "rt.nt")
+    model.write_ntriples(both, out, single_file=True)
+    back = model.triples_from_ntriples(spark, out)
+    assert {tuple(r) for r in back.collect()} == {tuple(r) for r in both.collect()}
+
+
+def test_bgp_and_paths(spark, fixture_triples):
+    tr = fixture_triples
+    ds = graphq.bgp(tr, [("?d", graphq.RDF_TYPE, DCAT + "Dataset")])
+    assert sorted(r["d"] for r in ds.collect()) == [
+        "http://real.dataset.iri",
+        "http://real.dataset.iri/2",
+    ]
+    # publisher/name 2-hop (DcatAp11ToCkanBatch.java:259)
+    pn = graphq.path(tr, "?d", [DCT + "publisher", FOAF + "name"], "?name")
+    rows = {(r["d"], r["name"], r["name__lang"]) for r in pn.collect()}
+    assert rows == {
+        ("http://real.dataset.iri", "ČSSZ", "cs"),
+        ("http://real.dataset.iri/2", "ČSSZ", "cs"),
+    }
+    # inverse path ^foaf:primaryTopic/dcterms:source (:372)
+    inv = graphq.path(tr, "?d", ["^" + FOAF + "primaryTopic", DCT + "source"], "?src")
+    assert [(r["d"], r["src"]) for r in inv.collect()] == [
+        ("http://real.dataset.iri", "http://iri.on.pvs")
+    ]
+
+
+def test_optional_and_not_exists(spark, fixture_triples):
+    tr = fixture_triples
+    base = graphq.bgp(tr, [("?d", graphq.RDF_TYPE, DCAT + "Dataset")])
+    opt = graphq.optional(base, tr, [("?d", CKAN + "organizationID", "?org")])
+    assert sorted((r["d"], r["org"]) for r in opt.collect()) == [
+        ("http://real.dataset.iri", None),
+        ("http://real.dataset.iri/2", "ooo2"),
+    ]
+    ne = graphq.not_exists(base, tr, [("?d", DCT + "spatial", "?sp")])
+    assert [r["d"] for r in ne.collect()] == ["http://real.dataset.iri"]
+
+
+def test_values_undef_and_lang_filter(spark, fixture_triples):
+    tr = fixture_triples
+    ds = graphq.bgp(tr, [("?d", graphq.RDF_TYPE, DCAT + "Dataset")])
+    v = graphq.values(
+        ds, spark, ["?d", "?tag"], [("http://real.dataset.iri", "one"), (None, "any")]
+    )
+    assert sorted((r["d"], r["tag"]) for r in v.collect()) == [
+        ("http://real.dataset.iri", "any"),
+        ("http://real.dataset.iri", "one"),
+        ("http://real.dataset.iri/2", "any"),
+    ]
+    kw = graphq.bgp(tr, [("?d", DCAT + "keyword", "?k")])
+    cs = graphq.lang_filter(kw, "?k", "cs")
+    assert sorted(r["k"] for r in cs.collect()) == ["data", "otevřená"]
+
+
+def test_scalar_and_group_count(spark, fixture_triples):
+    tr = fixture_triples
+    kw = graphq.bgp(tr, [("?d", DCAT + "keyword", "?k")])
+    counts = {
+        r["d"]: r["n"]
+        for r in graphq.group_count(kw, ["?d"], "?k", "n", distinct=True).collect()
+    }
+    assert counts == {"http://real.dataset.iri": 2, "http://real.dataset.iri/2": 3}
+    first = graphq.scalar(kw, ["?d"], "?k", "first_kw")
+    assert {(r["d"], r["first_kw"]) for r in first.collect()} == {
+        ("http://real.dataset.iri", "data"),
+        ("http://real.dataset.iri/2", "data"),
+    }
