@@ -37,6 +37,7 @@ _MODULES = (
     "relational",
     "scalarfn",
     "graphops",
+    "cubeops",
     "textops",
     "vectorops",
     "eventsops",
