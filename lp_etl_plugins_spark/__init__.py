@@ -6,6 +6,16 @@ SURVEY.md), re-expressed Spark-first.
 
 Shipped modules:
 
+- ``model``      — RDF triples-as-DataFrame data model: Turtle subset
+                   parser (driver-side), distributed N-Triples reader,
+                   N-Triples sink, relational→triples unpivot (SURVEY §1.1)
+- ``graphq``     — graph (SPARQL-shaped) query layer over triples:
+                   bgp/optional/not_exists/values/path/lang_filter/
+                   group_count/scalar (SURVEY §2.3, §7.2)
+- ``cube``       — Fiscal-Data-Package descriptor → RDF Data Cube
+                   compiler, all 7 dimension kinds (reference t-fdpToRdf)
+- ``dcat``       — DCAT-AP extraction → CKAN payloads + JSONL sink,
+                   pivot-based set-oriented rewrite (SURVEY §3.2)
 - ``functions``  — scalar expression library (text/dates/numeric/rdf),
                    built-in-function compositions, one pandas UDF (NFD)
 - ``inventory``  — the correctness surface: one query + DuckDB oracle per

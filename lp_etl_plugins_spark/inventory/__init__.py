@@ -38,6 +38,7 @@ _MODULES = (
     "scalarfn",
     "graphops",
     "cubeops",
+    "dcatops",
     "textops",
     "vectorops",
     "eventsops",
