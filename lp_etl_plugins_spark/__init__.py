@@ -16,6 +16,13 @@ Shipped modules:
                    compiler, all 7 dimension kinds (reference t-fdpToRdf)
 - ``dcat``       — DCAT-AP extraction → CKAN payloads + JSONL sink,
                    pivot-based set-oriented rewrite (SURVEY §3.2)
+- ``textops``    — training-data text ops: exact/fingerprint dedup,
+                   MinHash+banded-LSH near-dup, SimHash, language-ID,
+                   quality scoring, token counting
+- ``vectorops``  — similarity search over embeddings: brute-force
+                   cosine top-k, sign-bucket LSH, IVF coarse lists
+- ``multimodal`` — binary media columns: Arrow-batched decode / resize /
+                   frame-sample plumbing (codec stubbed, see module)
 - ``functions``  — scalar expression library (text/dates/numeric/rdf),
                    built-in-function compositions, one pandas UDF (NFD)
 - ``inventory``  — the correctness surface: one query + DuckDB oracle per

@@ -41,6 +41,7 @@ _MODULES = (
     "dcatops",
     "textops",
     "vectorops",
+    "mediaops",
     "eventsops",
 )
 

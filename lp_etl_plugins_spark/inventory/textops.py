@@ -1,4 +1,274 @@
-"""Placeholder — populated in a later milestone."""
+"""Text / dedup operator inventory — t* entries over ``documents``.
 
-QUERIES: dict = {}
-ORACLES: dict = {}
+Every entry is a full pipeline (not a toy expression) with a DuckDB
+oracle that recomputes the identical algorithm in SQL — the md5-based
+min-wise hash family makes MinHash/SimHash cross-engine deterministic.
+
+Scale notes (the point of each design):
+- t3 (MinHash-LSH) shuffles |docs|×bands band keys and joins ONLY
+  same-key rows — the corpus cross-product is never formed; at 100 TB
+  this is the standard banded near-dup sweep.
+- t4 verifies exact Jaccard over the LSH candidates only.
+- All tokenization is the shared ``normalized_words`` splitter, so the
+  Spark plan and the SQL oracle agree token-for-token.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import textops as T
+from ..tables import load_table
+
+_K = 12          # minhash signature length
+_BANDS = 6       # LSH bands
+_ROWS = 2        # signature slots per band -> collide iff both match
+_SHINGLE_N = 3
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def t1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup summary: corpus size vs distinct-text count (one
+    hash-groupBy; the per-group detail is t2's job)."""
+    groups = T.exact_dedup(_docs(spark, sf_dir), "text", "doc_id")
+    return groups.agg(
+        F.sum("n_docs").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_distinct_texts"),
+    )
+
+
+T1_SQL = """
+SELECT count(*) AS n_docs, count(DISTINCT md5(text)) AS n_distinct_texts
+FROM documents
+"""
+
+
+def t2_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-of-words dedup groups: identical word SETS collapse
+    regardless of order → (fingerprint, n_docs, canonical_id)."""
+    return T.fingerprint_dedup(_docs(spark, sf_dir), "text", "doc_id")
+
+
+T2_SQL = r"""
+SELECT fp, count(*) AS n_docs, min(doc_id) AS canonical_id
+FROM (
+  SELECT doc_id,
+         md5(array_to_string(list_sort(list_distinct(
+             regexp_split_to_array(lower(trim(text)), '\s+'))), ' ')) AS fp
+  FROM documents
+) t
+GROUP BY fp HAVING count(*) > 1
+"""
+
+
+# Shared SQL: distinct word 3-shingles per document (the oracle twin of
+# textops._doc_shingles with normalized_words).
+_SH_SQL = r"""
+words AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ws FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id AS id, array_to_string(ws[i:i+2], ' ') AS shingle
+  FROM words, unnest(generate_series(1, len(ws) - 2)) AS g(i)
+  WHERE len(ws) >= 3
+)
+"""
+
+_MH_COLS = ",\n    ".join(
+    f"min(md5('{i}:' || shingle)) AS h{i}" for i in range(_K)
+)
+_BAND_CASE = "CASE b " + " ".join(
+    f"WHEN {b} THEN md5(h{b * _ROWS} || ',' || h{b * _ROWS + 1})" for b in range(_BANDS)
+) + " END"
+
+_CAND_SQL = f"""
+mh AS (
+  SELECT id, {_MH_COLS}
+  FROM sh GROUP BY id
+),
+bands AS (
+  SELECT id, b, {_BAND_CASE} AS key
+  FROM mh, unnest([{', '.join(str(b) for b in range(_BANDS))}]) AS bb(b)
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM bands a JOIN bands b ON a.b = b.b AND a.key = b.key AND a.id < b.id
+)
+"""
+
+
+def t3_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded MinHash-LSH candidate pairs (k=12, 6 bands × 2 rows):
+    the near-dup candidate set, produced without ever forming the
+    corpus cross-product."""
+    shingles = T._doc_shingles(_docs(spark, sf_dir), "text", "doc_id", _SHINGLE_N)
+    sigs = T.minhash_signatures(shingles, _K)
+    return T.lsh_candidate_pairs(sigs, _BANDS, _ROWS)
+
+
+T3_SQL = "WITH " + _SH_SQL + "," + _CAND_SQL + "\nSELECT id_a, id_b FROM cand"
+
+
+def t4_lsh_jaccard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-shingle Jaccard over the LSH candidates ONLY, thresholded
+    at 0.8 → confirmed near-duplicates (id_a, id_b, jaccard)."""
+    shingles = T._doc_shingles(_docs(spark, sf_dir), "text", "doc_id", _SHINGLE_N)
+    sigs = T.minhash_signatures(shingles, _K)
+    pairs = T.lsh_candidate_pairs(sigs, _BANDS, _ROWS)
+    out = T.jaccard_over_candidates(pairs, shingles, threshold=0.8)
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+T4_SQL = "WITH " + _SH_SQL + "," + _CAND_SQL + r""",
+sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS i
+  FROM cand c
+  JOIN sh sa ON sa.id = c.id_a
+  JOIN sh sb ON sb.id = c.id_b AND sb.shingle = sa.shingle
+  GROUP BY c.id_a, c.id_b
+)
+SELECT inter.id_a, inter.id_b,
+       round(i::DOUBLE / (na.n + nb.n - i), 6) AS jaccard
+FROM inter
+JOIN sizes na ON na.id = inter.id_a
+JOIN sizes nb ON nb.id = inter.id_b
+WHERE i::DOUBLE / (na.n + nb.n - i) >= 0.8
+"""
+
+
+def t5_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash dedup buckets: documents sharing the 16-bit majority
+    sketch → (simhash, n_docs, canonical_id) for buckets > 1."""
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.select(T.simhash16("text").alias("simhash"), "doc_id")
+        .groupBy("simhash")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("canonical_id"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+_BIT_VOTES = " + ".join(
+    f"CASE WHEN sum(CASE WHEN (h // {1 << i}) % 2 = 1 THEN 1 ELSE -1 END) > 0 "
+    f"THEN {1 << i} ELSE 0 END"
+    for i in range(16)
+)
+
+T5_SQL = rf"""
+WITH tok AS (
+  SELECT doc_id, CAST(('0x' || substring(md5(w.word), 1, 4))::BIGINT AS INT) AS h
+  FROM (
+    SELECT doc_id,
+           list_distinct(regexp_split_to_array(lower(trim(text)), '\s+')) AS ws
+    FROM documents
+  ) d, unnest(d.ws) AS w(word)
+),
+sims AS (
+  SELECT doc_id, {_BIT_VOTES} AS simhash
+  FROM tok GROUP BY doc_id
+)
+SELECT simhash, count(*) AS n_docs, min(doc_id) AS canonical_id
+FROM sims GROUP BY simhash HAVING count(*) > 1
+"""
+
+
+def t6_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword language-ID heuristic: predicted language × actual lang
+    column → confusion counts."""
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.select(F.col("lang").alias("actual"), T.lang_id("text").alias("predicted"))
+        .groupBy("actual", "predicted")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+T6_SQL = r"""
+WITH hits AS (
+  SELECT lang AS actual,
+    len(list_filter(ws, w -> w IN ('the','a','of','and','to'))) AS en,
+    len(list_filter(ws, w -> w IN ('der','die','das','und','ist'))) AS de,
+    len(list_filter(ws, w -> w IN ('le','la','et','les','des'))) AS fr,
+    len(list_filter(ws, w -> w IN ('el','los','las','y','es'))) AS es
+  FROM (SELECT lang, regexp_split_to_array(lower(trim(text)), '\s+') AS ws FROM documents) t
+),
+pred AS (
+  SELECT actual,
+    CASE WHEN greatest(en, de, fr, es) = 0 THEN 'unknown'
+         WHEN fr >= en AND fr >= de AND fr >= es THEN 'fr'
+         WHEN es >= en AND es >= de THEN 'es'
+         WHEN en >= de THEN 'en'
+         ELSE 'de' END AS predicted
+  FROM hits
+)
+SELECT actual, predicted, count(*) AS n_docs FROM pred GROUP BY actual, predicted
+"""
+
+
+def t7_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality score (length/stopword/word-shape blend)."""
+    docs = _docs(spark, sf_dir)
+    return docs.select("doc_id", T.quality_score("text").alias("quality"))
+
+
+T7_SQL = r"""
+SELECT doc_id,
+  round(
+    0.4 * least(1.0, length(text)::DOUBLE / 300.0)
+    + 0.3 * (len(list_filter(ws, w -> w IN ('the','a','of','and','to')))::DOUBLE / len(ws))
+    + 0.3 * (1.0 - least(1.0,
+        abs(list_sum(list_transform(ws, w -> length(w)))::DOUBLE / len(ws) - 4.5) / 10.0)),
+  6) AS quality
+FROM (SELECT doc_id, text, regexp_split_to_array(lower(trim(text)), '\s+') AS ws FROM documents) t
+"""
+
+
+def t8_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace vs BPE-ish regex token counts per source (corpus
+    sizing — the first question any training-data pipeline asks)."""
+    docs = _docs(spark, sf_dir)
+    ws, bpe = T.token_counts("text")
+    return (
+        docs.select("source", ws.alias("ws_tokens"), bpe.alias("bpe_tokens"))
+        .groupBy("source")
+        .agg(
+            F.sum("ws_tokens").alias("ws_tokens"),
+            F.sum("bpe_tokens").alias("bpe_tokens"),
+        )
+    )
+
+
+T8_SQL = r"""
+SELECT source,
+  sum(len(regexp_split_to_array(lower(trim(text)), '\s+')))::BIGINT AS ws_tokens,
+  sum(len(regexp_extract_all(text, '\w+|[^\w\s]')))::BIGINT AS bpe_tokens
+FROM documents GROUP BY source
+"""
+
+
+QUERIES = {
+    "t1_exact_dedup": t1_exact_dedup,
+    "t2_fingerprint_dedup": t2_fingerprint_dedup,
+    "t3_minhash_lsh_pairs": t3_minhash_lsh_pairs,
+    "t4_lsh_jaccard_verify": t4_lsh_jaccard_verify,
+    "t5_simhash_buckets": t5_simhash_buckets,
+    "t6_lang_id": t6_lang_id,
+    "t7_quality_score": t7_quality_score,
+    "t8_token_counts": t8_token_counts,
+}
+
+ORACLES = {
+    "t1_exact_dedup": T1_SQL,
+    "t2_fingerprint_dedup": T2_SQL,
+    "t3_minhash_lsh_pairs": T3_SQL,
+    "t4_lsh_jaccard_verify": T4_SQL,
+    "t5_simhash_buckets": T5_SQL,
+    "t6_lang_id": T6_SQL,
+    "t7_quality_score": T7_SQL,
+    "t8_token_counts": T8_SQL,
+}

@@ -1,4 +1,169 @@
-"""Placeholder — populated in a later milestone."""
+"""Similarity-search inventory — v* entries over ``embeddings``.
 
-QUERIES: dict = {}
-ORACLES: dict = {}
+The DuckDB oracle recomputes cosine with the same left-to-right double
+fold (``list_dot_product`` over ``DOUBLE[]`` casts), so scores match to
+the 6-decimal rounding used for ranking.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import vectorops as V
+from ..tables import load_table
+
+_K = 3
+_PROBE_LIMIT = 10  # vec_id < 10 are the probe set
+_BITS = 3
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings")
+
+
+def v1_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-3 per probe (probes = vec_id < 10), the ANN
+    baseline/verifier."""
+    emb = _emb(spark, sf_dir)
+    probes = emb.filter(F.col("vec_id") < _PROBE_LIMIT)
+    return V.knn_bruteforce(emb, probes, _K)
+
+
+V1_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+scored AS (
+  SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+    round(
+      list_dot_product(p.v, c.v)
+      / (sqrt(list_dot_product(p.v, p.v)) * sqrt(list_dot_product(c.v, c.v))),
+    6) AS cos
+  FROM e p JOIN e c ON p.vec_id < {_PROBE_LIMIT} AND c.vec_id != p.vec_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT probe_id, neighbor_id, cos, rank FROM ranked WHERE rank <= {_K}
+"""
+
+
+def v2_knn_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style bucketed ANN: sign bits of the first 3 dims partition
+    the corpus into 8 buckets; probes search only their bucket."""
+    emb = _emb(spark, sf_dir)
+    probes = emb.filter(F.col("vec_id") < _PROBE_LIMIT)
+    return V.knn_bucketed(emb, probes, _K, bits=_BITS)
+
+
+V2_SQL = f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+    (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END
+     + CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END
+     + CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END) AS bucket
+  FROM embeddings
+),
+scored AS (
+  SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+    round(
+      list_dot_product(p.v, c.v)
+      / (sqrt(list_dot_product(p.v, p.v)) * sqrt(list_dot_product(c.v, c.v))),
+    6) AS cos
+  FROM e p JOIN e c ON p.bucket = c.bucket
+  WHERE p.vec_id < {_PROBE_LIMIT} AND c.vec_id != p.vec_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT probe_id, neighbor_id, cos, rank FROM ranked WHERE rank <= {_K}
+"""
+
+
+def v3_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid norm + member count (cluster sanity check for
+    the embedding space)."""
+    return V.label_centroids(_emb(spark, sf_dir))
+
+
+V3_SQL = """
+WITH dims AS (
+  SELECT label, g.i - 1 AS dim, embedding[g.i]::DOUBLE AS v
+  FROM embeddings, unnest(generate_series(1, len(embedding))) AS g(i)
+),
+per_dim AS (
+  SELECT label, dim, avg(v) AS c FROM dims GROUP BY label, dim
+),
+norms AS (
+  SELECT label, round(sqrt(sum(c * c)), 6) AS centroid_norm FROM per_dim GROUP BY label
+)
+SELECT e.label, count(*) AS n_vectors, any_value(n.centroid_norm) AS centroid_norm
+FROM embeddings e JOIN norms n ON e.label = n.label
+GROUP BY e.label
+"""
+
+
+def v4_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: per-label centroids, nearest-centroid reassignment,
+    probe searches its coarse list only (nprobe=1)."""
+    emb = _emb(spark, sf_dir)
+    probes = emb.filter(F.col("vec_id") < _PROBE_LIMIT)
+    return V.knn_ivf(emb, probes, _K)
+
+
+V4_SQL = f"""
+WITH dims AS (
+  SELECT vec_id AS id, label AS seed, g.i - 1 AS dim, embedding[g.i]::DOUBLE AS v
+  FROM embeddings, unnest(generate_series(1, len(embedding))) AS g(i)
+),
+cent AS (SELECT seed, dim, avg(v) AS c FROM dims GROUP BY seed, dim),
+cent_norm AS (SELECT seed, sum(c * c) AS c2 FROM cent GROUP BY seed),
+scored0 AS (
+  SELECT d.id, ct.seed AS bucket,
+         round(sum(d.v * d.v) - 2 * sum(d.v * ct.c) + any_value(cn.c2), 6) AS dist2
+  FROM dims d
+  JOIN cent ct ON ct.dim = d.dim
+  JOIN cent_norm cn ON cn.seed = ct.seed
+  GROUP BY d.id, ct.seed
+),
+assign AS (
+  SELECT id, bucket FROM (
+    SELECT *, row_number() OVER (PARTITION BY id ORDER BY dist2, bucket) AS rn
+    FROM scored0
+  ) t WHERE rn = 1
+),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+scored AS (
+  SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+    round(
+      list_dot_product(p.v, c.v)
+      / (sqrt(list_dot_product(p.v, p.v)) * sqrt(list_dot_product(c.v, c.v))),
+    6) AS cos
+  FROM e p
+  JOIN assign pa ON pa.id = p.vec_id
+  JOIN assign ca ON ca.bucket = pa.bucket
+  JOIN e c ON c.vec_id = ca.id AND c.vec_id != p.vec_id
+  WHERE p.vec_id < {_PROBE_LIMIT}
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT probe_id, neighbor_id, cos, rank FROM ranked WHERE rank <= {_K}
+"""
+
+
+QUERIES = {
+    "v1_knn_bruteforce": v1_knn_bruteforce,
+    "v2_knn_bucketed": v2_knn_bucketed,
+    "v3_label_centroids": v3_label_centroids,
+    "v4_knn_ivf": v4_knn_ivf,
+}
+
+ORACLES = {
+    "v1_knn_bruteforce": V1_SQL,
+    "v2_knn_bucketed": V2_SQL,
+    "v3_label_centroids": V3_SQL,
+    "v4_knn_ivf": V4_SQL,
+}

@@ -1,0 +1,246 @@
+"""Large-scale text/dedup operators for training-data pipelines.
+
+Beyond the reference's surface (BASELINE north-star extensions): the
+operators a 100 TB web-scale corpus pipeline needs, built so the
+candidate set — never the corpus cross-product — is what shuffles:
+
+- exact + bag-of-words fingerprint dedup (hash-groupBy, one shuffle);
+- MinHash signatures + banded LSH near-dup candidates: shingle →
+  k salted min-hashes → band keys → same-band self-join. Only documents
+  sharing a band key ever meet in a join; all-pairs is never formed.
+  At 1000 executors the band join is a plain shuffled equi-join whose
+  skew (a hot band) AQE splits;
+- exact n-gram Jaccard verification over the candidate pairs only;
+- SimHash bucketing (majority-bit sketch);
+- text analysis: stopword-based language ID, quality scoring, token
+  counting, document fingerprinting.
+
+Everything is built from JVM expressions (split/explode/md5/groupBy) —
+no Python in the hot path. Hash family: lexicographic MIN over
+``md5(salt || shingle)`` hex digests — a valid min-wise family that
+both Spark and DuckDB compute identically, which makes every operator
+oracle-checkable. A production variant would swap in xxhash64 for
+speed; the pipeline shape is unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "normalized_words",
+    "shingles",
+    "exact_dedup",
+    "fingerprint",
+    "fingerprint_dedup",
+    "minhash_signatures",
+    "lsh_candidate_pairs",
+    "jaccard_over_candidates",
+    "simhash16",
+    "lang_id",
+    "quality_score",
+    "token_counts",
+]
+
+
+def normalized_words(col: Column | str) -> Column:
+    """lower + trim + whitespace split — the shared tokenizer every
+    operator (and its DuckDB oracle) agrees on."""
+    col = F.col(col) if isinstance(col, str) else col
+    return F.split(F.lower(F.trim(col)), r"\s+")
+
+
+def shingles(words: Column, n: int) -> Column:
+    """Word n-grams as space-joined strings; empty array when the
+    document has fewer than n words (guarded — Spark's ``sequence(1,0)``
+    would generate a DESCENDING range, not an empty one)."""
+    return F.when(
+        F.size(words) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact dedup: md5 over the raw text, one hash-groupBy shuffle.
+    → (text_hash, n_docs, canonical_id=min id)."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("text_hash"), F.col(id_col).alias("id"))
+        .groupBy("text_hash")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("id").alias("canonical_id"))
+    )
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Document fingerprint: md5 of the sorted distinct word bag —
+    order-insensitive content hash."""
+    words = normalized_words(col)
+    return F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(words))))
+
+
+def fingerprint_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Bag-of-words dedup: documents with identical word sets collapse
+    regardless of word order. → groups with n_docs > 1."""
+    return (
+        df.select(fingerprint(text_col).alias("fp"), F.col(id_col).alias("id"))
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("id").alias("canonical_id"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def _doc_shingles(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    """→ (id, shingle) distinct — the substrate for minhash + verify."""
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(shingles(normalized_words(text_col), n)).alias("shingle"),
+        )
+        .distinct()
+    )
+
+
+def minhash_signatures(doc_shingles: DataFrame, k: int) -> DataFrame:
+    """k salted min-hashes per document in ONE groupBy (k aggregates,
+    map-side partials): h_i = min(md5(i ':' shingle))."""
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"h{i}")
+        for i in range(k)
+    ]
+    return doc_shingles.groupBy("id").agg(*aggs)
+
+
+def lsh_candidate_pairs(signatures: DataFrame, bands: int, rows: int) -> DataFrame:
+    """Banded LSH: hash each band of ``rows`` signature slots to a band
+    key, self-join per (band, key), keep ordered distinct pairs. The
+    join input is |docs| × bands rows; only same-key rows pair up."""
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(
+                F.concat_ws(",", *[F.col(f"h{b * rows + r}") for r in range(rows)])
+            ).alias("key"),
+        )
+        for b in range(bands)
+    ]
+    banded = signatures.select(
+        "id", F.explode(F.array(*band_structs)).alias("bk")
+    ).select("id", "bk.band", "bk.key")
+    left = banded.alias("a")
+    right = banded.alias("b")
+    return (
+        left.join(
+            right,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard_over_candidates(
+    pairs: DataFrame, doc_shingles: DataFrame, threshold: float = 0.0
+) -> DataFrame:
+    """Exact Jaccard on candidate pairs ONLY: |A∩B| via a shingle
+    equi-join restricted to candidates, |A∪B| = |A|+|B|−|A∩B|.
+    → (id_a, id_b, jaccard) with jaccard ≥ threshold."""
+    sizes = doc_shingles.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    sa = doc_shingles.select(F.col("id").alias("id_a"), "shingle")
+    sb = doc_shingles.select(F.col("id").alias("sb_id"), F.col("shingle").alias("shingle_b"))
+    inter = (
+        pairs.join(sa, "id_a")
+        .join(sb, (F.col("id_b") == F.col("sb_id")) & (F.col("shingle") == F.col("shingle_b")))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    na = sizes.select(F.col("id").alias("id_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("id").alias("id_b"), F.col("n").alias("nb"))
+    out = (
+        inter.join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i"))).alias("jaccard"),
+        )
+    )
+    return out.filter(F.col("jaccard") >= threshold)
+
+
+def simhash16(col: Column | str) -> Column:
+    """16-bit SimHash over the word bag: per token take the low 16 bits
+    of md5, per bit position sum ±1 votes, sign → bit. 16 bits keeps
+    the expression oracle-checkable; a 64-bit variant is the same plan
+    with a wider loop."""
+    words = F.array_distinct(normalized_words(col))
+    token_h = F.transform(words, lambda w: F.conv(F.substring(F.md5(w), 1, 4), 16, 10).cast("int"))
+    bits = []
+    for i in range(16):
+        votes = F.aggregate(
+            token_h,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+        bits.append(F.when(votes > 0, F.lit(1 << i)).otherwise(F.lit(0)))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+_STOPWORDS = {
+    "en": ("the", "a", "of", "and", "to"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "fr": ("le", "la", "et", "les", "des"),
+    "es": ("el", "los", "las", "y", "es"),
+}
+
+
+def lang_id(col: Column | str) -> Column:
+    """n-gram/stopword language-ID heuristic: count stopword hits per
+    language, argmax with a deterministic tie-break (lexicographically
+    LAST language code wins a hit tie — struct-max semantics); no hits
+    → 'unknown'."""
+    words = normalized_words(col)
+    scores = []
+    for code in sorted(_STOPWORDS):
+        hits = F.size(F.filter(words, lambda w: w.isin(*_STOPWORDS[code])))
+        scores.append(F.struct(hits.alias("hits"), F.lit(code).alias("code")))
+    best = F.array_max(F.array(*scores))
+    return F.when(best["hits"] > 0, best["code"]).otherwise(F.lit("unknown"))
+
+
+def quality_score(col: Column | str) -> Column:
+    """Heuristic document quality in [0,1]: length saturation, stopword
+    ratio, mean-word-length proximity to prose (~4.5 chars). Pure
+    integer-derived double arithmetic → bit-stable across engines."""
+    col = F.col(col) if isinstance(col, str) else col
+    words = normalized_words(col)
+    n_words = F.size(words)
+    n_chars = F.length(col)
+    stop_hits = F.size(F.filter(words, lambda w: w.isin("the", "a", "of", "and", "to")))
+    stop_ratio = stop_hits.cast("double") / n_words
+    mean_wlen = F.aggregate(
+        words, F.lit(0), lambda acc, w: acc + F.length(w)
+    ).cast("double") / n_words
+    length_term = F.least(F.lit(1.0), n_chars.cast("double") / F.lit(300.0))
+    prose_term = F.lit(1.0) - F.least(F.lit(1.0), F.abs(mean_wlen - F.lit(4.5)) / F.lit(10.0))
+    return F.round(
+        F.lit(0.4) * length_term + F.lit(0.3) * stop_ratio + F.lit(0.3) * prose_term, 6
+    )
+
+
+def token_counts(col: Column | str) -> tuple[Column, Column]:
+    """(whitespace token count, BPE-ish regex token count): words plus
+    standalone punctuation — the pre-tokenizer split most BPE vocabs
+    use."""
+    col = F.col(col) if isinstance(col, str) else col
+    ws = F.size(normalized_words(col))
+    bpe = F.size(F.regexp_extract_all(col, F.lit(r"\w+|[^\w\s]"), 0))
+    return ws, bpe

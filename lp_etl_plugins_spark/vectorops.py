@@ -1,0 +1,236 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+North-star extension (BASELINE): approximate-nearest-neighbor over the
+``embeddings`` table, Spark-first:
+
+- :func:`cosine` — JVM-side fold (``zip_with`` + ``aggregate`` in
+  double), no UDF, stays in whole-stage codegen;
+- :func:`knn_bruteforce` — the exact baseline: probes × corpus join +
+  per-probe top-k window. Correct at any scale but O(P×N); use for
+  small probe sets or as the verifier for the bucketed path;
+- :func:`sign_bucket` / :func:`knn_bucketed` — the scale path: IVF-style
+  coarse quantization (sign bits of leading dimensions → 2^b buckets);
+  probes only join their own bucket, cutting candidates ~2^b× with the
+  usual ANN recall trade-off. At 100 TB the bucket id is the shuffle
+  key — candidates co-locate, no cross-product forms. A learned-centroid
+  IVF or random-hyperplane LSH drops into the same join shape.
+
+Determinism: ranking ties break on ``round(cos, 6)`` then neighbor id,
+so results are stable under parallelism and reproducible in the DuckDB
+oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+__all__ = [
+    "cosine",
+    "norm",
+    "knn_bruteforce",
+    "sign_bucket",
+    "knn_bucketed",
+    "assign_ivf_buckets",
+    "knn_ivf",
+    "label_centroids",
+]
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(_dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (norm(a) * norm(b))
+
+
+def knn_bruteforce(
+    embeddings: DataFrame,
+    probes: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors per probe (self excluded) →
+    (probe_id, neighbor_id, cos). Probes are broadcast — the corpus
+    never shuffles; each corpus partition scores its rows against every
+    probe and the window reduces per probe."""
+    p = probes.select(
+        F.col(id_col).alias("probe_id"), F.col(vec_col).alias("probe_vec")
+    )
+    c = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("neighbor_vec")
+    )
+    scored = (
+        c.join(F.broadcast(p), F.col("probe_id") != F.col("neighbor_id"))
+        .select(
+            "probe_id",
+            "neighbor_id",
+            F.round(cosine(F.col("probe_vec"), F.col("neighbor_vec")), 6).alias("cos"),
+        )
+    )
+    win = W.partitionBy("probe_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", "neighbor_id", "cos", "rank")
+    )
+
+
+def sign_bucket(vec: Column, bits: int) -> Column:
+    """IVF-style coarse bucket: sign bits of the first ``bits``
+    dimensions → integer in [0, 2^bits)."""
+    out = F.lit(0)
+    for i in range(bits):
+        out = out + F.when(F.element_at(vec, i + 1) > 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return out
+
+
+def knn_bucketed(
+    embeddings: DataFrame,
+    probes: DataFrame,
+    k: int,
+    bits: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the probe's coarse
+    bucket. The bucket id is the join key — a plain shuffled equi-join,
+    ~2^bits fewer candidate comparisons than brute force."""
+    p = probes.select(
+        F.col(id_col).alias("probe_id"),
+        F.col(vec_col).alias("probe_vec"),
+        sign_bucket(F.col(vec_col), bits).alias("bucket"),
+    )
+    c = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("neighbor_vec"),
+        sign_bucket(F.col(vec_col), bits).alias("bucket"),
+    )
+    scored = (
+        c.join(p, on="bucket")
+        .filter(F.col("probe_id") != F.col("neighbor_id"))
+        .select(
+            "probe_id",
+            "neighbor_id",
+            F.round(cosine(F.col("probe_vec"), F.col("neighbor_vec")), 6).alias("cos"),
+        )
+    )
+    win = W.partitionBy("probe_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", "neighbor_id", "cos", "rank")
+    )
+
+
+def assign_ivf_buckets(
+    embeddings: DataFrame,
+    seed_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF coarse quantization: centroids are the per-``seed_col`` group
+    means (a pretrained/provided coarse partitioning — the usual IVF
+    setup; a k-means refinement drops into the same plan), then every
+    vector is REASSIGNED to the centroid minimizing squared L2 distance
+    (the genuine quantization step — assignments need not equal seeds).
+
+    Plan shape: posexplode → per-(seed, dim) avg (small shuffle) →
+    dims ⋈ centroid-dims on dim → per-(vector, centroid) distance agg →
+    argmin window. Distances are ranked on round(…, 6) with a centroid
+    tie-break so the assignment is deterministic and oracle-checkable.
+    → (id, bucket)."""
+    dims = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.col(seed_col).alias("seed"),
+        F.posexplode(F.col(vec_col)).alias("dim", "v"),
+    ).withColumn("v", F.col("v").cast("double"))
+    cent = dims.groupBy("seed", "dim").agg(F.avg("v").alias("c"))
+    cent_norm = cent.groupBy("seed").agg(F.sum(F.col("c") * F.col("c")).alias("c2"))
+    scored = (
+        dims.join(cent.withColumnRenamed("seed", "bucket"), on="dim")
+        .groupBy("id", "bucket")
+        .agg(
+            F.sum(F.col("v") * F.col("c")).alias("dot"),
+            F.sum(F.col("v") * F.col("v")).alias("v2"),
+        )
+        .join(cent_norm.withColumnRenamed("seed", "bucket"), on="bucket")
+        .select(
+            "id",
+            "bucket",
+            F.round(F.col("v2") - 2 * F.col("dot") + F.col("c2"), 6).alias("dist2"),
+        )
+    )
+    win = W.partitionBy("id").orderBy(F.col("dist2"), F.col("bucket"))
+    return (
+        scored.withColumn("rn", F.row_number().over(win))
+        .filter(F.col("rn") == 1)
+        .select("id", "bucket")
+    )
+
+
+def knn_ivf(
+    embeddings: DataFrame,
+    probes: DataFrame,
+    k: int,
+    seed_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k via IVF: candidates restricted to the probe's
+    coarse list (nprobe=1). One equi-join on the bucket id — candidate
+    volume drops ~n_lists× versus brute force."""
+    buckets = assign_ivf_buckets(embeddings, seed_col, id_col, vec_col)
+    c = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("neighbor_vec")
+    ).join(buckets.withColumnRenamed("id", "neighbor_id"), on="neighbor_id")
+    p = probes.select(
+        F.col(id_col).alias("probe_id"), F.col(vec_col).alias("probe_vec")
+    ).join(buckets.withColumnRenamed("id", "probe_id"), on="probe_id")
+    scored = (
+        c.join(p, on="bucket")
+        .filter(F.col("probe_id") != F.col("neighbor_id"))
+        .select(
+            "probe_id",
+            "neighbor_id",
+            F.round(cosine(F.col("probe_vec"), F.col("neighbor_vec")), 6).alias("cos"),
+        )
+    )
+    win = W.partitionBy("probe_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", "neighbor_id", "cos", "rank")
+    )
+
+
+def label_centroids(
+    embeddings: DataFrame, label_col: str = "label", vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-label centroid statistics via posexplode + per-dimension avg
+    (one shuffle on (label, dim)) → (label, n_vectors, centroid_norm)."""
+    dims = embeddings.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(F.col(vec_col)).alias("dim", "v"),
+    )
+    per_dim = dims.groupBy("label", "dim").agg(
+        F.avg(F.col("v").cast("double")).alias("c")
+    )
+    counts = embeddings.groupBy(F.col(label_col).alias("label")).agg(
+        F.count(F.lit(1)).alias("n_vectors")
+    )
+    norms = per_dim.groupBy("label").agg(
+        F.round(F.sqrt(F.sum(F.col("c") * F.col("c"))), 6).alias("centroid_norm")
+    )
+    return counts.join(norms, "label")
