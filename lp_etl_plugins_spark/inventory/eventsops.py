@@ -1,4 +1,90 @@
-"""Placeholder — populated in a later milestone."""
+"""Streaming-window inventory — e* entries over ``events``.
 
-QUERIES: dict = {}
-ORACLES: dict = {}
+The window functions (lp_etl_plugins_spark.streaming) run unchanged on
+batch and streaming frames; here the batch plan is hash-checked against
+a DuckDB reconstruction (epoch bucketing / gaps-and-islands), and
+tests/test_streaming.py drives the SAME functions through readStream
+and asserts batch equivalence — together: windows are correct AND the
+streaming path computes the batch answer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..streaming import session_stats, sliding_counts, tumbling_counts
+from ..tables import load_table
+
+
+def e1_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tumbling_counts(load_table(spark, sf_dir, "events"))
+
+
+E1_SQL = """
+SELECT (floor(epoch(ts) / 3600) * 3600)::BIGINT AS window_start,
+       event_type,
+       count(*) AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def e2_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sliding_counts(load_table(spark, sf_dir, "events"))
+
+
+E2_SQL = """
+SELECT ws AS window_start, event_type, count(*) AS n_events
+FROM (
+  SELECT event_type,
+         unnest([
+           (floor(epoch(ts) / 1800) * 1800)::BIGINT,
+           (floor(epoch(ts) / 1800) * 1800)::BIGINT - 1800
+         ]) AS ws
+  FROM events
+) t
+GROUP BY ws, event_type
+"""
+
+
+def e3_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return session_stats(load_table(spark, sf_dir, "events"))
+
+
+# gaps-and-islands: a new session starts when the inter-event gap is
+# >= 6h (Spark's session end = last event + gap, exclusive)
+E3_SQL = """
+WITH o AS (
+  SELECT user_id, ts, value,
+    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+           OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 6 HOUR
+         THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+s AS (
+  SELECT *, sum(new_session) OVER (
+    PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING
+  ) AS session_id
+  FROM o
+)
+SELECT user_id,
+       floor(epoch(min(ts)))::BIGINT AS session_start,
+       count(*) AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM s
+GROUP BY user_id, session_id
+"""
+
+
+QUERIES = {
+    "e1_tumbling_window": e1_tumbling_window,
+    "e2_sliding_window": e2_sliding_window,
+    "e3_session_window": e3_session_window,
+}
+
+ORACLES = {
+    "e1_tumbling_window": E1_SQL,
+    "e2_sliding_window": E2_SQL,
+    "e3_session_window": E3_SQL,
+}

@@ -1,0 +1,87 @@
+"""Structured Streaming windows over event streams (SURVEY §2.7).
+
+The reference is strictly batch; this is the engine's greenfield
+streaming surface over the ``events`` table. The core idiom: each
+window transformation is ONE function over a DataFrame that works
+unchanged on a batch frame and on a ``readStream`` frame — batch
+equivalence is therefore the correctness oracle (the inventory e*
+entries hash-check the batch plan against DuckDB; the streaming tests
+drive the same functions through ``readStream`` + ``availableNow`` and
+assert equality with batch).
+
+Windows emit epoch-second longs (not raw timestamps) so results are
+precision-stable across engines (the parquet carries TIMESTAMP(NANOS);
+Spark reads microseconds).
+
+Scale: windowed aggregations shuffle on (window, key) — bounded state;
+watermarks bound the streaming state store. Session windows merge
+per-key — the state is per-user, pruned by the watermark.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "tumbling_counts",
+    "sliding_counts",
+    "session_stats",
+    "with_watermark",
+]
+
+
+def with_watermark(events: DataFrame, delay: str = "1 hour") -> DataFrame:
+    """Late-data bound for streaming runs; a no-op on batch frames."""
+    return events.withWatermark("ts", delay) if events.isStreaming else events
+
+
+def tumbling_counts(events: DataFrame, width: str = "1 hour") -> DataFrame:
+    """Tumbling window per event_type → (window_start, event_type,
+    n_events, sum_value)."""
+    return (
+        events.groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").cast("long").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_counts(events: DataFrame, width: str = "1 hour", slide: str = "30 minutes") -> DataFrame:
+    """Sliding window (each event lands in width/slide windows) per
+    event_type → (window_start, event_type, n_events)."""
+    return (
+        events.groupBy(F.window("ts", width, slide).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").cast("long").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+def session_stats(events: DataFrame, gap: str = "6 hours") -> DataFrame:
+    """Session window per user (gap-based merge) → (user_id,
+    session_start, n_events, sum_value). A new session starts when the
+    inter-event gap is ≥ ``gap`` (Spark's session end is exclusive)."""
+    return (
+        events.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").cast("long").alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+    )

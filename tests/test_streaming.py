@@ -1,0 +1,71 @@
+"""Streaming-vs-batch equivalence for the window operators.
+
+The window functions are identical code on both paths; these tests
+drive them through readStream (file source, availableNow trigger,
+memory sink) and assert the streamed result equals the batch result on
+the same data — the structured-streaming correctness contract.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from lp_etl_plugins_spark import streaming
+from lp_etl_plugins_spark.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def event_dir(spark, tmp_path_factory):
+    """A re-written parquet copy of events (micro-precision ts, plain
+    schema) so readStream gets a clean file source."""
+    path = str(tmp_path_factory.mktemp("events_stream") / "events")
+    load_table(spark, SF, "events").write.mode("overwrite").parquet(path)
+    return path
+
+
+def _stream_result(spark, event_dir, transform, name):
+    batch_schema = spark.read.parquet(event_dir).schema
+    stream = (
+        spark.readStream.schema(batch_schema).parquet(event_dir)
+        .transform(streaming.with_watermark)
+        .transform(transform)
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_tumbling_stream_equals_batch(spark, event_dir):
+    batch = streaming.tumbling_counts(spark.read.parquet(event_dir))
+    streamed = _stream_result(spark, event_dir, streaming.tumbling_counts, "tumbling_mem")
+    assert _rows(streamed) == _rows(batch)
+
+
+def test_sliding_stream_equals_batch(spark, event_dir):
+    batch = streaming.sliding_counts(spark.read.parquet(event_dir))
+    streamed = _stream_result(spark, event_dir, streaming.sliding_counts, "sliding_mem")
+    assert _rows(streamed) == _rows(batch)
+
+
+def test_session_stream_equals_batch(spark, event_dir):
+    batch = streaming.session_stats(spark.read.parquet(event_dir))
+    streamed = _stream_result(spark, event_dir, streaming.session_stats, "session_mem")
+    assert _rows(streamed) == _rows(batch)
+
+
+def test_watermark_noop_on_batch(spark, event_dir):
+    df = spark.read.parquet(event_dir)
+    assert streaming.with_watermark(df) is df
