@@ -16,6 +16,11 @@ Shipped modules:
                    compiler, all 7 dimension kinds (reference t-fdpToRdf)
 - ``dcat``       — DCAT-AP extraction → CKAN payloads + JSONL sink,
                    pivot-based set-oriented rewrite (SURVEY §3.2)
+- ``catalog``    — REST catalog connectors: paged sources, idempotent
+                   CKAN upsert, delete/form sinks with capped retries,
+                   ckan_purge / dkan_purge pipelines
+- ``streaming``  — Structured Streaming windows (tumbling / sliding /
+                   session + watermark), batch-equivalent by design
 - ``textops``    — training-data text ops: exact/fingerprint dedup,
                    MinHash+banded-LSH near-dup, SimHash, language-ID,
                    quality scoring, token counting

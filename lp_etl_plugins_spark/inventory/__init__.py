@@ -39,6 +39,7 @@ _MODULES = (
     "graphops",
     "cubeops",
     "dcatops",
+    "sourceops",
     "textops",
     "vectorops",
     "mediaops",
