@@ -301,11 +301,13 @@ def dkan_purge(
 
 
 def dkan_form_encode(fields: dict[str, str]) -> str:
-    """Drupal node form encoding: plain keys stay, ``field_*`` keys wrap
-    as ``field_x[und][0][value]`` (DcatAp11ToDkanBatch.java:519-575)."""
+    """Drupal node form encoding (DcatAp11ToDkanBatch.java:519-575):
+    bare ``field_*`` keys wrap as ``field_x[und][0][value]``; keys that
+    already carry a Drupal path (contain ``[``, e.g. the output of
+    ``dcat.build_dkan_fields``) pass through unchanged."""
     enc: dict[str, str] = {}
     for k, v in fields.items():
-        key = f"{k}[und][0][value]" if k.startswith("field_") else k
+        key = f"{k}[und][0][value]" if k.startswith("field_") and "[" not in k else k
         enc[key] = v
     return urllib.parse.urlencode(enc)
 

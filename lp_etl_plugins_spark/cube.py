@@ -826,6 +826,13 @@ def fdp_to_cube(
     ``fdp:name`` / ``fdprdf:sourceFile``) → filesystem path."""
     from .model import triples_from_ntriples
 
+    # L2 input-size guard (FdpToRdf.java:297: "Only one CSV file is
+    # supported at the moment" — fail when more than 2 inputs arrive)
+    n_inputs = len(csv_paths) + len(nt_paths or [])
+    if len(csv_paths) > 1 or n_inputs > 2:
+        raise ValueError(
+            f"fdp_to_cube: at most one CSV (+ one .nt) input is supported, got {n_inputs}"
+        )
     spec = extract_spec(spark, descriptor)
     out: DataFrame | None = None
     for resource_name, path in csv_paths.items():

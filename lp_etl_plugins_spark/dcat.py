@@ -403,6 +403,162 @@ def write_jsonl(payloads: DataFrame, path: str, single_file: bool = True) -> Non
     lines.write.mode("overwrite").text(path)
 
 
+_RUIAN_RE = r"http://ruian\.linked\.opendata\.cz/resource/([^/]+)/(.*)"
+
+
+def _ruian_type(spatial: Column) -> Column:
+    """RÚIAN IRI type → DKAN code (P10 recode,
+    DcatAp11ToDkanBatch.java:383-404); non-RÚIAN → 'ST'."""
+    t = F.regexp_replace(spatial, _RUIAN_RE, r"$1")
+    return (
+        F.when(t == "vusc", "VC")
+        .when(t == "obce", "OB")
+        .when(t == "kraje", "KR")
+        .when(t == "orp", "OP")
+        .when(t == "momc", "MC")
+        .when(t == "pou", "PU")
+        .otherwise("ST")
+    )
+
+
+def build_dkan_fields(
+    datasets: DataFrame,
+    distributions: DataFrame,
+    groups: DataFrame | None = None,
+    profile: str = PROFILE_NKOD,
+) -> DataFrame:
+    """§2.8 ``dcat_to_dkan``: the same extraction core encoded as Drupal
+    form fields (DcatAp11ToDkanBatch.java:296-520). Returns one row per
+    node to post: (dataset, kind 'dataset'|'resource', node_key,
+    form_json) — form_json keys are the FINAL Drupal field names
+    (``body[und][0][value]`` etc.), ready for
+    :func:`lp_etl_plugins_spark.catalog.dkan_post_nodes`.
+
+    Mandatory-field defaults mirror the reference: missing description →
+    title (:321-324), frequency → UNKNOWN (:355-362), license →
+    unknown-licence (:505-510), mimetype → octet-stream (:511-516),
+    non-RÚIAN/absent spatial → type ST code 1 (:378-426)."""
+    ds = datasets
+    if groups is not None:
+        g = groups.select(
+            F.col("publisher_uri").alias("g_uri"), F.col("group_id").alias("group_id")
+        )
+        ds = ds.join(F.broadcast(g), ds["publisher_uri"] == g["g_uri"], "left").drop("g_uri")
+    else:
+        ds = ds.withColumn("group_id", F.lit(None).cast("string"))
+
+    # ""kw"" -space-joined tag string (DcatAp11ToDkanBatch.java:304-310;
+    # sorted for determinism)
+    tags_concat = F.array_join(
+        F.transform(
+            F.filter(F.transform(F.col("keywords"), fix_keyword), lambda k: F.length(k) >= 2),
+            lambda k: F.concat(F.lit('""'), k, F.lit('"" ')),
+        ),
+        "",
+    )
+    fields = [
+        F.lit("dataset").alias("type"),
+        F.when(tags_concat != "", tags_concat).alias("field_tags[und][value_field]"),
+        F.col("title").alias("title"),
+        F.coalesce(
+            F.col("description"),
+            F.col("title") if profile == PROFILE_NKOD else F.lit(None),
+        ).alias("body[und][0][value]"),
+        F.col("issued").alias("created"),
+        F.col("modified").alias("changed"),
+        F.col("group_id").alias("og_group_ref[und][target_id]"),
+    ]
+    if profile == PROFILE_NKOD:
+        spatial_known = F.col("spatial").isNotNull() & F.col("spatial").rlike(_RUIAN_RE)
+        themes_concat = F.when(
+            F.col("themes").isNotNull() & (F.size("themes") > 0),
+            F.concat(F.array_join("themes", " "), F.lit(" ")),
+        )
+        fields += [
+            F.col("contact_email").alias("field_maintainer_email[und][0][value]"),
+            F.col("contact_name").alias("field_maintainer[und][0][value]"),
+            F.col("publisher_uri").alias("field_publisher_uri[und][0][value]"),
+            F.col("publisher_name").alias("field_publisher_name[und][0][value]"),
+            F.coalesce(
+                F.col("periodicity"),
+                F.lit("http://publications.europa.eu/resource/authority/frequency/UNKNOWN"),
+            ).alias("field_frequency_ods[und][0][value]"),
+            F.col("temporal_start").alias("field_temporal_start[und][0][value]"),
+            F.col("temporal_end").alias("field_temporal_end[und][0][value]"),
+            F.col("schema_url").alias("field_schema[und][0][value]"),
+            F.col("spatial").alias("field_spatial[und][0][value]"),
+            F.when(spatial_known, _ruian_type(F.col("spatial")))
+            .otherwise(F.lit("ST"))
+            .alias("field_ruian_type[und][0][value]"),
+            F.when(spatial_known, F.regexp_replace("spatial", _RUIAN_RE, r"$2"))
+            .otherwise(F.lit("1"))
+            .alias("field_ruian_code[und][0][value]"),
+            themes_concat.alias("field_theme[und][0][value]"),
+        ]
+    ds_nodes = ds.select(
+        "dataset",
+        F.lit("dataset").alias("kind"),
+        F.col("dataset_id").alias("node_key"),
+        F.to_json(F.struct(*fields)).alias("form_json"),
+    )
+
+    di = distributions.join(
+        datasets.select("dataset", F.col("title").alias("ds_title")), on="dataset", how="left"
+    )
+    dfields = [
+        F.lit("resource").alias("type"),
+        # distribution title is mandatory in DKAN (:311-315)
+        F.coalesce(F.col("name"), F.col("ds_title"), F.lit("Resource")).alias("title"),
+        F.col("description").alias("body[und][0][value]"),
+        F.when(
+            F.col("media_type").isNotNull(),
+            F.regexp_replace("media_type", r".*/([^/]+/[^/]+)", r"$1"),
+        ).alias("field_link_remote_file[und][0][filemime]"),
+        F.col("url").alias("field_link_remote_file[und][0][filefield_remotefile][url]"),
+        F.col("created").alias("created"),
+        F.col("last_modified").alias("changed"),
+    ]
+    if profile == PROFILE_NKOD:
+        dfields += [
+            F.col("temporal_start").alias("field_temporal_start[und][0][value]"),
+            F.col("temporal_end").alias("field_temporal_end[und][0][value]"),
+            F.col("described_by").alias("field_described_by[und][0][value]"),
+            F.coalesce(
+                F.col("license_link"),
+                F.lit("http://joinup.ec.europa.eu/category/licence/unknown-licence"),
+            ).alias("field_licence[und][0][value]"),
+            F.regexp_replace(
+                F.coalesce(
+                    F.col("media_type"),
+                    F.lit("http://www.iana.org/assignments/media-types/application/octet-stream"),
+                ),
+                r".*/([^/]+/[^/]+)",
+                r"$1",
+            ).alias("field_mimetype[und][0][value]"),
+        ]
+    distro_nodes = di.select(
+        "dataset",
+        F.lit("resource").alias("kind"),
+        F.col("distribution").alias("node_key"),
+        F.to_json(F.struct(*dfields)).alias("form_json"),
+    )
+    return ds_nodes.unionByName(distro_nodes)
+
+
+def dcat_to_dkan(
+    spark: SparkSession,
+    metadata: DataFrame,
+    groups: DataFrame | None = None,
+    lang: str = "cs",
+    profile: str = PROFILE_NKOD,
+) -> DataFrame:
+    """§2.8 component op: metadata graph → DKAN form-field node rows
+    (same extraction core as dcat_to_ckan, different encoder/sink)."""
+    datasets = extract_datasets(spark, metadata, lang=lang, profile=profile)
+    distros = extract_distributions(spark, metadata, None, lang=lang, profile=profile)
+    return build_dkan_fields(datasets, distros, groups, profile=profile)
+
+
 def dcat_to_ckan(
     spark: SparkSession,
     metadata: DataFrame,
