@@ -455,64 +455,95 @@ def extract_dialect(spark: SparkSession, tr: DataFrame, resource_name: str) -> C
 def extract_spec(spark: SparkSession, descriptor: DataFrame) -> CubeSpec:
     """Descriptor triples DF → :class:`CubeSpec` (FdpToRdf.java:111-263,
     same query order: measure first, then the 7 dimension kinds, then
-    attributes + labels per dimension)."""
-    tr = descriptor.cache()
+    attributes + labels per dimension).
 
-    measure_rows = _collect(_measure_base(tr))
-    if not measure_rows:
-        raise ValueError("fdp_to_cube: dataset IRI not found in metadata")
-    first = measure_rows[0]
-    spec = CubeSpec(
-        dataset_iri=first["dataset"],
-        package_name=first["packageName"],
-        currency_as_dimension=first.get("curComponent") is not None,
-    )
-    for row in measure_rows:
-        spec.measures.append(
-            CubeMeasure(
-                name=row["measureName"],
-                source_column=row["sourceColumn"],
-                source_file=row["sourceFile"],
-                factor=float(row["measureFactor"]),
-                decimal_sep=(row.get("decimalChar") or ".")[0],
-                group_sep=(row.get("groupChar") or " ")[0],
-                currency=row.get("currency"),
-                operation_char=row.get("operationCharacter"),
-                budget_phase=row.get("budgetPhase"),
-            )
+    The descriptor is metadata (KBs): coalesce(1)+cache, and the ~30
+    extraction queries run CONCURRENTLY in two dependency waves
+    (measure + 7 kind-discovery queries, then per-dimension attribute /
+    label / dialect queries) — Spark's scheduler is thread-safe and the
+    wall time becomes the slowest query, not the sum. This is plan-time
+    work; the data-phase plan is unaffected."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    tr = descriptor.coalesce(1).cache()
+
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        # wave 1: measure query + dimension-kind discovery
+        measure_f = pool.submit(lambda: _collect(_measure_base(tr)))
+        kind_fs = {kind: pool.submit(_dim_rows, spark, tr, kind) for kind in _DIM_KINDS}
+        measure_rows = measure_f.result()
+        if not measure_rows:
+            raise ValueError("fdp_to_cube: dataset IRI not found in metadata")
+        kind_rows = {kind: f.result() for kind, f in kind_fs.items()}
+
+        first = measure_rows[0]
+        spec = CubeSpec(
+            dataset_iri=first["dataset"],
+            package_name=first["packageName"],
+            currency_as_dimension=first.get("curComponent") is not None,
         )
-        dialect = extract_dialect(spark, tr, row["sourceFile"])
-        spec.dialects[row["sourceFile"]] = dialect
 
-    for kind in _DIM_KINDS:
-        for row in _dim_rows(spark, tr, kind):
-            dim = CubeDimension(
-                kind=kind,
-                value_property=row["dimensionProp"],
-                name=row["dimensionName"],
-                rdf_type=row.get("rdfType"),
-            )
-            attrs = [
-                CubeAttribute(
-                    iri=a["attribute"],
-                    source_column=a["sourceColumn"],
-                    source_file=a["sourceFile"],
-                    is_key=str(a["iskey"]).lower() == "true",
-                    value_property=a["attributeValueProperty"],
-                    name=a.get("attributeName"),
-                    parent_name=a.get("parentName"),
+        # wave 2: dialects + per-dimension attribute/label queries
+        dialect_fs = {
+            row["sourceFile"]: pool.submit(extract_dialect, spark, tr, row["sourceFile"])
+            for row in measure_rows
+        }
+        attr_fs = {
+            (kind, row["dimensionProp"]): pool.submit(_attr_rows, tr, row["dimensionProp"], kind)
+            for kind in _DIM_KINDS
+            for row in kind_rows[kind]
+        }
+        label_fs = {
+            (kind, row["dimensionProp"]): pool.submit(_label_rows, tr, row["dimensionProp"])
+            for kind in ("skos", "single_skos", "hierarchical")
+            for row in kind_rows[kind]
+        }
+
+        for row in measure_rows:
+            spec.measures.append(
+                CubeMeasure(
+                    name=row["measureName"],
+                    source_column=row["sourceColumn"],
+                    source_file=row["sourceFile"],
+                    factor=float(row["measureFactor"]),
+                    decimal_sep=(row.get("decimalChar") or ".")[0],
+                    group_sep=(row.get("groupChar") or " ")[0],
+                    currency=row.get("currency"),
+                    operation_char=row.get("operationCharacter"),
+                    budget_phase=row.get("budgetPhase"),
                 )
-                for a in _attr_rows(tr, dim.value_property, kind)
-            ]
-            # deterministic contract: order by attribute IRI (the
-            # reference inherits RDF4J result order)
-            attrs.sort(key=lambda a: a.iri)
-            if kind in ("skos", "single_skos", "hierarchical"):
-                attrs = _fold_labels(attrs, _label_rows(tr, dim.value_property))
-            if kind == "hierarchical":
-                attrs = _order_hierarchy(attrs)
-            dim.attributes = attrs
-            spec.dimensions.append(dim)
+            )
+            spec.dialects[row["sourceFile"]] = dialect_fs[row["sourceFile"]].result()
+
+        for kind in _DIM_KINDS:
+            for row in kind_rows[kind]:
+                dim = CubeDimension(
+                    kind=kind,
+                    value_property=row["dimensionProp"],
+                    name=row["dimensionName"],
+                    rdf_type=row.get("rdfType"),
+                )
+                attrs = [
+                    CubeAttribute(
+                        iri=a["attribute"],
+                        source_column=a["sourceColumn"],
+                        source_file=a["sourceFile"],
+                        is_key=str(a["iskey"]).lower() == "true",
+                        value_property=a["attributeValueProperty"],
+                        name=a.get("attributeName"),
+                        parent_name=a.get("parentName"),
+                    )
+                    for a in attr_fs[(kind, dim.value_property)].result()
+                ]
+                # deterministic contract: order by attribute IRI (the
+                # reference inherits RDF4J result order)
+                attrs.sort(key=lambda a: a.iri)
+                if kind in ("skos", "single_skos", "hierarchical"):
+                    attrs = _fold_labels(attrs, label_fs[(kind, dim.value_property)].result())
+                if kind == "hierarchical":
+                    attrs = _order_hierarchy(attrs)
+                dim.attributes = attrs
+                spec.dimensions.append(dim)
     return spec
 
 

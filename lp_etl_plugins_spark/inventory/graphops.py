@@ -2,8 +2,9 @@
 
 Each entry exercises one graphq construct over a *real triples
 DataFrame* built by unpivoting the driver parquet tables through
-:func:`lp_etl_plugins_spark.model.table_to_triples` (single-scan
-explode). The DuckDB oracle rebuilds the identical triples relation with
+:func:`lp_etl_plugins_spark.model.table_to_triples` (branched form —
+predicate filters prune unused branches out of the physical plan).
+The DuckDB oracle rebuilds the identical triples relation with
 a UNION-ALL CTE and re-expresses the SPARQL construct as plain SQL —
 so the graph layer's join semantics (not just its shape) are
 hash-checked.
@@ -39,7 +40,10 @@ _SOURCE = "urn:source"
 
 def _graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The shared test graph: region/nation/supplier/customer/documents
-    unpivoted to triples. One narrow scan per table, no shuffle."""
+    unpivoted to triples — BRANCHED form, so each g-query's predicate
+    filters constant-fold away the branches (tables, columns) it never
+    touches; only the needed parquet scans survive in the physical
+    plan."""
     region = load_table(spark, sf_dir, "region")
     nation = load_table(spark, sf_dir, "nation")
     supplier = load_table(spark, sf_dir, "supplier")
@@ -53,6 +57,7 @@ def _graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             TripleMapping(_T, F.lit("urn:Region"), "iri"),
             TripleMapping(_NAME, "r_name"),
         ],
+        branched=True,
     )
     t_nation = table_to_triples(
         nation,
@@ -62,6 +67,7 @@ def _graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             TripleMapping(_NAME, "n_name"),
             TripleMapping(_REGION, F.concat(F.lit("urn:region/"), F.col("n_regionkey")), "iri"),
         ],
+        branched=True,
     )
     t_supplier = table_to_triples(
         supplier,
@@ -71,6 +77,7 @@ def _graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             TripleMapping(_NAME, "s_name"),
             TripleMapping(_NATION, F.concat(F.lit("urn:nation/"), F.col("s_nationkey")), "iri"),
         ],
+        branched=True,
     )
     t_customer = table_to_triples(
         customer,
@@ -84,6 +91,7 @@ def _graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             # (exercises OPTIONAL's null leg)
             TripleMapping(_PREMIUM, F.when(F.col("c_acctbal") > 5000.0, F.lit("true"))),
         ],
+        branched=True,
     )
     t_documents = table_to_triples(
         documents,
@@ -92,6 +100,7 @@ def _graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             TripleMapping(_TITLE, F.substring("text", 1, 40), lang="lang"),
             TripleMapping(_SOURCE, "source"),
         ],
+        branched=True,
     )
     out = t_region
     for t in (t_nation, t_supplier, t_customer, t_documents):

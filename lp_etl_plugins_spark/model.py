@@ -445,11 +445,48 @@ class TripleMapping:
     datatype: str | None = None
 
 
-def table_to_triples(df: DataFrame, subject: Column, mappings: list[TripleMapping]) -> DataFrame:
-    """Unpivot a relational DataFrame into the triples schema with a
-    single scan: per row build an array of (p, o_value, o_type, o_lang,
-    o_datatype) structs, explode, drop null objects. At 100 TB this is a
-    narrow transform — no shuffle, no UNION of repeated scans."""
+def table_to_triples(
+    df: DataFrame,
+    subject: Column,
+    mappings: list[TripleMapping],
+    branched: bool = False,
+) -> DataFrame:
+    """Unpivot a relational DataFrame into the triples schema.
+
+    Two physical strategies with the same result:
+
+    - default (``branched=False``): ONE scan, per row an array of
+      (p, o_value, …) structs, explode, drop nulls — the right shape
+      for materializing a triples table (narrow, no repeated scans);
+    - ``branched=True``: one column-pruned select per mapping unioned
+      together. Each branch carries its predicate as a LITERAL, so a
+      downstream ``filter(p == '…')`` constant-folds contradictory
+      branches to empty relations — queries over the unpivot then scan
+      only the tables/columns they actually touch. The right shape when
+      querying the unpivot directly instead of materializing it."""
+    if branched:
+        branches = []
+        for m in mappings:
+            obj = F.col(m.column) if isinstance(m.column, str) else m.column
+            lang = (
+                F.lit(None).cast("string")
+                if m.lang is None
+                else (F.col(m.lang) if isinstance(m.lang, str) else m.lang)
+            )
+            branches.append(
+                df.select(
+                    subject.alias("s"),
+                    F.lit(m.predicate).alias("p"),
+                    obj.cast("string").alias("o_value"),
+                    F.lit(m.o_type).alias("o_type"),
+                    lang.cast("string").alias("o_lang"),
+                    F.lit(m.datatype).cast("string").alias("o_datatype"),
+                ).filter(F.col("o_value").isNotNull())
+            )
+        out = branches[0]
+        for b in branches[1:]:
+            out = out.unionByName(b)
+        return out
     structs = []
     for m in mappings:
         obj = F.col(m.column) if isinstance(m.column, str) else m.column
