@@ -16,6 +16,8 @@ Shipped modules:
                    compiler, all 7 dimension kinds (reference t-fdpToRdf)
 - ``dcat``       — DCAT-AP extraction → CKAN payloads + JSONL sink,
                    pivot-based set-oriented rewrite (SURVEY §3.2)
+- ``registry``   — the LP-ETL "component" surface: named pipeline
+                   stages + composition (built-ins: the 5 §2.8 ops)
 - ``catalog``    — REST catalog connectors: paged sources, idempotent
                    CKAN upsert, delete/form sinks with capped retries,
                    ckan_purge / dkan_purge pipelines
