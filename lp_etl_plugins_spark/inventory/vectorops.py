@@ -154,11 +154,56 @@ SELECT probe_id, neighbor_id, cos, rank FROM ranked WHERE rank <= {_K}
 """
 
 
+def v5_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup detection (the dedup family's vector
+    member): ordered pairs above a cosine threshold, restricted to
+    sign-buckets so the corpus cross-product never forms — the same
+    candidates-only discipline as the MinHash-LSH text path."""
+    from pyspark.sql import functions as F2
+
+    emb = _emb(spark, sf_dir)
+    side = emb.select(
+        "vec_id",
+        F.col("embedding").alias("vec"),
+        V.sign_bucket(F.col("embedding"), _BITS).alias("bucket"),
+    )
+    a = side.select(F.col("vec_id").alias("id_a"), F.col("vec").alias("vec_a"), "bucket")
+    b = side.select(F.col("vec_id").alias("id_b"), F.col("vec").alias("vec_b"), "bucket")
+    pairs = a.join(b, on="bucket").filter(F2.col("id_a") < F2.col("id_b"))
+    scored = pairs.select(
+        "id_a", "id_b",
+        F.round(V.cosine(F.col("vec_a"), F.col("vec_b")), 6).alias("cos"),
+    )
+    # threshold applies to the ROUNDED score (the published value), so
+    # the oracle's boundary behavior is identical
+    return scored.filter(F.col("cos") >= 0.4)
+
+
+V5_SQL = """
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+    (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END
+     + CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END
+     + CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END) AS bucket
+  FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+  round(
+    list_dot_product(a.v, b.v)
+    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+  6) AS cos
+FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.v, b.v)
+      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.4
+"""
+
+
 QUERIES = {
     "v1_knn_bruteforce": v1_knn_bruteforce,
     "v2_knn_bucketed": v2_knn_bucketed,
     "v3_label_centroids": v3_label_centroids,
     "v4_knn_ivf": v4_knn_ivf,
+    "v5_embedding_neardup": v5_embedding_neardup,
 }
 
 ORACLES = {
@@ -166,4 +211,5 @@ ORACLES = {
     "v2_knn_bucketed": V2_SQL,
     "v3_label_centroids": V3_SQL,
     "v4_knn_ivf": V4_SQL,
+    "v5_embedding_neardup": V5_SQL,
 }
