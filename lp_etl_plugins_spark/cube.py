@@ -878,3 +878,22 @@ def fdp_to_cube(
     if out is None:
         raise ValueError("fdp_to_cube: no input files")
     return out
+
+
+def fdp_to_cube_auto(
+    spark: SparkSession,
+    descriptor: DataFrame,
+    paths: list[str],
+    **kwargs,
+) -> DataFrame:
+    """F11 endsWith dispatch (FdpToRdf.java:302-306): route each input
+    by filename suffix — ``.nt`` files pass through, everything else is
+    the CSV resource (resource name = basename, matching the
+    descriptor's ``fdp:name``/``fdprdf:sourceFile``)."""
+    import os
+
+    csv_paths = {
+        os.path.basename(p): p for p in paths if not p.endswith(".nt")
+    }
+    nt_paths = [p for p in paths if p.endswith(".nt")]
+    return fdp_to_cube(spark, descriptor, csv_paths, nt_paths=nt_paths, **kwargs)

@@ -78,8 +78,11 @@ sh AS (
 )
 """
 
+# three 40-bit slots per md5 digest — the oracle twin of
+# textops.minhash_signatures
 _MH_COLS = ",\n    ".join(
-    f"min(md5('{i}:' || shingle)) AS h{i}" for i in range(_K)
+    f"min(substring(md5('{i // 3}:' || shingle), {1 + 10 * (i % 3)}, 10)) AS h{i}"
+    for i in range(_K)
 )
 _BAND_CASE = "CASE b " + " ".join(
     f"WHEN {b} THEN md5(h{b * _ROWS} || ',' || h{b * _ROWS + 1})" for b in range(_BANDS)
@@ -104,8 +107,9 @@ cand AS (
 def t3_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded MinHash-LSH candidate pairs (k=12, 6 bands × 2 rows):
     the near-dup candidate set, produced without ever forming the
-    corpus cross-product."""
-    shingles = T._doc_shingles(_docs(spark, sf_dir), "text", "doc_id", _SHINGLE_N)
+    corpus cross-product. Signatures skip the shingle-distinct shuffle
+    (min is duplicate-insensitive)."""
+    shingles = T._doc_shingles(_docs(spark, sf_dir), "text", "doc_id", _SHINGLE_N, distinct=False)
     sigs = T.minhash_signatures(shingles, _K)
     return T.lsh_candidate_pairs(sigs, _BANDS, _ROWS)
 
@@ -116,10 +120,14 @@ T3_SQL = "WITH " + _SH_SQL + "," + _CAND_SQL + "\nSELECT id_a, id_b FROM cand"
 def t4_lsh_jaccard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-shingle Jaccard over the LSH candidates ONLY, thresholded
     at 0.8 → confirmed near-duplicates (id_a, id_b, jaccard)."""
-    shingles = T._doc_shingles(_docs(spark, sf_dir), "text", "doc_id", _SHINGLE_N)
-    sigs = T.minhash_signatures(shingles, _K)
+    docs = _docs(spark, sf_dir)
+    sigs = T.minhash_signatures(
+        T._doc_shingles(docs, "text", "doc_id", _SHINGLE_N, distinct=False), _K
+    )
     pairs = T.lsh_candidate_pairs(sigs, _BANDS, _ROWS)
-    out = T.jaccard_over_candidates(pairs, shingles, threshold=0.8)
+    # exact verification needs SET semantics → distinct only here
+    shingle_sets = T._doc_shingles(docs, "text", "doc_id", _SHINGLE_N)
+    out = T.jaccard_over_candidates(pairs, shingle_sets, threshold=0.8)
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 

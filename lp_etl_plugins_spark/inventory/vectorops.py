@@ -159,8 +159,6 @@ def v5_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     member): ordered pairs above a cosine threshold, restricted to
     sign-buckets so the corpus cross-product never forms — the same
     candidates-only discipline as the MinHash-LSH text path."""
-    from pyspark.sql import functions as F2
-
     emb = _emb(spark, sf_dir)
     side = emb.select(
         "vec_id",
@@ -169,7 +167,7 @@ def v5_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = side.select(F.col("vec_id").alias("id_a"), F.col("vec").alias("vec_a"), "bucket")
     b = side.select(F.col("vec_id").alias("id_b"), F.col("vec").alias("vec_b"), "bucket")
-    pairs = a.join(b, on="bucket").filter(F2.col("id_a") < F2.col("id_b"))
+    pairs = a.join(b, on="bucket").filter(F.col("id_a") < F.col("id_b"))
     scored = pairs.select(
         "id_a", "id_b",
         F.round(V.cosine(F.col("vec_a"), F.col("vec_b")), 6).alias("cos"),

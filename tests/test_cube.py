@@ -136,6 +136,20 @@ def test_strict_dates_raises(spark, tmp_path):
     assert out.filter(F.col("p") == "urn:fx/dim/date").count() == 0
 
 
+def test_auto_routing_by_suffix(spark, tmp_path):
+    """F11 endsWith dispatch: .nt passthrough vs CSV, routed by name."""
+    import shutil
+
+    nt = tmp_path / "extra.nt"
+    nt.write_text('<urn:auto/s> <urn:auto/p> "v" .\n')
+    csv_copy = tmp_path / "budget.csv"  # basename must match fdp:name
+    shutil.copy(CSV, csv_copy)
+    desc = model.triples_from_turtle(spark, DESCRIPTOR)
+    out = cube.fdp_to_cube_auto(spark, desc, [str(csv_copy), str(nt)])
+    assert out.filter(F.col("s") == "urn:auto/s").count() == 1
+    assert out.filter(F.col("p").endswith("amount")).count() == 4
+
+
 def test_nt_passthrough_union(spark, tmp_path):
     nt = tmp_path / "extra.nt"
     nt.write_text('<urn:pre/s> <urn:pre/p> "v" .\n')
