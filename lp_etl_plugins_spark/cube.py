@@ -3,12 +3,13 @@
 Re-expresses the reference's flagship transformer ``t-fdpToRdf``
 (FdpToRdf.java:266-323) Spark-first:
 
-1. **Spec extraction** (driver-side; metadata graphs are KBs, same
+1. **Spec extraction** (driver-local; metadata graphs are KBs, same
    locality decision as the reference's in-memory RDF4J repo): the 7
    dimension-kind queries, the measure query, per-dimension attribute +
-   label queries (FdpToRdf.java:134-263) are run through
-   :mod:`lp_etl_plugins_spark.graphq` over the descriptor triples
-   DataFrame and collected into :class:`CubeSpec` dataclasses.
+   label queries (FdpToRdf.java:134-263) run through
+   :mod:`lp_etl_plugins_spark.graphq_local` — the pure-Python twin of
+   the ``graphq`` layer — over the once-collected descriptor, producing
+   :class:`CubeSpec` dataclasses without per-query Spark jobs.
 2. **Compilation**: the spec compiles into ONE ``select`` producing,
    per CSV row × measure, an array of conditional (s,p,o) structs —
    then a single ``explode`` yields the triples DataFrame. All
@@ -49,7 +50,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from . import graphq
+from . import graphq_local as gl
 from .functions.numeric import parse_localized_number
 from .functions.text import iri_encode
 from .model import RDF_TYPE, XSD
@@ -149,16 +150,18 @@ class CubeSpec:
 
 # ---------------------------------------------------------------------------
 # Spec extraction (the reference's metadata phase, FdpToRdf.java:111-263)
+#
+# Runs driver-local over the collected descriptor (graphq_local): the
+# reference holds metadata in an in-memory RDF4J repo and queries it on
+# the control thread; launching Spark jobs for KB-sized plan-time
+# metadata would pay ~1s of scheduling+optimization per query for
+# microseconds of work. The data phase below never collects.
 # ---------------------------------------------------------------------------
 
 
-def _collect(df: DataFrame) -> list[dict]:
-    return [r.asDict() for r in df.collect()]
-
-
-def _measure_base(tr: DataFrame) -> DataFrame:
+def _measure_base(tr: gl.LocalGraph) -> gl.Solutions:
     """FdpMeasure.query (FdpMeasure.java:27-57)."""
-    base = graphq.bgp(
+    base = gl.bgp(
         tr,
         [
             ("?dsd", RDF_TYPE, QB + "DataStructureDefinition"),
@@ -183,28 +186,28 @@ def _measure_base(tr: DataFrame) -> DataFrame:
         [("?dsd", QB + "component", "?curComponent"),
          ("?curComponent", QB + "dimension", OBEU_DIMENSION + "currency")],
     ):
-        base = graphq.optional(base, tr, pat)
+        base = gl.optional(base, tr, pat)
     return base
 
 
-def _non_hierarch_counts(tr: DataFrame, distinct: bool) -> DataFrame:
+def _non_hierarch_counts(tr: gl.LocalGraph, distinct: bool) -> gl.Solutions:
     """The nonHierarchCount subquery (MultiAttributeDimension.java:93-99 /
     SkosDimension.java:40-46)."""
-    attrs = graphq.bgp(tr, [("?component", FDPRDF + "attribute", "?attribute")])
-    attrs = graphq.not_exists(attrs, tr, [("?attribute", FDPRDF + "isHierarchical", "true")])
-    return graphq.group_count(attrs, ["?component"], "?attribute", "nonHierarchCount", distinct=distinct)
+    attrs = gl.bgp(tr, [("?component", FDPRDF + "attribute", "?attribute")])
+    attrs = gl.not_exists(attrs, tr, [("?attribute", FDPRDF + "isHierarchical", "true")])
+    return gl.group_count(attrs, ["?component"], "?attribute", "nonHierarchCount", distinct=distinct)
 
 
-def _dim_rows(spark: SparkSession, tr: DataFrame, kind: str) -> list[dict]:
-    """One dimension-kind discovery query → collected binding rows."""
-    multi_count = graphq.bgp(tr, [("?component", FDPRDF + "attributeCount", "?attrCount")])
+def _dim_rows(tr: gl.LocalGraph, kind: str) -> list[dict]:
+    """One dimension-kind discovery query → binding rows."""
+    multi_count = gl.bgp(tr, [("?component", FDPRDF + "attributeCount", "?attrCount")])
     if kind in ("multi", "skos", "hierarchical"):
-        base = multi_count.filter(F.col("attrCount").cast("int") > 1)
+        base = multi_count.filter(lambda r: int(r["attrCount"]) > 1)
     else:
-        base = multi_count.filter(F.col("attrCount").cast("int") == 1)
-    base = graphq.join_solutions(
+        base = multi_count.filter(lambda r: int(r["attrCount"]) == 1)
+    base = gl.join_solutions(
         base,
-        graphq.bgp(
+        gl.bgp(
             tr,
             [
                 ("?dsd", RDF_TYPE, QB + "DataStructureDefinition"),
@@ -216,9 +219,9 @@ def _dim_rows(spark: SparkSession, tr: DataFrame, kind: str) -> list[dict]:
         ),
     )
     if kind == "multi":
-        sols = graphq.join_solutions(
+        sols = gl.join_solutions(
             base,
-            graphq.bgp(
+            gl.bgp(
                 tr,
                 [
                     ("?component", "?componentProperty", "?dimensionProp"),
@@ -227,9 +230,8 @@ def _dim_rows(spark: SparkSession, tr: DataFrame, kind: str) -> list[dict]:
                 ],
             ),
         )
-        sols = graphq.values(
+        sols = gl.values(
             sols,
-            spark,
             ["?valueType", "?rdfType", "?componentProperty"],
             [
                 (FDPRDF + "organization", SCHEMA + "Organization", QB + "dimension"),
@@ -238,13 +240,13 @@ def _dim_rows(spark: SparkSession, tr: DataFrame, kind: str) -> list[dict]:
                 (FDPRDF + "fact", None, QB + "componentProperty"),
             ],
         )
-        sols = graphq.join_solutions(sols, _non_hierarch_counts(tr, distinct=True))
-        sols = sols.filter(F.col("attrCount").cast("int") == F.col("nonHierarchCount"))
+        sols = gl.join_solutions(sols, _non_hierarch_counts(tr, distinct=True))
+        sols = sols.filter(lambda r: int(r["attrCount"]) == r["nonHierarchCount"])
         sols = sols.select("dimensionProp", "dimensionName", "packageName", "dataset", "rdfType").distinct()
     elif kind == "skos":
-        sols = graphq.join_solutions(
+        sols = gl.join_solutions(
             base,
-            graphq.bgp(
+            gl.bgp(
                 tr,
                 [
                     ("?component", QB + "dimension", "?dimensionProp"),
@@ -256,13 +258,13 @@ def _dim_rows(spark: SparkSession, tr: DataFrame, kind: str) -> list[dict]:
                 ],
             ),
         )
-        sols = graphq.join_solutions(sols, _non_hierarch_counts(tr, distinct=False))
-        sols = sols.filter(F.col("attrCount").cast("int") == F.col("nonHierarchCount"))
+        sols = gl.join_solutions(sols, _non_hierarch_counts(tr, distinct=False))
+        sols = sols.filter(lambda r: int(r["attrCount"]) == r["nonHierarchCount"])
         sols = sols.select("dimensionProp", "dimensionName", "packageName", "dataset").distinct()
     elif kind == "hierarchical":
-        sols = graphq.join_solutions(
+        sols = gl.join_solutions(
             base,
-            graphq.bgp(
+            gl.bgp(
                 tr,
                 [
                     ("?component", QB + "dimension", "?dimensionProp"),
@@ -275,9 +277,9 @@ def _dim_rows(spark: SparkSession, tr: DataFrame, kind: str) -> list[dict]:
         )
         sols = sols.select("dimensionProp", "dimensionName", "packageName", "dataset").distinct()
     elif kind == "single_object":
-        sols = graphq.join_solutions(
+        sols = gl.join_solutions(
             base,
-            graphq.bgp(
+            gl.bgp(
                 tr,
                 [
                     ("?component", "?componentProperty", "?dimensionProp"),
@@ -287,9 +289,8 @@ def _dim_rows(spark: SparkSession, tr: DataFrame, kind: str) -> list[dict]:
                 ],
             ),
         )
-        sols = graphq.values(
+        sols = gl.values(
             sols,
-            spark,
             ["?valueType", "?rdfType", "?componentProperty", "?attrValueProperty"],
             [
                 (FDPRDF + "organization", SCHEMA + "Organization", QB + "dimension", SCHEMA + "name"),
@@ -298,9 +299,9 @@ def _dim_rows(spark: SparkSession, tr: DataFrame, kind: str) -> list[dict]:
         )
         sols = sols.select("dimensionProp", "dimensionName", "packageName", "dataset", "rdfType").distinct()
     elif kind == "single_literal":
-        sols = graphq.join_solutions(
+        sols = gl.join_solutions(
             base,
-            graphq.bgp(
+            gl.bgp(
                 tr,
                 [
                     ("?component", "?componentProperty", "?dimensionProp"),
@@ -310,9 +311,8 @@ def _dim_rows(spark: SparkSession, tr: DataFrame, kind: str) -> list[dict]:
                 ],
             ),
         )
-        sols = graphq.values(
+        sols = gl.values(
             sols,
-            spark,
             ["?componentProperty", "?valueType"],
             [
                 (QB + "dimension", FDPRDF + "unknown"),
@@ -322,9 +322,9 @@ def _dim_rows(spark: SparkSession, tr: DataFrame, kind: str) -> list[dict]:
         )
         sols = sols.select("dimensionProp", "dimensionName", "packageName", "dataset").distinct()
     elif kind == "date":
-        sols = graphq.join_solutions(
+        sols = gl.join_solutions(
             base,
-            graphq.bgp(
+            gl.bgp(
                 tr,
                 [
                     ("?component", QB + "dimension", "?dimensionProp"),
@@ -335,9 +335,9 @@ def _dim_rows(spark: SparkSession, tr: DataFrame, kind: str) -> list[dict]:
         )
         sols = sols.select("dimensionProp", "dimensionName", "packageName", "dataset").distinct()
     elif kind == "single_skos":
-        sols = graphq.join_solutions(
+        sols = gl.join_solutions(
             base,
-            graphq.bgp(
+            gl.bgp(
                 tr,
                 [
                     ("?component", QB + "dimension", "?dimensionProp"),
@@ -350,10 +350,10 @@ def _dim_rows(spark: SparkSession, tr: DataFrame, kind: str) -> list[dict]:
         sols = sols.select("dimensionProp", "dimensionName", "packageName", "dataset").distinct()
     else:  # pragma: no cover
         raise ValueError(kind)
-    return _collect(sols)
+    return sols.rows
 
 
-def _attr_rows(tr: DataFrame, dim_prop: str, kind: str) -> list[dict]:
+def _attr_rows(tr: gl.LocalGraph, dim_prop: str, kind: str) -> list[dict]:
     """Per-dimension attribute query (the kind-specific attributeQuery
     templates with ``_dimensionProp_`` substituted)."""
     pats = [
@@ -368,11 +368,11 @@ def _attr_rows(tr: DataFrame, dim_prop: str, kind: str) -> list[dict]:
         pats.append(("?attribute", FDPRDF + "name", "?attributeName"))
     if kind == "hierarchical":
         pats.append(("?attribute", FDPRDF + "isHierarchical", "true"))
-    sols = graphq.bgp(tr, pats)
+    sols = gl.bgp(tr, pats)
     if kind in ("multi", "skos", "single_object", "single_literal"):
-        sols = graphq.not_exists(sols, tr, [("?attribute", FDPRDF + "isHierarchical", "true")])
+        sols = gl.not_exists(sols, tr, [("?attribute", FDPRDF + "isHierarchical", "true")])
     if kind == "hierarchical":
-        sols = graphq.optional(
+        sols = gl.optional(
             sols,
             tr,
             [
@@ -380,14 +380,14 @@ def _attr_rows(tr: DataFrame, dim_prop: str, kind: str) -> list[dict]:
                 ("?pa", FDPRDF + "name", "?parentName"),
             ],
         )
-        sols = graphq.not_exists(sols, tr, [("?attribute", FDPRDF + "labelfor", "?lf")])
+        sols = gl.not_exists(sols, tr, [("?attribute", FDPRDF + "labelfor", "?lf")])
     keep = [c for c in sols.columns if "__" not in c and c not in ("component", "componentProperty", "pa")]
-    return _collect(sols.select(*keep).distinct())
+    return sols.select(*keep).distinct().rows
 
 
-def _label_rows(tr: DataFrame, dim_prop: str) -> list[dict]:
+def _label_rows(tr: gl.LocalGraph, dim_prop: str) -> list[dict]:
     """FdpDimension.labelQuery (FdpDimension.java:25-41)."""
-    sols = graphq.bgp(
+    sols = gl.bgp(
         tr,
         [
             ("?component", QB + "dimension", dim_prop),
@@ -397,7 +397,7 @@ def _label_rows(tr: DataFrame, dim_prop: str) -> list[dict]:
             ("?attribute", FDPRDF + "labelfor", "?labelForName"),
         ],
     )
-    return _collect(sols.select("labelForName", "sourceColumn").distinct())
+    return sols.select("labelForName", "sourceColumn").distinct().rows
 
 
 def _fold_labels(attributes: list[CubeAttribute], labels: list[dict]) -> list[CubeAttribute]:
@@ -430,19 +430,19 @@ def _order_hierarchy(attributes: list[CubeAttribute]) -> list[CubeAttribute]:
     return ordered
 
 
-def extract_dialect(spark: SparkSession, tr: DataFrame, resource_name: str) -> CsvDialect:
+def extract_dialect(tr: gl.LocalGraph, resource_name: str) -> CsvDialect:
     """HeaderParser.resourceQuery (HeaderParser.java:8-24) + defaults
     ``,`` / ``"`` (:39-42)."""
-    base = graphq.bgp(tr, [("?resource", FDP + "name", resource_name)])
-    base = graphq.optional(
+    base = gl.bgp(tr, [("?resource", FDP + "name", resource_name)])
+    base = gl.optional(
         base, tr,
         [("?resource", FDP + "dialect", "?d1"), ("?d1", FDP + "delimiter", "?delimiter")],
     )
-    base = graphq.optional(
+    base = gl.optional(
         base, tr,
         [("?resource", FDP + "dialect", "?d2"), ("?d2", FDP + "quoteChar", "?quoteChar")],
     )
-    rows = _collect(base)
+    rows = base.rows
     dialect = CsvDialect()
     if rows:
         if rows[0].get("delimiter"):
@@ -452,98 +452,80 @@ def extract_dialect(spark: SparkSession, tr: DataFrame, resource_name: str) -> C
     return dialect
 
 
-def extract_spec(spark: SparkSession, descriptor: DataFrame) -> CubeSpec:
-    """Descriptor triples DF → :class:`CubeSpec` (FdpToRdf.java:111-263,
-    same query order: measure first, then the 7 dimension kinds, then
-    attributes + labels per dimension).
+def extract_spec(spark: SparkSession, descriptor: DataFrame | gl.LocalGraph) -> CubeSpec:
+    """Descriptor triples (DF or pre-collected :class:`LocalGraph`) →
+    :class:`CubeSpec` (FdpToRdf.java:111-263, same query order: measure
+    first, then the 7 dimension kinds, then attributes + labels per
+    dimension).
 
-    The descriptor is metadata (KBs): coalesce(1)+cache, and the ~30
-    extraction queries run CONCURRENTLY in two dependency waves
-    (measure + 7 kind-discovery queries, then per-dimension attribute /
-    label / dialect queries) — Spark's scheduler is thread-safe and the
-    wall time becomes the slowest query, not the sum. This is plan-time
-    work; the data-phase plan is unaffected."""
-    from concurrent.futures import ThreadPoolExecutor
+    The descriptor is metadata (KBs). It is collected ONCE (one tiny
+    job) and the ~30 extraction queries run driver-local through
+    :mod:`graphq_local` — the same control-plane locality as the
+    reference's in-memory RDF4J repo. The data-phase plan never
+    collects."""
+    if isinstance(descriptor, gl.LocalGraph):
+        tr = descriptor
+    else:
+        tr = gl.LocalGraph([r.asDict() for r in descriptor.collect()])
 
-    tr = descriptor.coalesce(1).cache()
+    measure_rows = _measure_base(tr).rows
+    if not measure_rows:
+        raise ValueError("fdp_to_cube: dataset IRI not found in metadata")
+    kind_rows = {kind: _dim_rows(tr, kind) for kind in _DIM_KINDS}
 
-    with ThreadPoolExecutor(max_workers=8) as pool:
-        # wave 1: measure query + dimension-kind discovery
-        measure_f = pool.submit(lambda: _collect(_measure_base(tr)))
-        kind_fs = {kind: pool.submit(_dim_rows, spark, tr, kind) for kind in _DIM_KINDS}
-        measure_rows = measure_f.result()
-        if not measure_rows:
-            raise ValueError("fdp_to_cube: dataset IRI not found in metadata")
-        kind_rows = {kind: f.result() for kind, f in kind_fs.items()}
+    first = measure_rows[0]
+    spec = CubeSpec(
+        dataset_iri=first["dataset"],
+        package_name=first["packageName"],
+        currency_as_dimension=first.get("curComponent") is not None,
+    )
 
-        first = measure_rows[0]
-        spec = CubeSpec(
-            dataset_iri=first["dataset"],
-            package_name=first["packageName"],
-            currency_as_dimension=first.get("curComponent") is not None,
-        )
-
-        # wave 2: dialects + per-dimension attribute/label queries
-        dialect_fs = {
-            row["sourceFile"]: pool.submit(extract_dialect, spark, tr, row["sourceFile"])
-            for row in measure_rows
-        }
-        attr_fs = {
-            (kind, row["dimensionProp"]): pool.submit(_attr_rows, tr, row["dimensionProp"], kind)
-            for kind in _DIM_KINDS
-            for row in kind_rows[kind]
-        }
-        label_fs = {
-            (kind, row["dimensionProp"]): pool.submit(_label_rows, tr, row["dimensionProp"])
-            for kind in ("skos", "single_skos", "hierarchical")
-            for row in kind_rows[kind]
-        }
-
-        for row in measure_rows:
-            spec.measures.append(
-                CubeMeasure(
-                    name=row["measureName"],
-                    source_column=row["sourceColumn"],
-                    source_file=row["sourceFile"],
-                    factor=float(row["measureFactor"]),
-                    decimal_sep=(row.get("decimalChar") or ".")[0],
-                    group_sep=(row.get("groupChar") or " ")[0],
-                    currency=row.get("currency"),
-                    operation_char=row.get("operationCharacter"),
-                    budget_phase=row.get("budgetPhase"),
-                )
+    for row in measure_rows:
+        spec.measures.append(
+            CubeMeasure(
+                name=row["measureName"],
+                source_column=row["sourceColumn"],
+                source_file=row["sourceFile"],
+                factor=float(row["measureFactor"]),
+                decimal_sep=(row.get("decimalChar") or ".")[0],
+                group_sep=(row.get("groupChar") or " ")[0],
+                currency=row.get("currency"),
+                operation_char=row.get("operationCharacter"),
+                budget_phase=row.get("budgetPhase"),
             )
-            spec.dialects[row["sourceFile"]] = dialect_fs[row["sourceFile"]].result()
+        )
+        if row["sourceFile"] not in spec.dialects:
+            spec.dialects[row["sourceFile"]] = extract_dialect(tr, row["sourceFile"])
 
-        for kind in _DIM_KINDS:
-            for row in kind_rows[kind]:
-                dim = CubeDimension(
-                    kind=kind,
-                    value_property=row["dimensionProp"],
-                    name=row["dimensionName"],
-                    rdf_type=row.get("rdfType"),
+    for kind in _DIM_KINDS:
+        for row in kind_rows[kind]:
+            dim = CubeDimension(
+                kind=kind,
+                value_property=row["dimensionProp"],
+                name=row["dimensionName"],
+                rdf_type=row.get("rdfType"),
+            )
+            attrs = [
+                CubeAttribute(
+                    iri=a["attribute"],
+                    source_column=a["sourceColumn"],
+                    source_file=a["sourceFile"],
+                    is_key=str(a["iskey"]).lower() == "true",
+                    value_property=a["attributeValueProperty"],
+                    name=a.get("attributeName"),
+                    parent_name=a.get("parentName"),
                 )
-                attrs = [
-                    CubeAttribute(
-                        iri=a["attribute"],
-                        source_column=a["sourceColumn"],
-                        source_file=a["sourceFile"],
-                        is_key=str(a["iskey"]).lower() == "true",
-                        value_property=a["attributeValueProperty"],
-                        name=a.get("attributeName"),
-                        parent_name=a.get("parentName"),
-                    )
-                    for a in attr_fs[(kind, dim.value_property)].result()
-                ]
-                # deterministic contract: order by attribute IRI (the
-                # reference inherits RDF4J result order)
-                attrs.sort(key=lambda a: a.iri)
-                if kind in ("skos", "single_skos", "hierarchical"):
-                    attrs = _fold_labels(attrs, label_fs[(kind, dim.value_property)].result())
-                if kind == "hierarchical":
-                    attrs = _order_hierarchy(attrs)
-                dim.attributes = attrs
-                spec.dimensions.append(dim)
+                for a in _attr_rows(tr, dim.value_property, kind)
+            ]
+            # deterministic contract: order by attribute IRI (the
+            # reference inherits RDF4J result order)
+            attrs.sort(key=lambda a: a.iri)
+            if kind in ("skos", "single_skos", "hierarchical"):
+                attrs = _fold_labels(attrs, _label_rows(tr, dim.value_property))
+            if kind == "hierarchical":
+                attrs = _order_hierarchy(attrs)
+            dim.attributes = attrs
+            spec.dimensions.append(dim)
     return spec
 
 

@@ -1,0 +1,227 @@
+"""Driver-local twin of :mod:`lp_etl_plugins_spark.graphq` for metadata graphs.
+
+The reference runs every spec-extraction SPARQL query against an
+in-memory RDF4J repository on the control thread (FdpToRdf.java:82-109)
+— plan-time work never touches the data plane. The Spark-first
+equivalent of that locality decision is this module: the same
+solution-set semantics as ``graphq`` (bgp / optional / not_exists /
+values incl. UNDEF / natural join / group_count), evaluated over a
+plain Python triple list in microseconds, instead of ~30 multi-join
+Spark jobs against a KB-sized DataFrame.
+
+Use this for *metadata* (descriptor graphs, codelists small enough to
+collect); use ``graphq`` for data-scale triples. Semantics are kept
+aligned with ``graphq`` — see the join/null rules on
+:func:`join_solutions` there: shared variables join on equality with
+NULL never matching, metadata columns of shared variables are kept from
+the left side, disjoint variable sets produce a cartesian product.
+
+A solution set is a :class:`Solutions`: an explicit column list (so
+empty results still know their schema, as a DataFrame would) plus rows
+as dicts. Object-position variables carry ``<var>__type`` /
+``<var>__lang`` / ``<var>__dt`` companions, exactly like ``graphq``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+__all__ = [
+    "LocalGraph",
+    "Solutions",
+    "bgp",
+    "optional",
+    "not_exists",
+    "values",
+    "join_solutions",
+    "group_count",
+]
+
+
+def _is_var(term: str | None) -> bool:
+    return isinstance(term, str) and term.startswith("?")
+
+
+def _var(term: str) -> str:
+    return term[1:]
+
+
+def _meta_cols(var: str) -> tuple[str, str, str]:
+    return f"{var}__type", f"{var}__lang", f"{var}__dt"
+
+
+class LocalGraph:
+    """An indexed driver-local triple store (rows: dicts with keys
+    ``s p o_value o_type o_lang o_datatype``)."""
+
+    def __init__(self, triples: list[dict]):
+        self.triples = triples
+        self._by_p: dict[str, list[dict]] = {}
+        for t in triples:
+            self._by_p.setdefault(t["p"], []).append(t)
+
+    def candidates(self, p: str | None) -> list[dict]:
+        if p is None:
+            return self.triples
+        return self._by_p.get(p, [])
+
+
+@dataclass
+class Solutions:
+    columns: list[str]
+    rows: list[dict] = field(default_factory=list)
+
+    def plain_vars(self) -> set[str]:
+        return {c for c in self.columns if "__" not in c}
+
+    def filter(self, fn) -> "Solutions":
+        return Solutions(list(self.columns), [r for r in self.rows if fn(r)])
+
+    def select(self, *cols: str) -> "Solutions":
+        return Solutions(list(cols), [{c: r.get(c) for c in cols} for r in self.rows])
+
+    def distinct(self) -> "Solutions":
+        seen: set[tuple] = set()
+        out: list[dict] = []
+        for r in self.rows:
+            key = tuple(r.get(c) for c in self.columns)
+            if key not in seen:
+                seen.add(key)
+                out.append(r)
+        return Solutions(list(self.columns), out)
+
+
+def _pattern_solutions(g: LocalGraph, pattern: tuple[str, str, str]) -> Solutions:
+    """One (s, p, o) pattern → solutions; mirrors graphq._pattern_df."""
+    s, p, o = pattern
+    cols: list[str] = []
+    if _is_var(s):
+        cols.append(_var(s))
+    if _is_var(p):
+        cols.append(_var(p))
+    if _is_var(o):
+        v = _var(o)
+        cols += [v, *_meta_cols(v)]
+    rows: list[dict] = []
+    for t in g.candidates(None if _is_var(p) else p):
+        if not _is_var(s) and t["s"] != s:
+            continue
+        if not _is_var(o) and t["o_value"] != o:
+            continue
+        r: dict = {}
+        if _is_var(s):
+            r[_var(s)] = t["s"]
+        if _is_var(p):
+            r[_var(p)] = t["p"]
+        if _is_var(o):
+            v = _var(o)
+            mt, ml, md = _meta_cols(v)
+            r[v] = t["o_value"]
+            r[mt] = t["o_type"]
+            r[ml] = t["o_lang"]
+            r[md] = t["o_datatype"]
+        rows.append(r)
+    if not cols:
+        cols = ["__matched"]
+        rows = [{"__matched": 1} for _ in rows]
+    return Solutions(cols, rows)
+
+
+def join_solutions(left: Solutions, right: Solutions, how: str = "inner") -> Solutions:
+    """Natural join on shared plain variables; NULL keys never match
+    (Spark join semantics). ``how`` in inner/left/left_anti."""
+    shared = sorted(left.plain_vars() & right.plain_vars())
+    # metadata columns of shared vars come from the LEFT side only
+    drop = {c for v in shared for c in _meta_cols(v) if c in right.columns and c in left.columns}
+    r_cols = [c for c in right.columns if c not in drop]
+    add_cols = [c for c in r_cols if c not in left.columns]
+    out_cols = list(left.columns) + add_cols
+
+    if not shared:
+        if how != "inner":
+            raise ValueError("outer join with no shared variables")
+        rows = [
+            {**lr, **{c: rr.get(c) for c in add_cols}}
+            for lr in left.rows
+            for rr in right.rows
+        ]
+        return Solutions(out_cols, rows)
+
+    index: dict[tuple, list[dict]] = {}
+    for rr in right.rows:
+        key = tuple(rr.get(v) for v in shared)
+        if any(k is None for k in key):
+            continue
+        index.setdefault(key, []).append(rr)
+
+    rows = []
+    for lr in left.rows:
+        key = tuple(lr.get(v) for v in shared)
+        matches = [] if any(k is None for k in key) else index.get(key, [])
+        if how == "left_anti":
+            if not matches:
+                rows.append(dict(lr))
+        elif matches:
+            for rr in matches:
+                rows.append({**lr, **{c: rr.get(c) for c in add_cols}})
+        elif how == "left":
+            rows.append({**lr, **{c: None for c in add_cols}})
+    if how == "left_anti":
+        out_cols = list(left.columns)
+    return Solutions(out_cols, rows)
+
+
+def bgp(g: LocalGraph, patterns: list[tuple[str, str, str]]) -> Solutions:
+    if not patterns:
+        raise ValueError("bgp needs at least one pattern")
+    out = _pattern_solutions(g, patterns[0])
+    for pat in patterns[1:]:
+        out = join_solutions(out, _pattern_solutions(g, pat))
+    return out
+
+
+def optional(base: Solutions, g: LocalGraph, patterns: list[tuple[str, str, str]]) -> Solutions:
+    return join_solutions(base, bgp(g, patterns), "left")
+
+
+def not_exists(base: Solutions, g: LocalGraph, patterns: list[tuple[str, str, str]]) -> Solutions:
+    return join_solutions(base, bgp(g, patterns), "left_anti")
+
+
+def values(base: Solutions, columns: list[str], rows: list[tuple]) -> Solutions:
+    """SPARQL VALUES incl. UNDEF (None matches any binding); binds
+    variables not already bound in base — mirrors graphq.values."""
+    vars_ = [_var(c) if _is_var(c) else c for c in columns]
+    bound = [v for v in vars_ if v in base.columns]
+    unbound = [v for v in vars_ if v not in base.columns]
+    out_cols = list(base.columns) + unbound
+    out: list[dict] = []
+    for lr in base.rows:
+        for vr in rows:
+            cells = dict(zip(vars_, vr))
+            if all(cells[v] is None or cells[v] == lr.get(v) for v in bound):
+                out.append({**lr, **{v: cells[v] for v in unbound}})
+    return Solutions(out_cols, out)
+
+
+def group_count(
+    sols: Solutions,
+    group: list[str],
+    var: str,
+    alias: str,
+    distinct: bool = True,
+) -> Solutions:
+    """COUNT([DISTINCT] ?var) GROUP BY — counts non-null values, like
+    Spark's count/countDistinct."""
+    v = _var(var) if _is_var(var) else var
+    keys = [_var(g_) if _is_var(g_) else g_ for g_ in group]
+    acc: dict[tuple, list] = {}
+    for r in sols.rows:
+        key = tuple(r.get(k) for k in keys)
+        acc.setdefault(key, []).append(r.get(v))
+    out = []
+    for key, vals in acc.items():
+        nn = [x for x in vals if x is not None]
+        n = len(set(nn)) if distinct else len(nn)
+        out.append({**dict(zip(keys, key)), alias: n})
+    return Solutions(keys + [alias], out)
