@@ -28,7 +28,14 @@ _SHINGLE_N = 3
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "documents")
+    """documents, spread across all cores: the table arrives as few
+    parquet splits, and every t-query's expensive map stage (shingle
+    explode + md5, HOF folds) runs BEFORE its first shuffle — without
+    the spread that stage executes in as many tasks as input splits
+    (1 at bench scale). The 1-row-per-doc round-robin shuffle is noise
+    next to that; none of the t-queries depend on row order."""
+    par = spark.sparkContext.defaultParallelism
+    return load_table(spark, sf_dir, "documents").repartition(par)
 
 
 def t1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -154,9 +161,9 @@ def t5_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch → (simhash, n_docs, canonical_id) for buckets > 1."""
     docs = _docs(spark, sf_dir)
     return (
-        docs.select(T.simhash16("text").alias("simhash"), "doc_id")
+        T.simhash16_df(docs, "text", "doc_id")
         .groupBy("simhash")
-        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("canonical_id"))
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("id").alias("canonical_id"))
         .filter(F.col("n_docs") > 1)
     )
 

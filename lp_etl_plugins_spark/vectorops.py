@@ -28,6 +28,8 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "cosine",
+    "dot",
+    "unit_normalize",
     "norm",
     "knn_bruteforce",
     "sign_bucket",
@@ -52,6 +54,21 @@ def norm(a: Column) -> Column:
 
 def cosine(a: Column, b: Column) -> Column:
     return _dot(a, b) / (norm(a) * norm(b))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Public JVM-side dot product fold."""
+    return _dot(a, b)
+
+
+def unit_normalize(vec: Column) -> Column:
+    """vec / ||vec|| as double — applied ONCE per vector so pairwise
+    cosine becomes a single dot fold instead of three (dot + two
+    norms) per candidate pair. Array HOFs are interpreted, not
+    codegen'd; on a candidate-pair join the per-pair fold count is the
+    dominant cost, so hoisting the norms out of the join is a ~3x win."""
+    n = norm(vec)
+    return F.transform(vec, lambda x: x.cast("double") / n)
 
 
 def knn_bruteforce(
