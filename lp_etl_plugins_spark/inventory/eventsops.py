@@ -12,7 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..streaming import session_stats, sliding_counts, tumbling_counts
+from ..streaming import session_stats, sliding_counts, tumbling_counts, user_totals
 from ..tables import load_table
 
 
@@ -77,14 +77,29 @@ GROUP BY user_id, session_id
 """
 
 
+def e4_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the applyInPandasWithState stateful operator
+    (streaming.stateful_user_totals); the cross-micro-batch state
+    behavior is asserted against this in tests/test_streaming.py."""
+    return user_totals(load_table(spark, sf_dir, "events"))
+
+
+E4_SQL = """
+SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS sum_value
+FROM events GROUP BY user_id
+"""
+
+
 QUERIES = {
     "e1_tumbling_window": e1_tumbling_window,
     "e2_sliding_window": e2_sliding_window,
     "e3_session_window": e3_session_window,
+    "e4_user_totals": e4_user_totals,
 }
 
 ORACLES = {
     "e1_tumbling_window": E1_SQL,
     "e2_sliding_window": E2_SQL,
     "e3_session_window": E3_SQL,
+    "e4_user_totals": E4_SQL,
 }

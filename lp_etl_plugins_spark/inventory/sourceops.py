@@ -109,14 +109,47 @@ WHERE p != '' AND o_raw != ''
 """
 
 
+def s4_nt_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4/U1 passthrough union (FdpToRdf.java:298-311): pre-made `.nt`
+    triples appended to engine-generated triples in ONE output relation
+    — the same unionByName the cube sink performs, hash-checked."""
+    from ..model import TRIPLES_SCHEMA, triples_from_ntriples
+
+    generated = spark.createDataFrame(
+        [
+            ("urn:gen/obs/1", "urn:gen/p/amount", "12.50", "literal", None,
+             "http://www.w3.org/2001/XMLSchema#decimal"),
+            ("urn:gen/obs/1", "urn:gen/p/label", "generated", "literal", None, None),
+        ],
+        TRIPLES_SCHEMA,
+    )
+    return generated.unionByName(triples_from_ntriples(spark, _NT))
+
+
+S4_SQL = (
+    """
+SELECT * FROM (VALUES
+  ('urn:gen/obs/1', 'urn:gen/p/amount', '12.50', 'literal', NULL,
+   'http://www.w3.org/2001/XMLSchema#decimal'),
+  ('urn:gen/obs/1', 'urn:gen/p/label', 'generated', 'literal', NULL, NULL)
+) AS g(s, p, o_value, o_type, o_lang, o_datatype)
+UNION ALL
+SELECT * FROM ("""
+    + S3_SQL
+    + ")"
+)
+
+
 QUERIES = {
     "s1_csv_dialect_scan": s1_csv_dialect_scan,
     "s2_id_column": s2_id_column,
     "s3_ntriples_scan": s3_ntriples_scan,
+    "s4_nt_passthrough": s4_nt_passthrough,
 }
 
 ORACLES = {
     "s1_csv_dialect_scan": S1_SQL,
     "s2_id_column": S2_SQL,
     "s3_ntriples_scan": S3_SQL,
+    "s4_nt_passthrough": S4_SQL,
 }

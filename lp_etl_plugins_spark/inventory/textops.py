@@ -266,6 +266,40 @@ FROM documents GROUP BY source
 """
 
 
+def t9_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprinting (winnowing, w=4 over
+    3-shingle hashes): per-document fingerprint-set sizes — compact,
+    and any shared fingerprint marks a ≥6-word verbatim overlap."""
+    fps = T.winnow_fingerprints(_docs(spark, sf_dir), "text", "doc_id", n=3, w=4)
+    return fps.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_fps"), F.min("fp").alias("min_fp")
+    )
+
+
+T9_SQL = r"""
+WITH words AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ws FROM documents
+),
+pos AS (
+  SELECT doc_id AS id, i - 1 AS pos,
+         substring(md5(array_to_string(ws[i:i+2], ' ')), 1, 10) AS h
+  FROM words, unnest(generate_series(1, len(ws) - 2)) AS g(i)
+  WHERE len(ws) >= 3
+),
+wmin AS (
+  SELECT id, pos,
+         min(h) OVER (PARTITION BY id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+         max(pos) OVER (PARTITION BY id) AS max_pos
+  FROM pos
+),
+fps AS (
+  SELECT DISTINCT id, fp FROM wmin WHERE pos <= max_pos - 3
+)
+SELECT id, count(*)::BIGINT AS n_fps, min(fp) AS min_fp FROM fps GROUP BY id
+"""
+
+
 QUERIES = {
     "t1_exact_dedup": t1_exact_dedup,
     "t2_fingerprint_dedup": t2_fingerprint_dedup,
@@ -275,6 +309,7 @@ QUERIES = {
     "t6_lang_id": t6_lang_id,
     "t7_quality_score": t7_quality_score,
     "t8_token_counts": t8_token_counts,
+    "t9_winnow_fingerprints": t9_winnow_fingerprints,
 }
 
 ORACLES = {
@@ -286,4 +321,5 @@ ORACLES = {
     "t6_lang_id": T6_SQL,
     "t7_quality_score": T7_SQL,
     "t8_token_counts": T8_SQL,
+    "t9_winnow_fingerprints": T9_SQL,
 }

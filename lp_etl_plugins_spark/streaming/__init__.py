@@ -27,6 +27,8 @@ __all__ = [
     "tumbling_counts",
     "sliding_counts",
     "session_stats",
+    "user_totals",
+    "stateful_user_totals",
     "with_watermark",
 ]
 
@@ -65,6 +67,54 @@ def sliding_counts(events: DataFrame, width: str = "1 hour", slide: str = "30 mi
             "event_type",
             "n_events",
         )
+    )
+
+
+def user_totals(events: DataFrame) -> DataFrame:
+    """Per-user running totals — the BATCH twin of
+    :func:`stateful_user_totals`: one groupBy, map-side partials.
+    → (user_id, n_events, sum_value)."""
+    return events.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+_TOTALS_OUT = "user_id long, n_events long, sum_value double"
+_TOTALS_STATE = "n long, s double"
+
+
+def stateful_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator (``applyInPandasWithState``):
+    per-user totals accumulated across micro-batches, one updated row
+    per user per trigger. State = (count, unrounded sum) per user —
+    bounded by the user-id cardinality, partitioned by the group key,
+    so at scale each executor holds only its keys' state.
+
+    On the final trigger the emitted totals equal :func:`user_totals`
+    on the same data seen as one batch — asserted in
+    tests/test_streaming.py. Streaming frames only; batch callers use
+    the twin (Spark restricts applyInPandasWithState to streams)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update_totals(key, pdfs, state):
+        import pandas as pd
+
+        n, s = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            s += float(pdf["value"].sum())
+        state.update((n, s))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "sum_value": [round(s, 2)]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update_totals,
+        _TOTALS_OUT,
+        _TOTALS_STATE,
+        "update",
+        GroupStateTimeout.NoTimeout,
     )
 
 

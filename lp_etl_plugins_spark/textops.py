@@ -26,6 +26,7 @@ speed; the pipeline shape is unchanged.
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 __all__ = [
@@ -39,6 +40,7 @@ __all__ = [
     "jaccard_over_candidates",
     "simhash16",
     "simhash16_df",
+    "winnow_fingerprints",
     "lang_id",
     "quality_score",
     "token_counts",
@@ -213,6 +215,37 @@ def simhash16(col: Column | str) -> Column:
     for b in bits[1:]:
         out = out + b
     return out
+
+
+def winnow_fingerprints(
+    df: DataFrame, text_col: str, id_col: str, n: int = 3, w: int = 4
+) -> DataFrame:
+    """Winnowing document fingerprints (the rolling-hash fingerprinting
+    scheme of Schleimer/Wilkerson/Aiken, MOSS): hash every word
+    ``n``-gram, slide a window of ``w`` consecutive shingle hashes,
+    keep the minimum of each window, dedupe. Guarantees any match of
+    length ≥ w+n-1 words shares a fingerprint.
+
+    Plan: posexplode shingles → per-(doc, pos) 40-bit hash → window MIN
+    over [pos, pos+w-1] (rows-frame, partitioned by doc — bounded
+    per-doc state, codegen) → distinct. → (id, fp)."""
+    pos = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(shingles(normalized_words(text_col), n)).alias("pos", "shingle"),
+    ).select("id", "pos", F.substring(F.md5("shingle"), 1, 10).alias("h"))
+    win = W.partitionBy("id").orderBy("pos").rowsBetween(W.currentRow, w - 1)
+    n_sh = W.partitionBy("id")
+    return (
+        pos.select(
+            "id",
+            "pos",
+            F.min("h").over(win).alias("fp"),
+            F.max("pos").over(n_sh).alias("max_pos"),
+        )
+        .filter(F.col("pos") <= F.col("max_pos") - (w - 1))
+        .select("id", "fp")
+        .distinct()
+    )
 
 
 def simhash16_df(df: DataFrame, text_col: str, id_col: str) -> DataFrame:

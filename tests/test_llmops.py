@@ -177,3 +177,26 @@ def test_frame_sampling_counts(spark):
     # deterministic frame content
     one = frames.filter((F.col("media_id") == 0) & (F.col("frame_no") == 0)).collect()
     assert len(one[0]["frame"]) == 64
+
+
+def test_winnow_shared_run_shares_fingerprint(spark):
+    """Winnowing guarantee: any verbatim overlap of >= w+n-1 words
+    (here 6) yields at least one shared fingerprint; disjoint texts
+    share none."""
+    shared = "one two three four five six"
+    df = spark.createDataFrame(
+        [
+            (1, f"intro words {shared} tail a"),
+            (2, f"{shared} totally different ending here"),
+            (3, "unrelated content with no overlap at all present"),
+        ],
+        "doc_id long, text string",
+    )
+    fps = textops.winnow_fingerprints(df, "text", "doc_id", n=3, w=4)
+    by_doc = {
+        r["id"]: set(x["fp"] for x in fps.filter(F.col("id") == r["id"]).collect())
+        for r in fps.select("id").distinct().collect()
+    }
+    assert by_doc[1] & by_doc[2], "shared 6-word run must share a fingerprint"
+    assert not (by_doc[1] & by_doc[3])
+    assert not (by_doc[2] & by_doc[3])

@@ -69,3 +69,47 @@ def test_session_stream_equals_batch(spark, event_dir):
 def test_watermark_noop_on_batch(spark, event_dir):
     df = spark.read.parquet(event_dir)
     assert streaming.with_watermark(df) is df
+
+
+def test_stateful_totals_across_microbatches(spark, tmp_path_factory):
+    """applyInPandasWithState accumulates per-user state across
+    micro-batches: 3 input files, one per trigger; the final emitted
+    totals must equal the batch twin over all files at once."""
+    path = str(tmp_path_factory.mktemp("events_state") / "events")
+    load_table(spark, SF, "events").repartition(3).write.mode("overwrite").parquet(path)
+
+    batch_df = spark.read.parquet(path)
+    batch = {r["user_id"]: (r["n_events"], r["sum_value"])
+             for r in streaming.user_totals(batch_df).collect()}
+
+    schema = batch_df.schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+        .transform(streaming.stateful_user_totals)
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("stateful_mem")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert q.lastProgress["batchId"] >= 2  # really ran multiple triggers
+
+    # update mode appends one row per user per trigger; the final state
+    # is the row with the highest (monotone) n_events per user
+    emitted = spark.table("stateful_mem")
+    final = (
+        emitted.groupBy("user_id")
+        .agg(F.max(F.struct("n_events", "sum_value")).alias("last"))
+        .select("user_id", "last.n_events", "last.sum_value")
+    )
+    streamed = {r["user_id"]: (r["n_events"], r["sum_value"]) for r in final.collect()}
+    assert streamed.keys() == batch.keys()
+    for uid, (n, s) in batch.items():
+        sn, ss = streamed[uid]
+        assert sn == n
+        assert abs(ss - s) < 1e-9
