@@ -300,6 +300,35 @@ SELECT id, count(*)::BIGINT AS n_fps, min(fp) AS min_fp FROM fps GROUP BY id
 """
 
 
+def t10_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: LSH candidate pairs → connected components
+    (min-label propagation) → (cluster, n_docs). The keep-one-per-
+    cluster step of a dedup pipeline; the DuckDB oracle recomputes the
+    components with a recursive transitive-closure CTE."""
+    pairs = t3_minhash_lsh_pairs(spark, sf_dir)
+    comps = T.connected_components(pairs)
+    return comps.groupBy("cluster").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+T10_SQL = (
+    "WITH RECURSIVE " + _SH_SQL + "," + _CAND_SQL + """,
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM cand
+  UNION
+  SELECT id_b, id_a FROM cand
+),
+reach(u, lbl) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges) t
+  UNION
+  SELECT e.u, r.lbl FROM edges e JOIN reach r ON r.u = e.v
+)
+SELECT cluster, count(*)::BIGINT AS n_docs FROM (
+  SELECT u, min(lbl) AS cluster FROM reach GROUP BY u
+) comp GROUP BY cluster
+"""
+)
+
+
 QUERIES = {
     "t1_exact_dedup": t1_exact_dedup,
     "t2_fingerprint_dedup": t2_fingerprint_dedup,
@@ -310,6 +339,7 @@ QUERIES = {
     "t7_quality_score": t7_quality_score,
     "t8_token_counts": t8_token_counts,
     "t9_winnow_fingerprints": t9_winnow_fingerprints,
+    "t10_dedup_clusters": t10_dedup_clusters,
 }
 
 ORACLES = {
@@ -322,4 +352,5 @@ ORACLES = {
     "t7_quality_score": T7_SQL,
     "t8_token_counts": T8_SQL,
     "t9_winnow_fingerprints": T9_SQL,
+    "t10_dedup_clusters": T10_SQL,
 }

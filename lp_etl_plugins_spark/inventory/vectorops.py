@@ -201,12 +201,62 @@ WHERE round(list_dot_product(a.v, b.v), 6) >= 0.4
 """
 
 
+def v6_hamming_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-compressed near-dup prefilter: 64 sign bits per vector
+    (8 bytes), bucket-restricted pairs kept when Hamming ≤ 20 —
+    XOR+popcount per pair instead of a dot fold, the cheap first pass
+    before exact cosine verification. → (id_a, id_b, hamming)."""
+    emb = _emb(spark, sf_dir)
+    lo, hi = V.pack_sign_bits(F.col("embedding"), 64)
+    side = emb.select(
+        "vec_id", lo.alias("lo"), hi.alias("hi"),
+        V.sign_bucket(F.col("embedding"), _BITS).alias("bucket"),
+    )
+    par = spark.sparkContext.defaultParallelism
+    a = side.select(F.col("vec_id").alias("id_a"), F.col("lo").alias("lo_a"),
+                    F.col("hi").alias("hi_a"), "bucket").repartition(par)
+    b = side.select(F.col("vec_id").alias("id_b"), F.col("lo").alias("lo_b"),
+                    F.col("hi").alias("hi_b"), "bucket")
+    pairs = a.join(b, on="bucket").filter(F.col("id_a") < F.col("id_b"))
+    out = pairs.select(
+        "id_a", "id_b",
+        V.hamming(F.col("lo_a"), F.col("hi_a"), F.col("lo_b"), F.col("hi_b")).alias("hamming"),
+    )
+    return out.filter(F.col("hamming") <= 20)
+
+
+_PACK_LO = " + ".join(
+    f"CASE WHEN embedding[{i + 1}] > 0 THEN {1 << i}::BIGINT ELSE 0 END" for i in range(32)
+)
+_PACK_HI = " + ".join(
+    f"CASE WHEN embedding[{i + 1}] > 0 THEN {1 << (i - 32)}::BIGINT ELSE 0 END"
+    for i in range(32, 64)
+)
+
+V6_SQL = f"""
+WITH e AS (
+  SELECT vec_id,
+    ({_PACK_LO}) AS lo,
+    ({_PACK_HI}) AS hi,
+    (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END
+     + CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END
+     + CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END) AS bucket
+  FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+  (bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)))::BIGINT AS hamming
+FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 20
+"""
+
+
 QUERIES = {
     "v1_knn_bruteforce": v1_knn_bruteforce,
     "v2_knn_bucketed": v2_knn_bucketed,
     "v3_label_centroids": v3_label_centroids,
     "v4_knn_ivf": v4_knn_ivf,
     "v5_embedding_neardup": v5_embedding_neardup,
+    "v6_hamming_prefilter": v6_hamming_prefilter,
 }
 
 ORACLES = {
@@ -215,4 +265,5 @@ ORACLES = {
     "v3_label_centroids": V3_SQL,
     "v4_knn_ivf": V4_SQL,
     "v5_embedding_neardup": V5_SQL,
+    "v6_hamming_prefilter": V6_SQL,
 }

@@ -41,6 +41,7 @@ __all__ = [
     "simhash16",
     "simhash16_df",
     "winnow_fingerprints",
+    "connected_components",
     "lang_id",
     "quality_score",
     "token_counts",
@@ -246,6 +247,56 @@ def winnow_fingerprints(
         .select("id", "fp")
         .distinct()
     )
+
+
+def connected_components(
+    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_iter: int = 20
+) -> DataFrame:
+    """Duplicate clusters from a candidate-pair edge list: min-label
+    propagation to a fixpoint → (id, cluster) with cluster = the
+    smallest member id of the component. The step after LSH mining in a
+    dedup pipeline — keep one doc per cluster, drop the rest.
+
+    Each iteration is one groupBy over the (undirected) edge list:
+    label(v) = min(label(v), min over neighbors of label(u)) — a
+    shuffled aggregation, state bounded by |V|; iterations needed =
+    graph diameter (near-dup components are tiny, so 2-3 in practice).
+    The driver checks convergence between iterations (an iterative
+    algorithm's loop lives on the control plane; each step is a plain
+    distributed plan). Raises after ``max_iter`` without convergence."""
+    edges = (
+        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+        .unionByName(pairs.select(F.col(id_b).alias("u"), F.col(id_a).alias("v")))
+        .distinct()
+        .cache()
+    )
+    labels = edges.select("u").distinct().select("u", F.col("u").alias("lbl")).cache()
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels.select(F.col("u").alias("v"), "lbl"), "v")
+            .groupBy("u")
+            .agg(F.min("lbl").alias("nlbl"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "u", "left")
+            .select("u", F.least("lbl", "nlbl").alias("lbl"))
+            .cache()
+        )
+        changed = (
+            new_labels.select("u", F.col("lbl").alias("new_lbl"))
+            .join(labels, "u")
+            .filter(F.col("new_lbl") != F.col("lbl"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(f"connected_components: no fixpoint in {max_iter} iterations")
+    edges.unpersist()
+    return labels.select(F.col("u").alias("id"), F.col("lbl").alias("cluster"))
 
 
 def simhash16_df(df: DataFrame, text_col: str, id_col: str) -> DataFrame:

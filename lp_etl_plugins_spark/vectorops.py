@@ -33,6 +33,8 @@ __all__ = [
     "norm",
     "knn_bruteforce",
     "sign_bucket",
+    "pack_sign_bits",
+    "hamming",
     "knn_bucketed",
     "assign_ivf_buckets",
     "knn_ivf",
@@ -102,6 +104,31 @@ def knn_bruteforce(
         .filter(F.col("rank") <= k)
         .select("probe_id", "neighbor_id", "cos", "rank")
     )
+
+
+def pack_sign_bits(vec: Column, dims: int = 64) -> tuple[Column, Column]:
+    """Binary embedding compression: the sign bit of each of the first
+    ``dims`` dimensions packed into two ≤32-bit integer lanes (lo, hi)
+    — 64 floats become 8 bytes. Cosine-similar vectors have similar
+    sign patterns (SimHash for embeddings), so Hamming distance over
+    the packed lanes is a cheap prefilter: XOR + bit_count per pair
+    instead of a 64-mul dot fold (~50x less work per candidate).
+    Two 32-bit lanes (not one 64-bit word) keep every value positive —
+    no signed-shift edge cases, and the DuckDB oracle computes the
+    identical packing."""
+    half = min(dims, 32)
+    lo = F.lit(0).cast("long")
+    for i in range(half):
+        lo = lo + F.when(F.element_at(vec, i + 1) > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
+    hi = F.lit(0).cast("long")
+    for i in range(half, dims):
+        hi = hi + F.when(F.element_at(vec, i + 1) > 0, F.lit(1 << (i - half)).cast("long")).otherwise(F.lit(0).cast("long"))
+    return lo, hi
+
+
+def hamming(lo_a: Column, hi_a: Column, lo_b: Column, hi_b: Column) -> Column:
+    """Hamming distance between two packed sign patterns."""
+    return F.bit_count(lo_a.bitwiseXOR(lo_b)) + F.bit_count(hi_a.bitwiseXOR(hi_b))
 
 
 def sign_bucket(vec: Column, bits: int) -> Column:

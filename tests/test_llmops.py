@@ -200,3 +200,13 @@ def test_winnow_shared_run_shares_fingerprint(spark):
     assert by_doc[1] & by_doc[2], "shared 6-word run must share a fingerprint"
     assert not (by_doc[1] & by_doc[3])
     assert not (by_doc[2] & by_doc[3])
+
+
+def test_connected_components_clusters(spark):
+    """Two components (1-2-3 via shared edges, 7-8) plus the path
+    4-5-6: labels converge to the min member id."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5), (5, 6), (7, 8)], "id_a long, id_b long"
+    )
+    comps = {r["id"]: r["cluster"] for r in textops.connected_components(pairs).collect()}
+    assert comps == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 4, 7: 7, 8: 7}
