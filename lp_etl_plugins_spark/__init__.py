@@ -12,6 +12,8 @@ Shipped modules:
 - ``graphq``     — graph (SPARQL-shaped) query layer over triples:
                    bgp/optional/not_exists/values/path/lang_filter/
                    group_count/scalar (SURVEY §2.3, §7.2)
+- ``graphq_local`` — driver-local twin of graphq for metadata graphs:
+                   plan-time spec extraction without Spark jobs
 - ``cube``       — Fiscal-Data-Package descriptor → RDF Data Cube
                    compiler, all 7 dimension kinds (reference t-fdpToRdf)
 - ``dcat``       — DCAT-AP extraction → CKAN payloads + JSONL sink,
@@ -24,10 +26,12 @@ Shipped modules:
 - ``streaming``  — Structured Streaming windows (tumbling / sliding /
                    session + watermark), batch-equivalent by design
 - ``textops``    — training-data text ops: exact/fingerprint dedup,
-                   MinHash+banded-LSH near-dup, SimHash, language-ID,
-                   quality scoring, token counting
+                   MinHash+banded-LSH near-dup, connected-components
+                   dedup clusters, winnowing fingerprints, SimHash,
+                   language-ID, quality scoring, token counting
 - ``vectorops``  — similarity search over embeddings: brute-force
-                   cosine top-k, sign-bucket LSH, IVF coarse lists
+                   cosine top-k, sign-bucket LSH, IVF coarse lists,
+                   bit-packed Hamming prefilter
 - ``multimodal`` — binary media columns: Arrow-batched decode / resize /
                    frame-sample plumbing (codec stubbed, see module)
 - ``functions``  — scalar expression library (text/dates/numeric/rdf),

@@ -36,8 +36,9 @@ Documented deviations from the reference:
   reference re-emits them per row and relies on downstream RDF set
   semantics — SURVEY §4); pass ``dedup_codelists=False`` for bag parity;
 - invalid date shapes yield no triple instead of aborting the job
-  (DateDimension.java:73); ``strict_dates=True`` restores the hard
-  error at the cost of one extra validation pass.
+  (DateDimension.java:73); ``strict_dates=True`` (the default)
+  restores the hard error via an in-plan ``raise_error`` branch — no
+  extra validation pass.
 - measure rounding uses Spark/BigDecimal.valueOf semantics, see
   ``functions.numeric.money_round``.
 """
@@ -594,7 +595,8 @@ def _cell(df: DataFrame, column: str | None) -> Column:
 
 
 def _dimension_structs(
-    df: DataFrame, spec: CubeSpec, dim: CubeDimension, obs: Column
+    df: DataFrame, spec: CubeSpec, dim: CubeDimension, obs: Column,
+    strict: bool = False,
 ) -> tuple[list[Column], list[Column]]:
     """→ (row-scoped structs, codelist-scoped structs). Codelist-scoped
     triples are keyed by dimension *value*, not by row — they duplicate
@@ -709,7 +711,9 @@ def _dimension_structs(
                     _triple(iri, SKOS + "prefLabel", _cell(df, a.label_column), "literal", when=nn)
                 )
     elif dim.kind == "date":
-        # DateDimension.java:64-81: 4-shape regex → gregorian IRI
+        # DateDimension.java:64-81: 4-shape regex → gregorian IRI; a
+        # non-null cell matching no shape aborts the job in-plan
+        # (strict mode) — no separate validation scan
         v = _cell(df, dim.attributes[0].source_column) if dim.attributes else F.lit(None)
         date_iri = (
             F.when(v.rlike(r"^\d{4}-\d{2}-\d{2}$"), F.concat(F.lit(GREGORIAN + "day/"), v))
@@ -718,6 +722,17 @@ def _dimension_structs(
             .when(v.rlike(r"^\d{4}-\d{2}$"), F.concat(F.lit(GREGORIAN + "month/"), v))
             .when(v.rlike(r"^\d{4}$"), F.concat(F.lit(GREGORIAN + "year/"), v))
         )
+        if strict:
+            date_iri = date_iri.when(
+                v.isNotNull(),
+                F.raise_error(
+                    F.concat(
+                        F.lit(f"date value '"), v,
+                        F.lit(f"' in dimension {dim.name!r} is not in "
+                              "xs:date/xs:dateTime format"),
+                    )
+                ),
+            )
         row_out.append(_triple(obs, vp, date_iri, "iri"))
         code_out.append(_triple(date_iri, RDF_TYPE, F.lit(TIME + "Interval"), "iri"))
     else:  # pragma: no cover
@@ -771,9 +786,9 @@ def compile_cube(spark: SparkSession, spec: CubeSpec, csv_df: DataFrame,
                  dedup_codelists: bool = True, strict_dates: bool = True) -> DataFrame:
     """CSV DataFrame + spec → triples DataFrame: one select building
     every conditional (s,p,o) struct, one explode, null-filter. The
-    codelist-scoped subplan is ``distinct()``-ed (SURVEY §4)."""
-    if strict_dates:
-        _validate_dates(spec, csv_df)
+    codelist-scoped subplan is ``distinct()``-ed (SURVEY §4).
+    ``strict_dates`` aborts on malformed date cells via an in-plan
+    ``raise_error`` branch (no extra validation scan)."""
     df = with_row_numbers(csv_df)
     row_structs: list[Column] = []
     code_structs: list[Column] = []
@@ -784,7 +799,7 @@ def compile_cube(spark: SparkSession, spec: CubeSpec, csv_df: DataFrame,
             F.lit("/for-" + m.name),
         )
         for dim in spec.dimensions:
-            r, c = _dimension_structs(df, spec, dim, obs)
+            r, c = _dimension_structs(df, spec, dim, obs, strict=strict_dates)
             row_structs += r
             code_structs += c
         row_structs += _measure_structs(df, spec, m, obs)
@@ -800,29 +815,6 @@ def compile_cube(spark: SparkSession, spec: CubeSpec, csv_df: DataFrame,
         codes = explode_branch(code_structs)
         out = out.unionByName(codes.distinct() if dedup_codelists else codes)
     return out
-
-
-def _validate_dates(spec: CubeSpec, csv_df: DataFrame) -> None:
-    """Reference parity for DateDimension.java:73: any date cell not
-    matching one of the 4 shapes aborts the run."""
-    from .functions.dates import classify_date_shape
-
-    for dim in spec.dimensions:
-        if dim.kind != "date":
-            continue
-        for a in dim.attributes:
-            if a.source_column not in csv_df.columns:
-                continue
-            bad = csv_df.filter(
-                F.col(a.source_column).isNotNull()
-                & classify_date_shape(a.source_column).isNull()
-            )
-            sample = bad.select(a.source_column).limit(1).collect()
-            if sample:
-                raise ValueError(
-                    f"date value {sample[0][0]!r} in column {a.source_column!r}, "
-                    f"dimension {dim.name!r} is not in xs:date/xs:dateTime format"
-                )
 
 
 def fdp_to_cube(

@@ -129,8 +129,9 @@ def test_strict_dates_raises(spark, tmp_path):
     header = open(CSV, encoding="utf-8").readline()
     bad.write_text(header + '"1,0";d;catA;12-07-2016;a;b;P1;L;D1;Div A;Org\n')
     desc = model.triples_from_turtle(spark, DESCRIPTOR)
-    with pytest.raises(ValueError, match="12-07-2016"):
-        cube.fdp_to_cube(spark, desc, {"budget.csv": str(bad)})
+    # strict mode aborts in-plan (raise_error) when the job executes
+    with pytest.raises(Exception, match="12-07-2016"):
+        cube.fdp_to_cube(spark, desc, {"budget.csv": str(bad)}).count()
     # non-strict mode: row survives, date triple absent
     out = cube.fdp_to_cube(spark, desc, {"budget.csv": str(bad)}, strict_dates=False)
     assert out.filter(F.col("p") == "urn:fx/dim/date").count() == 0
