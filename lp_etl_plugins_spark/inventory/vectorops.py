@@ -154,6 +154,57 @@ SELECT probe_id, neighbor_id, cos, rank FROM ranked WHERE rank <= {_K}
 """
 
 
+def v7_knn_ivf_nprobe2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with multi-list probing (nprobe=2): each probe searches
+    its two nearest coarse lists — the recall/cost knob beyond v4's
+    nprobe=1."""
+    emb = _emb(spark, sf_dir)
+    probes = emb.filter(F.col("vec_id") < _PROBE_LIMIT)
+    return V.knn_ivf(emb, probes, _K, nprobe=2)
+
+
+V7_SQL = f"""
+WITH dims AS (
+  SELECT vec_id AS id, label AS seed, g.i - 1 AS dim, embedding[g.i]::DOUBLE AS v
+  FROM embeddings, unnest(generate_series(1, len(embedding))) AS g(i)
+),
+cent AS (SELECT seed, dim, avg(v) AS c FROM dims GROUP BY seed, dim),
+cent_norm AS (SELECT seed, sum(c * c) AS c2 FROM cent GROUP BY seed),
+scored0 AS (
+  SELECT d.id, ct.seed AS bucket,
+         round(sum(d.v * d.v) - 2 * sum(d.v * ct.c) + any_value(cn.c2), 6) AS dist2
+  FROM dims d
+  JOIN cent ct ON ct.dim = d.dim
+  JOIN cent_norm cn ON cn.seed = ct.seed
+  GROUP BY d.id, ct.seed
+),
+ranked0 AS (
+  SELECT *, row_number() OVER (PARTITION BY id ORDER BY dist2, bucket) AS rn
+  FROM scored0
+),
+assign AS (SELECT id, bucket FROM ranked0 WHERE rn = 1),
+probe_assign AS (SELECT id, bucket FROM ranked0 WHERE rn <= 2),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+scored AS (
+  SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+    round(
+      list_dot_product(p.v, c.v)
+      / (sqrt(list_dot_product(p.v, p.v)) * sqrt(list_dot_product(c.v, c.v))),
+    6) AS cos
+  FROM e p
+  JOIN probe_assign pa ON pa.id = p.vec_id
+  JOIN assign ca ON ca.bucket = pa.bucket
+  JOIN e c ON c.vec_id = ca.id AND c.vec_id != p.vec_id
+  WHERE p.vec_id < {_PROBE_LIMIT}
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT probe_id, neighbor_id, cos, rank FROM ranked WHERE rank <= {_K}
+"""
+
+
 def v5_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup detection (the dedup family's vector
     member): ordered pairs above a cosine threshold, restricted to
@@ -257,6 +308,7 @@ QUERIES = {
     "v4_knn_ivf": v4_knn_ivf,
     "v5_embedding_neardup": v5_embedding_neardup,
     "v6_hamming_prefilter": v6_hamming_prefilter,
+    "v7_knn_ivf_nprobe2": v7_knn_ivf_nprobe2,
 }
 
 ORACLES = {
@@ -266,4 +318,5 @@ ORACLES = {
     "v4_knn_ivf": V4_SQL,
     "v5_embedding_neardup": V5_SQL,
     "v6_hamming_prefilter": V6_SQL,
+    "v7_knn_ivf_nprobe2": V7_SQL,
 }

@@ -183,18 +183,21 @@ def assign_ivf_buckets(
     seed_col: str = "label",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    nprobe: int = 1,
 ) -> DataFrame:
     """IVF coarse quantization: centroids are the per-``seed_col`` group
     means (a pretrained/provided coarse partitioning — the usual IVF
     setup; a k-means refinement drops into the same plan), then every
-    vector is REASSIGNED to the centroid minimizing squared L2 distance
-    (the genuine quantization step — assignments need not equal seeds).
+    vector is REASSIGNED to the ``nprobe`` centroids minimizing squared
+    L2 distance (the genuine quantization step — assignments need not
+    equal seeds; corpus side uses nprobe=1, probes may fan out to more
+    lists for recall).
 
     Plan shape: posexplode → per-(seed, dim) avg (small shuffle) →
     dims ⋈ centroid-dims on dim → per-(vector, centroid) distance agg →
-    argmin window. Distances are ranked on round(…, 6) with a centroid
-    tie-break so the assignment is deterministic and oracle-checkable.
-    → (id, bucket)."""
+    arg-min-``nprobe`` window. Distances are ranked on round(…, 6) with
+    a centroid tie-break so the assignment is deterministic and
+    oracle-checkable. → (id, bucket), ``nprobe`` rows per id."""
     dims = embeddings.select(
         F.col(id_col).alias("id"),
         F.col(seed_col).alias("seed"),
@@ -219,7 +222,7 @@ def assign_ivf_buckets(
     win = W.partitionBy("id").orderBy(F.col("dist2"), F.col("bucket"))
     return (
         scored.withColumn("rn", F.row_number().over(win))
-        .filter(F.col("rn") == 1)
+        .filter(F.col("rn") <= nprobe)
         .select("id", "bucket")
     )
 
@@ -231,17 +234,25 @@ def knn_ivf(
     seed_col: str = "label",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    nprobe: int = 1,
 ) -> DataFrame:
-    """Approximate top-k via IVF: candidates restricted to the probe's
-    coarse list (nprobe=1). One equi-join on the bucket id — candidate
-    volume drops ~n_lists× versus brute force."""
+    """Approximate top-k via IVF: each probe searches its ``nprobe``
+    nearest coarse lists (corpus vectors live in exactly one list, so
+    no candidate duplicates). Equi-joins on the bucket id — candidate
+    volume ≈ nprobe/n_lists of brute force; nprobe is the recall/cost
+    knob."""
     buckets = assign_ivf_buckets(embeddings, seed_col, id_col, vec_col)
+    probe_buckets = (
+        buckets
+        if nprobe == 1
+        else assign_ivf_buckets(embeddings, seed_col, id_col, vec_col, nprobe=nprobe)
+    )
     c = embeddings.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("neighbor_vec")
     ).join(buckets.withColumnRenamed("id", "neighbor_id"), on="neighbor_id")
     p = probes.select(
         F.col(id_col).alias("probe_id"), F.col(vec_col).alias("probe_vec")
-    ).join(buckets.withColumnRenamed("id", "probe_id"), on="probe_id")
+    ).join(probe_buckets.withColumnRenamed("id", "probe_id"), on="probe_id")
     scored = (
         c.join(p, on="bucket")
         .filter(F.col("probe_id") != F.col("neighbor_id"))
