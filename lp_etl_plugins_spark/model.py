@@ -324,16 +324,34 @@ def triples_from_turtle(spark: SparkSession, path_or_text: str) -> DataFrame:
 _NT_LINE = r'^\s*(<[^>]*>|_:\S+)\s+<([^>]*)>\s+(.*?)\s*\.\s*$'
 
 
+def _escape_raw_controls(col: Column) -> Column:
+    """Rewrite raw C0 control chars to their \\u00XX escape JVM-side.
+
+    The NT grammar only forbids `" \\ LF CR` raw, so the rest of the C0
+    range may appear unescaped in a literal — but those bytes are illegal
+    raw inside JSON strings (and hostile to downstream line tooling).
+    One regexp_replace per code point, all inside whole-stage codegen.
+    """
+    for c in range(0x20):
+        # pattern is the Java-regex hex escape \xHH (no raw control byte
+        # in the pattern); replacement emits the literal text \u00HH
+        col = F.regexp_replace(col, "\\x%02X" % c, "\\\\u%04X" % c)
+    return col
+
+
 def _json_unescape(col: Column) -> Column:
     """Unescape an N-Triples literal lexical form JVM-side.
 
     N-Triples string escapes (\\\\ \\" \\n \\r \\t \\uXXXX) are a subset of
     JSON string escapes, so wrapping the raw lexical form as a one-element
     JSON array and parsing it decodes them without any Python-side row
-    code (Spark 4's from_json requires a container schema). (\\UXXXXXXXX
-    8-hex escapes are not JSON; they do not occur in the reference's
-    outputs, which never escape beyond the BMP.)
+    code (Spark 4's from_json requires a container schema). Raw C0
+    controls — legal in NT strings, illegal in JSON — are pre-escaped so
+    from_json can't silently null the row. (\\UXXXXXXXX 8-hex escapes are
+    not JSON; they do not occur in the reference's outputs, which never
+    escape beyond the BMP.)
     """
+    col = _escape_raw_controls(col)
     return F.from_json(F.concat(F.lit('["'), col, F.lit('"]')), "array<string>")[0]
 
 
@@ -379,13 +397,16 @@ def triples_from_ntriples(spark: SparkSession, path: str) -> DataFrame:
 
 def _nt_escape(col: Column) -> Column:
     """Escape a literal lexical form for N-Triples output. Order matters:
-    backslash first, then quote/newline/CR/tab — all JVM-side."""
+    backslash first, then quote/newline/CR/tab, then the remaining C0
+    controls as \\u00XX (legal raw per the grammar, but raw controls
+    break line-oriented consumers and the JSON-decode read path) —
+    all JVM-side."""
     out = F.regexp_replace(col, r"\\", r"\\\\")
     out = F.regexp_replace(out, '"', '\\\\"')
     out = F.regexp_replace(out, "\n", "\\\\n")
     out = F.regexp_replace(out, "\r", "\\\\r")
     out = F.regexp_replace(out, "\t", "\\\\t")
-    return out
+    return _escape_raw_controls(out)
 
 
 def format_ntriples(triples: DataFrame, column_name: str = "line") -> DataFrame:
@@ -402,7 +423,12 @@ def format_ntriples(triples: DataFrame, column_name: str = "line") -> DataFrame:
                 F.lit('"'),
                 _nt_escape(F.col("o_value")),
                 F.lit('"'),
-                F.when(F.col("o_lang").isNotNull(), F.concat(F.lit("@"), F.col("o_lang"))).otherwise(F.lit("")),
+                # lang tags are lowercased on parse (RDF 1.1 value space);
+                # lowercase on write too so format∘parse is the identity
+                F.when(
+                    F.col("o_lang").isNotNull(),
+                    F.concat(F.lit("@"), F.lower(F.col("o_lang"))),
+                ).otherwise(F.lit("")),
                 F.when(
                     F.col("o_datatype").isNotNull(),
                     F.concat(F.lit("^^<"), F.col("o_datatype"), F.lit(">")),

@@ -1,0 +1,117 @@
+"""Property-based tests (hypothesis) for the expression library and the
+N-Triples round trip — the reference ships no property tests
+(SURVEY §5); these pin the invariants the golden files can't cover.
+
+Each hypothesis example is a BATCH (one Spark job over a generated
+frame), so example counts stay low while value coverage stays high.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from lp_etl_plugins_spark import model
+from lp_etl_plugins_spark.functions.text import iri_encode, slugify
+
+_SETTINGS = dict(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+# printable unicode minus the NT line terminator troublemakers handled
+# by escaping (which is exactly what the round trip must prove)
+_text = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",), min_codepoint=1),
+    min_size=0,
+    max_size=40,
+)
+_iri = st.from_regex(r"urn:[a-zA-Z0-9/._-]{1,30}", fullmatch=True)
+_lang = st.one_of(st.none(), st.sampled_from(["en", "cs", "de-AT"]))
+
+
+@settings(**_SETTINGS)
+@given(st.lists(st.tuples(_iri, _iri, _text, _lang), min_size=1, max_size=25))
+def test_ntriples_roundtrip(spark, tmp_path_factory, rows):
+    """format → parse is the identity on literal triples, including
+    quotes, backslashes, newlines, tabs and non-ASCII."""
+    triples = spark.createDataFrame(
+        [
+            (s, p, o, "literal", lang, None if lang else "urn:dt/x")
+            for (s, p, o, lang) in rows
+        ],
+        model.TRIPLES_SCHEMA,
+    )
+    path = str(tmp_path_factory.mktemp("nt_rt") / "out.nt")
+    model.write_ntriples(triples, path, single_file=True)
+    back = model.triples_from_ntriples(spark, path)
+    # lang tags normalize to the RDF 1.1 lowercase value space on both
+    # write and parse, so the fixed point is the lowercased tag
+    want = sorted(
+        (s, p, o, t, None if lang is None else lang.lower(), dt)
+        for (s, p, o, t, lang, dt) in map(tuple, triples.collect())
+    )
+    got = sorted(map(tuple, back.collect()))
+    assert got == want
+
+
+@settings(**_SETTINGS)
+@given(st.lists(_text, min_size=1, max_size=30))
+def test_slugify_charset_and_idempotence(spark, texts):
+    """Reference parity invariants (DcatAp11ToCkanBatch.java:273-277):
+    ASCII-only, no uppercase, no whitespace or dots (→ '-'), and
+    slugify(slugify(x)) == slugify(x). Other Basic Latin punctuation
+    (e.g. ':') passes through — the reference keeps it."""
+    df = spark.createDataFrame([(t,) for t in texts], "t string")
+    out = df.select(
+        slugify("t").alias("s1"),
+        slugify(slugify("t")).alias("s2"),
+    ).collect()
+    for r in out:
+        assert r["s1"] == r["s2"]
+        # NFD strip: nothing outside basic latin survives
+        assert r["s1"].isascii()
+        assert not any(c.isupper() or c.isspace() or c == "." for c in r["s1"])
+
+
+@settings(**_SETTINGS)
+@given(st.lists(_text, min_size=1, max_size=30))
+def test_iri_encode_reversible_charset(spark, texts):
+    """iri_encode output is URL-safe (no spaces, quotes, or control
+    chars) and decodes back to the space→'-' form of the input."""
+    from urllib.parse import unquote
+
+    df = spark.createDataFrame([(t,) for t in texts], "t string")
+    out = df.select("t", iri_encode("t").alias("e")).collect()
+    for r in out:
+        assert " " not in (r["e"] or "")
+        assert unquote(r["e"]) == r["t"].replace(" ", "-")
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.decimals(
+            min_value=-10_000_000, max_value=10_000_000, places=3, allow_nan=False
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_localized_number_parse(spark, values):
+    """Czech-style formatted numbers (space grouping, comma decimal)
+    parse back to their exact double value."""
+    from lp_etl_plugins_spark.functions.numeric import parse_localized_number
+
+    def fmt(d) -> str:
+        s = f"{d:,.3f}"  # 1,234,567.890
+        return s.replace(",", "G").replace(".", ",").replace("G", " ")
+
+    df = spark.createDataFrame([(fmt(v), float(v)) for v in values], "raw string, want double")
+    out = df.select(
+        "want", parse_localized_number("raw", decimal_sep=",", group_sep=" ").alias("got")
+    ).collect()
+    for r in out:
+        assert r["got"] == r["want"]
