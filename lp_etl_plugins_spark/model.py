@@ -321,7 +321,10 @@ def triples_from_turtle(spark: SparkSession, path_or_text: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 # <s> <p> o .   where o = <iri> | _:bnode | "lexical"(@lang | ^^<dt>)?
-_NT_LINE = r'^\s*(<[^>]*>|_:\S+)\s+<([^>]*)>\s+(.*?)\s*\.\s*$'
+# (?s) because Java regex treats U+0085/U+2028/U+2029 as line terminators
+# that `.` will not match by default — a literal containing a raw NEL/LS/PS
+# (legal per the NT grammar) must still match, or the row is silently lost.
+_NT_LINE = r'(?s)^\s*(<[^>]*>|_:\S+)\s+<([^>]*)>\s+(.*?)\s*\.\s*$'
 
 
 def _escape_raw_controls(col: Column) -> Column:
@@ -374,9 +377,10 @@ def triples_from_ntriples(spark: SparkSession, path: str) -> DataFrame:
     ).otherwise(F.col("s_raw"))
     is_iri = F.col("o_raw").startswith("<")
     is_bnode = F.col("o_raw").startswith("_:")
-    lex = F.regexp_extract("o_raw", r'^"((?:[^"\\]|\\.)*)"', 1)
-    lang = F.regexp_extract("o_raw", r'^"(?:[^"\\]|\\.)*"@([A-Za-z][A-Za-z0-9\-]*)\s*$', 1)
-    dtype = F.regexp_extract("o_raw", r'^"(?:[^"\\]|\\.)*"\^\^<([^>]*)>\s*$', 1)
+    # (?s): see _NT_LINE — `\\.` must match an escaped U+0085/U+2028/U+2029
+    lex = F.regexp_extract("o_raw", r'(?s)^"((?:[^"\\]|\\.)*)"', 1)
+    lang = F.regexp_extract("o_raw", r'(?s)^"(?:[^"\\]|\\.)*"@([A-Za-z][A-Za-z0-9\-]*)\s*$', 1)
+    dtype = F.regexp_extract("o_raw", r'(?s)^"(?:[^"\\]|\\.)*"\^\^<([^>]*)>\s*$', 1)
     return parsed.select(
         s.alias("s"),
         F.col("p"),
@@ -400,12 +404,16 @@ def _nt_escape(col: Column) -> Column:
     backslash first, then quote/newline/CR/tab, then the remaining C0
     controls as \\u00XX (legal raw per the grammar, but raw controls
     break line-oriented consumers and the JSON-decode read path) —
-    all JVM-side."""
+    all JVM-side. U+0085/U+2028/U+2029 are also escaped: Java regex (and
+    many line-oriented tools) treat them as line terminators, so leaving
+    them raw makes the written line unreadable by the distributed reader."""
     out = F.regexp_replace(col, r"\\", r"\\\\")
     out = F.regexp_replace(out, '"', '\\\\"')
     out = F.regexp_replace(out, "\n", "\\\\n")
     out = F.regexp_replace(out, "\r", "\\\\r")
     out = F.regexp_replace(out, "\t", "\\\\t")
+    for cp in (0x85, 0x2028, 0x2029):
+        out = F.regexp_replace(out, "\\x{%04X}" % cp, "\\\\u%04X" % cp)
     return _escape_raw_controls(out)
 
 

@@ -253,49 +253,56 @@ def connected_components(
     pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_iter: int = 20
 ) -> DataFrame:
     """Duplicate clusters from a candidate-pair edge list: min-label
-    propagation to a fixpoint → (id, cluster) with cluster = the
-    smallest member id of the component. The step after LSH mining in a
-    dedup pipeline — keep one doc per cluster, drop the rest.
+    propagation with pointer-jumping compression → (id, cluster) with
+    cluster = the smallest member id of the component. The step after
+    LSH mining in a dedup pipeline — keep one doc per cluster.
 
-    Each iteration is one groupBy over the (undirected) edge list:
-    label(v) = min(label(v), min over neighbors of label(u)) — a
-    shuffled aggregation, state bounded by |V|; iterations needed =
-    graph diameter (near-dup components are tiny, so 2-3 in practice).
-    The driver checks convergence between iterations (an iterative
-    algorithm's loop lives on the control plane; each step is a plain
-    distributed plan). Raises after ``max_iter`` without convergence."""
-    edges = (
-        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
-        .unionByName(pairs.select(F.col(id_b).alias("u"), F.col(id_a).alias("v")))
-        .distinct()
-        .cache()
-    )
-    labels = edges.select("u").distinct().select("u", F.col("u").alias("lbl")).cache()
+    Scale design (each pitfall here was a measured 5-25x at sf0.1):
+    - ``localCheckpoint()`` on the edge list AND on every round's label
+      frame: truncates lineage so iteration N's job replays nothing of
+      rounds 0..N-1 (and the upstream LSH mining runs exactly once —
+      the symmetric union is built FROM the checkpointed pairs, not by
+      evaluating ``pairs`` twice).
+    - ONE action per round: the round's job is the checkpoint
+      materialization; the convergence test is then a trivial ``agg``
+      over the checkpointed partitions, not a second pass of the join.
+    - pointer jumping: after the neighbor-min step, each label is
+      compressed through the fresh map (lbl ← lbl(lbl)), so label
+      distance doubles per round — O(log diameter) rounds instead of
+      O(diameter), the same effect large-star/small-star buys.
+    Labels only ever decrease toward the component minimum, so duplicate
+    edges are harmless (no ``distinct`` shuffle on the edge list).
+    Raises after ``max_iter`` rounds without a fixpoint."""
+    p = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v")).localCheckpoint()
+    edges = p.unionByName(p.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    labels = edges.select("u").distinct().select("u", F.col("u").alias("lbl")).localCheckpoint()
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels.select(F.col("u").alias("v"), "lbl"), "v")
             .groupBy("u")
             .agg(F.min("lbl").alias("nlbl"))
         )
+        prop = labels.join(neighbor_min, "u", "left").select(
+            "u",
+            F.least("lbl", "nlbl").alias("lbl"),
+            (F.col("nlbl") < F.col("lbl")).alias("chg"),
+        )
+        jump = prop.select(F.col("u").alias("j_u"), F.col("lbl").alias("j_lbl"))
         new_labels = (
-            labels.join(neighbor_min, "u", "left")
-            .select("u", F.least("lbl", "nlbl").alias("lbl"))
-            .cache()
+            prop.join(jump, prop["lbl"] == jump["j_u"], "left")
+            .select(
+                "u",
+                F.least("lbl", "j_lbl").alias("lbl"),
+                (F.col("chg") | (F.col("j_lbl") < F.col("lbl"))).alias("chg"),
+            )
+            .localCheckpoint()
         )
-        changed = (
-            new_labels.select("u", F.col("lbl").alias("new_lbl"))
-            .join(labels, "u")
-            .filter(F.col("new_lbl") != F.col("lbl"))
-            .limit(1)
-            .count()
-        )
-        labels.unpersist()
-        labels = new_labels
+        changed = new_labels.agg(F.sum(F.col("chg").cast("int"))).first()[0] or 0
+        labels = new_labels.drop("chg")
         if changed == 0:
             break
     else:
         raise RuntimeError(f"connected_components: no fixpoint in {max_iter} iterations")
-    edges.unpersist()
     return labels.select(F.col("u").alias("id"), F.col("lbl").alias("cluster"))
 
 

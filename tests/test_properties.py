@@ -49,11 +49,18 @@ def test_ntriples_roundtrip(spark, tmp_path_factory, rows):
     back = model.triples_from_ntriples(spark, path)
     # lang tags normalize to the RDF 1.1 lowercase value space on both
     # write and parse, so the fixed point is the lowercased tag
+    def _key(t):
+        # None-safe total order: None sorts before any string
+        return tuple((v is not None, v) for v in t)
+
     want = sorted(
-        (s, p, o, t, None if lang is None else lang.lower(), dt)
-        for (s, p, o, t, lang, dt) in map(tuple, triples.collect())
+        (
+            (s, p, o, t, None if lang is None else lang.lower(), dt)
+            for (s, p, o, t, lang, dt) in map(tuple, triples.collect())
+        ),
+        key=_key,
     )
-    got = sorted(map(tuple, back.collect()))
+    got = sorted(map(tuple, back.collect()), key=_key)
     assert got == want
 
 
