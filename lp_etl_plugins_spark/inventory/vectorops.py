@@ -30,14 +30,18 @@ def v1_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return V.knn_bruteforce(emb, probes, _K)
 
 
+_NORM_E = """
+  SELECT vec_id,
+    list_transform(embedding::DOUBLE[],
+                   x -> x / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))) AS v
+  FROM embeddings
+"""
+
 V1_SQL = f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+WITH e AS ({_NORM_E}),
 scored AS (
   SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
-    round(
-      list_dot_product(p.v, c.v)
-      / (sqrt(list_dot_product(p.v, p.v)) * sqrt(list_dot_product(c.v, c.v))),
-    6) AS cos
+    round(list_dot_product(p.v, c.v), 6) AS cos
   FROM e p JOIN e c ON p.vec_id < {_PROBE_LIMIT} AND c.vec_id != p.vec_id
 ),
 ranked AS (
@@ -58,7 +62,9 @@ def v2_knn_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 V2_SQL = f"""
 WITH e AS (
-  SELECT vec_id, embedding::DOUBLE[] AS v,
+  SELECT vec_id,
+    list_transform(embedding::DOUBLE[],
+                   x -> x / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))) AS v,
     (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END
      + CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END
      + CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END) AS bucket
@@ -66,10 +72,7 @@ WITH e AS (
 ),
 scored AS (
   SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
-    round(
-      list_dot_product(p.v, c.v)
-      / (sqrt(list_dot_product(p.v, p.v)) * sqrt(list_dot_product(c.v, c.v))),
-    6) AS cos
+    round(list_dot_product(p.v, c.v), 6) AS cos
   FROM e p JOIN e c ON p.bucket = c.bucket
   WHERE p.vec_id < {_PROBE_LIMIT} AND c.vec_id != p.vec_id
 ),
@@ -133,13 +136,10 @@ assign AS (
     FROM scored0
   ) t WHERE rn = 1
 ),
-e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+e AS ({_NORM_E}),
 scored AS (
   SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
-    round(
-      list_dot_product(p.v, c.v)
-      / (sqrt(list_dot_product(p.v, p.v)) * sqrt(list_dot_product(c.v, c.v))),
-    6) AS cos
+    round(list_dot_product(p.v, c.v), 6) AS cos
   FROM e p
   JOIN assign pa ON pa.id = p.vec_id
   JOIN assign ca ON ca.bucket = pa.bucket
@@ -184,13 +184,10 @@ ranked0 AS (
 ),
 assign AS (SELECT id, bucket FROM ranked0 WHERE rn = 1),
 probe_assign AS (SELECT id, bucket FROM ranked0 WHERE rn <= 2),
-e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+e AS ({_NORM_E}),
 scored AS (
   SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
-    round(
-      list_dot_product(p.v, c.v)
-      / (sqrt(list_dot_product(p.v, p.v)) * sqrt(list_dot_product(c.v, c.v))),
-    6) AS cos
+    round(list_dot_product(p.v, c.v), 6) AS cos
   FROM e p
   JOIN probe_assign pa ON pa.id = p.vec_id
   JOIN assign ca ON ca.bucket = pa.bucket

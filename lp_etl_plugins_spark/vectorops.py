@@ -7,7 +7,10 @@ North-star extension (BASELINE): approximate-nearest-neighbor over the
   double), no UDF, stays in whole-stage codegen;
 - :func:`knn_bruteforce` — the exact baseline: probes × corpus join +
   per-probe top-k window. Correct at any scale but O(P×N); use for
-  small probe sets or as the verifier for the bucketed path;
+  small probe sets or as the verifier for the bucketed path. All
+  pairwise scorers pre-normalize each side ONCE (:func:`unit_normalize`)
+  so the per-pair cost is a single dot fold —
+  cosine(a,b) == dot(a/||a||, b/||b||);
 - :func:`sign_bucket` / :func:`knn_bucketed` — the scale path: IVF-style
   coarse quantization (sign bits of leading dimensions → 2^b buckets);
   probes only join their own bucket, cutting candidates ~2^b× with the
@@ -83,19 +86,23 @@ def knn_bruteforce(
     """Exact top-k cosine neighbors per probe (self excluded) →
     (probe_id, neighbor_id, cos). Probes are broadcast — the corpus
     never shuffles; each corpus partition scores its rows against every
-    probe and the window reduces per probe."""
+    probe and the window reduces per probe. Both sides are unit-
+    normalized BEFORE the join (broadcast relation / per stream row),
+    so each pair costs one dot fold instead of dot + two norms."""
     p = probes.select(
-        F.col(id_col).alias("probe_id"), F.col(vec_col).alias("probe_vec")
+        F.col(id_col).alias("probe_id"),
+        unit_normalize(F.col(vec_col)).alias("probe_vec"),
     )
     c = embeddings.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("neighbor_vec")
+        F.col(id_col).alias("neighbor_id"),
+        unit_normalize(F.col(vec_col)).alias("neighbor_vec"),
     )
     scored = (
         c.join(F.broadcast(p), F.col("probe_id") != F.col("neighbor_id"))
         .select(
             "probe_id",
             "neighbor_id",
-            F.round(cosine(F.col("probe_vec"), F.col("neighbor_vec")), 6).alias("cos"),
+            F.round(_dot(F.col("probe_vec"), F.col("neighbor_vec")), 6).alias("cos"),
         )
     )
     win = W.partitionBy("probe_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
@@ -150,15 +157,18 @@ def knn_bucketed(
 ) -> DataFrame:
     """Approximate top-k: candidates restricted to the probe's coarse
     bucket. The bucket id is the join key — a plain shuffled equi-join,
-    ~2^bits fewer candidate comparisons than brute force."""
+    ~2^bits fewer candidate comparisons than brute force. Vectors are
+    unit-normalized before the bucket shuffle (the exchange
+    materializes the projection), so each candidate pair costs one dot
+    fold."""
     p = probes.select(
         F.col(id_col).alias("probe_id"),
-        F.col(vec_col).alias("probe_vec"),
+        unit_normalize(F.col(vec_col)).alias("probe_vec"),
         sign_bucket(F.col(vec_col), bits).alias("bucket"),
     )
     c = embeddings.select(
         F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("neighbor_vec"),
+        unit_normalize(F.col(vec_col)).alias("neighbor_vec"),
         sign_bucket(F.col(vec_col), bits).alias("bucket"),
     )
     scored = (
@@ -167,7 +177,7 @@ def knn_bucketed(
         .select(
             "probe_id",
             "neighbor_id",
-            F.round(cosine(F.col("probe_vec"), F.col("neighbor_vec")), 6).alias("cos"),
+            F.round(_dot(F.col("probe_vec"), F.col("neighbor_vec")), 6).alias("cos"),
         )
     )
     win = W.partitionBy("probe_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
@@ -240,7 +250,8 @@ def knn_ivf(
     nearest coarse lists (corpus vectors live in exactly one list, so
     no candidate duplicates). Equi-joins on the bucket id — candidate
     volume ≈ nprobe/n_lists of brute force; nprobe is the recall/cost
-    knob."""
+    knob. Vectors are unit-normalized once per side before the bucket
+    join, so each candidate pair costs one dot fold."""
     buckets = assign_ivf_buckets(embeddings, seed_col, id_col, vec_col)
     probe_buckets = (
         buckets
@@ -248,10 +259,12 @@ def knn_ivf(
         else assign_ivf_buckets(embeddings, seed_col, id_col, vec_col, nprobe=nprobe)
     )
     c = embeddings.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("neighbor_vec")
+        F.col(id_col).alias("neighbor_id"),
+        unit_normalize(F.col(vec_col)).alias("neighbor_vec"),
     ).join(buckets.withColumnRenamed("id", "neighbor_id"), on="neighbor_id")
     p = probes.select(
-        F.col(id_col).alias("probe_id"), F.col(vec_col).alias("probe_vec")
+        F.col(id_col).alias("probe_id"),
+        unit_normalize(F.col(vec_col)).alias("probe_vec"),
     ).join(probe_buckets.withColumnRenamed("id", "probe_id"), on="probe_id")
     scored = (
         c.join(p, on="bucket")
@@ -259,7 +272,7 @@ def knn_ivf(
         .select(
             "probe_id",
             "neighbor_id",
-            F.round(cosine(F.col("probe_vec"), F.col("neighbor_vec")), 6).alias("cos"),
+            F.round(_dot(F.col("probe_vec"), F.col("neighbor_vec")), 6).alias("cos"),
         )
     )
     win = W.partitionBy("probe_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
