@@ -189,6 +189,18 @@ def fetch_existing_datasets(
 _RESULT_SCHEMA = "id string, action string, status int, ok boolean, detail string"
 
 
+def _run_once(source: DataFrame, run) -> DataFrame:
+    """Execute a side-effecting HTTP sweep EXACTLY once and return a
+    re-execution-proof result DataFrame. A lazily-returned mapPartitions
+    plan re-runs every POST each time the caller takes an action on it
+    (and a cached plan can be evicted and silently re-POST — the second
+    sweep then 404s on already-purged ids). Result sets are catalog-
+    sized (one row per HTTP call), so driver materialization is safe —
+    the same locality call the reference makes by looping on the driver."""
+    rows = source.rdd.mapPartitions(run).collect()
+    return source.sparkSession.createDataFrame(rows, _RESULT_SCHEMA)
+
+
 def ckan_upsert(
     payloads: DataFrame,
     api_uri: str,
@@ -208,20 +220,21 @@ def ckan_upsert(
                 "GET", f"{api_uri}/package_show?id={urllib.parse.quote(did)}", retry=retry
             )
             exists = status == 200
+            quoted = urllib.parse.quote(did)
             if not exists:
                 body = json.dumps({"name": did}).encode()
                 s, b = http_call(
-                    "POST", f"{api_uri}/package_create?id={did}", headers, body, retry
+                    "POST", f"{api_uri}/package_create?id={quoted}", headers, body, retry
                 )
                 yield Row(id=did, action="create", status=s, ok=s == 200, detail=b[:200])
                 if s == 409 or s != 200:
                     continue
             s, b = http_call(
-                "POST", f"{api_uri}/package_update?id={did}", headers, payload.encode(), retry
+                "POST", f"{api_uri}/package_update?id={quoted}", headers, payload.encode(), retry
             )
             yield Row(id=did, action="update", status=s, ok=s == 200, detail=b[:200])
 
-    return payloads.select("dataset_id", "payload").rdd.mapPartitions(run).toDF(_RESULT_SCHEMA)
+    return _run_once(payloads.select("dataset_id", "payload"), run)
 
 
 # ---------------------------------------------------------------------------
@@ -249,7 +262,7 @@ def rest_delete(
             s, b = http_call("POST", f"{api_uri}/{action}", headers, body, retry)
             yield Row(id=r["id"], action=action, status=s, ok=s == 200, detail=b[:200])
 
-    results = ids.select("id").rdd.mapPartitions(run).toDF(_RESULT_SCHEMA)
+    results = _run_once(ids.select("id"), run)
     if fail_on_error:
         failed = results.filter(~F.col("ok")).limit(1).collect()
         if failed:
@@ -341,4 +354,4 @@ def dkan_post_nodes(
             s, b = http_call("POST", f"{api_uri}/node.json", headers, body, retry)
             yield Row(id=r["id"], action="node_post", status=s, ok=s == 200, detail=b[:200])
 
-    return nodes.select("id", "form_json").rdd.mapPartitions(run).toDF(_RESULT_SCHEMA)
+    return _run_once(nodes.select("id", "form_json"), run)

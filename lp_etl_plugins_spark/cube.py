@@ -560,7 +560,16 @@ def with_row_numbers(df: DataFrame, colname: str = "__rownum") -> DataFrame:
     partition-count job is tiny). Matches the reference's sequential
     ``rowNumber++`` (Mapper.java:32,85) on a single input file; across
     multiple splits the order is split order, which for one file equals
-    byte order."""
+    byte order.
+
+    PRECONDITION: ``df`` must be a deterministic scan (file source, no
+    upstream shuffle/repartition). The offsets job and the main plan
+    execute the input twice; only a deterministic scan guarantees both
+    see the same partitioning and per-partition row order. For a
+    post-shuffle input, numbers would silently misassign — cache or
+    checkpoint such an input first (not done here: the sole caller
+    feeds a raw CSV scan, and the extra materialization would cost more
+    than it buys)."""
     d = df.withColumn("__pid", F.spark_partition_id()).withColumn(
         "__mid", F.monotonically_increasing_id()
     )
@@ -734,7 +743,13 @@ def _dimension_structs(
                 ),
             )
         row_out.append(_triple(obs, vp, date_iri, "iri"))
-        code_out.append(_triple(date_iri, RDF_TYPE, F.lit(TIME + "Interval"), "iri"))
+        # guard on the SUBJECT: the object is a constant (never null), so
+        # without this a null/unclassifiable date cell would emit a
+        # NULL-subject triple — DateDimension.java:64-81 emits nothing
+        code_out.append(
+            _triple(date_iri, RDF_TYPE, F.lit(TIME + "Interval"), "iri",
+                    when=date_iri.isNotNull())
+        )
     else:  # pragma: no cover
         raise ValueError(dim.kind)
     return row_out, code_out

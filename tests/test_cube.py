@@ -135,6 +135,27 @@ def test_strict_dates_raises(spark, tmp_path):
     # non-strict mode: row survives, date triple absent
     out = cube.fdp_to_cube(spark, desc, {"budget.csv": str(bad)}, strict_dates=False)
     assert out.filter(F.col("p") == "urn:fx/dim/date").count() == 0
+    # and no NULL-subject codelist triple leaks either (the time:Interval
+    # object is a constant, so the guard must be on the subject)
+    assert out.filter(F.col("s").isNull()).count() == 0
+
+
+def test_null_date_cell_emits_nothing(spark, tmp_path):
+    """DateDimension.java:64-81 parity: an EMPTY date cell (null after
+    the all-string CSV read) emits no date triple and no time:Interval
+    codelist triple — in both strict and non-strict mode."""
+    empty = tmp_path / "empty_date.csv"
+    header = open(CSV, encoding="utf-8").readline()
+    empty.write_text(header + '"1,0";d;catA;;a;b;P1;L;D1;Div A;Org\n')
+    desc = model.triples_from_turtle(spark, DESCRIPTOR)
+    for strict in (True, False):
+        out = cube.fdp_to_cube(spark, desc, {"budget.csv": str(empty)}, strict_dates=strict)
+        rows = out.cache()
+        assert rows.filter(F.col("p") == "urn:fx/dim/date").count() == 0
+        assert rows.filter(F.col("s").isNull()).count() == 0
+        # the observation itself still exists
+        assert rows.filter(F.col("o_value") == "http://purl.org/linked-data/cube#Observation").count() == 1
+        rows.unpersist()
 
 
 def test_auto_routing_by_suffix(spark, tmp_path):
