@@ -99,11 +99,27 @@ def _plain_vars(df: DataFrame) -> set[str]:
     return {c for c in df.columns if "__" not in c}
 
 
-def join_solutions(left: DataFrame, right: DataFrame, how: str = "inner") -> DataFrame:
+def join_solutions(
+    left: DataFrame,
+    right: DataFrame,
+    how: str = "inner",
+    n_salts: int | None = None,
+) -> DataFrame:
     """Join two solution DFs on their shared variables (SPARQL-compatible
     join). Metadata columns of shared variables are kept from the left
     side only; disjoint variable sets produce a cross join (SPARQL
-    cartesian product)."""
+    cartesian product).
+
+    ``n_salts`` enables the salted skew join for hot shared-variable
+    values (e.g. the rdf:type object on a 100 TB triples table —
+    SCALE.md): the left side gets a random salt in [0, n_salts), the
+    right side is replicated once per salt value, and the equi-join key
+    becomes (shared vars, salt) — a single hot binding spreads over
+    ``n_salts`` reducers instead of one, at the cost of an n_salts×
+    replication of the (smaller) right side. Correct for inner/left/
+    left_anti: every left row sees the full right side within its salt.
+    Opt-in — leave None unless a key is known-hot (AQE handles moderate
+    skew on its own)."""
     shared = sorted(_plain_vars(left) & _plain_vars(right))
     drop = [c for v in shared for c in _meta_cols(v) if c in right.columns and c in left.columns]
     right = right.drop(*drop)
@@ -111,18 +127,29 @@ def join_solutions(left: DataFrame, right: DataFrame, how: str = "inner") -> Dat
         if how != "inner":
             raise ValueError("outer join with no shared variables")
         return left.crossJoin(right)
+    if n_salts and n_salts > 1:
+        l = left.withColumn("__salt", (F.rand(seed=42) * n_salts).cast("int"))
+        r = right.withColumn(
+            "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+        )
+        return l.join(r, on=shared + ["__salt"], how=how).drop("__salt")
     return left.join(right, on=shared, how=how)
 
 
-def bgp(triples: DataFrame, patterns: list[tuple[str, str, str]]) -> DataFrame:
+def bgp(
+    triples: DataFrame,
+    patterns: list[tuple[str, str, str]],
+    n_salts: int | None = None,
+) -> DataFrame:
     """Basic graph pattern: conjunction of triple patterns joined on
     shared variables (the SPARQL WHERE block of e.g.
-    FdpMeasure.java:34-48)."""
+    FdpMeasure.java:34-48). ``n_salts`` applies the salted skew join to
+    every pattern join — see :func:`join_solutions`."""
     if not patterns:
         raise ValueError("bgp needs at least one pattern")
     out = _pattern_df(triples, patterns[0])
     for pat in patterns[1:]:
-        out = join_solutions(out, _pattern_df(triples, pat))
+        out = join_solutions(out, _pattern_df(triples, pat), n_salts=n_salts)
     return out
 
 

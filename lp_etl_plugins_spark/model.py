@@ -45,7 +45,8 @@ TRIPLES_SCHEMA = (
 )
 
 XSD = "http://www.w3.org/2001/XMLSchema#"
-RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+RDF_TYPE = RDF_NS + "type"
 
 # Well-known prefixes used by the reference fixtures without declaration
 # (input.ttl uses `dcat:` while only declaring `ckan:`). Declared
@@ -162,8 +163,8 @@ class _TurtleParser:
     prefixed names, plain/lang/typed literals, numeric and boolean
     shorthand, blank-node labels, and anonymous blank-node property
     lists ``[ p o ; … ]`` (filetypes-skos.ttl uses them for mapped
-    codes). Not supported (absent from the fixtures): RDF collections
-    ``( … )``."""
+    codes), and RDF collections ``( … )`` (expanded to the standard
+    rdf:first/rdf:rest/rdf:nil list encoding)."""
 
     def __init__(self, text: str):
         self.toks = _tokenize(text)
@@ -239,6 +240,26 @@ class _TurtleParser:
                 self._pred_obj_list(label)
             self._expect("punct", "]")
             return label, "bnode", None, None
+        if kind == "punct" and val == "(":
+            # RDF collection → rdf:first/rdf:rest chain; () is rdf:nil
+            items: list[tuple[str, str, str | None, str | None]] = []
+            while self._peek() != ("punct", ")"):
+                if self._peek() is None:
+                    raise ValueError("turtle: unterminated collection '('")
+                items.append(self._term(self._next()))
+            self._next()  # ')'
+            if not items:
+                return RDF_NS + "nil", "iri", None, None
+            labels = []
+            for _ in items:
+                labels.append(f"_:anon{self._bnode_n}")
+                self._bnode_n += 1
+            for idx, (label, (ov, ot, ol, od)) in enumerate(zip(labels, items)):
+                self.triples.append(Triple(label, RDF_NS + "first", ov, ot, ol, od))
+                rest = labels[idx + 1] if idx + 1 < len(labels) else RDF_NS + "nil"
+                rest_type = "bnode" if idx + 1 < len(labels) else "iri"
+                self.triples.append(Triple(label, RDF_NS + "rest", rest, rest_type))
+            return labels[0], "bnode", None, None
         raise ValueError(f"turtle: unexpected term token {kind} {val!r}")
 
     def parse(self) -> list[Triple]:

@@ -39,6 +39,21 @@ FRAME_SCHEMA = "media_id bigint, frame_no int, frame binary"
 
 _HEADER = 5  # bytes: w_hi w_lo h_hi h_lo channels
 
+try:  # the real codec, if the environment provides it
+    from PIL import Image as _PILImage
+except ImportError:
+    _PILImage = None
+
+# magic prefixes of real image containers — routed to Pillow, never to
+# the fake codec (a silent fake-decode of a real PNG would be data
+# corruption, not a stub)
+_IMAGE_MAGIC = (b"\x89PNG", b"\xff\xd8", b"GIF8", b"BM", b"RIFF")
+
+
+def _is_real_image(data: bytes) -> bool:
+    head = bytes(data[:8])
+    return any(head.startswith(m) for m in _IMAGE_MAGIC)
+
 
 def synthetic_media(spark: SparkSession, n: int, kind: str = "image") -> DataFrame:
     """Deterministic fake media blobs for tests: header-encoded
@@ -55,25 +70,34 @@ def synthetic_media(spark: SparkSession, n: int, kind: str = "image") -> DataFra
 
 
 def _decode_blob(data: bytes) -> tuple[int, int, int, float]:
-    """→ (width, height, channels, mean payload byte). Tries Pillow,
-    else the deterministic fake codec (see module STUB NOTICE)."""
-    try:  # pragma: no cover - Pillow absent in this container
+    """→ (width, height, channels, mean pixel/payload byte).
+
+    Dispatch is by container magic, not by which library imports: a
+    real image (PNG/JPEG/GIF/BMP/RIFF prefix) decodes with Pillow, or
+    raises a crisp NotImplementedError when Pillow is absent — it is
+    NEVER fed to the fake codec. Blobs without an image magic use the
+    deterministic fake codec (see module STUB NOTICE)."""
+    data = bytes(data)
+    if _is_real_image(data):
+        if _PILImage is None:
+            raise NotImplementedError(
+                "blob has a real image container magic but no codec is "
+                "available in this environment — install Pillow, or use "
+                "synthetic_media()'s fake-codec blobs"
+            )
         import io
 
-        from PIL import Image
-
-        img = Image.open(io.BytesIO(data))
+        img = _PILImage.open(io.BytesIO(data))
         px = list(img.getdata())
         flat = [v for p in px for v in (p if isinstance(p, tuple) else (p,))]
         mean = sum(flat) / len(flat) if flat else 0.0
         return img.width, img.height, len(img.getbands()), mean
-    except ImportError:
-        w = data[0] * 256 + data[1]
-        h = data[2] * 256 + data[3]
-        c = data[4]
-        payload = data[_HEADER:]
-        mean = sum(payload) / len(payload) if payload else 0.0
-        return w, h, c, mean
+    w = data[0] * 256 + data[1]
+    h = data[2] * 256 + data[3]
+    c = data[4]
+    payload = data[_HEADER:]
+    mean = sum(payload) / len(payload) if payload else 0.0
+    return w, h, c, mean
 
 
 def decode_media(df: DataFrame) -> DataFrame:

@@ -163,6 +163,55 @@ def test_media_resize_changes_header_only_schema(spark):
     assert {(r["width"], r["height"]) for r in decoded.collect()} == {(8, 8)}
 
 
+def _tiny_png(width: int, height: int, rgb: tuple[int, int, int]) -> bytes:
+    """Hand-built minimal 8-bit RGB PNG (stdlib only) so the REAL codec
+    path is exercised the moment Pillow appears in the environment."""
+    import struct
+    import zlib
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    raw = b"".join(b"\x00" + bytes(rgb) * width for _ in range(height))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_real_image_blob_routes_to_real_codec(spark):
+    """A blob with a real container magic must NEVER hit the fake codec:
+    with Pillow present it decodes exactly; without Pillow it raises a
+    crisp NotImplementedError instead of returning garbage."""
+    png = _tiny_png(3, 2, (10, 20, 30))
+    df = spark.createDataFrame(
+        [(0, "image", png, {"codec": "png"})], multimodal.MEDIA_SCHEMA
+    )
+    if multimodal._PILImage is not None:
+        [r] = multimodal.decode_media(df).collect()
+        assert (r["width"], r["height"], r["channels"]) == (3, 2, 3)
+        assert r["mean_byte"] == (10 + 20 + 30) / 3
+    else:
+        import pytest
+
+        with pytest.raises(Exception) as e:
+            multimodal.decode_media(df).collect()
+        assert "NotImplementedError" in str(e.value) or isinstance(
+            e.value, NotImplementedError
+        )
+        # and driver-side, the error type is exact
+        with pytest.raises(NotImplementedError, match="Pillow"):
+            multimodal._decode_blob(png)
+
+
 def test_frame_sampling_counts(spark):
     media = multimodal.synthetic_media(spark, 4, kind="video")
     frames = multimodal.sample_frames(media, frame_bytes=64, every_n=2)

@@ -55,6 +55,33 @@ def test_parse_turtle_escapes_and_bnodes():
     assert inner.p == "urn:r" and inner.o_value == "x"
 
 
+def test_parse_turtle_collections():
+    """RDF collections expand to the rdf:first/rdf:rest/rdf:nil chain;
+    an empty collection is rdf:nil itself."""
+    triples = model.parse_turtle(
+        '<urn:s> <urn:p> ( "a" "b"@cs 3 ) ; <urn:q> ( ) .'
+    )
+    nil = model.RDF_NS + "nil"
+    empty = next(t for t in triples if t.p == "urn:q")
+    assert (empty.o_value, empty.o_type) == (nil, "iri")
+    head = next(t for t in triples if t.p == "urn:p")
+    assert head.o_type == "bnode"
+    firsts, node, order = {}, head.o_value, []
+    rests = {t.s: t for t in triples if t.p == model.RDF_NS + "rest"}
+    for t in triples:
+        if t.p == model.RDF_NS + "first":
+            firsts[t.s] = t
+    while node != nil:
+        order.append(firsts[node])
+        node = rests[node].o_value
+    assert [(t.o_value, t.o_lang, t.o_datatype) for t in order] == [
+        ("a", None, None),
+        ("b", "cs", None),
+        ("3", None, model.XSD + "integer"),
+    ]
+    assert rests[order[-1].s].o_type == "iri"
+
+
 def test_fixture_parse_counts(fixture_triples):
     # hand-counted facts from input.ttl
     datasets = fixture_triples.filter(
@@ -85,6 +112,24 @@ def test_ntriples_roundtrip(spark, fixture_triples, tmp_path):
     model.write_ntriples(both, out, single_file=True)
     back = model.triples_from_ntriples(spark, out)
     assert {tuple(r) for r in back.collect()} == {tuple(r) for r in both.collect()}
+
+
+def test_both_reference_fixtures_roundtrip_exactly(spark, fixture_triples, tmp_path):
+    """parse_turtle ∘ format_ntriples is the identity, triple for
+    triple (as a multiset), on BOTH reference fixtures — the guarantee
+    the .nt passthrough path rests on (FdpToRdf.java:306-311)."""
+    from collections import Counter
+
+    for name, df in (
+        ("input", fixture_triples),
+        ("skos", model.triples_from_turtle(spark, SKOS_TTL)),
+    ):
+        out = str(tmp_path / f"{name}.nt")
+        model.write_ntriples(df, out, single_file=True)
+        back = model.triples_from_ntriples(spark, out)
+        assert Counter(map(tuple, back.collect())) == Counter(
+            map(tuple, df.collect())
+        ), name
 
 
 def test_bgp_and_paths(spark, fixture_triples):

@@ -75,6 +75,41 @@ def test_salted_aggregate_matches_plain(spark):
     assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
 
 
+def test_salted_bgp_matches_plain_and_salts_the_exchange(spark):
+    """graphq.bgp(n_salts=…) must produce the same solutions as the
+    plain join while shuffling on (vars + __salt) — the tested mechanism
+    behind the 100 TB skew claim for hot predicates (SCALE.md)."""
+    from lp_etl_plugins_spark import graphq, model
+
+    # a deliberately skewed graph: one hot subject with many triples
+    rows = [(f"urn:s/{i % 10}", "urn:p/type", f"urn:c/{i % 3}", "iri", None, None)
+            for i in range(300)]
+    rows += [("urn:s/0", "urn:p/name", f"name-{i}", "literal", None, None)
+             for i in range(300)]
+    triples = spark.createDataFrame(rows, model.TRIPLES_SCHEMA)
+    pats = [("?s", "urn:p/type", "?t"), ("?s", "urn:p/name", "?n")]
+    plain = graphq.bgp(triples, pats)
+    salted = graphq.bgp(triples, pats, n_salts=4)
+    assert salted.columns == plain.columns
+    key = lambda r: tuple((v is not None, v) for v in r)
+    assert sorted(map(tuple, salted.collect()), key=key) == sorted(
+        map(tuple, plain.collect()), key=key
+    )
+    plan = _executed_plan(salted)
+    assert "__salt" in plan, plan
+    # left_anti under salt: every salted copy still anti-matches
+    anti_plain = graphq.not_exists(
+        graphq.bgp(triples, [pats[0]]), triples, [("?s", "urn:p/name", "?x")]
+    )
+    l = graphq.bgp(triples, [pats[0]])
+    anti_salted = graphq.join_solutions(
+        l, graphq.bgp(triples, [("?s", "urn:p/name", "?x")]), "left_anti", n_salts=4
+    )
+    assert sorted(map(tuple, anti_salted.collect()), key=key) == sorted(
+        map(tuple, anti_plain.collect()), key=key
+    )
+
+
 def test_salted_aggregate_rejects_non_decomposable(spark):
     lineitem = load_table(spark, SF, "lineitem")
     with pytest.raises(ValueError, match="recombine"):
