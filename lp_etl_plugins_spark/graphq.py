@@ -207,11 +207,20 @@ def path(
     start: str,
     steps: list[str],
     end: str,
+    end_filter: tuple[str, str] | None = None,
 ) -> DataFrame:
     """Property path ``start step1/step2/… end``; a ``^``-prefixed step
     traverses the edge inversely (DcatAp11ToCkanBatch.java:372:
     ``^foaf:primaryTopic/dcterms:source``). Returns a 2-column solution
-    DF [start, end] (+ object metadata for the final forward step)."""
+    DF [start, end] (+ object metadata for the final forward step).
+
+    ``end_filter=(predicate, object)`` restricts the END variable to
+    subjects matching that constant pattern, pushed INTO the final hop
+    (semi-restriction before the hop joins the accumulated path) — the
+    selective-pattern pushdown a SPARQL optimizer applies. On a dense
+    path step (e.g. an inverse hop through a small-cardinality node
+    like a nation) this keeps the intermediate pair set at its filtered
+    size instead of materializing every same-node pair first."""
     if not steps:
         raise ValueError("path needs at least one step")
     cur = _var(start)
@@ -229,6 +238,9 @@ def path(
             hop = hop.drop(*[c for c in hop.columns if c.startswith(f"{cur}__")])
         else:
             hop = _pattern_df(triples, (f"?{cur}", step, f"?{nxt}"))
+        if last and end_filter is not None:
+            keep = _pattern_df(triples, (f"?{nxt}", end_filter[0], end_filter[1]))
+            hop = join_solutions(hop, keep)
         out = hop if out is None else join_solutions(out, hop)
         cur = nxt
     assert out is not None

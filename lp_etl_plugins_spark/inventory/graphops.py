@@ -250,13 +250,16 @@ def g5_path_inverse(spark: SparkSession, sf_dir: str) -> DataFrame:
     (?c urn:nation/^urn:nation ?peer): customer–supplier same-nation
     pairs, counted per customer segment."""
     tr = _graph(spark, sf_dir)
-    pairs = graphq.path(tr, "?c", [_NATION, "^" + _NATION], "?peer")
-    # keep only supplier peers (customers also point at nations)
-    peers = graphq.join_solutions(
-        pairs, graphq.bgp(tr, [("?peer", _T, "urn:Supplier")])
+    # supplier restriction pushed INTO the path's final hop: customers
+    # also point at nations, so without the pushdown the ^nation hop
+    # materializes every same-nation pair (~16x the answer) before
+    # filtering — end_filter keeps the hop at supplier cardinality
+    pairs = graphq.path(
+        tr, "?c", [_NATION, "^" + _NATION], "?peer",
+        end_filter=(_T, "urn:Supplier"),
     )
     segs = graphq.bgp(tr, [("?c", _T, "urn:Customer"), ("?c", _SEG, "?seg")])
-    sols = graphq.join_solutions(segs, peers)
+    sols = graphq.join_solutions(segs, pairs)
     return sols.groupBy("seg").agg(F.count(F.lit(1)).alias("n_pairs"))
 
 
