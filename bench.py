@@ -39,6 +39,14 @@ def main() -> None:
     for warm in ("q1_pricing_summary", "j4_values_lookup"):
         if warm in queries:
             _materialize(queries[warm](spark, sf_dir))
+    # ...and the Python UDF worker pool (one trivial Arrow roundtrip),
+    # so the first pandas-UDF/mapInPandas query measured isn't charged
+    # the daemon spin-up the others get for free.
+    import pandas as pd  # noqa: F401
+
+    _materialize(
+        spark.range(1).mapInPandas(lambda it: it, "id long")
+    )
 
     timings: dict[str, float] = {}
     for name in sorted(queries):
