@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..multimodal import decode_media, sample_frames, synthetic_media
+from ..multimodal import decode_media, extract_features, sample_frames, synthetic_media
 
 
 def m1_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -36,9 +36,23 @@ def m2_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frames.groupBy("media_id").agg(F.count(F.lit(1)).alias("n_frames"))
 
 
+def m3_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature extraction (byte histogram + entropy via numpy over
+    Arrow batches) → per-channel-count feature summary."""
+    media = synthetic_media(spark, 200)
+    feats = extract_features(media, bins=16)
+    return feats.agg(
+        F.count(F.lit(1)).alias("n_media"),
+        F.round(F.avg("byte_entropy"), 6).alias("avg_entropy"),
+        F.round(F.avg("n_bytes"), 6).alias("avg_bytes"),
+        F.round(F.avg(F.element_at("hist", 1)), 6).alias("avg_hist_bin1"),
+    )
+
+
 QUERIES = {
     "m1_media_decode": m1_media_decode,
     "m2_frame_sample": m2_frame_sample,
+    "m3_media_features": m3_media_features,
 }
 
 ORACLES: dict[str, str] = {}

@@ -329,6 +329,49 @@ SELECT cluster, count(*)::BIGINT AS n_docs FROM (
 )
 
 
+def t11_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-3-gram Jaccard near-dup pairs via a df-pruned
+    inverted-index join (the deterministic sibling of t3/t4's
+    MinHash-LSH): stop-grams (df > 5% of corpus) are dropped from the
+    candidate index, exact Jaccard ≥ 0.65 verified on full gram sets
+    over candidates only."""
+    out = T.ngram_jaccard_pairs(
+        _docs(spark, sf_dir), "text", "doc_id", n=3, max_df_frac=0.05, threshold=0.65
+    )
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+T11_SQL = """
+WITH grams AS (
+  SELECT DISTINCT doc_id AS id, substring(lower(trim(text)), i, 3) AS g
+  FROM documents, unnest(generate_series(1, length(lower(trim(text))) - 2)) t(i)
+),
+dfreq AS (SELECT g, count(*) AS c FROM grams GROUP BY g),
+rare AS (
+  SELECT id, g FROM grams JOIN dfreq USING (g)
+  WHERE c <= ceil(0.05 * (SELECT count(*) FROM documents))
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM rare a JOIN rare b ON a.g = b.g AND a.id < b.id
+),
+sizes AS (SELECT id, count(*) AS n FROM grams GROUP BY id),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS i
+  FROM cand c
+  JOIN grams ga ON ga.id = c.id_a
+  JOIN grams gb ON gb.id = c.id_b AND gb.g = ga.g
+  GROUP BY c.id_a, c.id_b
+)
+SELECT inter.id_a, inter.id_b,
+       round(i::DOUBLE / (na.n + nb.n - i), 6) AS jaccard
+FROM inter
+JOIN sizes na ON na.id = inter.id_a
+JOIN sizes nb ON nb.id = inter.id_b
+WHERE i::DOUBLE / (na.n + nb.n - i) >= 0.65
+"""
+
+
 QUERIES = {
     "t1_exact_dedup": t1_exact_dedup,
     "t2_fingerprint_dedup": t2_fingerprint_dedup,
@@ -340,6 +383,7 @@ QUERIES = {
     "t8_token_counts": t8_token_counts,
     "t9_winnow_fingerprints": t9_winnow_fingerprints,
     "t10_dedup_clusters": t10_dedup_clusters,
+    "t11_ngram_jaccard": t11_ngram_jaccard,
 }
 
 ORACLES = {
@@ -353,4 +397,5 @@ ORACLES = {
     "t8_token_counts": T8_SQL,
     "t9_winnow_fingerprints": T9_SQL,
     "t10_dedup_clusters": T10_SQL,
+    "t11_ngram_jaccard": T11_SQL,
 }

@@ -37,6 +37,10 @@ DECODED_SCHEMA = (
 
 FRAME_SCHEMA = "media_id bigint, frame_no int, frame binary"
 
+FEATURE_SCHEMA = (
+    "media_id bigint, n_bytes int, byte_entropy double, hist array<double>"
+)
+
 _HEADER = 5  # bytes: w_hi w_lo h_hi h_lo channels
 
 try:  # the real codec, if the environment provides it
@@ -118,6 +122,47 @@ def decode_media(df: DataFrame) -> DataFrame:
             )
 
     return df.mapInPandas(run, DECODED_SCHEMA)
+
+
+def extract_features(df: DataFrame, bins: int = 16) -> DataFrame:
+    """Per-blob feature extraction (the feature-extract stage of a
+    media training pipeline): payload length, normalized byte
+    histogram and byte-entropy, vectorized with numpy over Arrow
+    batches — one ``np.bincount`` per blob, no per-byte Python.
+
+    The features are codec-independent (raw payload bytes), so this
+    stage is REAL even while the pixel codec is stubbed: swapping in
+    a decoder only changes what bytes arrive here. Narrow transform —
+    blobs never shuffle; downstream aggregations move only the small
+    (id, features) rows."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            n_bytes, ents, hists = [], [], []
+            for d in b["data"]:
+                payload = np.frombuffer(bytes(d), dtype=np.uint8)[_HEADER:]
+                n = len(payload)
+                counts = (
+                    np.bincount(payload // (256 // bins), minlength=bins)[:bins]
+                    if n
+                    else np.zeros(bins)
+                )
+                p = counts / n if n else counts
+                nz = p[p > 0]
+                ents.append(float(-(nz * np.log2(nz)).sum()) if n else 0.0)
+                hists.append([float(x) for x in p])
+                n_bytes.append(n)
+            yield pd.DataFrame(
+                {
+                    "media_id": b["media_id"],
+                    "n_bytes": n_bytes,
+                    "byte_entropy": ents,
+                    "hist": hists,
+                }
+            )
+
+    return df.mapInPandas(run, FEATURE_SCHEMA)
 
 
 def resize_media(df: DataFrame, width: int, height: int) -> DataFrame:

@@ -38,6 +38,8 @@ __all__ = [
     "minhash_signatures",
     "lsh_candidate_pairs",
     "jaccard_over_candidates",
+    "char_ngrams",
+    "ngram_jaccard_pairs",
     "simhash16",
     "simhash16_df",
     "winnow_fingerprints",
@@ -187,6 +189,92 @@ def jaccard_over_candidates(
     out = (
         inter.join(na, "id_a")
         .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i"))).alias("jaccard"),
+        )
+    )
+    return out.filter(F.col("jaccard") >= threshold)
+
+
+def char_ngrams(col: Column | str, n: int = 3) -> Column:
+    """Distinct character ``n``-grams of ``lower(trim(text))``; empty
+    array below ``n`` chars. Guarded with ``when`` because Spark's
+    ``sequence(1, 0)`` counts DOWN ([1, 0]) instead of yielding empty."""
+    t = F.lower(F.trim(F.col(col) if isinstance(col, str) else col))
+    m = F.length(t) - F.lit(n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), m), lambda i: t.substr(i, F.lit(n))
+    )
+    return F.array_distinct(
+        F.when(m >= 1, grams).otherwise(F.array().cast("array<string>"))
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    max_df_frac: float = 0.05,
+    threshold: float = 0.65,
+) -> DataFrame:
+    """Character-n-gram Jaccard near-dup pairs via an inverted-index
+    join with document-frequency pruning — the non-probabilistic
+    sibling of MinHash-LSH (t3/t4).
+
+    Plan shape (the 100 TB argument):
+    1. inverted index (id, gram), one explode — no shuffle yet;
+    2. stop-gram pruning: grams appearing in more than
+       ``max_df_frac`` of the corpus are dropped from the INDEX (not
+       from the verify step). The df threshold comes from a 1-row
+       aggregate broadcast into the plan — no driver action. This is
+       what bounds the self-join: candidate pairs only materialize for
+       docs sharing a RARE gram, and rare-gram postings lists are
+       short by construction, so the gram self-join never explodes.
+       Recall semantics are explicit: pairs whose overlap is entirely
+       stop-grams are not candidates (standard df-pruning trade-off,
+       mirrored exactly by the oracle);
+    3. exact Jaccard verification over candidates only, using the FULL
+       gram sets (same candidate-restricted shape as t4).
+
+    Skew: a still-hot rare gram is a fat join group — AQE skew-join
+    splits it; the prune threshold is the structural control.
+    → (id_a, id_b, jaccard ≥ threshold)."""
+    grams = df.select(
+        F.col(id_col).alias("id"), F.explode(char_ngrams(text_col, n)).alias("g")
+    )
+    n_docs = df.agg(F.count(F.lit(1)).alias("n_total"))
+    dfreq = (
+        grams.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("df_g"))
+        .join(F.broadcast(n_docs))
+        .filter(F.col("df_g") <= F.ceil(F.lit(max_df_frac) * F.col("n_total")))
+        .select("g")
+    )
+    rare = grams.join(dfreq, "g")
+    ra = rare.select(F.col("id").alias("id_a"), "g")
+    rb = rare.select(F.col("id").alias("id_b"), F.col("g").alias("g_b"))
+    cand = (
+        ra.join(rb, (F.col("g") == F.col("g_b")) & (F.col("id_a") < F.col("id_b")))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sizes = grams.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    ga = grams.select(F.col("id").alias("ia"), "g")
+    gb = grams.select(F.col("id").alias("ib"), F.col("g").alias("gb"))
+    inter = (
+        cand.join(ga, F.col("ia") == F.col("id_a"))
+        .join(gb, (F.col("ib") == F.col("id_b")) & (F.col("gb") == F.col("g")))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    out = (
+        inter.join(sizes.select(F.col("id").alias("sa"), F.col("n").alias("na")),
+                   F.col("sa") == F.col("id_a"))
+        .join(sizes.select(F.col("id").alias("sb"), F.col("n").alias("nb")),
+              F.col("sb") == F.col("id_b"))
         .select(
             "id_a",
             "id_b",

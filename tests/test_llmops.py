@@ -259,3 +259,45 @@ def test_connected_components_clusters(spark):
     )
     comps = {r["id"]: r["cluster"] for r in textops.connected_components(pairs).collect()}
     assert comps == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 4, 7: 7, 8: 7}
+
+
+def test_char_ngrams_short_and_normal(spark):
+    df = spark.createDataFrame(
+        [(1, "  AbCd "), (2, "ab"), (3, None)], "id long, t string"
+    )
+    out = df.select("id", textops.char_ngrams("t", 3).alias("g")).collect()
+    by_id = {r["id"]: r["g"] for r in out}
+    assert by_id[1] == ["abc", "bcd"]  # lower+trim, sliding window
+    assert by_id[2] == []              # below n chars -> empty, not [1,0] garbage
+    assert by_id[3] == []  # NULL text -> empty set (explodes to no rows)
+
+
+def test_ngram_jaccard_finds_planted_pair(spark):
+    """Two near-identical docs share rare grams and score high; the
+    unrelated doc produces no pair."""
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),
+            (3, "zzz completely different content qqq"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = textops.ngram_jaccard_pairs(
+        docs, "text", "doc_id", n=3, max_df_frac=0.4, threshold=0.5
+    ).collect()
+    assert [(r["id_a"], r["id_b"]) for r in pairs] == [(1, 2)]
+    assert pairs[0]["jaccard"] > 0.7
+
+
+def test_media_feature_extraction(spark):
+    media = multimodal.synthetic_media(spark, 30)
+    feats = multimodal.extract_features(media, bins=16)
+    assert feats.columns == ["media_id", "n_bytes", "byte_entropy", "hist"]
+    rows = feats.collect()
+    assert len(rows) == 30
+    for r in rows:
+        assert r["n_bytes"] > 0
+        assert 0.0 <= r["byte_entropy"] <= 4.0  # log2(16) max
+        assert len(r["hist"]) == 16
+        assert abs(sum(r["hist"]) - 1.0) < 1e-9
