@@ -483,6 +483,43 @@ def write_ntriples(triples: DataFrame, path: str, single_file: bool = False) -> 
     lines.write.mode("overwrite").text(path)
 
 
+def write_triples_repo(
+    triples: DataFrame, path: str, batch_statements: int = 50_000
+) -> None:
+    """S7 — buffered RDF-repo sink, Spark-first.
+
+    The reference buffers statements and flushes them into an RDF
+    repository in bounded batches (50,000 statements, flush at 90%
+    fill on row end, flush at file end — ``BufferedOutput.java:19,
+    41-45,52-55,63-68``; dead code behind ``StatementConsumer.java:
+    12-25``, re-expressed here so the surface is complete). In this
+    engine the repo substrate IS the triples table, so the batching
+    semantics map onto the writer, not a driver-side buffer:
+
+    - one flushed batch = one parquet file of at most
+      ``batch_statements`` rows (``maxRecordsPerFile`` — executors
+      roll files at the bound, the distributed equivalent of the
+      flush-at-90%-fill row loop);
+    - flush-at-file-end = the write job's commit protocol (no
+      partial batch is ever visible — stronger than the reference,
+      whose partial flushes were non-transactional).
+
+    Read back with :func:`read_triples_repo`."""
+    (
+        triples.select("s", "p", "o_value", "o_type", "o_lang", "o_datatype")
+        .write.option("maxRecordsPerFile", batch_statements)
+        .mode("overwrite")
+        .parquet(path)
+    )
+
+
+def read_triples_repo(spark: SparkSession, path: str) -> DataFrame:
+    """Load a triples table written by :func:`write_triples_repo`."""
+    return spark.read.parquet(path).select(
+        "s", "p", "o_value", "o_type", "o_lang", "o_datatype"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Relational → triples unpivot (single scan, explode of a triple array)
 # ---------------------------------------------------------------------------

@@ -194,3 +194,20 @@ def test_scalar_and_group_count(spark, fixture_triples):
         ("http://real.dataset.iri", "data"),
         ("http://real.dataset.iri/2", "data"),
     }
+
+
+def test_triples_repo_sink_batches_and_roundtrips(spark, fixture_triples, tmp_path):
+    """S7: repo sink round-trips exactly and every flushed batch file
+    respects the statement bound (BufferedOutput's 50k-flush contract,
+    here exercised with a tiny bound to force multiple batches)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    out = str(tmp_path / "repo")
+    model.write_triples_repo(fixture_triples, out, batch_statements=20)
+    back = model.read_triples_repo(spark, out)
+    key = lambda r: (r["s"], r["p"], r["o_value"], r["o_type"], r["o_lang"], r["o_datatype"])
+    assert sorted(map(key, back.collect())) == sorted(map(key, fixture_triples.collect()))
+    sizes = [pq.ParquetFile(f).metadata.num_rows for f in glob.glob(out + "/*.parquet")]
+    assert sizes and max(sizes) <= 20
