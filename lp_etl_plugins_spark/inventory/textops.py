@@ -132,8 +132,8 @@ def t4_lsh_jaccard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
         T._doc_shingles(docs, "text", "doc_id", _SHINGLE_N, distinct=False), _K
     )
     pairs = T.lsh_candidate_pairs(sigs, _BANDS, _ROWS)
-    # exact verification needs SET semantics → distinct only here
-    shingle_sets = T._doc_shingles(docs, "text", "doc_id", _SHINGLE_N)
+    # exact verification needs SET semantics → per-doc distinct arrays
+    shingle_sets = T.doc_shingle_sets(docs, "text", "doc_id", _SHINGLE_N)
     out = T.jaccard_over_candidates(pairs, shingle_sets, threshold=0.8)
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 

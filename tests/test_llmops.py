@@ -40,7 +40,8 @@ def test_lsh_finds_planted_near_dups(spark):
     sh = textops._doc_shingles(docs, "text", "doc_id", 3)
     sigs = textops.minhash_signatures(sh, 12)
     pairs = textops.lsh_candidate_pairs(sigs, 6, 2)
-    verified = textops.jaccard_over_candidates(pairs, sh, threshold=0.8)
+    sets = textops.doc_shingle_sets(docs, "text", "doc_id", 3)
+    verified = textops.jaccard_over_candidates(pairs, sets, threshold=0.8)
     got = {(r["id_a"], r["id_b"]) for r in verified.collect()}
     # pairs measured >0.98 3-shingle Jaccard in the corpus (calibrated
     # against a full DuckDB all-pairs sweep) must be recalled
