@@ -334,7 +334,8 @@ def t11_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     inverted-index join (the deterministic sibling of t3/t4's
     MinHash-LSH): stop-grams (df > 5% of corpus) are dropped from the
     candidate index, exact Jaccard ≥ 0.65 verified on full gram sets
-    over candidates only."""
+    over candidates only. Grams are md5-hashed 32-bit ints in BOTH
+    engines (see textops.ngram_jaccard_pairs)."""
     out = T.ngram_jaccard_pairs(
         _docs(spark, sf_dir), "text", "doc_id", n=3, max_df_frac=0.05, threshold=0.65
     )
@@ -343,7 +344,8 @@ def t11_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 T11_SQL = """
 WITH grams AS (
-  SELECT DISTINCT doc_id AS id, substring(lower(trim(text)), i, 3) AS g
+  SELECT DISTINCT doc_id AS id,
+         ('0x' || substring(md5(substring(lower(trim(text)), i, 3)), 1, 8))::BIGINT AS g
   FROM documents, unnest(generate_series(1, length(lower(trim(text))) - 2)) t(i)
 ),
 dfreq AS (SELECT g, count(*) AS c FROM grams GROUP BY g),
