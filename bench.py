@@ -48,6 +48,8 @@ def main() -> None:
         spark.range(1).mapInPandas(lambda it: it, "id long")
     )
 
+    import gc
+
     timings: dict[str, float] = {}
     for name in sorted(queries):
         fn = queries[name]
@@ -55,6 +57,10 @@ def main() -> None:
         _materialize(fn(spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 4)
         print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
+        # drop references to the query's checkpoint/broadcast blocks so
+        # the ContextCleaner frees them between queries instead of
+        # letting executor-memory pressure bleed into later timings
+        gc.collect()
 
     total = round(sum(timings.values()), 4)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
