@@ -122,3 +122,50 @@ def test_localized_number_parse(spark, values):
     ).collect()
     for r in out:
         assert r["got"] == r["want"]
+
+
+@settings(**_SETTINGS)
+@given(st.lists(st.one_of(st.none(), _text), min_size=1, max_size=25))
+def test_char_ngrams_matches_python_reference(spark, texts):
+    """char_ngrams == the one-line Python definition (distinct sliding
+    3-grams of lower(trim(text)); empty set below n chars / for NULL)
+    for arbitrary unicode, including chars the split-to-chars +
+    shifted-slice construction could mishandle."""
+    from lp_etl_plugins_spark.textops import char_ngrams
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i long, t string")
+    got = {r["i"]: r["g"] for r in df.select("i", char_ngrams("t", 3).alias("g")).collect()}
+    for i, t in enumerate(texts):
+        if t is None:
+            want = []
+        else:
+            low = t.strip().lower()
+            seen = set()
+            want = []
+            for j in range(len(low) - 2):
+                g = low[j : j + 3]
+                if g not in seen:
+                    seen.add(g)
+                    want.append(g)
+        assert got[i] == want, (t, got[i], want)
+
+
+@settings(**_SETTINGS)
+@given(st.lists(st.tuples(_iri, _iri, _text, _lang), min_size=1, max_size=25))
+def test_triples_repo_roundtrip_property(spark, tmp_path_factory, rows):
+    """S7 repo sink: write → read is the identity on arbitrary literal
+    triples (parquet carries raw strings — no escaping layer to trust)."""
+    triples = spark.createDataFrame(
+        [(s, p, o, "literal", lang, None) for (s, p, o, lang) in rows],
+        model.TRIPLES_SCHEMA,
+    )
+    path = str(tmp_path_factory.mktemp("repo_rt") / "repo")
+    model.write_triples_repo(triples, path, batch_statements=7)
+    back = model.read_triples_repo(spark, path)
+
+    def _key(t):
+        return tuple((v is not None, v) for v in t)
+
+    assert sorted(map(tuple, back.collect()), key=_key) == sorted(
+        map(tuple, triples.collect()), key=_key
+    )
