@@ -11,8 +11,15 @@ streaming path computes the batch answer.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
-from ..streaming import session_stats, sliding_counts, tumbling_counts, user_totals
+from ..streaming import (
+    dedup_events,
+    session_stats,
+    sliding_counts,
+    tumbling_counts,
+    user_totals,
+)
 from ..tables import load_table
 
 
@@ -90,11 +97,31 @@ FROM events GROUP BY user_id
 """
 
 
+def e5_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the watermarked streaming dedup
+    (streaming.dedup_events / dropDuplicatesWithinWatermark); the
+    stream==batch contract is asserted in tests/test_streaming.py.
+    Summarized per event_type so the result is compact and stable."""
+    keys = dedup_events(load_table(spark, sf_dir, "events"))
+    return keys.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_unique_keys"))
+
+
+E5_SQL = """
+SELECT event_type, count(*) AS n_unique_keys
+FROM (
+  SELECT DISTINCT user_id, event_type, epoch(date_trunc('minute', ts))::BIGINT AS bucket_ts
+  FROM events
+) k
+GROUP BY event_type
+"""
+
+
 QUERIES = {
     "e1_tumbling_window": e1_tumbling_window,
     "e2_sliding_window": e2_sliding_window,
     "e3_session_window": e3_session_window,
     "e4_user_totals": e4_user_totals,
+    "e5_stream_dedup": e5_stream_dedup,
 }
 
 ORACLES = {
@@ -102,4 +129,5 @@ ORACLES = {
     "e2_sliding_window": E2_SQL,
     "e3_session_window": E3_SQL,
     "e4_user_totals": E4_SQL,
+    "e5_stream_dedup": E5_SQL,
 }

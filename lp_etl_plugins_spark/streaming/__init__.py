@@ -29,6 +29,7 @@ __all__ = [
     "session_stats",
     "user_totals",
     "stateful_user_totals",
+    "dedup_events",
     "with_watermark",
 ]
 
@@ -134,4 +135,38 @@ def session_stats(events: DataFrame, gap: str = "6 hours") -> DataFrame:
             "n_events",
             "sum_value",
         )
+    )
+
+
+def dedup_events(events: DataFrame, bucket: str = "minute") -> DataFrame:
+    """Streaming exact dedup on an idempotency key — the stream-side
+    sibling of the t-family's batch dedup: collapse repeated
+    (user_id, event_type) events inside one time ``bucket`` to a
+    single row (at-least-once delivery → effectively-once analytics).
+
+    Streaming path uses ``dropDuplicatesWithinWatermark``: the state
+    store keeps one entry per key only until the watermark passes its
+    bucket, so state is bounded by (keys active inside the watermark
+    horizon), not by stream length. Batch twin is a plain distinct —
+    identical result set, which is what the equivalence test and the
+    DuckDB oracle check. Output carries only the key columns (the
+    surviving payload row of a streaming dedup is arrival-order
+    dependent; the key set is the deterministic contract).
+    → (user_id, event_type, bucket_ts epoch-seconds)."""
+    keyed = events.select(
+        "user_id",
+        "event_type",
+        F.date_trunc(bucket, "ts").alias("bucket_start"),
+        "ts",
+    )
+    if keyed.isStreaming:
+        deduped = keyed.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+            ["user_id", "event_type", "bucket_start"]
+        )
+    else:
+        deduped = keyed.drop("ts").dropDuplicates()
+    return deduped.select(
+        "user_id",
+        "event_type",
+        F.col("bucket_start").cast("long").alias("bucket_ts"),
     )

@@ -113,3 +113,31 @@ def test_stateful_totals_across_microbatches(spark, tmp_path_factory):
         sn, ss = streamed[uid]
         assert sn == n
         assert abs(ss - s) < 1e-9
+
+
+def test_dedup_stream_equals_batch(spark, event_dir, tmp_path_factory):
+    """Watermarked streaming dedup (dropDuplicatesWithinWatermark) over
+    an input with planted duplicates produces exactly the batch-distinct
+    key set."""
+    dup_dir = str(tmp_path_factory.mktemp("events_dup") / "events")
+    base = spark.read.parquet(event_dir)
+    base.union(base).write.mode("overwrite").parquet(dup_dir)
+
+    batch = streaming.dedup_events(spark.read.parquet(dup_dir))
+    schema = spark.read.parquet(dup_dir).schema
+    stream = (
+        spark.readStream.schema(schema).parquet(dup_dir)
+        .transform(streaming.dedup_events)
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("dedup_mem")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = spark.table("dedup_mem")
+    assert _rows(streamed) == _rows(batch)
+    # and dedup actually collapsed the planted duplicates
+    assert streamed.count() < spark.read.parquet(dup_dir).count()
