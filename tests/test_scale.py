@@ -148,3 +148,21 @@ def test_salted_aggregate_rejects_non_decomposable(spark):
         util.salted_aggregate(
             lineitem, ["l_returnflag"], {"avg_qty": F.avg("l_quantity")}
         ).collect()
+
+
+def test_ngram_jaccard_plan_shape(spark):
+    """t11's scale contract: the df-prune is a BROADCAST semi-join
+    (rare-gram set moves to the data, not the reverse), and the verify
+    step intersects compact per-doc arrays — no gram-level explode
+    appears downstream of the candidate join."""
+    from lp_etl_plugins_spark.textops import ngram_jaccard_pairs
+
+    docs = load_table(spark, SF, "documents")
+    out = ngram_jaccard_pairs(docs, "text", "doc_id")
+    plan = _executed_plan(out)
+    assert "array_intersect" in plan  # compact-set verify, not explode-join
+    assert "BroadcastHashJoin" in plan  # df-prune + n_docs joins broadcast
+    # the only explodes feed the inverted index / pair generation —
+    # never the verify side (which would shuffle postings per pair)
+    verify_part = plan.split("array_intersect")[0]
+    assert "Generate explode" not in verify_part
