@@ -374,6 +374,69 @@ WHERE i::DOUBLE / (na.n + nb.n - i) >= 0.65
 """
 
 
+def t12_ngram_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-trigram-PROFILE language ID (the n-gram sibling of t6's
+    stopword heuristic): per-language top-20 trigram profiles are
+    learned in-plan from the labeled corpus (freq desc, gram asc —
+    deterministic), each document scores by distinct-trigram overlap
+    with every profile, argmax wins (overlap desc, lang asc). Profiles
+    are bounded (n_langs × 20) → broadcast; scoring is one groupBy;
+    the per-doc argmax shuffles on doc_id — all corpus-linear.
+    Docs overlapping no profile are excluded (inner join, mirrored by
+    the oracle). → confusion counts (actual, predicted, n_docs)."""
+    from pyspark.sql import Window as W
+
+    docs = _docs(spark, sf_dir)
+    grams = docs.select(
+        "doc_id", "lang", F.explode(T.char_ngrams("text", 3)).alias("g")
+    )
+    freq = grams.groupBy("lang", "g").agg(F.count(F.lit(1)).alias("c"))
+    w_prof = W.partitionBy("lang").orderBy(F.col("c").desc(), F.col("g").asc())
+    prof = (
+        freq.withColumn("rk", F.row_number().over(w_prof))
+        .filter(F.col("rk") <= 20)
+        .select(F.col("lang").alias("plang"), "g")
+    )
+    scored = (
+        grams.join(F.broadcast(prof), "g")
+        .groupBy("doc_id", "lang", "plang")
+        .agg(F.count(F.lit(1)).alias("overlap"))
+    )
+    w_doc = W.partitionBy("doc_id").orderBy(F.col("overlap").desc(), F.col("plang").asc())
+    pred = scored.withColumn("rk", F.row_number().over(w_doc)).filter(F.col("rk") == 1)
+    return pred.groupBy(
+        F.col("lang").alias("actual"), F.col("plang").alias("predicted")
+    ).agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+T12_SQL = """
+WITH grams AS (
+  SELECT DISTINCT doc_id, lang, substring(lower(trim(text)), i, 3) AS g
+  FROM documents, unnest(generate_series(1, length(lower(trim(text))) - 2)) t(i)
+),
+freq AS (SELECT lang, g, count(*) AS c FROM grams GROUP BY lang, g),
+prof AS (
+  SELECT lang AS plang, g FROM (
+    SELECT lang, g, row_number() OVER (PARTITION BY lang ORDER BY c DESC, g ASC) AS rk
+    FROM freq
+  ) r WHERE rk <= 20
+),
+scored AS (
+  SELECT gr.doc_id, gr.lang, p.plang, count(*) AS overlap
+  FROM grams gr JOIN prof p ON gr.g = p.g
+  GROUP BY gr.doc_id, gr.lang, p.plang
+),
+pred AS (
+  SELECT doc_id, lang, plang FROM (
+    SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY overlap DESC, plang ASC) AS rk
+    FROM scored
+  ) r WHERE rk = 1
+)
+SELECT lang AS actual, plang AS predicted, count(*) AS n_docs
+FROM pred GROUP BY lang, plang
+"""
+
+
 QUERIES = {
     "t1_exact_dedup": t1_exact_dedup,
     "t2_fingerprint_dedup": t2_fingerprint_dedup,
@@ -386,6 +449,7 @@ QUERIES = {
     "t9_winnow_fingerprints": t9_winnow_fingerprints,
     "t10_dedup_clusters": t10_dedup_clusters,
     "t11_ngram_jaccard": t11_ngram_jaccard,
+    "t12_ngram_lang_profile": t12_ngram_lang_profile,
 }
 
 ORACLES = {
@@ -400,4 +464,5 @@ ORACLES = {
     "t9_winnow_fingerprints": T9_SQL,
     "t10_dedup_clusters": T10_SQL,
     "t11_ngram_jaccard": T11_SQL,
+    "t12_ngram_lang_profile": T12_SQL,
 }
