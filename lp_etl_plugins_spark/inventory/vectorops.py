@@ -298,6 +298,68 @@ WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 20
 """
 
 
+def v8_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the bucketed ANN (v2) against the exact baseline
+    (v1) — the self-evaluation every ANN deployment needs before
+    trusting its recall knob. Per probe: |approx ∩ exact| / k, probes
+    with zero overlap included at 0.0. Joins two already-top-k sets
+    (k rows per probe each side) — negligible data movement.
+    → (probe_id, recall_at_k)."""
+    exact = v1_knn_bruteforce(spark, sf_dir).select("probe_id", "neighbor_id")
+    approx = (
+        v2_knn_bucketed(spark, sf_dir)
+        .select("probe_id", "neighbor_id")
+        .withColumn("hit", F.lit(1))
+    )
+    joined = exact.join(approx, ["probe_id", "neighbor_id"], "left")
+    return joined.groupBy("probe_id").agg(
+        F.round(
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("double") / F.lit(_K), 6
+        ).alias("recall_at_k")
+    )
+
+
+V8_SQL = f"""
+WITH e AS (
+  SELECT vec_id,
+    list_transform(embedding::DOUBLE[],
+                   x -> x / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))) AS v,
+    (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END
+     + CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END
+     + CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END) AS bucket
+  FROM embeddings
+),
+exact AS (
+  SELECT probe_id, neighbor_id FROM (
+    SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+      row_number() OVER (
+        PARTITION BY p.vec_id
+        ORDER BY round(list_dot_product(p.v, c.v), 6) DESC, c.vec_id
+      ) AS rank
+    FROM e p JOIN e c ON p.vec_id < {_PROBE_LIMIT} AND c.vec_id != p.vec_id
+  ) r WHERE rank <= {_K}
+),
+approx AS (
+  SELECT probe_id, neighbor_id FROM (
+    SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+      row_number() OVER (
+        PARTITION BY p.vec_id
+        ORDER BY round(list_dot_product(p.v, c.v), 6) DESC, c.vec_id
+      ) AS rank
+    FROM e p JOIN e c ON p.bucket = c.bucket
+    WHERE p.vec_id < {_PROBE_LIMIT} AND c.vec_id != p.vec_id
+  ) r WHERE rank <= {_K}
+)
+SELECT ex.probe_id,
+       round(sum(CASE WHEN ap.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE / {_K}, 6)
+         AS recall_at_k
+FROM exact ex
+LEFT JOIN approx ap
+  ON ap.probe_id = ex.probe_id AND ap.neighbor_id = ex.neighbor_id
+GROUP BY ex.probe_id
+"""
+
+
 QUERIES = {
     "v1_knn_bruteforce": v1_knn_bruteforce,
     "v2_knn_bucketed": v2_knn_bucketed,
@@ -306,6 +368,7 @@ QUERIES = {
     "v5_embedding_neardup": v5_embedding_neardup,
     "v6_hamming_prefilter": v6_hamming_prefilter,
     "v7_knn_ivf_nprobe2": v7_knn_ivf_nprobe2,
+    "v8_ann_recall": v8_ann_recall,
 }
 
 ORACLES = {
@@ -316,4 +379,5 @@ ORACLES = {
     "v5_embedding_neardup": V5_SQL,
     "v6_hamming_prefilter": V6_SQL,
     "v7_knn_ivf_nprobe2": V7_SQL,
+    "v8_ann_recall": V8_SQL,
 }
