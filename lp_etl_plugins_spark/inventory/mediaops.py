@@ -1,9 +1,12 @@
-"""Multimodal inventory — m* entries (rows-only driver check).
+"""Multimodal inventory — m* entries.
 
-No DuckDB oracle: the decode path is a Pandas UDF over binary blobs,
-deliberately outside SQL's reach. The driver records the weaker
-rows-only check; full behavioral assertions live in
-tests/test_llmops.py.
+m1–m3 are rows-only driver checks: the decode path is a Pandas UDF
+over binary blobs, outside SQL's reach for arbitrary media. m4 closes
+that gap for the SYNTHETIC corpus: its payload bytes are a closed
+formula (``(i*31 + j*7) % 251`` — multimodal.synthetic_media), so a
+DuckDB oracle can recompute the decoded features independently —
+hash-checking the whole Arrow/mapInPandas plumbing end to end.
+Full behavioral assertions live in tests/test_llmops.py.
 """
 
 from __future__ import annotations
@@ -49,10 +52,41 @@ def m3_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def m4_decode_vs_formula(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-blob decoded features, hash-checked against a DuckDB oracle
+    that regenerates the synthetic payload formula in SQL — the one
+    media entry with a full rows+schema+hash gate (blobs themselves
+    never leave Spark; only the decode RESULT is compared)."""
+    media = synthetic_media(spark, 200)
+    decoded = decode_media(media)
+    return decoded.select(
+        "media_id",
+        "width",
+        "height",
+        "channels",
+        F.round("mean_byte", 6).alias("mean_byte"),
+    )
+
+
+M4_SQL = """
+WITH m AS (
+  SELECT i AS media_id, 16 + (i % 8) AS width, 12 + (i % 5) AS height, 3 AS channels
+  FROM (SELECT unnest(generate_series(0, 199)) AS i)
+)
+SELECT m.media_id, m.width, m.height, m.channels,
+       round(avg(((m.media_id * 31 + j.j * 7) % 251)::DOUBLE), 6) AS mean_byte
+FROM m, unnest(generate_series(0, m.width * m.height * m.channels - 1)) AS j(j)
+GROUP BY m.media_id, m.width, m.height, m.channels
+"""
+
+
 QUERIES = {
     "m1_media_decode": m1_media_decode,
     "m2_frame_sample": m2_frame_sample,
     "m3_media_features": m3_media_features,
+    "m4_decode_vs_formula": m4_decode_vs_formula,
 }
 
-ORACLES: dict[str, str] = {}
+ORACLES: dict[str, str] = {
+    "m4_decode_vs_formula": M4_SQL,
+}
