@@ -1,11 +1,11 @@
-"""Multimodal inventory — m* entries.
+"""Multimodal inventory — m* entries, ALL hash-checked.
 
-m1–m3 are rows-only driver checks: the decode path is a Pandas UDF
-over binary blobs, outside SQL's reach for arbitrary media. m4 closes
-that gap for the SYNTHETIC corpus: its payload bytes are a closed
-formula (``(i*31 + j*7) % 251`` — multimodal.synthetic_media), so a
-DuckDB oracle can recompute the decoded features independently —
-hash-checking the whole Arrow/mapInPandas plumbing end to end.
+Binary blobs are outside SQL's reach for arbitrary media, but the
+synthetic corpus payload is a closed formula
+(``(i*31 + j*7) % 251`` — multimodal.synthetic_media), so every m*
+oracle REGENERATES the bytes in SQL and recomputes the Python/Arrow
+path's output independently — decode (m1/m4), frame sampling (m2) and
+numpy feature extraction (m3) all get the full rows+schema+hash gate.
 Full behavioral assertions live in tests/test_llmops.py.
 """
 
@@ -80,6 +80,66 @@ GROUP BY m.media_id, m.width, m.height, m.channels
 """
 
 
+# Shared oracle CTE: the synthetic media headers (w, h, c per id).
+def _m_cte(n: int) -> str:
+    return f"""
+m AS (
+  SELECT i AS media_id, 16 + (i % 8) AS width, 12 + (i % 5) AS height, 3 AS channels
+  FROM (SELECT unnest(generate_series(0, {n - 1})) AS i)
+)
+"""
+
+
+M1_SQL = f"""
+WITH {_m_cte(200)},
+decoded AS (
+  SELECT m.media_id, m.width, m.height, m.channels,
+         avg(((m.media_id * 31 + j.j * 7) % 251)::DOUBLE) AS mean_byte
+  FROM m, unnest(generate_series(0, m.width * m.height * m.channels - 1)) AS j(j)
+  GROUP BY m.media_id, m.width, m.height, m.channels
+)
+SELECT width, height, channels, count(*) AS n_media,
+       round(avg(mean_byte), 6) AS avg_mean_byte
+FROM decoded GROUP BY width, height, channels
+"""
+
+M2_SQL = """
+WITH m AS (
+  SELECT i AS media_id,
+         (16 + (i % 8)) * (12 + (i % 5)) * 3 AS plen
+  FROM (SELECT unnest(generate_series(0, 99)) AS i)
+)
+SELECT media_id, ((plen // 64) + 1) // 2 AS n_frames
+FROM m
+"""
+
+M3_SQL = f"""
+WITH {_m_cte(200)},
+bytes AS (
+  SELECT m.media_id,
+         ((m.media_id * 31 + j.j * 7) % 251) // 16 AS bin,
+         m.width * m.height * m.channels AS n
+  FROM m, unnest(generate_series(0, m.width * m.height * m.channels - 1)) AS j(j)
+),
+binc AS (
+  SELECT media_id, bin, count(*) AS c, any_value(n) AS n
+  FROM bytes GROUP BY media_id, bin
+),
+per_media AS (
+  SELECT media_id,
+         -sum((c::DOUBLE / n) * log2(c::DOUBLE / n)) AS entropy,
+         any_value(n) AS n_bytes,
+         sum(CASE WHEN bin = 0 THEN c ELSE 0 END)::DOUBLE / any_value(n) AS hist1
+  FROM binc GROUP BY media_id
+)
+SELECT count(*) AS n_media,
+       round(avg(entropy), 6) AS avg_entropy,
+       round(avg(n_bytes), 6) AS avg_bytes,
+       round(avg(hist1), 6) AS avg_hist_bin1
+FROM per_media
+"""
+
+
 QUERIES = {
     "m1_media_decode": m1_media_decode,
     "m2_frame_sample": m2_frame_sample,
@@ -88,5 +148,8 @@ QUERIES = {
 }
 
 ORACLES: dict[str, str] = {
+    "m1_media_decode": M1_SQL,
+    "m2_frame_sample": M2_SQL,
+    "m3_media_features": M3_SQL,
     "m4_decode_vs_formula": M4_SQL,
 }
