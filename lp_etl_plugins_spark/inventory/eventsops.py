@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from ..streaming import (
     dedup_events,
+    enriched_nation_counts,
     session_stats,
     sliding_counts,
     tumbling_counts,
@@ -116,12 +117,32 @@ GROUP BY event_type
 """
 
 
+def e6_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the stream-static enrichment join
+    (streaming.enriched_nation_counts); the stream==batch contract is
+    asserted in tests/test_streaming.py."""
+    return enriched_nation_counts(
+        load_table(spark, sf_dir, "events"), load_table(spark, sf_dir, "customer")
+    )
+
+
+E6_SQL = """
+SELECT (floor(epoch(ts) / 21600) * 21600)::BIGINT AS window_start,
+       c.c_nationkey AS nation_key,
+       count(*) AS n_events,
+       round(sum(e.value), 2) AS sum_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "e1_tumbling_window": e1_tumbling_window,
     "e2_sliding_window": e2_sliding_window,
     "e3_session_window": e3_session_window,
     "e4_user_totals": e4_user_totals,
     "e5_stream_dedup": e5_stream_dedup,
+    "e6_stream_enrich": e6_stream_enrich,
 }
 
 ORACLES = {
@@ -130,4 +151,5 @@ ORACLES = {
     "e3_session_window": E3_SQL,
     "e4_user_totals": E4_SQL,
     "e5_stream_dedup": E5_SQL,
+    "e6_stream_enrich": E6_SQL,
 }

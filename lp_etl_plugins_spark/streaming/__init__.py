@@ -30,6 +30,7 @@ __all__ = [
     "user_totals",
     "stateful_user_totals",
     "dedup_events",
+    "enriched_nation_counts",
     "with_watermark",
 ]
 
@@ -169,4 +170,33 @@ def dedup_events(events: DataFrame, bucket: str = "minute") -> DataFrame:
         "user_id",
         "event_type",
         F.col("bucket_start").cast("long").alias("bucket_ts"),
+    )
+
+
+def enriched_nation_counts(
+    events: DataFrame, customers: DataFrame, width: str = "6 hours"
+) -> DataFrame:
+    """Stream-static enrichment: the event stream joins the (bounded,
+    broadcast) customer dimension, then tumbling counts per nation —
+    the standard "enrich the stream with a dim table" topology. On a
+    streaming frame the static side is re-broadcast per micro-batch
+    (Spark's stream-static join contract); state is the windowed agg
+    only, watermark-bounded.
+    → (window_start, nation_key, n_events, sum_value)."""
+    dim = customers.select(
+        F.col("c_custkey").alias("user_id"), F.col("c_nationkey").alias("nation_key")
+    )
+    return (
+        events.join(F.broadcast(dim), "user_id")
+        .groupBy(F.window("ts", width).alias("w"), "nation_key")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").cast("long").alias("window_start"),
+            "nation_key",
+            "n_events",
+            "sum_value",
+        )
     )

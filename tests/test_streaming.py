@@ -141,3 +141,25 @@ def test_dedup_stream_equals_batch(spark, event_dir, tmp_path_factory):
     assert _rows(streamed) == _rows(batch)
     # and dedup actually collapsed the planted duplicates
     assert streamed.count() < spark.read.parquet(dup_dir).count()
+
+
+def test_enrich_stream_equals_batch(spark, event_dir):
+    """Stream-static enrichment join: the streamed events joined with
+    the static customer dim produce the batch answer."""
+    customers = load_table(spark, SF, "customer")
+    batch = streaming.enriched_nation_counts(spark.read.parquet(event_dir), customers)
+    schema = spark.read.parquet(event_dir).schema
+    stream = (
+        spark.readStream.schema(schema).parquet(event_dir)
+        .transform(streaming.with_watermark)
+        .transform(lambda ev: streaming.enriched_nation_counts(ev, customers))
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("enrich_mem")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert _rows(spark.table("enrich_mem")) == _rows(batch)
