@@ -437,6 +437,78 @@ FROM pred GROUP BY lang, plang
 """
 
 
+def t13_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The capstone the t-family exists for — an end-to-end curation
+    pass composing three stages in ONE plan: language filter
+    (lang_id == 'en'), quality threshold (score ≥ 0.5, filtered on the
+    ROUNDED value both engines agree on), exact dedup (keep min doc_id
+    per text hash). All narrow expressions + one hash-partitioned
+    window + one final groupBy — Catalyst fuses the filters into the
+    scan. → per-source kept-corpus stats."""
+    from pyspark.sql import Window as W
+
+    docs = _docs(spark, sf_dir)
+    scored = docs.select(
+        "doc_id",
+        "source",
+        "text",
+        T.lang_id("text").alias("pred_lang"),
+        T.quality_score("text").alias("quality"),
+    )
+    kept = scored.filter((F.col("pred_lang") == "en") & (F.col("quality") >= 0.5))
+    w = W.partitionBy(F.md5("text")).orderBy("doc_id")
+    deduped = kept.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return deduped.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("quality"), 6).alias("avg_quality"),
+    )
+
+
+T13_SQL = r"""
+WITH base AS (
+  SELECT doc_id, source, text,
+         regexp_split_to_array(lower(trim(text)), '\s+') AS ws
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, source, text,
+    CASE WHEN greatest(
+           len(list_filter(ws, w -> w IN ('the','a','of','and','to'))),
+           len(list_filter(ws, w -> w IN ('der','die','das','und','ist'))),
+           len(list_filter(ws, w -> w IN ('le','la','et','les','des'))),
+           len(list_filter(ws, w -> w IN ('el','los','las','y','es')))) = 0 THEN 'unknown'
+         WHEN len(list_filter(ws, w -> w IN ('le','la','et','les','des')))
+                >= len(list_filter(ws, w -> w IN ('the','a','of','and','to')))
+          AND len(list_filter(ws, w -> w IN ('le','la','et','les','des')))
+                >= len(list_filter(ws, w -> w IN ('der','die','das','und','ist')))
+          AND len(list_filter(ws, w -> w IN ('le','la','et','les','des')))
+                >= len(list_filter(ws, w -> w IN ('el','los','las','y','es'))) THEN 'fr'
+         WHEN len(list_filter(ws, w -> w IN ('el','los','las','y','es')))
+                >= len(list_filter(ws, w -> w IN ('the','a','of','and','to')))
+          AND len(list_filter(ws, w -> w IN ('el','los','las','y','es')))
+                >= len(list_filter(ws, w -> w IN ('der','die','das','und','ist'))) THEN 'es'
+         WHEN len(list_filter(ws, w -> w IN ('the','a','of','and','to')))
+                >= len(list_filter(ws, w -> w IN ('der','die','das','und','ist'))) THEN 'en'
+         ELSE 'de' END AS pred_lang,
+    round(
+      0.4 * least(1.0, length(text)::DOUBLE / 300.0)
+      + 0.3 * (len(list_filter(ws, w -> w IN ('the','a','of','and','to')))::DOUBLE / len(ws))
+      + 0.3 * (1.0 - least(1.0,
+          abs(list_sum(list_transform(ws, w -> length(w)))::DOUBLE / len(ws) - 4.5) / 10.0)),
+    6) AS quality
+  FROM base
+),
+kept AS (SELECT * FROM scored WHERE pred_lang = 'en' AND quality >= 0.5),
+deduped AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM kept
+  ) r WHERE rn = 1
+)
+SELECT source, count(*) AS n_docs, round(avg(quality), 6) AS avg_quality
+FROM deduped GROUP BY source
+"""
+
+
 QUERIES = {
     "t1_exact_dedup": t1_exact_dedup,
     "t2_fingerprint_dedup": t2_fingerprint_dedup,
@@ -450,6 +522,7 @@ QUERIES = {
     "t10_dedup_clusters": t10_dedup_clusters,
     "t11_ngram_jaccard": t11_ngram_jaccard,
     "t12_ngram_lang_profile": t12_ngram_lang_profile,
+    "t13_curation_pipeline": t13_curation_pipeline,
 }
 
 ORACLES = {
@@ -465,4 +538,5 @@ ORACLES = {
     "t10_dedup_clusters": T10_SQL,
     "t11_ngram_jaccard": T11_SQL,
     "t12_ngram_lang_profile": T12_SQL,
+    "t13_curation_pipeline": T13_SQL,
 }
