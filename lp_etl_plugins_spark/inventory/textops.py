@@ -458,9 +458,21 @@ def t13_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept = scored.filter((F.col("pred_lang") == "en") & (F.col("quality") >= 0.5))
     w = W.partitionBy(F.md5("text")).orderBy("doc_id")
     deduped = kept.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
-    return deduped.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.round(F.avg("quality"), 6).alias("avg_quality"),
+    # avg via exact scaled-int sums: quality is 1e-6-quantized, so a
+    # plain double avg can sit EXACTLY on a rounding boundary where
+    # partition summation order decides the last digit (Hypothesis-
+    # grade flake, hit once in CI). Integer sums are order-independent
+    # and the single division is IEEE-identical on both engines.
+    q6 = F.round(F.col("quality") * 1e6).cast("long")
+    return (
+        deduped.withColumn("q6", q6)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(
+                F.sum("q6").cast("double") / (F.count(F.lit(1)) * F.lit(1e6)), 6
+            ).alias("avg_quality"),
+        )
     )
 
 
@@ -504,7 +516,9 @@ deduped AS (
     SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM kept
   ) r WHERE rn = 1
 )
-SELECT source, count(*) AS n_docs, round(avg(quality), 6) AS avg_quality
+SELECT source, count(*) AS n_docs,
+       round(sum(round(quality * 1000000)::BIGINT)::DOUBLE / (count(*) * 1000000), 6)
+         AS avg_quality
 FROM deduped GROUP BY source
 """
 
