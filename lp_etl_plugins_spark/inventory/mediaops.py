@@ -19,14 +19,24 @@ from ..multimodal import decode_media, extract_features, sample_frames, syntheti
 
 def m1_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched decode of 200 deterministic fake blobs → per-size
-    feature aggregation (stable schema + row count for the driver)."""
+    feature aggregation. The group average is computed from exact
+    per-blob byte SUMS (mean_byte × payload length reconstructs the
+    integer sum), not avg-of-doubles — integer sums are summation-
+    order independent, so the rounded result can't flip with
+    partitioning (same hazard class as t13)."""
     media = synthetic_media(spark, 200)
     decoded = decode_media(media)
+    plen = F.col("width") * F.col("height") * F.col("channels")
+    byte_sum = F.round(F.col("mean_byte") * plen).cast("long")
     return (
-        decoded.groupBy("width", "height", "channels")
+        decoded.withColumn("byte_sum", byte_sum)
+        .groupBy("width", "height", "channels")
         .agg(
             F.count(F.lit(1)).alias("n_media"),
-            F.round(F.avg("mean_byte"), 6).alias("avg_mean_byte"),
+            F.round(
+                F.sum("byte_sum").cast("double") / (F.count(F.lit(1)) * plen),
+                6,
+            ).alias("avg_mean_byte"),
         )
     )
 
@@ -41,14 +51,20 @@ def m2_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def m3_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature extraction (byte histogram + entropy via numpy over
-    Arrow batches) → per-channel-count feature summary."""
+    Arrow batches) → corpus feature summary. The bin-1 share is POOLED
+    (Σ count / Σ bytes — one division over exact integer totals) so the
+    rounded value is summation-order independent; entropy averages
+    un-quantized irrationals, where boundary collisions can't occur."""
     media = synthetic_media(spark, 200)
     feats = extract_features(media, bins=16)
-    return feats.agg(
+    bin1_count = F.round(F.element_at("hist", 1) * F.col("n_bytes")).cast("long")
+    return feats.withColumn("bin1_count", bin1_count).agg(
         F.count(F.lit(1)).alias("n_media"),
         F.round(F.avg("byte_entropy"), 6).alias("avg_entropy"),
         F.round(F.avg("n_bytes"), 6).alias("avg_bytes"),
-        F.round(F.avg(F.element_at("hist", 1)), 6).alias("avg_hist_bin1"),
+        F.round(
+            F.sum("bin1_count").cast("double") / F.sum("n_bytes"), 6
+        ).alias("hist_bin1_share"),
     )
 
 
@@ -94,12 +110,13 @@ M1_SQL = f"""
 WITH {_m_cte(200)},
 decoded AS (
   SELECT m.media_id, m.width, m.height, m.channels,
-         avg(((m.media_id * 31 + j.j * 7) % 251)::DOUBLE) AS mean_byte
+         sum((m.media_id * 31 + j.j * 7) % 251)::BIGINT AS byte_sum
   FROM m, unnest(generate_series(0, m.width * m.height * m.channels - 1)) AS j(j)
   GROUP BY m.media_id, m.width, m.height, m.channels
 )
 SELECT width, height, channels, count(*) AS n_media,
-       round(avg(mean_byte), 6) AS avg_mean_byte
+       round(sum(byte_sum)::DOUBLE / (count(*) * width * height * channels), 6)
+         AS avg_mean_byte
 FROM decoded GROUP BY width, height, channels
 """
 
@@ -129,13 +146,13 @@ per_media AS (
   SELECT media_id,
          -sum((c::DOUBLE / n) * log2(c::DOUBLE / n)) AS entropy,
          any_value(n) AS n_bytes,
-         sum(CASE WHEN bin = 0 THEN c ELSE 0 END)::DOUBLE / any_value(n) AS hist1
+         sum(CASE WHEN bin = 0 THEN c ELSE 0 END)::BIGINT AS bin1_count
   FROM binc GROUP BY media_id
 )
 SELECT count(*) AS n_media,
        round(avg(entropy), 6) AS avg_entropy,
        round(avg(n_bytes), 6) AS avg_bytes,
-       round(avg(hist1), 6) AS avg_hist_bin1
+       round(sum(bin1_count)::DOUBLE / sum(n_bytes), 6) AS hist_bin1_share
 FROM per_media
 """
 
