@@ -523,6 +523,49 @@ FROM deduped GROUP BY source
 """
 
 
+def t14_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-containment pairs (decontamination sweep): gram-set
+    containment |A∩B|/min(|A|,|B|) ≥ 0.8 over the same df-pruned
+    candidate index as t11 — catches excerpt/quote relationships that
+    Jaccard's union denominator dilutes away. Filtered on the ROUNDED
+    value, mirrored by the oracle."""
+    return T.ngram_containment_pairs(
+        _docs(spark, sf_dir), "text", "doc_id", n=3, max_df_frac=0.05, threshold=0.8
+    )
+
+
+T14_SQL = """
+WITH grams AS (
+  SELECT DISTINCT doc_id AS id,
+         ('0x' || substring(md5(substring(lower(trim(text)), i, 3)), 1, 8))::BIGINT AS g
+  FROM documents, unnest(generate_series(1, length(lower(trim(text))) - 2)) t(i)
+),
+dfreq AS (SELECT g, count(*) AS c FROM grams GROUP BY g),
+rare AS (
+  SELECT id, g FROM grams JOIN dfreq USING (g)
+  WHERE c <= ceil(0.05 * (SELECT count(*) FROM documents))
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM rare a JOIN rare b ON a.g = b.g AND a.id < b.id
+),
+sizes AS (SELECT id, count(*) AS n FROM grams GROUP BY id),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS i
+  FROM cand c
+  JOIN grams ga ON ga.id = c.id_a
+  JOIN grams gb ON gb.id = c.id_b AND gb.g = ga.g
+  GROUP BY c.id_a, c.id_b
+)
+SELECT inter.id_a, inter.id_b,
+       round(i::DOUBLE / least(na.n, nb.n), 6) AS containment
+FROM inter
+JOIN sizes na ON na.id = inter.id_a
+JOIN sizes nb ON nb.id = inter.id_b
+WHERE round(i::DOUBLE / least(na.n, nb.n), 6) >= 0.8
+"""
+
+
 QUERIES = {
     "t1_exact_dedup": t1_exact_dedup,
     "t2_fingerprint_dedup": t2_fingerprint_dedup,
@@ -537,6 +580,7 @@ QUERIES = {
     "t11_ngram_jaccard": t11_ngram_jaccard,
     "t12_ngram_lang_profile": t12_ngram_lang_profile,
     "t13_curation_pipeline": t13_curation_pipeline,
+    "t14_containment": t14_containment,
 }
 
 ORACLES = {
@@ -553,4 +597,5 @@ ORACLES = {
     "t11_ngram_jaccard": T11_SQL,
     "t12_ngram_lang_profile": T12_SQL,
     "t13_curation_pipeline": T13_SQL,
+    "t14_containment": T14_SQL,
 }

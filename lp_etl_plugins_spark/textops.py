@@ -41,6 +41,7 @@ __all__ = [
     "doc_shingle_sets",
     "char_ngrams",
     "ngram_jaccard_pairs",
+    "ngram_containment_pairs",
     "simhash16",
     "simhash16_df",
     "winnow_fingerprints",
@@ -273,6 +274,16 @@ def ngram_jaccard_pairs(
     Skew: a still-hot rare gram is a fat join group — AQE skew-join
     splits it; the prune threshold is the structural control.
     → (id_a, id_b, jaccard ≥ threshold)."""
+    cand, sets = _pruned_gram_candidates(df, text_col, id_col, n, max_df_frac)
+    return jaccard_over_candidates(cand, sets, threshold=threshold)
+
+
+def _pruned_gram_candidates(
+    df: DataFrame, text_col: str, id_col: str, n: int, max_df_frac: float
+) -> tuple[DataFrame, DataFrame]:
+    """Shared candidate substrate for t11/t14: hashed char-n-gram sets
+    per doc plus the df-pruned inverted-index candidate pairs.
+    → (cand: (id_a < id_b), sets: (id, grams array<bigint>))."""
     hashed = F.array_distinct(
         F.transform(
             char_ngrams(text_col, n),
@@ -319,7 +330,47 @@ def ngram_jaccard_pairs(
         .select("pr.id_a", "pr.id_b")
         .distinct()
     )
-    return jaccard_over_candidates(cand, sets, threshold=threshold)
+    return cand, sets
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    max_df_frac: float = 0.05,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Near-CONTAINMENT detection — the decontamination primitive: find
+    documents whose gram set is (nearly) a subset of another's
+    (excerpts, quotes, benchmark passages embedded in training text).
+    Jaccard misses these when the container is much larger; containment
+    |A∩B| / min(|A|,|B|) does not.
+
+    Same candidate substrate and scale arguments as
+    :func:`ngram_jaccard_pairs` (df-pruned inverted index, compact
+    array-intersect verify).
+    → (id_a, id_b, containment ≥ threshold)."""
+    cand, sets = _pruned_gram_candidates(df, text_col, id_col, n, max_df_frac)
+    a = sets.select(F.col("id").alias("id_a"), F.col("grams").alias("ga"))
+    b = sets.select(F.col("id").alias("id_b"), F.col("grams").alias("gb"))
+    out = (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("ga", "gb")).alias("i"),
+            F.least(F.size("ga"), F.size("gb")).alias("m"),
+        )
+        .filter(F.col("m") > 0)
+        .select(
+            "id_a",
+            "id_b",
+            F.round(F.col("i").cast("double") / F.col("m"), 6).alias("containment"),
+        )
+    )
+    return out.filter(F.col("containment") >= threshold)
 
 
 def simhash16(col: Column | str) -> Column:
