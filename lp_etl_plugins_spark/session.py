@@ -33,6 +33,7 @@ def get_spark(app_name: str = "lp_etl_plugins_spark", cpus: int | None = None) -
         # under this flag (tables.load_table rebuilds the timestamp).
         # Declared here, once, so readers don't mutate session conf.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         # local mode: driver == executor, so size the one JVM for the
         # box (default heap starves 32 concurrent task threads into GC)
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))

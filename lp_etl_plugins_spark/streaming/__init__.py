@@ -10,8 +10,13 @@ drive the same functions through ``readStream`` + ``availableNow`` and
 assert equality with batch).
 
 Windows emit epoch-second longs (not raw timestamps) so results are
-precision-stable across engines (the parquet carries TIMESTAMP(NANOS);
-Spark reads microseconds).
+precision-stable across engines. Epoch extraction is
+``F.unix_timestamp`` — NOT ``cast("long")`` — because the events
+parquet has shipped with ``ts`` as both TIMESTAMP and TIMESTAMP_NTZ
+across testdata generations: ``unix_timestamp`` maps an LTZ value to
+its instant's epoch and an NTZ value to naive-as-UTC seconds, both
+independent of ``spark.sql.session.timeZone`` (NTZ→long ``cast`` is
+illegal, and NTZ→LTZ conversions shift by the session zone).
 
 Scale: windowed aggregations shuffle on (window, key) — bounded state;
 watermarks bound the streaming state store. Session windows merge
@@ -50,7 +55,7 @@ def tumbling_counts(events: DataFrame, width: str = "1 hour") -> DataFrame:
             F.round(F.sum("value"), 2).alias("sum_value"),
         )
         .select(
-            F.col("w.start").cast("long").alias("window_start"),
+            F.unix_timestamp(F.col("w.start")).alias("window_start"),
             "event_type",
             "n_events",
             "sum_value",
@@ -65,7 +70,7 @@ def sliding_counts(events: DataFrame, width: str = "1 hour", slide: str = "30 mi
         events.groupBy(F.window("ts", width, slide).alias("w"), "event_type")
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select(
-            F.col("w.start").cast("long").alias("window_start"),
+            F.unix_timestamp(F.col("w.start")).alias("window_start"),
             "event_type",
             "n_events",
         )
@@ -132,7 +137,7 @@ def session_stats(events: DataFrame, gap: str = "6 hours") -> DataFrame:
         )
         .select(
             "user_id",
-            F.col("w.start").cast("long").alias("session_start"),
+            F.unix_timestamp(F.col("w.start")).alias("session_start"),
             "n_events",
             "sum_value",
         )
@@ -169,7 +174,7 @@ def dedup_events(events: DataFrame, bucket: str = "minute") -> DataFrame:
     return deduped.select(
         "user_id",
         "event_type",
-        F.col("bucket_start").cast("long").alias("bucket_ts"),
+        F.unix_timestamp(F.col("bucket_start")).alias("bucket_ts"),
     )
 
 
@@ -194,7 +199,7 @@ def enriched_nation_counts(
             F.round(F.sum("value"), 2).alias("sum_value"),
         )
         .select(
-            F.col("w.start").cast("long").alias("window_start"),
+            F.unix_timestamp(F.col("w.start")).alias("window_start"),
             "nation_key",
             "n_events",
             "sum_value",

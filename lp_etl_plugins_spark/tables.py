@@ -35,21 +35,35 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        # events.ts is TIMESTAMP(NANOS) which Spark's parquet reader rejects;
-        # read nanos as long and rebuild a microsecond timestamp. `div` is
-        # integer division — float division would lose precision on int64
-        # epoch-nanos (~1.7e18 > 2^53).
+        # events.ts has shipped as TIMESTAMP(NANOS) in some testdata
+        # generations (which Spark's parquet reader rejects without the
+        # legacy long fallback) and as TIMESTAMP(MICROS)/NTZ in others —
+        # dispatch on what the file actually contains.
         #
-        # The legacy flag is process-wide and consulted at scan *execution*
-        # time, so it cannot be save/restored around this lazy read. It is
-        # set in session.get_spark for our own sessions; setting it here too
-        # keeps the loader correct under a caller-provided session (e.g. the
-        # correctness driver's). It is only ever set to "true", so repeated
-        # calls are idempotent and no other value is ever clobbered.
+        # Both flags are process-wide and consulted at scan *execution*
+        # time, so they cannot be save/restored around this lazy read. They
+        # are set in session.get_spark for our own sessions; setting them
+        # here too keeps the loader correct under a caller-provided session
+        # (e.g. the correctness driver's). Each only ever gets one value, so
+        # repeated calls are idempotent and nothing is ever clobbered.
+        #
+        # inferTimestampNTZ=false reads a non-UTC-adjusted parquet timestamp
+        # as plain TIMESTAMP whose instant micros are the stored micros
+        # verbatim — byte-identical to DuckDB's epoch_us(ts) and independent
+        # of spark.sql.session.timeZone. The NTZ alternative cannot be used:
+        # streaming watermarks reject TIMESTAMP_NTZ event time
+        # (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE), and every public NTZ→LTZ
+        # conversion shifts by the session zone.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        return spark.read.parquet(path).withColumn(
-            "ts", F.expr("timestamp_micros(ts div 1000)")
-        )
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+        df = spark.read.parquet(path)
+        if dict(df.dtypes).get("ts") == "bigint":
+            # TIMESTAMP(NANOS) read as epoch-nanos long: rebuild a
+            # microsecond timestamp. `div` is integer division — float
+            # division would lose precision on int64 epoch-nanos
+            # (~1.7e18 > 2^53).
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        return df
     return spark.read.parquet(path)
 
 
