@@ -566,6 +566,150 @@ WHERE round(i::DOUBLE / least(na.n, nb.n), 6) >= 0.8
 """
 
 
+def t15_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/validation/test split (98/1/1) by
+    content-addressed hash bucket — the assignment step every training
+    pipeline needs to be stable across re-ingestions and engines.
+    Narrow expression + one tiny 3-group aggregate; avg is derived
+    from exact integer sums so partition order cannot move the last
+    digit. → (split, n_docs, sum_tokens, avg_tokens)."""
+    docs = _docs(spark, sf_dir)
+    b = T.hash_bucket("doc_id", 100)
+    split = (
+        F.when(b < 98, F.lit("train"))
+        .when(b < 99, F.lit("validation"))
+        .otherwise(F.lit("test"))
+    )
+    toks = F.size(T.normalized_words("text")).cast("bigint")
+    return (
+        docs.select(split.alias("split"), toks.alias("toks"))
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("toks").alias("sum_tokens"),
+        )
+        .select(
+            "split",
+            "n_docs",
+            "sum_tokens",
+            F.round(F.col("sum_tokens").cast("double") / F.col("n_docs"), 6).alias(
+                "avg_tokens"
+            ),
+        )
+    )
+
+
+T15_SQL = r"""
+WITH d AS (
+  SELECT CASE
+           WHEN ('0x' || substring(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 < 98 THEN 'train'
+           WHEN ('0x' || substring(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 < 99 THEN 'validation'
+           ELSE 'test'
+         END AS split,
+         len(regexp_split_to_array(lower(trim(text)), '\s+')) AS toks
+  FROM documents
+)
+SELECT split, count(*) AS n_docs, sum(toks)::BIGINT AS sum_tokens,
+       round(sum(toks)::DOUBLE / count(*), 6) AS avg_tokens
+FROM d GROUP BY split
+"""
+
+
+def t16_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified per-source quota sample (data-mixing step): the 32
+    docs per source with the smallest content-addressed rank. Uses the
+    two-phase top-k in textops.quota_sample so a dominant source
+    spreads over all partitions instead of one reducer.
+    → (source, doc_id, sample_rank)."""
+    out = T.quota_sample(_docs(spark, sf_dir), "source", "doc_id", k=32)
+    return out.select("source", "doc_id", "sample_rank")
+
+
+T16_SQL = """
+SELECT source, doc_id, sample_rank FROM (
+  SELECT source, doc_id,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5(doc_id::VARCHAR), doc_id
+         ) AS sample_rank
+  FROM documents
+) WHERE sample_rank <= 32
+"""
+
+
+def t17_boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-derived boilerplate removal: words appearing in more
+    than 30% of documents form the stoplist (navigation chrome,
+    licence lines, templating — learned from the data, not a fixed
+    list), then every occurrence is scrubbed and per-source token
+    budgets are re-measured.
+
+    Scale: the stoplist is an aggregate of the token stream (small by
+    construction — only ultra-common words clear 30% df) applied back
+    via a broadcast anti-join, so the token stream shuffles once for
+    its own per-source count and never for the stoplist lookup.
+    → (source, tokens_before, tokens_after, keep_ratio)."""
+    docs = _docs(spark, sf_dir)
+    words = docs.select(
+        "source", "doc_id", F.explode(T.normalized_words("text")).alias("w")
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_total"))
+    stop = (
+        words.select("doc_id", "w")
+        .distinct()
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("df_w"))
+        .join(F.broadcast(n_docs))
+        .filter(F.col("df_w") > 0.30 * F.col("n_total"))
+        .select("w")
+    )
+    before = words.groupBy("source").agg(F.count(F.lit(1)).alias("tokens_before"))
+    after = (
+        words.join(F.broadcast(stop), "w", "left_anti")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("tokens_after"))
+    )
+    return (
+        before.join(after, "source", "left")
+        .select(
+            "source",
+            "tokens_before",
+            F.coalesce("tokens_after", F.lit(0)).alias("tokens_after"),
+            F.round(
+                F.coalesce("tokens_after", F.lit(0)).cast("double")
+                / F.col("tokens_before"),
+                6,
+            ).alias("keep_ratio"),
+        )
+    )
+
+
+T17_SQL = r"""
+WITH words AS (
+  SELECT source, doc_id,
+         unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS w
+  FROM documents
+),
+stop AS (
+  SELECT w FROM (
+    SELECT w, count(DISTINCT doc_id) AS df_w FROM words GROUP BY w
+  ) d, (SELECT count(*) AS n_total FROM documents) n
+  WHERE df_w > 0.30 * n_total
+),
+before_t AS (
+  SELECT source, count(*)::BIGINT AS tokens_before FROM words GROUP BY source
+),
+after_t AS (
+  SELECT source, count(*)::BIGINT AS tokens_after
+  FROM words WHERE w NOT IN (SELECT w FROM stop) GROUP BY source
+)
+SELECT b.source, b.tokens_before,
+       coalesce(a.tokens_after, 0)::BIGINT AS tokens_after,
+       round(coalesce(a.tokens_after, 0)::DOUBLE / b.tokens_before, 6) AS keep_ratio
+FROM before_t b LEFT JOIN after_t a ON a.source = b.source
+"""
+
+
 QUERIES = {
     "t1_exact_dedup": t1_exact_dedup,
     "t2_fingerprint_dedup": t2_fingerprint_dedup,
@@ -581,6 +725,9 @@ QUERIES = {
     "t12_ngram_lang_profile": t12_ngram_lang_profile,
     "t13_curation_pipeline": t13_curation_pipeline,
     "t14_containment": t14_containment,
+    "t15_hash_split": t15_hash_split,
+    "t16_quota_sample": t16_quota_sample,
+    "t17_boilerplate_scrub": t17_boilerplate_scrub,
 }
 
 ORACLES = {
@@ -598,4 +745,7 @@ ORACLES = {
     "t12_ngram_lang_profile": T12_SQL,
     "t13_curation_pipeline": T13_SQL,
     "t14_containment": T14_SQL,
+    "t15_hash_split": T15_SQL,
+    "t16_quota_sample": T16_SQL,
+    "t17_boilerplate_scrub": T17_SQL,
 }

@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .. import vectorops as V
+from ..textops import connected_components
 from ..tables import load_table
 
 _K = 3
@@ -360,6 +361,49 @@ GROUP BY ex.probe_id
 """
 
 
+def v9_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup clusters: connected components over the
+    embedding-cosine near-dup pairs (v5's edge set) → cluster sizes.
+    The vector twin of t10 — after near-dup mining, keep one item per
+    cluster. Same O(log d) pointer-jumping propagation, checkpointed
+    lineage, one action per round (textops.connected_components).
+    → (cluster, n_vecs)."""
+    pairs = v5_embedding_neardup(spark, sf_dir).select("id_a", "id_b")
+    comps = connected_components(pairs)
+    return comps.groupBy("cluster").agg(F.count(F.lit(1)).alias("n_vecs"))
+
+
+V9_SQL = """
+WITH RECURSIVE e AS (
+  SELECT vec_id,
+    list_transform(embedding::DOUBLE[],
+                   x -> x / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))) AS v,
+    (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END
+     + CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END
+     + CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END) AS bucket
+  FROM embeddings
+),
+pr AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+  WHERE round(list_dot_product(a.v, b.v), 6) >= 0.4
+),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pr
+  UNION
+  SELECT id_b, id_a FROM pr
+),
+reach(u, lbl) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges) t
+  UNION
+  SELECT ed.u, r.lbl FROM edges ed JOIN reach r ON r.u = ed.v
+)
+SELECT cluster, count(*)::BIGINT AS n_vecs FROM (
+  SELECT u, min(lbl) AS cluster FROM reach GROUP BY u
+) c GROUP BY cluster
+"""
+
+
 QUERIES = {
     "v1_knn_bruteforce": v1_knn_bruteforce,
     "v2_knn_bucketed": v2_knn_bucketed,
@@ -369,6 +413,7 @@ QUERIES = {
     "v6_hamming_prefilter": v6_hamming_prefilter,
     "v7_knn_ivf_nprobe2": v7_knn_ivf_nprobe2,
     "v8_ann_recall": v8_ann_recall,
+    "v9_semantic_clusters": v9_semantic_clusters,
 }
 
 ORACLES = {
@@ -380,4 +425,5 @@ ORACLES = {
     "v6_hamming_prefilter": V6_SQL,
     "v7_knn_ivf_nprobe2": V7_SQL,
     "v8_ann_recall": V8_SQL,
+    "v9_semantic_clusters": V9_SQL,
 }

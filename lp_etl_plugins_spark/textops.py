@@ -49,6 +49,8 @@ __all__ = [
     "lang_id",
     "quality_score",
     "token_counts",
+    "hash_bucket",
+    "quota_sample",
 ]
 
 
@@ -481,6 +483,48 @@ def connected_components(
     else:
         raise RuntimeError(f"connected_components: no fixpoint in {max_iter} iterations")
     return labels.select(F.col("u").alias("id"), F.col("lbl").alias("cluster"))
+
+
+def hash_bucket(col: Column | str, n_buckets: int = 100) -> Column:
+    """Deterministic engine-portable bucket in [0, n_buckets): the
+    first 8 hex chars of md5 over the value's string form, mod n.
+    The split/sampling hash for train/val/test assignment — content-
+    addressed, so assignment survives repartitioning, re-ingestion,
+    and engine changes (DuckDB twin:
+    ``('0x' || substring(md5(x), 1, 8))::BIGINT % n``). Narrow
+    expression, no shuffle."""
+    col = F.col(col) if isinstance(col, str) else col
+    word = F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast("bigint")
+    return word % n_buckets
+
+
+def quota_sample(df: DataFrame, group_col: str, id_col: str, k: int) -> DataFrame:
+    """Deterministic per-group quota sample (stratified sampling for
+    data mixing): the ``k`` members with the smallest
+    ``(md5(id), id)`` rank within each group, with the rank attached
+    as ``sample_rank``. Content-addressed order → the same ids are
+    chosen on every run, cluster size, and engine.
+
+    Scale design — two-phase top-k so a dominant group cannot pile
+    onto one reducer: phase 1 ranks within (group, input partition),
+    spreading a hot group over every partition and keeping at most
+    ``k`` survivors from each; phase 2 ranks the ≤ k×P survivors per
+    group exactly. The global per-group top-k is always contained in
+    the union of per-partition top-ks, so the result is identical to
+    a single global window — asserted in tests/test_scale.py."""
+    h = F.md5(F.col(id_col).cast("string"))
+    pre = df.withColumn("__pid", F.spark_partition_id())
+    w1 = W.partitionBy(group_col, "__pid").orderBy(h.asc(), F.col(id_col).asc())
+    pruned = (
+        pre.withColumn("__rk", F.row_number().over(w1))
+        .filter(F.col("__rk") <= k)
+        .drop("__pid", "__rk")
+    )
+    w2 = W.partitionBy(group_col).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        pruned.withColumn("sample_rank", F.row_number().over(w2).cast("bigint"))
+        .filter(F.col("sample_rank") <= k)
+    )
 
 
 def simhash16_df(df: DataFrame, text_col: str, id_col: str) -> DataFrame:

@@ -166,3 +166,31 @@ def test_ngram_jaccard_plan_shape(spark):
     # never the verify side (which would shuffle postings per pair)
     verify_part = plan.split("array_intersect")[0]
     assert "Generate explode" not in verify_part
+
+
+def test_quota_sample_two_phase_matches_global_window(spark):
+    """The two-phase per-group top-k (partition-local prune, then exact
+    global rank) must equal the naive single global window, including on
+    a skewed group spread over many partitions."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from lp_etl_plugins_spark.textops import quota_sample
+
+    rows = [("hot", i) for i in range(400)] + [("cold", i) for i in range(400, 410)]
+    df = spark.createDataFrame(rows, "grp string, id long").repartition(8)
+
+    got = {
+        (r.grp, r.id, r.sample_rank)
+        for r in quota_sample(df, "grp", "id", k=7).collect()
+    }
+
+    h = F.md5(F.col("id").cast("string"))
+    w = Window.partitionBy("grp").orderBy(h.asc(), F.col("id").asc())
+    naive = (
+        df.withColumn("sample_rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("sample_rank") <= 7)
+    )
+    want = {(r.grp, r.id, r.sample_rank) for r in naive.collect()}
+    assert got == want
+    assert len(got) == 7 + 7
