@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..streaming import (
+    click_purchase_join,
     dedup_events,
     enriched_nation_counts,
     session_stats,
@@ -136,6 +137,102 @@ GROUP BY 1, 2
 """
 
 
+def e7_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the stream-stream interval join
+    (streaming.click_purchase_join): click→purchase attribution pairs
+    within a 30-minute horizon; the stream==batch contract is asserted
+    in tests/test_streaming.py."""
+    return click_purchase_join(load_table(spark, sf_dir, "events"))
+
+
+E7_SQL = """
+SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+       floor(epoch(c.ts))::BIGINT AS click_sec,
+       floor(epoch(p.ts))::BIGINT AS purchase_sec
+FROM events c
+JOIN events p
+  ON p.user_id = c.user_id
+ AND c.event_type = 'click' AND p.event_type = 'purchase'
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+"""
+
+
+def j10_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (a temporal operator the reference lacks, built the
+    distributed way): enrich every event with the user's most recent
+    order at-or-before the event instant; same-day ties break to the
+    highest order key. Events with no prior order keep NULL order
+    columns.
+
+    Scale design — union-tag-sort carry-forward, the canonical
+    shuffle-minimal as-of plan: both inputs shuffle ONCE on the join
+    key, then a single ordered window per key carries the latest order
+    struct forward past each event row. No per-event subquery, no
+    events×orders pre-filter blow-up; cost is one shuffle + one
+    per-key sort on |events| + |orders| rows regardless of how many
+    orders precede each event. Time is compared in tz-free epoch
+    seconds (date arithmetic for orders, unix_timestamp for events).
+    → (event_id, user_id, event_sec, order_key, order_price)."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        (F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date")).cast("long")
+         * 86400).alias("t"),
+        F.lit(0).alias("tag"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.col("o_orderkey"),
+        F.col("o_totalprice"),
+    )
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_timestamp("ts").alias("t"),
+        F.lit(1).alias("tag"),
+        "event_id",
+        F.lit(None).cast("long").alias("o_orderkey"),
+        F.lit(None).cast("double").alias("o_totalprice"),
+    )
+    u = orders.unionByName(events)
+    # at equal t an order sorts before an event (tag 0 < 1) so a
+    # same-instant order is visible to the event ('at or before');
+    # same-t orders sort ascending by key so the carried last = max key
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "tag", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ord_struct = F.when(
+        F.col("tag") == 0, F.struct("o_orderkey", "o_totalprice")
+    )
+    return (
+        u.withColumn("ord", F.last(ord_struct, ignorenulls=True).over(w))
+        .filter(F.col("tag") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            F.col("t").alias("event_sec"),
+            F.col("ord.o_orderkey").alias("order_key"),
+            F.col("ord.o_totalprice").alias("order_price"),
+        )
+    )
+
+
+J10_SQL = """
+SELECT event_id, user_id, event_sec, order_key, order_price FROM (
+  SELECT e.event_id, e.user_id, floor(epoch(e.ts))::BIGINT AS event_sec,
+         o.o_orderkey AS order_key, o.o_totalprice AS order_price,
+         row_number() OVER (
+           PARTITION BY e.event_id
+           ORDER BY o.o_orderdate DESC NULLS LAST, o.o_orderkey DESC NULLS LAST
+         ) AS rn
+  FROM events e
+  LEFT JOIN orders o
+    ON o.o_custkey = e.user_id
+   AND epoch(o.o_orderdate)::BIGINT <= epoch(e.ts)
+) WHERE rn = 1
+"""
+
+
 QUERIES = {
     "e1_tumbling_window": e1_tumbling_window,
     "e2_sliding_window": e2_sliding_window,
@@ -143,6 +240,8 @@ QUERIES = {
     "e4_user_totals": e4_user_totals,
     "e5_stream_dedup": e5_stream_dedup,
     "e6_stream_enrich": e6_stream_enrich,
+    "e7_interval_join": e7_interval_join,
+    "j10_asof_join": j10_asof_join,
 }
 
 ORACLES = {
@@ -152,4 +251,6 @@ ORACLES = {
     "e4_user_totals": E4_SQL,
     "e5_stream_dedup": E5_SQL,
     "e6_stream_enrich": E6_SQL,
+    "e7_interval_join": E7_SQL,
+    "j10_asof_join": J10_SQL,
 }

@@ -646,8 +646,10 @@ def t17_boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the stoplist is an aggregate of the token stream (small by
     construction — only ultra-common words clear 30% df) applied back
-    via a broadcast anti-join, so the token stream shuffles once for
-    its own per-source count and never for the stoplist lookup.
+    via a broadcast left join, so the token stream is evaluated twice
+    (stoplist derivation, scrub) and shuffled only for its own
+    per-source counts — before/after land in ONE aggregation pass via
+    a conditional count, not separate scrubbed/unscrubbed subplans.
     → (source, tokens_before, tokens_after, keep_ratio)."""
     docs = _docs(spark, sf_dir)
     words = docs.select(
@@ -661,24 +663,21 @@ def t17_boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("df_w"))
         .join(F.broadcast(n_docs))
         .filter(F.col("df_w") > 0.30 * F.col("n_total"))
-        .select("w")
-    )
-    before = words.groupBy("source").agg(F.count(F.lit(1)).alias("tokens_before"))
-    after = (
-        words.join(F.broadcast(stop), "w", "left_anti")
-        .groupBy("source")
-        .agg(F.count(F.lit(1)).alias("tokens_after"))
+        .select("w", F.lit(True).alias("is_stop"))
     )
     return (
-        before.join(after, "source", "left")
+        words.join(F.broadcast(stop), "w", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("tokens_before"),
+            F.count(F.when(F.col("is_stop").isNull(), 1)).alias("tokens_after"),
+        )
         .select(
             "source",
             "tokens_before",
-            F.coalesce("tokens_after", F.lit(0)).alias("tokens_after"),
+            "tokens_after",
             F.round(
-                F.coalesce("tokens_after", F.lit(0)).cast("double")
-                / F.col("tokens_before"),
-                6,
+                F.col("tokens_after").cast("double") / F.col("tokens_before"), 6
             ).alias("keep_ratio"),
         )
     )

@@ -36,6 +36,7 @@ __all__ = [
     "stateful_user_totals",
     "dedup_events",
     "enriched_nation_counts",
+    "click_purchase_join",
     "with_watermark",
 ]
 
@@ -175,6 +176,44 @@ def dedup_events(events: DataFrame, bucket: str = "minute") -> DataFrame:
         "user_id",
         "event_type",
         F.unix_timestamp(F.col("bucket_start")).alias("bucket_ts"),
+    )
+
+
+def click_purchase_join(events: DataFrame, horizon: str = "30 minutes") -> DataFrame:
+    """Stream-stream interval join: every (click → purchase) pair by
+    the same user with the purchase inside ``horizon`` after the click
+    — the attribution-window topology. Both sides derive from the same
+    events frame; on a stream each carries a watermark and the join
+    condition bounds event time on both sides, so Spark can prune both
+    state stores (the stream-stream inner-join contract). On batch the
+    identical plan is an equi-join on user_id with a range filter —
+    per-user matching only, never a cross product.
+    → (user_id, click_id, purchase_id, click_sec, purchase_sec)."""
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    if events.isStreaming:
+        clicks = clicks.withWatermark("click_ts", "1 hour")
+        purchases = purchases.withWatermark("purchase_ts", "1 hour")
+    joined = clicks.join(
+        purchases,
+        (F.col("p_user_id") == F.col("user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {horizon}")),
+    )
+    return joined.select(
+        "user_id",
+        "click_id",
+        "purchase_id",
+        F.unix_timestamp(F.col("click_ts")).alias("click_sec"),
+        F.unix_timestamp(F.col("purchase_ts")).alias("purchase_sec"),
     )
 
 

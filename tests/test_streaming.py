@@ -163,3 +163,25 @@ def test_enrich_stream_equals_batch(spark, event_dir):
     )
     q.awaitTermination(120)
     assert _rows(spark.table("enrich_mem")) == _rows(batch)
+
+
+def test_interval_join_stream_equals_batch(spark, event_dir):
+    """Stream-stream interval join (click→purchase attribution): the
+    watermarked streaming join must produce exactly the batch pairs.
+    Append output mode — stream-stream joins emit rows once matched."""
+    batch = streaming.click_purchase_join(spark.read.parquet(event_dir))
+    schema = spark.read.parquet(event_dir).schema
+    stream = (
+        spark.readStream.schema(schema).parquet(event_dir)
+        .transform(streaming.click_purchase_join)
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("interval_join_mem")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert _rows(spark.table("interval_join_mem")) == _rows(batch)
+    assert len(_rows(batch)) > 0
