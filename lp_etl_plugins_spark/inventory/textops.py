@@ -709,6 +709,80 @@ FROM before_t b LEFT JOIN after_t a ON a.source = b.source
 """
 
 
+def t18_length_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus length profiling (the pre-training data audit
+    step): doc counts plus exact interpolated p50/p90/p99 of n_chars.
+    Spark's ``percentile`` and DuckDB's ``quantile_cont`` share the
+    linear-interpolation definition, so the profile is oracle-exact.
+
+    Scale note: exact percentile materializes each group's values; at
+    corpus scale swap in ``approx_percentile`` (t-digest — mergeable,
+    map-side partials, rank error ≤ accuracy knob) or, for bounded
+    integer columns like n_chars, an exact value-histogram + cumulative
+    sum. The exact form here is the oracle-checkable twin.
+    → (source, n_docs, p50, p90, p99)."""
+    docs = _docs(spark, sf_dir)
+    pct = F.expr("percentile(n_chars, array(0.5, 0.9, 0.99))")
+    return (
+        docs.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"), pct.alias("p"))
+        .select(
+            "source",
+            "n_docs",
+            F.round(F.element_at("p", 1), 6).alias("p50"),
+            F.round(F.element_at("p", 2), 6).alias("p90"),
+            F.round(F.element_at("p", 3), 6).alias("p99"),
+        )
+    )
+
+
+T18_SQL = """
+SELECT source, count(*) AS n_docs,
+       round(quantile_cont(n_chars, 0.5), 6) AS p50,
+       round(quantile_cont(n_chars, 0.9), 6) AS p90,
+       round(quantile_cont(n_chars, 0.99), 6) AS p99
+FROM documents GROUP BY source
+"""
+
+
+def t19_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary building (the tokenizer-training precursor): global
+    top-100 words by corpus frequency, ties broken lexicographically.
+
+    Scale: word counts are one map-side-combined groupBy; the global
+    top-k goes through orderBy+limit, which Spark executes as
+    TakeOrdered — each partition keeps its local top-k heap and only
+    k rows per partition reach the driver-side merge, never a full
+    global sort. → (word, n_occurrences, rank)."""
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    counts = (
+        docs.select(F.explode(T.normalized_words("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+    )
+    top = counts.orderBy(F.col("n_occurrences").desc(), F.col("word").asc()).limit(100)
+    # rank attaches AFTER the limit: the window sees only 100 rows
+    w = Window.orderBy(F.col("n_occurrences").desc(), F.col("word").asc())
+    return top.withColumn("rank", F.row_number().over(w).cast("bigint"))
+
+
+T19_SQL = r"""
+SELECT word, n_occurrences,
+       row_number() OVER (ORDER BY n_occurrences DESC, word ASC) AS rank
+FROM (
+  SELECT w AS word, count(*) AS n_occurrences
+  FROM (
+    SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS w
+    FROM documents
+  ) t
+  GROUP BY w
+)
+ORDER BY n_occurrences DESC, word ASC LIMIT 100
+"""
+
+
 QUERIES = {
     "t1_exact_dedup": t1_exact_dedup,
     "t2_fingerprint_dedup": t2_fingerprint_dedup,
@@ -727,6 +801,8 @@ QUERIES = {
     "t15_hash_split": t15_hash_split,
     "t16_quota_sample": t16_quota_sample,
     "t17_boilerplate_scrub": t17_boilerplate_scrub,
+    "t18_length_profile": t18_length_profile,
+    "t19_vocab_topk": t19_vocab_topk,
 }
 
 ORACLES = {
@@ -747,4 +823,6 @@ ORACLES = {
     "t15_hash_split": T15_SQL,
     "t16_quota_sample": T16_SQL,
     "t17_boilerplate_scrub": T17_SQL,
+    "t18_length_profile": T18_SQL,
+    "t19_vocab_topk": T19_SQL,
 }
