@@ -164,57 +164,34 @@ def j10_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     highest order key. Events with no prior order keep NULL order
     columns.
 
-    Scale design — union-tag-sort carry-forward, the canonical
-    shuffle-minimal as-of plan: both inputs shuffle ONCE on the join
-    key, then a single ordered window per key carries the latest order
-    struct forward past each event row. No per-event subquery, no
-    events×orders pre-filter blow-up; cost is one shuffle + one
-    per-key sort on |events| + |orders| rows regardless of how many
-    orders precede each event. Time is compared in tz-free epoch
-    seconds (date arithmetic for orders, unix_timestamp for events).
+    Built on util.asof_join (union-tag-sort carry-forward, the
+    shuffle-minimal as-of plan: one shuffle of |events| + |orders| on
+    the key, one per-key ordered window, no per-event subquery or
+    range-join blow-up — edge cases unit-tested in
+    tests/test_temporal.py). Time is compared in tz-free epoch seconds
+    (date arithmetic for orders, unix_timestamp for events).
     → (event_id, user_id, event_sec, order_key, order_price)."""
-    from pyspark.sql import Window
+    from ..util import asof_join
 
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.unix_timestamp("ts").alias("event_sec")
+    )
     orders = load_table(spark, sf_dir, "orders").select(
         F.col("o_custkey").alias("user_id"),
         (F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date")).cast("long")
-         * 86400).alias("t"),
-        F.lit(0).alias("tag"),
-        F.lit(None).cast("long").alias("event_id"),
-        F.col("o_orderkey"),
-        F.col("o_totalprice"),
+         * 86400).alias("order_sec"),
+        F.col("o_orderkey").alias("order_key"),
+        F.col("o_totalprice").alias("order_price"),
     )
-    events = load_table(spark, sf_dir, "events").select(
-        "user_id",
-        F.unix_timestamp("ts").alias("t"),
-        F.lit(1).alias("tag"),
-        "event_id",
-        F.lit(None).cast("long").alias("o_orderkey"),
-        F.lit(None).cast("double").alias("o_totalprice"),
-    )
-    u = orders.unionByName(events)
-    # at equal t an order sorts before an event (tag 0 < 1) so a
-    # same-instant order is visible to the event ('at or before');
-    # same-t orders sort ascending by key so the carried last = max key
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("t", "tag", "o_orderkey")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    ord_struct = F.when(
-        F.col("tag") == 0, F.struct("o_orderkey", "o_totalprice")
-    )
-    return (
-        u.withColumn("ord", F.last(ord_struct, ignorenulls=True).over(w))
-        .filter(F.col("tag") == 1)
-        .select(
-            "event_id",
-            "user_id",
-            F.col("t").alias("event_sec"),
-            F.col("ord.o_orderkey").alias("order_key"),
-            F.col("ord.o_totalprice").alias("order_price"),
-        )
-    )
+    return asof_join(
+        events,
+        orders,
+        key="user_id",
+        left_time="event_sec",
+        right_time="order_sec",
+        payload=["order_key", "order_price"],
+        tiebreak="order_key",
+    ).select("event_id", "user_id", "event_sec", "order_key", "order_price")
 
 
 J10_SQL = """

@@ -10,11 +10,15 @@ are the engine's shuffle-control surface for 100 TB runs: bucketing
 co-locates repeated join/agg keys at write time (the join plan carries
 NO Exchange — asserted in tests/test_scale.py), and salting splits a
 hot key across ``n_salts`` reducers before the final combine.
+
+``asof_join`` is the generic temporal enrichment operator (j10 is its
+events×orders instantiation): latest right row at-or-before each left
+row's time, per key, via union-tag-sort carry-forward.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Observation, SparkSession
+from pyspark.sql import Column, DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
 
 
@@ -83,3 +87,60 @@ def salted_aggregate(
         *[c.alias(n) for n, c in aggs.items()]
     )
     return partial.groupBy(*keys).agg(*[_recombine(n) for n in aggs])
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_time: str,
+    right_time: str,
+    payload: list[str],
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Distributed as-of join: for every left row, attach the latest
+    right row with ``right_time <= left_time`` on the same ``key``
+    (NULL payload when no such row exists); among right rows tied on
+    time the greatest ``tiebreak`` (default: first payload column)
+    wins, so the result is deterministic.
+
+    Union-tag-sort carry-forward — the shuffle-minimal as-of plan:
+    both inputs shuffle ONCE on the key, then one ordered window per
+    key carries the latest right payload struct forward past each left
+    row. No per-left-row subquery, no range-join pair blow-up; cost is
+    one shuffle + one per-key sort of |left| + |right| rows. At equal
+    time a right row sorts before a left row (tag 0 < 1), so
+    'at-or-before' includes same-instant matches.
+
+    Output: every left column, plus the payload columns (caller
+    guarantees payload names don't collide with left's)."""
+    tiebreak = tiebreak or payload[0]
+    r_struct = F.struct(*[F.col(c) for c in payload])
+    r_type = right.select(r_struct.alias("__r")).schema["__r"].dataType
+    l_struct = F.struct(*[F.col(c) for c in left.columns])
+    l_type = left.select(l_struct.alias("__l")).schema["__l"].dataType
+    lf = left.select(
+        F.col(key).alias("__k"),
+        F.col(left_time).cast("long").alias("__t"),
+        F.lit(1).alias("__tag"),
+        l_struct.alias("__l"),
+        F.lit(None).cast(r_type).alias("__r"),
+    )
+    rf = right.select(
+        F.col(key).alias("__k"),
+        F.col(right_time).cast("long").alias("__t"),
+        F.lit(0).alias("__tag"),
+        F.lit(None).cast(l_type).alias("__l"),
+        r_struct.alias("__r"),
+    )
+    w = (
+        Window.partitionBy("__k")
+        .orderBy(F.col("__t").asc(), F.col("__tag").asc(), F.col(f"__r.{tiebreak}").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = lf.unionByName(rf).withColumn(
+        "__c", F.last("__r", ignorenulls=True).over(w)
+    )
+    return carried.filter(F.col("__tag") == 1).select(
+        "__l.*", *[F.col(f"__c.{c}").alias(c) for c in payload]
+    )

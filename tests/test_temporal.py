@@ -1,0 +1,61 @@
+"""Edge-case tests for the generic as-of join (util.asof_join).
+
+The j10 driver query exercises the happy path on real tables (every
+event user has prior orders, so the NULL leg never fires there); these
+constructed frames pin the contract: no-prior-right → NULL payload,
+same-instant right row visible, time ties break to the greatest
+tiebreak value, keys with no left rows emit nothing.
+"""
+
+from __future__ import annotations
+
+from lp_etl_plugins_spark.util import asof_join
+
+
+def _run(spark):
+    left = spark.createDataFrame(
+        [
+            ("a", 5, "a5"),
+            ("a", 10, "a10"),
+            ("a", 25, "a25"),
+            ("b", 100, "b100"),
+        ],
+        "k string, lt long, name string",
+    )
+    right = spark.createDataFrame(
+        [
+            ("a", 10, 1, 1.0),
+            ("a", 10, 2, 2.0),  # same-time tie: id 2 must win
+            ("a", 20, 3, 3.0),
+            ("c", 1, 9, 9.0),  # key with no left rows: no output
+        ],
+        "k string, rt long, rid long, rv double",
+    )
+    out = asof_join(
+        left, right, key="k", left_time="lt", right_time="rt",
+        payload=["rid", "rv"], tiebreak="rid",
+    )
+    return {r["name"]: (r["rid"], r["rv"]) for r in out.collect()}
+
+
+def test_asof_edges(spark):
+    got = _run(spark)
+    assert got == {
+        "a5": (None, None),      # before any right row
+        "a10": (2, 2.0),         # same-instant match, tie -> max rid
+        "a25": (3, 3.0),         # latest at-or-before
+        "b100": (None, None),    # key with no right rows at all
+    }
+
+
+def test_asof_keeps_all_left_columns_and_rows(spark):
+    left = spark.createDataFrame(
+        [("a", 1, "x", "extra")], "k string, lt long, name string, other string"
+    )
+    right = spark.createDataFrame([("a", 1, 7)], "k string, rt long, rid long")
+    rows = asof_join(
+        left, right, key="k", left_time="lt", right_time="rt", payload=["rid"]
+    ).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["k"], r["lt"], r["name"], r["other"], r["rid"]) == ("a", 1, "x", "extra", 7)
