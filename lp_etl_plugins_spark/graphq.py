@@ -42,6 +42,7 @@ __all__ = [
     "not_exists",
     "values",
     "path",
+    "path_plus",
     "lang_filter",
     "group_count",
     "scalar",
@@ -245,6 +246,61 @@ def path(
         cur = nxt
     assert out is not None
     return out.drop(*[c for c in out.columns if c.startswith("_hop")])
+
+
+def path_plus(
+    triples: DataFrame,
+    preds: list[str],
+    start: str = "?s",
+    end: str = "?o",
+    max_iter: int = 30,
+) -> DataFrame:
+    """One-or-more property path ``(p1|p2|…)+``: every (start, end)
+    pair connected by ≥ 1 hop over the predicate alternation — the
+    SPARQL path operator beyond :func:`path`'s fixed-length chains
+    (the reference's paths are all fixed-length,
+    DcatAp11ToCkanBatch.java:259,372; this is the engine's extension
+    for variable-depth hierarchies such as skos:broader chains).
+
+    Semi-naive transitive closure: each round joins only the FRONTIER
+    (pairs discovered last round) against the edge set, anti-joins
+    away already-known pairs, and stops when nothing new appears —
+    O(graph depth) rounds, each shuffling |frontier| + |edges| rows,
+    never the full closure re-derived. Cycle-safe (the anti join drops
+    revisits). Edge list and every round's delta are
+    ``localCheckpoint``-ed so round N replays nothing of rounds
+    0..N-1 — the same discipline as
+    :func:`lp_etl_plugins_spark.textops.connected_components`.
+    Raises after ``max_iter`` rounds without a fixpoint."""
+    edges = (
+        triples.filter(F.col("p").isin(list(preds)))
+        .select("s", F.col("o_value").alias("o"))
+        .distinct()
+        .localCheckpoint()
+    )
+    # explicit renames, not Dataset.alias: eager localCheckpoint of an
+    # alias-resolved self-join plan trips an analyzer attribute-lookup
+    # error (key not found) on Spark 4.1; renamed columns sidestep the
+    # alias resolution entirely
+    hop_edges = edges.select(F.col("s").alias("__es"), F.col("o").alias("__eo"))
+    reach = edges
+    frontier = edges
+    for _ in range(max_iter):
+        hop = (
+            frontier.join(hop_edges, F.col("o") == F.col("__es"))
+            .select("s", F.col("__eo").alias("o"))
+            .distinct()
+        )
+        new = hop.join(reach, ["s", "o"], "left_anti").localCheckpoint()
+        if new.agg(F.count(F.lit(1))).first()[0] == 0:
+            break
+        reach = reach.unionByName(new).localCheckpoint()
+        frontier = new
+    else:
+        raise RuntimeError(f"path_plus: no fixpoint in {max_iter} iterations")
+    return reach.select(
+        F.col("s").alias(_var(start)), F.col("o").alias(_var(end))
+    )
 
 
 def lang_filter(df: DataFrame, var: str, lang: str) -> DataFrame:

@@ -332,6 +332,30 @@ GROUP BY cn.o_value
 """
 
 
+def g9_path_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variable-depth property path ``(urn:nation|urn:region)+``
+    (graphq.path_plus): the full located-in reachability set —
+    supplier/customer→nation, nation→region, and the transitive
+    supplier/customer→region pairs. Semi-naive iteration with
+    checkpointed deltas; the recursive-CTE oracle recomputes the
+    identical closure."""
+    tr = _graph(spark, sf_dir)
+    return graphq.path_plus(tr, [_NATION, _REGION], "?start", "?reached")
+
+
+G9_SQL = _CTE.replace("WITH triples", "WITH RECURSIVE triples", 1) + """
+, edges AS (
+  SELECT s, o_value AS o FROM triples WHERE p IN ('urn:nation', 'urn:region')
+),
+reach(s, o) AS (
+  SELECT DISTINCT s, o FROM edges
+  UNION
+  SELECT r.s, e.o FROM reach r JOIN edges e ON e.s = r.o
+)
+SELECT s AS start, o AS reached FROM reach
+"""
+
+
 QUERIES = {
     "g1_bgp_star": g1_bgp_star,
     "g2_optional_premium": g2_optional_premium,
@@ -341,6 +365,7 @@ QUERIES = {
     "g6_lang_filter": g6_lang_filter,
     "g7_group_count": g7_group_count,
     "g8_scalar_min": g8_scalar_min,
+    "g9_path_closure": g9_path_closure,
 }
 
 ORACLES = {
@@ -352,4 +377,5 @@ ORACLES = {
     "g6_lang_filter": G6_SQL,
     "g7_group_count": G7_SQL,
     "g8_scalar_min": G8_SQL,
+    "g9_path_closure": G9_SQL,
 }

@@ -211,3 +211,24 @@ def test_triples_repo_sink_batches_and_roundtrips(spark, fixture_triples, tmp_pa
     assert sorted(map(key, back.collect())) == sorted(map(key, fixture_triples.collect()))
     sizes = [pq.ParquetFile(f).metadata.num_rows for f in glob.glob(out + "/*.parquet")]
     assert sizes and max(sizes) <= 20
+
+
+def test_path_plus_depth_and_cycles(spark):
+    """Transitive closure (p+) on a constructed graph: a 4-node chain
+    (depth 3 — deeper than any driver-table hierarchy) and a 2-cycle;
+    the semi-naive loop must reach every depth and terminate on the
+    cycle instead of re-deriving pairs forever."""
+    def trip(s, o):
+        return (s, "urn:next", o, "iri", None, None)
+
+    tr = spark.createDataFrame(
+        [trip("a", "b"), trip("b", "c"), trip("c", "d"),
+         trip("x", "y"), trip("y", "x")],
+        model.TRIPLES_SCHEMA,
+    )
+    got = {(r["s2"], r["o2"]) for r in
+           graphq.path_plus(tr, ["urn:next"], "?s2", "?o2").collect()}
+    chain = {("a", "b"), ("a", "c"), ("a", "d"),
+             ("b", "c"), ("b", "d"), ("c", "d")}
+    cycle = {("x", "y"), ("y", "x"), ("x", "x"), ("y", "y")}
+    assert got == chain | cycle
