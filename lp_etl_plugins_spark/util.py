@@ -144,3 +144,14 @@ def asof_join(
     return carried.filter(F.col("__tag") == 1).select(
         "__l.*", *[F.col(f"__c.{c}").alias(c) for c in payload]
     )
+
+
+def write_partitioned(df: DataFrame, path: str, keys: list[str]) -> None:
+    """Persist hive-partitioned parquet (one directory level per key).
+    Queries filtering on the partition keys scan only the matching
+    directories — partition pruning, the coarsest and cheapest filter
+    at 100 TB (the plan shows the predicate under PartitionFilters,
+    asserted in tests/test_scale.py). Partition keys must be
+    low-cardinality (source, date, language), never high-cardinality
+    ids — one directory per value."""
+    df.write.mode("overwrite").partitionBy(*keys).parquet(path)

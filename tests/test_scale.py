@@ -194,3 +194,21 @@ def test_quota_sample_two_phase_matches_global_window(spark):
     want = {(r.grp, r.id, r.sample_rank) for r in naive.collect()}
     assert got == want
     assert len(got) == 7 + 7
+
+
+def test_partitioned_write_prunes_partitions(spark, tmp_path):
+    """Partition pruning: a filter on the hive-partition key appears
+    under PartitionFilters (directory-level pruning), not as a data
+    filter over every file."""
+    from lp_etl_plugins_spark.tables import load_table
+    from lp_etl_plugins_spark.util import write_partitioned
+
+    path = str(tmp_path / "docs_by_source")
+    write_partitioned(load_table(spark, SF, "documents"), path, ["source"])
+
+    one = spark.read.parquet(path).filter(F.col("source") == "src3")
+    one.collect()
+    plan = _executed_plan(one)
+    pf = plan.split("PartitionFilters:")[1].split("]")[0]
+    assert "source" in pf, plan
+    assert "PushedFilters: []" in plan or "source" not in plan.split("PushedFilters:")[1].split("]")[0]
