@@ -37,6 +37,7 @@ __all__ = [
     "dedup_events",
     "enriched_nation_counts",
     "click_purchase_join",
+    "write_stream_parquet",
     "with_watermark",
 ]
 
@@ -243,4 +244,30 @@ def enriched_nation_counts(
             "n_events",
             "sum_value",
         )
+    )
+
+
+def write_stream_parquet(
+    stream: DataFrame,
+    path: str,
+    checkpoint: str,
+    query_name: str = "parquet_sink",
+):
+    """Checkpointed append-mode parquet sink — the durable end of a
+    streaming pipeline. The checkpoint directory carries offsets +
+    sink commit log, so a killed-and-restarted query resumes from the
+    last committed micro-batch and the file sink's manifest hides any
+    uncommitted output: end-to-end exactly-once for file sources →
+    file sink (asserted by the kill/restart test in
+    tests/test_streaming.py). availableNow trigger — drain what
+    exists, then stop — the batch-backfill idiom that shares this one
+    code path with continuous runs."""
+    return (
+        stream.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .queryName(query_name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
     )
