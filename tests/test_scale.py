@@ -212,3 +212,32 @@ def test_partitioned_write_prunes_partitions(spark, tmp_path):
     pf = plan.split("PartitionFilters:")[1].split("]")[0]
     assert "source" in pf, plan
     assert "PushedFilters: []" in plan or "source" not in plan.split("PushedFilters:")[1].split("]")[0]
+
+
+def test_no_accidental_cross_products(spark):
+    """Sweep every inventory query's physical plan: CartesianProduct
+    must never appear, and BroadcastNestedLoopJoin only where a
+    bounded side makes it the intended plan — the 1-row scalar
+    broadcasts (t11/t14/t17 join a count aggregate with no key), the
+    VALUES/UNDEF non-equi join (g4, constant inline table), and the
+    brute-force kNN verifier (v1/v8, probes broadcast by design).
+    Catches any future query that silently degenerates into an
+    all-pairs join."""
+    from lp_etl_plugins_spark import inventory
+
+    bnlj_ok = {
+        "g4_values_undef",
+        "t11_ngram_jaccard",
+        "t14_containment",
+        "t17_boilerplate_scrub",
+        "v1_knn_bruteforce",
+        "v8_ann_recall",
+    }
+    flagged = {}
+    for name, fn in sorted(inventory.all_queries().items()):
+        plan = fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
+        if "CartesianProduct" in plan:
+            flagged[name] = "CartesianProduct"
+        elif "BroadcastNestedLoopJoin" in plan and name not in bnlj_ok:
+            flagged[name] = "BroadcastNestedLoopJoin"
+    assert not flagged, flagged
