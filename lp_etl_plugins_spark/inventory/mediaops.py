@@ -157,11 +157,65 @@ FROM per_media
 """
 
 
+def m5_media_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal composition — media similarity retrieval: blobs →
+    Arrow-batched histogram features (extract_features) → the 16-bin
+    histogram used as an embedding → exact cosine top-3 per probe
+    (vectorops.knn_bruteforce, probes = media_id < 5). This is the
+    image-dedup/retrieval topology of a multimodal training pipeline
+    with the codec stubbed: feature extraction and the ANN join are
+    real; only pixel decoding is fake. The oracle regenerates the
+    histograms from the payload formula and recomputes the same
+    normalized dot products."""
+    from .. import vectorops as V
+
+    media = synthetic_media(spark, 200)
+    emb = extract_features(media, bins=16).select("media_id", "hist")
+    probes = emb.filter(F.col("media_id") < 5)
+    return V.knn_bruteforce(emb, probes, 3, id_col="media_id", vec_col="hist")
+
+
+_HIST_ENTRIES = ", ".join(
+    f"sum(CASE WHEN bin = {b} THEN 1 ELSE 0 END)::DOUBLE / any_value(n)"
+    for b in range(16)
+)
+
+M5_SQL = f"""
+WITH {_m_cte(200)},
+bytes AS (
+  SELECT m.media_id,
+         ((m.media_id * 31 + j.j * 7) % 251) // 16 AS bin,
+         m.width * m.height * m.channels AS n
+  FROM m, unnest(generate_series(0, m.width * m.height * m.channels - 1)) AS j(j)
+),
+hist AS (
+  SELECT media_id, [{_HIST_ENTRIES}] AS h
+  FROM bytes GROUP BY media_id
+),
+e AS (
+  SELECT media_id,
+         list_transform(h, x -> x / sqrt(list_dot_product(h, h))) AS v
+  FROM hist
+),
+scored AS (
+  SELECT p.media_id AS probe_id, c.media_id AS neighbor_id,
+         round(list_dot_product(p.v, c.v), 6) AS cos
+  FROM e p JOIN e c ON p.media_id < 5 AND c.media_id != p.media_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT probe_id, neighbor_id, cos, rank FROM ranked WHERE rank <= 3
+"""
+
+
 QUERIES = {
     "m1_media_decode": m1_media_decode,
     "m2_frame_sample": m2_frame_sample,
     "m3_media_features": m3_media_features,
     "m4_decode_vs_formula": m4_decode_vs_formula,
+    "m5_media_knn": m5_media_knn,
 }
 
 ORACLES: dict[str, str] = {
@@ -169,4 +223,5 @@ ORACLES: dict[str, str] = {
     "m2_frame_sample": M2_SQL,
     "m3_media_features": M3_SQL,
     "m4_decode_vs_formula": M4_SQL,
+    "m5_media_knn": M5_SQL,
 }

@@ -232,6 +232,7 @@ def test_no_accidental_cross_products(spark):
         "t17_boilerplate_scrub",
         "v1_knn_bruteforce",
         "v8_ann_recall",
+        "m5_media_knn",
     }
     flagged = {}
     for name, fn in sorted(inventory.all_queries().items()):
