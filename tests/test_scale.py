@@ -242,3 +242,19 @@ def test_no_accidental_cross_products(spark):
         elif "BroadcastNestedLoopJoin" in plan and name not in bnlj_ok:
             flagged[name] = "BroadcastNestedLoopJoin"
     assert not flagged, flagged
+
+
+def test_quota_sample_invariant_to_input_partitioning(spark):
+    """The sample is content-addressed: phase 1's partition-local prune
+    depends on the physical layout, but the final selection must not —
+    any repartitioning yields the identical sampled set."""
+    from lp_etl_plugins_spark.textops import quota_sample
+
+    rows = [("g%d" % (i % 3), i) for i in range(300)]
+    df = spark.createDataFrame(rows, "grp string, id long")
+    results = []
+    for n in (1, 4, 32):
+        got = quota_sample(df.repartition(n), "grp", "id", k=9)
+        results.append({(r.grp, r.id, r.sample_rank) for r in got.collect()})
+    assert results[0] == results[1] == results[2]
+    assert len(results[0]) == 27
