@@ -534,8 +534,9 @@ def t14_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-T14_SQL = """
-WITH grams AS (
+# Shared CTE body for t14/t20: hashed char-3-gram sets, df-pruned
+# candidate pairs, and the containment-thresholded pair set.
+_T14_BODY = """grams AS (
   SELECT DISTINCT doc_id AS id,
          ('0x' || substring(md5(substring(lower(trim(text)), i, 3)), 1, 8))::BIGINT AS g
   FROM documents, unnest(generate_series(1, length(lower(trim(text))) - 2)) t(i)
@@ -556,13 +557,18 @@ inter AS (
   JOIN grams ga ON ga.id = c.id_a
   JOIN grams gb ON gb.id = c.id_b AND gb.g = ga.g
   GROUP BY c.id_a, c.id_b
-)
-SELECT inter.id_a, inter.id_b,
-       round(i::DOUBLE / least(na.n, nb.n), 6) AS containment
-FROM inter
-JOIN sizes na ON na.id = inter.id_a
-JOIN sizes nb ON nb.id = inter.id_b
-WHERE round(i::DOUBLE / least(na.n, nb.n), 6) >= 0.8
+),
+pairs AS (
+  SELECT inter.id_a, inter.id_b,
+         round(i::DOUBLE / least(na.n, nb.n), 6) AS containment
+  FROM inter
+  JOIN sizes na ON na.id = inter.id_a
+  JOIN sizes nb ON nb.id = inter.id_b
+  WHERE round(i::DOUBLE / least(na.n, nb.n), 6) >= 0.8
+)"""
+
+T14_SQL = "WITH " + _T14_BODY + """
+SELECT id_a, id_b, containment FROM pairs
 """
 
 
@@ -783,6 +789,134 @@ ORDER BY n_occurrences DESC, word ASC LIMIT 100
 """
 
 
+def t20_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination — the eval-leakage sweep every
+    training corpus needs: treating source 'src0' as the benchmark
+    set, a training doc is contaminated when its gram-set containment
+    with any benchmark doc reaches 0.8 (t14's near-containment
+    machinery — excerpts and quotes count, not just near-identical
+    docs). Entirely expression-level: the t14 pair mine plus one side
+    classification join and a per-source keep/drop summary.
+    → (source, n_docs, n_contaminated, n_kept) for training sources."""
+    docs = _docs(spark, sf_dir)
+    pairs = T.ngram_containment_pairs(
+        docs, "text", "doc_id", n=3, max_df_frac=0.05, threshold=0.8
+    )
+    side = docs.select(
+        "doc_id", (F.col("source") == "src0").alias("is_bench")
+    )
+    a = side.select(F.col("doc_id").alias("id_a"), F.col("is_bench").alias("ba"))
+    b = side.select(F.col("doc_id").alias("id_b"), F.col("is_bench").alias("bb"))
+    marked = pairs.join(a, "id_a").join(b, "id_b")
+    # a TRAIN doc paired with a BENCH doc (either pair order) is out
+    contaminated = (
+        marked.select(
+            F.when(~F.col("ba") & F.col("bb"), F.col("id_a"))
+            .when(F.col("ba") & ~F.col("bb"), F.col("id_b"))
+            .alias("doc_id")
+        )
+        .filter(F.col("doc_id").isNotNull())
+        .distinct()
+    )
+    train = docs.filter(F.col("source") != "src0")
+    flagged = train.join(
+        contaminated.withColumn("is_contam", F.lit(True)), "doc_id", "left"
+    )
+    return flagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count("is_contam").alias("n_contaminated"),
+        (F.count(F.lit(1)) - F.count("is_contam")).alias("n_kept"),
+    )
+
+
+T20_SQL = (
+    "WITH " + _T14_BODY + """,
+marked AS (
+  SELECT p.id_a, p.id_b, da.source = 'src0' AS ba, db.source = 'src0' AS bb
+  FROM pairs p
+  JOIN documents da ON da.doc_id = p.id_a
+  JOIN documents db ON db.doc_id = p.id_b
+),
+contaminated AS (
+  SELECT DISTINCT CASE WHEN NOT ba AND bb THEN id_a
+                       WHEN ba AND NOT bb THEN id_b END AS doc_id
+  FROM marked
+  WHERE (NOT ba AND bb) OR (ba AND NOT bb)
+)
+SELECT d.source, count(*) AS n_docs,
+       count(c.doc_id) AS n_contaminated,
+       (count(*) - count(c.doc_id)) AS n_kept
+FROM documents d
+LEFT JOIN contaminated c ON c.doc_id = d.doc_id
+WHERE d.source != 'src0'
+GROUP BY d.source
+"""
+)
+
+
+def t21_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition (the Gopher/C4 quality signal): the
+    fraction of a doc's word 3-grams that are repeats of an earlier
+    3-gram in the same doc — high values mark boilerplate loops and
+    degenerate generations. Pure narrow expressions (one shingle array
+    + one distinct count per doc), one per-source aggregate; averages
+    from exact scaled-integer sums.
+    → (source, n_docs, n_repetitive, avg_repetition)."""
+    docs = _docs(spark, sf_dir)
+    sh = T.shingles(T.normalized_words("text"), 3)
+    total = F.size(sh)
+    rep = F.when(
+        total > 0,
+        (total - F.size(F.array_distinct(sh))).cast("double") / total,
+    ).otherwise(F.lit(0.0))
+    scored = docs.select(
+        "source", F.round(rep, 6).alias("repetition")
+    )
+    r6 = F.round(F.col("repetition") * 1e6).cast("long")
+    return (
+        scored.withColumn("r6", r6)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count(F.when(F.col("repetition") > 0.2, 1)).alias("n_repetitive"),
+            F.round(
+                F.sum("r6").cast("double") / (F.count(F.lit(1)) * F.lit(1e6)), 6
+            ).alias("avg_repetition"),
+        )
+    )
+
+
+T21_SQL = r"""
+WITH words AS (
+  SELECT doc_id, source,
+         regexp_split_to_array(lower(trim(text)), '\s+') AS ws
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, source,
+         CASE WHEN len(ws) >= 3 THEN len(ws) - 2 ELSE 0 END AS total,
+         CASE WHEN len(ws) >= 3 THEN (
+           SELECT count(DISTINCT array_to_string(ws[i:i+2], ' '))
+           FROM unnest(generate_series(1, len(ws) - 2)) AS g(i)
+         ) ELSE 0 END AS n_distinct
+  FROM words
+),
+scored AS (
+  SELECT source,
+         round(CASE WHEN total > 0
+                    THEN (total - n_distinct)::DOUBLE / total
+                    ELSE 0.0 END, 6) AS repetition
+  FROM sh
+)
+SELECT source, count(*) AS n_docs,
+       count(CASE WHEN repetition > 0.2 THEN 1 END) AS n_repetitive,
+       round(sum(round(repetition * 1e6))::DOUBLE / (count(*) * 1e6), 6)
+         AS avg_repetition
+FROM scored
+GROUP BY source
+"""
+
+
 QUERIES = {
     "t1_exact_dedup": t1_exact_dedup,
     "t2_fingerprint_dedup": t2_fingerprint_dedup,
@@ -803,6 +937,8 @@ QUERIES = {
     "t17_boilerplate_scrub": t17_boilerplate_scrub,
     "t18_length_profile": t18_length_profile,
     "t19_vocab_topk": t19_vocab_topk,
+    "t20_decontaminate": t20_decontaminate,
+    "t21_repetition_score": t21_repetition_score,
 }
 
 ORACLES = {
@@ -825,4 +961,6 @@ ORACLES = {
     "t17_boilerplate_scrub": T17_SQL,
     "t18_length_profile": T18_SQL,
     "t19_vocab_topk": T19_SQL,
+    "t20_decontaminate": T20_SQL,
+    "t21_repetition_score": T21_SQL,
 }

@@ -218,7 +218,7 @@ def test_no_accidental_cross_products(spark):
     """Sweep every inventory query's physical plan: CartesianProduct
     must never appear, and BroadcastNestedLoopJoin only where a
     bounded side makes it the intended plan — the 1-row scalar
-    broadcasts (t11/t14/t17 join a count aggregate with no key), the
+    broadcasts (t11/t14/t17/t20 join a count aggregate with no key), the
     VALUES/UNDEF non-equi join (g4, constant inline table), and the
     brute-force kNN verifier (v1/v8, probes broadcast by design).
     Catches any future query that silently degenerates into an
@@ -230,6 +230,7 @@ def test_no_accidental_cross_products(spark):
         "t11_ngram_jaccard",
         "t14_containment",
         "t17_boilerplate_scrub",
+        "t20_decontaminate",
         "v1_knn_bruteforce",
         "v8_ann_recall",
         "m5_media_knn",
