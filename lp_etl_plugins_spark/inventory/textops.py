@@ -917,6 +917,59 @@ GROUP BY source
 """
 
 
+def t22_edit_distance_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level near-dup confirmation: exact Levenshtein
+    distance over the MinHash-LSH candidate pairs only, kept when the
+    distance is within 25% of the shorter text — the verifier of
+    choice for short documents, where token-set Jaccard is too coarse
+    (a one-word swap moves Jaccard a lot but edit distance a little).
+    O(len²) per PAIR, but only candidate pairs ever reach it — the
+    same candidates-only discipline as t4/t11.
+    → (id_a, id_b, edit_dist, rel_dist)."""
+    docs = _docs(spark, sf_dir)
+    sigs = T.minhash_signatures(
+        T._doc_shingles(docs, "text", "doc_id", _SHINGLE_N, distinct=False), _K
+    )
+    pairs = T.lsh_candidate_pairs(sigs, _BANDS, _ROWS)
+    texts = docs.select("doc_id", "text")
+    a = texts.select(F.col("doc_id").alias("id_a"), F.col("text").alias("ta"))
+    b = texts.select(F.col("doc_id").alias("id_b"), F.col("text").alias("tb"))
+    scored = (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.levenshtein("ta", "tb").cast("bigint").alias("edit_dist"),
+            F.least(F.length("ta"), F.length("tb")).cast("bigint").alias("min_len"),
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "edit_dist",
+            F.round(F.col("edit_dist").cast("double") / F.col("min_len"), 6).alias(
+                "rel_dist"
+            ),
+        )
+    )
+    return scored.filter(F.col("rel_dist") <= 0.25)
+
+
+T22_SQL = "WITH " + _SH_SQL + "," + _CAND_SQL + """
+SELECT id_a, id_b, edit_dist,
+       round(edit_dist::DOUBLE / min_len, 6) AS rel_dist
+FROM (
+  SELECT c.id_a, c.id_b,
+         levenshtein(da.text, db.text)::BIGINT AS edit_dist,
+         least(length(da.text), length(db.text))::BIGINT AS min_len
+  FROM cand c
+  JOIN documents da ON da.doc_id = c.id_a
+  JOIN documents db ON db.doc_id = c.id_b
+)
+WHERE round(edit_dist::DOUBLE / min_len, 6) <= 0.25
+"""
+
+
 QUERIES = {
     "t1_exact_dedup": t1_exact_dedup,
     "t2_fingerprint_dedup": t2_fingerprint_dedup,
@@ -939,6 +992,7 @@ QUERIES = {
     "t19_vocab_topk": t19_vocab_topk,
     "t20_decontaminate": t20_decontaminate,
     "t21_repetition_score": t21_repetition_score,
+    "t22_edit_distance_verify": t22_edit_distance_verify,
 }
 
 ORACLES = {
@@ -963,4 +1017,5 @@ ORACLES = {
     "t19_vocab_topk": T19_SQL,
     "t20_decontaminate": T20_SQL,
     "t21_repetition_score": T21_SQL,
+    "t22_edit_distance_verify": T22_SQL,
 }
