@@ -449,6 +449,104 @@ GROUP BY r_name
 """
 
 
+def a7_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-level aggregation in ONE pass (rollup/grouping-sets — the
+    OLAP family the reference lacks): order revenue by
+    (nation, market segment), per-nation subtotals, and the grand
+    total, disambiguated by grouping_id. Spark plans a single Expand +
+    hash aggregate with map-side partials — one shuffle for all three
+    levels, not three queries. Revenue sums exact cents (o_totalprice
+    is 2-decimal), so partition summation order cannot move the
+    rounded output."""
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    joined = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.col("c_mktsegment").alias("segment"),
+            cents.alias("cents"),
+        )
+    )
+    return (
+        joined.rollup("nation", "segment")
+        .agg(
+            F.grouping_id().cast("bigint").alias("level"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("cents").cast("double") / 100.0, 2).alias("revenue"),
+        )
+        .select("nation", "segment", "level", "n_orders", "revenue")
+    )
+
+
+A7_SQL = """
+SELECT n_name AS nation, c_mktsegment AS segment,
+       (CASE WHEN GROUPING(c_mktsegment) = 1 THEN 1 ELSE 0 END
+        + CASE WHEN GROUPING(n_name) = 1 THEN 2 ELSE 0 END)::BIGINT AS level,
+       count(*) AS n_orders,
+       round(sum(round(o_totalprice * 100)::BIGINT)::DOUBLE / 100.0, 2) AS revenue
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY ROLLUP(n_name, c_mktsegment)
+"""
+
+
+def j11_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 build (temporal versioning the
+    reference lacks): collapse each user's event stream into validity
+    intervals of their current event_type — a new version starts when
+    the type CHANGES, valid_to = next version's start (NULL = current).
+    Two windows over one key partition: lag() marks change rows,
+    lead() over the changes closes each interval. One shuffle on
+    user_id, no self-join.
+    → (user_id, event_type, valid_from, valid_to, version)."""
+    events = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_timestamp("ts").alias("t"),
+        "event_id",
+    )
+    w = W.partitionBy("user_id").orderBy("t", "event_id")
+    changed = events.withColumn("prev_type", F.lag("event_type").over(w)).filter(
+        F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type"))
+    )
+    wc = W.partitionBy("user_id").orderBy("t", "event_id")
+    return changed.select(
+        "user_id",
+        "event_type",
+        F.col("t").alias("valid_from"),
+        F.lead("t").over(wc).alias("valid_to"),
+        F.row_number().over(wc).cast("bigint").alias("version"),
+    )
+
+
+J11_SQL = """
+WITH base AS (
+  SELECT user_id, event_type, floor(epoch(ts))::BIGINT AS t, event_id
+  FROM events
+),
+o AS (
+  -- order by the TRUNCATED epoch + event_id, exactly like the Spark
+  -- window: ordering by raw ts would break same-second ties differently
+  SELECT user_id, event_type, t, event_id,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY t, event_id) AS prev_type
+  FROM base
+),
+changed AS (
+  SELECT user_id, event_type, t, event_id
+  FROM o WHERE prev_type IS NULL OR prev_type != event_type
+)
+SELECT user_id, event_type, t AS valid_from,
+       lead(t) OVER (PARTITION BY user_id ORDER BY t, event_id) AS valid_to,
+       row_number() OVER (PARTITION BY user_id ORDER BY t, event_id) AS version
+FROM changed
+"""
+
+
 # --------------------------------------------------------------------------
 # A5/W1 — row number in stable order (Mapper.java:32,85)
 # --------------------------------------------------------------------------
@@ -668,6 +766,8 @@ QUERIES = {
     "a2_distinct_projection": a2_distinct_projection,
     "a3_scalar_first": a3_scalar_first,
     "a4_collect_concat": a4_collect_concat,
+    "a7_rollup_revenue": a7_rollup_revenue,
+    "j11_scd2_intervals": j11_scd2_intervals,
     "w1_row_number": w1_row_number,
     "u1_union": u1_union,
     "u2_last_wins_dedup": u2_last_wins_dedup,
@@ -692,6 +792,8 @@ ORACLES = {
     "a2_distinct_projection": A2_SQL,
     "a3_scalar_first": A3_SQL,
     "a4_collect_concat": A4_SQL,
+    "a7_rollup_revenue": A7_SQL,
+    "j11_scd2_intervals": J11_SQL,
     "w1_row_number": W1_SQL,
     "u1_union": U1_SQL,
     "u2_last_wins_dedup": U2_SQL,
