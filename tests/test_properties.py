@@ -171,3 +171,40 @@ def test_triples_repo_roundtrip_property(spark, tmp_path_factory, rows):
     assert sorted(map(tuple, back.collect()), key=_key) == sorted(
         map(tuple, triples.collect()), key=_key
     )
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(  # left rows: (key, time)
+        st.tuples(st.sampled_from("abc"), st.integers(0, 50)),
+        min_size=1, max_size=20,
+    ),
+    st.lists(  # right rows: (key, time, rid)
+        st.tuples(st.sampled_from("abc"), st.integers(0, 50), st.integers(0, 99)),
+        min_size=0, max_size=20, unique_by=lambda r: r[2],
+    ),
+)
+def test_asof_join_matches_reference(spark, lefts, rights):
+    """The union-tag-sort carry-forward equals the quadratic reference
+    on random inputs: per left row, the right row with the greatest
+    (time <= left time), ties broken to the greatest rid."""
+    from lp_etl_plugins_spark.util import asof_join
+
+    left = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(lefts)], "k string, lt long, lid long"
+    )
+    right = spark.createDataFrame(rights, "k string, rt long, rid long")
+
+    got = {
+        r["lid"]: r["rid"]
+        for r in asof_join(
+            left, right, key="k", left_time="lt", right_time="rt",
+            payload=["rid"], tiebreak="rid",
+        ).collect()
+    }
+
+    want = {}
+    for i, (k, t) in enumerate(lefts):
+        cands = [(rt, rid) for (rk, rt, rid) in rights if rk == k and rt <= t]
+        want[i] = max(cands)[1] if cands else None
+    assert got == want
