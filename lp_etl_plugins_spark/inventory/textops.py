@@ -332,10 +332,12 @@ SELECT cluster, count(*)::BIGINT AS n_docs FROM (
 def t11_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character-3-gram Jaccard near-dup pairs via a df-pruned
     inverted-index join (the deterministic sibling of t3/t4's
-    MinHash-LSH): stop-grams (df > 5% of corpus) are dropped from the
-    candidate index, exact Jaccard ≥ 0.65 verified on full gram sets
-    over candidates only. Grams are md5-hashed 32-bit ints in BOTH
-    engines (see textops.ngram_jaccard_pairs)."""
+    MinHash-LSH): stop-grams (df > min(64, 5% of corpus)) are dropped
+    from the candidate index — the absolute cap bounds per-gram pair
+    expansion independent of corpus size — exact Jaccard ≥ 0.65
+    verified on full gram sets over candidates only. Grams are
+    md5-hashed 32-bit ints in BOTH engines (see
+    textops.ngram_jaccard_pairs)."""
     out = T.ngram_jaccard_pairs(
         _docs(spark, sf_dir), "text", "doc_id", n=3, max_df_frac=0.05, threshold=0.65
     )
@@ -351,7 +353,7 @@ WITH grams AS (
 dfreq AS (SELECT g, count(*) AS c FROM grams GROUP BY g),
 rare AS (
   SELECT id, g FROM grams JOIN dfreq USING (g)
-  WHERE c <= ceil(0.05 * (SELECT count(*) FROM documents))
+  WHERE c <= least(64, ceil(0.05 * (SELECT count(*) FROM documents)))
 ),
 cand AS (
   SELECT DISTINCT a.id AS id_a, b.id AS id_b
@@ -544,7 +546,7 @@ _T14_BODY = """grams AS (
 dfreq AS (SELECT g, count(*) AS c FROM grams GROUP BY g),
 rare AS (
   SELECT id, g FROM grams JOIN dfreq USING (g)
-  WHERE c <= ceil(0.05 * (SELECT count(*) FROM documents))
+  WHERE c <= least(64, ceil(0.05 * (SELECT count(*) FROM documents)))
 ),
 cand AS (
   SELECT DISTINCT a.id AS id_a, b.id AS id_b

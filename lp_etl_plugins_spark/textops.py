@@ -246,6 +246,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     max_df_frac: float = 0.05,
     threshold: float = 0.65,
+    max_df: int = 64,
 ) -> DataFrame:
     """Character-n-gram Jaccard near-dup pairs via an inverted-index
     join with document-frequency pruning — the non-probabilistic
@@ -254,12 +255,16 @@ def ngram_jaccard_pairs(
     Plan shape (the 100 TB argument):
     1. inverted index (id, gram), one explode — no shuffle yet;
     2. stop-gram pruning: grams appearing in more than
-       ``max_df_frac`` of the corpus are dropped from the INDEX (not
-       from the verify step). The df threshold comes from a 1-row
-       aggregate broadcast into the plan — no driver action. This is
-       what bounds the self-join: candidate pairs only materialize for
-       docs sharing a RARE gram, and rare-gram postings lists are
-       short by construction, so the gram self-join never explodes.
+       ``min(max_df, ceil(max_df_frac * N))`` documents are dropped
+       from the INDEX (not from the verify step). The ABSOLUTE cap
+       ``max_df`` is the scale guarantee: a posting list is at most
+       ``max_df`` ids long, so the in-array pair expansion emits at
+       most C(max_df, 2) pairs per gram — a constant, independent of
+       corpus size N. (A fraction-only cutoff admits postings of
+       length 0.05·N and O((0.05·N)²) pairs — quadratic at 100 TB.)
+       The fractional term still governs small corpora, where
+       ``ceil(frac·N) < max_df``. The threshold comes from a 1-row
+       aggregate broadcast into the plan — no driver action.
        Recall semantics are explicit: pairs whose overlap is entirely
        stop-grams are not candidates (standard df-pruning trade-off,
        mirrored exactly by the oracle);
@@ -276,15 +281,18 @@ def ngram_jaccard_pairs(
     Skew: a still-hot rare gram is a fat join group — AQE skew-join
     splits it; the prune threshold is the structural control.
     → (id_a, id_b, jaccard ≥ threshold)."""
-    cand, sets = _pruned_gram_candidates(df, text_col, id_col, n, max_df_frac)
+    cand, sets = _pruned_gram_candidates(df, text_col, id_col, n, max_df_frac, max_df)
     return jaccard_over_candidates(cand, sets, threshold=threshold)
 
 
 def _pruned_gram_candidates(
-    df: DataFrame, text_col: str, id_col: str, n: int, max_df_frac: float
+    df: DataFrame, text_col: str, id_col: str, n: int, max_df_frac: float, max_df: int = 64
 ) -> tuple[DataFrame, DataFrame]:
-    """Shared candidate substrate for t11/t14: hashed char-n-gram sets
-    per doc plus the df-pruned inverted-index candidate pairs.
+    """Shared candidate substrate for t11/t14/t20: hashed char-n-gram
+    sets per doc plus the df-pruned inverted-index candidate pairs.
+    Posting lists are bounded by ``min(max_df, ceil(max_df_frac·N))``
+    — the absolute term makes per-gram pair expansion O(max_df²), a
+    constant w.r.t. corpus size (see :func:`ngram_jaccard_pairs`).
     → (cand: (id_a < id_b), sets: (id, grams array<bigint>))."""
     hashed = F.array_distinct(
         F.transform(
@@ -306,7 +314,10 @@ def _pruned_gram_candidates(
         grams.groupBy("g")
         .agg(F.count(F.lit(1)).alias("df_g"))
         .join(F.broadcast(n_docs))
-        .filter(F.col("df_g") <= F.ceil(F.lit(max_df_frac) * F.col("n_total")))
+        .filter(
+            F.col("df_g")
+            <= F.least(F.lit(max_df), F.ceil(F.lit(max_df_frac) * F.col("n_total")))
+        )
         .select("g")
     )
     # pass 2 — posting lists for RARE grams only (broadcast semi-join
@@ -342,6 +353,7 @@ def ngram_containment_pairs(
     n: int = 3,
     max_df_frac: float = 0.05,
     threshold: float = 0.8,
+    max_df: int = 64,
 ) -> DataFrame:
     """Near-CONTAINMENT detection — the decontamination primitive: find
     documents whose gram set is (nearly) a subset of another's
@@ -353,7 +365,7 @@ def ngram_containment_pairs(
     :func:`ngram_jaccard_pairs` (df-pruned inverted index, compact
     array-intersect verify).
     → (id_a, id_b, containment ≥ threshold)."""
-    cand, sets = _pruned_gram_candidates(df, text_col, id_col, n, max_df_frac)
+    cand, sets = _pruned_gram_candidates(df, text_col, id_col, n, max_df_frac, max_df)
     a = sets.select(F.col("id").alias("id_a"), F.col("grams").alias("ga"))
     b = sets.select(F.col("id").alias("id_b"), F.col("grams").alias("gb"))
     out = (
