@@ -61,6 +61,15 @@ def v2_knn_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return V.knn_bucketed(emb, probes, _K, bits=_BITS)
 
 
+_RAW_E = """
+  SELECT vec_id, embedding::DOUBLE[] AS nv,
+    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nn,
+    (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END
+     + CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END
+     + CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END) AS bucket
+  FROM embeddings
+"""
+
 V2_SQL = f"""
 WITH e AS (
   SELECT vec_id,
@@ -71,10 +80,11 @@ WITH e AS (
      + CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END) AS bucket
   FROM embeddings
 ),
+c AS ({_RAW_E}),
 scored AS (
   SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
-    round(list_dot_product(p.v, c.v), 6) AS cos
-  FROM e p JOIN e c ON p.bucket = c.bucket
+    round(list_dot_product(p.v, c.nv) / c.nn, 6) AS cos
+  FROM e p JOIN c ON p.bucket = c.bucket
   WHERE p.vec_id < {_PROBE_LIMIT} AND c.vec_id != p.vec_id
 ),
 ranked AS (
@@ -138,13 +148,14 @@ assign AS (
   ) t WHERE rn = 1
 ),
 e AS ({_NORM_E}),
+er AS ({_RAW_E}),
 scored AS (
   SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
-    round(list_dot_product(p.v, c.v), 6) AS cos
+    round(list_dot_product(p.v, c.nv) / c.nn, 6) AS cos
   FROM e p
   JOIN assign pa ON pa.id = p.vec_id
   JOIN assign ca ON ca.bucket = pa.bucket
-  JOIN e c ON c.vec_id = ca.id AND c.vec_id != p.vec_id
+  JOIN er c ON c.vec_id = ca.id AND c.vec_id != p.vec_id
   WHERE p.vec_id < {_PROBE_LIMIT}
 ),
 ranked AS (
@@ -186,13 +197,14 @@ ranked0 AS (
 assign AS (SELECT id, bucket FROM ranked0 WHERE rn = 1),
 probe_assign AS (SELECT id, bucket FROM ranked0 WHERE rn <= 2),
 e AS ({_NORM_E}),
+er AS ({_RAW_E}),
 scored AS (
   SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
-    round(list_dot_product(p.v, c.v), 6) AS cos
+    round(list_dot_product(p.v, c.nv) / c.nn, 6) AS cos
   FROM e p
   JOIN probe_assign pa ON pa.id = p.vec_id
   JOIN assign ca ON ca.bucket = pa.bucket
-  JOIN e c ON c.vec_id = ca.id AND c.vec_id != p.vec_id
+  JOIN er c ON c.vec_id = ca.id AND c.vec_id != p.vec_id
   WHERE p.vec_id < {_PROBE_LIMIT}
 ),
 ranked AS (
@@ -340,14 +352,15 @@ exact AS (
     FROM e p JOIN e c ON p.vec_id < {_PROBE_LIMIT} AND c.vec_id != p.vec_id
   ) r WHERE rank <= {_K}
 ),
+er AS ({_RAW_E}),
 approx AS (
   SELECT probe_id, neighbor_id FROM (
     SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
       row_number() OVER (
         PARTITION BY p.vec_id
-        ORDER BY round(list_dot_product(p.v, c.v), 6) DESC, c.vec_id
+        ORDER BY round(list_dot_product(p.v, c.nv) / c.nn, 6) DESC, c.vec_id
       ) AS rank
-    FROM e p JOIN e c ON p.bucket = c.bucket
+    FROM e p JOIN er c ON p.bucket = c.bucket
     WHERE p.vec_id < {_PROBE_LIMIT} AND c.vec_id != p.vec_id
   ) r WHERE rank <= {_K}
 )

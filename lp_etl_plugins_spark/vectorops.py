@@ -156,11 +156,15 @@ def knn_bucketed(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Approximate top-k: candidates restricted to the probe's coarse
-    bucket. The bucket id is the join key — a plain shuffled equi-join,
-    ~2^bits fewer candidate comparisons than brute force. Vectors are
-    unit-normalized before the bucket shuffle (the exchange
-    materializes the projection), so each candidate pair costs one dot
-    fold."""
+    bucket. The (small) probe side is normalized and broadcast — the
+    corpus never shuffles for the join; the only exchange is the
+    per-probe top-k window over the candidate set. The corpus side
+    carries its RAW vector plus a scalar norm (one fold per row, not
+    one normalize-transform per row — array HOFs are interpreted, so
+    a corpus-wide normalized projection was the measured 2× cost of
+    this query), and each candidate pair costs one dot fold plus one
+    divide: cos = dot(p/||p||, c) / ||c||. For probe-set ≈ corpus
+    near-dup mining use the self-join shape (v5), not this API."""
     p = probes.select(
         F.col(id_col).alias("probe_id"),
         unit_normalize(F.col(vec_col)).alias("probe_vec"),
@@ -168,16 +172,20 @@ def knn_bucketed(
     )
     c = embeddings.select(
         F.col(id_col).alias("neighbor_id"),
-        unit_normalize(F.col(vec_col)).alias("neighbor_vec"),
+        F.col(vec_col).alias("neighbor_vec"),
+        norm(F.col(vec_col)).alias("neighbor_norm"),
         sign_bucket(F.col(vec_col), bits).alias("bucket"),
     )
     scored = (
-        c.join(p, on="bucket")
+        c.join(F.broadcast(p), on="bucket")
         .filter(F.col("probe_id") != F.col("neighbor_id"))
         .select(
             "probe_id",
             "neighbor_id",
-            F.round(_dot(F.col("probe_vec"), F.col("neighbor_vec")), 6).alias("cos"),
+            F.round(
+                _dot(F.col("probe_vec"), F.col("neighbor_vec")) / F.col("neighbor_norm"),
+                6,
+            ).alias("cos"),
         )
     )
     win = W.partitionBy("probe_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
@@ -208,6 +216,24 @@ def assign_ivf_buckets(
     arg-min-``nprobe`` window. Distances are ranked on round(…, 6) with
     a centroid tie-break so the assignment is deterministic and
     oracle-checkable. → (id, bucket), ``nprobe`` rows per id."""
+    return (
+        _ivf_ranked(embeddings, seed_col, id_col, vec_col, nprobe)
+        .select("id", "bucket")
+    )
+
+
+def _ivf_ranked(
+    embeddings: DataFrame,
+    seed_col: str,
+    id_col: str,
+    vec_col: str,
+    max_rank: int,
+) -> DataFrame:
+    """Ranked IVF assignments (id, bucket, rn), rn ≤ ``max_rank`` —
+    :func:`assign_ivf_buckets`'s body, exposed so :func:`knn_ivf` can
+    derive BOTH the corpus assignment (rn=1) and a multi-list probe
+    fan-out (rn ≤ nprobe) from ONE computation instead of re-running
+    the posexplode + centroid join per side."""
     dims = embeddings.select(
         F.col(id_col).alias("id"),
         F.col(seed_col).alias("seed"),
@@ -232,8 +258,8 @@ def assign_ivf_buckets(
     win = W.partitionBy("id").orderBy(F.col("dist2"), F.col("bucket"))
     return (
         scored.withColumn("rn", F.row_number().over(win))
-        .filter(F.col("rn") <= nprobe)
-        .select("id", "bucket")
+        .filter(F.col("rn") <= max_rank)
+        .select("id", "bucket", "rn")
     )
 
 
@@ -250,29 +276,41 @@ def knn_ivf(
     nearest coarse lists (corpus vectors live in exactly one list, so
     no candidate duplicates). Equi-joins on the bucket id — candidate
     volume ≈ nprobe/n_lists of brute force; nprobe is the recall/cost
-    knob. Vectors are unit-normalized once per side before the bucket
-    join, so each candidate pair costs one dot fold."""
-    buckets = assign_ivf_buckets(embeddings, seed_col, id_col, vec_col)
-    probe_buckets = (
-        buckets
-        if nprobe == 1
-        else assign_ivf_buckets(embeddings, seed_col, id_col, vec_col, nprobe=nprobe)
+    knob.
+
+    The ranked assignment is computed ONCE and localCheckpoint-ed (the
+    IVF index build — the same build-the-index-once materialization as
+    the n-gram substrate): corpus lists are its rn=1 slice, the probe
+    fan-out its rn ≤ nprobe slice, so nprobe > 1 no longer re-runs the
+    posexplode + centroid join a second time. The corpus side of the
+    scoring join carries raw vector + scalar norm (one fold per row);
+    the probe side — normalized, tiny by contract — is broadcast, so
+    each candidate pair costs one dot fold plus a divide and the
+    corpus never shuffles for the join."""
+    ranked = _ivf_ranked(embeddings, seed_col, id_col, vec_col, nprobe).localCheckpoint(
+        eager=True
     )
+    buckets = ranked.filter(F.col("rn") == 1).select("id", "bucket")
+    probe_buckets = ranked.select("id", "bucket")
     c = embeddings.select(
         F.col(id_col).alias("neighbor_id"),
-        unit_normalize(F.col(vec_col)).alias("neighbor_vec"),
+        F.col(vec_col).alias("neighbor_vec"),
+        norm(F.col(vec_col)).alias("neighbor_norm"),
     ).join(buckets.withColumnRenamed("id", "neighbor_id"), on="neighbor_id")
     p = probes.select(
         F.col(id_col).alias("probe_id"),
         unit_normalize(F.col(vec_col)).alias("probe_vec"),
     ).join(probe_buckets.withColumnRenamed("id", "probe_id"), on="probe_id")
     scored = (
-        c.join(p, on="bucket")
+        c.join(F.broadcast(p), on="bucket")
         .filter(F.col("probe_id") != F.col("neighbor_id"))
         .select(
             "probe_id",
             "neighbor_id",
-            F.round(_dot(F.col("probe_vec"), F.col("neighbor_vec")), 6).alias("cos"),
+            F.round(
+                _dot(F.col("probe_vec"), F.col("neighbor_vec")) / F.col("neighbor_norm"),
+                6,
+            ).alias("cos"),
         )
     )
     win = W.partitionBy("probe_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
