@@ -297,7 +297,12 @@ def path_plus(
         reach = reach.unionByName(new).localCheckpoint()
         frontier = new
     else:
-        raise RuntimeError(f"path_plus: no fixpoint in {max_iter} iterations")
+        raise RuntimeError(
+            f"path_plus: no fixpoint after max_iter={max_iter} rounds — the "
+            f"graph has a (+)-path longer than {max_iter} hops over {preds}; "
+            "pass a larger max_iter (rounds cost O(|frontier|+|edges|) each, "
+            "so raising it is safe on acyclic-depth grounds)"
+        )
     return reach.select(
         F.col("s").alias(_var(start)), F.col("o").alias(_var(end))
     )

@@ -524,6 +524,12 @@ def quota_sample(df: DataFrame, group_col: str, id_col: str, k: int) -> DataFram
     group exactly. The global per-group top-k is always contained in
     the union of per-partition top-ks, so the result is identical to
     a single global window — asserted in tests/test_scale.py."""
+    reserved = {"__pid", "__rk", "sample_rank"} & set(df.columns)
+    if reserved:
+        raise ValueError(
+            f"quota_sample: input columns {sorted(reserved)} collide with "
+            "reserved working/output column names"
+        )
     h = F.md5(F.col(id_col).cast("string"))
     pre = df.withColumn("__pid", F.spark_partition_id())
     w1 = W.partitionBy(group_col, "__pid").orderBy(h.asc(), F.col(id_col).asc())

@@ -113,8 +113,15 @@ def asof_join(
     'at-or-before' includes same-instant matches.
 
     Output: every left column, plus the payload columns (caller
-    guarantees payload names don't collide with left's)."""
+    guarantees payload names don't collide with left's).
+
+    Right rows with a NULL ``right_time`` are excluded up front:
+    NULLs sort FIRST in the ascending carry-forward window, so an
+    unfiltered null-timestamped right row would masquerade as
+    earlier-than-everything and become the 'latest at-or-before'
+    match for left rows that have no real predecessor."""
     tiebreak = tiebreak or payload[0]
+    right = right.filter(F.col(right_time).isNotNull())
     r_struct = F.struct(*[F.col(c) for c in payload])
     r_type = right.select(r_struct.alias("__r")).schema["__r"].dataType
     l_struct = F.struct(*[F.col(c) for c in left.columns])

@@ -196,6 +196,16 @@ def test_quota_sample_two_phase_matches_global_window(spark):
     assert len(got) == 7 + 7
 
 
+def test_quota_sample_rejects_reserved_column_collisions(spark):
+    import pytest
+
+    from lp_etl_plugins_spark.textops import quota_sample
+
+    df = spark.createDataFrame([("g", 1, 2)], "grp string, id long, sample_rank long")
+    with pytest.raises(ValueError, match="sample_rank"):
+        quota_sample(df, "grp", "id", k=1)
+
+
 def test_partitioned_write_prunes_partitions(spark, tmp_path):
     """Partition pruning: a filter on the hive-partition key appears
     under PartitionFilters (directory-level pruning), not as a data

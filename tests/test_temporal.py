@@ -48,6 +48,21 @@ def test_asof_edges(spark):
     }
 
 
+def test_asof_null_right_time_is_excluded(spark):
+    # a NULL right_time sorts NULLS FIRST in the carry-forward window;
+    # without the up-front filter it would be attached as the "latest
+    # at-or-before" match for left rows that have no real predecessor
+    left = spark.createDataFrame([("a", 5, "a5")], "k string, lt long, name string")
+    right = spark.createDataFrame(
+        [("a", None, 1, 1.0)], "k string, rt long, rid long, rv double"
+    )
+    rows = asof_join(
+        left, right, key="k", left_time="lt", right_time="rt", payload=["rid", "rv"]
+    ).collect()
+    assert len(rows) == 1
+    assert (rows[0]["rid"], rows[0]["rv"]) == (None, None)
+
+
 def test_asof_keeps_all_left_columns_and_rows(spark):
     left = spark.createDataFrame(
         [("a", 1, "x", "extra")], "k string, lt long, name string, other string"
