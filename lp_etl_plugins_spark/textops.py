@@ -154,10 +154,25 @@ def minhash_signatures(doc_shingles: DataFrame, k: int) -> DataFrame:
     return proj.groupBy("id").agg(*aggs)
 
 
-def lsh_candidate_pairs(signatures: DataFrame, bands: int, rows: int) -> DataFrame:
+def lsh_candidate_pairs(
+    signatures: DataFrame, bands: int, rows: int, max_band_size: int | None = None
+) -> DataFrame:
     """Banded LSH: hash each band of ``rows`` signature slots to a band
     key, self-join per (band, key), keep ordered distinct pairs. The
-    join input is |docs| × bands rows; only same-key rows pair up."""
+    join input is |docs| × bands rows; only same-key rows pair up.
+
+    Skew control, two layers: a hot band group (boilerplate/empty
+    docs all sharing one key) is a fat equi-join key — AQE's skew-join
+    handles the *task-level* imbalance for free, but the pair COUNT is
+    still O(group²). ``max_band_size`` is the structural knob: band
+    groups larger than the cap are dropped from the index entirely
+    (the standard overfull-bucket skip in LSH/ANN practice — a group
+    of near-identical boilerplate is exact-dedup's job, not near-dup
+    mining's), bounding per-group pair expansion at C(cap, 2)
+    independent of corpus size — the same argument as the n-gram
+    substrate's absolute df cap. Docs paired ONLY through a dropped
+    group lose those candidates; mirror the cap in any oracle.
+    Default None preserves exact recall semantics."""
     band_structs = [
         F.struct(
             F.lit(b).alias("band"),
@@ -170,6 +185,14 @@ def lsh_candidate_pairs(signatures: DataFrame, bands: int, rows: int) -> DataFra
     banded = signatures.select(
         "id", F.explode(F.array(*band_structs)).alias("bk")
     ).select("id", "bk.band", "bk.key")
+    if max_band_size is not None:
+        kept = (
+            banded.groupBy("band", "key")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") <= max_band_size)
+            .select("band", "key")
+        )
+        banded = banded.join(kept, ["band", "key"], "left_semi")
     left = banded.alias("a")
     right = banded.alias("b")
     return (

@@ -196,6 +196,40 @@ def test_quota_sample_two_phase_matches_global_window(spark):
     assert len(got) == 7 + 7
 
 
+def test_lsh_band_cap_drops_only_overfull_groups(spark):
+    """max_band_size excises crowded band groups (bounding per-group
+    pair expansion at C(cap,2) regardless of corpus size) while pairs
+    from small groups survive untouched; a cap above every group size
+    is a no-op."""
+    from lp_etl_plugins_spark.textops import lsh_candidate_pairs
+
+    # bands=2, rows=2 -> slots h0..h3. Docs 0..11 are identical in
+    # both bands (a boilerplate cluster); docs 100/101 share only
+    # band 0; doc 102 matches nobody.
+    rows = [(i, "A", "A", "B", "B") for i in range(12)]
+    rows += [(100, "X", "X", "q", "r"), (101, "X", "X", "s", "t"), (102, "z", "z", "z", "z")]
+    sig = spark.createDataFrame(
+        rows, "id long, h0 string, h1 string, h2 string, h3 string"
+    )
+
+    capped = {
+        (r.id_a, r.id_b)
+        for r in lsh_candidate_pairs(sig, bands=2, rows=2, max_band_size=5).collect()
+    }
+    assert capped == {(100, 101)}  # the 12-doc groups exceeded the cap
+
+    uncapped = {
+        (r.id_a, r.id_b)
+        for r in lsh_candidate_pairs(sig, bands=2, rows=2).collect()
+    }
+    big_cap = {
+        (r.id_a, r.id_b)
+        for r in lsh_candidate_pairs(sig, bands=2, rows=2, max_band_size=500).collect()
+    }
+    assert big_cap == uncapped
+    assert len(uncapped) == 12 * 11 // 2 + 1
+
+
 def test_quota_sample_rejects_reserved_column_collisions(spark):
     import pytest
 
