@@ -188,29 +188,118 @@ def _tiny_png(width: int, height: int, rgb: tuple[int, int, int]) -> bytes:
     )
 
 
-def test_real_image_blob_routes_to_real_codec(spark):
-    """A blob with a real container magic must NEVER hit the fake codec:
-    with Pillow present it decodes exactly; without Pillow it raises a
-    crisp NotImplementedError instead of returning garbage."""
+def test_png_decodes_for_real_end_to_end(spark):
+    """A genuine PNG decodes through decode_media with the vendored
+    pure-stdlib codec — real pixels, no Pillow required."""
     png = _tiny_png(3, 2, (10, 20, 30))
     df = spark.createDataFrame(
         [(0, "image", png, {"codec": "png"})], multimodal.MEDIA_SCHEMA
     )
-    if multimodal._PILImage is not None:
-        [r] = multimodal.decode_media(df).collect()
-        assert (r["width"], r["height"], r["channels"]) == (3, 2, 3)
-        assert r["mean_byte"] == (10 + 20 + 30) / 3
-    else:
+    [r] = multimodal.decode_media(df).collect()
+    assert (r["width"], r["height"], r["channels"]) == (3, 2, 3)
+    assert r["mean_byte"] == (10 + 20 + 30) / 3
+
+
+def test_png_roundtrip_all_channel_counts():
+    """encode_png → _decode_png round-trips gray / gray+alpha / RGB /
+    RGBA with exact dimensions, channel counts and pixel means."""
+    for c in (1, 2, 3, 4):
+        w, h = 5, 4
+        payload = bytes((i * 37 + 11) % 256 for i in range(w * h * c))
+        got = multimodal._decode_png(multimodal.encode_png(w, h, c, payload))
+        assert got == (w, h, c, sum(payload) / len(payload))
+
+
+def test_png_unfilters_every_filter_type():
+    """Scanlines forward-filtered with Sub/Up/Average/Paeth (one filter
+    per row) must unfilter back to the original pixels."""
+    import struct
+    import zlib
+
+    w, h, c = 4, 5, 3
+    stride = w * c
+    pixels = bytes((y * 31 + i * 7) % 256 for y in range(h) for i in range(stride))
+
+    def paeth(a, b, cc):
+        p = a + b - cc
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+        return a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
+
+    raw = bytearray()
+    prev = bytes(stride)
+    for y in range(h):
+        line = pixels[y * stride : (y + 1) * stride]
+        flt = y % 5  # rows cycle through filter types 0..4
+        raw.append(flt)
+        for i in range(stride):
+            a = line[i - c] if i >= c else 0
+            b = prev[i]
+            cc = prev[i - c] if i >= c else 0
+            if flt == 0:
+                raw.append(line[i])
+            elif flt == 1:
+                raw.append((line[i] - a) & 0xFF)
+            elif flt == 2:
+                raw.append((line[i] - b) & 0xFF)
+            elif flt == 3:
+                raw.append((line[i] - (a + b) // 2) & 0xFF)
+            else:
+                raw.append((line[i] - paeth(a, b, cc)) & 0xFF)
+        prev = line
+
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+    assert multimodal._decode_png(png) == (w, h, c, sum(pixels) / len(pixels))
+
+
+def test_png_palette_expands_to_rgb():
+    import struct
+    import zlib
+
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    # 2x2 palette image: indices 0 1 / 1 0 over a 2-entry palette
+    palette = bytes([255, 0, 0, 0, 0, 255])  # red, blue
+    raw = b"\x00" + bytes([0, 1]) + b"\x00" + bytes([1, 0])
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0))
+        + chunk(b"PLTE", palette)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    w, h, nch, mean = multimodal._decode_png(png)
+    assert (w, h, nch) == (2, 2, 3)
+    assert mean == (2 * (255 + 0 + 0) + 2 * (0 + 0 + 255)) / 12
+
+
+def test_non_png_real_image_blob_never_hits_fake_codec(spark):
+    """A non-PNG real container (JPEG magic) must decode with Pillow or
+    raise a crisp NotImplementedError — never fake-decode."""
+    jpeg_ish = b"\xff\xd8\xff\xe0" + bytes(32)
+    if multimodal._PILImage is None:
         import pytest
 
-        with pytest.raises(Exception) as e:
-            multimodal.decode_media(df).collect()
-        assert "NotImplementedError" in str(e.value) or isinstance(
-            e.value, NotImplementedError
-        )
-        # and driver-side, the error type is exact
         with pytest.raises(NotImplementedError, match="Pillow"):
-            multimodal._decode_blob(png)
+            multimodal._decode_blob(jpeg_ish)
 
 
 def test_frame_sampling_counts(spark):
