@@ -417,6 +417,77 @@ SELECT cluster, count(*)::BIGINT AS n_vecs FROM (
 """
 
 
+def v10_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd iteration over the IVF coarse lists: seed centroids
+    from the label groups, reassign, recompute centroids from the
+    ASSIGNED lists, reassign again — so the final partitioning depends
+    on the labels only as an initialization (the v4 centroids stop
+    being label-tied). Output: per refined list, member count and mean
+    squared distance to its centroid (the k-means objective per list).
+    avg_dist2 is derived from exact scaled-integer sums of the
+    6-rounded distances, so partition summation order cannot move the
+    last digit. → (bucket, n_vectors, avg_dist2)."""
+    emb = _emb(spark, sf_dir)
+    a = V.kmeans_refine(emb, n_iter=1)
+    n = F.count(F.lit(1))
+    return a.groupBy("bucket").agg(
+        n.alias("n_vectors"),
+        F.round(
+            F.sum(F.round(F.col("dist2") * 1e6).cast("bigint")).cast("double")
+            / (n * 1e6),
+            6,
+        ).alias("avg_dist2"),
+    )
+
+
+V10_SQL = """
+WITH dims AS (
+  SELECT vec_id AS id, label AS seed, g.i - 1 AS dim, embedding[g.i]::DOUBLE AS v
+  FROM embeddings, unnest(generate_series(1, len(embedding))) AS g(i)
+),
+cent AS (SELECT seed, dim, avg(v) AS c FROM dims GROUP BY seed, dim),
+cent_norm AS (SELECT seed, sum(c * c) AS c2 FROM cent GROUP BY seed),
+scored0 AS (
+  SELECT d.id, ct.seed AS bucket,
+         round(sum(d.v * d.v) - 2 * sum(d.v * ct.c) + any_value(cn.c2), 6) AS dist2
+  FROM dims d
+  JOIN cent ct ON ct.dim = d.dim
+  JOIN cent_norm cn ON cn.seed = ct.seed
+  GROUP BY d.id, ct.seed
+),
+assign0 AS (
+  SELECT id, bucket FROM (
+    SELECT *, row_number() OVER (PARTITION BY id ORDER BY dist2, bucket) AS rn
+    FROM scored0
+  ) t WHERE rn = 1
+),
+cent2 AS (
+  SELECT a.bucket AS seed, d.dim, avg(d.v) AS c
+  FROM dims d JOIN assign0 a ON a.id = d.id
+  GROUP BY a.bucket, d.dim
+),
+cent2_norm AS (SELECT seed, sum(c * c) AS c2 FROM cent2 GROUP BY seed),
+scored1 AS (
+  SELECT d.id, ct.seed AS bucket,
+         round(sum(d.v * d.v) - 2 * sum(d.v * ct.c) + any_value(cn.c2), 6) AS dist2
+  FROM dims d
+  JOIN cent2 ct ON ct.dim = d.dim
+  JOIN cent2_norm cn ON cn.seed = ct.seed
+  GROUP BY d.id, ct.seed
+),
+assign1 AS (
+  SELECT id, bucket, dist2 FROM (
+    SELECT *, row_number() OVER (PARTITION BY id ORDER BY dist2, bucket) AS rn
+    FROM scored1
+  ) t WHERE rn = 1
+)
+SELECT bucket, count(*) AS n_vectors,
+       round(sum(round(dist2 * 1000000)::BIGINT)::DOUBLE / (count(*) * 1000000), 6)
+         AS avg_dist2
+FROM assign1 GROUP BY bucket
+"""
+
+
 QUERIES = {
     "v1_knn_bruteforce": v1_knn_bruteforce,
     "v2_knn_bucketed": v2_knn_bucketed,
@@ -427,6 +498,7 @@ QUERIES = {
     "v7_knn_ivf_nprobe2": v7_knn_ivf_nprobe2,
     "v8_ann_recall": v8_ann_recall,
     "v9_semantic_clusters": v9_semantic_clusters,
+    "v10_kmeans_refine": v10_kmeans_refine,
 }
 
 ORACLES = {
@@ -439,4 +511,5 @@ ORACLES = {
     "v7_knn_ivf_nprobe2": V7_SQL,
     "v8_ann_recall": V8_SQL,
     "v9_semantic_clusters": V9_SQL,
+    "v10_kmeans_refine": V10_SQL,
 }

@@ -40,6 +40,7 @@ __all__ = [
     "hamming",
     "knn_bucketed",
     "assign_ivf_buckets",
+    "kmeans_refine",
     "knn_ivf",
     "label_centroids",
 ]
@@ -259,8 +260,46 @@ def _ivf_ranked(
     return (
         scored.withColumn("rn", F.row_number().over(win))
         .filter(F.col("rn") <= max_rank)
-        .select("id", "bucket", "rn")
+        .select("id", "bucket", "rn", "dist2")
     )
+
+
+def kmeans_refine(
+    embeddings: DataFrame,
+    seed_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_iter: int = 1,
+) -> DataFrame:
+    """``n_iter`` Lloyd iterations over the IVF coarse partitioning:
+    each round re-seeds the centroid computation with the CURRENT
+    assignment (per-assigned-bucket dim means) and reassigns every
+    vector to its nearest refined centroid — so the final lists
+    depend on ``seed_col`` only as an initialization, not as ground
+    truth. Same posexplode + centroid-join plan as
+    :func:`assign_ivf_buckets`, iterated; each round's assignment is
+    ``localCheckpoint``-ed so round N replays nothing of rounds
+    0..N-1 (the connected-components discipline).
+    → (id, bucket, dist2) with dist2 = round(squared L2 to the
+    winning refined centroid, 6)."""
+    assign = (
+        _ivf_ranked(embeddings, seed_col, id_col, vec_col, 1)
+        .select("id", "bucket", "dist2")
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(n_iter):
+        seeded = embeddings.join(
+            assign.select(
+                F.col("id").alias(id_col), F.col("bucket").alias("__kseed")
+            ),
+            on=id_col,
+        )
+        assign = (
+            _ivf_ranked(seeded, "__kseed", id_col, vec_col, 1)
+            .select("id", "bucket", "dist2")
+            .localCheckpoint(eager=True)
+        )
+    return assign
 
 
 def knn_ivf(

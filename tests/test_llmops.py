@@ -122,6 +122,42 @@ def test_ivf_recall_on_clustered_data(spark):
     assert exact == approx  # 100% top-1 recall on separated clusters
 
 
+def test_kmeans_refine_never_worsens_objective(spark):
+    """Lloyd's algorithm is monotone: after re-seeding centroids from
+    the current assignment and reassigning, the total squared distance
+    to assigned centroids must not increase (up to the 1e-6 rounding
+    grid). Seeded with a deliberately BAD label column (id parity, which
+    straddles the true clusters) so the refinement has real work to do,
+    and the refined lists must recover the true cluster structure."""
+    from pyspark.sql import functions as F
+
+    dim, per = 8, 20
+    rows = []
+    for cl in range(2):
+        for j in range(per):
+            vec = [
+                (10.0 if d < 4 else 0.0) if cl == 0 else (0.0 if d < 4 else 10.0)
+                for d in range(dim)
+            ]
+            vec[j % dim] += 0.5
+            i = cl * per + j
+            rows.append((i, [float(x) for x in vec], int(i % 2)))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+    def objective(assign):
+        return assign.agg(F.sum("dist2")).first()[0]
+
+    seeded = vectorops._ivf_ranked(df, "label", "vec_id", "embedding", 1)
+    refined = vectorops.kmeans_refine(df, n_iter=1)
+    assert objective(refined) <= objective(seeded) + 1e-6
+    # the two refined lists must separate the true clusters
+    got = {
+        r["bucket"]: r["n"]
+        for r in refined.groupBy("bucket").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert sorted(got.values()) == [per, per]
+
+
 def test_sign_bucket_cuts_candidates(spark, emb):
     """The sign-bucket LSH variant trades recall for a ~2^bits candidate
     cut: buckets must be populated and non-degenerate, and any recalled
