@@ -308,6 +308,36 @@ def path_plus(
     )
 
 
+def path_star(
+    triples: DataFrame,
+    preds: list[str],
+    start: str = "?s",
+    end: str = "?o",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Zero-or-more property path ``(p1|p2|…)*``: :func:`path_plus`'s
+    one-or-more closure unioned with the identity pair for every node
+    in the alternation's edge domain (subjects ∪ objects of the
+    matching edges) — the standard SPARQL ``*`` semantics restricted
+    to the predicates' node universe, which is the only domain a
+    distributed engine can enumerate without a full-graph term scan.
+    One extra distinct over |closure| + |nodes| rows beyond
+    :func:`path_plus`."""
+    plus = path_plus(triples, preds, start, end, max_iter)
+    edges = triples.filter(F.col("p").isin(list(preds))).select(
+        "s", F.col("o_value").alias("o")
+    )
+    nodes = (
+        edges.select(F.col("s").alias("n"))
+        .union(edges.select(F.col("o").alias("n")))
+        .distinct()
+    )
+    ident = nodes.select(
+        F.col("n").alias(_var(start)), F.col("n").alias(_var(end))
+    )
+    return plus.unionByName(ident).distinct()
+
+
 def lang_filter(df: DataFrame, var: str, lang: str) -> DataFrame:
     """FILTER(LANGMATCHES(LANG(?var), lang)) — exact primary-tag match,
     which is all the reference uses (DcatAp11ToCkanBatch.java:254,340)."""

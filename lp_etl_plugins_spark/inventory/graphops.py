@@ -356,6 +356,31 @@ SELECT s AS start, o AS reached FROM reach
 """
 
 
+def g10_path_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-or-more path ``(urn:nation|urn:region)*``
+    (graphq.path_star): g9's transitive closure plus the identity
+    pair for every node in the located-in edge domain — SPARQL ``*``
+    semantics over the predicates' node universe."""
+    tr = _graph(spark, sf_dir)
+    return graphq.path_star(tr, [_NATION, _REGION], "?start", "?reached")
+
+
+G10_SQL = _CTE.replace("WITH triples", "WITH RECURSIVE triples", 1) + """
+, edges AS (
+  SELECT s, o_value AS o FROM triples WHERE p IN ('urn:nation', 'urn:region')
+),
+nodes AS (SELECT s AS n FROM edges UNION SELECT o FROM edges),
+reach(s, o) AS (
+  SELECT DISTINCT s, o FROM edges
+  UNION
+  SELECT r.s, e.o FROM reach r JOIN edges e ON e.s = r.o
+)
+SELECT s AS start, o AS reached FROM reach
+UNION
+SELECT n AS start, n AS reached FROM nodes
+"""
+
+
 QUERIES = {
     "g1_bgp_star": g1_bgp_star,
     "g2_optional_premium": g2_optional_premium,
@@ -366,6 +391,7 @@ QUERIES = {
     "g7_group_count": g7_group_count,
     "g8_scalar_min": g8_scalar_min,
     "g9_path_closure": g9_path_closure,
+    "g10_path_star": g10_path_star,
 }
 
 ORACLES = {
@@ -378,4 +404,5 @@ ORACLES = {
     "g7_group_count": G7_SQL,
     "g8_scalar_min": G8_SQL,
     "g9_path_closure": G9_SQL,
+    "g10_path_star": G10_SQL,
 }

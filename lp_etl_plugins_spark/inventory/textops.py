@@ -972,6 +972,52 @@ WHERE round(edit_dist::DOUBLE / min_len, 6) <= 0.25
 """
 
 
+def t23_trigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-trigram language-model quality scoring (see
+    textops.trigram_lm_logprob): add-one-smoothed corpus LM trained
+    in-plan, per-doc mean log2 probability, summarized per source.
+    Averages derive from exact scaled-integer sums at both levels, so
+    partition order cannot move the last digit.
+    → (source, n_docs, avg_logprob)."""
+    docs = _docs(spark, sf_dir)
+    scored = T.trigram_lm_logprob(docs, "text", "doc_id")
+    joined = docs.select(F.col("doc_id").alias("id"), "source").join(scored, "id")
+    n = F.count(F.lit(1))
+    return joined.groupBy("source").agg(
+        n.alias("n_docs"),
+        F.round(
+            F.sum(F.round(F.col("doc_lp") * 1e6).cast("bigint")).cast("double")
+            / (n * 1e6),
+            6,
+        ).alias("avg_logprob"),
+    )
+
+
+T23_SQL = """
+WITH grams AS (
+  SELECT DISTINCT doc_id AS id, substring(lower(trim(text)), i, 3) AS g
+  FROM documents, unnest(generate_series(1, length(lower(trim(text))) - 2)) t(i)
+),
+cnt AS (SELECT g, count(*) AS c FROM grams GROUP BY g),
+tot AS (SELECT sum(c)::BIGINT AS n_total, count(*) AS v FROM cnt),
+sg AS (
+  SELECT id, round(log2((c + 1)::DOUBLE / (n_total + v)), 6) AS logp
+  FROM grams JOIN cnt USING (g) CROSS JOIN tot
+),
+pd AS (
+  SELECT id,
+         round(sum(round(logp * 1000000)::BIGINT)::DOUBLE / (count(*) * 1000000), 6)
+           AS doc_lp
+  FROM sg GROUP BY id
+)
+SELECT d.source, count(*) AS n_docs,
+       round(sum(round(pd.doc_lp * 1000000)::BIGINT)::DOUBLE / (count(*) * 1000000), 6)
+         AS avg_logprob
+FROM pd JOIN documents d ON d.doc_id = pd.id
+GROUP BY d.source
+"""
+
+
 QUERIES = {
     "t1_exact_dedup": t1_exact_dedup,
     "t2_fingerprint_dedup": t2_fingerprint_dedup,
@@ -995,6 +1041,7 @@ QUERIES = {
     "t20_decontaminate": t20_decontaminate,
     "t21_repetition_score": t21_repetition_score,
     "t22_edit_distance_verify": t22_edit_distance_verify,
+    "t23_trigram_lm_score": t23_trigram_lm_score,
 }
 
 ORACLES = {
@@ -1020,4 +1067,5 @@ ORACLES = {
     "t20_decontaminate": T20_SQL,
     "t21_repetition_score": T21_SQL,
     "t22_edit_distance_verify": T22_SQL,
+    "t23_trigram_lm_score": T23_SQL,
 }

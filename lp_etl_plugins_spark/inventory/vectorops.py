@@ -488,6 +488,58 @@ FROM assign1 GROUP BY bucket
 """
 
 
+def v11_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with asymmetric distance computation:
+    4 subspaces × 16 dims, per-label subvector means as codebooks,
+    corpus encoded as 4 small codes per vector, probes answered by
+    summing 4 broadcast-LUT lookups — raw corpus vectors never move at
+    query time (~64× less scan-side data than brute force). The ADC
+    sum adds exact scaled integers so partition order cannot flip a
+    rank."""
+    emb = _emb(spark, sf_dir)
+    probes = emb.filter(F.col("vec_id") < _PROBE_LIMIT)
+    return V.knn_pq(emb, probes, _K, m=4, dims=64)
+
+
+V11_SQL = f"""
+WITH dims AS (
+  SELECT vec_id AS id, label AS seed, (g.i - 1) AS dim,
+         ((g.i - 1) // 16) AS sub, embedding[g.i]::DOUBLE AS v
+  FROM embeddings, unnest(generate_series(1, len(embedding))) AS g(i)
+),
+cent AS (SELECT seed, sub, dim, avg(v) AS c FROM dims GROUP BY seed, sub, dim),
+cent_norm AS (SELECT seed, sub, sum(c * c) AS c2 FROM cent GROUP BY seed, sub),
+enc AS (
+  SELECT d.id, d.sub, ct.seed AS code,
+         round(sum(d.v * d.v) - 2 * sum(d.v * ct.c) + any_value(cn.c2), 6) AS d2
+  FROM dims d
+  JOIN cent ct ON ct.sub = d.sub AND ct.dim = d.dim
+  JOIN cent_norm cn ON cn.seed = ct.seed AND cn.sub = ct.sub
+  GROUP BY d.id, d.sub, ct.seed
+),
+codes AS (
+  SELECT id AS neighbor_id, sub, code FROM (
+    SELECT *, row_number() OVER (PARTITION BY id, sub ORDER BY d2, code) AS rn
+    FROM enc
+  ) t WHERE rn = 1
+),
+lut AS (
+  SELECT id AS probe_id, sub, code, d2 AS pd2 FROM enc WHERE id < {_PROBE_LIMIT}
+),
+adc AS (
+  SELECT l.probe_id, c.neighbor_id,
+         sum(round(l.pd2 * 1000000)::BIGINT)::DOUBLE / 1000000 AS adist2
+  FROM codes c JOIN lut l ON l.sub = c.sub AND l.code = c.code
+  WHERE l.probe_id != c.neighbor_id
+  GROUP BY l.probe_id, c.neighbor_id
+)
+SELECT probe_id, neighbor_id, adist2, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY adist2, neighbor_id) AS rank
+  FROM adc
+) r WHERE rank <= {_K}
+"""
+
+
 QUERIES = {
     "v1_knn_bruteforce": v1_knn_bruteforce,
     "v2_knn_bucketed": v2_knn_bucketed,
@@ -499,6 +551,7 @@ QUERIES = {
     "v8_ann_recall": v8_ann_recall,
     "v9_semantic_clusters": v9_semantic_clusters,
     "v10_kmeans_refine": v10_kmeans_refine,
+    "v11_knn_pq": v11_knn_pq,
 }
 
 ORACLES = {
@@ -512,4 +565,5 @@ ORACLES = {
     "v8_ann_recall": V8_SQL,
     "v9_semantic_clusters": V9_SQL,
     "v10_kmeans_refine": V10_SQL,
+    "v11_knn_pq": V11_SQL,
 }

@@ -48,6 +48,7 @@ __all__ = [
     "connected_components",
     "lang_id",
     "quality_score",
+    "trigram_lm_logprob",
     "token_counts",
     "hash_bucket",
     "quota_sample",
@@ -565,6 +566,42 @@ def quota_sample(df: DataFrame, group_col: str, id_col: str, k: int) -> DataFram
     return (
         pruned.withColumn("sample_rank", F.row_number().over(w2).cast("bigint"))
         .filter(F.col("sample_rank") <= k)
+    )
+
+
+def trigram_lm_logprob(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Corpus-trained character-trigram language-model score — the
+    statistical quality signal beyond t7's rule ratios: docs whose
+    trigram distribution diverges from the corpus (mojibake, binary
+    spill, wrong-language fragments) score low. The model is add-one
+    smoothed over per-document distinct trigrams (document-frequency
+    LM — duplicate-insensitive, so a boilerplate flood cannot distort
+    the model), trained IN-PLAN: counts are one groupBy, the (total,
+    vocab) pair is a 1-row broadcast, scoring is one join + one
+    per-doc aggregate. Corpus-linear, no driver action.
+
+    Determinism: per-gram log2 probabilities are rounded to the 1e-6
+    grid (both engines take log2 of bit-identical doubles; a 1-ulp
+    libm divergence sits ~6 orders below the grid), and the per-doc
+    mean sums exact scaled integers. Docs shorter than 3 chars have
+    no grams and are absent from the output (mirrored by the
+    oracle's unnest). → (id, doc_lp)."""
+    grams = df.select(
+        F.col(id_col).alias("id"), F.explode(char_ngrams(text_col, 3)).alias("g")
+    )
+    cnt = grams.groupBy("g").agg(F.count(F.lit(1)).alias("c"))
+    totals = cnt.agg(F.sum("c").alias("n_total"), F.count(F.lit(1)).alias("v"))
+    logp = F.round(
+        F.log2((F.col("c") + 1).cast("double") / (F.col("n_total") + F.col("v"))), 6
+    )
+    scored = grams.join(cnt, "g").join(F.broadcast(totals)).select("id", logp.alias("logp"))
+    n = F.count(F.lit(1))
+    return scored.groupBy("id").agg(
+        F.round(
+            F.sum(F.round(F.col("logp") * 1e6).cast("bigint")).cast("double")
+            / (n * 1e6),
+            6,
+        ).alias("doc_lp")
     )
 
 

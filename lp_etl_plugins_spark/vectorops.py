@@ -42,6 +42,7 @@ __all__ = [
     "assign_ivf_buckets",
     "kmeans_refine",
     "knn_ivf",
+    "knn_pq",
     "label_centroids",
 ]
 
@@ -357,6 +358,105 @@ def knn_ivf(
         scored.withColumn("rank", F.row_number().over(win))
         .filter(F.col("rank") <= k)
         .select("probe_id", "neighbor_id", "cos", "rank")
+    )
+
+
+def knn_pq(
+    embeddings: DataFrame,
+    probes: DataFrame,
+    k: int,
+    seed_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 4,
+    dims: int = 64,
+) -> DataFrame:
+    """Product-quantization ANN (the classic PQ scheme of Jégou/Douze/
+    Schmid, public literature): split each vector into ``m`` subspaces
+    of ``dims/m`` dimensions, learn one codebook per subspace (here:
+    the per-``seed_col``-group subvector means — the same
+    provided-coarse-partitioning setup as IVF; :func:`kmeans_refine`'s
+    Lloyd step drops into the same plan), encode every corpus vector
+    as ``m`` small codes (nearest codebook entry per subspace), and
+    answer probes with asymmetric distance computation (ADC): a probe
+    precomputes its distance to EVERY codebook entry (the lookup
+    table), and a corpus vector's approximate distance is the sum of
+    ``m`` table lookups — no raw corpus vector is ever touched at
+    query time.
+
+    The 100 TB story is the compression: the scan side of the scoring
+    join carries (id, sub, code) — m small ints per vector instead of
+    ``dims`` floats (~64× less data moved than brute force) — and the
+    LUT (|probes| × m × n_codes rows) is broadcast, so the corpus
+    never shuffles. Codebook training and encoding are one
+    posexplode + centroid join each — the v4/v10 plan shape.
+
+    Determinism/parity: per-subspace distances are rounded to the
+    1e-6 grid, and the ADC sum adds SCALED INTEGERS (exact,
+    associative — partition order cannot move a bit) before one final
+    divide; ranking ties break on neighbor id.
+    → (probe_id, neighbor_id, adist2, rank ≤ k), self excluded."""
+    sub_dim = dims // m
+
+    def _dims(df: DataFrame, with_seed: bool) -> DataFrame:
+        cols = [F.col(id_col).alias("id")]
+        if with_seed:
+            cols.append(F.col(seed_col).alias("seed"))
+        return (
+            df.select(*cols, F.posexplode(F.col(vec_col)).alias("dim", "v"))
+            .withColumn("v", F.col("v").cast("double"))
+            .withColumn("sub", (F.col("dim") / sub_dim).cast("int"))
+        )
+
+    cdims = _dims(embeddings, True)
+    cent = cdims.groupBy("seed", "sub", "dim").agg(F.avg("v").alias("c"))
+    cent_norm = cent.groupBy("seed", "sub").agg(
+        F.sum(F.col("c") * F.col("c")).alias("c2")
+    )
+
+    def _sub_dist(dim_rows: DataFrame) -> DataFrame:
+        # per (vector, subspace, codebook entry) squared L2 distance
+        return (
+            dim_rows.join(cent.withColumnRenamed("seed", "code"), on=["sub", "dim"])
+            .groupBy("id", "sub", "code")
+            .agg(
+                F.sum(F.col("v") * F.col("c")).alias("dot"),
+                F.sum(F.col("v") * F.col("v")).alias("v2"),
+            )
+            .join(cent_norm.withColumnRenamed("seed", "code"), on=["sub", "code"])
+            .select(
+                "id",
+                "sub",
+                "code",
+                F.round(F.col("v2") - 2 * F.col("dot") + F.col("c2"), 6).alias("d2"),
+            )
+        )
+
+    enc = _sub_dist(cdims)
+    win_code = W.partitionBy("id", "sub").orderBy(F.col("d2"), F.col("code"))
+    codes = (
+        enc.withColumn("rn", F.row_number().over(win_code))
+        .filter(F.col("rn") == 1)
+        .select(F.col("id").alias("neighbor_id"), "sub", "code")
+    )
+    lut = _sub_dist(_dims(probes, False)).select(
+        F.col("id").alias("probe_id"), "sub", "code", F.col("d2").alias("pd2")
+    )
+    adc = (
+        codes.join(F.broadcast(lut), on=["sub", "code"])
+        .filter(F.col("probe_id") != F.col("neighbor_id"))
+        .groupBy("probe_id", "neighbor_id")
+        .agg(
+            (
+                F.sum(F.round(F.col("pd2") * 1e6).cast("bigint")).cast("double") / 1e6
+            ).alias("adist2")
+        )
+    )
+    win = W.partitionBy("probe_id").orderBy(F.col("adist2"), F.col("neighbor_id"))
+    return (
+        adc.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", "neighbor_id", "adist2", "rank")
     )
 
 

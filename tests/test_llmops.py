@@ -122,6 +122,36 @@ def test_ivf_recall_on_clustered_data(spark):
     assert exact == approx  # 100% top-1 recall on separated clusters
 
 
+def test_pq_adc_recall_on_clustered_data(spark):
+    """PQ/ADC mechanics on separated clusters: with per-cluster
+    codebooks every member of a cluster quantizes to the same codes,
+    so ADC cannot rank within a cluster — but it MUST rank across
+    clusters: each probe's ADC top-1 must come from the probe's own
+    cluster (where brute force also finds its true neighbor), and ADC
+    distances must be non-negative."""
+    dim, per = 16, 25
+    rows = []
+    for cl in range(4):
+        base = [10.0 if d == cl * 4 else 1.0 for d in range(dim)]
+        for j in range(per):
+            vec = [
+                v + ((cl * per + j) % 7) * 0.01 * ((d % 3) - 1)
+                for d, v in enumerate(base)
+            ]
+            rows.append((cl * per + j, [float(x) for x in vec], cl))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    probes = df.filter(F.col("vec_id") % 10 == 0)
+    exact = {r["probe_id"]: r["neighbor_id"]
+             for r in vectorops.knn_bruteforce(df, probes, 1).collect()}
+    pq = vectorops.knn_pq(df, probes, 1, m=4, dims=dim).collect()
+    approx = {r["probe_id"]: r["neighbor_id"] for r in pq}
+    assert set(approx) == set(exact)
+    for pid, nid in approx.items():
+        assert nid // per == pid // per  # ADC neighbor from the probe's cluster
+        assert exact[pid] // per == pid // per  # (sanity: so does brute force)
+    assert all(r["adist2"] >= 0 for r in pq)
+
+
 def test_kmeans_refine_never_worsens_objective(spark):
     """Lloyd's algorithm is monotone: after re-seeding centroids from
     the current assignment and reassigning, the total squared distance

@@ -196,6 +196,22 @@ def test_quota_sample_two_phase_matches_global_window(spark):
     assert len(got) == 7 + 7
 
 
+def test_knn_bucketed_broadcasts_probes_and_never_shuffles_corpus(spark):
+    """The ANN scoring join must broadcast the (small) probe side —
+    the corpus' only exchange is the per-probe top-k window, never a
+    pre-join shuffle of vectors."""
+    from pyspark.sql import functions as F
+
+    from lp_etl_plugins_spark.tables import load_table
+    from lp_etl_plugins_spark.vectorops import knn_bucketed
+
+    emb = load_table(spark, SF, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 10)
+    plan = _executed_plan(knn_bucketed(emb, probes, 3))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
 def test_lsh_band_cap_drops_only_overfull_groups(spark):
     """max_band_size excises crowded band groups (bounding per-group
     pair expansion at C(cap,2) regardless of corpus size) while pairs
@@ -275,6 +291,7 @@ def test_no_accidental_cross_products(spark):
         "t14_containment",
         "t17_boilerplate_scrub",
         "t20_decontaminate",
+        "t23_trigram_lm_score",  # 1-row (n_total, vocab) broadcast
         "v1_knn_bruteforce",
         "v8_ann_recall",
         "m5_media_knn",
