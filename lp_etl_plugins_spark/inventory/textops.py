@@ -799,27 +799,16 @@ def t20_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     machinery — excerpts and quotes count, not just near-identical
     docs). Entirely expression-level: the t14 pair mine plus one side
     classification join and a per-source keep/drop summary.
-    → (source, n_docs, n_contaminated, n_kept) for training sources."""
-    docs = _docs(spark, sf_dir)
-    pairs = T.ngram_containment_pairs(
-        docs, "text", "doc_id", n=3, max_df_frac=0.05, threshold=0.8
+    → (source, n_docs, n_contaminated, n_kept) for training sources.
+
+    Spark side uses textops.decontaminate, which classifies pair
+    sides BEFORE the array-intersect verify (same-side pairs can
+    never flag a doc) — identical output to the oracle's
+    verify-then-classify formulation, ~5× less verify work."""
+    docs = _docs(spark, sf_dir).withColumn(
+        "is_bench", F.col("source") == "src0"
     )
-    side = docs.select(
-        "doc_id", (F.col("source") == "src0").alias("is_bench")
-    )
-    a = side.select(F.col("doc_id").alias("id_a"), F.col("is_bench").alias("ba"))
-    b = side.select(F.col("doc_id").alias("id_b"), F.col("is_bench").alias("bb"))
-    marked = pairs.join(a, "id_a").join(b, "id_b")
-    # a TRAIN doc paired with a BENCH doc (either pair order) is out
-    contaminated = (
-        marked.select(
-            F.when(~F.col("ba") & F.col("bb"), F.col("id_a"))
-            .when(F.col("ba") & ~F.col("bb"), F.col("id_b"))
-            .alias("doc_id")
-        )
-        .filter(F.col("doc_id").isNotNull())
-        .distinct()
-    )
+    contaminated = T.decontaminate(docs, "text", "doc_id", "is_bench")
     train = docs.filter(F.col("source") != "src0")
     flagged = train.join(
         contaminated.withColumn("is_contam", F.lit(True)), "doc_id", "left"

@@ -42,6 +42,7 @@ __all__ = [
     "char_ngrams",
     "ngram_jaccard_pairs",
     "ngram_containment_pairs",
+    "decontaminate",
     "simhash16",
     "simhash16_df",
     "winnow_fingerprints",
@@ -409,6 +410,58 @@ def ngram_containment_pairs(
         )
     )
     return out.filter(F.col("containment") >= threshold)
+
+
+def decontaminate(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    bench_col: str,
+    n: int = 3,
+    max_df_frac: float = 0.05,
+    threshold: float = 0.8,
+    max_df: int = 64,
+) -> DataFrame:
+    """Benchmark-decontamination sweep: ids of non-benchmark docs
+    whose gram-set containment with ANY benchmark doc (boolean
+    ``bench_col``) reaches ``threshold`` — the eval-leakage primitive.
+
+    Same candidate substrate as :func:`ngram_containment_pairs`, but
+    the side classification is pushed BEFORE verification: a
+    same-side candidate pair (train×train or bench×bench) can never
+    flag a document, so only the mixed pairs reach the
+    array-intersect verify — the expensive per-pair step — cutting
+    verify work to the mixed fraction of candidates (≈ 2·p·(1−p) of
+    all pairs for benchmark share p) with a byte-identical result.
+    → (doc_id) — distinct contaminated non-benchmark ids."""
+    cand, sets = _pruned_gram_candidates(df, text_col, id_col, n, max_df_frac, max_df)
+    flags = df.select(F.col(id_col).alias("id"), F.col(bench_col).alias("__bench"))
+    fa = flags.select(F.col("id").alias("id_a"), F.col("__bench").alias("ba"))
+    fb = flags.select(F.col("id").alias("id_b"), F.col("__bench").alias("bb"))
+    mixed = cand.join(fa, "id_a").join(fb, "id_b").filter(F.col("ba") != F.col("bb"))
+    a = sets.select(F.col("id").alias("id_a"), F.col("grams").alias("ga"))
+    b = sets.select(F.col("id").alias("id_b"), F.col("grams").alias("gb"))
+    hits = (
+        mixed.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "ba",
+            F.size(F.array_intersect("ga", "gb")).alias("i"),
+            F.least(F.size("ga"), F.size("gb")).alias("m"),
+        )
+        .filter(F.col("m") > 0)
+        .filter(
+            F.round(F.col("i").cast("double") / F.col("m"), 6) >= threshold
+        )
+    )
+    return (
+        hits.select(
+            F.when(~F.col("ba"), F.col("id_a")).otherwise(F.col("id_b")).alias("doc_id")
+        )
+        .distinct()
+    )
 
 
 def simhash16(col: Column | str) -> Column:
