@@ -540,6 +540,79 @@ SELECT probe_id, neighbor_id, adist2, rank FROM (
 """
 
 
+def v12_knn_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ, the production ANN shape: nprobe=2 coarse lists bound
+    WHICH vectors are scored, 4×16 PQ codes + broadcast LUT bound
+    WHAT is read per scored vector — candidate volume and scan
+    payload shrink multiplicatively."""
+    emb = _emb(spark, sf_dir)
+    probes = emb.filter(F.col("vec_id") < _PROBE_LIMIT)
+    return V.knn_ivf_pq(emb, probes, _K, m=4, dims=64, nprobe=2)
+
+
+V12_SQL = f"""
+WITH dims AS (
+  SELECT vec_id AS id, label AS seed, (g.i - 1) AS dim,
+         ((g.i - 1) // 16) AS sub, embedding[g.i]::DOUBLE AS v
+  FROM embeddings, unnest(generate_series(1, len(embedding))) AS g(i)
+),
+icent AS (SELECT seed, dim, avg(v) AS c FROM dims GROUP BY seed, dim),
+icent_norm AS (SELECT seed, sum(c * c) AS c2 FROM icent GROUP BY seed),
+iscored AS (
+  SELECT d.id, ct.seed AS bucket,
+         round(sum(d.v * d.v) - 2 * sum(d.v * ct.c) + any_value(cn.c2), 6) AS dist2
+  FROM dims d
+  JOIN icent ct ON ct.dim = d.dim
+  JOIN icent_norm cn ON cn.seed = ct.seed
+  GROUP BY d.id, ct.seed
+),
+iranked AS (
+  SELECT *, row_number() OVER (PARTITION BY id ORDER BY dist2, bucket) AS rn
+  FROM iscored
+),
+corpus_lists AS (SELECT id AS neighbor_id, bucket FROM iranked WHERE rn = 1),
+probe_lists AS (
+  SELECT id AS probe_id, bucket FROM iranked WHERE rn <= 2 AND id < {_PROBE_LIMIT}
+),
+cent AS (SELECT seed, sub, dim, avg(v) AS c FROM dims GROUP BY seed, sub, dim),
+cent_norm AS (SELECT seed, sub, sum(c * c) AS c2 FROM cent GROUP BY seed, sub),
+enc AS (
+  SELECT d.id, d.sub, ct.seed AS code,
+         round(sum(d.v * d.v) - 2 * sum(d.v * ct.c) + any_value(cn.c2), 6) AS d2
+  FROM dims d
+  JOIN cent ct ON ct.sub = d.sub AND ct.dim = d.dim
+  JOIN cent_norm cn ON cn.seed = ct.seed AND cn.sub = ct.sub
+  GROUP BY d.id, d.sub, ct.seed
+),
+codes AS (
+  SELECT id AS neighbor_id, sub, code FROM (
+    SELECT *, row_number() OVER (PARTITION BY id, sub ORDER BY d2, code) AS rn
+    FROM enc
+  ) t WHERE rn = 1
+),
+lut AS (
+  SELECT id AS probe_id, sub, code, d2 AS pd2 FROM enc WHERE id < {_PROBE_LIMIT}
+),
+cand AS (
+  SELECT pl.probe_id, cl.neighbor_id
+  FROM corpus_lists cl JOIN probe_lists pl ON pl.bucket = cl.bucket
+),
+adc AS (
+  SELECT c.probe_id, c.neighbor_id,
+         sum(round(l.pd2 * 1000000)::BIGINT)::DOUBLE / 1000000 AS adist2
+  FROM cand c
+  JOIN codes co ON co.neighbor_id = c.neighbor_id
+  JOIN lut l ON l.probe_id = c.probe_id AND l.sub = co.sub AND l.code = co.code
+  WHERE c.probe_id != c.neighbor_id
+  GROUP BY c.probe_id, c.neighbor_id
+)
+SELECT probe_id, neighbor_id, adist2, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY adist2, neighbor_id) AS rank
+  FROM adc
+) r WHERE rank <= {_K}
+"""
+
+
 QUERIES = {
     "v1_knn_bruteforce": v1_knn_bruteforce,
     "v2_knn_bucketed": v2_knn_bucketed,
@@ -552,6 +625,7 @@ QUERIES = {
     "v9_semantic_clusters": v9_semantic_clusters,
     "v10_kmeans_refine": v10_kmeans_refine,
     "v11_knn_pq": v11_knn_pq,
+    "v12_knn_ivf_pq": v12_knn_ivf_pq,
 }
 
 ORACLES = {
@@ -566,4 +640,5 @@ ORACLES = {
     "v9_semantic_clusters": V9_SQL,
     "v10_kmeans_refine": V10_SQL,
     "v11_knn_pq": V11_SQL,
+    "v12_knn_ivf_pq": V12_SQL,
 }

@@ -43,6 +43,7 @@ __all__ = [
     "kmeans_refine",
     "knn_ivf",
     "knn_pq",
+    "knn_ivf_pq",
     "label_centroids",
 ]
 
@@ -396,6 +397,43 @@ def knn_pq(
     associative — partition order cannot move a bit) before one final
     divide; ranking ties break on neighbor id.
     → (probe_id, neighbor_id, adist2, rank ≤ k), self excluded."""
+    codes, lut = _pq_parts(embeddings, probes, seed_col, id_col, vec_col, m, dims)
+    adc = (
+        codes.join(F.broadcast(lut), on=["sub", "code"])
+        .filter(F.col("probe_id") != F.col("neighbor_id"))
+        .groupBy("probe_id", "neighbor_id")
+        .agg(_adc_sum())
+    )
+    win = W.partitionBy("probe_id").orderBy(F.col("adist2"), F.col("neighbor_id"))
+    return (
+        adc.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", "neighbor_id", "adist2", "rank")
+    )
+
+
+def _adc_sum() -> Column:
+    """ADC aggregate: exact scaled-integer sum of the per-subspace
+    distances (associative — partition order cannot move a bit), one
+    divide back to the 1e-6 grid."""
+    return (
+        F.sum(F.round(F.col("pd2") * 1e6).cast("bigint")).cast("double") / 1e6
+    ).alias("adist2")
+
+
+def _pq_parts(
+    embeddings: DataFrame,
+    probes: DataFrame,
+    seed_col: str,
+    id_col: str,
+    vec_col: str,
+    m: int,
+    dims: int,
+) -> tuple[DataFrame, DataFrame]:
+    """:func:`knn_pq`'s building blocks, shared with
+    :func:`knn_ivf_pq` → (codes: (neighbor_id, sub, code) — the
+    compressed corpus, lut: (probe_id, sub, code, pd2) — every
+    probe's distance to every codebook entry)."""
     sub_dim = dims // m
 
     def _dims(df: DataFrame, with_seed: bool) -> DataFrame:
@@ -442,15 +480,53 @@ def knn_pq(
     lut = _sub_dist(_dims(probes, False)).select(
         F.col("id").alias("probe_id"), "sub", "code", F.col("d2").alias("pd2")
     )
+    return codes, lut
+
+
+def knn_ivf_pq(
+    embeddings: DataFrame,
+    probes: DataFrame,
+    k: int,
+    seed_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 4,
+    dims: int = 64,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF-PQ — the production ANN architecture (FAISS-style, public
+    literature): IVF coarse lists bound WHICH vectors are scored
+    (each probe searches its ``nprobe`` nearest lists), PQ codes
+    bound WHAT is read per scored vector (m small codes + broadcast
+    LUT, never the floats). Candidate volume ≈ nprobe/n_lists of the
+    corpus; scan payload ≈ dims/m × smaller than raw vectors — the
+    two knobs compose multiplicatively, which is why this is the
+    shape a 100 TB vector store actually runs.
+
+    Plan: one ranked IVF assignment (localCheckpoint-ed, corpus =
+    rn 1 slice, probes = rn ≤ nprobe) joined against the PQ code
+    table, ADC scoring as in :func:`knn_pq` (exact scaled-integer
+    sums, id tie-breaks).
+    → (probe_id, neighbor_id, adist2, rank ≤ k), self excluded."""
+    ranked = _ivf_ranked(embeddings, seed_col, id_col, vec_col, nprobe).localCheckpoint(
+        eager=True
+    )
+    corpus_lists = ranked.filter(F.col("rn") == 1).select(
+        F.col("id").alias("neighbor_id"), "bucket"
+    )
+    probe_lists = ranked.select(F.col("id").alias("probe_id"), "bucket")
+    codes, lut = _pq_parts(embeddings, probes, seed_col, id_col, vec_col, m, dims)
+    # restrict probe_lists to actual probes (the LUT's probe ids)
+    probe_ids = lut.select("probe_id").distinct()
+    cand = corpus_lists.join(
+        F.broadcast(probe_lists.join(F.broadcast(probe_ids), "probe_id")), on="bucket"
+    ).select("probe_id", "neighbor_id")
     adc = (
-        codes.join(F.broadcast(lut), on=["sub", "code"])
+        cand.join(codes, on="neighbor_id")
+        .join(F.broadcast(lut), on=["probe_id", "sub", "code"])
         .filter(F.col("probe_id") != F.col("neighbor_id"))
         .groupBy("probe_id", "neighbor_id")
-        .agg(
-            (
-                F.sum(F.round(F.col("pd2") * 1e6).cast("bigint")).cast("double") / 1e6
-            ).alias("adist2")
-        )
+        .agg(_adc_sum())
     )
     win = W.partitionBy("probe_id").orderBy(F.col("adist2"), F.col("neighbor_id"))
     return (
