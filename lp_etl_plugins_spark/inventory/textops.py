@@ -1007,6 +1007,39 @@ GROUP BY d.source
 """
 
 
+def t24_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source WEIGHTED sample (Efraimidis–Spirakis with
+    content-addressed uniforms, see textops.weighted_sample): the 16
+    docs per source drawn proportional to token count — longer docs
+    more likely, but any doc can win. Deterministic across engines;
+    two-phase top-k so a dominant source spreads over all partitions.
+    → (source, doc_id, sample_rank)."""
+    docs = _docs(spark, sf_dir)
+    w = F.size(T.normalized_words("text")).cast("double")
+    out = T.weighted_sample(docs, "source", "doc_id", w, k=16)
+    return out.select("source", "doc_id", "sample_rank")
+
+
+T24_SQL = r"""
+WITH d AS (
+  SELECT source, doc_id,
+         round(
+           ln(((('0x' || substring(md5(doc_id::VARCHAR), 1, 8))::BIGINT + 1)
+               / 4294967296.0))
+           / len(regexp_split_to_array(lower(trim(text)), '\s+')),
+           6
+         ) AS wkey
+  FROM documents
+)
+SELECT source, doc_id, sample_rank FROM (
+  SELECT source, doc_id,
+         row_number() OVER (PARTITION BY source ORDER BY wkey DESC, doc_id ASC)
+           AS sample_rank
+  FROM d
+) r WHERE sample_rank <= 16
+"""
+
+
 QUERIES = {
     "t1_exact_dedup": t1_exact_dedup,
     "t2_fingerprint_dedup": t2_fingerprint_dedup,
@@ -1031,6 +1064,7 @@ QUERIES = {
     "t21_repetition_score": t21_repetition_score,
     "t22_edit_distance_verify": t22_edit_distance_verify,
     "t23_trigram_lm_score": t23_trigram_lm_score,
+    "t24_weighted_sample": t24_weighted_sample,
 }
 
 ORACLES = {
@@ -1057,4 +1091,5 @@ ORACLES = {
     "t21_repetition_score": T21_SQL,
     "t22_edit_distance_verify": T22_SQL,
     "t23_trigram_lm_score": T23_SQL,
+    "t24_weighted_sample": T24_SQL,
 }

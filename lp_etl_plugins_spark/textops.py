@@ -53,6 +53,7 @@ __all__ = [
     "token_counts",
     "hash_bucket",
     "quota_sample",
+    "weighted_sample",
 ]
 
 
@@ -655,6 +656,51 @@ def trigram_lm_logprob(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
             / (n * 1e6),
             6,
         ).alias("doc_lp")
+    )
+
+
+def weighted_sample(
+    df: DataFrame, group_col: str, id_col: str, weight: Column, k: int
+) -> DataFrame:
+    """Deterministic per-group WEIGHTED sample without replacement —
+    the data-mixing step when documents should be drawn proportional
+    to a quality/length weight rather than uniformly. The classic
+    Efraimidis–Spirakis reservoir scheme (public literature): each row
+    draws a uniform u ∈ (0, 1] and the k largest ``u^(1/w)`` win; here
+    u is CONTENT-ADDRESSED (md5 of the id → (0,1]), so the sample is
+    reproducible across runs, cluster sizes, and engines, and the key
+    is compared in log space (``ln(u)/w``, monotone in u^(1/w))
+    rounded to the 1e-6 grid for oracle parity.
+
+    Two-phase top-k exactly like :func:`quota_sample`: phase 1 ranks
+    within (group, input partition) so a dominant group spreads over
+    every partition and contributes ≤ k survivors each; phase 2 ranks
+    the ≤ k×P survivors exactly. → input columns + ``sample_rank``."""
+    reserved = {"__pid", "__rk", "__wkey", "sample_rank"} & set(df.columns)
+    if reserved:
+        raise ValueError(
+            f"weighted_sample: input columns {sorted(reserved)} collide with "
+            "reserved working/output column names"
+        )
+    h = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10).cast(
+        "double"
+    )
+    u = (h + 1) / F.lit(4294967296.0)
+    key = F.round(F.log(u) / weight, 6)
+    pre = df.withColumn("__wkey", key).withColumn("__pid", F.spark_partition_id())
+    w1 = W.partitionBy(group_col, "__pid").orderBy(
+        F.col("__wkey").desc(), F.col(id_col).asc()
+    )
+    pruned = (
+        pre.withColumn("__rk", F.row_number().over(w1))
+        .filter(F.col("__rk") <= k)
+        .drop("__pid", "__rk")
+    )
+    w2 = W.partitionBy(group_col).orderBy(F.col("__wkey").desc(), F.col(id_col).asc())
+    return (
+        pruned.withColumn("sample_rank", F.row_number().over(w2).cast("bigint"))
+        .filter(F.col("sample_rank") <= k)
+        .drop("__wkey")
     )
 
 

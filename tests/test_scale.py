@@ -246,6 +246,44 @@ def test_lsh_band_cap_drops_only_overfull_groups(spark):
     assert len(uncapped) == 12 * 11 // 2 + 1
 
 
+def test_weighted_sample_two_phase_matches_global_window(spark):
+    """weighted_sample's two-phase top-k must equal the naive single
+    global window over the Efraimidis-Spirakis key, including on a
+    skewed group spread over many partitions, and heavier rows must
+    win more often than a uniform share."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from lp_etl_plugins_spark.textops import weighted_sample
+
+    rows = [("hot", i, float(1 + i % 50)) for i in range(400)] + [
+        ("cold", i, 1.0) for i in range(400, 410)
+    ]
+    df = spark.createDataFrame(rows, "grp string, id long, w double").repartition(8)
+
+    got = {
+        (r.grp, r.id, r.sample_rank)
+        for r in weighted_sample(df, "grp", "id", F.col("w"), k=7).collect()
+    }
+
+    h = F.conv(F.substring(F.md5(F.col("id").cast("string")), 1, 8), 16, 10).cast(
+        "double"
+    )
+    key = F.round(F.log((h + 1) / F.lit(4294967296.0)) / F.col("w"), 6)
+    w = Window.partitionBy("grp").orderBy(key.desc(), F.col("id").asc())
+    naive = (
+        df.withColumn("sample_rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("sample_rank") <= 7)
+    )
+    want = {(r.grp, r.id, r.sample_rank) for r in naive.collect()}
+    assert got == want
+    assert len(got) == 7 + 7
+    # weighting bites: the hot group's winners skew heavy (mean weight
+    # of the sampled rows well above the group's overall mean ~25.5)
+    hot_w = [1 + i % 50 for (g, i, _) in got if g == "hot"]
+    assert sum(hot_w) / len(hot_w) > 25.5
+
+
 def test_quota_sample_rejects_reserved_column_collisions(spark):
     import pytest
 
