@@ -56,18 +56,24 @@ _EXTENSION_MODULES = (
 )
 _MODULES = _CORE_MODULES + _EXTENSION_MODULES
 
-# The core surface is 54 queries — 4 more than the driver's 50-row
-# window. These four are explicitly demoted to positions 51-54 (still
-# locally parity-checked every CI run): each is a single trivial
-# Catalyst construct with near-zero divergence risk and/or a sibling
-# that keeps the hard signal on the same machinery (u1's unionByName
-# is also exercised by s4_nt_passthrough; p12 keeps coalesce green
-# while p13 sits out; a2/l1 are bare distinct()/limit()).
+# The reference-core surface exceeds the driver's 50-row window.
+# These queries are explicitly demoted to the positions right after
+# the first 50 (still locally parity-checked every CI run): the first
+# four are single trivial Catalyst constructs with near-zero
+# divergence risk and/or a sibling that keeps the hard signal on the
+# same machinery (u1's unionByName is also exercised by
+# s4_nt_passthrough; p12 keeps coalesce green while p13 sits out;
+# a2/l1 are bare distinct()/limit()); a8 (CUBE) and g10 (zero-or-more
+# path) are beyond-reference extensions whose siblings a7 (rollup)
+# and g9 (one-or-more closure) hold the hard signal on the same
+# machinery.
 _DEMOTED = (
     "a2_distinct_projection",
     "u1_union",
     "l1_top_k",
     "p13_default_fill",
+    "a8_cube_revenue",
+    "g10_path_star",
 )
 
 

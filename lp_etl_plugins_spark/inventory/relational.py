@@ -495,6 +495,49 @@ GROUP BY ROLLUP(n_name, c_mktsegment)
 """
 
 
+def a8_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregation — a7's rollup sibling covering ALL grouping-set
+    combinations (nation×segment, per-nation, per-segment, grand
+    total) in one Expand + hash aggregate: one shuffle for four
+    levels. Same exact-cents discipline as a7 so partition order
+    cannot move the rounded revenue."""
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    joined = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.col("c_mktsegment").alias("segment"),
+            cents.alias("cents"),
+        )
+    )
+    return (
+        joined.cube("nation", "segment")
+        .agg(
+            F.grouping_id().cast("bigint").alias("level"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("cents").cast("double") / 100.0, 2).alias("revenue"),
+        )
+        .select("nation", "segment", "level", "n_orders", "revenue")
+    )
+
+
+A8_SQL = """
+SELECT n_name AS nation, c_mktsegment AS segment,
+       (CASE WHEN GROUPING(c_mktsegment) = 1 THEN 1 ELSE 0 END
+        + CASE WHEN GROUPING(n_name) = 1 THEN 2 ELSE 0 END)::BIGINT AS level,
+       count(*) AS n_orders,
+       round(sum(round(o_totalprice * 100)::BIGINT)::DOUBLE / 100.0, 2) AS revenue
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY CUBE(n_name, c_mktsegment)
+"""
+
+
 def j11_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Slowly-changing-dimension type-2 build (temporal versioning the
     reference lacks): collapse each user's event stream into validity
@@ -767,6 +810,7 @@ QUERIES = {
     "a3_scalar_first": a3_scalar_first,
     "a4_collect_concat": a4_collect_concat,
     "a7_rollup_revenue": a7_rollup_revenue,
+    "a8_cube_revenue": a8_cube_revenue,
     "j11_scd2_intervals": j11_scd2_intervals,
     "w1_row_number": w1_row_number,
     "u1_union": u1_union,
@@ -793,6 +837,7 @@ ORACLES = {
     "a3_scalar_first": A3_SQL,
     "a4_collect_concat": A4_SQL,
     "a7_rollup_revenue": A7_SQL,
+    "a8_cube_revenue": A8_SQL,
     "j11_scd2_intervals": J11_SQL,
     "w1_row_number": W1_SQL,
     "u1_union": U1_SQL,
