@@ -1040,6 +1040,52 @@ SELECT source, doc_id, sample_rank FROM (
 """
 
 
+def t25_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 word-bigram collocations by PMI with a min-count floor
+    (textops.bigram_pmi) — phrase mining for tokenizer/vocab
+    construction. The PMI ratio is two exact integer products and one
+    division before log2 + rounding, so both engines see identical
+    bits."""
+    return T.bigram_pmi(_docs(spark, sf_dir), "text", min_count=5, k=50)
+
+
+T25_SQL = r"""
+WITH words AS (
+  SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS w
+  FROM documents
+),
+uni AS (SELECT w, count(*) AS c FROM words GROUP BY w),
+doc_words AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ws
+  FROM documents
+),
+bigrams AS (
+  SELECT ws[i] || ' ' || ws[i + 1] AS bg
+  FROM doc_words, unnest(generate_series(1, len(ws) - 1)) t(i)
+),
+bi AS (
+  SELECT bg, count(*) AS c_ab FROM bigrams GROUP BY bg HAVING count(*) >= 5
+),
+tot AS (
+  SELECT (SELECT count(*) FROM words)::BIGINT AS n_uni,
+         (SELECT count(*) FROM bigrams)::BIGINT AS n_bi
+),
+scored AS (
+  SELECT bi.bg AS bigram, bi.c_ab AS n_pairs,
+         round(log2(
+           (bi.c_ab * tot.n_uni * tot.n_uni)::DOUBLE
+           / (tot.n_bi * ua.c * ub.c)::DOUBLE
+         ), 6) AS pmi
+  FROM bi
+  JOIN uni ua ON ua.w = split_part(bi.bg, ' ', 1)
+  JOIN uni ub ON ub.w = split_part(bi.bg, ' ', 2)
+  CROSS JOIN tot
+)
+SELECT bigram, n_pairs, pmi FROM scored
+ORDER BY pmi DESC, bigram ASC LIMIT 50
+"""
+
+
 QUERIES = {
     "t1_exact_dedup": t1_exact_dedup,
     "t2_fingerprint_dedup": t2_fingerprint_dedup,
@@ -1065,6 +1111,7 @@ QUERIES = {
     "t22_edit_distance_verify": t22_edit_distance_verify,
     "t23_trigram_lm_score": t23_trigram_lm_score,
     "t24_weighted_sample": t24_weighted_sample,
+    "t25_bigram_pmi": t25_bigram_pmi,
 }
 
 ORACLES = {
@@ -1092,4 +1139,5 @@ ORACLES = {
     "t22_edit_distance_verify": T22_SQL,
     "t23_trigram_lm_score": T23_SQL,
     "t24_weighted_sample": T24_SQL,
+    "t25_bigram_pmi": T25_SQL,
 }

@@ -50,6 +50,7 @@ __all__ = [
     "lang_id",
     "quality_score",
     "trigram_lm_logprob",
+    "bigram_pmi",
     "token_counts",
     "hash_bucket",
     "quota_sample",
@@ -620,6 +621,63 @@ def quota_sample(df: DataFrame, group_col: str, id_col: str, k: int) -> DataFram
     return (
         pruned.withColumn("sample_rank", F.row_number().over(w2).cast("bigint"))
         .filter(F.col("sample_rank") <= k)
+    )
+
+
+def bigram_pmi(
+    df: DataFrame, text_col: str, min_count: int = 5, k: int = 50
+) -> DataFrame:
+    """Top-``k`` word-bigram collocations by pointwise mutual
+    information — the classic corpus-statistics op for phrase mining
+    and tokenizer/vocabulary construction. PMI(a,b) =
+    log2(P(ab) / (P(a)·P(b))) over OCCURRENCE counts (not document
+    frequencies), with a ``min_count`` support floor to kill
+    one-off pairings.
+
+    Scale shape: two explode+groupBy count passes (map-side
+    partials), corpus totals as a 1-row broadcast, unigram lookups
+    as two joins on the (≤ vocab-sized) bigram table, and a global
+    TakeOrdered for the top-k — k rows per partition reach the
+    merge, never the counts. Parity: the PMI ratio is computed as
+    two EXACT integer products and one division (bit-identical in
+    both engines) before log2 and the 1e-6 rounding; ties break on
+    the bigram string. → (bigram, n_pairs, pmi), k rows."""
+    words = df.select(F.explode(normalized_words(text_col)).alias("w"))
+    uni = words.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    bigrams = df.select(
+        F.explode(shingles(normalized_words(text_col), 2)).alias("bg")
+    )
+    bi = (
+        bigrams.groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= min_count)
+    )
+    totals = F.broadcast(
+        words.agg(F.count(F.lit(1)).alias("n_uni")).crossJoin(
+            bigrams.agg(F.count(F.lit(1)).alias("n_bi"))
+        )
+    )
+    parts = F.split(F.col("bg"), " ", 2)
+    scored = (
+        bi.withColumn("w1", parts.getItem(0))
+        .withColumn("w2", parts.getItem(1))
+        .join(uni.select(F.col("w").alias("w1"), F.col("c").alias("c_a")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("c").alias("c_b")), "w2")
+        .join(totals)
+        .select(
+            "bg",
+            F.col("c_ab").alias("n_pairs"),
+            F.round(
+                F.log2(
+                    (F.col("c_ab") * F.col("n_uni") * F.col("n_uni")).cast("double")
+                    / (F.col("n_bi") * F.col("c_a") * F.col("c_b")).cast("double")
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(F.col("pmi").desc(), F.col("bg").asc()).limit(k).select(
+        F.col("bg").alias("bigram"), "n_pairs", "pmi"
     )
 
 
