@@ -221,11 +221,14 @@ def v5_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sign-buckets so the corpus cross-product never forms — the same
     candidates-only discipline as the MinHash-LSH text path."""
     emb = _emb(spark, sf_dir)
-    # norms hoisted out of the pair join: one unit_normalize per vector,
-    # then a single dot fold per candidate pair (see V.unit_normalize)
+    # raw vector + ONE scalar norm fold per row — a normalized-array
+    # projection (interpreted HOF) costs as much again as the norm
+    # fold and doubles the exchange payload; per pair the cosine is
+    # one dot fold + one multiply + divide
     side = emb.select(
         "vec_id",
-        V.unit_normalize(F.col("embedding")).alias("vec"),
+        F.col("embedding").alias("vec"),
+        V.norm(F.col("embedding")).alias("nn"),
         V.sign_bucket(F.col("embedding"), _BITS).alias("bucket"),
     )
     # Spread the streamed side across all cores: the embeddings table
@@ -233,12 +236,14 @@ def v5_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # dominant cost — without this the scoring join runs in as many
     # tasks as there are input splits (1 at bench scale).
     par = spark.sparkContext.defaultParallelism
-    a = side.select(F.col("vec_id").alias("id_a"), F.col("vec").alias("vec_a"), "bucket").repartition(par)
-    b = side.select(F.col("vec_id").alias("id_b"), F.col("vec").alias("vec_b"), "bucket")
+    a = side.select(F.col("vec_id").alias("id_a"), F.col("vec").alias("vec_a"), F.col("nn").alias("nn_a"), "bucket").repartition(par)
+    b = side.select(F.col("vec_id").alias("id_b"), F.col("vec").alias("vec_b"), F.col("nn").alias("nn_b"), "bucket")
     pairs = a.join(b, on="bucket").filter(F.col("id_a") < F.col("id_b"))
     scored = pairs.select(
         "id_a", "id_b",
-        F.round(V.dot(F.col("vec_a"), F.col("vec_b")), 6).alias("cos"),
+        F.round(
+            V.dot(F.col("vec_a"), F.col("vec_b")) / (F.col("nn_a") * F.col("nn_b")), 6
+        ).alias("cos"),
     )
     # threshold applies to the ROUNDED score (the published value), so
     # the oracle's boundary behavior is identical
@@ -247,18 +252,17 @@ def v5_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 V5_SQL = """
 WITH e AS (
-  SELECT vec_id,
-    list_transform(embedding::DOUBLE[],
-                   x -> x / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))) AS v,
+  SELECT vec_id, embedding::DOUBLE[] AS nv,
+    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nn,
     (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END
      + CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END
      + CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END) AS bucket
   FROM embeddings
 )
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-  round(list_dot_product(a.v, b.v), 6) AS cos
+  round(list_dot_product(a.nv, b.nv) / (a.nn * b.nn), 6) AS cos
 FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-WHERE round(list_dot_product(a.v, b.v), 6) >= 0.4
+WHERE round(list_dot_product(a.nv, b.nv) / (a.nn * b.nn), 6) >= 0.4
 """
 
 
@@ -388,9 +392,8 @@ def v9_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 V9_SQL = """
 WITH RECURSIVE e AS (
-  SELECT vec_id,
-    list_transform(embedding::DOUBLE[],
-                   x -> x / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))) AS v,
+  SELECT vec_id, embedding::DOUBLE[] AS nv,
+    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nn,
     (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END
      + CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END
      + CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END) AS bucket
@@ -399,7 +402,7 @@ WITH RECURSIVE e AS (
 pr AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b
   FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-  WHERE round(list_dot_product(a.v, b.v), 6) >= 0.4
+  WHERE round(list_dot_product(a.nv, b.nv) / (a.nn * b.nn), 6) >= 0.4
 ),
 edges AS (
   SELECT id_a AS u, id_b AS v FROM pr
