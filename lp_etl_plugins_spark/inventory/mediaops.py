@@ -197,10 +197,13 @@ e AS (
          list_transform(h, x -> x / sqrt(list_dot_product(h, h))) AS v
   FROM hist
 ),
+er AS (
+  SELECT media_id, h AS nv, sqrt(list_dot_product(h, h)) AS nn FROM hist
+),
 scored AS (
   SELECT p.media_id AS probe_id, c.media_id AS neighbor_id,
-         round(list_dot_product(p.v, c.v), 6) AS cos
-  FROM e p JOIN e c ON p.media_id < 5 AND c.media_id != p.media_id
+         round(list_dot_product(p.v, c.nv) / c.nn, 6) AS cos
+  FROM e p JOIN er c ON p.media_id < 5 AND c.media_id != p.media_id
 ),
 ranked AS (
   SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id) AS rank

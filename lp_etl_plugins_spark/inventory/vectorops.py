@@ -38,12 +38,19 @@ _NORM_E = """
   FROM embeddings
 """
 
+_RAW_NN = """
+  SELECT vec_id, embedding::DOUBLE[] AS nv,
+    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nn
+  FROM embeddings
+"""
+
 V1_SQL = f"""
 WITH e AS ({_NORM_E}),
+er AS ({_RAW_NN}),
 scored AS (
   SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
-    round(list_dot_product(p.v, c.v), 6) AS cos
-  FROM e p JOIN e c ON p.vec_id < {_PROBE_LIMIT} AND c.vec_id != p.vec_id
+    round(list_dot_product(p.v, c.nv) / c.nn, 6) AS cos
+  FROM e p JOIN er c ON p.vec_id < {_PROBE_LIMIT} AND c.vec_id != p.vec_id
 ),
 ranked AS (
   SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id) AS rank
@@ -346,17 +353,17 @@ WITH e AS (
      + CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END) AS bucket
   FROM embeddings
 ),
+er AS ({_RAW_E}),
 exact AS (
   SELECT probe_id, neighbor_id FROM (
     SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
       row_number() OVER (
         PARTITION BY p.vec_id
-        ORDER BY round(list_dot_product(p.v, c.v), 6) DESC, c.vec_id
+        ORDER BY round(list_dot_product(p.v, c.nv) / c.nn, 6) DESC, c.vec_id
       ) AS rank
-    FROM e p JOIN e c ON p.vec_id < {_PROBE_LIMIT} AND c.vec_id != p.vec_id
+    FROM e p JOIN er c ON p.vec_id < {_PROBE_LIMIT} AND c.vec_id != p.vec_id
   ) r WHERE rank <= {_K}
 ),
-er AS ({_RAW_E}),
 approx AS (
   SELECT probe_id, neighbor_id FROM (
     SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,

@@ -89,23 +89,29 @@ def knn_bruteforce(
     """Exact top-k cosine neighbors per probe (self excluded) →
     (probe_id, neighbor_id, cos). Probes are broadcast — the corpus
     never shuffles; each corpus partition scores its rows against every
-    probe and the window reduces per probe. Both sides are unit-
-    normalized BEFORE the join (broadcast relation / per stream row),
-    so each pair costs one dot fold instead of dot + two norms."""
+    probe and the window reduces per probe. The probe side (small) is
+    unit-normalized; the corpus side carries its RAW vector plus one
+    scalar norm fold, so each pair costs one dot fold + a divide —
+    a corpus-wide normalized projection (interpreted array HOF per
+    row) costs as much again as the norm fold."""
     p = probes.select(
         F.col(id_col).alias("probe_id"),
         unit_normalize(F.col(vec_col)).alias("probe_vec"),
     )
     c = embeddings.select(
         F.col(id_col).alias("neighbor_id"),
-        unit_normalize(F.col(vec_col)).alias("neighbor_vec"),
+        F.col(vec_col).alias("neighbor_vec"),
+        norm(F.col(vec_col)).alias("neighbor_norm"),
     )
     scored = (
         c.join(F.broadcast(p), F.col("probe_id") != F.col("neighbor_id"))
         .select(
             "probe_id",
             "neighbor_id",
-            F.round(_dot(F.col("probe_vec"), F.col("neighbor_vec")), 6).alias("cos"),
+            F.round(
+                _dot(F.col("probe_vec"), F.col("neighbor_vec")) / F.col("neighbor_norm"),
+                6,
+            ).alias("cos"),
         )
     )
     win = W.partitionBy("probe_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
