@@ -210,6 +210,71 @@ SELECT event_id, user_id, event_sec, order_key, order_price FROM (
 """
 
 
+def e8_scd2_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal dimension enrichment — the composition every warehouse
+    pipeline runs: look up the SCD2 dimension version (j11's
+    type-regime intervals) valid at each event's instant. Because
+    consecutive versions partition the timeline, the interval
+    containment lookup collapses to an AS-OF join on valid_from
+    (util.asof_join: one shuffle of |events| + |versions| on the key,
+    one ordered window — no range-join pair blow-up), reusing the j10
+    plan against the j11 build. The oracle recomputes it as an
+    explicit interval-containment join.
+    → (event_id, user_id, event_sec, regime_type, version)."""
+    from ..util import asof_join
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.unix_timestamp("ts").alias("event_sec")
+    )
+    from .relational import j11_scd2_intervals
+
+    intervals = j11_scd2_intervals(spark, sf_dir).select(
+        "user_id",
+        F.col("event_type").alias("regime_type"),
+        "valid_from",
+        "version",
+    )
+    return asof_join(
+        events,
+        intervals,
+        key="user_id",
+        left_time="event_sec",
+        right_time="valid_from",
+        payload=["regime_type", "version"],
+        tiebreak="version",
+    ).select("event_id", "user_id", "event_sec", "regime_type", "version")
+
+
+E8_SQL = """
+WITH base AS (
+  SELECT user_id, event_type, floor(epoch(ts))::BIGINT AS t, event_id
+  FROM events
+),
+o AS (
+  SELECT user_id, event_type, t, event_id,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY t, event_id) AS prev_type
+  FROM base
+),
+changed AS (
+  SELECT user_id, event_type, t, event_id
+  FROM o WHERE prev_type IS NULL OR prev_type != event_type
+),
+intervals AS (
+  SELECT user_id, event_type AS regime_type, t AS valid_from,
+         lead(t) OVER (PARTITION BY user_id ORDER BY t, event_id) AS valid_to,
+         row_number() OVER (PARTITION BY user_id ORDER BY t, event_id) AS version
+  FROM changed
+)
+SELECT e.event_id, e.user_id, floor(epoch(e.ts))::BIGINT AS event_sec,
+       i.regime_type, i.version
+FROM events e
+JOIN intervals i
+  ON i.user_id = e.user_id
+ AND floor(epoch(e.ts))::BIGINT >= i.valid_from
+ AND (i.valid_to IS NULL OR floor(epoch(e.ts))::BIGINT < i.valid_to)
+"""
+
+
 QUERIES = {
     "e1_tumbling_window": e1_tumbling_window,
     "e2_sliding_window": e2_sliding_window,
@@ -219,6 +284,7 @@ QUERIES = {
     "e6_stream_enrich": e6_stream_enrich,
     "e7_interval_join": e7_interval_join,
     "j10_asof_join": j10_asof_join,
+    "e8_scd2_enrich": e8_scd2_enrich,
 }
 
 ORACLES = {
@@ -230,4 +296,5 @@ ORACLES = {
     "e6_stream_enrich": E6_SQL,
     "e7_interval_join": E7_SQL,
     "j10_asof_join": J10_SQL,
+    "e8_scd2_enrich": E8_SQL,
 }
