@@ -212,6 +212,21 @@ def test_knn_bucketed_broadcasts_probes_and_never_shuffles_corpus(spark):
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
 
 
+def test_pq_scoring_join_broadcasts_lut(spark):
+    """PQ/ADC scoring must broadcast the probe lookup table — the
+    compressed code table is the streamed side and never shuffles for
+    the join."""
+    from pyspark.sql import functions as F
+
+    from lp_etl_plugins_spark.tables import load_table
+    from lp_etl_plugins_spark.vectorops import knn_pq
+
+    emb = load_table(spark, SF, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 10)
+    plan = _executed_plan(knn_pq(emb, probes, 3, m=4, dims=64))
+    assert "BroadcastHashJoin" in plan
+
+
 def test_lsh_band_cap_drops_only_overfull_groups(spark):
     """max_band_size excises crowded band groups (bounding per-group
     pair expansion at C(cap,2) regardless of corpus size) while pairs
