@@ -925,9 +925,19 @@ def t22_edit_distance_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     texts = docs.select("doc_id", "text")
     a = texts.select(F.col("doc_id").alias("id_a"), F.col("text").alias("ta"))
     b = texts.select(F.col("doc_id").alias("id_b"), F.col("text").alias("tb"))
+    # Levenshtein >= |len_a - len_b|, so pairs whose length gap alone
+    # already exceeds the relative threshold can never pass — filter
+    # them BEFORE the O(len^2) distance. The 0.26 margin comfortably
+    # covers the 1e-6 rounding window of the final rel_dist filter,
+    # so the output is byte-identical to the unfiltered plan (and to
+    # the oracle, which verifies every candidate).
     scored = (
         pairs.join(a, "id_a")
         .join(b, "id_b")
+        .filter(
+            F.abs(F.length("ta") - F.length("tb")).cast("double")
+            <= 0.26 * F.least(F.length("ta"), F.length("tb"))
+        )
         .select(
             "id_a",
             "id_b",
