@@ -122,6 +122,65 @@ def test_ivf_recall_on_clustered_data(spark):
     assert exact == approx  # 100% top-1 recall on separated clusters
 
 
+def test_decontaminate_flags_only_cross_side_containment(spark):
+    """A train doc embedding a benchmark passage is flagged; identical
+    train-train near-dups are NOT (same-side pairs never contaminate);
+    clean train docs survive."""
+    from lp_etl_plugins_spark import textops
+
+    bench = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (0, bench, True),  # the benchmark doc
+        (1, "intro words " + bench + " closing words", False),  # contaminated
+        (2, "totally different content about other topics entirely", False),
+        (3, "totally different content about other topics entirely", False),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, is_bench boolean")
+    got = {
+        r["doc_id"]
+        for r in textops.decontaminate(
+            docs, "text", "doc_id", "is_bench", max_df_frac=0.9
+        ).collect()
+    }
+    assert got == {1}
+
+
+def test_bigram_pmi_ranks_exclusive_pairs_highest(spark):
+    """A bigram whose words ONLY occur together gets the top PMI;
+    pairs below min_count are excluded."""
+    from lp_etl_plugins_spark import textops
+
+    docs = spark.createDataFrame(
+        [
+            # 'hocus pocus' always together; 'the cat' words also occur apart
+            (0, "hocus pocus the cat sat the dog sat"),
+            (1, "hocus pocus the cat ran the bird flew"),
+            (2, "hocus pocus the cat sat hocus pocus the cat sat"),
+        ],
+        "doc_id long, text string",
+    )
+    out = textops.bigram_pmi(docs, "text", min_count=3, k=5).collect()
+    assert out[0]["bigram"] == "hocus pocus"
+    assert all(r["n_pairs"] >= 3 for r in out)
+
+
+def test_trigram_lm_scores_outlier_below_typical(spark):
+    """A doc made of corpus-atypical characters scores a lower mean
+    log-probability than docs drawn from the corpus's own trigrams."""
+    from lp_etl_plugins_spark import textops
+
+    typical = [(i, "the quick brown fox jumps over the lazy dog") for i in range(8)]
+    docs = spark.createDataFrame(
+        typical + [(99, "zzqxj vvkww qqqzz xjzqv")], "doc_id long, text string"
+    )
+    scores = {
+        r["id"]: r["doc_lp"]
+        for r in textops.trigram_lm_logprob(docs, "text", "doc_id").collect()
+    }
+    typical_mean = sum(scores[i] for i in range(8)) / 8
+    assert scores[99] < typical_mean
+
+
 def test_pq_adc_recall_on_clustered_data(spark):
     """PQ/ADC mechanics on separated clusters: with per-cluster
     codebooks every member of a cluster quantizes to the same codes,
