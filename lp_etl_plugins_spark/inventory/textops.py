@@ -1096,6 +1096,124 @@ ORDER BY pmi DESC, bigram ASC LIMIT 50
 """
 
 
+def t26_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline's END PRODUCT: collapse every near-dup
+    cluster (t3 LSH pairs → t10 connected components) to its single
+    best member by quality score (t7), tie-broken by min doc_id;
+    unclustered docs are their own singleton cluster (coalesce to
+    doc_id). One left join against the (small) clustered-id map, one
+    per-cluster window, one groupBy — the join side is only the docs
+    that appear in some candidate pair, so at 100 TB the map stays a
+    tiny fraction of the corpus and AQE broadcasts it.
+    → per-source (n_docs, n_kept, n_removed) of the curated corpus."""
+    from pyspark.sql import Window as W
+
+    docs = _docs(spark, sf_dir)
+    comps = T.connected_components(t3_minhash_lsh_pairs(spark, sf_dir))
+    labeled = (
+        docs.select("doc_id", "source", T.quality_score("text").alias("quality"))
+        .join(comps.withColumnRenamed("id", "doc_id"), "doc_id", "left")
+        .withColumn("cluster", F.coalesce("cluster", "doc_id"))
+    )
+    w = W.partitionBy("cluster").orderBy(F.col("quality").desc(), F.col("doc_id").asc())
+    ranked = labeled.withColumn("rn", F.row_number().over(w))
+    return ranked.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).alias("n_kept"),
+        F.sum(F.when(F.col("rn") > 1, 1).otherwise(0)).alias("n_removed"),
+    )
+
+
+T26_SQL = (
+    "WITH RECURSIVE " + _SH_SQL + "," + _CAND_SQL + r""",
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM cand
+  UNION
+  SELECT id_b, id_a FROM cand
+),
+reach(u, lbl) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges) t
+  UNION
+  SELECT e.u, r.lbl FROM edges e JOIN reach r ON r.u = e.v
+),
+comp AS (SELECT u, min(lbl) AS cluster FROM reach GROUP BY u),
+scored AS (
+  SELECT doc_id, source,
+    round(
+      0.4 * least(1.0, length(text)::DOUBLE / 300.0)
+      + 0.3 * (len(list_filter(ws, w -> w IN ('the','a','of','and','to')))::DOUBLE / len(ws))
+      + 0.3 * (1.0 - least(1.0,
+          abs(list_sum(list_transform(ws, w -> length(w)))::DOUBLE / len(ws) - 4.5) / 10.0)),
+    6) AS quality
+  FROM (SELECT doc_id, source, text,
+               regexp_split_to_array(lower(trim(text)), '\s+') AS ws
+        FROM documents) t
+),
+ranked AS (
+  SELECT s.source,
+         row_number() OVER (
+           PARTITION BY coalesce(c.cluster, s.doc_id)
+           ORDER BY s.quality DESC, s.doc_id ASC
+         ) AS rn
+  FROM scored s LEFT JOIN comp c ON c.u = s.doc_id
+)
+SELECT source, count(*)::BIGINT AS n_docs,
+       sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+       sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END)::BIGINT AS n_removed
+FROM ranked GROUP BY source
+"""
+)
+
+
+def t27_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level (C4/RefinedWeb line-level-style) exact dedup:
+    each document is split into consecutive 20-word chunks — built
+    with expression-level ``transform``+``slice`` over the shared
+    ``normalized_words`` array, so the chunking itself costs NO
+    shuffle — then globally deduped keep-first (order by doc_id,
+    chunk index) on the chunk hash. The one shuffle is the window on
+    md5(chunk), i.e. hash-partitioned by content — the standard
+    corpus-scale line-dedup shape. → per-doc (n_chunks, n_kept)."""
+    from pyspark.sql import Window as W
+
+    docs = _docs(spark, sf_dir)
+    words = T.normalized_words("text")
+    n_chunks = F.greatest(F.lit(1), F.ceil(F.size(words) / F.lit(20))).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.concat_ws(" ", F.slice(words, i * 20 + 1, 20)),
+    )
+    ex = docs.select("doc_id", F.posexplode(chunks).alias("idx", "chunk"))
+    w = W.partitionBy(F.md5("chunk")).orderBy("doc_id", "idx")
+    ranked = ex.withColumn("rn", F.row_number().over(w))
+    return ranked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).alias("n_kept"),
+    )
+
+
+T27_SQL = r"""
+WITH words AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ws FROM documents
+),
+chunks AS (
+  SELECT doc_id, i AS idx,
+         array_to_string(ws[i * 20 + 1 : i * 20 + 20], ' ') AS chunk
+  FROM words,
+       unnest(generate_series(0,
+         greatest(1, ceil(len(ws) / 20.0)::INT) - 1)) AS g(i)
+),
+ranked AS (
+  SELECT doc_id,
+         row_number() OVER (PARTITION BY md5(chunk) ORDER BY doc_id, idx) AS rn
+  FROM chunks
+)
+SELECT doc_id, count(*)::BIGINT AS n_chunks,
+       sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END)::BIGINT AS n_kept
+FROM ranked GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "t1_exact_dedup": t1_exact_dedup,
     "t2_fingerprint_dedup": t2_fingerprint_dedup,
@@ -1122,6 +1240,8 @@ QUERIES = {
     "t23_trigram_lm_score": t23_trigram_lm_score,
     "t24_weighted_sample": t24_weighted_sample,
     "t25_bigram_pmi": t25_bigram_pmi,
+    "t26_canonical_dedup": t26_canonical_dedup,
+    "t27_chunk_dedup": t27_chunk_dedup,
 }
 
 ORACLES = {
@@ -1150,4 +1270,6 @@ ORACLES = {
     "t23_trigram_lm_score": T23_SQL,
     "t24_weighted_sample": T24_SQL,
     "t25_bigram_pmi": T25_SQL,
+    "t26_canonical_dedup": T26_SQL,
+    "t27_chunk_dedup": T27_SQL,
 }
