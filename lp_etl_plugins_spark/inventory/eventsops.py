@@ -275,6 +275,99 @@ JOIN intervals i
 """
 
 
+def a9_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic HyperLogLog (p=8, 256 registers) distinct-user
+    estimate per event type, next to the exact count — the sketch an
+    engine needs when exact count-distinct's shuffle is the bottleneck
+    at 100 TB. Unlike native HLL implementations (whose hash/encoding
+    differ per engine, so no oracle could ever match), every stage here
+    is an engine-portable expression: md5 → bucket = first byte, w =
+    next 32 hash bits, rank = leading-zero position via
+    lpad(bin(w),32) instr — so Spark and DuckDB build bit-identical
+    registers. The estimator's 2^-M terms and their ≤256-term sum are
+    exact in binary (exponent span 33 < 52 mantissa bits), so Z is
+    order-independent and the final alpha·m²/Z division is the same
+    IEEE double in both engines. The standard small-range correction
+    (E ≤ 2.5m and empty registers → linear counting m·ln(m/V)) is
+    included: its branch condition compares bit-identical doubles, and
+    the one transcendental (ln) sits under round(·, 3) — the same
+    libm-under-rounding discipline t25's log2 PMI already relies on.
+    Plan shape: one partial-aggregating groupBy(type, bucket) — 256
+    registers/group — then a 256-row groupBy(type): strictly cheaper
+    than exact distinct's full-width user_id shuffle."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    h = F.md5(F.col("user_id").cast("string"))
+    bucket = F.conv(F.substring(h, 1, 2), 16, 10).cast("int")
+    w = F.conv(F.substring(h, 3, 8), 16, 10).cast("long")
+    rank = (
+        F.when(w == 0, F.lit(33))
+        .otherwise(F.instr(F.lpad(F.bin(w), 32, "0"), "1"))
+        .cast("int")
+    )
+    regs = (
+        ev.select("event_type", bucket.alias("bucket"), rank.alias("r"))
+        .groupBy("event_type", "bucket")
+        .agg(F.max("r").alias("m"))
+    )
+    est = regs.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("nb"),
+        F.sum(F.pow(F.lit(2.0), -F.col("m"))).alias("s"),
+    )
+    alpha = F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / F.lit(256.0))
+    v = (F.lit(256) - F.col("nb")).cast("double")
+    z = v + F.col("s")
+    e_raw = alpha * F.lit(65536.0) / z
+    e = F.when(
+        (e_raw <= F.lit(640.0)) & (v > F.lit(0.0)),
+        F.lit(256.0) * F.log(F.lit(256.0) / v),
+    ).otherwise(e_raw)
+    hll = est.select("event_type", F.round(e, 3).alias("hll_users"))
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    return exact.join(hll, "event_type")
+
+
+A9_SQL = """
+WITH ev AS (
+  SELECT event_type, user_id, md5(user_id::VARCHAR) AS hx
+  FROM events WHERE user_id IS NOT NULL
+),
+br AS (
+  SELECT event_type,
+         ('0x' || substring(hx, 1, 2))::INT AS bucket,
+         ('0x' || substring(hx, 3, 8))::BIGINT AS w
+  FROM ev
+),
+rk AS (
+  SELECT event_type, bucket,
+         CASE WHEN w = 0 THEN 33
+              ELSE strpos(lpad(bin(w), 32, '0'), '1') END AS r
+  FROM br
+),
+regs AS (SELECT event_type, bucket, max(r) AS m FROM rk GROUP BY event_type, bucket),
+est AS (
+  SELECT event_type, count(*) AS nb, sum(pow(2.0, -m)) AS s
+  FROM regs GROUP BY event_type
+),
+exact AS (
+  SELECT event_type, count(DISTINCT user_id) AS exact_users
+  FROM ev GROUP BY event_type
+),
+raw AS (
+  SELECT event_type, (256 - nb)::DOUBLE AS v,
+         (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0
+           / ((256 - nb)::DOUBLE + s) AS e_raw
+  FROM est
+)
+SELECT e.event_type, e.exact_users,
+       round(CASE WHEN e_raw <= 640.0 AND v > 0.0
+                  THEN 256.0 * ln(256.0 / v)
+                  ELSE e_raw END, 3) AS hll_users
+FROM exact e JOIN raw USING (event_type)
+"""
+
+
 QUERIES = {
     "e1_tumbling_window": e1_tumbling_window,
     "e2_sliding_window": e2_sliding_window,
@@ -285,6 +378,7 @@ QUERIES = {
     "e7_interval_join": e7_interval_join,
     "j10_asof_join": j10_asof_join,
     "e8_scd2_enrich": e8_scd2_enrich,
+    "a9_hll_distinct": a9_hll_distinct,
 }
 
 ORACLES = {
@@ -297,4 +391,5 @@ ORACLES = {
     "e7_interval_join": E7_SQL,
     "j10_asof_join": J10_SQL,
     "e8_scd2_enrich": E8_SQL,
+    "a9_hll_distinct": A9_SQL,
 }
