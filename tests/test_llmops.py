@@ -516,3 +516,83 @@ def test_media_feature_extraction(spark):
         assert 0.0 <= r["byte_entropy"] <= 4.0  # log2(16) max
         assert len(r["hist"]) == 16
         assert abs(sum(r["hist"]) - 1.0) < 1e-9
+
+
+# --------------------------------------------------------------------------
+# inventory pipelines on constructed corpora (t26/t27/a9 semantics)
+# --------------------------------------------------------------------------
+
+
+def _write_docs(spark, tmp_path, rows):
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    return str(tmp_path)
+
+
+def test_chunk_dedup_keeps_first_occurrence(spark, tmp_path):
+    from lp_etl_plugins_spark.inventory.textops import t27_chunk_dedup
+
+    run = lambda a, b: " ".join(f"w{i}" for i in range(a, b))
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [
+            (1, run(0, 25), "en", "s", 0),  # chunks: w0..w19 | w20..w24
+            (2, run(0, 20) + " x1 x2 x3 x4 x5", "en", "s", 0),  # chunk 1 dups doc 1's
+            (3, "a wholly different ten word document with no overlap", "en", "s", 0),
+        ],
+    )
+    got = {
+        r["doc_id"]: (r["n_chunks"], r["n_kept"])
+        for r in t27_chunk_dedup(spark, sf).collect()
+    }
+    # keep-first is (doc_id, idx) order: doc 1 keeps both chunks, doc 2
+    # loses its first chunk to doc 1 but keeps its unique tail
+    assert got == {1: (2, 2), 2: (2, 1), 3: (1, 1)}
+
+
+def test_canonical_dedup_keeps_one_per_cluster(spark, tmp_path):
+    from lp_etl_plugins_spark.inventory.textops import t26_canonical_dedup
+
+    dup = "the quick brown fox jumps over the lazy dog again and again today"
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [
+            (10, dup, "en", "srcA", 0),
+            (11, dup, "en", "srcB", 0),  # identical → same cluster, equal quality
+            (12, "an unrelated document describing shuffle joins in detail", "en", "srcA", 0),
+        ],
+    )
+    got = {
+        r["source"]: (r["n_docs"], r["n_kept"], r["n_removed"])
+        for r in t26_canonical_dedup(spark, sf).collect()
+    }
+    # equal quality → min doc_id (10) is canonical; 11 is the removal;
+    # the unclustered doc 12 is its own singleton and is kept
+    assert got == {"srcA": (2, 2, 0), "srcB": (1, 0, 1)}
+
+
+def test_hll_distinct_tracks_exact_and_skips_nulls(spark, tmp_path):
+    import datetime
+
+    from lp_etl_plugins_spark.inventory.eventsops import a9_hll_distinct
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        (i, t0, (i % 1000) + 1, "click", 1.0, "{}") for i in range(3000)
+    ] + [(99999, t0, None, "click", 1.0, "{}")]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = a9_hll_distinct(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["exact_users"] == 1000  # the null user contributes nothing
+    # m=256 registers → ~6.5% standard error; 25% is a >3-sigma gate
+    assert abs(r["hll_users"] - 1000) / 1000 < 0.25
