@@ -1214,6 +1214,64 @@ FROM ranked GROUP BY doc_id
 """
 
 
+def t28_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 TF-IDF terms per source — the keyword/topic signal a
+    curation pass uses to characterize (and filter) a source. IDF is
+    learned in-plan: per-(source, term) counts are one groupBy with
+    map-side partials, document frequency is a groupBy over that
+    (|vocab| rows, not corpus rows), and the source count joins as a
+    1-row broadcast — no driver action. Ranking happens on the
+    ROUNDED 1e-6 tf·idf grid (the t23/t25 libm-under-rounding
+    discipline) with a term tie-break, so both engines order
+    identically. The per-source window ranks at most |vocab| rows per
+    source — corpus size never enters the window state."""
+    from pyspark.sql import Window as W
+
+    docs = _docs(spark, sf_dir)
+    words = docs.select("source", F.explode(T.normalized_words("text")).alias("term"))
+    tf = words.groupBy("source", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    ns = docs.agg(F.countDistinct("source").alias("n_src"))
+    scored = (
+        tf.join(dfreq, "term")
+        .join(F.broadcast(ns))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * F.log2((F.lit(1.0) + F.col("n_src")) / (F.lit(1.0) + F.col("df"))),
+                6,
+            ),
+        )
+    )
+    w = W.partitionBy("source").orderBy(F.col("tfidf").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("source", "term", "tf", "tfidf")
+    )
+
+
+T28_SQL = r"""
+WITH words AS (
+  SELECT source, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+  FROM documents
+),
+tf AS (SELECT source, term, count(*) AS tf FROM words GROUP BY source, term),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+ns AS (SELECT count(DISTINCT source) AS n_src FROM documents),
+scored AS (
+  SELECT tf.source, tf.term, tf.tf,
+         round(tf.tf * log2((1.0 + n_src) / (1.0 + df)), 6) AS tfidf
+  FROM tf JOIN dfreq USING (term) CROSS JOIN ns
+)
+SELECT source, term, tf, tfidf FROM (
+  SELECT *, row_number() OVER (PARTITION BY source ORDER BY tfidf DESC, term ASC) AS rk
+  FROM scored
+) r WHERE rk <= 5
+"""
+
+
 QUERIES = {
     "t1_exact_dedup": t1_exact_dedup,
     "t2_fingerprint_dedup": t2_fingerprint_dedup,
@@ -1242,6 +1300,7 @@ QUERIES = {
     "t25_bigram_pmi": t25_bigram_pmi,
     "t26_canonical_dedup": t26_canonical_dedup,
     "t27_chunk_dedup": t27_chunk_dedup,
+    "t28_tfidf_topk": t28_tfidf_topk,
 }
 
 ORACLES = {
@@ -1272,4 +1331,5 @@ ORACLES = {
     "t25_bigram_pmi": T25_SQL,
     "t26_canonical_dedup": T26_SQL,
     "t27_chunk_dedup": T27_SQL,
+    "t28_tfidf_topk": T28_SQL,
 }
