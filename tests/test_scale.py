@@ -346,6 +346,7 @@ def test_no_accidental_cross_products(spark):
         "t20_decontaminate",
         "t23_trigram_lm_score",  # 1-row (n_total, vocab) broadcast
         "t25_bigram_pmi",  # 1-row (n_uni, n_bi) totals broadcast
+        "t28_tfidf_topk",  # 1-row n_src (distinct source count) broadcast
         "v1_knn_bruteforce",
         "v8_ann_recall",
         "m5_media_knn",
