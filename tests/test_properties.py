@@ -208,3 +208,47 @@ def test_asof_join_matches_reference(spark, lefts, rights):
         cands = [(rt, rid) for (rk, rt, rid) in rights if rk == k and rt <= t]
         want[i] = max(cands)[1] if cands else None
     assert got == want
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(  # documents as word lists over a tiny vocab → chunk collisions
+        st.lists(st.sampled_from(["alpha", "beta", "gamma"]), min_size=0, max_size=50),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_chunk_dedup_matches_reference(spark, tmp_path_factory, word_lists):
+    """t27's window plan equals a sequential keep-first reference:
+    chunks are consecutive 20-word groups, first occurrence in global
+    (doc_id, idx) order wins."""
+    import math
+    import re
+
+    from lp_etl_plugins_spark.inventory.textops import t27_chunk_dedup
+
+    docs = [(i, " ".join(ws)) for i, ws in enumerate(word_lists)]
+    tmp = tmp_path_factory.mktemp("chunkdedup")
+    spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in docs],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp / "documents.parquet"))
+
+    got = {
+        r["doc_id"]: (r["n_chunks"], r["n_kept"])
+        for r in t27_chunk_dedup(spark, str(tmp)).collect()
+    }
+
+    seen: set[str] = set()
+    want = {}
+    for doc_id, text in sorted(docs):
+        ws = re.split(r"\s+", text.strip().lower())
+        n = max(1, math.ceil(len(ws) / 20))
+        chunks = [" ".join(ws[i * 20 : (i + 1) * 20]) for i in range(n)]
+        kept = 0
+        for c in chunks:
+            if c not in seen:
+                seen.add(c)
+                kept += 1
+        want[doc_id] = (n, kept)
+    assert got == want
