@@ -17,6 +17,8 @@ from ..streaming import (
     click_purchase_join,
     dedup_events,
     enriched_nation_counts,
+    hll_estimate,
+    hll_registers,
     session_stats,
     sliding_counts,
     tumbling_counts,
@@ -294,36 +296,16 @@ def a9_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     libm-under-rounding discipline t25's log2 PMI already relies on.
     Plan shape: one partial-aggregating groupBy(type, bucket) — 256
     registers/group — then a 256-row groupBy(type): strictly cheaper
-    than exact distinct's full-width user_id shuffle."""
-    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
-    h = F.md5(F.col("user_id").cast("string"))
-    bucket = F.conv(F.substring(h, 1, 2), 16, 10).cast("int")
-    w = F.conv(F.substring(h, 3, 8), 16, 10).cast("long")
-    rank = (
-        F.when(w == 0, F.lit(33))
-        .otherwise(F.instr(F.lpad(F.bin(w), 32, "0"), "1"))
-        .cast("int")
-    )
-    regs = (
-        ev.select("event_type", bucket.alias("bucket"), rank.alias("r"))
-        .groupBy("event_type", "bucket")
-        .agg(F.max("r").alias("m"))
-    )
-    est = regs.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("nb"),
-        F.sum(F.pow(F.lit(2.0), -F.col("m"))).alias("s"),
-    )
-    alpha = F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / F.lit(256.0))
-    v = (F.lit(256) - F.col("nb")).cast("double")
-    z = v + F.col("s")
-    e_raw = alpha * F.lit(65536.0) / z
-    e = F.when(
-        (e_raw <= F.lit(640.0)) & (v > F.lit(0.0)),
-        F.lit(256.0) * F.log(F.lit(256.0) / v),
-    ).otherwise(e_raw)
-    hll = est.select("event_type", F.round(e, 3).alias("hll_users"))
-    exact = ev.groupBy("event_type").agg(
-        F.countDistinct("user_id").alias("exact_users")
+    than exact distinct's full-width user_id shuffle. The register
+    stage (streaming.hll_registers) is the SAME code the streaming
+    path runs incrementally — tests/test_streaming.py asserts
+    readStream register maintenance equals this batch plan."""
+    ev = load_table(spark, sf_dir, "events")
+    hll = hll_estimate(hll_registers(ev))
+    exact = (
+        ev.filter(F.col("user_id").isNotNull())
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("exact_users"))
     )
     return exact.join(hll, "event_type")
 

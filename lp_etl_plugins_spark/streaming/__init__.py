@@ -37,6 +37,8 @@ __all__ = [
     "dedup_events",
     "enriched_nation_counts",
     "click_purchase_join",
+    "hll_registers",
+    "hll_estimate",
     "write_stream_parquet",
     "with_watermark",
 ]
@@ -245,6 +247,56 @@ def enriched_nation_counts(
             "sum_value",
         )
     )
+
+
+def hll_registers(events: DataFrame) -> DataFrame:
+    """HyperLogLog register maintenance (p=8, 256 registers/group) —
+    identical code on batch and ``readStream`` frames, like every
+    operator in this module. As a streaming aggregation the state
+    store holds at most groups × 256 rows no matter how long the
+    stream runs — incremental distinct-counting with O(1) state,
+    which is the whole point of the sketch at 100 TB. The register
+    construction is the engine-portable md5 scheme (bucket = first
+    hash byte, rank = leading-zero position of the next 32 bits)
+    shared with the batch inventory query a9, whose DuckDB oracle
+    hash-checks it. → (event_type, bucket, m)."""
+    ev = events.filter(F.col("user_id").isNotNull())
+    h = F.md5(F.col("user_id").cast("string"))
+    bucket = F.conv(F.substring(h, 1, 2), 16, 10).cast("int")
+    w = F.conv(F.substring(h, 3, 8), 16, 10).cast("long")
+    rank = (
+        F.when(w == 0, F.lit(33))
+        .otherwise(F.instr(F.lpad(F.bin(w), 32, "0"), "1"))
+        .cast("int")
+    )
+    return (
+        ev.select("event_type", bucket.alias("bucket"), rank.alias("r"))
+        .groupBy("event_type", "bucket")
+        .agg(F.max("r").alias("m"))
+    )
+
+
+def hll_estimate(regs: DataFrame) -> DataFrame:
+    """Batch finisher over an ``hll_registers`` table (chained
+    aggregations are illegal inside one streaming query, and the
+    register table is the natural tiny handoff): harmonic-mean
+    estimator with the standard linear-counting small-range branch.
+    The 2^-m terms and their ≤256-term sum are exact in binary, so
+    the estimate is partition-order independent; ln sits under
+    round(·, 3). → (event_type, hll_users)."""
+    est = regs.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("nb"),
+        F.sum(F.pow(F.lit(2.0), -F.col("m"))).alias("s"),
+    )
+    alpha = F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / F.lit(256.0))
+    v = (F.lit(256) - F.col("nb")).cast("double")
+    z = v + F.col("s")
+    e_raw = alpha * F.lit(65536.0) / z
+    e = F.when(
+        (e_raw <= F.lit(640.0)) & (v > F.lit(0.0)),
+        F.lit(256.0) * F.log(F.lit(256.0) / v),
+    ).otherwise(e_raw)
+    return est.select("event_type", F.round(e, 3).alias("hll_users"))
 
 
 def write_stream_parquet(

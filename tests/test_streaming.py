@@ -227,3 +227,15 @@ def test_parquet_sink_recovers_exactly_once(spark, tmp_path_factory):
     assert got.count() == batch.count()
     assert first <= batch.count()
     assert got.select("event_id").distinct().count() == batch.count()
+
+
+def test_hll_registers_stream_equals_batch(spark, event_dir):
+    """Incremental sketch maintenance: readStream register state equals
+    the batch registers, and the batch finisher over the streamed
+    registers reproduces the batch estimate bit-for-bit."""
+    batch = streaming.hll_registers(spark.read.parquet(event_dir))
+    streamed = _stream_result(spark, event_dir, streaming.hll_registers, "hll_mem")
+    assert _rows(streamed) == _rows(batch)
+    assert _rows(streaming.hll_estimate(spark.table("hll_mem"))) == _rows(
+        streaming.hll_estimate(batch)
+    )
