@@ -1272,6 +1272,69 @@ SELECT source, term, tf, tfidf FROM (
 """
 
 
+def t29_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix: which source pairs share
+    VERIFIED near-duplicate content (t4's Jaccard ≥ 0.8 pairs, source
+    pair canonicalized least/greatest so the matrix is one triangle).
+    The provenance question behind every decontamination pass — "is
+    source X a mirror of source Y?". Costs t4 plus two joins against
+    the 2-column (doc_id, source) projection and a matrix-sized
+    groupBy; intra-source dups stay visible on the diagonal.
+    → (source_a, source_b, n_pairs, max_jaccard)."""
+    src = _docs(spark, sf_dir).select("doc_id", "source")
+    pairs = t4_lsh_jaccard_verify(spark, sf_dir)
+    labeled = (
+        pairs.join(
+            src.select(F.col("doc_id").alias("id_a"), F.col("source").alias("sa")),
+            "id_a",
+        )
+        .join(
+            src.select(F.col("doc_id").alias("id_b"), F.col("source").alias("sb")),
+            "id_b",
+        )
+    )
+    return (
+        labeled.select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+            "jaccard",
+        )
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.max("jaccard").alias("max_jaccard"),
+        )
+    )
+
+
+T29_SQL = "WITH " + _SH_SQL + "," + _CAND_SQL + r""",
+sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS i
+  FROM cand c
+  JOIN sh sa ON sa.id = c.id_a
+  JOIN sh sb ON sb.id = c.id_b AND sb.shingle = sa.shingle
+  GROUP BY c.id_a, c.id_b
+),
+verified AS (
+  SELECT inter.id_a, inter.id_b,
+         round(i::DOUBLE / (na.n + nb.n - i), 6) AS jaccard
+  FROM inter
+  JOIN sizes na ON na.id = inter.id_a
+  JOIN sizes nb ON nb.id = inter.id_b
+  WHERE i::DOUBLE / (na.n + nb.n - i) >= 0.8
+)
+SELECT least(da.source, db.source) AS source_a,
+       greatest(da.source, db.source) AS source_b,
+       count(*)::BIGINT AS n_pairs,
+       max(jaccard) AS max_jaccard
+FROM verified v
+JOIN documents da ON da.doc_id = v.id_a
+JOIN documents db ON db.doc_id = v.id_b
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "t1_exact_dedup": t1_exact_dedup,
     "t2_fingerprint_dedup": t2_fingerprint_dedup,
@@ -1301,6 +1364,7 @@ QUERIES = {
     "t26_canonical_dedup": t26_canonical_dedup,
     "t27_chunk_dedup": t27_chunk_dedup,
     "t28_tfidf_topk": t28_tfidf_topk,
+    "t29_source_overlap": t29_source_overlap,
 }
 
 ORACLES = {
@@ -1332,4 +1396,5 @@ ORACLES = {
     "t26_canonical_dedup": T26_SQL,
     "t27_chunk_dedup": T27_SQL,
     "t28_tfidf_topk": T28_SQL,
+    "t29_source_overlap": T29_SQL,
 }
