@@ -14,7 +14,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..multimodal import decode_media, extract_features, sample_frames, synthetic_media
+from ..multimodal import (
+    decode_media,
+    extract_features,
+    perceptual_hash,
+    sample_frames,
+    synthetic_media,
+)
 
 
 def m1_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -213,12 +219,62 @@ SELECT probe_id, neighbor_id, cos, rank FROM ranked WHERE rank <= 3
 """
 
 
+def m6_phash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash (aHash) dedup buckets over 200 decoded blobs —
+    the image near-dup primitive: per-blob 64-bit average hash
+    computed all-integer inside the Arrow batch (multimodal._ahash:
+    gray = channel sum, 8×8 block grid by y*8//h, bit = cross-
+    multiplied mean compare — no float, so the DuckDB oracle
+    regenerates the identical bits from the payload formula), then
+    one groupBy on the 64-char hash. Blobs never shuffle; only
+    (media_id, hash) does. → (phash, n_media, canonical_id)."""
+    media = synthetic_media(spark, 200)
+    ph = perceptual_hash(media)
+    return ph.groupBy("phash").agg(
+        F.count(F.lit(1)).alias("n_media"),
+        F.min("media_id").alias("canonical_id"),
+    )
+
+
+M6_SQL = """
+WITH dims AS (
+  SELECT i, 16 + (i % 8) AS w, 12 + (i % 5) AS h
+  FROM unnest(generate_series(0, 199)) t(i)
+),
+px AS (
+  SELECT i, w, h, y, x,
+         ((i * 31 + ((y * w + x) * 3 + 0) * 7) % 251)
+       + ((i * 31 + ((y * w + x) * 3 + 1) * 7) % 251)
+       + ((i * 31 + ((y * w + x) * 3 + 2) * 7) % 251) AS gray,
+         (y * 8) // h AS r, (x * 8) // w AS cb
+  FROM dims,
+       unnest(generate_series(0, h - 1)) ty(y),
+       unnest(generate_series(0, w - 1)) tx(x)
+),
+tot AS (SELECT i, sum(gray) AS t_sum, count(*) AS n_px FROM px GROUP BY i),
+blocks AS (
+  SELECT i, r, cb, sum(gray) AS s_blk, count(*) AS n_blk
+  FROM px GROUP BY i, r, cb
+),
+bits AS (
+  SELECT b.i,
+         string_agg(CASE WHEN b.s_blk * t.n_px > t.t_sum * b.n_blk
+                         THEN '1' ELSE '0' END, '' ORDER BY b.r, b.cb) AS phash
+  FROM blocks b JOIN tot t ON t.i = b.i
+  GROUP BY b.i
+)
+SELECT phash, count(*)::BIGINT AS n_media, min(i)::BIGINT AS canonical_id
+FROM bits GROUP BY phash
+"""
+
+
 QUERIES = {
     "m1_media_decode": m1_media_decode,
     "m2_frame_sample": m2_frame_sample,
     "m3_media_features": m3_media_features,
     "m4_decode_vs_formula": m4_decode_vs_formula,
     "m5_media_knn": m5_media_knn,
+    "m6_phash_buckets": m6_phash_buckets,
 }
 
 ORACLES: dict[str, str] = {
@@ -227,4 +283,5 @@ ORACLES: dict[str, str] = {
     "m3_media_features": M3_SQL,
     "m4_decode_vs_formula": M4_SQL,
     "m5_media_knn": M5_SQL,
+    "m6_phash_buckets": M6_SQL,
 }

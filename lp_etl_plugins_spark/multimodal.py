@@ -81,8 +81,16 @@ def synthetic_media(spark: SparkSession, n: int, kind: str = "image") -> DataFra
 
 
 def _decode_png(data: bytes) -> tuple[int, int, int, float]:
+    """→ (width, height, channels, mean pixel byte); thin wrapper over
+    :func:`_decode_png_pixels` for the decode-features path."""
+    width, height, nch, out = _decode_png_pixels(data)
+    mean = sum(out) / len(out) if out else 0.0
+    return width, height, nch, mean
+
+
+def _decode_png_pixels(data: bytes) -> tuple[int, int, int, bytes]:
     """Vendored pure-stdlib PNG decoder → (width, height, channels,
-    mean pixel byte). Full chunk walk + zlib inflate + per-scanline
+    raw pixel bytes). Full chunk walk + zlib inflate + per-scanline
     unfilter (filters 0–4: None/Sub/Up/Average/Paeth) for 8-bit
     non-interlaced images, color types 0 (gray), 2 (RGB), 3 (palette,
     expanded to RGB), 4 (gray+alpha), 6 (RGBA) — the shapes that
@@ -161,8 +169,7 @@ def _decode_png(data: bytes) -> tuple[int, int, int, float]:
         for idx in out:
             px += palette[idx * 3 : idx * 3 + 3]
         out, nch = px, 3
-    mean = sum(out) / len(out) if out else 0.0
-    return width, height, nch, mean
+    return width, height, nch, bytes(out)
 
 
 def encode_png(width: int, height: int, channels: int, payload: bytes) -> bytes:
@@ -229,6 +236,79 @@ def _decode_blob(data: bytes) -> tuple[int, int, int, float]:
     payload = data[_HEADER:]
     mean = sum(payload) / len(payload) if payload else 0.0
     return w, h, c, mean
+
+
+def _pixels_blob(data: bytes) -> tuple[int, int, int, bytes]:
+    """→ (width, height, channels, raw pixel bytes), same magic
+    dispatch as :func:`_decode_blob`: PNG via the vendored decoder,
+    other real containers via Pillow-or-refuse, fake-codec blobs from
+    the header-dimensioned payload."""
+    data = bytes(data)
+    if data.startswith(b"\x89PNG"):
+        return _decode_png_pixels(data)
+    if _is_real_image(data):
+        if _PILImage is None:
+            raise NotImplementedError(
+                "blob has a real image container magic but no codec is "
+                "available in this environment — install Pillow, or use "
+                "synthetic_media()'s fake-codec blobs"
+            )
+        import io
+
+        img = _PILImage.open(io.BytesIO(data))
+        px = list(img.getdata())
+        flat = bytes(v for p in px for v in (p if isinstance(p, tuple) else (p,)))
+        return img.width, img.height, len(img.getbands()), flat
+    w = data[0] * 256 + data[1]
+    h = data[2] * 256 + data[3]
+    c = data[4]
+    return w, h, c, data[_HEADER:]
+
+
+PHASH_SCHEMA = "media_id bigint, phash string"
+
+
+def _ahash(w: int, h: int, c: int, px: bytes) -> str:
+    """64-bit average-hash over an 8×8 block grid, ALL-INTEGER so the
+    bits are engine-exact: per-pixel gray is the channel SUM (no
+    division), each pixel lands in block (y*8//h, x*8//w), and the
+    mean-threshold compare is cross-multiplied — bit = 1 iff
+    S_block · N_total > T_total · n_block — so no float ever enters.
+    Requires w ≥ 8 and h ≥ 8 (a thumbnail smaller than the grid has
+    empty blocks and no meaningful perceptual hash)."""
+    import numpy as np
+
+    if w < 8 or h < 8:
+        raise ValueError(f"_ahash: image {w}x{h} smaller than the 8x8 grid")
+    a = np.frombuffer(px, dtype=np.uint8).astype(np.int64).reshape(h, w, c)
+    gray = a.sum(axis=2)
+    total = int(gray.sum())
+    n_px = w * h
+    r_idx = (np.arange(h) * 8) // h
+    c_idx = (np.arange(w) * 8) // w
+    bits = []
+    for r in range(8):
+        rows = gray[r_idx == r]
+        for cb in range(8):
+            block = rows[:, c_idx == cb]
+            bits.append("1" if int(block.sum()) * n_px > total * block.size else "0")
+    return "".join(bits)
+
+
+def perceptual_hash(df: DataFrame) -> DataFrame:
+    """Per-blob perceptual fingerprint (aHash) via Arrow-batched
+    mapInPandas — the image near-dup primitive: visually identical
+    media collide on the 64-bit hash (and near-misses differ in few
+    bits, so a Hamming prefilter composes exactly like v6 does for
+    embeddings). Pixels are decoded and reduced INSIDE the Python
+    worker; only (media_id, 64-char bit string) ever shuffles."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            hashes = [_ahash(*_pixels_blob(bytes(d))) for d in b["data"]]
+            yield pd.DataFrame({"media_id": b["media_id"], "phash": hashes})
+
+    return df.mapInPandas(run, PHASH_SCHEMA)
 
 
 def decode_media(df: DataFrame) -> DataFrame:

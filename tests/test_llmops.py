@@ -596,3 +596,34 @@ def test_hll_distinct_tracks_exact_and_skips_nulls(spark, tmp_path):
     assert r["exact_users"] == 1000  # the null user contributes nothing
     # m=256 registers → ~6.5% standard error; 25% is a >3-sigma gate
     assert abs(r["hll_users"] - 1000) / 1000 < 0.25
+
+
+def test_phash_png_equals_fake_codec_pixels(spark):
+    """The aHash must be codec-independent: the same pixels through a
+    real PNG container and through the fake-codec header format hash
+    identically (pins the _decode_png_pixels refactor end to end)."""
+    w, h, c = 16, 12, 3
+    payload = bytes(((7 * j) % 251) for j in range(w * h * c))
+    png = multimodal.encode_png(w, h, c, payload)
+    fake = bytes([w // 256, w % 256, h // 256, h % 256, c]) + payload
+    df = spark.createDataFrame(
+        [(1, "image", png, {}), (2, "image", fake, {})], multimodal.MEDIA_SCHEMA
+    )
+    rows = {r["media_id"]: r["phash"] for r in multimodal.perceptual_hash(df).collect()}
+    assert rows[1] == rows[2]
+    assert len(rows[1]) == 64 and set(rows[1]) <= {"0", "1"}
+
+
+def test_phash_collides_identical_separates_different(spark):
+    """Identical images collide; an inverted image must not."""
+    w, h, c = 16, 16, 1
+    a = bytes(((j * 13) % 251) for j in range(w * h))
+    inv = bytes(255 - b for b in a)
+    hdr = bytes([w // 256, w % 256, h // 256, h % 256, c])
+    df = spark.createDataFrame(
+        [(1, "image", hdr + a, {}), (2, "image", hdr + a, {}), (3, "image", hdr + inv, {})],
+        multimodal.MEDIA_SCHEMA,
+    )
+    rows = {r["media_id"]: r["phash"] for r in multimodal.perceptual_hash(df).collect()}
+    assert rows[1] == rows[2]
+    assert rows[1] != rows[3]
