@@ -236,7 +236,9 @@ def m6_phash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-M6_SQL = """
+# shared CTE chain: regenerate every blob's 64-bit aHash from the
+# synthetic payload formula (see m6 docstring for the bit definition)
+_PHASH_CTES = """
 WITH dims AS (
   SELECT i, 16 + (i % 8) AS w, 12 + (i % 5) AS h
   FROM unnest(generate_series(0, 199)) t(i)
@@ -263,8 +265,74 @@ bits AS (
   FROM blocks b JOIN tot t ON t.i = b.i
   GROUP BY b.i
 )
+"""
+
+M6_SQL = _PHASH_CTES + """
 SELECT phash, count(*)::BIGINT AS n_media, min(i)::BIGINT AS canonical_id
 FROM bits GROUP BY phash
+"""
+
+
+def m7_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-MISS perceptual dedup pairs (the claim m6 banks on, made
+    real): 4-band bit-sampling LSH over the 64-bit hashes — by
+    pigeonhole, any pair within Hamming ≤ 3 has at least one
+    error-free 16-bit quarter, so exact quarter match is a
+    GUARANTEED-recall candidate index at that radius — then exact
+    Hamming verification over candidates only (zip_with fold; DuckDB
+    verifies with its native hamming()). The image twin of v6's
+    embedding Hamming prefilter: |media|×4 band rows shuffle, never
+    the all-pairs product. → (id_a, id_b, hamming)."""
+    media = synthetic_media(spark, 200)
+    ph = perceptual_hash(media)
+    bands = ph.select(
+        "media_id",
+        "phash",
+        F.posexplode(
+            F.array(*[F.substring("phash", 1 + 16 * b, 16) for b in range(4)])
+        ).alias("band", "key"),
+    )
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .select(
+            F.col("a.media_id").alias("id_a"),
+            F.col("b.media_id").alias("id_b"),
+            F.col("a.phash").alias("pa"),
+            F.col("b.phash").alias("pb"),
+        )
+        .distinct()
+    )
+    ham = F.aggregate(
+        F.zip_with(
+            F.split("pa", ""), F.split("pb", ""), lambda x, y: (x != y).cast("int")
+        ),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    ).cast("long")
+    return (
+        cand.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= 3)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+M7_SQL = _PHASH_CTES + """
+, bands AS (
+  SELECT i, phash, b, substring(phash, 1 + 16 * b, 16) AS key
+  FROM bits, unnest([0, 1, 2, 3]) t(b)
+),
+cand AS (
+  SELECT DISTINCT a.i AS id_a, b.i AS id_b, a.phash AS pa, b.phash AS pb
+  FROM bands a JOIN bands b ON a.b = b.b AND a.key = b.key AND a.i < b.i
+)
+SELECT id_a, id_b, hamming(pa, pb)::BIGINT AS hamming
+FROM cand WHERE hamming(pa, pb) <= 3
 """
 
 
@@ -275,6 +343,7 @@ QUERIES = {
     "m4_decode_vs_formula": m4_decode_vs_formula,
     "m5_media_knn": m5_media_knn,
     "m6_phash_buckets": m6_phash_buckets,
+    "m7_phash_neardup": m7_phash_neardup,
 }
 
 ORACLES: dict[str, str] = {
@@ -284,4 +353,5 @@ ORACLES: dict[str, str] = {
     "m4_decode_vs_formula": M4_SQL,
     "m5_media_knn": M5_SQL,
     "m6_phash_buckets": M6_SQL,
+    "m7_phash_neardup": M7_SQL,
 }
