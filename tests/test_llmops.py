@@ -627,3 +627,30 @@ def test_phash_collides_identical_separates_different(spark):
     rows = {r["media_id"]: r["phash"] for r in multimodal.perceptual_hash(df).collect()}
     assert rows[1] == rows[2]
     assert rows[1] != rows[3]
+
+
+def test_new_ops_handle_empty_inputs(spark, tmp_path):
+    """Empty corpus/event inputs must produce empty results, not
+    errors — the degenerate case every pipeline stage hits on an
+    empty partition or a filtered-out source."""
+    from lp_etl_plugins_spark.inventory.eventsops import a9_hll_distinct
+    from lp_etl_plugins_spark.inventory.textops import (
+        t26_canonical_dedup,
+        t27_chunk_dedup,
+        t28_tfidf_topk,
+        t29_source_overlap,
+    )
+
+    spark.createDataFrame(
+        [], "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    spark.createDataFrame(
+        [],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+
+    sf = str(tmp_path)
+    for fn in (t26_canonical_dedup, t27_chunk_dedup, t28_tfidf_topk,
+               t29_source_overlap, a9_hll_distinct):
+        assert fn(spark, sf).count() == 0, fn.__name__
