@@ -290,7 +290,6 @@ def m7_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ph = perceptual_hash(media).localCheckpoint()
     bands = ph.select(
         "media_id",
-        "phash",
         F.posexplode(
             F.array(*[F.substring("phash", 1 + 16 * b, 16) for b in range(4)])
         ).alias("band", "key"),

@@ -138,7 +138,10 @@ def t4_lsh_jaccard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
-T4_SQL = "WITH " + _SH_SQL + "," + _CAND_SQL + r""",
+# shared exact-Jaccard verification over the LSH candidates (the
+# oracle twin of jaccard_over_candidates at threshold 0.8) — used by
+# T4 directly and by T29's source-overlap rollup
+_VERIFIED_CTES = r""",
 sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
 inter AS (
   SELECT c.id_a, c.id_b, count(*) AS i
@@ -146,14 +149,21 @@ inter AS (
   JOIN sh sa ON sa.id = c.id_a
   JOIN sh sb ON sb.id = c.id_b AND sb.shingle = sa.shingle
   GROUP BY c.id_a, c.id_b
+),
+verified AS (
+  SELECT inter.id_a, inter.id_b,
+         round(i::DOUBLE / (na.n + nb.n - i), 6) AS jaccard
+  FROM inter
+  JOIN sizes na ON na.id = inter.id_a
+  JOIN sizes nb ON nb.id = inter.id_b
+  WHERE i::DOUBLE / (na.n + nb.n - i) >= 0.8
 )
-SELECT inter.id_a, inter.id_b,
-       round(i::DOUBLE / (na.n + nb.n - i), 6) AS jaccard
-FROM inter
-JOIN sizes na ON na.id = inter.id_a
-JOIN sizes nb ON nb.id = inter.id_b
-WHERE i::DOUBLE / (na.n + nb.n - i) >= 0.8
 """
+
+T4_SQL = (
+    "WITH " + _SH_SQL + "," + _CAND_SQL + _VERIFIED_CTES
+    + "\nSELECT id_a, id_b, jaccard FROM verified"
+)
 
 
 def t5_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1307,23 +1317,7 @@ def t29_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-T29_SQL = "WITH " + _SH_SQL + "," + _CAND_SQL + r""",
-sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
-inter AS (
-  SELECT c.id_a, c.id_b, count(*) AS i
-  FROM cand c
-  JOIN sh sa ON sa.id = c.id_a
-  JOIN sh sb ON sb.id = c.id_b AND sb.shingle = sa.shingle
-  GROUP BY c.id_a, c.id_b
-),
-verified AS (
-  SELECT inter.id_a, inter.id_b,
-         round(i::DOUBLE / (na.n + nb.n - i), 6) AS jaccard
-  FROM inter
-  JOIN sizes na ON na.id = inter.id_a
-  JOIN sizes nb ON nb.id = inter.id_b
-  WHERE i::DOUBLE / (na.n + nb.n - i) >= 0.8
-)
+T29_SQL = "WITH " + _SH_SQL + "," + _CAND_SQL + _VERIFIED_CTES + r"""
 SELECT least(da.source, db.source) AS source_a,
        greatest(da.source, db.source) AS source_b,
        count(*)::BIGINT AS n_pairs,

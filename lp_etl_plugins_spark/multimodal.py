@@ -212,29 +212,10 @@ def _decode_blob(data: bytes) -> tuple[int, int, int, float]:
     containers (JPEG/GIF/BMP/RIFF prefixes) decode with Pillow or
     raise a crisp NotImplementedError when it is absent — they are
     NEVER fed to the fake codec. Blobs without an image magic use the
-    deterministic fake codec (see module CODEC NOTICE)."""
-    data = bytes(data)
-    if data.startswith(b"\x89PNG"):
-        return _decode_png(data)
-    if _is_real_image(data):
-        if _PILImage is None:
-            raise NotImplementedError(
-                "blob has a real image container magic but no codec is "
-                "available in this environment — install Pillow, or use "
-                "synthetic_media()'s fake-codec blobs"
-            )
-        import io
-
-        img = _PILImage.open(io.BytesIO(data))
-        px = list(img.getdata())
-        flat = [v for p in px for v in (p if isinstance(p, tuple) else (p,))]
-        mean = sum(flat) / len(flat) if flat else 0.0
-        return img.width, img.height, len(img.getbands()), mean
-    w = data[0] * 256 + data[1]
-    h = data[2] * 256 + data[3]
-    c = data[4]
-    payload = data[_HEADER:]
-    mean = sum(payload) / len(payload) if payload else 0.0
+    deterministic fake codec (see module CODEC NOTICE). Thin mean-
+    wrapper over :func:`_pixels_blob`, which owns the dispatch."""
+    w, h, c, px = _pixels_blob(data)
+    mean = sum(px) / len(px) if px else 0.0
     return w, h, c, mean
 
 
