@@ -277,6 +277,77 @@ JOIN intervals i
 """
 
 
+def e9_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel conversion (view → click-after-view →
+    purchase-after-click): per user, the first view, the first click
+    STRICTLY after it, and the first purchase strictly after that —
+    sequential pattern matching, the product-analytics staple. Each
+    stage is one filtered aggregate joined back on user_id (three
+    user_id-partitioned shuffles, no window over full event
+    history); comparisons are on epoch seconds so both engines order
+    identically. → one row of per-stage user counts."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_timestamp("ts").alias("t")
+    )
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("t").alias("t_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("t") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("t").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("t") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("t").alias("t_purchase"))
+    )
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .agg(
+            F.count("t_view").alias("n_view"),
+            F.count("t_click").alias("n_click_after_view"),
+            F.count("t_purchase").alias("n_purchase_after_click"),
+        )
+    )
+
+
+E9_SQL = """
+WITH ev AS (
+  SELECT user_id, event_type, floor(epoch(ts))::BIGINT AS t FROM events
+),
+v AS (
+  SELECT user_id, min(t) AS t_view FROM ev
+  WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, min(e.t) AS t_click
+  FROM ev e JOIN v ON v.user_id = e.user_id
+  WHERE e.event_type = 'click' AND e.t > v.t_view
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, min(e.t) AS t_purchase
+  FROM ev e JOIN c ON c.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.t > c.t_click
+  GROUP BY e.user_id
+)
+SELECT count(v.t_view)::BIGINT AS n_view,
+       count(c.t_click)::BIGINT AS n_click_after_view,
+       count(p.t_purchase)::BIGINT AS n_purchase_after_click
+FROM v
+LEFT JOIN c ON c.user_id = v.user_id
+LEFT JOIN p ON p.user_id = v.user_id
+"""
+
+
 def a9_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic HyperLogLog (p=8, 256 registers) distinct-user
     estimate per event type, next to the exact count — the sketch an
@@ -360,6 +431,7 @@ QUERIES = {
     "e7_interval_join": e7_interval_join,
     "j10_asof_join": j10_asof_join,
     "e8_scd2_enrich": e8_scd2_enrich,
+    "e9_funnel_steps": e9_funnel_steps,
     "a9_hll_distinct": a9_hll_distinct,
 }
 
@@ -373,5 +445,6 @@ ORACLES = {
     "e7_interval_join": E7_SQL,
     "j10_asof_join": J10_SQL,
     "e8_scd2_enrich": E8_SQL,
+    "e9_funnel_steps": E9_SQL,
     "a9_hll_distinct": A9_SQL,
 }
