@@ -248,12 +248,26 @@ def path(
     return out.drop(*[c for c in out.columns if c.startswith("_hop")])
 
 
+def _path_edges(triples: DataFrame, preds: list[str]) -> DataFrame:
+    """Distinct (s, o) edge list of a predicate alternation,
+    localCheckpoint-ed once — shared by the +/* closures so the
+    triples scan and the distinct shuffle happen exactly once per
+    query, not once per consumer."""
+    return (
+        triples.filter(F.col("p").isin(list(preds)))
+        .select("s", F.col("o_value").alias("o"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+
 def path_plus(
     triples: DataFrame,
     preds: list[str],
     start: str = "?s",
     end: str = "?o",
     max_iter: int = 30,
+    _edges: DataFrame | None = None,
 ) -> DataFrame:
     """One-or-more property path ``(p1|p2|…)+``: every (start, end)
     pair connected by ≥ 1 hop over the predicate alternation — the
@@ -272,12 +286,7 @@ def path_plus(
     0..N-1 — the same discipline as
     :func:`lp_etl_plugins_spark.textops.connected_components`.
     Raises after ``max_iter`` rounds without a fixpoint."""
-    edges = (
-        triples.filter(F.col("p").isin(list(preds)))
-        .select("s", F.col("o_value").alias("o"))
-        .distinct()
-        .localCheckpoint()
-    )
+    edges = _edges if _edges is not None else _path_edges(triples, preds)
     # explicit renames, not Dataset.alias: eager localCheckpoint of an
     # alias-resolved self-join plan trips an analyzer attribute-lookup
     # error (key not found) on Spark 4.1; renamed columns sidestep the
@@ -322,11 +331,10 @@ def path_star(
     to the predicates' node universe, which is the only domain a
     distributed engine can enumerate without a full-graph term scan.
     One extra distinct over |closure| + |nodes| rows beyond
-    :func:`path_plus`."""
-    plus = path_plus(triples, preds, start, end, max_iter)
-    edges = triples.filter(F.col("p").isin(list(preds))).select(
-        "s", F.col("o_value").alias("o")
-    )
+    :func:`path_plus` (the edge list is built and checkpointed ONCE
+    and shared with the + closure — no second triples scan)."""
+    edges = _path_edges(triples, preds)
+    plus = path_plus(triples, preds, start, end, max_iter, _edges=edges)
     nodes = (
         edges.select(F.col("s").alias("n"))
         .union(edges.select(F.col("o").alias("n")))

@@ -80,6 +80,7 @@ _DEMOTED = (
 def _load() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]], dict[str, str]]:
     queries: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     oracles: dict[str, str] = {}
+    owners: dict[str, str] = {}
     for mod_name in _MODULES:
         mod = import_module(f"{__name__}.{mod_name}")
         q = getattr(mod, "QUERIES", {})
@@ -89,6 +90,7 @@ def _load() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]], dict[s
             raise ValueError(f"duplicate query keys across inventory modules: {dup}")
         queries.update(q)
         oracles.update(o)
+        owners.update({name: mod_name for name in q})
     unknown = set(oracles) - set(queries)
     if unknown:
         raise ValueError(f"oracles without queries: {unknown}")
@@ -96,23 +98,20 @@ def _load() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]], dict[s
     if missing:
         raise ValueError(f"demoted names not in inventory: {missing}")
     ordered = (
-        [n for n in queries if n not in _DEMOTED and _owner(n) in _CORE_MODULES]
+        [n for n in queries if n not in _DEMOTED and owners[n] in _CORE_MODULES]
         + list(_DEMOTED)
-        + [n for n in queries if _owner(n) in _EXTENSION_MODULES]
+        + [n for n in queries if owners[n] in _EXTENSION_MODULES]
     )
     return {n: queries[n] for n in ordered}, oracles
 
 
-_OWNERS: dict[str, str] = {}
-
-
 def _owner(name: str) -> str:
-    if not _OWNERS:
-        for mod_name in _MODULES:
-            mod = import_module(f"{__name__}.{mod_name}")
-            for q in getattr(mod, "QUERIES", {}):
-                _OWNERS[q] = mod_name
-    return _OWNERS[name]
+    """Module that registered ``name`` (test/introspection helper —
+    _load records ownership inline during its own merge loop)."""
+    for mod_name in _MODULES:
+        if name in getattr(import_module(f"{__name__}.{mod_name}"), "QUERIES", {}):
+            return mod_name
+    raise KeyError(name)
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

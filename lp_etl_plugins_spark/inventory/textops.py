@@ -1093,8 +1093,8 @@ tot AS (
 scored AS (
   SELECT bi.bg AS bigram, bi.c_ab AS n_pairs,
          round(log2(
-           (bi.c_ab * tot.n_uni * tot.n_uni)::DOUBLE
-           / (tot.n_bi * ua.c * ub.c)::DOUBLE
+           (bi.c_ab::DOUBLE * tot.n_uni * tot.n_uni)
+           / (tot.n_bi::DOUBLE * ua.c * ub.c)
          ), 6) AS pmi
   FROM bi
   JOIN uni ua ON ua.w = split_part(bi.bg, ' ', 1)

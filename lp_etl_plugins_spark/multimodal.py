@@ -165,6 +165,13 @@ def _decode_png_pixels(data: bytes) -> tuple[int, int, int, bytes]:
         out += line
         prev = line
     if colortype == 3:  # palette indices → RGB triples
+        # a missing/short PLTE must not silently yield truncated
+        # pixels (the decoder's contract is raise-rather-than-misdecode)
+        if out and len(palette) < 3 * (max(out) + 1):
+            raise ValueError(
+                f"PNG: palette has {len(palette) // 3} entries but "
+                f"scanlines index up to {max(out)}"
+            )
         px = bytearray()
         for idx in out:
             px += palette[idx * 3 : idx * 3 + 3]
@@ -221,12 +228,20 @@ def _decode_blob(data: bytes) -> tuple[int, int, int, float]:
 
 def _pixels_blob(data: bytes) -> tuple[int, int, int, bytes]:
     """→ (width, height, channels, raw pixel bytes), same magic
-    dispatch as :func:`_decode_blob`: PNG via the vendored decoder,
-    other real containers via Pillow-or-refuse, fake-codec blobs from
-    the header-dimensioned payload."""
+    dispatch as :func:`_decode_blob`: PNG via the vendored decoder —
+    with exotic PNG shapes (16-bit, interlaced) falling back to
+    Pillow when it IS installed, so the vendored subset never makes a
+    previously-decodable input crash — other real containers via
+    Pillow-or-refuse, fake-codec blobs from the header-dimensioned
+    payload."""
     data = bytes(data)
     if data.startswith(b"\x89PNG"):
-        return _decode_png_pixels(data)
+        try:
+            return _decode_png_pixels(data)
+        except NotImplementedError:
+            if _PILImage is None:
+                raise
+            # fall through to the Pillow branch below
     if _is_real_image(data):
         if _PILImage is None:
             raise NotImplementedError(

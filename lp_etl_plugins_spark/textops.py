@@ -638,10 +638,14 @@ def bigram_pmi(
     partials), corpus totals as a 1-row broadcast, unigram lookups
     as two joins on the (≤ vocab-sized) bigram table, and a global
     TakeOrdered for the top-k — k rows per partition reach the
-    merge, never the counts. Parity: the PMI ratio is computed as
-    two EXACT integer products and one division (bit-identical in
-    both engines) before log2 and the 1e-6 rounding; ties break on
-    the bigram string. → (bigram, n_pairs, pmi), k rows."""
+    merge, never the counts. Parity: each count is an exact 64-bit
+    integer widened to double BEFORE the products (a double chain is
+    IEEE-identical in both engines at any magnitude, and exact below
+    2^53 — whereas a 64-bit integer product of c_ab·n_uni² would
+    silently wrap in Spark once n_uni reaches ~1.4e9, while DuckDB's
+    BIGINT multiply errors: loud-vs-silent divergence); then one
+    division, log2 and the 1e-6 rounding. Ties break on the bigram
+    string. → (bigram, n_pairs, pmi), k rows."""
     words = df.select(F.explode(normalized_words(text_col)).alias("w"))
     uni = words.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
     bigrams = df.select(
@@ -669,8 +673,8 @@ def bigram_pmi(
             F.col("c_ab").alias("n_pairs"),
             F.round(
                 F.log2(
-                    (F.col("c_ab") * F.col("n_uni") * F.col("n_uni")).cast("double")
-                    / (F.col("n_bi") * F.col("c_a") * F.col("c_b")).cast("double")
+                    (F.col("c_ab").cast("double") * F.col("n_uni") * F.col("n_uni"))
+                    / (F.col("n_bi").cast("double") * F.col("c_a") * F.col("c_b"))
                 ),
                 6,
             ).alias("pmi"),

@@ -163,10 +163,15 @@ def knn_bucketed(
     bits: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    broadcast_probes: bool = True,
 ) -> DataFrame:
     """Approximate top-k: candidates restricted to the probe's coarse
-    bucket. The (small) probe side is normalized and broadcast — the
-    corpus never shuffles for the join; the only exchange is the
+    bucket. The (small-by-contract) probe side is normalized and
+    broadcast — the corpus never shuffles for the join — and
+    ``broadcast_probes=False`` is the escape hatch when the probe set
+    is corpus-sized (a forced broadcast of a large side is a driver
+    OOM, not a slow plan): the join degrades to a shuffled equi-join
+    AQE can still re-plan; the only exchange is the
     per-probe top-k window over the candidate set. The corpus side
     carries its RAW vector plus a scalar norm (one fold per row, not
     one normalize-transform per row — array HOFs are interpreted, so
@@ -186,7 +191,7 @@ def knn_bucketed(
         sign_bucket(F.col(vec_col), bits).alias("bucket"),
     )
     scored = (
-        c.join(F.broadcast(p), on="bucket")
+        c.join(F.broadcast(p) if broadcast_probes else p, on="bucket")
         .filter(F.col("probe_id") != F.col("neighbor_id"))
         .select(
             "probe_id",
@@ -211,6 +216,7 @@ def assign_ivf_buckets(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     nprobe: int = 1,
+    broadcast_probes: bool = True,
 ) -> DataFrame:
     """IVF coarse quantization: centroids are the per-``seed_col`` group
     means (a pretrained/provided coarse partitioning — the usual IVF
@@ -318,6 +324,7 @@ def knn_ivf(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     nprobe: int = 1,
+    broadcast_probes: bool = True,
 ) -> DataFrame:
     """Approximate top-k via IVF: each probe searches its ``nprobe``
     nearest coarse lists (corpus vectors live in exactly one list, so
@@ -349,7 +356,7 @@ def knn_ivf(
         unit_normalize(F.col(vec_col)).alias("probe_vec"),
     ).join(probe_buckets.withColumnRenamed("id", "probe_id"), on="probe_id")
     scored = (
-        c.join(F.broadcast(p), on="bucket")
+        c.join(F.broadcast(p) if broadcast_probes else p, on="bucket")
         .filter(F.col("probe_id") != F.col("neighbor_id"))
         .select(
             "probe_id",

@@ -654,3 +654,32 @@ def test_new_ops_handle_empty_inputs(spark, tmp_path):
     for fn in (t26_canonical_dedup, t27_chunk_dedup, t28_tfidf_topk,
                t29_source_overlap, a9_hll_distinct):
         assert fn(spark, sf).count() == 0, fn.__name__
+
+
+def test_png_short_palette_raises():
+    """A colortype-3 PNG whose scanlines index past the PLTE must
+    raise (raise-rather-than-misdecode contract), not silently return
+    truncated pixels."""
+    import struct
+    import zlib
+
+    import pytest as _pytest
+
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    w, h = 2, 1
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)  # palette colortype
+    raw = b"\x00" + bytes([0, 5])  # filter-0 scanline indexing entry 5
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"PLTE", bytes([10, 20, 30]))  # only ONE palette entry
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    with _pytest.raises(ValueError, match="palette"):
+        multimodal._decode_png(png)
