@@ -252,3 +252,37 @@ def test_chunk_dedup_matches_reference(spark, tmp_path_factory, word_lists):
                 kept += 1
         want[doc_id] = (n, kept)
     assert got == want
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(  # random edge lists incl. self-loops and duplicates
+        st.tuples(st.integers(0, 15), st.integers(0, 15)),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_connected_components_match_union_find(spark, edges):
+    """Pointer-jumping label propagation equals a sequential union-find
+    on random graphs: every node labeled with its component's minimum
+    member id. The substrate under t10/t26/v9."""
+    from lp_etl_plugins_spark.textops import connected_components
+
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r["id"]: r["cluster"] for r in connected_components(pairs).collect()}
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {n: find(n) for n in parent}
+    assert got == want
