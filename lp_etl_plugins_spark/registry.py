@@ -75,37 +75,47 @@ _BUILTINS_LOADED = False
 
 
 def _ensure_builtins() -> None:
-    """Register the §2.8 component surface lazily (import cycles)."""
+    """Register the §2.8 component surface lazily (import cycles).
+
+    Each builtin is guarded PER NAME: a component a host registered
+    first is never overwritten, and one pre-registered name doesn't
+    make the others silently vanish. The loaded flag is only latched
+    after success, so a transient import failure is retried (and
+    surfaces as its real error, not a later bare KeyError)."""
     global _BUILTINS_LOADED
     if _BUILTINS_LOADED:
         return
-    _BUILTINS_LOADED = True
 
     from . import catalog, cube, dcat
 
-    if "fdp_to_cube" not in _REGISTRY:
-        _REGISTRY["fdp_to_cube"] = Component(
+    builtins = (
+        Component(
             "fdp_to_cube", cube.fdp_to_cube,
             "FDP descriptor + CSV → RDF Data Cube triples (t-fdpToRdf)",
             ("descriptor", "csv_paths"), ("triples",),
-        )
-        _REGISTRY["dcat_to_ckan"] = Component(
+        ),
+        Component(
             "dcat_to_ckan", dcat.dcat_to_ckan,
             "DCAT-AP graph → CKAN dataset JSON payloads (l-dcatAp11ToCkanBatch)",
             ("metadata", "codelists"), ("payloads",),
-        )
-        _REGISTRY["dcat_to_dkan"] = Component(
+        ),
+        Component(
             "dcat_to_dkan", dcat.dcat_to_dkan,
             "DCAT-AP graph → DKAN form-field nodes (l-dcatAp11ToDkanBatch)",
             ("metadata",), ("nodes",),
-        )
-        _REGISTRY["ckan_purge"] = Component(
+        ),
+        Component(
             "ckan_purge", catalog.ckan_purge,
             "Enumerate CKAN datasets (API or CSV) and bulk purge (x-ckanPurger)",
             ("api_uri", "api_key"), ("results",),
-        )
-        _REGISTRY["dkan_purge"] = Component(
+        ),
+        Component(
             "dkan_purge", catalog.dkan_purge,
             "Paginated DKAN node enumeration and bulk delete (x-dkanPurger)",
             ("api_uri", "api_key"), ("results",),
-        )
+        ),
+    )
+    for comp in builtins:
+        if comp.name not in _REGISTRY:
+            _REGISTRY[comp.name] = comp
+    _BUILTINS_LOADED = True

@@ -27,9 +27,6 @@ TABLE_NAMES = (
     "embeddings",
 )
 
-DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-
-
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
@@ -44,8 +41,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # time, so they cannot be save/restored around this lazy read. They
         # are set in session.get_spark for our own sessions; setting them
         # here too keeps the loader correct under a caller-provided session
-        # (e.g. the correctness driver's). Each only ever gets one value, so
-        # repeated calls are idempotent and nothing is ever clobbered.
+        # (e.g. the correctness driver's). Repeated calls are idempotent;
+        # the documented limitation: a host that explicitly set either
+        # conf to the OTHER value has it overridden process-wide here —
+        # reading `events` requires these settings, so the override is
+        # loud in this comment rather than silent in behavior.
         #
         # inferTimestampNTZ=false reads a non-UTC-adjusted parquet timestamp
         # as plain TIMESTAMP whose instant micros are the stored micros

@@ -8,11 +8,13 @@ inventory's rounding contract guarantees that when the query is right).
 
 from __future__ import annotations
 
+import datetime as _dt
 import math
 import os
 from dataclasses import dataclass, field
 
 import duckdb
+import numpy as _np
 import pandas as pd
 from pyspark.sql import SparkSession
 
@@ -50,7 +52,11 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     def canon(v):
         if v is None:
             return "<NULL>"
-        if isinstance(v, float):
+        # np.floating covers float32 (Spark FloatType) — a plain
+        # `isinstance(v, float)` would let a float32 NaN fall through
+        # to the pd.isna fallback and alias it with "<NULL>"
+        if isinstance(v, (float, _np.floating)):
+            v = float(v)
             if math.isnan(v):
                 # Distinct from "<NULL>": a query returning NaN where the
                 # oracle returns NULL is a semantic divergence and must
@@ -63,6 +69,14 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
             if pd.isna(v):
                 return "<NULL>"
             return v.isoformat()
+        # DuckDB DATE arrives as pd.Timestamp (midnight) while Spark
+        # DateType arrives as datetime.date — canonicalize both to the
+        # same midnight isoformat so raw-date columns don't spuriously
+        # mismatch (datetime.datetime already isoformats identically)
+        if isinstance(v, _dt.datetime):
+            return v.isoformat()
+        if isinstance(v, _dt.date):
+            return pd.Timestamp(v).isoformat()
         if pd.isna(v) if not isinstance(v, (str, bytes)) else False:
             return "<NULL>"
         return str(v)
@@ -80,9 +94,14 @@ def check_parity(
 ) -> ParityResult:
     sdf = query(spark, sf_dir).toPandas()
     if oracle is None:
-        return ParityResult(name, len(sdf) >= 0, len(sdf), -1, ["rows-only check (no oracle)"])
+        # mirrors the driver's weaker rows-only contract: success =
+        # the query executed (reaching this line); emptiness is legal
+        return ParityResult(name, True, len(sdf), -1, ["rows-only check (no oracle)"])
     con = duckdb_connection(sf_dir)
-    odf = con.execute(oracle).df()
+    try:
+        odf = con.execute(oracle).df()
+    finally:
+        con.close()
     problems: list[str] = []
     if len(sdf) != len(odf):
         problems.append(f"row count mismatch: spark={len(sdf)} oracle={len(odf)}")

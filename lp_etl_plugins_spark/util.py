@@ -115,27 +115,51 @@ def asof_join(
     Output: every left column, plus the payload columns (caller
     guarantees payload names don't collide with left's).
 
-    Right rows with a NULL ``right_time`` are excluded up front:
-    NULLs sort FIRST in the ascending carry-forward window, so an
-    unfiltered null-timestamped right row would masquerade as
-    earlier-than-everything and become the 'latest at-or-before'
-    match for left rows that have no real predecessor."""
+    Time columns may be numeric epochs or TIMESTAMPs — timestamps are
+    compared at FULL microsecond precision (``unix_micros``), never
+    truncated to seconds (a raw long cast would floor to the second
+    and let a right row up to 999 ms in the future masquerade as
+    'at-or-before'). Mixing a timestamp on one side with a numeric
+    epoch on the other is rejected: the units silently wouldn't match.
+
+    NULL handling follows SQL join semantics: right rows with a NULL
+    key or NULL time are excluded up front (NULL = NULL is never true,
+    and a null-timestamped row would sort earlier-than-everything in
+    the carry-forward window); left rows with a NULL key get NULL
+    payload."""
     tiebreak = tiebreak or payload[0]
-    right = right.filter(F.col(right_time).isNotNull())
+
+    def _is_ts(df: DataFrame, col_name: str) -> bool:
+        return dict(df.dtypes)[col_name].startswith("timestamp")
+
+    lt_ts, rt_ts = _is_ts(left, left_time), _is_ts(right, right_time)
+    if lt_ts != rt_ts:
+        raise ValueError(
+            f"asof_join: {left_time!r} is "
+            f"{'a timestamp' if lt_ts else 'numeric'} but {right_time!r} is "
+            f"{'a timestamp' if rt_ts else 'numeric'} — convert one side so "
+            "both times share a unit"
+        )
+
+    def _epoch(col_name: str, is_ts: bool):
+        c = F.col(col_name)
+        return F.unix_micros(c) if is_ts else c.cast("long")
+
+    right = right.filter(F.col(right_time).isNotNull() & F.col(key).isNotNull())
     r_struct = F.struct(*[F.col(c) for c in payload])
     r_type = right.select(r_struct.alias("__r")).schema["__r"].dataType
     l_struct = F.struct(*[F.col(c) for c in left.columns])
     l_type = left.select(l_struct.alias("__l")).schema["__l"].dataType
     lf = left.select(
         F.col(key).alias("__k"),
-        F.col(left_time).cast("long").alias("__t"),
+        _epoch(left_time, lt_ts).alias("__t"),
         F.lit(1).alias("__tag"),
         l_struct.alias("__l"),
         F.lit(None).cast(r_type).alias("__r"),
     )
     rf = right.select(
         F.col(key).alias("__k"),
-        F.col(right_time).cast("long").alias("__t"),
+        _epoch(right_time, rt_ts).alias("__t"),
         F.lit(0).alias("__tag"),
         F.lit(None).cast(l_type).alias("__l"),
         r_struct.alias("__r"),

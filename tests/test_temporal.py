@@ -74,3 +74,49 @@ def test_asof_keeps_all_left_columns_and_rows(spark):
     assert len(rows) == 1
     r = rows[0]
     assert (r["k"], r["lt"], r["name"], r["other"], r["rid"]) == ("a", 1, "x", "extra", 7)
+
+
+def test_asof_timestamp_compares_at_microsecond_precision(spark):
+    """A right timestamp 800 ms AFTER the left must not match (a raw
+    long cast would floor both to the same second and attach it)."""
+    import datetime as dt
+
+    left = spark.createDataFrame(
+        [("a", dt.datetime(2024, 1, 1, 10, 0, 0, 100000), 1)],
+        "k string, lt timestamp, lid long",
+    )
+    right = spark.createDataFrame(
+        [
+            ("a", dt.datetime(2024, 1, 1, 10, 0, 0, 900000), 99),  # .8s future
+            ("a", dt.datetime(2024, 1, 1, 9, 59, 59, 900000), 7),  # past
+        ],
+        "k string, rt timestamp, rid long",
+    )
+    rows = asof_join(
+        left, right, key="k", left_time="lt", right_time="rt", payload=["rid"]
+    ).collect()
+    assert len(rows) == 1
+    assert rows[0]["rid"] == 7
+
+
+def test_asof_rejects_mixed_time_units(spark):
+    import pytest as _pytest
+
+    left = spark.createDataFrame([("a", 1, 1)], "k string, lt long, lid long")
+    right = spark.createDataFrame(
+        [("a", __import__("datetime").datetime(2024, 1, 1), 7)],
+        "k string, rt timestamp, rid long",
+    )
+    with _pytest.raises(ValueError, match="share a unit"):
+        asof_join(left, right, key="k", left_time="lt", right_time="rt", payload=["rid"])
+
+
+def test_asof_null_key_left_row_gets_null_payload(spark):
+    """SQL semantics: NULL keys never match — even other NULL keys."""
+    left = spark.createDataFrame([(None, 5, 1)], "k string, lt long, lid long")
+    right = spark.createDataFrame([(None, 1, 7)], "k string, rt long, rid long")
+    rows = asof_join(
+        left, right, key="k", left_time="lt", right_time="rt", payload=["rid"]
+    ).collect()
+    assert len(rows) == 1
+    assert rows[0]["rid"] is None
