@@ -179,7 +179,14 @@ def fetch_existing_datasets(
                 )
 
     schema = "dataset_id string, id string, url string, distro_url string, raw_json string"
-    return ids.select("dataset_id").distinct().rdd.mapPartitions(run).toDF(schema)
+    # materialized, not a lazy plan: the result feeds BOTH branches of
+    # the diff/merge (merged + preserved), and a lazy mapPartitions
+    # would re-issue the full GET sweep once per consumer — two sweeps
+    # can also see different catalog states, making the branches
+    # mutually inconsistent. Catalog-sized, so driver materialization
+    # is the same locality call _run_once documents.
+    rows = ids.select("dataset_id").distinct().rdd.mapPartitions(run).collect()
+    return ids.sparkSession.createDataFrame(rows, schema)
 
 
 # ---------------------------------------------------------------------------
@@ -227,7 +234,13 @@ def ckan_upsert(
                     "POST", f"{api_uri}/package_create?id={quoted}", headers, body, retry
                 )
                 yield Row(id=did, action="create", status=s, ok=s == 200, detail=b[:200])
-                if s == 409 or s != 200:
+                if s == 409:
+                    # conflict = the dataset exists after all (package_show
+                    # can fail transiently and read as 'missing') — fall
+                    # through to the update rather than silently dropping
+                    # this run's metadata
+                    pass
+                elif s != 200:
                     continue
             s, b = http_call(
                 "POST", f"{api_uri}/package_update?id={quoted}", headers, payload.encode(), retry

@@ -52,7 +52,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from . import graphq_local as gl
-from .functions.numeric import parse_localized_number
+from .functions.numeric import money_round, parse_localized_number
 from .functions.text import iri_encode
 from .model import RDF_TYPE, XSD
 
@@ -425,7 +425,16 @@ def _order_hierarchy(attributes: list[CubeAttribute]) -> list[CubeAttribute]:
             lowest = a
             break
     ordered: list[CubeAttribute] = []
+    seen: set[str] = set()
     while lowest is not None:
+        if lowest.name in seen:
+            # malformed descriptor: the parent chain loops (b→c→b) —
+            # fail fast instead of walking the cycle forever
+            raise ValueError(
+                f"hierarchical dimension has a parentAttribute cycle at "
+                f"{lowest.name!r}: {' -> '.join(a.name for a in ordered)}"
+            )
+        seen.add(lowest.name)
         ordered.append(lowest)
         lowest = by_name.get(lowest.parent_name) if lowest.parent_name else None
     return ordered
@@ -762,7 +771,7 @@ def _measure_structs(df: DataFrame, spec: CubeSpec, m: CubeMeasure, obs: Column)
     raw = _cell(df, m.source_column)
     nn = raw.isNotNull()
     parsed = parse_localized_number(raw, m.decimal_sep, m.group_sep)
-    rounded = F.round(parsed * F.lit(m.factor), 2).cast("decimal(38,2)")
+    rounded = money_round(parsed, m.factor).cast("decimal(38,2)")
     # numeric parse OK → typed decimal literal; else raw string passthrough
     out.append(_triple(obs, OBEU_AMOUNT, rounded, "literal", datatype=XSD + "decimal",
                        when=nn & parsed.isNotNull()))
@@ -807,7 +816,7 @@ def compile_cube(spark: SparkSession, spec: CubeSpec, csv_df: DataFrame,
     df = with_row_numbers(csv_df)
     row_structs: list[Column] = []
     code_structs: list[Column] = []
-    for m in spec.measures:
+    for mi, m in enumerate(spec.measures):
         obs = F.concat(
             F.lit(spec.dataset_iri + "/observation/"),
             F.col("__rownum"),
@@ -816,7 +825,14 @@ def compile_cube(spark: SparkSession, spec: CubeSpec, csv_df: DataFrame,
         for dim in spec.dimensions:
             r, c = _dimension_structs(df, spec, dim, obs, strict=strict_dates)
             row_structs += r
-            code_structs += c
+            # codelist structs are keyed by dimension VALUE, not obs —
+            # they are measure-independent, so collect them once (with
+            # multiple measures, per-measure copies would emit each
+            # codelist triple n_measures x per row in the
+            # dedup_codelists=False bag-parity mode, and are wasted
+            # codegen in the default dedup mode)
+            if mi == 0:
+                code_structs += c
         row_structs += _measure_structs(df, spec, m, obs)
 
     def explode_branch(structs: list[Column]) -> DataFrame:
@@ -849,9 +865,10 @@ def fdp_to_cube(
     # L2 input-size guard (FdpToRdf.java:297: "Only one CSV file is
     # supported at the moment" — fail when more than 2 inputs arrive)
     n_inputs = len(csv_paths) + len(nt_paths or [])
-    if len(csv_paths) > 1 or n_inputs > 2:
+    if len(csv_paths) > 1 or len(nt_paths or []) > 1:
         raise ValueError(
-            f"fdp_to_cube: at most one CSV (+ one .nt) input is supported, got {n_inputs}"
+            f"fdp_to_cube: at most one CSV (+ one .nt) input is supported, got "
+            f"{len(csv_paths)} CSV + {len(nt_paths or [])} .nt ({n_inputs} total)"
         )
     spec = extract_spec(spark, descriptor)
     out: DataFrame | None = None

@@ -98,6 +98,13 @@ _DISTRO_PROPS: tuple[PropSpec, ...] = (
 )
 
 
+def _col_or_null(df: DataFrame, name: str):
+    """``F.col(name)`` when the pivot produced it, NULL otherwise —
+    nkod-only properties are absent from the ckan-profile pivot, and a
+    field builder referencing one directly would fail analysis."""
+    return F.col(name) if name in df.columns else F.lit(None).cast("string")
+
+
 def _binding_branch(tr: DataFrame, spec: PropSpec, lang: str) -> DataFrame:
     """One lookup → (s, prop, val) bindings. Paths become self-joins;
     the predicate filter prunes each side before the join."""
@@ -251,16 +258,22 @@ def merge_existing_resources(distros: DataFrame, existing: DataFrame | None) -> 
     verbatim (DcatAp11ToCkanBatch.java:455-463,504-507).
 
     One join per match key on pre-filtered sides; the fallback join
-    only sees rows the primary join missed."""
+    only sees rows the primary join missed. Each match key resolves to
+    at most ONE live id (deterministic min) — several live resources
+    sharing a key must not multiply the distribution into one payload
+    row per copy; the unclaimed copies fall through to ``preserved``."""
     if existing is None:
         return distros.withColumn("matched_id", F.lit(None).cast("string")), None
-    by_distro = existing.filter(F.col("distro_url").isNotNull()).select(
-        F.col("dataset").alias("m1_ds"), F.col("distro_url").alias("m1_key"),
-        F.col("id").alias("m1_id"),
+    by_distro = (
+        existing.filter(F.col("distro_url").isNotNull())
+        .groupBy(
+            F.col("dataset").alias("m1_ds"), F.col("distro_url").alias("m1_key")
+        )
+        .agg(F.min("id").alias("m1_id"))
     )
-    by_url = existing.select(
-        F.col("dataset").alias("m2_ds"), F.col("url").alias("m2_key"),
-        F.col("id").alias("m2_id"),
+    by_url = (
+        existing.groupBy(F.col("dataset").alias("m2_ds"), F.col("url").alias("m2_key"))
+        .agg(F.min("id").alias("m2_id"))
     )
     step1 = distros.join(
         by_distro,
@@ -464,8 +477,8 @@ def build_dkan_fields(
             F.col("description"),
             F.col("title") if profile == PROFILE_NKOD else F.lit(None),
         ).alias("body[und][0][value]"),
-        F.col("issued").alias("created"),
-        F.col("modified").alias("changed"),
+        _col_or_null(ds, "issued").alias("created"),
+        _col_or_null(ds, "modified").alias("changed"),
         F.col("group_id").alias("og_group_ref[und][target_id]"),
     ]
     if profile == PROFILE_NKOD:
@@ -511,8 +524,10 @@ def build_dkan_fields(
         F.coalesce(F.col("name"), F.col("ds_title"), F.lit("Resource")).alias("title"),
         F.col("description").alias("body[und][0][value]"),
         F.when(
-            F.col("media_type").isNotNull(),
-            F.regexp_replace("media_type", r".*/([^/]+/[^/]+)", r"$1"),
+            _col_or_null(di, "media_type").isNotNull(),
+            F.regexp_replace(
+                _col_or_null(di, "media_type"), r".*/([^/]+/[^/]+)", r"$1"
+            ),
         ).alias("field_link_remote_file[und][0][filemime]"),
         F.col("url").alias("field_link_remote_file[und][0][filefield_remotefile][url]"),
         F.col("created").alias("created"),

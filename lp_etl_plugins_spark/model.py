@@ -555,7 +555,12 @@ def table_to_triples(
       downstream ``filter(p == '…')`` constant-folds contradictory
       branches to empty relations — queries over the unpivot then scan
       only the tables/columns they actually touch. The right shape when
-      querying the unpivot directly instead of materializing it."""
+      querying the unpivot directly instead of materializing it.
+
+    Empty ``mappings`` is rejected up front — the two strategies would
+    otherwise disagree (IndexError vs an empty explode)."""
+    if not mappings:
+        raise ValueError("table_to_triples: mappings must be non-empty")
     if branched:
         branches = []
         for m in mappings:

@@ -186,3 +186,20 @@ def test_write_cube_roundtrip(spark, triples, tmp_path):
     model.write_ntriples(triples, out, single_file=True)
     back = model.triples_from_ntriples(spark, out)
     assert {tuple(r) for r in back.collect()} == {tuple(r) for r in triples.collect()}
+
+
+def test_hierarchy_cycle_raises():
+    """A parentAttribute cycle in the descriptor must fail fast, not
+    hang the driver walking the loop forever."""
+    attrs = [
+        cube.CubeAttribute("i:a", "ca", "f", True, "p:a", name="a", parent_name="b"),
+        cube.CubeAttribute("i:b", "cb", "f", True, "p:b", name="b", parent_name="c"),
+        cube.CubeAttribute("i:c", "cc", "f", True, "p:c", name="c", parent_name="b"),
+    ]
+    with pytest.raises(ValueError, match="cycle"):
+        cube._order_hierarchy(attrs)
+
+
+def test_input_guard_rejects_two_nt_inputs(spark):
+    with pytest.raises(ValueError, match="at most one CSV"):
+        cube.fdp_to_cube(spark, None, csv_paths={}, nt_paths=["a.nt", "b.nt"])

@@ -160,3 +160,37 @@ def test_write_jsonl(spark, graphs, tmp_path):
     lines = [json.loads(line) for line in open(part, encoding="utf-8")]
     assert [d["name"] for d in lines] == ["test100", "test99"]  # sorted by id
     assert lines[1] == EXPECTED_DS1
+
+
+def test_dkan_ckan_profile_runs(spark, graphs):
+    """dcat_to_dkan with the ckan profile must not crash on the
+    nkod-only columns (issued/modified/media_type) absent from the
+    ckan pivot — regression for an UNRESOLVED_COLUMN failure."""
+    meta, _ = graphs
+    nodes = dcat.dcat_to_dkan(spark, meta, lang="en", profile=dcat.PROFILE_CKAN)
+    rows = nodes.collect()
+    assert len(rows) > 0
+    forms = [json.loads(r["form_json"]) for r in rows if r["kind"] == "dataset"]
+    assert forms and all(f["type"] == "dataset" for f in forms)
+
+
+def test_merge_duplicate_live_keys_pick_one(spark):
+    """Two live resources sharing a url key must not multiply the
+    distribution into two payload rows — one (min id) is matched, the
+    other falls through to preserved."""
+    distros = spark.createDataFrame(
+        [("d1", "http://distro/1", "http://u1")],
+        "dataset string, distribution string, url string",
+    )
+    existing = spark.createDataFrame(
+        [
+            ("d1", "r2", "http://u1", None, "{}"),
+            ("d1", "r1", "http://u1", None, "{}"),
+        ],
+        "dataset string, id string, url string, distro_url string, raw_json string",
+    )
+    merged, preserved = dcat.merge_existing_resources(distros, existing)
+    mrows = merged.collect()
+    assert len(mrows) == 1
+    assert mrows[0]["matched_id"] == "r1"  # deterministic min
+    assert [r["id"] for r in preserved.collect()] == ["r2"]
