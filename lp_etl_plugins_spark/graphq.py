@@ -68,27 +68,43 @@ def _meta_cols(var: str) -> tuple[str, str, str]:
 def _pattern_df(triples: DataFrame, pattern: tuple[str, str, str]) -> DataFrame:
     """One (s, p, o) pattern → solution DF. Terms starting with ``?`` are
     variables; everything else is a constant (IRI for s/p, lexical match
-    for o)."""
+    for o). A variable REPEATED within the pattern (e.g. ``(?x, p,
+    ?x)``) binds once and adds the SPARQL-required equality filter —
+    naively aliasing both positions would emit two columns of the same
+    name and match rows whose positions differ."""
     s, p, o = pattern
     df = triples
     cols: list[Column] = []
+    bound: dict[str, str] = {}  # var -> source column of first binding
+
+    def bind(term: str, src: str) -> None:
+        nonlocal df
+        v = _var(term)
+        if v in bound:
+            df = df.filter(F.col(src) == F.col(bound[v]))
+            return
+        bound[v] = src
+        cols.append(F.col(src).alias(v))
+        if src == "o_value":
+            t, l, d = _meta_cols(v)
+            cols.extend(
+                [
+                    F.col("o_type").alias(t),
+                    F.col("o_lang").alias(l),
+                    F.col("o_datatype").alias(d),
+                ]
+            )
+
     if _is_var(s):
-        cols.append(F.col("s").alias(_var(s)))
+        bind(s, "s")
     else:
         df = df.filter(F.col("s") == s)
     if _is_var(p):
-        cols.append(F.col("p").alias(_var(p)))
+        bind(p, "p")
     else:
         df = df.filter(F.col("p") == p)
     if _is_var(o):
-        v = _var(o)
-        t, l, d = _meta_cols(v)
-        cols += [
-            F.col("o_value").alias(v),
-            F.col("o_type").alias(t),
-            F.col("o_lang").alias(l),
-            F.col("o_datatype").alias(d),
-        ]
+        bind(o, "o_value")
     else:
         df = df.filter(F.col("o_value") == o)
     if not cols:
@@ -125,9 +141,15 @@ def join_solutions(
     drop = [c for v in shared for c in _meta_cols(v) if c in right.columns and c in left.columns]
     right = right.drop(*drop)
     if not shared:
-        if how != "inner":
-            raise ValueError("outer join with no shared variables")
-        return left.crossJoin(right)
+        if how == "inner":
+            return left.crossJoin(right)
+        # disjoint variables are legal SPARQL for OPTIONAL / NOT EXISTS
+        # too: join on a constant key — OPTIONAL extends every base row
+        # per right solution (nulls when the block is empty), NOT EXISTS
+        # keeps base rows iff the block has no solution
+        lj = left.withColumn("__j", F.lit(1))
+        rj = right.withColumn("__j", F.lit(1))
+        return lj.join(rj, on="__j", how=how).drop("__j")
     if n_salts and n_salts > 1:
         l = left.withColumn("__salt", (F.rand(seed=42) * n_salts).cast("int"))
         r = right.withColumn(
@@ -347,10 +369,19 @@ def path_star(
 
 
 def lang_filter(df: DataFrame, var: str, lang: str) -> DataFrame:
-    """FILTER(LANGMATCHES(LANG(?var), lang)) — exact primary-tag match,
-    which is all the reference uses (DcatAp11ToCkanBatch.java:254,340)."""
+    """FILTER(LANGMATCHES(LANG(?var), lang)) with SPARQL basic
+    language-range semantics: the range ``en`` matches ``en`` AND
+    region-subtagged forms like ``en-US`` (prefix-at-a-subtag-boundary,
+    RFC 4647 §3.3.1); ``*`` matches any tagged literal. The reference's
+    graphs only carry primary tags (DcatAp11ToCkanBatch.java:254,340),
+    where this reduces to the exact match it previously implemented —
+    but region-tagged corpora no longer silently lose bindings."""
     v = _var(var) if _is_var(var) else var
-    return df.filter(F.lower(F.col(f"{v}__lang")) == lang.lower())
+    lf = F.lower(F.col(f"{v}__lang"))
+    if lang == "*":
+        return df.filter(lf.isNotNull() & (lf != ""))
+    want = lang.lower()
+    return df.filter((lf == want) | lf.startswith(want + "-"))
 
 
 def group_count(

@@ -92,34 +92,41 @@ class Solutions:
 
 
 def _pattern_solutions(g: LocalGraph, pattern: tuple[str, str, str]) -> Solutions:
-    """One (s, p, o) pattern → solutions; mirrors graphq._pattern_df."""
+    """One (s, p, o) pattern → solutions; mirrors graphq._pattern_df —
+    including a variable repeated within the pattern (``(?x, p, ?x)``),
+    which binds ONCE with the SPARQL-required consistency check
+    (rows whose positions disagree are dropped, never overwritten)."""
     s, p, o = pattern
+    first: dict[str, str] = {}  # var -> position of first binding
+    for term, posn in ((s, "s"), (p, "p"), (o, "o")):
+        if _is_var(term) and _var(term) not in first:
+            first[_var(term)] = posn
     cols: list[str] = []
-    if _is_var(s):
-        cols.append(_var(s))
-    if _is_var(p):
-        cols.append(_var(p))
-    if _is_var(o):
-        v = _var(o)
-        cols += [v, *_meta_cols(v)]
+    for v, posn in first.items():
+        cols.append(v)
+        if posn == "o":
+            cols += list(_meta_cols(v))
     rows: list[dict] = []
     for t in g.candidates(None if _is_var(p) else p):
         if not _is_var(s) and t["s"] != s:
             continue
         if not _is_var(o) and t["o_value"] != o:
             continue
+        values = {"s": t["s"], "p": t["p"], "o": t["o_value"]}
+        if any(
+            values[posn] != values[first[_var(term)]]
+            for term, posn in ((s, "s"), (p, "p"), (o, "o"))
+            if _is_var(term)
+        ):
+            continue  # repeated variable bound inconsistently
         r: dict = {}
-        if _is_var(s):
-            r[_var(s)] = t["s"]
-        if _is_var(p):
-            r[_var(p)] = t["p"]
-        if _is_var(o):
-            v = _var(o)
-            mt, ml, md = _meta_cols(v)
-            r[v] = t["o_value"]
-            r[mt] = t["o_type"]
-            r[ml] = t["o_lang"]
-            r[md] = t["o_datatype"]
+        for v, posn in first.items():
+            r[v] = values[posn]
+            if posn == "o":
+                mt, ml, md = _meta_cols(v)
+                r[mt] = t["o_type"]
+                r[ml] = t["o_lang"]
+                r[md] = t["o_datatype"]
         rows.append(r)
     if not cols:
         cols = ["__matched"]
@@ -138,13 +145,29 @@ def join_solutions(left: Solutions, right: Solutions, how: str = "inner") -> Sol
     out_cols = list(left.columns) + add_cols
 
     if not shared:
-        if how != "inner":
-            raise ValueError("outer join with no shared variables")
-        rows = [
-            {**lr, **{c: rr.get(c) for c in add_cols}}
-            for lr in left.rows
-            for rr in right.rows
-        ]
+        if how == "inner":
+            rows = [
+                {**lr, **{c: rr.get(c) for c in add_cols}}
+                for lr in left.rows
+                for rr in right.rows
+            ]
+            return Solutions(out_cols, rows)
+        # mirrors graphq.join_solutions: OPTIONAL over a disjoint block
+        # extends every base row per right solution (nulls when empty);
+        # NOT EXISTS keeps base rows iff the block has no solution
+        if how == "left_anti":
+            return Solutions(
+                list(left.columns),
+                [dict(lr) for lr in left.rows] if not right.rows else [],
+            )
+        if not right.rows:
+            rows = [{**lr, **{c: None for c in add_cols}} for lr in left.rows]
+        else:
+            rows = [
+                {**lr, **{c: rr.get(c) for c in add_cols}}
+                for lr in left.rows
+                for rr in right.rows
+            ]
         return Solutions(out_cols, rows)
 
     index: dict[tuple, list[dict]] = {}

@@ -287,7 +287,8 @@ G6_SQL = _CTE + """
 SELECT sr.o_value AS src, count(*) AS n_docs
 FROM triples tt
 JOIN triples sr ON sr.s = tt.s AND sr.p = 'urn:source'
-WHERE tt.p = 'urn:title' AND lower(tt.o_lang) = 'en'
+WHERE tt.p = 'urn:title'
+  AND (lower(tt.o_lang) = 'en' OR lower(tt.o_lang) LIKE 'en-%')
 GROUP BY sr.o_value
 """
 

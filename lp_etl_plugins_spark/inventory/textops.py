@@ -304,7 +304,7 @@ wmin AS (
   FROM pos
 ),
 fps AS (
-  SELECT DISTINCT id, fp FROM wmin WHERE pos <= max_pos - 3
+  SELECT DISTINCT id, fp FROM wmin WHERE pos <= greatest(max_pos - 3, 0)
 )
 SELECT id, count(*)::BIGINT AS n_fps, min(fp) AS min_fp FROM fps GROUP BY id
 """
@@ -363,7 +363,7 @@ WITH grams AS (
 dfreq AS (SELECT g, count(*) AS c FROM grams GROUP BY g),
 rare AS (
   SELECT id, g FROM grams JOIN dfreq USING (g)
-  WHERE c <= least(64, ceil(0.05 * (SELECT count(*) FROM documents)))
+  WHERE c <= least(64, greatest(2, ceil(0.05 * (SELECT count(*) FROM documents))))
 ),
 cand AS (
   SELECT DISTINCT a.id AS id_a, b.id AS id_b
@@ -556,7 +556,7 @@ _T14_BODY = """grams AS (
 dfreq AS (SELECT g, count(*) AS c FROM grams GROUP BY g),
 rare AS (
   SELECT id, g FROM grams JOIN dfreq USING (g)
-  WHERE c <= least(64, ceil(0.05 * (SELECT count(*) FROM documents)))
+  WHERE c <= least(64, greatest(2, ceil(0.05 * (SELECT count(*) FROM documents))))
 ),
 cand AS (
   SELECT DISTINCT a.id AS id_a, b.id AS id_b

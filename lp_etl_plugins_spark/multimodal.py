@@ -335,16 +335,25 @@ def extract_features(df: DataFrame, bins: int = 16) -> DataFrame:
 
     The features are codec-independent (raw payload bytes), so this
     stage is REAL even while the pixel codec is stubbed: swapping in
-    a decoder only changes what bytes arrive here. Narrow transform —
-    blobs never shuffle; downstream aggregations move only the small
-    (id, features) rows."""
+    a decoder only changes what bytes arrive here. Real-container
+    blobs (PNG/JPEG/... magic) contribute their FULL byte stream —
+    the 5-byte strip is the fake codec's header, not theirs. Narrow
+    transform — blobs never shuffle; downstream aggregations move
+    only the small (id, features) rows. ``bins`` must divide 256 —
+    otherwise the top bytes would silently fall out of the histogram."""
     import numpy as np
+
+    if 256 % bins != 0:
+        raise ValueError(f"extract_features: bins={bins} must divide 256")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
             n_bytes, ents, hists = [], [], []
             for d in b["data"]:
-                payload = np.frombuffer(bytes(d), dtype=np.uint8)[_HEADER:]
+                raw = bytes(d)
+                payload = np.frombuffer(raw, dtype=np.uint8)
+                if not _is_real_image(raw):
+                    payload = payload[_HEADER:]
                 n = len(payload)
                 counts = (
                     np.bincount(payload // (256 // bins), minlength=bins)[:bins]
@@ -378,6 +387,14 @@ def resize_media(df: DataFrame, width: int, height: int) -> DataFrame:
             out = []
             for d in b["data"]:
                 d = bytes(d)
+                if _is_real_image(d):
+                    # rewriting a real container's first bytes as a fake
+                    # header would strip its magic and silently route the
+                    # output to the fake codec downstream
+                    raise NotImplementedError(
+                        "resize_media operates on fake-codec blobs; decode "
+                        "real containers to pixels first"
+                    )
                 c = d[4]
                 need = width * height * c
                 payload = (d[_HEADER:] * ((need // max(len(d) - _HEADER, 1)) + 1))[:need]
@@ -400,7 +417,13 @@ def sample_frames(df: DataFrame, frame_bytes: int = 64, every_n: int = 2) -> Dat
         for b in batches:
             ids, nos, frames = [], [], []
             for mid, d in zip(b["media_id"], b["data"]):
-                payload = bytes(d)[_HEADER:]
+                d = bytes(d)
+                if _is_real_image(d):
+                    raise NotImplementedError(
+                        "sample_frames operates on fake-codec blobs; real "
+                        "video containers need a demuxer, not a byte split"
+                    )
+                payload = d[_HEADER:]
                 n_frames = len(payload) // frame_bytes
                 for f in range(0, n_frames, every_n):
                     ids.append(mid)

@@ -317,9 +317,13 @@ def _pruned_gram_candidates(
 ) -> tuple[DataFrame, DataFrame]:
     """Shared candidate substrate for t11/t14/t20: hashed char-n-gram
     sets per doc plus the df-pruned inverted-index candidate pairs.
-    Posting lists are bounded by ``min(max_df, ceil(max_df_frac·N))``
+    Posting lists are bounded by ``min(max_df, max(2, ceil(max_df_frac·N)))``
     — the absolute term makes per-gram pair expansion O(max_df²), a
-    constant w.r.t. corpus size (see :func:`ngram_jaccard_pairs`).
+    constant w.r.t. corpus size (see :func:`ngram_jaccard_pairs`), and
+    the floor of 2 removes a small-corpus cliff: below it the
+    fractional cutoff could prune to df ≤ 1, where a candidate pair
+    (a gram shared by ≥ 2 docs) is PROVABLY impossible and even exact
+    duplicates silently stopped matching.
     → (cand: (id_a < id_b), sets: (id, grams array<bigint>))."""
     hashed = F.array_distinct(
         F.transform(
@@ -343,7 +347,10 @@ def _pruned_gram_candidates(
         .join(F.broadcast(n_docs))
         .filter(
             F.col("df_g")
-            <= F.least(F.lit(max_df), F.ceil(F.lit(max_df_frac) * F.col("n_total")))
+            <= F.least(
+                F.lit(max_df),
+                F.greatest(F.lit(2), F.ceil(F.lit(max_df_frac) * F.col("n_total"))),
+            )
         )
         .select("g")
     )
@@ -495,7 +502,10 @@ def winnow_fingerprints(
     scheme of Schleimer/Wilkerson/Aiken, MOSS): hash every word
     ``n``-gram, slide a window of ``w`` consecutive shingle hashes,
     keep the minimum of each window, dedupe. Guarantees any match of
-    length ≥ w+n-1 words shares a fingerprint.
+    length ≥ w+n-1 words shares a fingerprint. Documents with fewer
+    than ``w`` shingles keep ONE fingerprint (the min over all their
+    hashes — the standard short-document fallback) instead of
+    vanishing from the output and never matching anything.
 
     Plan: posexplode shingles → per-(doc, pos) 40-bit hash → window MIN
     over [pos, pos+w-1] (rows-frame, partitioned by doc — bounded
@@ -513,7 +523,7 @@ def winnow_fingerprints(
             F.min("h").over(win).alias("fp"),
             F.max("pos").over(n_sh).alias("max_pos"),
         )
-        .filter(F.col("pos") <= F.col("max_pos") - (w - 1))
+        .filter(F.col("pos") <= F.greatest(F.col("max_pos") - (w - 1), F.lit(0)))
         .select("id", "fp")
         .distinct()
     )

@@ -354,7 +354,15 @@ def knn_ivf(
     p = probes.select(
         F.col(id_col).alias("probe_id"),
         unit_normalize(F.col(vec_col)).alias("probe_vec"),
-    ).join(probe_buckets.withColumnRenamed("id", "probe_id"), on="probe_id")
+    ).join(probe_buckets.withColumnRenamed("id", "probe_id"), on="probe_id", how="left")
+    # a probe id unknown to the index must fail LOUDLY at execution,
+    # not silently contribute zero result rows
+    p = p.withColumn(
+        "bucket",
+        F.when(F.col("bucket").isNotNull(), F.col("bucket")).otherwise(
+            F.raise_error(F.lit("knn_ivf: probe id absent from the corpus IVF assignment - this API assigns probes via their corpus row (probes are drawn from `embeddings` by contract); for external query vectors use knn_bucketed (buckets from the probe's own vector) or knn_bruteforce"))
+        ),
+    )
     scored = (
         c.join(F.broadcast(p) if broadcast_probes else p, on="bucket")
         .filter(F.col("probe_id") != F.col("neighbor_id"))
@@ -529,11 +537,18 @@ def knn_ivf_pq(
     )
     probe_lists = ranked.select(F.col("id").alias("probe_id"), "bucket")
     codes, lut = _pq_parts(embeddings, probes, seed_col, id_col, vec_col, m, dims)
-    # restrict probe_lists to actual probes (the LUT's probe ids)
+    # restrict probe_lists to actual probes (the LUT's probe ids); a
+    # probe id unknown to the index fails loudly instead of vanishing
     probe_ids = lut.select("probe_id").distinct()
-    cand = corpus_lists.join(
-        F.broadcast(probe_lists.join(F.broadcast(probe_ids), "probe_id")), on="bucket"
-    ).select("probe_id", "neighbor_id")
+    probe_fan = probe_ids.join(probe_lists, "probe_id", "left").withColumn(
+        "bucket",
+        F.when(F.col("bucket").isNotNull(), F.col("bucket")).otherwise(
+            F.raise_error(F.lit("knn_ivf_pq: probe id absent from the corpus IVF assignment - this API assigns probes via their corpus row (probes are drawn from `embeddings` by contract); for external query vectors use knn_bucketed (buckets from the probe's own vector) or knn_bruteforce"))
+        ),
+    )
+    cand = corpus_lists.join(F.broadcast(probe_fan), on="bucket").select(
+        "probe_id", "neighbor_id"
+    )
     adc = (
         cand.join(codes, on="neighbor_id")
         .join(F.broadcast(lut), on=["probe_id", "sub", "code"])

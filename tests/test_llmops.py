@@ -683,3 +683,64 @@ def test_png_short_palette_raises():
     )
     with _pytest.raises(ValueError, match="palette"):
         multimodal._decode_png(png)
+
+
+def test_winnow_short_document_keeps_one_fingerprint(spark):
+    """Docs with fewer than w shingles must fall back to one
+    fingerprint (min over available hashes), not vanish."""
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta")],
+        "doc_id long, text string",
+    )  # 4 words, n=3 -> 2 shingles < w=4
+    fps = textops.winnow_fingerprints(df, "text", "doc_id", n=3, w=4).collect()
+    by_id = {}
+    for r in fps:
+        by_id.setdefault(r["id"], set()).add(r["fp"])
+    assert set(by_id) == {1, 2}
+    assert by_id[1] == by_id[2] and len(by_id[1]) == 1
+
+
+def test_ngram_dedup_finds_exact_dup_in_tiny_corpus(spark):
+    """The df floor of 2 removes the small-corpus cliff where the
+    fractional cutoff pruned to df<=1 and even byte-identical docs
+    stopped matching."""
+    rows = [(i, f"completely unrelated text number {i} with words") for i in range(18)]
+    rows += [(100, "the exact duplicated document text here"),
+             (101, "the exact duplicated document text here")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = textops.ngram_jaccard_pairs(
+        df, "text", "doc_id", n=3, max_df_frac=0.05, threshold=0.9
+    ).collect()  # ceil(0.05*20)=1 would have found nothing
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (100, 101) in got
+
+
+def test_knn_ivf_unknown_probe_raises(spark, emb):
+    import pytest as _pytest
+
+    probes = spark.createDataFrame(
+        [(999999, [float(i) for i in range(len(emb.first()["embedding"]))], 0)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    with _pytest.raises(Exception, match="absent from the corpus"):
+        vectorops.knn_ivf(emb, probes, 3).collect()
+
+
+def test_media_ops_refuse_or_respect_real_containers(spark):
+    """resize/frame-sample must refuse real containers (their header
+    math would corrupt them); extract_features uses a real container's
+    FULL bytes (no fake-codec header strip)."""
+    import pytest as _pytest
+
+    w, h, c = 16, 12, 1
+    payload = bytes(((3 * j) % 251) for j in range(w * h * c))
+    png = multimodal.encode_png(w, h, c, payload)
+    df = spark.createDataFrame([(1, "image", png, {})], multimodal.MEDIA_SCHEMA)
+    with _pytest.raises(Exception, match="fake-codec blobs"):
+        multimodal.resize_media(df, 8, 8).collect()
+    with _pytest.raises(Exception, match="fake-codec blobs"):
+        multimodal.sample_frames(df).collect()
+    feats = multimodal.extract_features(df, bins=16).collect()
+    assert feats[0]["n_bytes"] == len(png)  # full container bytes
+    with _pytest.raises(ValueError, match="divide 256"):
+        multimodal.extract_features(df, bins=10)

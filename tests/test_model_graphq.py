@@ -232,3 +232,68 @@ def test_path_plus_depth_and_cycles(spark):
              ("b", "c"), ("b", "d"), ("c", "d")}
     cycle = {("x", "y"), ("y", "x"), ("x", "x"), ("y", "y")}
     assert got == chain | cycle
+
+
+def _tiny_graph(spark, rows):
+    return spark.createDataFrame(rows, model.TRIPLES_SCHEMA)
+
+
+def test_repeated_variable_in_one_pattern(spark):
+    """(?x, p, ?x) must bind consistently — only s == o rows match."""
+    g = _tiny_graph(
+        spark,
+        [
+            ("urn:a", "urn:p", "urn:a", "iri", None, None),  # s == o
+            ("urn:a", "urn:p", "urn:b", "iri", None, None),  # s != o
+        ],
+    )
+    sols = graphq.bgp(g, [("?x", "urn:p", "?x")])
+    assert [r["x"] for r in sols.collect()] == ["urn:a"]
+
+    from lp_etl_plugins_spark import graphq_local as gl
+
+    lg = gl.LocalGraph(
+        [
+            {"s": "urn:a", "p": "urn:p", "o_value": "urn:a",
+             "o_type": "iri", "o_lang": None, "o_datatype": None},
+            {"s": "urn:a", "p": "urn:p", "o_value": "urn:b",
+             "o_type": "iri", "o_lang": None, "o_datatype": None},
+        ]
+    )
+    lsols = gl.bgp(lg, [("?x", "urn:p", "?x")])
+    assert [r["x"] for r in lsols.rows] == ["urn:a"]
+
+
+def test_disjoint_variable_optional_and_not_exists(spark):
+    """OPTIONAL/NOT EXISTS over a block sharing no variable with the
+    base is legal SPARQL: existence decides, not a crash."""
+    g = _tiny_graph(
+        spark,
+        [
+            ("urn:a", "urn:p", "lit", "literal", None, None),
+            ("urn:z", "urn:flag", "on", "literal", None, None),
+        ],
+    )
+    base = graphq.bgp(g, [("?s", "urn:p", "?v")])
+    # the flag pattern matches → NOT EXISTS removes every base row
+    assert graphq.not_exists(base, g, [("urn:z", "urn:flag", "on")]).count() == 0
+    # a non-matching constant pattern → base rows survive
+    assert graphq.not_exists(base, g, [("urn:z", "urn:flag", "off")]).count() == 1
+    # OPTIONAL with a disjoint variable extends rather than crashes
+    opt = graphq.optional(base, g, [("?other", "urn:flag", "on")])
+    rows = opt.collect()
+    assert len(rows) == 1 and rows[0]["other"] == "urn:z"
+
+
+def test_lang_filter_matches_region_subtags(spark):
+    g = _tiny_graph(
+        spark,
+        [
+            ("urn:a", "urn:t", "color", "literal", "en-US", None),
+            ("urn:b", "urn:t", "colour", "literal", "en", None),
+            ("urn:c", "urn:t", "couleur", "literal", "fr", None),
+        ],
+    )
+    sols = graphq.bgp(g, [("?s", "urn:t", "?t")])
+    got = {r["s"] for r in graphq.lang_filter(sols, "?t", "en").collect()}
+    assert got == {"urn:a", "urn:b"}
