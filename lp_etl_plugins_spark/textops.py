@@ -380,6 +380,39 @@ def _pruned_gram_candidates(
     return cand, sets
 
 
+def _containment_verified(
+    cand: DataFrame, sets: DataFrame, threshold: float
+) -> DataFrame:
+    """Shared array-intersect containment verify over candidate pairs:
+    join each side's gram set, score |A∩B| / min(|A|,|B|) on the
+    rounded 1e-6 grid, keep pairs at/above ``threshold``. Extra
+    columns on ``cand`` (e.g. decontaminate's side flags) pass
+    through. One copy of the verify expression — the rounding grid
+    and the m>0 guard stay in sync across every consumer."""
+    carry = [c for c in cand.columns if c not in ("id_a", "id_b")]
+    a = sets.select(F.col("id").alias("id_a"), F.col("grams").alias("ga"))
+    b = sets.select(F.col("id").alias("id_b"), F.col("grams").alias("gb"))
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            *carry,
+            F.size(F.array_intersect("ga", "gb")).alias("i"),
+            F.least(F.size("ga"), F.size("gb")).alias("m"),
+        )
+        .filter(F.col("m") > 0)
+        .select(
+            "id_a",
+            "id_b",
+            *carry,
+            F.round(F.col("i").cast("double") / F.col("m"), 6).alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )
+
+
 def ngram_containment_pairs(
     df: DataFrame,
     text_col: str,
@@ -400,25 +433,7 @@ def ngram_containment_pairs(
     array-intersect verify).
     → (id_a, id_b, containment ≥ threshold)."""
     cand, sets = _pruned_gram_candidates(df, text_col, id_col, n, max_df_frac, max_df)
-    a = sets.select(F.col("id").alias("id_a"), F.col("grams").alias("ga"))
-    b = sets.select(F.col("id").alias("id_b"), F.col("grams").alias("gb"))
-    out = (
-        cand.join(a, "id_a")
-        .join(b, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            F.size(F.array_intersect("ga", "gb")).alias("i"),
-            F.least(F.size("ga"), F.size("gb")).alias("m"),
-        )
-        .filter(F.col("m") > 0)
-        .select(
-            "id_a",
-            "id_b",
-            F.round(F.col("i").cast("double") / F.col("m"), 6).alias("containment"),
-        )
-    )
-    return out.filter(F.col("containment") >= threshold)
+    return _containment_verified(cand, sets, threshold)
 
 
 def decontaminate(
@@ -447,24 +462,13 @@ def decontaminate(
     flags = df.select(F.col(id_col).alias("id"), F.col(bench_col).alias("__bench"))
     fa = flags.select(F.col("id").alias("id_a"), F.col("__bench").alias("ba"))
     fb = flags.select(F.col("id").alias("id_b"), F.col("__bench").alias("bb"))
-    mixed = cand.join(fa, "id_a").join(fb, "id_b").filter(F.col("ba") != F.col("bb"))
-    a = sets.select(F.col("id").alias("id_a"), F.col("grams").alias("ga"))
-    b = sets.select(F.col("id").alias("id_b"), F.col("grams").alias("gb"))
-    hits = (
-        mixed.join(a, "id_a")
-        .join(b, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            "ba",
-            F.size(F.array_intersect("ga", "gb")).alias("i"),
-            F.least(F.size("ga"), F.size("gb")).alias("m"),
-        )
-        .filter(F.col("m") > 0)
-        .filter(
-            F.round(F.col("i").cast("double") / F.col("m"), 6) >= threshold
-        )
+    mixed = (
+        cand.join(fa, "id_a")
+        .join(fb, "id_b")
+        .filter(F.col("ba") != F.col("bb"))
+        .drop("bb")
     )
+    hits = _containment_verified(mixed, sets, threshold)
     return (
         hits.select(
             F.when(~F.col("ba"), F.col("id_a")).otherwise(F.col("id_b")).alias("doc_id")

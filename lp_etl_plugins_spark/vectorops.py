@@ -79,6 +79,33 @@ def unit_normalize(vec: Column) -> Column:
     return F.transform(vec, lambda x: x.cast("double") / n)
 
 
+def _cosine_topk(cands, k: int):
+    """Score-and-rank tail shared by the cosine kNN family
+    (brute-force / bucketed / IVF): candidates carry (probe_id,
+    probe_vec unit-normalized, neighbor_id, neighbor_vec raw,
+    neighbor_norm scalar); each pair costs one dot fold plus a
+    divide, ranked per probe with the id tie-break. One copy of the
+    scoring expression — the rounding grid and tie-break stay in
+    sync across every kNN variant."""
+    scored = (
+        cands.filter(F.col("probe_id") != F.col("neighbor_id"))
+        .select(
+            "probe_id",
+            "neighbor_id",
+            F.round(
+                _dot(F.col("probe_vec"), F.col("neighbor_vec")) / F.col("neighbor_norm"),
+                6,
+            ).alias("cos"),
+        )
+    )
+    win = W.partitionBy("probe_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", "neighbor_id", "cos", "rank")
+    )
+
+
 def knn_bruteforce(
     embeddings: DataFrame,
     probes: DataFrame,
@@ -103,22 +130,8 @@ def knn_bruteforce(
         F.col(vec_col).alias("neighbor_vec"),
         norm(F.col(vec_col)).alias("neighbor_norm"),
     )
-    scored = (
-        c.join(F.broadcast(p), F.col("probe_id") != F.col("neighbor_id"))
-        .select(
-            "probe_id",
-            "neighbor_id",
-            F.round(
-                _dot(F.col("probe_vec"), F.col("neighbor_vec")) / F.col("neighbor_norm"),
-                6,
-            ).alias("cos"),
-        )
-    )
-    win = W.partitionBy("probe_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(win))
-        .filter(F.col("rank") <= k)
-        .select("probe_id", "neighbor_id", "cos", "rank")
+    return _cosine_topk(
+        c.join(F.broadcast(p), F.col("probe_id") != F.col("neighbor_id")), k
     )
 
 
@@ -190,23 +203,8 @@ def knn_bucketed(
         norm(F.col(vec_col)).alias("neighbor_norm"),
         sign_bucket(F.col(vec_col), bits).alias("bucket"),
     )
-    scored = (
-        c.join(F.broadcast(p) if broadcast_probes else p, on="bucket")
-        .filter(F.col("probe_id") != F.col("neighbor_id"))
-        .select(
-            "probe_id",
-            "neighbor_id",
-            F.round(
-                _dot(F.col("probe_vec"), F.col("neighbor_vec")) / F.col("neighbor_norm"),
-                6,
-            ).alias("cos"),
-        )
-    )
-    win = W.partitionBy("probe_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(win))
-        .filter(F.col("rank") <= k)
-        .select("probe_id", "neighbor_id", "cos", "rank")
+    return _cosine_topk(
+        c.join(F.broadcast(p) if broadcast_probes else p, on="bucket"), k
     )
 
 
@@ -363,23 +361,8 @@ def knn_ivf(
             F.raise_error(F.lit("knn_ivf: probe id absent from the corpus IVF assignment - this API assigns probes via their corpus row (probes are drawn from `embeddings` by contract); for external query vectors use knn_bucketed (buckets from the probe's own vector) or knn_bruteforce"))
         ),
     )
-    scored = (
-        c.join(F.broadcast(p) if broadcast_probes else p, on="bucket")
-        .filter(F.col("probe_id") != F.col("neighbor_id"))
-        .select(
-            "probe_id",
-            "neighbor_id",
-            F.round(
-                _dot(F.col("probe_vec"), F.col("neighbor_vec")) / F.col("neighbor_norm"),
-                6,
-            ).alias("cos"),
-        )
-    )
-    win = W.partitionBy("probe_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(win))
-        .filter(F.col("rank") <= k)
-        .select("probe_id", "neighbor_id", "cos", "rank")
+    return _cosine_topk(
+        c.join(F.broadcast(p) if broadcast_probes else p, on="bucket"), k
     )
 
 
