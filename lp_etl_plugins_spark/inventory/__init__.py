@@ -22,8 +22,12 @@ Determinism contract (so Spark and DuckDB hash-match):
   collision probability is negligible, unlike on-grid sums);
 - every computed column is aliased identically in Spark and SQL;
 - no query depends on session defaults (ANSI mode, timezone): casts
-  that can fail use try_*, timestamps are compared/truncated, never
-  formatted through locale.
+  that can fail use try_*; date RENDERING and calendar arithmetic go
+  through ``tables.wall_timestamp`` (tz-independent whether the
+  parquet read produced NTZ or LTZ columns — verified under a
+  deliberately hostile LTZ + Asia/Tokyo session); epoch extraction
+  uses ``unix_timestamp``/``unix_micros`` on instant-stable reads;
+  nothing is formatted through locale.
 """
 
 from __future__ import annotations
@@ -37,7 +41,8 @@ from pyspark.sql import DataFrame, SparkSession
 # this surface (observed cap: 50 rows in both r2 and r3 artifacts), so
 # the merged dict's insertion order decides which queries get the hard
 # driver signal and which rest on the identical local parity mirror
-# (tests/test_oracle_parity.py, all 98). Order is therefore explicit:
+# (tests/test_oracle_parity.py — the FULL surface, 115 queries as of
+# round 4). Order is therefore explicit:
 # the SURVEY §2 reference-core modules first — sources included — then
 # the north-star extension families.
 _CORE_MODULES = (

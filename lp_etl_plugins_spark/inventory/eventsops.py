@@ -24,7 +24,7 @@ from ..streaming import (
     tumbling_counts,
     user_totals,
 )
-from ..tables import load_table
+from ..tables import load_table, wall_timestamp
 
 
 def e1_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -178,10 +178,15 @@ def j10_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events").select(
         "event_id", "user_id", F.unix_timestamp("ts").alias("event_sec")
     )
-    orders = load_table(spark, sf_dir, "orders").select(
+    orders = load_table(spark, sf_dir, "orders")
+    orders = orders.select(
         F.col("o_custkey").alias("user_id"),
-        (F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date")).cast("long")
-         * 86400).alias("order_sec"),
+        # datediff casts an LTZ timestamp to date through the session
+        # zone; the wall-time view keeps order_sec tz-independent
+        (F.datediff(
+            F.to_date(wall_timestamp(orders, "o_orderdate")),
+            F.lit("1970-01-01").cast("date"),
+        ).cast("long") * 86400).alias("order_sec"),
         F.col("o_orderkey").alias("order_key"),
         F.col("o_totalprice").alias("order_price"),
     )
@@ -267,10 +272,13 @@ intervals AS (
          row_number() OVER (PARTITION BY user_id ORDER BY t, event_id) AS version
   FROM changed
 )
+-- LEFT join (like J10_SQL): the Spark side's asof_join keeps every
+-- event — a NULL-user event or one predating its user's first
+-- interval gets NULL payload, it is not dropped
 SELECT e.event_id, e.user_id, floor(epoch(e.ts))::BIGINT AS event_sec,
        i.regime_type, i.version
 FROM events e
-JOIN intervals i
+LEFT JOIN intervals i
   ON i.user_id = e.user_id
  AND floor(epoch(e.ts))::BIGINT >= i.valid_from
  AND (i.valid_to IS NULL OR floor(epoch(e.ts))::BIGINT < i.valid_to)

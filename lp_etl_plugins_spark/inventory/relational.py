@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from ..tables import load_table
+from ..tables import load_table, wall_timestamp
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -32,7 +32,14 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     are counts/first — this generalizes them to the standard kernel).
     Rounding-to-grid per inventory contract (see package docstring).
     """
-    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= F.lit("2001-09-02").cast("timestamp"))
+    li = _t(spark, sf_dir, "lineitem")
+    # tz-independent cutoff: wall time vs an NTZ literal (a plain
+    # timestamp literal/column pair goes through the session zone on
+    # an LTZ read and shifts the day boundary — see tables.wall_timestamp)
+    li = li.filter(
+        wall_timestamp(li, "l_shipdate")
+        <= F.lit("2001-09-02 00:00:00").cast("timestamp_ntz")
+    )
     disc_price = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
     charge = disc_price * (F.lit(1.0) + F.col("l_tax"))
     return (
@@ -449,15 +456,14 @@ GROUP BY r_name
 """
 
 
-def a7_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-level aggregation in ONE pass (rollup/grouping-sets — the
-    OLAP family the reference lacks): order revenue by
-    (nation, market segment), per-nation subtotals, and the grand
-    total, disambiguated by grouping_id. Spark plans a single Expand +
-    hash aggregate with map-side partials — one shuffle for all three
-    levels, not three queries. Revenue sums exact cents (o_totalprice
-    is 2-decimal), so partition summation order cannot move the
-    rounded output."""
+def _revenue_grouping_sets(
+    spark: SparkSession, sf_dir: str, grouping: str
+) -> DataFrame:
+    """Shared base of the a7/a8 grouping-set siblings: the 3-table
+    revenue join with exact-cents sums, aggregated through ``rollup``
+    or ``cube`` — one Expand + hash aggregate with map-side partials,
+    one shuffle for every level. One copy of the cents discipline and
+    the grouping_id encoding."""
     orders = _t(spark, sf_dir, "orders")
     customer = _t(spark, sf_dir, "customer")
     nation = _t(spark, sf_dir, "nation")
@@ -471,18 +477,21 @@ def a7_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             cents.alias("cents"),
         )
     )
-    return (
+    grouped = (
         joined.rollup("nation", "segment")
-        .agg(
-            F.grouping_id().cast("bigint").alias("level"),
-            F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("cents").cast("double") / 100.0, 2).alias("revenue"),
-        )
-        .select("nation", "segment", "level", "n_orders", "revenue")
+        if grouping == "rollup"
+        else joined.cube("nation", "segment")
     )
+    return grouped.agg(
+        F.grouping_id().cast("bigint").alias("level"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("cents").cast("double") / 100.0, 2).alias("revenue"),
+    ).select("nation", "segment", "level", "n_orders", "revenue")
 
 
-A7_SQL = """
+# one copy of the oracle body too — GROUP BY ROLLUP/CUBE is the only
+# difference between the siblings
+_REVENUE_SETS_SQL = """
 SELECT n_name AS nation, c_mktsegment AS segment,
        (CASE WHEN GROUPING(c_mktsegment) = 1 THEN 1 ELSE 0 END
         + CASE WHEN GROUPING(n_name) = 1 THEN 2 ELSE 0 END)::BIGINT AS level,
@@ -491,51 +500,32 @@ SELECT n_name AS nation, c_mktsegment AS segment,
 FROM orders
 JOIN customer ON o_custkey = c_custkey
 JOIN nation ON c_nationkey = n_nationkey
-GROUP BY ROLLUP(n_name, c_mktsegment)
+GROUP BY {sets}(n_name, c_mktsegment)
 """
+
+
+def a7_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-level aggregation in ONE pass (rollup/grouping-sets — the
+    OLAP family the reference lacks): order revenue by
+    (nation, market segment), per-nation subtotals, and the grand
+    total, disambiguated by grouping_id. Revenue sums exact cents
+    (o_totalprice is 2-decimal), so partition summation order cannot
+    move the rounded output. Plan shape: _revenue_grouping_sets."""
+    return _revenue_grouping_sets(spark, sf_dir, "rollup")
+
+
+A7_SQL = _REVENUE_SETS_SQL.format(sets="ROLLUP")
 
 
 def a8_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE aggregation — a7's rollup sibling covering ALL grouping-set
     combinations (nation×segment, per-nation, per-segment, grand
-    total) in one Expand + hash aggregate: one shuffle for four
-    levels. Same exact-cents discipline as a7 so partition order
-    cannot move the rounded revenue."""
-    orders = _t(spark, sf_dir, "orders")
-    customer = _t(spark, sf_dir, "customer")
-    nation = _t(spark, sf_dir, "nation")
-    cents = F.round(F.col("o_totalprice") * 100).cast("long")
-    joined = (
-        orders.join(customer, orders.o_custkey == customer.c_custkey)
-        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
-        .select(
-            F.col("n_name").alias("nation"),
-            F.col("c_mktsegment").alias("segment"),
-            cents.alias("cents"),
-        )
-    )
-    return (
-        joined.cube("nation", "segment")
-        .agg(
-            F.grouping_id().cast("bigint").alias("level"),
-            F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("cents").cast("double") / 100.0, 2).alias("revenue"),
-        )
-        .select("nation", "segment", "level", "n_orders", "revenue")
-    )
+    total) in one Expand + hash aggregate. Same shared base and
+    exact-cents discipline: _revenue_grouping_sets."""
+    return _revenue_grouping_sets(spark, sf_dir, "cube")
 
 
-A8_SQL = """
-SELECT n_name AS nation, c_mktsegment AS segment,
-       (CASE WHEN GROUPING(c_mktsegment) = 1 THEN 1 ELSE 0 END
-        + CASE WHEN GROUPING(n_name) = 1 THEN 2 ELSE 0 END)::BIGINT AS level,
-       count(*) AS n_orders,
-       round(sum(round(o_totalprice * 100)::BIGINT)::DOUBLE / 100.0, 2) AS revenue
-FROM orders
-JOIN customer ON o_custkey = c_custkey
-JOIN nation ON c_nationkey = n_nationkey
-GROUP BY CUBE(n_name, c_mktsegment)
-"""
+A8_SQL = _REVENUE_SETS_SQL.format(sets="CUBE")
 
 
 def j11_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -557,13 +547,12 @@ def j11_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     changed = events.withColumn("prev_type", F.lag("event_type").over(w)).filter(
         F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type"))
     )
-    wc = W.partitionBy("user_id").orderBy("t", "event_id")
     return changed.select(
         "user_id",
         "event_type",
         F.col("t").alias("valid_from"),
-        F.lead("t").over(wc).alias("valid_to"),
-        F.row_number().over(wc).cast("bigint").alias("version"),
+        F.lead("t").over(w).alias("valid_to"),
+        F.row_number().over(w).cast("bigint").alias("version"),
     )
 
 

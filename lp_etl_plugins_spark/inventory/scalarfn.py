@@ -15,7 +15,7 @@ from ..functions.dates import classify_date_shape
 from ..functions.numeric import money_round, parse_localized_number
 from ..functions.rdf import format_ntriple
 from ..functions.text import fix_keyword, iri_encode, slugify
-from ..tables import load_table
+from ..tables import load_table, wall_timestamp
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -86,11 +86,14 @@ def p11_date_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     o_orderdate and classifies them back through the regex cascade."""
     orders = _t(spark, sf_dir, "orders")
     shape_pick = F.col("o_orderkey") % 5
+    # date_format on an LTZ column renders through the session zone;
+    # the wall-time view keeps the synthesized shapes tz-independent
+    wd = wall_timestamp(orders, "o_orderdate")
     raw = (
-        F.when(shape_pick == 0, F.date_format("o_orderdate", "yyyy-MM-dd"))
-        .when(shape_pick == 1, F.date_format("o_orderdate", "yyyy-MM"))
-        .when(shape_pick == 2, F.date_format("o_orderdate", "yyyy"))
-        .when(shape_pick == 3, F.date_format("o_orderdate", "yyyy-MM-dd'T'HH:mm:ss"))
+        F.when(shape_pick == 0, F.date_format(wd, "yyyy-MM-dd"))
+        .when(shape_pick == 1, F.date_format(wd, "yyyy-MM"))
+        .when(shape_pick == 2, F.date_format(wd, "yyyy"))
+        .when(shape_pick == 3, F.date_format(wd, "yyyy-MM-dd'T'HH:mm:ss"))
         .otherwise(F.lit("not-a-date"))
     )
     return (

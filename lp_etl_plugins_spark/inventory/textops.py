@@ -213,26 +213,44 @@ def t6_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-T6_SQL = r"""
-WITH hits AS (
-  SELECT lang AS actual,
-    len(list_filter(ws, w -> w IN ('the','a','of','and','to'))) AS en,
+# Shared oracle fragments — ONE copy each of the stopword-hit columns,
+# the language argmax cascade over them, and the quality formula; the
+# t6/t13 and t7/t13/t26 oracles compose these so a stopword-list or
+# rounding-grid edit cannot silently desynchronize queries that must
+# agree on the same score.
+_HITS_COLS_SQL = r"""len(list_filter(ws, w -> w IN ('the','a','of','and','to'))) AS en,
     len(list_filter(ws, w -> w IN ('der','die','das','und','ist'))) AS de,
     len(list_filter(ws, w -> w IN ('le','la','et','les','des'))) AS fr,
-    len(list_filter(ws, w -> w IN ('el','los','las','y','es'))) AS es
+    len(list_filter(ws, w -> w IN ('el','los','las','y','es'))) AS es"""
+
+_PRED_CASE_SQL = """CASE WHEN greatest(en, de, fr, es) = 0 THEN 'unknown'
+         WHEN fr >= en AND fr >= de AND fr >= es THEN 'fr'
+         WHEN es >= en AND es >= de THEN 'es'
+         WHEN en >= de THEN 'en'
+         ELSE 'de' END"""
+
+_QUALITY_SQL = r"""round(
+      0.4 * least(1.0, length(text)::DOUBLE / 300.0)
+      + 0.3 * (len(list_filter(ws, w -> w IN ('the','a','of','and','to')))::DOUBLE / len(ws))
+      + 0.3 * (1.0 - least(1.0,
+          abs(list_sum(list_transform(ws, w -> length(w)))::DOUBLE / len(ws) - 4.5) / 10.0)),
+    6)"""
+
+T6_SQL = (
+    r"""
+WITH hits AS (
+  SELECT lang AS actual,
+    """ + _HITS_COLS_SQL + r"""
   FROM (SELECT lang, regexp_split_to_array(lower(trim(text)), '\s+') AS ws FROM documents) t
 ),
 pred AS (
   SELECT actual,
-    CASE WHEN greatest(en, de, fr, es) = 0 THEN 'unknown'
-         WHEN fr >= en AND fr >= de AND fr >= es THEN 'fr'
-         WHEN es >= en AND es >= de THEN 'es'
-         WHEN en >= de THEN 'en'
-         ELSE 'de' END AS predicted
+    """ + _PRED_CASE_SQL + """ AS predicted
   FROM hits
 )
 SELECT actual, predicted, count(*) AS n_docs FROM pred GROUP BY actual, predicted
 """
+)
 
 
 def t7_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -241,16 +259,11 @@ def t7_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", T.quality_score("text").alias("quality"))
 
 
-T7_SQL = r"""
-SELECT doc_id,
-  round(
-    0.4 * least(1.0, length(text)::DOUBLE / 300.0)
-    + 0.3 * (len(list_filter(ws, w -> w IN ('the','a','of','and','to')))::DOUBLE / len(ws))
-    + 0.3 * (1.0 - least(1.0,
-        abs(list_sum(list_transform(ws, w -> length(w)))::DOUBLE / len(ws) - 4.5) / 10.0)),
-  6) AS quality
+T7_SQL = (
+    "SELECT doc_id,\n  " + _QUALITY_SQL + r""" AS quality
 FROM (SELECT doc_id, text, regexp_split_to_array(lower(trim(text)), '\s+') AS ws FROM documents) t
 """
+)
 
 
 def t8_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -488,39 +501,20 @@ def t13_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-T13_SQL = r"""
-WITH base AS (
-  SELECT doc_id, source, text,
-         regexp_split_to_array(lower(trim(text)), '\s+') AS ws
-  FROM documents
+T13_SQL = (
+    r"""
+WITH hits AS (
+  SELECT doc_id, source, text, ws,
+    """ + _HITS_COLS_SQL + r"""
+  FROM (SELECT doc_id, source, text,
+               regexp_split_to_array(lower(trim(text)), '\s+') AS ws
+        FROM documents) b
 ),
 scored AS (
   SELECT doc_id, source, text,
-    CASE WHEN greatest(
-           len(list_filter(ws, w -> w IN ('the','a','of','and','to'))),
-           len(list_filter(ws, w -> w IN ('der','die','das','und','ist'))),
-           len(list_filter(ws, w -> w IN ('le','la','et','les','des'))),
-           len(list_filter(ws, w -> w IN ('el','los','las','y','es')))) = 0 THEN 'unknown'
-         WHEN len(list_filter(ws, w -> w IN ('le','la','et','les','des')))
-                >= len(list_filter(ws, w -> w IN ('the','a','of','and','to')))
-          AND len(list_filter(ws, w -> w IN ('le','la','et','les','des')))
-                >= len(list_filter(ws, w -> w IN ('der','die','das','und','ist')))
-          AND len(list_filter(ws, w -> w IN ('le','la','et','les','des')))
-                >= len(list_filter(ws, w -> w IN ('el','los','las','y','es'))) THEN 'fr'
-         WHEN len(list_filter(ws, w -> w IN ('el','los','las','y','es')))
-                >= len(list_filter(ws, w -> w IN ('the','a','of','and','to')))
-          AND len(list_filter(ws, w -> w IN ('el','los','las','y','es')))
-                >= len(list_filter(ws, w -> w IN ('der','die','das','und','ist'))) THEN 'es'
-         WHEN len(list_filter(ws, w -> w IN ('the','a','of','and','to')))
-                >= len(list_filter(ws, w -> w IN ('der','die','das','und','ist'))) THEN 'en'
-         ELSE 'de' END AS pred_lang,
-    round(
-      0.4 * least(1.0, length(text)::DOUBLE / 300.0)
-      + 0.3 * (len(list_filter(ws, w -> w IN ('the','a','of','and','to')))::DOUBLE / len(ws))
-      + 0.3 * (1.0 - least(1.0,
-          abs(list_sum(list_transform(ws, w -> length(w)))::DOUBLE / len(ws) - 4.5) / 10.0)),
-    6) AS quality
-  FROM base
+    """ + _PRED_CASE_SQL + """ AS pred_lang,
+    """ + _QUALITY_SQL + """ AS quality
+  FROM hits
 ),
 kept AS (SELECT * FROM scored WHERE pred_lang = 'en' AND quality >= 0.5),
 deduped AS (
@@ -533,6 +527,7 @@ SELECT source, count(*) AS n_docs,
          AS avg_quality
 FROM deduped GROUP BY source
 """
+)
 
 
 def t14_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1149,12 +1144,7 @@ reach(u, lbl) AS (
 comp AS (SELECT u, min(lbl) AS cluster FROM reach GROUP BY u),
 scored AS (
   SELECT doc_id, source,
-    round(
-      0.4 * least(1.0, length(text)::DOUBLE / 300.0)
-      + 0.3 * (len(list_filter(ws, w -> w IN ('the','a','of','and','to')))::DOUBLE / len(ws))
-      + 0.3 * (1.0 - least(1.0,
-          abs(list_sum(list_transform(ws, w -> length(w)))::DOUBLE / len(ws) - 4.5) / 10.0)),
-    6) AS quality
+    """ + _QUALITY_SQL + r""" AS quality
   FROM (SELECT doc_id, source, text,
                regexp_split_to_array(lower(trim(text)), '\s+') AS ws
         FROM documents) t

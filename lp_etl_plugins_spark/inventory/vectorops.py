@@ -44,21 +44,43 @@ _RAW_NN = """
   FROM embeddings
 """
 
+# Shared scored-pair fragments over CTEs named e (normalized probes,
+# optionally with bucket) and er (raw corpus + norm): ONE copy each of
+# the exact and bucket-restricted scoring joins and of the per-probe
+# ranking — composed by V1/V2 AND by V8, so the recall eval always
+# measures exactly the definitions v1/v2 ship.
+_SCORED_EXACT_SQL = f"""SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+    round(list_dot_product(p.v, c.nv) / c.nn, 6) AS cos
+  FROM e p JOIN er c ON p.vec_id < {_PROBE_LIMIT} AND c.vec_id != p.vec_id"""
+
+_SCORED_BUCKET_SQL = f"""SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+    round(list_dot_product(p.v, c.nv) / c.nn, 6) AS cos
+  FROM e p JOIN er c ON p.bucket = c.bucket
+  WHERE p.vec_id < {_PROBE_LIMIT} AND c.vec_id != p.vec_id"""
+
+_RANKED_SQL = """SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored"""
+
+
+def _topk_ids(scored_sql: str) -> str:
+    """Rank a scored fragment and keep the top-k (probe, neighbor) ids."""
+    return f"""SELECT probe_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id) AS rank
+    FROM ({scored_sql}) s
+  ) r WHERE rank <= {_K}"""
+
+
 V1_SQL = f"""
 WITH e AS ({_NORM_E}),
 er AS ({_RAW_NN}),
 scored AS (
-  SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
-    round(list_dot_product(p.v, c.nv) / c.nn, 6) AS cos
-  FROM e p JOIN er c ON p.vec_id < {_PROBE_LIMIT} AND c.vec_id != p.vec_id
+  {_SCORED_EXACT_SQL}
 ),
 ranked AS (
-  SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id) AS rank
-  FROM scored
+  {_RANKED_SQL}
 )
 SELECT probe_id, neighbor_id, cos, rank FROM ranked WHERE rank <= {_K}
 """
-
 
 def v2_knn_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style bucketed ANN: sign bits of the first 3 dims partition
@@ -67,6 +89,16 @@ def v2_knn_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = emb.filter(F.col("vec_id") < _PROBE_LIMIT)
     return V.knn_bucketed(emb, probes, _K, bits=_BITS)
 
+
+_NORM_BUCKET_E = """
+  SELECT vec_id,
+    list_transform(embedding::DOUBLE[],
+                   x -> x / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))) AS v,
+    (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END
+     + CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END
+     + CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END) AS bucket
+  FROM embeddings
+"""
 
 _RAW_E = """
   SELECT vec_id, embedding::DOUBLE[] AS nv,
@@ -78,29 +110,16 @@ _RAW_E = """
 """
 
 V2_SQL = f"""
-WITH e AS (
-  SELECT vec_id,
-    list_transform(embedding::DOUBLE[],
-                   x -> x / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))) AS v,
-    (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END
-     + CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END
-     + CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END) AS bucket
-  FROM embeddings
-),
-c AS ({_RAW_E}),
+WITH e AS ({_NORM_BUCKET_E}),
+er AS ({_RAW_E}),
 scored AS (
-  SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
-    round(list_dot_product(p.v, c.nv) / c.nn, 6) AS cos
-  FROM e p JOIN c ON p.bucket = c.bucket
-  WHERE p.vec_id < {_PROBE_LIMIT} AND c.vec_id != p.vec_id
+  {_SCORED_BUCKET_SQL}
 ),
 ranked AS (
-  SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id) AS rank
-  FROM scored
+  {_RANKED_SQL}
 )
 SELECT probe_id, neighbor_id, cos, rank FROM ranked WHERE rank <= {_K}
 """
-
 
 def v3_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroid norm + member count (cluster sanity check for
@@ -344,36 +363,13 @@ def v8_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 V8_SQL = f"""
-WITH e AS (
-  SELECT vec_id,
-    list_transform(embedding::DOUBLE[],
-                   x -> x / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))) AS v,
-    (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END
-     + CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END
-     + CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END) AS bucket
-  FROM embeddings
-),
+WITH e AS ({_NORM_BUCKET_E}),
 er AS ({_RAW_E}),
 exact AS (
-  SELECT probe_id, neighbor_id FROM (
-    SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
-      row_number() OVER (
-        PARTITION BY p.vec_id
-        ORDER BY round(list_dot_product(p.v, c.nv) / c.nn, 6) DESC, c.vec_id
-      ) AS rank
-    FROM e p JOIN er c ON p.vec_id < {_PROBE_LIMIT} AND c.vec_id != p.vec_id
-  ) r WHERE rank <= {_K}
+  {_topk_ids(_SCORED_EXACT_SQL)}
 ),
 approx AS (
-  SELECT probe_id, neighbor_id FROM (
-    SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
-      row_number() OVER (
-        PARTITION BY p.vec_id
-        ORDER BY round(list_dot_product(p.v, c.nv) / c.nn, 6) DESC, c.vec_id
-      ) AS rank
-    FROM e p JOIN er c ON p.bucket = c.bucket
-    WHERE p.vec_id < {_PROBE_LIMIT} AND c.vec_id != p.vec_id
-  ) r WHERE rank <= {_K}
+  {_topk_ids(_SCORED_BUCKET_SQL)}
 )
 SELECT ex.probe_id,
        round(sum(CASE WHEN ap.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE / {_K}, 6)
@@ -383,7 +379,6 @@ LEFT JOIN approx ap
   ON ap.probe_id = ex.probe_id AND ap.neighbor_id = ex.neighbor_id
 GROUP BY ex.probe_id
 """
-
 
 def v9_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic dedup clusters: connected components over the

@@ -69,3 +69,27 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
+
+
+def wall_timestamp(df: DataFrame, name: str):
+    """Session-timezone-INDEPENDENT wall-clock view of a parquet
+    timestamp column, whichever type the ambient confs made it:
+
+    - read as TIMESTAMP_NTZ (default session): already tz-free, pass
+      through;
+    - read as TIMESTAMP/LTZ (our tuned session, or any session after
+      the events-loader confs leak process-wide — see load_table):
+      render the instant in UTC via ``convert_timezone``, which by the
+      loader's instant-micros == stored-micros guarantee recovers the
+      stored wall time exactly, regardless of
+      ``spark.sql.session.timeZone``.
+
+    Use this for any date RENDERING or calendar arithmetic
+    (date_format / to_date / datediff / literal comparison) — those
+    operate on LTZ values through the session zone, so without the
+    normalization a non-UTC session shifts day boundaries and the
+    result diverges from the (tz-free) DuckDB oracle."""
+    c = F.col(name)
+    if dict(df.dtypes)[name] == "timestamp_ntz":
+        return c
+    return F.convert_timezone(None, F.lit("UTC"), c)

@@ -30,3 +30,18 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) >= 0
     assert df.schema is not None
+
+
+def test_date_queries_tz_independent(spark):
+    """q1/p11/j10 must hash-match their oracles even under a hostile
+    session (LTZ parquet reads + non-UTC session zone) — the condition
+    that previously shifted day boundaries. The tuned test session
+    already reads LTZ; only the zone needs flipping."""
+    tz = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+        for name in ("q1_pricing_summary", "p11_date_classify", "j10_asof_join"):
+            res = check_parity(spark, SF_SMOKE, name, _QUERIES[name], _ORACLES[name])
+            assert res.ok, str(res)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", tz)
