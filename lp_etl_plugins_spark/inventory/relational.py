@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from ..tables import load_table, wall_timestamp
+from ..tables import load_table, wall_literal
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -33,12 +33,12 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     Rounding-to-grid per inventory contract (see package docstring).
     """
     li = _t(spark, sf_dir, "lineitem")
-    # tz-independent cutoff: wall time vs an NTZ literal (a plain
-    # timestamp literal/column pair goes through the session zone on
-    # an LTZ read and shifts the day boundary — see tables.wall_timestamp)
+    # tz-independent cutoff on a RAW column: the literal adapts to the
+    # read type (tables.wall_literal), so the predicate stays pushable
+    # to the parquet scan while a non-UTC session can no longer shift
+    # the day boundary
     li = li.filter(
-        wall_timestamp(li, "l_shipdate")
-        <= F.lit("2001-09-02 00:00:00").cast("timestamp_ntz")
+        F.col("l_shipdate") <= wall_literal(li, "l_shipdate", "2001-09-02 00:00:00")
     )
     disc_price = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
     charge = disc_price * (F.lit(1.0) + F.col("l_tax"))
