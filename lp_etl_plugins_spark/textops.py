@@ -559,7 +559,19 @@ def connected_components(
     Raises after ``max_iter`` rounds without a fixpoint."""
     p = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v")).localCheckpoint()
     edges = p.unionByName(p.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    labels = edges.select("u").distinct().select("u", F.col("u").alias("lbl")).localCheckpoint()
+    # fused round 0: starting from identity labels, the first
+    # neighbor-min round reduces to min(self, min neighbor) — ONE
+    # groupBy instead of a full join+jump round. Still a valid
+    # monotone state (every label is a member id ≥ the component
+    # min), so the loop's invariants and termination are unchanged;
+    # for the star/pair shapes dup clusters actually take, the loop
+    # then converges in its first confirming round.
+    labels = (
+        edges.groupBy("u")
+        .agg(F.min("v").alias("__mv"))
+        .select("u", F.least(F.col("u"), F.col("__mv")).alias("lbl"))
+        .localCheckpoint()
+    )
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels.select(F.col("u").alias("v"), "lbl"), "v")
