@@ -641,9 +641,7 @@ def test_new_ops_handle_empty_inputs(spark, tmp_path):
         t29_source_overlap,
     )
 
-    spark.createDataFrame(
-        [], "doc_id long, text string, lang string, source string, n_chars long"
-    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    _write_docs(spark, tmp_path, [])
     spark.createDataFrame(
         [],
         "event_id long, ts timestamp, user_id long, event_type string,"
@@ -663,8 +661,6 @@ def test_png_short_palette_raises():
     import struct
     import zlib
 
-    import pytest as _pytest
-
     def chunk(tag, body):
         return (
             struct.pack(">I", len(body)) + tag + body
@@ -681,7 +677,7 @@ def test_png_short_palette_raises():
         + chunk(b"IDAT", zlib.compress(raw))
         + chunk(b"IEND", b"")
     )
-    with _pytest.raises(ValueError, match="palette"):
+    with pytest.raises(ValueError, match="palette"):
         multimodal._decode_png(png)
 
 
@@ -716,13 +712,11 @@ def test_ngram_dedup_finds_exact_dup_in_tiny_corpus(spark):
 
 
 def test_knn_ivf_unknown_probe_raises(spark, emb):
-    import pytest as _pytest
-
     probes = spark.createDataFrame(
         [(999999, [float(i) for i in range(len(emb.first()["embedding"]))], 0)],
         "vec_id long, embedding array<float>, label int",
     )
-    with _pytest.raises(Exception, match="absent from the corpus"):
+    with pytest.raises(Exception, match="absent from the corpus"):
         vectorops.knn_ivf(emb, probes, 3).collect()
 
 
@@ -730,17 +724,15 @@ def test_media_ops_refuse_or_respect_real_containers(spark):
     """resize/frame-sample must refuse real containers (their header
     math would corrupt them); extract_features uses a real container's
     FULL bytes (no fake-codec header strip)."""
-    import pytest as _pytest
-
     w, h, c = 16, 12, 1
     payload = bytes(((3 * j) % 251) for j in range(w * h * c))
     png = multimodal.encode_png(w, h, c, payload)
     df = spark.createDataFrame([(1, "image", png, {})], multimodal.MEDIA_SCHEMA)
-    with _pytest.raises(Exception, match="fake-codec blobs"):
+    with pytest.raises(Exception, match="fake-codec blobs"):
         multimodal.resize_media(df, 8, 8).collect()
-    with _pytest.raises(Exception, match="fake-codec blobs"):
+    with pytest.raises(Exception, match="fake-codec blobs"):
         multimodal.sample_frames(df).collect()
     feats = multimodal.extract_features(df, bins=16).collect()
     assert feats[0]["n_bytes"] == len(png)  # full container bytes
-    with _pytest.raises(ValueError, match="divide 256"):
+    with pytest.raises(ValueError, match="divide 256"):
         multimodal.extract_features(df, bins=10)

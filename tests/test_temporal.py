@@ -103,8 +103,10 @@ def test_asof_rejects_mixed_time_units(spark):
     import pytest as _pytest
 
     left = spark.createDataFrame([("a", 1, 1)], "k string, lt long, lid long")
+    import datetime as dt
+
     right = spark.createDataFrame(
-        [("a", __import__("datetime").datetime(2024, 1, 1), 7)],
+        [("a", dt.datetime(2024, 1, 1), 7)],
         "k string, rt timestamp, rid long",
     )
     with _pytest.raises(ValueError, match="share a unit"):
