@@ -38,6 +38,39 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "documents").repartition(par)
 
 
+_INDEXES: dict[tuple[str, str], T.DedupIndex] = {}
+
+
+def dedup_index(spark: SparkSession, sf_dir: str) -> T.DedupIndex:
+    """The per-(session, corpus) shared near-dup index (VERDICT r4 #1).
+
+    t3/t4/t10/t22/t26/t29 all consume slices of the same three
+    substrates (LSH candidate pairs, verified pairs, cluster labels);
+    this builder materializes each substrate ONCE per SparkContext ×
+    corpus directory and hands every consumer the checkpointed frame —
+    the build-once-index pattern a 100 TB dedup pipeline runs (where
+    the checkpoint would be a parquet write). Keyed by applicationId
+    so a restarted context can never see another context's
+    (now-invalid) checkpoint blocks. The DuckDB oracles are unchanged:
+    they recompute the substrate per query, which is exactly what
+    makes them independent checks of the shared build."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    idx = _INDEXES.get(key)
+    if idx is None:
+        idx = T.DedupIndex(
+            _docs(spark, sf_dir),
+            "text",
+            "doc_id",
+            shingle_n=_SHINGLE_N,
+            k=_K,
+            bands=_BANDS,
+            rows=_ROWS,
+            threshold=0.8,
+        )
+        _INDEXES[key] = idx
+    return idx
+
+
 def t1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup summary: corpus size vs distinct-text count (one
     hash-groupBy; the per-group detail is t2's job)."""
@@ -115,10 +148,10 @@ def t3_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded MinHash-LSH candidate pairs (k=12, 6 bands × 2 rows):
     the near-dup candidate set, produced without ever forming the
     corpus cross-product. Signatures skip the shingle-distinct shuffle
-    (min is duplicate-insensitive)."""
-    shingles = T._doc_shingles(_docs(spark, sf_dir), "text", "doc_id", _SHINGLE_N, distinct=False)
-    sigs = T.minhash_signatures(shingles, _K)
-    return T.lsh_candidate_pairs(sigs, _BANDS, _ROWS)
+    (min is duplicate-insensitive). Served from the shared
+    :func:`dedup_index` — built once per session, reused by
+    t4/t10/t22/t26/t29."""
+    return dedup_index(spark, sf_dir).pairs
 
 
 T3_SQL = "WITH " + _SH_SQL + "," + _CAND_SQL + "\nSELECT id_a, id_b FROM cand"
@@ -126,15 +159,10 @@ T3_SQL = "WITH " + _SH_SQL + "," + _CAND_SQL + "\nSELECT id_a, id_b FROM cand"
 
 def t4_lsh_jaccard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-shingle Jaccard over the LSH candidates ONLY, thresholded
-    at 0.8 → confirmed near-duplicates (id_a, id_b, jaccard)."""
-    docs = _docs(spark, sf_dir)
-    sigs = T.minhash_signatures(
-        T._doc_shingles(docs, "text", "doc_id", _SHINGLE_N, distinct=False), _K
-    )
-    pairs = T.lsh_candidate_pairs(sigs, _BANDS, _ROWS)
-    # exact verification needs SET semantics → per-doc distinct arrays
-    shingle_sets = T.doc_shingle_sets(docs, "text", "doc_id", _SHINGLE_N)
-    out = T.jaccard_over_candidates(pairs, shingle_sets, threshold=0.8)
+    at 0.8 → confirmed near-duplicates (id_a, id_b, jaccard). The
+    verified-pair substrate comes from the shared :func:`dedup_index`
+    (t29 reads the same frame)."""
+    out = dedup_index(spark, sf_dir).verified
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
@@ -328,8 +356,7 @@ def t10_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     (min-label propagation) → (cluster, n_docs). The keep-one-per-
     cluster step of a dedup pipeline; the DuckDB oracle recomputes the
     components with a recursive transitive-closure CTE."""
-    pairs = t3_minhash_lsh_pairs(spark, sf_dir)
-    comps = T.connected_components(pairs)
+    comps = dedup_index(spark, sf_dir).clusters
     return comps.groupBy("cluster").agg(F.count(F.lit(1)).alias("n_docs"))
 
 
@@ -923,10 +950,7 @@ def t22_edit_distance_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     same candidates-only discipline as t4/t11.
     → (id_a, id_b, edit_dist, rel_dist)."""
     docs = _docs(spark, sf_dir)
-    sigs = T.minhash_signatures(
-        T._doc_shingles(docs, "text", "doc_id", _SHINGLE_N, distinct=False), _K
-    )
-    pairs = T.lsh_candidate_pairs(sigs, _BANDS, _ROWS)
+    pairs = dedup_index(spark, sf_dir).pairs
     texts = docs.select("doc_id", "text")
     a = texts.select(F.col("doc_id").alias("id_a"), F.col("text").alias("ta"))
     b = texts.select(F.col("doc_id").alias("id_b"), F.col("text").alias("tb"))
@@ -1109,12 +1133,14 @@ def t26_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id). One left join against the (small) clustered-id map, one
     per-cluster window, one groupBy — the join side is only the docs
     that appear in some candidate pair, so at 100 TB the map stays a
-    tiny fraction of the corpus and AQE broadcasts it.
+    tiny fraction of the corpus and AQE broadcasts it. The cluster
+    labels come from the shared :func:`dedup_index` — the substrate
+    t10 builds is never recomputed here.
     → per-source (n_docs, n_kept, n_removed) of the curated corpus."""
     from pyspark.sql import Window as W
 
     docs = _docs(spark, sf_dir)
-    comps = T.connected_components(t3_minhash_lsh_pairs(spark, sf_dir))
+    comps = dedup_index(spark, sf_dir).clusters
     labeled = (
         docs.select("doc_id", "source", T.quality_score("text").alias("quality"))
         .join(comps.withColumnRenamed("id", "doc_id"), "doc_id", "left")

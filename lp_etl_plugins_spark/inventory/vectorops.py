@@ -241,11 +241,33 @@ SELECT probe_id, neighbor_id, cos, rank FROM ranked WHERE rank <= {_K}
 """
 
 
+_NEARDUP_CACHE: dict[tuple[str, str], dict[str, DataFrame | None]] = {}
+
+
+def _neardup_index(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame | None]:
+    """Vector twin of ``inventory.textops.dedup_index``: the scored
+    near-dup pair set (v5) and its connected-component labels (v9) are
+    built once per SparkContext × corpus and checkpointed; every
+    consumer reads the pinned frames. Keyed by applicationId so a
+    restarted context never sees stale checkpoint blocks."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    entry = _NEARDUP_CACHE.get(key)
+    if entry is None:
+        entry = {"pairs": None, "clusters": None}
+        _NEARDUP_CACHE[key] = entry
+    return entry
+
+
 def v5_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup detection (the dedup family's vector
     member): ordered pairs above a cosine threshold, restricted to
     sign-buckets so the corpus cross-product never forms — the same
-    candidates-only discipline as the MinHash-LSH text path."""
+    candidates-only discipline as the MinHash-LSH text path. The
+    scored pair set is built once per session (checkpointed) and
+    shared with v9's clustering."""
+    idx = _neardup_index(spark, sf_dir)
+    if idx["pairs"] is not None:
+        return idx["pairs"]
     emb = _emb(spark, sf_dir)
     # raw vector + ONE scalar norm fold per row — a normalized-array
     # projection (interpreted HOF) costs as much again as the norm
@@ -273,7 +295,8 @@ def v5_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # threshold applies to the ROUNDED score (the published value), so
     # the oracle's boundary behavior is identical
-    return scored.filter(F.col("cos") >= 0.4)
+    idx["pairs"] = scored.filter(F.col("cos") >= 0.4).localCheckpoint()
+    return idx["pairs"]
 
 
 V5_SQL = """
@@ -386,10 +409,14 @@ def v9_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     The vector twin of t10 — after near-dup mining, keep one item per
     cluster. Same O(log d) pointer-jumping propagation, checkpointed
     lineage, one action per round (textops.connected_components).
-    → (cluster, n_vecs)."""
-    pairs = v5_embedding_neardup(spark, sf_dir).select("id_a", "id_b")
-    comps = connected_components(pairs)
-    return comps.groupBy("cluster").agg(F.count(F.lit(1)).alias("n_vecs"))
+    → (cluster, n_vecs). Pairs and labels come from the shared
+    per-session index (``_neardup_index``) — the v5 mining never
+    re-runs here."""
+    idx = _neardup_index(spark, sf_dir)
+    if idx["clusters"] is None:
+        pairs = v5_embedding_neardup(spark, sf_dir).select("id_a", "id_b")
+        idx["clusters"] = connected_components(pairs)
+    return idx["clusters"].groupBy("cluster").agg(F.count(F.lit(1)).alias("n_vecs"))
 
 
 V9_SQL = """

@@ -47,6 +47,7 @@ __all__ = [
     "simhash16_df",
     "winnow_fingerprints",
     "connected_components",
+    "DedupIndex",
     "lang_id",
     "quality_score",
     "trigram_lm_logprob",
@@ -600,6 +601,97 @@ def connected_components(
     else:
         raise RuntimeError(f"connected_components: no fixpoint in {max_iter} iterations")
     return labels.select(F.col("u").alias("id"), F.col("lbl").alias("cluster"))
+
+
+class DedupIndex:
+    """Build-once, share-everywhere near-duplicate index.
+
+    The dedup pipeline's expensive substrates — LSH candidate pairs,
+    exact-Jaccard-verified pairs, and connected-component cluster
+    labels — are consumed by several downstream operators (cluster
+    rollups, canonical selection, cross-source contamination,
+    decontamination). Rebuilding them per consumer multiplies the
+    dominant cost of the whole pipeline; at 100 TB a production run
+    materializes the index ONCE and every consumer reads it.
+
+    Each stage is built lazily on first access and pinned with
+    ``localCheckpoint`` (storage-backed in a real deployment via
+    ``write.parquet`` — the access pattern is identical), so:
+
+    - an operator that only needs candidates pays for candidates only;
+    - the second consumer of any stage gets it for free — the blocks
+      are already materialized and lineage is truncated;
+    - iterative consumers (components) never re-trigger the mining.
+
+    Stage DAG: ``pairs`` → (``verified``, ``clusters``); ``verified``
+    additionally scans the corpus once for per-doc distinct gram sets.
+    """
+
+    def __init__(
+        self,
+        df: DataFrame,
+        text_col: str,
+        id_col: str,
+        *,
+        shingle_n: int = 3,
+        k: int = 12,
+        bands: int = 6,
+        rows: int = 2,
+        threshold: float = 0.8,
+        max_band_size: int | None = None,
+    ) -> None:
+        self._df = df
+        self._text_col = text_col
+        self._id_col = id_col
+        self._shingle_n = shingle_n
+        self._k = k
+        self._bands = bands
+        self._rows = rows
+        self._threshold = threshold
+        self._max_band_size = max_band_size
+        self._pairs: DataFrame | None = None
+        self._verified: DataFrame | None = None
+        self._clusters: DataFrame | None = None
+        # stage-build counters — lets tests (and ops dashboards) assert
+        # the build-once contract instead of trusting it
+        self.builds: dict[str, int] = {"pairs": 0, "verified": 0, "clusters": 0}
+
+    @property
+    def pairs(self) -> DataFrame:
+        """LSH candidate pairs (id_a, id_b), id_a < id_b — t3's output."""
+        if self._pairs is None:
+            self.builds["pairs"] += 1
+            sh = _doc_shingles(
+                self._df, self._text_col, self._id_col, self._shingle_n, distinct=False
+            )
+            sigs = minhash_signatures(sh, self._k)
+            self._pairs = lsh_candidate_pairs(
+                sigs, self._bands, self._rows, self._max_band_size
+            ).localCheckpoint()
+        return self._pairs
+
+    @property
+    def verified(self) -> DataFrame:
+        """Exact-Jaccard-verified pairs (id_a, id_b, jaccard ≥ threshold)."""
+        if self._verified is None:
+            self.builds["verified"] += 1
+            sets = doc_shingle_sets(
+                self._df, self._text_col, self._id_col, self._shingle_n
+            )
+            self._verified = jaccard_over_candidates(
+                self.pairs, sets, self._threshold
+            ).localCheckpoint()
+        return self._verified
+
+    @property
+    def clusters(self) -> DataFrame:
+        """Connected-component labels (id, cluster) over the candidate
+        pairs — checkpointed by construction (every round of
+        :func:`connected_components` checkpoints)."""
+        if self._clusters is None:
+            self.builds["clusters"] += 1
+            self._clusters = connected_components(self.pairs)
+        return self._clusters
 
 
 def hash_bucket(col: Column | str, n_buckets: int = 100) -> Column:
