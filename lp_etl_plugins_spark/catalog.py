@@ -234,14 +234,15 @@ def ckan_upsert(
                     "POST", f"{api_uri}/package_create?id={quoted}", headers, body, retry
                 )
                 yield Row(id=did, action="create", status=s, ok=s == 200, detail=b[:200])
-                if s == 409:
-                    # conflict = the dataset exists after all (package_show
-                    # can fail transiently and read as 'missing') — fall
-                    # through to the update rather than silently dropping
-                    # this run's metadata
-                    pass
-                elif s != 200:
-                    continue
+                # ANY create failure falls through to package_update:
+                # the reference swallows create exceptions (catch-and-
+                # log, DcatAp11ToCkanBatch.java:552-556) and proceeds,
+                # so this run's metadata is still pushed — a 409 means
+                # the dataset exists after all (package_show can fail
+                # transiently and read as 'missing'), and other errors
+                # leave the update as the best-effort recovery; the
+                # create's failure status stays visible in its result
+                # row either way.
             s, b = http_call(
                 "POST", f"{api_uri}/package_update?id={quoted}", headers, payload.encode(), retry
             )

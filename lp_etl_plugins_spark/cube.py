@@ -826,12 +826,14 @@ def compile_cube(spark: SparkSession, spec: CubeSpec, csv_df: DataFrame,
             r, c = _dimension_structs(df, spec, dim, obs, strict=strict_dates)
             row_structs += r
             # codelist structs are keyed by dimension VALUE, not obs —
-            # they are measure-independent, so collect them once (with
-            # multiple measures, per-measure copies would emit each
-            # codelist triple n_measures x per row in the
-            # dedup_codelists=False bag-parity mode, and are wasted
-            # codegen in the default dedup mode)
-            if mi == 0:
+            # measure-independent, so in the default dedup mode one
+            # copy suffices (per-measure copies are wasted codegen
+            # ahead of the distinct()). In bag-parity mode
+            # (dedup_codelists=False) the reference emits them once
+            # per (dimension, measure) per row (Mapper.java:98-100;
+            # PlainTextTripleWriter never dedups), so keep the
+            # per-measure copies there to preserve multiplicities.
+            if mi == 0 or not dedup_codelists:
                 code_structs += c
         row_structs += _measure_structs(df, spec, m, obs)
 

@@ -81,7 +81,14 @@ def _pattern_df(triples: DataFrame, pattern: tuple[str, str, str]) -> DataFrame:
         nonlocal df
         v = _var(term)
         if v in bound:
-            df = df.filter(F.col(src) == F.col(bound[v]))
+            cond = F.col(src) == F.col(bound[v])
+            if src == "o_value":
+                # sameTerm, not lexical equality: the first occurrence
+                # sits in subject/predicate position (always an IRI),
+                # so a literal object whose lexical form equals that
+                # IRI must NOT satisfy the repeated variable
+                cond = cond & (F.col("o_type") == "iri")
+            df = df.filter(cond)
             return
         bound[v] = src
         cols.append(F.col(src).alias(v))
@@ -121,11 +128,20 @@ def join_solutions(
     right: DataFrame,
     how: str = "inner",
     n_salts: int | None = None,
+    strict_terms: bool = False,
 ) -> DataFrame:
     """Join two solution DFs on their shared variables (SPARQL-compatible
     join). Metadata columns of shared variables are kept from the left
     side only; disjoint variable sets produce a cross join (SPARQL
     cartesian product).
+
+    ``strict_terms=True`` joins shared variables on the full RDF term
+    — (lexical value, term type) — instead of the lexical form only:
+    sameTerm semantics, so an IRI never matches a literal whose
+    lexical form collides with it. A variable bound in subject or
+    predicate position is an IRI by construction (its effective type
+    is ``'iri'``). Default off: the reference's graphs have no such
+    collisions and the lexical join costs one key column less.
 
     ``n_salts`` enables the salted skew join for hot shared-variable
     values (e.g. the rdf:type object on a 100 TB triples table —
@@ -138,6 +154,20 @@ def join_solutions(
     Opt-in — leave None unless a key is known-hot (AQE handles moderate
     skew on its own)."""
     shared = sorted(_plain_vars(left) & _plain_vars(right))
+    term_keys: list[str] = []
+    if strict_terms:
+        # materialize each side's effective term type BEFORE the
+        # right-side meta columns are dropped below; s/p-position
+        # bindings (no __type companion) are IRIs by construction
+        for v in shared:
+            t, key = f"{v}__type", f"__term_{v}"
+            left = left.withColumn(
+                key, F.col(t) if t in left.columns else F.lit("iri")
+            )
+            right = right.withColumn(
+                key, F.col(t) if t in right.columns else F.lit("iri")
+            )
+            term_keys.append(key)
     drop = [c for v in shared for c in _meta_cols(v) if c in right.columns and c in left.columns]
     right = right.drop(*drop)
     if not shared:
@@ -155,24 +185,30 @@ def join_solutions(
         r = right.withColumn(
             "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
         )
-        return l.join(r, on=shared + ["__salt"], how=how).drop("__salt")
-    return left.join(right, on=shared, how=how)
+        return l.join(r, on=shared + term_keys + ["__salt"], how=how).drop(
+            "__salt", *term_keys
+        )
+    return left.join(right, on=shared + term_keys, how=how).drop(*term_keys)
 
 
 def bgp(
     triples: DataFrame,
     patterns: list[tuple[str, str, str]],
     n_salts: int | None = None,
+    strict_terms: bool = False,
 ) -> DataFrame:
     """Basic graph pattern: conjunction of triple patterns joined on
     shared variables (the SPARQL WHERE block of e.g.
     FdpMeasure.java:34-48). ``n_salts`` applies the salted skew join to
-    every pattern join — see :func:`join_solutions`."""
+    every pattern join; ``strict_terms`` upgrades every pattern join to
+    sameTerm (value, type) semantics — see :func:`join_solutions`."""
     if not patterns:
         raise ValueError("bgp needs at least one pattern")
     out = _pattern_df(triples, patterns[0])
     for pat in patterns[1:]:
-        out = join_solutions(out, _pattern_df(triples, pat), n_salts=n_salts)
+        out = join_solutions(
+            out, _pattern_df(triples, pat), n_salts=n_salts, strict_terms=strict_terms
+        )
     return out
 
 

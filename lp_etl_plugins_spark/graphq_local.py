@@ -115,6 +115,11 @@ def _pattern_solutions(g: LocalGraph, pattern: tuple[str, str, str]) -> Solution
         values = {"s": t["s"], "p": t["p"], "o": t["o_value"]}
         if any(
             values[posn] != values[first[_var(term)]]
+            # sameTerm: a repeat in object position against a
+            # subject/predicate first binding (always an IRI) also
+            # requires the object to BE an IRI, not a literal whose
+            # lexical form merely collides (mirrors graphq._pattern_df)
+            or (posn == "o" and first[_var(term)] != "o" and t["o_type"] != "iri")
             for term, posn in ((s, "s"), (p, "p"), (o, "o"))
             if _is_var(term)
         ):

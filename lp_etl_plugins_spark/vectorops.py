@@ -214,7 +214,6 @@ def assign_ivf_buckets(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     nprobe: int = 1,
-    broadcast_probes: bool = True,
 ) -> DataFrame:
     """IVF coarse quantization: centroids are the per-``seed_col`` group
     means (a pretrained/provided coarse partitioning — the usual IVF
@@ -497,6 +496,7 @@ def knn_ivf_pq(
     m: int = 4,
     dims: int = 64,
     nprobe: int = 2,
+    broadcast_probes: bool = True,
 ) -> DataFrame:
     """IVF-PQ — the production ANN architecture (FAISS-style, public
     literature): IVF coarse lists bound WHICH vectors are scored
@@ -510,7 +510,11 @@ def knn_ivf_pq(
     Plan: one ranked IVF assignment (localCheckpoint-ed, corpus =
     rn 1 slice, probes = rn ≤ nprobe) joined against the PQ code
     table, ADC scoring as in :func:`knn_pq` (exact scaled-integer
-    sums, id tie-breaks).
+    sums, id tie-breaks). ``broadcast_probes=False`` is the
+    large-probe-set escape hatch (same contract as
+    :func:`knn_bucketed`/:func:`knn_ivf`): probe fan-out and LUT join
+    as shuffled equi-joins instead of broadcasts when the probe side
+    is corpus-sized.
     → (probe_id, neighbor_id, adist2, rank ≤ k), self excluded."""
     ranked = _ivf_ranked(embeddings, seed_col, id_col, vec_col, nprobe).localCheckpoint(
         eager=True
@@ -529,12 +533,12 @@ def knn_ivf_pq(
             F.raise_error(F.lit("knn_ivf_pq: probe id absent from the corpus IVF assignment - this API assigns probes via their corpus row (probes are drawn from `embeddings` by contract); for external query vectors use knn_bucketed (buckets from the probe's own vector) or knn_bruteforce"))
         ),
     )
-    cand = corpus_lists.join(F.broadcast(probe_fan), on="bucket").select(
-        "probe_id", "neighbor_id"
-    )
+    cand = corpus_lists.join(
+        F.broadcast(probe_fan) if broadcast_probes else probe_fan, on="bucket"
+    ).select("probe_id", "neighbor_id")
     adc = (
         cand.join(codes, on="neighbor_id")
-        .join(F.broadcast(lut), on=["probe_id", "sub", "code"])
+        .join(F.broadcast(lut) if broadcast_probes else lut, on=["probe_id", "sub", "code"])
         .filter(F.col("probe_id") != F.col("neighbor_id"))
         .groupBy("probe_id", "neighbor_id")
         .agg(_adc_sum())

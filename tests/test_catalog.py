@@ -76,7 +76,9 @@ class _Stub(BaseHTTPRequestHandler):
         st["requests"].append(("POST", url.path, dict(q), body, dict(self.headers)))
         if url.path == "/api/package_create":
             did = q["id"][0]
-            if did in st["packages"]:
+            if st.get("fail_create"):
+                self._respond(500, {"error": "boom"})
+            elif did in st["packages"]:
                 self._respond(409, {"error": "conflict"})
             else:
                 st["packages"][did] = {"name": did, "resources": []}
@@ -214,3 +216,18 @@ def test_capped_retry(stub):
         "GET", "http://127.0.0.1:1/nothing", retry=RetryPolicy(max_attempts=2, backoff_s=0.01)
     )
     assert status == 0
+
+
+def test_upsert_create_failure_still_updates(spark, stub):
+    """The reference swallows package_create exceptions and proceeds to
+    package_update unconditionally (DcatAp11ToCkanBatch.java catch-and-
+    log) — a non-200/non-409 create must not skip the update leg."""
+    _Stub.state["fail_create"] = True
+    payloads = spark.createDataFrame(
+        [Row(dataset_id="broken-ds", payload='{"name":"broken-ds","title":"B"}')]
+    )
+    results = catalog.ckan_upsert(payloads, stub, "key-1", FAST_RETRY).collect()
+    actions = {(r["id"], r["action"]): (r["status"], r["ok"]) for r in results}
+    assert actions[("broken-ds", "create")][1] is False
+    assert actions[("broken-ds", "update")] == (200, True)
+    assert _Stub.state["packages"]["broken-ds"]["title"] == "B"

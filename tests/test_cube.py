@@ -203,3 +203,27 @@ def test_hierarchy_cycle_raises():
 def test_input_guard_rejects_two_nt_inputs(spark):
     with pytest.raises(ValueError, match="at most one CSV"):
         cube.fdp_to_cube(spark, None, csv_paths={}, nt_paths=["a.nt", "b.nt"])
+
+
+def test_bag_parity_multimeasure_codelists(spark, spec):
+    """Bag mode (dedup_codelists=False) mirrors the reference's
+    per-(dimension, measure) processRow loop (Mapper.java:98-100):
+    with two measures every codelist triple is emitted twice per row;
+    the default dedup mode still collapses to multiplicity 1."""
+    import dataclasses
+
+    m = spec.measures[0]
+    spec2 = dataclasses.replace(
+        spec, measures=[m, dataclasses.replace(m, name=m.name + "2")]
+    )
+    csv_df = cube.read_csv_with_dialect(spark, CSV, spec.dialects["budget.csv"])
+    pred = (F.col("s") == "urn:fx/dataset/prog/P1") & (
+        F.col("p") == SKOS + "prefLabel"
+    )
+    bag1 = cube.compile_cube(spark, spec, csv_df, dedup_codelists=False)
+    bag2 = cube.compile_cube(spark, spec2, csv_df, dedup_codelists=False)
+    n1 = bag1.filter(pred).count()
+    assert n1 > 0
+    assert bag2.filter(pred).count() == 2 * n1
+    dd2 = cube.compile_cube(spark, spec2, csv_df, dedup_codelists=True)
+    assert dd2.filter(pred).count() == 1

@@ -297,3 +297,55 @@ def test_lang_filter_matches_region_subtags(spark):
     sols = graphq.bgp(g, [("?s", "urn:t", "?t")])
     got = {r["s"] for r in graphq.lang_filter(sols, "?t", "en").collect()}
     assert got == {"urn:a", "urn:b"}
+
+
+def test_repeated_variable_sameterm_literal_collision(spark):
+    """(?x, p, ?x) where the object is a LITERAL whose lexical form
+    equals the subject IRI must NOT match — SPARQL sameTerm compares
+    the term, not the lexical form (both engines)."""
+    rows = [
+        ("urn:a", "urn:p", "urn:a", "literal", None, None),  # collision
+        ("urn:b", "urn:p", "urn:b", "iri", None, None),      # true sameTerm
+    ]
+    g = _tiny_graph(spark, rows)
+    sols = graphq.bgp(g, [("?x", "urn:p", "?x")])
+    assert [r["x"] for r in sols.collect()] == ["urn:b"]
+
+    from lp_etl_plugins_spark import graphq_local as gl
+
+    lg = gl.LocalGraph(
+        [
+            {"s": s, "p": p, "o_value": o, "o_type": t, "o_lang": None,
+             "o_datatype": None}
+            for s, p, o, t, _, _ in rows
+        ]
+    )
+    assert [r["x"] for r in gl.bgp(lg, [("?x", "urn:p", "?x")]).rows] == ["urn:b"]
+
+
+def test_strict_terms_join_option(spark):
+    """Cross-pattern joins compare lexical forms by default (documented
+    contract, fine for the reference's graphs); strict_terms=True
+    upgrades to sameTerm — an IRI-position binding never matches a
+    literal with a colliding lexical form."""
+    rows = [
+        ("urn:s1", "urn:p1", "urn:x", "literal", None, None),  # literal "urn:x"
+        ("urn:s2", "urn:p1", "urn:y", "iri", None, None),
+        ("urn:x", "urn:p2", "v1", "literal", None, None),
+        ("urn:y", "urn:p2", "v2", "literal", None, None),
+    ]
+    g = _tiny_graph(spark, rows)
+    pats = [("?s", "urn:p1", "?d"), ("?d", "urn:p2", "?v")]
+    lex = {(r["s"], r["d"], r["v"]) for r in graphq.bgp(g, pats).collect()}
+    assert lex == {("urn:s1", "urn:x", "v1"), ("urn:s2", "urn:y", "v2")}
+    strict = {
+        (r["s"], r["d"], r["v"])
+        for r in graphq.bgp(g, pats, strict_terms=True).collect()
+    }
+    assert strict == {("urn:s2", "urn:y", "v2")}
+    # salted + strict compose
+    salted = {
+        (r["s"], r["d"], r["v"])
+        for r in graphq.bgp(g, pats, n_salts=4, strict_terms=True).collect()
+    }
+    assert salted == strict
