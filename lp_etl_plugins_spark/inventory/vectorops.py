@@ -645,6 +645,96 @@ SELECT probe_id, neighbor_id, adist2, rank FROM (
 """
 
 
+def v13_knn_ivf_external(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with EXTERNAL query vectors (the online-serving case,
+    VERDICT r4 #7): probes are out-of-corpus vectors — here a
+    deterministic perturbation (x·1.1 + 0.01, IEEE-identical in both
+    engines) of the first 10 corpus vectors under a disjoint id
+    namespace — assigned to their ``nprobe=2`` nearest coarse lists
+    via their OWN vector against the corpus centroids
+    (vectorops.knn_ivf(external_probes=True)). No corpus row lookup,
+    no raise_error path. → (probe_id, neighbor_id, cos, rank ≤ 3)."""
+    emb = _emb(spark, sf_dir)
+    probes = emb.filter(F.col("vec_id") < _PROBE_LIMIT).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x: x * F.lit(1.1) + F.lit(0.01),
+        ).alias("embedding"),
+    )
+    return V.knn_ivf(emb, probes, _K, nprobe=2, external_probes=True)
+
+
+V13_SQL = f"""
+WITH dims AS (
+  SELECT vec_id AS id, label AS seed, g.i - 1 AS dim, embedding[g.i]::DOUBLE AS v
+  FROM embeddings, unnest(generate_series(1, len(embedding))) AS g(i)
+),
+cent AS (SELECT seed, dim, avg(v) AS c FROM dims GROUP BY seed, dim),
+cent_norm AS (SELECT seed, sum(c * c) AS c2 FROM cent GROUP BY seed),
+scored0 AS (
+  SELECT d.id, ct.seed AS bucket,
+         round(sum(d.v * d.v) - 2 * sum(d.v * ct.c) + any_value(cn.c2), 6) AS dist2
+  FROM dims d
+  JOIN cent ct ON ct.dim = d.dim
+  JOIN cent_norm cn ON cn.seed = ct.seed
+  GROUP BY d.id, ct.seed
+),
+assign AS (
+  SELECT id, bucket FROM (
+    SELECT *, row_number() OVER (PARTITION BY id ORDER BY dist2, bucket) AS rn
+    FROM scored0
+  ) t WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id + 100000 AS vec_id,
+         list_transform(embedding::DOUBLE[], x -> x * 1.1 + 0.01) AS pv
+  FROM embeddings WHERE vec_id < {_PROBE_LIMIT}
+),
+pdims AS (
+  SELECT vec_id AS id, g.i - 1 AS dim, pv[g.i] AS v
+  FROM probes, unnest(generate_series(1, len(pv))) AS g(i)
+),
+pscored AS (
+  SELECT d.id, ct.seed AS bucket,
+         round(sum(d.v * d.v) - 2 * sum(d.v * ct.c) + any_value(cn.c2), 6) AS dist2
+  FROM pdims d
+  JOIN cent ct ON ct.dim = d.dim
+  JOIN cent_norm cn ON cn.seed = ct.seed
+  GROUP BY d.id, ct.seed
+),
+probe_fan AS (
+  SELECT id, bucket FROM (
+    SELECT *, row_number() OVER (PARTITION BY id ORDER BY dist2, bucket) AS rn
+    FROM pscored
+  ) t WHERE rn <= 2
+),
+pe AS (
+  SELECT vec_id,
+         list_transform(pv, x -> x / sqrt(list_dot_product(pv, pv))) AS nv
+  FROM probes
+),
+er AS (
+  SELECT vec_id, embedding::DOUBLE[] AS nv,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nn
+  FROM embeddings
+),
+scored AS (
+  SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+         round(list_dot_product(p.nv, c.nv) / c.nn, 6) AS cos
+  FROM pe p
+  JOIN probe_fan pf ON pf.id = p.vec_id
+  JOIN assign ca ON ca.bucket = pf.bucket
+  JOIN er c ON c.vec_id = ca.id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT probe_id, neighbor_id, cos, rank FROM ranked WHERE rank <= {_K}
+"""
+
+
 QUERIES = {
     "v1_knn_bruteforce": v1_knn_bruteforce,
     "v2_knn_bucketed": v2_knn_bucketed,
@@ -658,6 +748,7 @@ QUERIES = {
     "v10_kmeans_refine": v10_kmeans_refine,
     "v11_knn_pq": v11_knn_pq,
     "v12_knn_ivf_pq": v12_knn_ivf_pq,
+    "v13_knn_ivf_external": v13_knn_ivf_external,
 }
 
 ORACLES = {
@@ -673,4 +764,5 @@ ORACLES = {
     "v10_kmeans_refine": V10_SQL,
     "v11_knn_pq": V11_SQL,
     "v12_knn_ivf_pq": V12_SQL,
+    "v13_knn_ivf_external": V13_SQL,
 }

@@ -79,17 +79,20 @@ def unit_normalize(vec: Column) -> Column:
     return F.transform(vec, lambda x: x.cast("double") / n)
 
 
-def _cosine_topk(cands, k: int):
+def _cosine_topk(cands, k: int, exclude_self: bool = True):
     """Score-and-rank tail shared by the cosine kNN family
     (brute-force / bucketed / IVF): candidates carry (probe_id,
     probe_vec unit-normalized, neighbor_id, neighbor_vec raw,
     neighbor_norm scalar); each pair costs one dot fold plus a
     divide, ranked per probe with the id tie-break. One copy of the
     scoring expression — the rounding grid and tie-break stay in
-    sync across every kNN variant."""
+    sync across every kNN variant. ``exclude_self=False`` for
+    external probes, whose ids live in a namespace disjoint from the
+    corpus (an accidental id collision must not drop a neighbor)."""
+    if exclude_self:
+        cands = cands.filter(F.col("probe_id") != F.col("neighbor_id"))
     scored = (
-        cands.filter(F.col("probe_id") != F.col("neighbor_id"))
-        .select(
+        cands.select(
             "probe_id",
             "neighbor_id",
             F.round(
@@ -234,25 +237,38 @@ def assign_ivf_buckets(
     )
 
 
-def _ivf_ranked(
-    embeddings: DataFrame,
-    seed_col: str,
-    id_col: str,
-    vec_col: str,
-    max_rank: int,
-) -> DataFrame:
-    """Ranked IVF assignments (id, bucket, rn), rn ≤ ``max_rank`` —
-    :func:`assign_ivf_buckets`'s body, exposed so :func:`knn_ivf` can
-    derive BOTH the corpus assignment (rn=1) and a multi-list probe
-    fan-out (rn ≤ nprobe) from ONE computation instead of re-running
-    the posexplode + centroid join per side."""
+def _centroid_frames(
+    embeddings: DataFrame, seed_col: str, vec_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """IVF coarse codebook from the corpus: per-``seed_col`` dim means
+    → (cent: (seed, dim, c), cent_norm: (seed, c2)). Bounded by
+    n_lists × dims — broadcast-sized at any corpus scale."""
     dims = embeddings.select(
-        F.col(id_col).alias("id"),
         F.col(seed_col).alias("seed"),
         F.posexplode(F.col(vec_col)).alias("dim", "v"),
     ).withColumn("v", F.col("v").cast("double"))
     cent = dims.groupBy("seed", "dim").agg(F.avg("v").alias("c"))
     cent_norm = cent.groupBy("seed").agg(F.sum(F.col("c") * F.col("c")).alias("c2"))
+    return cent, cent_norm
+
+
+def _rank_against_centroids(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    cent: DataFrame,
+    cent_norm: DataFrame,
+    max_rank: int,
+) -> DataFrame:
+    """Rank ANY vector frame against a given coarse codebook by squared
+    L2 → (id, bucket, rn ≤ max_rank, dist2). This is how external query
+    vectors (not drawn from the corpus) get their list assignment: the
+    probe's own vector meets the corpus centroids — no corpus row
+    required."""
+    dims = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.col(vec_col)).alias("dim", "v"),
+    ).withColumn("v", F.col("v").cast("double"))
     scored = (
         dims.join(cent.withColumnRenamed("seed", "bucket"), on="dim")
         .groupBy("id", "bucket")
@@ -272,6 +288,24 @@ def _ivf_ranked(
         scored.withColumn("rn", F.row_number().over(win))
         .filter(F.col("rn") <= max_rank)
         .select("id", "bucket", "rn", "dist2")
+    )
+
+
+def _ivf_ranked(
+    embeddings: DataFrame,
+    seed_col: str,
+    id_col: str,
+    vec_col: str,
+    max_rank: int,
+) -> DataFrame:
+    """Ranked IVF assignments (id, bucket, rn), rn ≤ ``max_rank`` —
+    :func:`assign_ivf_buckets`'s body, exposed so :func:`knn_ivf` can
+    derive BOTH the corpus assignment (rn=1) and a multi-list probe
+    fan-out (rn ≤ nprobe) from ONE computation instead of re-running
+    the posexplode + centroid join per side."""
+    cent, cent_norm = _centroid_frames(embeddings, seed_col, vec_col)
+    return _rank_against_centroids(
+        embeddings, id_col, vec_col, cent, cent_norm, max_rank
     )
 
 
@@ -322,12 +356,21 @@ def knn_ivf(
     vec_col: str = "embedding",
     nprobe: int = 1,
     broadcast_probes: bool = True,
+    external_probes: bool = False,
 ) -> DataFrame:
     """Approximate top-k via IVF: each probe searches its ``nprobe``
     nearest coarse lists (corpus vectors live in exactly one list, so
     no candidate duplicates). Equi-joins on the bucket id — candidate
     volume ≈ nprobe/n_lists of brute force; nprobe is the recall/cost
     knob.
+
+    ``external_probes=True`` serves query vectors NOT drawn from the
+    corpus (the online-serving case): each probe's list fan-out is
+    computed from its OWN vector against the corpus centroids — the
+    same ranked-assignment plan run over the probe frame — instead of
+    looking up the probe's corpus row. Probe ids then live in their
+    own namespace (collisions with corpus ids are fine; self-exclusion
+    is by-id and only meaningful in the in-corpus mode).
 
     The ranked assignment is computed ONCE and localCheckpoint-ed (the
     IVF index build — the same build-the-index-once materialization as
@@ -338,6 +381,29 @@ def knn_ivf(
     the probe side — normalized, tiny by contract — is broadcast, so
     each candidate pair costs one dot fold plus a divide and the
     corpus never shuffles for the join."""
+    if external_probes:
+        cent, cent_norm = _centroid_frames(embeddings, seed_col, vec_col)
+        buckets = (
+            _rank_against_centroids(embeddings, id_col, vec_col, cent, cent_norm, 1)
+            .select("id", "bucket")
+            .localCheckpoint(eager=True)
+        )
+        probe_buckets = _rank_against_centroids(
+            probes, id_col, vec_col, cent, cent_norm, nprobe
+        ).select("id", "bucket")
+        p = probes.select(
+            F.col(id_col).alias("probe_id"),
+            unit_normalize(F.col(vec_col)).alias("probe_vec"),
+        ).join(probe_buckets.withColumnRenamed("id", "probe_id"), on="probe_id")
+        c = embeddings.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("neighbor_vec"),
+            norm(F.col(vec_col)).alias("neighbor_norm"),
+        ).join(buckets.withColumnRenamed("id", "neighbor_id"), on="neighbor_id")
+        return _cosine_topk(
+            c.join(F.broadcast(p) if broadcast_probes else p, on="bucket"), k,
+            exclude_self=False,
+        )
     ranked = _ivf_ranked(embeddings, seed_col, id_col, vec_col, nprobe).localCheckpoint(
         eager=True
     )
@@ -357,7 +423,7 @@ def knn_ivf(
     p = p.withColumn(
         "bucket",
         F.when(F.col("bucket").isNotNull(), F.col("bucket")).otherwise(
-            F.raise_error(F.lit("knn_ivf: probe id absent from the corpus IVF assignment - this API assigns probes via their corpus row (probes are drawn from `embeddings` by contract); for external query vectors use knn_bucketed (buckets from the probe's own vector) or knn_bruteforce"))
+            F.raise_error(F.lit("knn_ivf: probe id absent from the corpus IVF assignment - this API assigns probes via their corpus row (probes are drawn from `embeddings` by contract); for external query vectors pass external_probes=True (lists from the probe's own vector) or use knn_bucketed/knn_bruteforce"))
         ),
     )
     return _cosine_topk(

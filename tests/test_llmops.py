@@ -736,3 +736,31 @@ def test_media_ops_refuse_or_respect_real_containers(spark):
     assert feats[0]["n_bytes"] == len(png)  # full container bytes
     with pytest.raises(ValueError, match="divide 256"):
         multimodal.extract_features(df, bins=10)
+
+
+def test_knn_ivf_external_probes(spark, emb):
+    """external_probes=True serves out-of-corpus vectors: the fan-out
+    comes from the probe's own vector (no corpus-row lookup, no
+    raise_error), an id colliding with a corpus id is NOT
+    self-excluded, and an in-corpus vector re-submitted externally
+    finds its own corpus row as the top neighbor (cos = 1)."""
+    first = emb.first()
+    # probe 1: same vector as corpus row `first`, external id
+    # probe 2: id COLLIDES with a corpus id but the vector is its own
+    probes = spark.createDataFrame(
+        [
+            (777001, [float(x) for x in first["embedding"]], 0),
+            (int(first["vec_id"]), [float(x) for x in first["embedding"]], 0),
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    out = vectorops.knn_ivf(emb, probes, 3, nprobe=2, external_probes=True).collect()
+    by_probe = {}
+    for r in out:
+        by_probe.setdefault(r["probe_id"], []).append(r)
+    # the re-submitted vector finds its own corpus row at cos == 1
+    top = min(by_probe[777001], key=lambda r: r["rank"])
+    assert top["neighbor_id"] == first["vec_id"] and top["cos"] == 1.0
+    # colliding id: the corpus row with the same id is NOT excluded
+    top2 = min(by_probe[int(first["vec_id"])], key=lambda r: r["rank"])
+    assert top2["neighbor_id"] == first["vec_id"]
