@@ -1345,6 +1345,75 @@ GROUP BY 1, 2
 """
 
 
+def t30_contamination_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suffix-granular decontamination (VERDICT r4 #8): t20 flags the
+    leaking documents; this locates the LEAK — for every flagged
+    (train, bench) pair, the count of shared sliding word-8-grams and
+    the longest contiguous shared run (length, start offset in the
+    train doc, and the matched text). Sliding grams make the span
+    alignment-free; gaps-and-islands merges them into maximal runs.
+    → (train_id, bench_id, n_shared_grams, span_words, span_start,
+    span_text)."""
+    docs = _docs(spark, sf_dir).withColumn("is_bench", F.col("source") == "src0")
+    return T.contamination_spans(docs, "text", "doc_id", "is_bench")
+
+
+T30_SQL = (
+    "WITH " + _T14_BODY + r""",
+tpairs AS (
+  SELECT CASE WHEN da.source != 'src0' THEN p.id_a ELSE p.id_b END AS train_id,
+         CASE WHEN da.source = 'src0' THEN p.id_a ELSE p.id_b END AS bench_id
+  FROM pairs p
+  JOIN documents da ON da.doc_id = p.id_a
+  JOIN documents db ON db.doc_id = p.id_b
+  WHERE (da.source = 'src0') != (db.source = 'src0')
+),
+words AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ws FROM documents
+),
+sp AS (
+  SELECT doc_id, g.i - 1 AS pos, array_to_string(ws[g.i:g.i+7], ' ') AS gram
+  FROM words, unnest(generate_series(1, len(ws) - 7)) AS g(i)
+  WHERE len(ws) >= 8
+),
+bsp AS (SELECT DISTINCT doc_id, gram FROM sp),
+shared AS (
+  SELECT t.train_id, t.bench_id, s.pos
+  FROM tpairs t
+  JOIN sp s ON s.doc_id = t.train_id
+  JOIN bsp b ON b.doc_id = t.bench_id AND b.gram = s.gram
+),
+isl AS (
+  SELECT train_id, bench_id, pos,
+         pos - row_number() OVER (PARTITION BY train_id, bench_id ORDER BY pos) AS island
+  FROM shared
+),
+runs AS (
+  SELECT train_id, bench_id, island, min(pos) AS start, count(*) AS k
+  FROM isl GROUP BY train_id, bench_id, island
+),
+best AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY train_id, bench_id ORDER BY k DESC, start ASC) AS rn
+    FROM runs
+  ) t WHERE rn = 1
+),
+stats AS (
+  SELECT train_id, bench_id, count(*)::BIGINT AS n_shared_grams
+  FROM shared GROUP BY train_id, bench_id
+)
+SELECT b.train_id, b.bench_id, s.n_shared_grams,
+       (b.k + 7)::BIGINT AS span_words,
+       b.start::BIGINT AS span_start,
+       array_to_string(w.ws[b.start + 1 : b.start + b.k + 7], ' ') AS span_text
+FROM best b
+JOIN stats s ON s.train_id = b.train_id AND s.bench_id = b.bench_id
+JOIN words w ON w.doc_id = b.train_id
+"""
+)
+
+
 QUERIES = {
     "t1_exact_dedup": t1_exact_dedup,
     "t2_fingerprint_dedup": t2_fingerprint_dedup,
@@ -1375,6 +1444,7 @@ QUERIES = {
     "t27_chunk_dedup": t27_chunk_dedup,
     "t28_tfidf_topk": t28_tfidf_topk,
     "t29_source_overlap": t29_source_overlap,
+    "t30_contamination_spans": t30_contamination_spans,
 }
 
 ORACLES = {
@@ -1407,4 +1477,5 @@ ORACLES = {
     "t27_chunk_dedup": T27_SQL,
     "t28_tfidf_topk": T28_SQL,
     "t29_source_overlap": T29_SQL,
+    "t30_contamination_spans": T30_SQL,
 }

@@ -43,6 +43,7 @@ __all__ = [
     "ngram_jaccard_pairs",
     "ngram_containment_pairs",
     "decontaminate",
+    "contamination_spans",
     "simhash16",
     "simhash16_df",
     "winnow_fingerprints",
@@ -475,6 +476,99 @@ def decontaminate(
             F.when(~F.col("ba"), F.col("id_a")).otherwise(F.col("id_b")).alias("doc_id")
         )
         .distinct()
+    )
+
+
+def contamination_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    bench_col: str,
+    n: int = 3,
+    max_df_frac: float = 0.05,
+    threshold: float = 0.8,
+    max_df: int = 64,
+    span_n: int = 8,
+) -> DataFrame:
+    """Span-granular decontamination: :func:`decontaminate` says WHICH
+    training docs leak a benchmark; this says WHERE. For every flagged
+    mixed (train, bench) pair, slide word-``span_n``-grams over the
+    train doc (stride 1, so alignment is free), keep the positions
+    whose gram also occurs anywhere in the bench doc, merge
+    consecutive positions into maximal runs (gaps-and-islands), and
+    emit the pair's shared-gram count plus its LONGEST shared run —
+    length, start offset, and the matched text itself (ties break on
+    the earliest start).
+
+    Scale: the sliding-gram explode runs only over flagged-pair docs
+    (the output of the df-capped candidate mine — a vanishing fraction
+    of the corpus), the bench side ships (id, gram) rows — never
+    arrays — through a plain equi-join, and the islands window
+    partitions per pair, so state is bounded by the longest flagged
+    document. Pairs whose leak is sub-``span_n`` words produce no row
+    (nothing to locate).
+    → (train_id, bench_id, n_shared_grams, span_words, span_start,
+    span_text)."""
+    cand, sets = _pruned_gram_candidates(df, text_col, id_col, n, max_df_frac, max_df)
+    flags = df.select(F.col(id_col).alias("id"), F.col(bench_col).alias("__bench"))
+    fa = flags.select(F.col("id").alias("id_a"), F.col("__bench").alias("ba"))
+    fb = flags.select(F.col("id").alias("id_b"), F.col("__bench").alias("bb"))
+    mixed = (
+        cand.join(fa, "id_a")
+        .join(fb, "id_b")
+        .filter(F.col("ba") != F.col("bb"))
+        .drop("bb")
+    )
+    hits = _containment_verified(mixed, sets, threshold)
+    pairs = hits.select(
+        F.when(~F.col("ba"), F.col("id_a")).otherwise(F.col("id_b")).alias("train_id"),
+        F.when(F.col("ba"), F.col("id_a")).otherwise(F.col("id_b")).alias("bench_id"),
+    )
+    words = df.select(F.col(id_col).alias("id"), normalized_words(text_col).alias("ws"))
+    spans_src = words.select("id", shingles(F.col("ws"), span_n).alias("sp"))
+    train_pos = pairs.join(
+        spans_src.withColumnRenamed("id", "train_id"), "train_id"
+    ).select("train_id", "bench_id", F.posexplode("sp").alias("pos", "gram"))
+    bench_grams = (
+        pairs.select("bench_id")
+        .distinct()
+        .join(spans_src.withColumnRenamed("id", "bench_id"), "bench_id")
+        .select("bench_id", F.explode(F.array_distinct("sp")).alias("gram"))
+    )
+    shared = train_pos.join(bench_grams, ["bench_id", "gram"]).select(
+        "train_id", "bench_id", "pos"
+    )
+    w_isl = W.partitionBy("train_id", "bench_id").orderBy("pos")
+    runs = (
+        shared.withColumn("island", F.col("pos") - F.row_number().over(w_isl))
+        .groupBy("train_id", "bench_id", "island")
+        .agg(F.min("pos").alias("start"), F.count(F.lit(1)).alias("k"))
+    )
+    w_best = W.partitionBy("train_id", "bench_id").orderBy(
+        F.col("k").desc(), F.col("start").asc()
+    )
+    best = runs.withColumn("rn", F.row_number().over(w_best)).filter(F.col("rn") == 1)
+    stats = shared.groupBy("train_id", "bench_id").agg(
+        F.count(F.lit(1)).alias("n_shared_grams")
+    )
+    return (
+        best.join(stats, ["train_id", "bench_id"])
+        .join(words.withColumnRenamed("id", "train_id"), "train_id")
+        .select(
+            "train_id",
+            "bench_id",
+            "n_shared_grams",
+            (F.col("k") + F.lit(span_n - 1)).cast("bigint").alias("span_words"),
+            F.col("start").cast("bigint").alias("span_start"),
+            F.concat_ws(
+                " ",
+                F.slice(
+                    F.col("ws"),
+                    F.col("start") + 1,
+                    (F.col("k") + F.lit(span_n - 1)).cast("int"),
+                ),
+            ).alias("span_text"),
+        )
     )
 
 

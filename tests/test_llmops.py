@@ -764,3 +764,29 @@ def test_knn_ivf_external_probes(spark, emb):
     # colliding id: the corpus row with the same id is NOT excluded
     top2 = min(by_probe[int(first["vec_id"])], key=lambda r: r["rank"])
     assert top2["neighbor_id"] == first["vec_id"]
+
+
+def test_contamination_spans_locates_leak(spark):
+    """The longest shared run is located exactly: a train doc embeds a
+    12-word benchmark quote at a known offset; the span covers the
+    quote, and a disjoint 8-gram elsewhere doesn't extend it."""
+    quote = "alpha bravo charlie delta echo foxtrot golf hotel india juliett kilo lima"
+    filler = ["w%d unique%d token%d" % (i, i, i) for i in range(6)]
+    train = " ".join(filler[:3]) + " " + quote + " " + " ".join(filler[3:])
+    rows = [
+        (1, train, False),
+        (2, quote + " " + quote, True),  # bench doc: quote (twice)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, is_bench boolean")
+    out = textops.contamination_spans(
+        df, "text", "doc_id", "is_bench", threshold=0.3
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["train_id"], r["bench_id"]) == (1, 2)
+    # filler = 3 words x 3 tokens = 9 words before the quote
+    assert r["span_start"] == 9
+    assert r["span_words"] == 12
+    assert r["span_text"] == quote
+    # 12-word quote -> 5 sliding 8-grams shared
+    assert r["n_shared_grams"] == 5
