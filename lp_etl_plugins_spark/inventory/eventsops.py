@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from ..streaming import (
     click_purchase_join,
+    click_purchase_outer_join,
     dedup_events,
     enriched_nation_counts,
     hll_estimate,
@@ -89,9 +90,11 @@ GROUP BY user_id, session_id
 
 
 def e4_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Batch twin of the applyInPandasWithState stateful operator
-    (streaming.stateful_user_totals); the cross-micro-batch state
-    behavior is asserted against this in tests/test_streaming.py."""
+    """Batch twin of the custom stateful operator
+    (streaming.stateful_user_totals — transformWithStateInPandas where
+    available, applyInPandasWithState fallback); the cross-micro-batch
+    state behavior is asserted against this in
+    tests/test_streaming.py."""
     return user_totals(load_table(spark, sf_dir, "events"))
 
 
@@ -429,6 +432,29 @@ FROM exact e JOIN raw USING (event_type)
 """
 
 
+def e10_outer_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the stream-stream LEFT OUTER interval join
+    (streaming.click_purchase_outer_join): attribution pairs within a
+    30-minute horizon PLUS one NULL-purchase row per unattributed
+    click — the funnel's drop-off leg. The watermark-bounded null
+    emission on the streaming path is asserted against this plan in
+    tests/test_streaming.py."""
+    return click_purchase_outer_join(load_table(spark, sf_dir, "events"))
+
+
+E10_SQL = """
+SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+       floor(epoch(c.ts))::BIGINT AS click_sec,
+       floor(epoch(p.ts))::BIGINT AS purchase_sec
+FROM events c
+LEFT JOIN events p
+  ON p.user_id = c.user_id
+ AND p.event_type = 'purchase'
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+WHERE c.event_type = 'click'
+"""
+
+
 QUERIES = {
     "e1_tumbling_window": e1_tumbling_window,
     "e2_sliding_window": e2_sliding_window,
@@ -440,6 +466,7 @@ QUERIES = {
     "j10_asof_join": j10_asof_join,
     "e8_scd2_enrich": e8_scd2_enrich,
     "e9_funnel_steps": e9_funnel_steps,
+    "e10_outer_interval_join": e10_outer_interval_join,
     "a9_hll_distinct": a9_hll_distinct,
 }
 
@@ -454,5 +481,6 @@ ORACLES = {
     "j10_asof_join": J10_SQL,
     "e8_scd2_enrich": E8_SQL,
     "e9_funnel_steps": E9_SQL,
+    "e10_outer_interval_join": E10_SQL,
     "a9_hll_distinct": A9_SQL,
 }

@@ -37,6 +37,8 @@ __all__ = [
     "dedup_events",
     "enriched_nation_counts",
     "click_purchase_join",
+    "click_purchase_outer_join",
+    "make_totals_processor",
     "hll_registers",
     "hll_estimate",
     "write_stream_parquet",
@@ -95,17 +97,79 @@ _TOTALS_OUT = "user_id long, n_events long, sum_value double"
 _TOTALS_STATE = "n long, s double"
 
 
+def _tws_available() -> bool:
+    """Spark 4's arbitrary-state v2 runtime (``transformWithState``)
+    speaks protobuf between the JVM state server and the Python
+    worker; without the ``protobuf`` package the driver worker
+    crashes at init. Gate on importability, never at runtime."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def make_totals_processor():
+    """StatefulProcessor for :func:`stateful_user_totals` on the
+    Spark 4 arbitrary-state v2 API: ONE ValueState of (count,
+    unrounded sum) per user key; emits the running total on every
+    trigger. Factory (not module-level class) so importing this
+    module never touches the v2 API on containers without it."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class TotalsProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState("totals", _TOTALS_STATE)
+
+        def handleInputRows(self, key, rows, timer_values):
+            import pandas as pd
+
+            n, s = self._totals.get() if self._totals.exists() else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                s += float(pdf["value"].sum())
+            self._totals.update((n, s))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "sum_value": [round(s, 2)]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return TotalsProcessor()
+
+
 def stateful_user_totals(events: DataFrame) -> DataFrame:
-    """Custom stateful streaming operator (``applyInPandasWithState``):
-    per-user totals accumulated across micro-batches, one updated row
-    per user per trigger. State = (count, unrounded sum) per user —
-    bounded by the user-id cardinality, partitioned by the group key,
-    so at scale each executor holds only its keys' state.
+    """Custom stateful streaming operator: per-user totals accumulated
+    across micro-batches, one updated row per user per trigger.
+    State = (count, unrounded sum) per user — bounded by the user-id
+    cardinality, partitioned by the group key, so at scale each
+    executor holds only its keys' state.
+
+    Primary path is the Spark 4 arbitrary-state v2 API
+    (``transformWithStateInPandas`` + :func:`make_totals_processor` —
+    ValueState now, timers/TTL/list/map state available on the same
+    handle; requires the RocksDB state store provider and the
+    ``protobuf`` package). Where protobuf is absent (this container)
+    the same contract runs on ``applyInPandasWithState`` — identical
+    output, asserted by the batch-equivalence test either way.
 
     On the final trigger the emitted totals equal :func:`user_totals`
     on the same data seen as one batch — asserted in
     tests/test_streaming.py. Streaming frames only; batch callers use
-    the twin (Spark restricts applyInPandasWithState to streams)."""
+    the twin."""
+    if _tws_available():
+        return events.groupBy("user_id").transformWithStateInPandas(
+            make_totals_processor(),
+            _TOTALS_OUT,
+            "Update",
+            "None",
+        )
+
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     def update_totals(key, pdfs, state):
@@ -210,6 +274,59 @@ def click_purchase_join(events: DataFrame, horizon: str = "30 minutes") -> DataF
         (F.col("p_user_id") == F.col("user_id"))
         & (F.col("purchase_ts") >= F.col("click_ts"))
         & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {horizon}")),
+    )
+    return joined.select(
+        "user_id",
+        "click_id",
+        "purchase_id",
+        F.unix_timestamp(F.col("click_ts")).alias("click_sec"),
+        F.unix_timestamp(F.col("purchase_ts")).alias("purchase_sec"),
+    )
+
+
+def click_purchase_outer_join(
+    events: DataFrame, horizon: str = "30 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join — the attribution
+    topology's other leg: every click, paired with each purchase by
+    the same user inside ``horizon``, or with NULL purchase columns
+    when none arrives (the "click with no purchase" row every funnel
+    report needs).
+
+    The hard part on a stream is the NULL emission: an unmatched
+    click can only be declared unmatched once the watermark has
+    passed ``click_ts + horizon`` — before that a matching purchase
+    could still arrive. Spark's outer stream-stream join implements
+    exactly that: both sides carry watermarks, the join condition
+    bounds event time on both sides, and the null row is emitted by
+    the micro-batch whose watermark crosses the horizon. Consequence
+    (asserted in tests): clicks younger than watermark + horizon at
+    end-of-input have not yet reported their NULL row — batch and
+    stream agree on all clicks older than that frontier.
+
+    On batch the identical plan is a plain left join with the range
+    condition — per-user matching, never a cross product.
+    → (user_id, click_id, purchase_id nullable, click_sec,
+    purchase_sec nullable)."""
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    if events.isStreaming:
+        clicks = clicks.withWatermark("click_ts", watermark)
+        purchases = purchases.withWatermark("purchase_ts", watermark)
+    joined = clicks.join(
+        purchases,
+        (F.col("p_user_id") == F.col("user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {horizon}")),
+        "left_outer",
     )
     return joined.select(
         "user_id",

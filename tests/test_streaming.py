@@ -239,3 +239,75 @@ def test_hll_registers_stream_equals_batch(spark, event_dir):
     assert _rows(streaming.hll_estimate(spark.table("hll_mem"))) == _rows(
         streaming.hll_estimate(batch)
     )
+
+
+def test_outer_interval_join_stream_equals_batch(spark, event_dir):
+    """Stream-stream LEFT OUTER interval join: matched pairs equal the
+    batch pairs exactly; NULL-purchase rows (the 'click with no
+    purchase' leg) are emitted once the watermark passes
+    click_ts + horizon — so the comparison restricts both sides to
+    clicks older than (max event time − watermark − horizon), where
+    the streaming side is obligated to have reported.
+
+    The source is rewritten as ONE part file → one data micro-batch:
+    with multiple batches the watermark advances between them and
+    late-ordered part files produce spurious/withheld nulls — real
+    stream behavior, but not the deterministic contract under test
+    (the no-data final batch then performs the eviction)."""
+    import os
+
+    one_dir = event_dir + "_onefile"
+    if not os.path.exists(one_dir):
+        spark.read.parquet(event_dir).coalesce(1).write.mode("overwrite").parquet(one_dir)
+    events = spark.read.parquet(one_dir)
+    batch = streaming.click_purchase_outer_join(events)
+    schema = events.schema
+    stream = (
+        spark.readStream.schema(schema).parquet(one_dir)
+        .transform(streaming.click_purchase_outer_join)
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("outer_join_mem")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = spark.table("outer_join_mem")
+
+    # matched rows must agree everywhere
+    matched_s = streamed.filter(F.col("purchase_id").isNotNull())
+    matched_b = batch.filter(F.col("purchase_id").isNotNull())
+    assert _rows(matched_s) == _rows(matched_b)
+    assert len(_rows(matched_b)) > 0
+
+    # null emission: complete and exclusive below the watermark frontier
+    # the GLOBAL watermark is the min over both input watermarks —
+    # each side advances from its own max event time — so the null
+    # frontier is min(max click, max purchase) − 1h − 30m; minus 2 s
+    # because unix_timestamp floors the sub-second part a click on the
+    # exact boundary instant may legitimately still hold
+    side_max = (
+        events.groupBy("event_type")
+        .agg(F.max(F.unix_timestamp("ts")).alias("m"))
+        .filter(F.col("event_type").isin("click", "purchase"))
+        .agg(F.min("m"))
+        .first()[0]
+    )
+    frontier = side_max - 3600 - 1800 - 2
+    nulls_s = streamed.filter(
+        F.col("purchase_id").isNull() & (F.col("click_sec") < frontier)
+    )
+    nulls_b = batch.filter(
+        F.col("purchase_id").isNull() & (F.col("click_sec") < frontier)
+    )
+    assert _rows(nulls_s) == _rows(nulls_b)
+    assert len(_rows(nulls_b)) > 0
+    # and the streaming side emitted no null row the batch doesn't have
+    extra = streamed.filter(F.col("purchase_id").isNull()).join(
+        batch.filter(F.col("purchase_id").isNull()),
+        ["user_id", "click_id", "click_sec"],
+        "left_anti",
+    )
+    assert extra.count() == 0
