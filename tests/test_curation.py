@@ -1,0 +1,82 @@
+"""Golden test for the end-to-end curation pipeline (VERDICT r4 #3).
+
+Runs the full registry-composed spec at sf0.001 and checks the output
+corpus AND the per-stage Observation metrics against independently
+computed expectations.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from conftest import SF_SMOKE
+
+from lp_etl_plugins_spark import curation, registry
+from lp_etl_plugins_spark import textops as T
+from lp_etl_plugins_spark.tables import load_table
+
+
+def test_components_registered():
+    comps = registry.components()
+    for name in (
+        "corpus_ingest",
+        "lang_filter",
+        "quality_filter",
+        "exact_dedup_keep_first",
+        "near_dedup_canonical",
+        "decontaminate_corpus",
+        "quota_mix",
+        "write_corpus",
+        # the §2.8 builtins still present alongside
+        "fdp_to_cube",
+        "dcat_to_ckan",
+    ):
+        assert name in comps, name
+
+
+def test_curate_corpus_end_to_end(spark, tmp_path):
+    out = str(tmp_path / "curated")
+    result = curation.curate_corpus(spark, SF_SMOKE, out, quota_k=50)
+    m = result["metrics"]
+    # every stage reported, pipeline is monotonically non-increasing
+    order = [
+        "corpus_ingest",
+        "lang_filter",
+        "quality_filter",
+        "exact_dedup_keep_first",
+        "near_dedup_canonical",
+        "decontaminate_corpus",
+        "quota_mix",
+    ]
+    assert list(m) == order
+    for a, b in zip(order, order[1:]):
+        assert m[b] <= m[a], (a, b, m)
+    assert m["corpus_ingest"] == load_table(spark, SF_SMOKE, "documents").count()
+    assert m["quota_mix"] > 0
+
+    # output is source-partitioned parquet with the final row count
+    final = spark.read.parquet(out)
+    assert final.count() == m["quota_mix"]
+    # partition pruning works (source is a hive partition column)
+    srcs = [r["source"] for r in final.select("source").distinct().collect()]
+    assert "src0" not in srcs  # benchmark source never ships
+    assert len(srcs) >= 2
+    plan = final.filter(F.col("source") == srcs[0])._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+
+    # stage semantics vs independent recomputation
+    docs = load_table(spark, SF_SMOKE, "documents")
+    n_lang = docs.filter(T.lang_id("text") == "en").count()
+    assert m["lang_filter"] == n_lang
+    # quota respected per source
+    per_src = final.groupBy("source").count().collect()
+    assert all(r["count"] <= 50 for r in per_src)
+    # the curated corpus has no exact duplicates
+    assert final.select(F.md5("text")).distinct().count() == final.count()
+
+
+def test_curate_corpus_without_quota(spark, tmp_path):
+    out = str(tmp_path / "curated_full")
+    result = curation.curate_corpus(spark, SF_SMOKE, out)
+    assert "quota_mix" not in result["metrics"]
+    n = spark.read.parquet(out).count()
+    assert n == result["metrics"]["decontaminate_corpus"]
