@@ -375,3 +375,42 @@ def test_quota_sample_invariant_to_input_partitioning(spark):
         results.append({(r.grp, r.id, r.sample_rank) for r in got.collect()})
     assert results[0] == results[1] == results[2]
     assert len(results[0]) == 27
+
+
+def test_candidate_pairs_grow_linearly_under_inflation(spark):
+    """Corpus inflation (disjoint-vocabulary replicas) multiplies the
+    LSH and n-gram candidate-pair counts by EXACTLY the factor — the
+    structural-linearity claim behind the SCALE.md growth table. A
+    quadratic blow-up (e.g. replicas colliding into one cluster)
+    would overshoot immediately."""
+    from lp_etl_plugins_spark import scaling
+    from lp_etl_plugins_spark import textops as T
+    from lp_etl_plugins_spark.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    factor = 4
+
+    def lsh_pairs(df):
+        sh = T._doc_shingles(df, "text", "doc_id", 3, distinct=False)
+        return T.lsh_candidate_pairs(T.minhash_signatures(sh, 12), 6, 2).count()
+
+    def gram_pairs(df):
+        cand, _ = T._pruned_gram_candidates(df, "text", "doc_id", 3, 0.05, 64)
+        return cand.count()
+
+    base_l, base_g = lsh_pairs(docs), gram_pairs(docs)
+    big = scaling.inflate_documents(docs, factor)
+    big_l, big_g = lsh_pairs(big), gram_pairs(big)
+    assert base_l > 0 and base_g > 0
+    # each replica's candidate set is hash-luck-dependent (the word
+    # prefix rehashes every shingle), so per-replica counts wobble
+    # around the base count — but quadratic collapse (replicas
+    # colliding into shared clusters: ~factor^2 x) is excluded
+    assert big_l <= 2 * factor * base_l
+    assert big_l >= factor * base_l // 2
+    # char-gram candidates: interior word grams are SHARED across
+    # replicas (the word prefix only adds boundary grams), so gram df
+    # grows with the factor and the absolute cap prunes ever more of
+    # the index — candidate growth is sublinear BY DESIGN, and can
+    # only ever be below factor x, never above
+    assert big_g <= factor * base_g
