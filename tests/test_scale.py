@@ -344,6 +344,7 @@ def test_no_accidental_cross_products(spark):
         "t14_containment",
         "t17_boilerplate_scrub",
         "t20_decontaminate",
+        "t30_contamination_spans",  # same 1-row n_docs broadcast as t20
         "t23_trigram_lm_score",  # 1-row (n_total, vocab) broadcast
         "t25_bigram_pmi",  # 1-row (n_uni, n_bi) totals broadcast
         "t28_tfidf_topk",  # 1-row n_src (distinct source count) broadcast
