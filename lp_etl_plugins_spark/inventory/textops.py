@@ -71,6 +71,28 @@ def dedup_index(spark: SparkSession, sf_dir: str) -> T.DedupIndex:
     return idx
 
 
+_GRAM_INDEXES: dict[tuple[str, str], tuple[DataFrame, DataFrame]] = {}
+
+
+def gram_index(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """Shared char-3-gram substrate (df-capped candidate pairs +
+    per-doc gram sets) for t11/t14/t20/t30 — the gram-family twin of
+    :func:`dedup_index`: built once per SparkContext × corpus,
+    candidate list checkpointed alongside the gram sets (which
+    ``_pruned_gram_candidates`` already pins). The DuckDB oracles
+    keep recomputing from scratch, independently checking the shared
+    build every round."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    sub = _GRAM_INDEXES.get(key)
+    if sub is None:
+        cand, sets = T._pruned_gram_candidates(
+            _docs(spark, sf_dir), "text", "doc_id", 3, 0.05, 64
+        )
+        sub = (cand.localCheckpoint(), sets)
+        _GRAM_INDEXES[key] = sub
+    return sub
+
+
 def t1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup summary: corpus size vs distinct-text count (one
     hash-groupBy; the per-group detail is t2's job)."""
@@ -389,7 +411,8 @@ def t11_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5-hashed 32-bit ints in BOTH engines (see
     textops.ngram_jaccard_pairs)."""
     out = T.ngram_jaccard_pairs(
-        _docs(spark, sf_dir), "text", "doc_id", n=3, max_df_frac=0.05, threshold=0.65
+        _docs(spark, sf_dir), "text", "doc_id", n=3, max_df_frac=0.05, threshold=0.65,
+        substrate=gram_index(spark, sf_dir),
     )
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
@@ -564,7 +587,8 @@ def t14_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard's union denominator dilutes away. Filtered on the ROUNDED
     value, mirrored by the oracle."""
     return T.ngram_containment_pairs(
-        _docs(spark, sf_dir), "text", "doc_id", n=3, max_df_frac=0.05, threshold=0.8
+        _docs(spark, sf_dir), "text", "doc_id", n=3, max_df_frac=0.05, threshold=0.8,
+        substrate=gram_index(spark, sf_dir),
     )
 
 
@@ -840,7 +864,9 @@ def t20_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir).withColumn(
         "is_bench", F.col("source") == "src0"
     )
-    contaminated = T.decontaminate(docs, "text", "doc_id", "is_bench")
+    contaminated = T.decontaminate(
+        docs, "text", "doc_id", "is_bench", substrate=gram_index(spark, sf_dir)
+    )
     train = docs.filter(F.col("source") != "src0")
     flagged = train.join(
         contaminated.withColumn("is_contam", F.lit(True)), "doc_id", "left"
@@ -1355,7 +1381,9 @@ def t30_contamination_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     → (train_id, bench_id, n_shared_grams, span_words, span_start,
     span_text)."""
     docs = _docs(spark, sf_dir).withColumn("is_bench", F.col("source") == "src0")
-    return T.contamination_spans(docs, "text", "doc_id", "is_bench")
+    return T.contamination_spans(
+        docs, "text", "doc_id", "is_bench", substrate=gram_index(spark, sf_dir)
+    )
 
 
 T30_SQL = (

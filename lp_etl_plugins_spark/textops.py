@@ -276,6 +276,7 @@ def ngram_jaccard_pairs(
     max_df_frac: float = 0.05,
     threshold: float = 0.65,
     max_df: int = 64,
+    substrate: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """Character-n-gram Jaccard near-dup pairs via an inverted-index
     join with document-frequency pruning — the non-probabilistic
@@ -310,7 +311,9 @@ def ngram_jaccard_pairs(
     Skew: a still-hot rare gram is a fat join group — AQE skew-join
     splits it; the prune threshold is the structural control.
     → (id_a, id_b, jaccard ≥ threshold)."""
-    cand, sets = _pruned_gram_candidates(df, text_col, id_col, n, max_df_frac, max_df)
+    cand, sets = substrate or _pruned_gram_candidates(
+        df, text_col, id_col, n, max_df_frac, max_df
+    )
     return jaccard_over_candidates(cand, sets, threshold=threshold)
 
 
@@ -423,6 +426,7 @@ def ngram_containment_pairs(
     max_df_frac: float = 0.05,
     threshold: float = 0.8,
     max_df: int = 64,
+    substrate: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """Near-CONTAINMENT detection — the decontamination primitive: find
     documents whose gram set is (nearly) a subset of another's
@@ -434,7 +438,9 @@ def ngram_containment_pairs(
     :func:`ngram_jaccard_pairs` (df-pruned inverted index, compact
     array-intersect verify).
     → (id_a, id_b, containment ≥ threshold)."""
-    cand, sets = _pruned_gram_candidates(df, text_col, id_col, n, max_df_frac, max_df)
+    cand, sets = substrate or _pruned_gram_candidates(
+        df, text_col, id_col, n, max_df_frac, max_df
+    )
     return _containment_verified(cand, sets, threshold)
 
 
@@ -447,6 +453,7 @@ def decontaminate(
     max_df_frac: float = 0.05,
     threshold: float = 0.8,
     max_df: int = 64,
+    substrate: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """Benchmark-decontamination sweep: ids of non-benchmark docs
     whose gram-set containment with ANY benchmark doc (boolean
@@ -460,7 +467,9 @@ def decontaminate(
     verify work to the mixed fraction of candidates (≈ 2·p·(1−p) of
     all pairs for benchmark share p) with a byte-identical result.
     → (doc_id) — distinct contaminated non-benchmark ids."""
-    cand, sets = _pruned_gram_candidates(df, text_col, id_col, n, max_df_frac, max_df)
+    cand, sets = substrate or _pruned_gram_candidates(
+        df, text_col, id_col, n, max_df_frac, max_df
+    )
     flags = df.select(F.col(id_col).alias("id"), F.col(bench_col).alias("__bench"))
     fa = flags.select(F.col("id").alias("id_a"), F.col("__bench").alias("ba"))
     fb = flags.select(F.col("id").alias("id_b"), F.col("__bench").alias("bb"))
@@ -488,6 +497,7 @@ def contamination_spans(
     max_df_frac: float = 0.05,
     threshold: float = 0.8,
     max_df: int = 64,
+    substrate: tuple[DataFrame, DataFrame] | None = None,
     span_n: int = 8,
 ) -> DataFrame:
     """Span-granular decontamination: :func:`decontaminate` says WHICH
@@ -509,7 +519,9 @@ def contamination_spans(
     (nothing to locate).
     → (train_id, bench_id, n_shared_grams, span_words, span_start,
     span_text)."""
-    cand, sets = _pruned_gram_candidates(df, text_col, id_col, n, max_df_frac, max_df)
+    cand, sets = substrate or _pruned_gram_candidates(
+        df, text_col, id_col, n, max_df_frac, max_df
+    )
     flags = df.select(F.col(id_col).alias("id"), F.col(bench_col).alias("__bench"))
     fa = flags.select(F.col("id").alias("id_a"), F.col("__bench").alias("ba"))
     fb = flags.select(F.col("id").alias("id_b"), F.col("__bench").alias("bb"))

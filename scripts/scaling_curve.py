@@ -71,6 +71,7 @@ def main() -> None:
         # shared dedup/neardup caches would otherwise attribute the
         # whole build to the first query of a factor
         it._INDEXES.clear()
+        it._GRAM_INDEXES.clear()
         iv._NEARDUP_CACHE.clear()
         t0 = time.perf_counter()
         queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()

@@ -67,3 +67,25 @@ def test_vector_neardup_index_shared(spark):
     assert clusters_first is not None
     IV.v9_semantic_clusters(spark, SF_SMOKE).collect()
     assert entry["clusters"] is clusters_first
+
+
+def test_gram_index_shared_across_consumers(spark):
+    sub1 = IT.gram_index(spark, SF_SMOKE)
+    sub2 = IT.gram_index(spark, SF_SMOKE)
+    assert sub1 is sub2
+    # all four consumers run off the one substrate without error and
+    # match a fresh uncached build
+    from lp_etl_plugins_spark import textops as T
+    from lp_etl_plugins_spark.inventory.textops import _docs
+
+    IT.t11_ngram_jaccard(spark, SF_SMOKE).collect()
+    IT.t14_containment(spark, SF_SMOKE).collect()
+    IT.t20_decontaminate(spark, SF_SMOKE).collect()
+    IT.t30_contamination_spans(spark, SF_SMOKE).collect()
+    assert IT._GRAM_INDEXES  # built
+    fresh_cand, _ = T._pruned_gram_candidates(
+        _docs(spark, SF_SMOKE), "text", "doc_id", 3, 0.05, 64
+    )
+    got = {(r["id_a"], r["id_b"]) for r in sub1[0].collect()}
+    want = {(r["id_a"], r["id_b"]) for r in fresh_cand.collect()}
+    assert got == want
