@@ -264,14 +264,18 @@ def values(
 def path(
     triples: DataFrame,
     start: str,
-    steps: list[str],
+    steps: list[str | list[str] | tuple[str, ...]],
     end: str,
     end_filter: tuple[str, str] | None = None,
 ) -> DataFrame:
     """Property path ``start step1/step2/… end``; a ``^``-prefixed step
     traverses the edge inversely (DcatAp11ToCkanBatch.java:372:
-    ``^foaf:primaryTopic/dcterms:source``). Returns a 2-column solution
-    DF [start, end] (+ object metadata for the final forward step).
+    ``^foaf:primaryTopic/dcterms:source``), and a step given as a
+    LIST/TUPLE of predicates is a SPARQL alternation ``(p1|p2)`` —
+    the union of the alternatives' bindings at that hop (each
+    alternative may itself carry the ``^`` prefix). Returns a
+    2-column solution DF [start, end] (+ object metadata for the
+    final forward step).
 
     ``end_filter=(predicate, object)`` restricts the END variable to
     subjects matching that constant pattern, pushed INTO the final hop
@@ -290,13 +294,19 @@ def path(
         # count as plain variables for the shared-var join (double
         # underscore marks metadata columns); dropped before returning.
         nxt = _var(end) if last else f"_hop{idx}"
-        if step.startswith("^"):
-            hop = _pattern_df(triples, (f"?{nxt}", step[1:], f"?{cur}"))
-            # inverse edge: `cur` sits in object position here, but the
-            # path already bound it — strip the duplicate metadata.
-            hop = hop.drop(*[c for c in hop.columns if c.startswith(f"{cur}__")])
-        else:
-            hop = _pattern_df(triples, (f"?{cur}", step, f"?{nxt}"))
+
+        def one_alt(pred: str) -> DataFrame:
+            if pred.startswith("^"):
+                h = _pattern_df(triples, (f"?{nxt}", pred[1:], f"?{cur}"))
+                # inverse edge: `cur` sits in object position here, but
+                # the path already bound it — strip duplicate metadata.
+                return h.drop(*[c for c in h.columns if c.startswith(f"{cur}__")])
+            return _pattern_df(triples, (f"?{cur}", pred, f"?{nxt}"))
+
+        alts = list(step) if isinstance(step, (list, tuple)) else [step]
+        hop = one_alt(alts[0])
+        for pred in alts[1:]:
+            hop = hop.unionByName(one_alt(pred), allowMissingColumns=True)
         if last and end_filter is not None:
             keep = _pattern_df(triples, (f"?{nxt}", end_filter[0], end_filter[1]))
             hop = join_solutions(hop, keep)

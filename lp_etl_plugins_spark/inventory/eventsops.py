@@ -455,6 +455,149 @@ WHERE c.event_type = 'click'
 """
 
 
+def w2_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day moving average of daily order revenue — the time-series
+    smoothing window every ops dashboard runs. Two stages: the daily
+    aggregate (a map-side-partial groupBy over the full fact table —
+    this is where corpus scale lives) reduces to one row per day, and
+    the moving window then runs over the BOUNDED daily series (a few
+    thousand rows at any corpus size), so the unpartitioned ordered
+    window is not a scale hazard. Determinism: daily revenue is exact
+    on the 0.01 grid → summed as BIGINT cents inside the frame, one
+    divide, round 6 (the t13 discipline).
+    → (day, revenue, ma7)."""
+    from pyspark.sql import Window as W
+
+    orders = load_table(spark, sf_dir, "orders")
+    day = F.to_date(wall_timestamp(orders, "o_orderdate"))
+    daily = orders.groupBy(day.alias("day")).agg(
+        F.round(F.sum("o_totalprice"), 2).alias("revenue")
+    )
+    cents = F.round(F.col("revenue") * 100).cast("bigint")
+    w = W.orderBy("day").rowsBetween(-6, 0)
+    with_c = daily.withColumn("c", cents)
+    return (
+        with_c.withColumn("s7", F.sum("c").over(w))
+        .withColumn("k7", F.count(F.lit(1)).over(w))
+        .select(
+            F.col("day").cast("string").alias("day"),
+            "revenue",
+            F.round(
+                F.col("s7").cast("double") / (F.col("k7") * F.lit(100.0)), 6
+            ).alias("ma7"),
+        )
+    )
+
+
+W2_SQL = """
+WITH daily AS (
+  SELECT o_orderdate::DATE AS day, round(sum(o_totalprice), 2) AS revenue
+  FROM orders GROUP BY 1
+),
+c AS (SELECT *, round(revenue * 100)::BIGINT AS cents FROM daily)
+SELECT day::VARCHAR AS day, revenue,
+       round(sum(cents) OVER w::DOUBLE
+             / (count(*) OVER w * 100.0), 6) AS ma7
+FROM c
+WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+"""
+
+
+def a10_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact discrete percentiles (p50/p90 of order value per
+    priority) — the latency/size-distribution summary an approximate
+    sketch can't hash-check. Discrete semantics (the element at rank
+    ceil(q·n), DuckDB's quantile_disc) computed with a per-group
+    ordered window: ranking only ever orders by the VALUE, so ties
+    cannot move the picked element. Per-group state is the group's
+    row count; the window partitions by the group key — no global
+    sort. → (priority, n_orders, p50_price, p90_price)."""
+    from pyspark.sql import Window as W
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("priority").orderBy("o_totalprice")
+    ranked = orders.select(
+        F.col("o_orderpriority").alias("priority"), "o_totalprice"
+    ).withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(W.partitionBy("priority"))
+    )
+    pick = lambda q: F.max(
+        F.when(F.col("rn") == F.ceil(F.lit(q) * F.col("n")), F.col("o_totalprice"))
+    )
+    return ranked.groupBy("priority").agg(
+        F.max("n").alias("n_orders"),
+        pick(0.5).alias("p50_price"),
+        pick(0.9).alias("p90_price"),
+    )
+
+
+A10_SQL = """
+SELECT o_orderpriority AS priority, count(*)::BIGINT AS n_orders,
+       quantile_disc(o_totalprice, 0.5) AS p50_price,
+       quantile_disc(o_totalprice, 0.9) AS p90_price
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+def e11_bucketed_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal range join DISTRIBUTED THE RIGHT WAY: pairs of
+    DIFFERENT-type events by the same user within 30 minutes of each
+    other (the co-occurrence signal behind session stitching and
+    attribution features). A naive range join degenerates to per-key
+    cross products over the user's full history; here the left side
+    explodes into its 3 covering hour-buckets, the right side carries
+    its single hour-bucket, and the join is a plain
+    (user, bucket) equi-join followed by the exact |Δt| ≤ 1800 s
+    filter — candidate volume is bounded by bucket co-occupancy
+    (watermark-horizon-sized), never by history length, and AQE can
+    re-plan/split the equi-join like any other. Each true pair
+    matches exactly once (the right event's bucket is unique; the
+    type_a < type_b canonicalization keeps one triangle).
+    → per (type_a, type_b) pair counts."""
+    events = load_table(spark, sf_dir, "events")
+    base = events.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_timestamp("ts").alias("sec"),
+    )
+    hour_a = (F.col("sec_a") / 3600).cast("long")
+    a = base.select(
+        "user_id",
+        F.col("event_id").alias("id_a"),
+        F.col("event_type").alias("type_a"),
+        F.col("sec").alias("sec_a"),
+    ).withColumn("bucket", F.explode(F.array(hour_a - 1, hour_a, hour_a + 1)))
+    b = base.select(
+        "user_id",
+        F.col("event_id").alias("id_b"),
+        F.col("event_type").alias("type_b"),
+        F.col("sec").alias("sec_b"),
+        (F.col("sec") / 3600).cast("long").alias("bucket"),
+    )
+    pairs = a.join(b, ["user_id", "bucket"]).filter(
+        (F.col("type_a") < F.col("type_b"))
+        & (F.abs(F.col("sec_a") - F.col("sec_b")) <= 1800)
+    )
+    return pairs.groupBy("type_a", "type_b").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+E11_SQL = """
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       count(*)::BIGINT AS n_pairs,
+       count(DISTINCT a.user_id)::BIGINT AS n_users
+FROM events a
+JOIN events b
+  ON b.user_id = a.user_id
+ AND a.event_type < b.event_type
+ AND abs(floor(epoch(a.ts)) - floor(epoch(b.ts))) <= 1800
+GROUP BY a.event_type, b.event_type
+"""
+
+
 QUERIES = {
     "e1_tumbling_window": e1_tumbling_window,
     "e2_sliding_window": e2_sliding_window,
@@ -467,6 +610,9 @@ QUERIES = {
     "e8_scd2_enrich": e8_scd2_enrich,
     "e9_funnel_steps": e9_funnel_steps,
     "e10_outer_interval_join": e10_outer_interval_join,
+    "e11_bucketed_range_join": e11_bucketed_range_join,
+    "w2_moving_avg": w2_moving_avg,
+    "a10_percentiles": a10_percentiles,
     "a9_hll_distinct": a9_hll_distinct,
 }
 
@@ -482,5 +628,8 @@ ORACLES = {
     "e8_scd2_enrich": E8_SQL,
     "e9_funnel_steps": E9_SQL,
     "e10_outer_interval_join": E10_SQL,
+    "e11_bucketed_range_join": E11_SQL,
+    "w2_moving_avg": W2_SQL,
+    "a10_percentiles": A10_SQL,
     "a9_hll_distinct": A9_SQL,
 }

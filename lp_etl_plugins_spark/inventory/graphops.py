@@ -382,6 +382,27 @@ SELECT n AS start, n AS reached FROM nodes
 """
 
 
+def g11_path_alt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL alternation inside a sequence path:
+    ``?e (urn:nation|urn:region)/urn:name ?loc`` — each entity's
+    located-in name, whichever edge kind it has (suppliers/customers
+    hop via urn:nation, nations via urn:region). The alternation hop
+    is a union of the two pattern branches; the name hop joins once
+    over the union (graphq.path with a list step)."""
+    tr = _graph(spark, sf_dir)
+    sols = graphq.path(tr, "?e", [(_NATION, _REGION), _NAME], "?loc")
+    return sols.select("e", "loc")
+
+
+G11_SQL = _CTE + """
+SELECT hop.s AS e, nm.o_value AS loc
+FROM triples hop
+JOIN triples nm
+  ON nm.s = hop.o_value AND nm.p = 'urn:name'
+WHERE hop.p IN ('urn:nation', 'urn:region')
+"""
+
+
 QUERIES = {
     "g1_bgp_star": g1_bgp_star,
     "g2_optional_premium": g2_optional_premium,
@@ -393,6 +414,7 @@ QUERIES = {
     "g8_scalar_min": g8_scalar_min,
     "g9_path_closure": g9_path_closure,
     "g10_path_star": g10_path_star,
+    "g11_path_alt": g11_path_alt,
 }
 
 ORACLES = {
@@ -406,4 +428,5 @@ ORACLES = {
     "g8_scalar_min": G8_SQL,
     "g9_path_closure": G9_SQL,
     "g10_path_star": G10_SQL,
+    "g11_path_alt": G11_SQL,
 }

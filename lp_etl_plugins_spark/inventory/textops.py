@@ -1442,6 +1442,78 @@ JOIN words w ON w.doc_id = b.train_id
 )
 
 
+def t31_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source mean character-level Shannon entropy — the
+    randomness/quality signal that separates natural text (≈ 4 bits)
+    from base64 blobs, minified code, and degenerate repetition.
+    H(doc) = Σ (c/n)·log2(n/c) over the char distribution of
+    lower(trim(text)). Plan: one char explode → (doc, char) counts →
+    per-doc entropy → per-source mean; every stage is a map-side-
+    partial groupBy, corpus-linear. Determinism: each per-char term
+    is rounded onto the 1e-9 grid and summed as BIGINTs (exact,
+    order-independent — the t13/t23 discipline), one divide at the
+    end. Zero-length docs contribute entropy 0.
+    → (source, n_docs, avg_entropy)."""
+    from pyspark.sql import Window as W
+
+    docs = _docs(spark, sf_dir)
+    chars = docs.select(
+        "doc_id",
+        "source",
+        F.explode(F.split(F.lower(F.trim("text")), "")).alias("ch"),
+    ).filter(F.col("ch") != "")
+    counts = chars.groupBy("doc_id", "source", "ch").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    n = W.partitionBy("doc_id")
+    withn = counts.withColumn("n", F.sum("c").over(n))
+    term = F.round(
+        (F.col("c") / F.col("n")) * F.log2(F.col("n") / F.col("c")) * 1e9
+    ).cast("bigint")
+    per_doc = withn.groupBy("doc_id", "source").agg(F.sum(term).alias("h9"))
+    # docs whose normalized text is empty never reach the explode —
+    # re-attach them at entropy 0 so n_docs matches the corpus
+    all_docs = docs.select("doc_id", "source")
+    per_doc = all_docs.join(per_doc, ["doc_id", "source"], "left").fillna(
+        {"h9": 0}
+    )
+    cnt = F.count(F.lit(1))
+    return per_doc.groupBy("source").agg(
+        cnt.alias("n_docs"),
+        F.round(F.sum("h9").cast("double") / (cnt * F.lit(1e9)), 6).alias(
+            "avg_entropy"
+        ),
+    )
+
+
+T31_SQL = r"""
+WITH chars AS (
+  SELECT doc_id, source, unnest(string_split(lower(trim(text)), '')) AS ch
+  FROM documents
+),
+counts AS (
+  SELECT doc_id, source, ch, count(*) AS c
+  FROM chars WHERE ch != '' GROUP BY doc_id, source, ch
+),
+withn AS (
+  SELECT *, sum(c) OVER (PARTITION BY doc_id) AS n FROM counts
+),
+per_doc AS (
+  SELECT doc_id, source,
+         sum(round((c::DOUBLE / n) * log2(n::DOUBLE / c) * 1e9)::BIGINT) AS h9
+  FROM withn GROUP BY doc_id, source
+),
+full_docs AS (
+  SELECT d.doc_id, d.source, coalesce(p.h9, 0) AS h9
+  FROM documents d
+  LEFT JOIN per_doc p ON p.doc_id = d.doc_id
+)
+SELECT source, count(*)::BIGINT AS n_docs,
+       round(sum(h9)::DOUBLE / (count(*) * 1e9), 6) AS avg_entropy
+FROM full_docs GROUP BY source
+"""
+
+
 QUERIES = {
     "t1_exact_dedup": t1_exact_dedup,
     "t2_fingerprint_dedup": t2_fingerprint_dedup,
@@ -1473,6 +1545,7 @@ QUERIES = {
     "t28_tfidf_topk": t28_tfidf_topk,
     "t29_source_overlap": t29_source_overlap,
     "t30_contamination_spans": t30_contamination_spans,
+    "t31_char_entropy": t31_char_entropy,
 }
 
 ORACLES = {
@@ -1506,4 +1579,5 @@ ORACLES = {
     "t28_tfidf_topk": T28_SQL,
     "t29_source_overlap": T29_SQL,
     "t30_contamination_spans": T30_SQL,
+    "t31_char_entropy": T31_SQL,
 }

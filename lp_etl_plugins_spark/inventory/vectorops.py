@@ -735,6 +735,27 @@ SELECT probe_id, neighbor_id, cos, rank FROM ranked WHERE rank <= {_K}
 """
 
 
+def v14_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius search (vectorops.range_search): every bucket-restricted
+    neighbor with cosine ≥ 0.3 of each probe — the "all this similar"
+    retrieval mode, a filter instead of a top-k window (no per-probe
+    ranking state; output size is the only scale factor)."""
+    emb = _emb(spark, sf_dir)
+    probes = emb.filter(F.col("vec_id") < _PROBE_LIMIT)
+    return V.range_search(emb, probes, threshold=0.3, bits=_BITS)
+
+
+V14_SQL = f"""
+WITH e AS ({_NORM_BUCKET_E}),
+er AS ({_RAW_E})
+SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+       round(list_dot_product(p.v, c.nv) / c.nn, 6) AS cos
+FROM e p JOIN er c ON p.bucket = c.bucket
+WHERE p.vec_id < {_PROBE_LIMIT} AND c.vec_id != p.vec_id
+  AND round(list_dot_product(p.v, c.nv) / c.nn, 6) >= 0.3
+"""
+
+
 QUERIES = {
     "v1_knn_bruteforce": v1_knn_bruteforce,
     "v2_knn_bucketed": v2_knn_bucketed,
@@ -749,6 +770,7 @@ QUERIES = {
     "v11_knn_pq": v11_knn_pq,
     "v12_knn_ivf_pq": v12_knn_ivf_pq,
     "v13_knn_ivf_external": v13_knn_ivf_external,
+    "v14_range_search": v14_range_search,
 }
 
 ORACLES = {
@@ -765,4 +787,5 @@ ORACLES = {
     "v11_knn_pq": V11_SQL,
     "v12_knn_ivf_pq": V12_SQL,
     "v13_knn_ivf_external": V13_SQL,
+    "v14_range_search": V14_SQL,
 }

@@ -112,8 +112,9 @@ def asof_join(
     time a right row sorts before a left row (tag 0 < 1), so
     'at-or-before' includes same-instant matches.
 
-    Output: every left column, plus the payload columns (caller
-    guarantees payload names don't collide with left's).
+    Output: every left column, plus the payload columns; a payload
+    name colliding with a left column raises up front (the join would
+    otherwise silently emit an ambiguous duplicate column).
 
     Time columns may be numeric epochs or TIMESTAMPs — timestamps are
     compared at FULL microsecond precision (``unix_micros``), never
@@ -128,6 +129,12 @@ def asof_join(
     the carry-forward window); left rows with a NULL key get NULL
     payload."""
     tiebreak = tiebreak or payload[0]
+    collide = set(payload) & set(left.columns)
+    if collide:
+        raise ValueError(
+            f"asof_join: payload columns {sorted(collide)} collide with left "
+            "columns - alias one side before joining"
+        )
 
     def _is_ts(df: DataFrame, col_name: str) -> bool:
         return dict(df.dtypes)[col_name].startswith("timestamp")

@@ -39,6 +39,7 @@ __all__ = [
     "pack_sign_bits",
     "hamming",
     "knn_bucketed",
+    "range_search",
     "assign_ivf_buckets",
     "kmeans_refine",
     "knn_ivf",
@@ -209,6 +210,45 @@ def knn_bucketed(
     return _cosine_topk(
         c.join(F.broadcast(p) if broadcast_probes else p, on="bucket"), k
     )
+
+
+def range_search(
+    embeddings: DataFrame,
+    probes: DataFrame,
+    threshold: float,
+    bits: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    broadcast_probes: bool = True,
+) -> DataFrame:
+    """Radius/range search — ALL neighbors at/above a cosine
+    threshold, not a top-k (the dedup-adjacent retrieval mode: "give
+    me everything this similar"). Same bucket-restricted plan as
+    :func:`knn_bucketed` (probes broadcast, corpus never shuffles,
+    raw-vector + scalar-norm scan side) but the tail is a plain
+    filter on the ROUNDED score instead of a ranking window — no
+    per-probe state at all, so output size is the only scale factor.
+    → (probe_id, neighbor_id, cos ≥ threshold), self excluded."""
+    p = probes.select(
+        F.col(id_col).alias("probe_id"),
+        unit_normalize(F.col(vec_col)).alias("probe_vec"),
+        sign_bucket(F.col(vec_col), bits).alias("bucket"),
+    )
+    c = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("neighbor_vec"),
+        norm(F.col(vec_col)).alias("neighbor_norm"),
+        sign_bucket(F.col(vec_col), bits).alias("bucket"),
+    )
+    cands = c.join(F.broadcast(p) if broadcast_probes else p, on="bucket")
+    scored = cands.filter(F.col("probe_id") != F.col("neighbor_id")).select(
+        "probe_id",
+        "neighbor_id",
+        F.round(
+            _dot(F.col("probe_vec"), F.col("neighbor_vec")) / F.col("neighbor_norm"), 6
+        ).alias("cos"),
+    )
+    return scored.filter(F.col("cos") >= threshold)
 
 
 def assign_ivf_buckets(

@@ -122,3 +122,16 @@ def test_asof_null_key_left_row_gets_null_payload(spark):
     ).collect()
     assert len(rows) == 1
     assert rows[0]["rid"] is None
+
+
+def test_asof_join_payload_collision_raises(spark):
+    """A payload column name colliding with a left column fails loudly
+    instead of emitting an ambiguous duplicate column."""
+    import pytest
+
+    from lp_etl_plugins_spark.util import asof_join
+
+    left = spark.createDataFrame([(1, 10, "x")], "k long, t long, v string")
+    right = spark.createDataFrame([(1, 5, "y")], "k long, t2 long, v string")
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(left, right, key="k", left_time="t", right_time="t2", payload=["v"])
