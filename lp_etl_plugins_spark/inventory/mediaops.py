@@ -344,6 +344,53 @@ FROM cand WHERE hamming(pa, pb) <= 3
 """
 
 
+def m8_media_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact BINARY dedup — the t1 of the blob world: group media by
+    md5 over the raw container bytes (one hash-groupBy; blobs never
+    shuffle more than their 16-byte digest after the local hash) over
+    a corpus with 30 planted byte-identical duplicates. The oracle
+    cannot md5 bytes it doesn't have, so it groups by a reconstructed
+    content signature instead — content-equality grouping is the same
+    partition as digest grouping (the formula payload is
+    collision-free: ·31 is invertible mod 251).
+    → (canonical_id, n_copies) for groups > 1."""
+    media = synthetic_media(spark, 200)
+    dups = synthetic_media(spark, 30).withColumn(
+        "media_id", F.col("media_id") + 1000
+    )
+    corpus = media.unionByName(dups)
+    return (
+        corpus.groupBy(F.md5("data").alias("content_hash"))
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("media_id").alias("canonical_id"),
+        )
+        .filter(F.col("n_copies") > 1)
+        .select("canonical_id", "n_copies")
+    )
+
+
+M8_SQL = """
+WITH all_rows AS (
+  SELECT i, i AS media_id FROM (SELECT unnest(generate_series(0, 199)) AS i)
+  UNION ALL
+  SELECT i, i + 1000 FROM (SELECT unnest(generate_series(0, 29)) AS i)
+),
+hdr AS (
+  SELECT *, 16 + (i % 8) AS w, 12 + (i % 5) AS h, 3 AS c FROM all_rows
+),
+content AS (
+  SELECT a.media_id,
+         a.w::VARCHAR || 'x' || a.h || 'x' || a.c || ':' ||
+         string_agg(((a.i * 31 + j.j * 7) % 251)::VARCHAR, ',' ORDER BY j.j) AS sig
+  FROM hdr a, unnest(generate_series(0, a.w * a.h * a.c - 1)) AS j(j)
+  GROUP BY a.media_id, a.w, a.h, a.c, a.i
+)
+SELECT min(media_id) AS canonical_id, count(*)::BIGINT AS n_copies
+FROM content GROUP BY sig HAVING count(*) > 1
+"""
+
+
 QUERIES = {
     "m1_media_decode": m1_media_decode,
     "m2_frame_sample": m2_frame_sample,
@@ -352,6 +399,7 @@ QUERIES = {
     "m5_media_knn": m5_media_knn,
     "m6_phash_buckets": m6_phash_buckets,
     "m7_phash_neardup": m7_phash_neardup,
+    "m8_media_exact_dedup": m8_media_exact_dedup,
 }
 
 ORACLES: dict[str, str] = {
@@ -362,4 +410,5 @@ ORACLES: dict[str, str] = {
     "m5_media_knn": M5_SQL,
     "m6_phash_buckets": M6_SQL,
     "m7_phash_neardup": M7_SQL,
+    "m8_media_exact_dedup": M8_SQL,
 }
