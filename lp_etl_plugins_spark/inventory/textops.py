@@ -93,6 +93,25 @@ def gram_index(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     return sub
 
 
+def t0_dedup_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize the shared near-dup index and report its shape —
+    (n_pairs, n_clustered_docs, n_clusters). Named ``t0`` so that in
+    name-sorted bench runs the ONE-TIME index build cost lands on
+    this entry instead of on whichever consumer (t3/t4/t10/…)
+    happens to run first — per-query numbers stay attributable. The
+    oracle recomputes the candidate mine + transitive closure from
+    scratch, so this is also a direct hash gate on the index
+    contents."""
+    idx = dedup_index(spark, sf_dir)
+    p = idx.pairs.agg(F.count(F.lit(1)).alias("n_pairs"))
+    c = idx.clusters.agg(
+        F.count(F.lit(1)).alias("n_clustered_docs"),
+        F.countDistinct("cluster").alias("n_clusters"),
+    )
+    # two 1-row aggregates; the join is a 1x1 broadcast nested loop
+    return p.crossJoin(c)
+
+
 def t1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup summary: corpus size vs distinct-text count (one
     hash-groupBy; the per-group detail is t2's job)."""
@@ -177,6 +196,29 @@ def t3_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 T3_SQL = "WITH " + _SH_SQL + "," + _CAND_SQL + "\nSELECT id_a, id_b FROM cand"
+
+
+T0_SQL = (
+    "WITH RECURSIVE " + _SH_SQL + "," + _CAND_SQL + """,
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM cand
+  UNION
+  SELECT id_b, id_a FROM cand
+),
+reach(u, lbl) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges) t
+  UNION
+  SELECT e.u, r.lbl FROM edges e JOIN reach r ON r.u = e.v
+),
+comp AS (SELECT u, min(lbl) AS cluster FROM reach GROUP BY u)
+SELECT (SELECT count(*) FROM cand)::BIGINT AS n_pairs,
+       count(*)::BIGINT AS n_clustered_docs,
+       count(DISTINCT cluster)::BIGINT AS n_clusters
+FROM comp
+"""
+)
+
+
 
 
 def t4_lsh_jaccard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1515,6 +1557,7 @@ FROM full_docs GROUP BY source
 
 
 QUERIES = {
+    "t0_dedup_index_stats": t0_dedup_index_stats,
     "t1_exact_dedup": t1_exact_dedup,
     "t2_fingerprint_dedup": t2_fingerprint_dedup,
     "t3_minhash_lsh_pairs": t3_minhash_lsh_pairs,
@@ -1549,6 +1592,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "t0_dedup_index_stats": T0_SQL,
     "t1_exact_dedup": T1_SQL,
     "t2_fingerprint_dedup": T2_SQL,
     "t3_minhash_lsh_pairs": T3_SQL,

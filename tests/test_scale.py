@@ -340,6 +340,8 @@ def test_no_accidental_cross_products(spark):
 
     bnlj_ok = {
         "g4_values_undef",
+        "t0_dedup_index_stats",  # 1-row x 1-row summary join
+
         "t11_ngram_jaccard",
         "t14_containment",
         "t17_boilerplate_scrub",
