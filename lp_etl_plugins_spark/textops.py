@@ -799,6 +799,31 @@ class DedupIndex:
             self._clusters = connected_components(self.pairs)
         return self._clusters
 
+    def save(self, path: str) -> None:
+        """Persist the three substrates as parquet under ``path`` —
+        the cross-SESSION form of the build-once pattern (the
+        in-session form is the localCheckpoint): a 100 TB pipeline
+        materializes the dedup index once per corpus snapshot and
+        every later job (and every later run) reads it. Forces any
+        not-yet-built stage."""
+        self.pairs.write.mode("overwrite").parquet(f"{path}/pairs")
+        self.verified.write.mode("overwrite").parquet(f"{path}/verified")
+        self.clusters.write.mode("overwrite").parquet(f"{path}/clusters")
+
+    @classmethod
+    def load(cls, spark, path: str) -> "DedupIndex":
+        """Re-open a :meth:`save`-d index: the returned object serves
+        the parquet-backed frames directly (no corpus scan, no
+        rebuild); the stage-build counters stay at 0 because nothing
+        is built."""
+        idx = cls.__new__(cls)
+        idx._df = None
+        idx._pairs = spark.read.parquet(f"{path}/pairs")
+        idx._verified = spark.read.parquet(f"{path}/verified")
+        idx._clusters = spark.read.parquet(f"{path}/clusters")
+        idx.builds = {"pairs": 0, "verified": 0, "clusters": 0}
+        return idx
+
 
 def hash_bucket(col: Column | str, n_buckets: int = 100) -> Column:
     """Deterministic engine-portable bucket in [0, n_buckets): the

@@ -89,3 +89,21 @@ def test_gram_index_shared_across_consumers(spark):
     got = {(r["id_a"], r["id_b"]) for r in sub1[0].collect()}
     want = {(r["id_a"], r["id_b"]) for r in fresh_cand.collect()}
     assert got == want
+
+
+def test_index_save_load_roundtrip(spark, tmp_path):
+    """The cross-session persistence form: save writes the three
+    substrates as parquet; load serves them without any rebuild
+    (build counters stay 0) and byte-identical content."""
+    idx = IT.dedup_index(spark, SF_SMOKE)
+    path = str(tmp_path / "dedup_index")
+    idx.save(path)
+    from lp_etl_plugins_spark.textops import DedupIndex
+
+    loaded = DedupIndex.load(spark, path)
+    assert loaded.builds == {"pairs": 0, "verified": 0, "clusters": 0}
+    for stage in ("pairs", "verified", "clusters"):
+        got = sorted(tuple(r) for r in getattr(loaded, stage).collect())
+        want = sorted(tuple(r) for r in getattr(idx, stage).collect())
+        assert got == want, stage
+    assert loaded.builds == {"pairs": 0, "verified": 0, "clusters": 0}

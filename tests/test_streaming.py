@@ -311,3 +311,14 @@ def test_outer_interval_join_stream_equals_batch(spark, event_dir):
         "left_anti",
     )
     assert extra.count() == 0
+
+
+def test_stateful_v2_gate_and_processor_shape():
+    """The v2 arbitrary-state path is gated on the protobuf runtime;
+    in this container the gate must be False (fallback active), and
+    the StatefulProcessor factory must still construct a processor
+    with the v2 lifecycle hooks (it only needs protobuf at RUN time)."""
+    assert streaming._tws_available() is False  # no protobuf baked in
+    proc = streaming.make_totals_processor()
+    for hook in ("init", "handleInputRows", "close"):
+        assert callable(getattr(proc, hook))
