@@ -106,11 +106,15 @@ def near_dedup_canonical(spark: SparkSession, corpus: DataFrame) -> dict:
     from pyspark.sql import Window as W
 
     # a fresh index over THIS (already filtered) corpus — the inventory
-    # cache is keyed by raw corpus dir and must not serve filtered data
+    # cache is keyed by raw corpus dir and must not serve filtered data.
+    # Deletion decisions collapse VERIFIED clusters only: candidate
+    # components include LSH band false positives (collision prob
+    # ≈ s^rows per band), and deleting on those would drop documents
+    # that are not near-duplicates under the configured threshold.
     idx = T.DedupIndex(corpus, "text", "doc_id")
     labeled = (
         corpus.withColumn("__q", T.quality_score("text"))
-        .join(idx.clusters.withColumnRenamed("id", "doc_id"), "doc_id", "left")
+        .join(idx.verified_clusters.withColumnRenamed("id", "doc_id"), "doc_id", "left")
         .withColumn("cluster", F.coalesce("cluster", "doc_id"))
     )
     w = W.partitionBy("cluster").orderBy(F.col("__q").desc(), F.col("doc_id").asc())

@@ -136,12 +136,14 @@ def join_solutions(
     cartesian product).
 
     ``strict_terms=True`` joins shared variables on the full RDF term
-    — (lexical value, term type) — instead of the lexical form only:
-    sameTerm semantics, so an IRI never matches a literal whose
-    lexical form collides with it. A variable bound in subject or
-    predicate position is an IRI by construction (its effective type
-    is ``'iri'``). Default off: the reference's graphs have no such
-    collisions and the lexical join costs one key column less.
+    — (lexical value, term type, language tag, datatype) — instead of
+    the lexical form only: sameTerm semantics, so an IRI never matches
+    a literal whose lexical form collides with it, and ``"2020"@en``
+    never matches ``"2020"^^xsd:gYear`` or ``"2020"@fr``. A variable
+    bound in subject or predicate position is an IRI by construction
+    (its effective term is ``('iri', no lang, no datatype)``). Default
+    off: the reference's graphs have no such collisions and the
+    lexical join costs one key column less.
 
     ``n_salts`` enables the salted skew join for hot shared-variable
     values (e.g. the rdf:type object on a 100 TB triples table —
@@ -156,17 +158,28 @@ def join_solutions(
     shared = sorted(_plain_vars(left) & _plain_vars(right))
     term_keys: list[str] = []
     if strict_terms:
-        # materialize each side's effective term type BEFORE the
-        # right-side meta columns are dropped below; s/p-position
-        # bindings (no __type companion) are IRIs by construction
+        # materialize each side's effective (type, lang, datatype)
+        # BEFORE the right-side meta columns are dropped below;
+        # s/p-position bindings (no meta companions) are plain IRIs by
+        # construction. Folded into ONE key column with \x01 separators
+        # and null→'' coalescing: null lang/datatype must compare
+        # EQUAL (sameTerm), while a bare equi-join key of null would
+        # drop the row under SQL null semantics.
+        def _term_key(df: DataFrame, v: str) -> Column:
+            t, l, d = _meta_cols(v)
+            if t not in df.columns:
+                return F.lit("iri\x01\x01")
+            return F.concat_ws(
+                "\x01",
+                F.coalesce(F.col(t), F.lit("")),
+                F.coalesce(F.col(l), F.lit("")),
+                F.coalesce(F.col(d), F.lit("")),
+            )
+
         for v in shared:
-            t, key = f"{v}__type", f"__term_{v}"
-            left = left.withColumn(
-                key, F.col(t) if t in left.columns else F.lit("iri")
-            )
-            right = right.withColumn(
-                key, F.col(t) if t in right.columns else F.lit("iri")
-            )
+            key = f"__term_{v}"
+            left = left.withColumn(key, _term_key(left, v))
+            right = right.withColumn(key, _term_key(right, v))
             term_keys.append(key)
     drop = [c for v in shared for c in _meta_cols(v) if c in right.columns and c in left.columns]
     right = right.drop(*drop)

@@ -12,13 +12,24 @@ Why not plain replication: R copies of every document collapse into
 R-sized duplicate clusters, so pairwise operators (LSH candidates,
 components) would grow Ω(R²) BY CONSTRUCTION of the test corpus — a
 measurement artifact, not an engine property. Instead each replica k
-prefixes every word with ``r<k>x``: replica vocabularies are disjoint,
-so no shingle/char-gram ever matches across replicas and the corpus
-becomes R independent shifted copies — internal dup structure
-identical to the original, total structure exactly R×. Embeddings are
-circularly rotated by k dimensions per replica: norms are preserved,
-and rotated random vectors decorrelate, so near-dup/ANN candidate
-structure likewise grows ≈ R×, not R²."""
+prefixes every word with ``r<k>x``: replica WORD vocabularies are
+disjoint, so no word-level shingle (the MinHash/LSH/Jaccard-verify
+family, t3/t4/t10/t26) ever matches across replicas and that family's
+dup structure is exactly R independent copies of the original.
+
+CHAR n-grams are different: the prefix only perturbs grams near each
+word boundary, so interior char-grams (e.g. ``ame`` inside
+``r3xgamename``-style tokens) remain shared across replicas — their
+document frequency multiplies ≈ R× while the absolute ``max_df=64``
+cap stays fixed, so at 8×/64× the gram family (t11/t14) measures an
+increasingly PRUNED candidate workload, not R independent copies of
+the 1× workload. That is the cap doing at small scale exactly what it
+does at 100 TB (ubiquitous grams carry no dedup signal and are
+dropped), but it means the fitted exponents for t11/t14 understate a
+workload-preserving scale-up — SCALE.md's caveat (c) states this next
+to the numbers. Embeddings are circularly rotated by k dimensions per
+replica: norms are preserved, and rotated random vectors decorrelate,
+so near-dup/ANN candidate structure grows ≈ R×, not R²."""
 
 from __future__ import annotations
 

@@ -97,17 +97,31 @@ _TOTALS_OUT = "user_id long, n_events long, sum_value double"
 _TOTALS_STATE = "n long, s double"
 
 
-def _tws_available() -> bool:
+_ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+_DEFAULT_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
+)
+
+
+def _tws_available(spark) -> bool:
     """Spark 4's arbitrary-state v2 runtime (``transformWithState``)
-    speaks protobuf between the JVM state server and the Python
-    worker; without the ``protobuf`` package the driver worker
-    crashes at init. Gate on importability, never at runtime."""
+    needs BOTH the ``protobuf`` package (the JVM state server and the
+    Python worker speak protobuf; absent it the worker crashes at
+    init) AND the RocksDB state store provider configured on the
+    session (the v2 operator refuses the default HDFS-backed provider
+    at runtime). Protobuf importability alone is an incidental proxy —
+    it ships as a transitive dep of many packages — so gate on both,
+    against the session the query will actually run under."""
     try:
         from google.protobuf import descriptor  # noqa: F401
-
-        return True
     except ImportError:
         return False
+    provider = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", _DEFAULT_PROVIDER
+    )
+    return "RocksDBStateStoreProvider" in provider
 
 
 def make_totals_processor():
@@ -153,16 +167,18 @@ def stateful_user_totals(events: DataFrame) -> DataFrame:
     Primary path is the Spark 4 arbitrary-state v2 API
     (``transformWithStateInPandas`` + :func:`make_totals_processor` —
     ValueState now, timers/TTL/list/map state available on the same
-    handle; requires the RocksDB state store provider and the
-    ``protobuf`` package). Where protobuf is absent (this container)
-    the same contract runs on ``applyInPandasWithState`` — identical
-    output, asserted by the batch-equivalence test either way.
+    handle; requires the RocksDB state store provider configured on
+    the session AND the ``protobuf`` package — both checked by
+    :func:`_tws_available`). Where either is missing (this container
+    lacks protobuf; a default session lacks RocksDB) the same
+    contract runs on ``applyInPandasWithState`` — identical output,
+    asserted by the batch-equivalence test either way.
 
     On the final trigger the emitted totals equal :func:`user_totals`
     on the same data seen as one batch — asserted in
     tests/test_streaming.py. Streaming frames only; batch callers use
     the twin."""
-    if _tws_available():
+    if _tws_available(events.sparkSession):
         return events.groupBy("user_id").transformWithStateInPandas(
             make_totals_processor(),
             _TOTALS_OUT,

@@ -729,8 +729,18 @@ class DedupIndex:
       are already materialized and lineage is truncated;
     - iterative consumers (components) never re-trigger the mining.
 
-    Stage DAG: ``pairs`` → (``verified``, ``clusters``); ``verified``
-    additionally scans the corpus once for per-doc distinct gram sets.
+    Stage DAG: ``pairs`` → (``verified``, ``clusters``) and
+    ``verified`` → ``verified_clusters``; ``verified`` additionally
+    scans the corpus once for per-doc distinct gram sets.
+
+    Two cluster views, two contracts: ``clusters`` labels components
+    of the raw CANDIDATE pairs (t3's output — what the t10/t26
+    oracle-twinned queries mirror), while ``verified_clusters`` labels
+    components of the Jaccard-VERIFIED pairs only. Deletion decisions
+    (canonical selection in a curation pipeline) must use
+    ``verified_clusters``: a banded-LSH candidate pair has a per-band
+    false-positive probability ≈ s^rows, so collapsing candidate
+    components would silently drop non-duplicates.
     """
 
     def __init__(
@@ -758,9 +768,10 @@ class DedupIndex:
         self._pairs: DataFrame | None = None
         self._verified: DataFrame | None = None
         self._clusters: DataFrame | None = None
+        self._verified_clusters: DataFrame | None = None
         # stage-build counters — lets tests (and ops dashboards) assert
         # the build-once contract instead of trusting it
-        self.builds: dict[str, int] = {"pairs": 0, "verified": 0, "clusters": 0}
+        self.builds: dict[str, int] = dict.fromkeys(self._STAGES, 0)
 
     @property
     def pairs(self) -> DataFrame:
@@ -789,26 +800,42 @@ class DedupIndex:
             ).localCheckpoint()
         return self._verified
 
+    _STAGES = ("pairs", "verified", "clusters", "verified_clusters")
+
     @property
     def clusters(self) -> DataFrame:
-        """Connected-component labels (id, cluster) over the candidate
+        """Connected-component labels (id, cluster) over the CANDIDATE
         pairs — checkpointed by construction (every round of
-        :func:`connected_components` checkpoints)."""
+        :func:`connected_components` checkpoints). Analysis view
+        (what the t10/t26 oracles mirror); for deletion decisions use
+        :attr:`verified_clusters`."""
         if self._clusters is None:
             self.builds["clusters"] += 1
             self._clusters = connected_components(self.pairs)
         return self._clusters
 
+    @property
+    def verified_clusters(self) -> DataFrame:
+        """Connected-component labels (id, cluster) over the
+        Jaccard-VERIFIED pairs only — the view a curation pipeline
+        collapses, so LSH band false positives never delete a
+        non-duplicate document."""
+        if self._verified_clusters is None:
+            self.builds["verified_clusters"] += 1
+            self._verified_clusters = connected_components(
+                self.verified.select("id_a", "id_b")
+            )
+        return self._verified_clusters
+
     def save(self, path: str) -> None:
-        """Persist the three substrates as parquet under ``path`` —
+        """Persist the substrates as parquet under ``path`` —
         the cross-SESSION form of the build-once pattern (the
         in-session form is the localCheckpoint): a 100 TB pipeline
         materializes the dedup index once per corpus snapshot and
         every later job (and every later run) reads it. Forces any
         not-yet-built stage."""
-        self.pairs.write.mode("overwrite").parquet(f"{path}/pairs")
-        self.verified.write.mode("overwrite").parquet(f"{path}/verified")
-        self.clusters.write.mode("overwrite").parquet(f"{path}/clusters")
+        for stage in self._STAGES:
+            getattr(self, stage).write.mode("overwrite").parquet(f"{path}/{stage}")
 
     @classmethod
     def load(cls, spark, path: str) -> "DedupIndex":
@@ -818,10 +845,9 @@ class DedupIndex:
         is built."""
         idx = cls.__new__(cls)
         idx._df = None
-        idx._pairs = spark.read.parquet(f"{path}/pairs")
-        idx._verified = spark.read.parquet(f"{path}/verified")
-        idx._clusters = spark.read.parquet(f"{path}/clusters")
-        idx.builds = {"pairs": 0, "verified": 0, "clusters": 0}
+        for stage in cls._STAGES:
+            setattr(idx, f"_{stage}", spark.read.parquet(f"{path}/{stage}"))
+        idx.builds = dict.fromkeys(cls._STAGES, 0)
         return idx
 
 

@@ -80,28 +80,34 @@ def unit_normalize(vec: Column) -> Column:
     return F.transform(vec, lambda x: x.cast("double") / n)
 
 
-def _cosine_topk(cands, k: int, exclude_self: bool = True):
-    """Score-and-rank tail shared by the cosine kNN family
-    (brute-force / bucketed / IVF): candidates carry (probe_id,
-    probe_vec unit-normalized, neighbor_id, neighbor_vec raw,
-    neighbor_norm scalar); each pair costs one dot fold plus a
-    divide, ranked per probe with the id tie-break. One copy of the
-    scoring expression — the rounding grid and tie-break stay in
-    sync across every kNN variant. ``exclude_self=False`` for
-    external probes, whose ids live in a namespace disjoint from the
-    corpus (an accidental id collision must not drop a neighbor)."""
+def _cosine_scored(cands, exclude_self: bool = True):
+    """Scoring tail shared by the whole cosine retrieval family
+    (brute-force / bucketed / IVF top-k AND range search): candidates
+    carry (probe_id, probe_vec unit-normalized, neighbor_id,
+    neighbor_vec raw, neighbor_norm scalar); each pair costs one dot
+    fold plus a divide. THE one copy of the scoring expression — the
+    1e-6 rounding grid and the normalization stay in sync across
+    every variant and their DuckDB oracles. ``exclude_self=False``
+    for external probes, whose ids live in a namespace disjoint from
+    the corpus (an accidental id collision must not drop a
+    neighbor)."""
     if exclude_self:
         cands = cands.filter(F.col("probe_id") != F.col("neighbor_id"))
-    scored = (
-        cands.select(
-            "probe_id",
-            "neighbor_id",
-            F.round(
-                _dot(F.col("probe_vec"), F.col("neighbor_vec")) / F.col("neighbor_norm"),
-                6,
-            ).alias("cos"),
-        )
+    return cands.select(
+        "probe_id",
+        "neighbor_id",
+        F.round(
+            _dot(F.col("probe_vec"), F.col("neighbor_vec")) / F.col("neighbor_norm"),
+            6,
+        ).alias("cos"),
     )
+
+
+def _cosine_topk(cands, k: int, exclude_self: bool = True):
+    """Rank tail of :func:`_cosine_scored` for the top-k variants:
+    per-probe window on (cos desc, id) — the id tie-break keeps the
+    ranking deterministic on the rounded grid."""
+    scored = _cosine_scored(cands, exclude_self)
     win = W.partitionBy("probe_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(win))
@@ -241,14 +247,7 @@ def range_search(
         sign_bucket(F.col(vec_col), bits).alias("bucket"),
     )
     cands = c.join(F.broadcast(p) if broadcast_probes else p, on="bucket")
-    scored = cands.filter(F.col("probe_id") != F.col("neighbor_id")).select(
-        "probe_id",
-        "neighbor_id",
-        F.round(
-            _dot(F.col("probe_vec"), F.col("neighbor_vec")) / F.col("neighbor_norm"), 6
-        ).alias("cos"),
-    )
-    return scored.filter(F.col("cos") >= threshold)
+    return _cosine_scored(cands).filter(F.col("cos") >= threshold)
 
 
 def assign_ivf_buckets(

@@ -33,7 +33,9 @@ def test_each_substrate_builds_exactly_once(spark):
         IT.t10_dedup_clusters(spark, SF_SMOKE).collect()
         IT.t26_canonical_dedup(spark, SF_SMOKE).collect()
         IT.t29_source_overlap(spark, SF_SMOKE).collect()
-    assert idx.builds == {"pairs": 1, "verified": 1, "clusters": 1}
+    assert idx.builds == {
+        "pairs": 1, "verified": 1, "clusters": 1, "verified_clusters": 0,
+    }
     # and the cached frames are the same objects on re-access
     assert idx.pairs is idx.pairs
     assert idx.verified is idx.verified
@@ -92,18 +94,50 @@ def test_gram_index_shared_across_consumers(spark):
 
 
 def test_index_save_load_roundtrip(spark, tmp_path):
-    """The cross-session persistence form: save writes the three
+    """The cross-session persistence form: save writes the
     substrates as parquet; load serves them without any rebuild
     (build counters stay 0) and byte-identical content."""
+    from lp_etl_plugins_spark.textops import DedupIndex
+
     idx = IT.dedup_index(spark, SF_SMOKE)
     path = str(tmp_path / "dedup_index")
     idx.save(path)
-    from lp_etl_plugins_spark.textops import DedupIndex
 
+    zero = dict.fromkeys(DedupIndex._STAGES, 0)
     loaded = DedupIndex.load(spark, path)
-    assert loaded.builds == {"pairs": 0, "verified": 0, "clusters": 0}
-    for stage in ("pairs", "verified", "clusters"):
+    assert loaded.builds == zero
+    for stage in DedupIndex._STAGES:
         got = sorted(tuple(r) for r in getattr(loaded, stage).collect())
         want = sorted(tuple(r) for r in getattr(idx, stage).collect())
         assert got == want, stage
-    assert loaded.builds == {"pairs": 0, "verified": 0, "clusters": 0}
+    assert loaded.builds == zero
+
+
+def test_verified_clusters_exclude_lsh_false_positives(spark):
+    """Deletion-grade clusters must derive from VERIFIED pairs: a
+    candidate pair whose exact Jaccard is below threshold (an LSH
+    band collision) appears in `clusters` but must NOT merge in
+    `verified_clusters` — otherwise a curation pipeline deletes a
+    non-duplicate. Construct a corpus where two documents share one
+    minhash band but have Jaccard < 0.8."""
+    from lp_etl_plugins_spark.textops import DedupIndex
+
+    rows = [
+        # near-identical pair (true duplicates, Jaccard ≈ 1)
+        (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (2, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        # moderately-overlapping doc: enough shared shingles that SOME
+        # 2-row band may collide with 1/2, but Jaccard well below 0.8
+        (3, "alpha beta gamma delta epsilon zeta omega psi chi phi "
+            "upsilon tau sigma rho pi omicron xi nu mu lambda"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    idx = DedupIndex(docs, "text", "doc_id", threshold=0.8)
+    verified = {(r["id_a"], r["id_b"]) for r in idx.verified.collect()}
+    assert (1, 2) in verified
+    assert (1, 3) not in verified and (2, 3) not in verified
+    vlab = {r["id"]: r["cluster"] for r in idx.verified_clusters.collect()}
+    # 1 and 2 merge; 3 never joins the verified cluster even if it was
+    # a candidate
+    assert vlab.get(1) == vlab.get(2)
+    assert vlab.get(3, 3) != vlab[1]

@@ -349,3 +349,32 @@ def test_strict_terms_join_option(spark):
         for r in graphq.bgp(g, pats, n_salts=4, strict_terms=True).collect()
     }
     assert salted == strict
+
+
+def test_strict_terms_compare_lang_and_datatype(spark):
+    """sameTerm also requires identical language tag and datatype for
+    literal-literal joins: "2020"@en vs "2020"^^xsd:gYear share a
+    lexical form but are different terms; plain literals with null
+    lang/datatype on both sides must still MATCH (null meta compares
+    equal under sameTerm, unlike SQL null join keys)."""
+    gy = "http://www.w3.org/2001/XMLSchema#gYear"
+    rows = [
+        ("urn:a", "urn:q1", "2020", "literal", "en", None),
+        ("urn:b", "urn:q2", "2020", "literal", None, gy),
+        ("urn:e", "urn:q2", "2020", "literal", "fr", None),
+        ("urn:c", "urn:q1", "ok", "literal", None, None),
+        ("urn:d", "urn:q2", "ok", "literal", None, None),
+    ]
+    g = _tiny_graph(spark, rows)
+    pats = [("?x", "urn:q1", "?v"), ("?y", "urn:q2", "?v")]
+    lex = {(r["x"], r["y"], r["v"]) for r in graphq.bgp(g, pats).collect()}
+    assert lex == {
+        ("urn:a", "urn:b", "2020"),
+        ("urn:a", "urn:e", "2020"),
+        ("urn:c", "urn:d", "ok"),
+    }
+    strict = {
+        (r["x"], r["y"], r["v"])
+        for r in graphq.bgp(g, pats, strict_terms=True).collect()
+    }
+    assert strict == {("urn:c", "urn:d", "ok")}

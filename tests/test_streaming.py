@@ -313,12 +313,41 @@ def test_outer_interval_join_stream_equals_batch(spark, event_dir):
     assert extra.count() == 0
 
 
-def test_stateful_v2_gate_and_processor_shape():
-    """The v2 arbitrary-state path is gated on the protobuf runtime;
-    in this container the gate must be False (fallback active), and
-    the StatefulProcessor factory must still construct a processor
-    with the v2 lifecycle hooks (it only needs protobuf at RUN time)."""
-    assert streaming._tws_available() is False  # no protobuf baked in
+def test_stateful_v2_gate_and_processor_shape(spark):
+    """The v2 arbitrary-state path is gated on BOTH the protobuf
+    runtime and a RocksDB-configured session. In this container the
+    gate must be False (fallback active); even where protobuf IS
+    importable (simulated below), a session on the default HDFS
+    state store provider must still gate False — protobuf presence
+    alone is an incidental proxy that would flip the implementation
+    onto a provider that rejects it at runtime. The
+    StatefulProcessor factory must still construct a processor with
+    the v2 lifecycle hooks (it only needs protobuf at RUN time)."""
+    import sys
+    import types
+
+    assert streaming._tws_available(spark) is False  # no protobuf baked in
+
+    # Simulate a protobuf-bearing environment: the gate must STILL be
+    # False because the session's provider is the HDFS default.
+    fake_pb = types.ModuleType("google.protobuf")
+    fake_pb.descriptor = types.ModuleType("google.protobuf.descriptor")
+    saved = {k: sys.modules.get(k) for k in
+             ("google", "google.protobuf", "google.protobuf.descriptor")}
+    try:
+        google_mod = types.ModuleType("google")
+        google_mod.protobuf = fake_pb
+        sys.modules["google"] = google_mod
+        sys.modules["google.protobuf"] = fake_pb
+        sys.modules["google.protobuf.descriptor"] = fake_pb.descriptor
+        assert streaming._tws_available(spark) is False  # provider gate
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                sys.modules.pop(k, None)
+            else:
+                sys.modules[k] = v
+
     proc = streaming.make_totals_processor()
     for hook in ("init", "handleInputRows", "close"):
         assert callable(getattr(proc, hook))
