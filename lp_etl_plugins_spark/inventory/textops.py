@@ -15,7 +15,7 @@ Scale notes (the point of each design):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .. import textops as T
@@ -1556,6 +1556,128 @@ FROM full_docs GROUP BY source
 """
 
 
+_PACK_CAPACITY = 256
+_PACK_SHARDS = 8
+
+
+def t32_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing into fixed 256-token context windows
+    (:func:`textops.pack_bins` — concat-and-split, the pretraining
+    batch-prep layout), rolled up per bin. Packing is a sequential
+    prefix sum, so it is SHARDED: shard = hash_bucket(doc_id, 8) and
+    the cumsum window partitions by (source, shard) — every shard
+    packs independently in parallel, no global window, no single-task
+    stage (exactly how a production run packs per input shard; bins
+    are shard-local). A document belongs to the bin where it STARTS;
+    interior bins can exceed capacity by the straddling document's
+    tail, which is the point of the layout.
+    → (source, shard, bin, n_docs, bin_tokens)."""
+    packed = T.pack_bins(
+        _docs(spark, sf_dir), "text", "doc_id", "source",
+        _PACK_CAPACITY, _PACK_SHARDS,
+    )
+    return packed.groupBy("source", "shard", "bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("toks").alias("bin_tokens"),
+    )
+
+
+T32_SQL = r"""
+WITH d AS (
+  SELECT source,
+         doc_id AS id,
+         ('0x' || substring(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 8 AS shard,
+         len(regexp_split_to_array(lower(trim(text)), '\s+'))::BIGINT AS toks
+  FROM documents
+),
+offs AS (
+  SELECT *, coalesce(sum(toks) OVER (
+           PARTITION BY source, shard ORDER BY id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0)::BIGINT AS start_offset
+  FROM d
+)
+SELECT source, shard, (start_offset // 256)::BIGINT AS bin,
+       count(*) AS n_docs, sum(toks)::BIGINT AS bin_tokens
+FROM offs GROUP BY source, shard, bin
+"""
+
+
+_RE_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_RE_URL = r"https?://[^\s]+"
+_RE_DENY = r"\b(customer|supplier)\b"
+
+
+def t33_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII / denylist scrub (:func:`textops.redact_text`): emails →
+    ``<EMAIL>``, URLs → ``<URL>``, denylisted entity terms →
+    ``<ENTITY>``, applied in that order with global replacement —
+    the standard pre-training privacy/contamination scrub. Patterns
+    stay in the RE2-compatible subset so Spark's Java regex and the
+    DuckDB oracle replace byte-identically; the order-independent
+    md5-prefix checksum over every REDACTED text proves the actual
+    replacement output matches cross-engine, not just the counts
+    (the synthetic corpus contains denylist terms but no emails/URLs
+    — those counters assert the zero). Narrow expressions only; one
+    tiny per-source aggregate.
+    → (source, n_docs, docs_redacted, n_emails, n_urls, n_entities,
+    redacted_checksum)."""
+    docs = _docs(spark, sf_dir)
+    redacted = T.redact_text(
+        "text",
+        [(_RE_EMAIL, "<EMAIL>"), (_RE_URL, "<URL>"), (_RE_DENY, "<ENTITY>")],
+    )
+
+    def hits(pat: str) -> Column:
+        return F.size(F.regexp_extract_all(F.col("text"), F.lit(pat), 0)).cast(
+            "bigint"
+        )
+
+    chk = F.conv(F.substring(F.md5(redacted), 1, 8), 16, 10).cast("bigint")
+    return (
+        docs.select(
+            "source",
+            hits(_RE_EMAIL).alias("e"),
+            hits(_RE_URL).alias("u"),
+            hits(_RE_DENY).alias("n"),
+            (redacted != F.col("text")).cast("bigint").alias("chg"),
+            chk.alias("chk"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("chg").alias("docs_redacted"),
+            F.sum("e").alias("n_emails"),
+            F.sum("u").alias("n_urls"),
+            F.sum("n").alias("n_entities"),
+            F.sum("chk").alias("redacted_checksum"),
+        )
+    )
+
+
+T33_SQL = r"""
+WITH r AS (
+  SELECT source, text,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             'https?://[^\s]+', '<URL>', 'g'),
+           '\b(customer|supplier)\b', '<ENTITY>', 'g') AS redacted
+  FROM documents
+)
+SELECT source,
+       count(*) AS n_docs,
+       sum((redacted != text)::BIGINT)::BIGINT AS docs_redacted,
+       sum(len(regexp_extract_all(text,
+         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')))::BIGINT AS n_emails,
+       sum(len(regexp_extract_all(text, 'https?://[^\s]+')))::BIGINT AS n_urls,
+       sum(len(regexp_extract_all(text, '\b(customer|supplier)\b')))::BIGINT AS n_entities,
+       sum(('0x' || substring(md5(redacted), 1, 8))::BIGINT)::BIGINT AS redacted_checksum
+FROM r GROUP BY source
+"""
+
+
 QUERIES = {
     "t0_dedup_index_stats": t0_dedup_index_stats,
     "t1_exact_dedup": t1_exact_dedup,
@@ -1589,6 +1711,8 @@ QUERIES = {
     "t29_source_overlap": t29_source_overlap,
     "t30_contamination_spans": t30_contamination_spans,
     "t31_char_entropy": t31_char_entropy,
+    "t32_sequence_pack": t32_sequence_pack,
+    "t33_redact": t33_redact,
 }
 
 ORACLES = {
@@ -1624,4 +1748,6 @@ ORACLES = {
     "t29_source_overlap": T29_SQL,
     "t30_contamination_spans": T30_SQL,
     "t31_char_entropy": T31_SQL,
+    "t32_sequence_pack": T32_SQL,
+    "t33_redact": T33_SQL,
 }

@@ -864,6 +864,72 @@ def hash_bucket(col: Column | str, n_buckets: int = 100) -> Column:
     return word % n_buckets
 
 
+def pack_bins(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    group_col: str,
+    capacity: int,
+    n_shards: int = 8,
+) -> DataFrame:
+    """Greedy sequence packing into fixed-capacity context windows —
+    the pretraining batch-prep step (concat-and-split): documents are
+    laid out in ``id_col`` order, each document starts at the running
+    token offset of its predecessors, and its bin is
+    ``start_offset // capacity``. A document may straddle a bin
+    boundary; it belongs to the bin where it STARTS — exactly the
+    GPT-style "concatenate and cut at context length" layout.
+
+    Scale design: packing is an inherently sequential prefix sum, so
+    it is SHARDED — ``shard = hash_bucket(id, n_shards)`` and the
+    cumulative-sum window partitions by (group, shard). Every shard
+    packs independently and in parallel (precisely how a production
+    run packs per input shard; bins are shard-local), so there is no
+    global window and no single-task stage; per-shard state is one
+    running BIGINT. Token counts use the shared
+    :func:`normalized_words` splitter, so the DuckDB oracle agrees
+    token-for-token. → one row per document:
+    (group, shard, bin, id, toks, start_offset)."""
+    w = W.partitionBy(group_col, "__shard").orderBy(F.col("id").asc())
+    return (
+        df.select(
+            F.col(group_col),
+            F.col(id_col).alias("id"),
+            hash_bucket(id_col, n_shards).alias("__shard"),
+            F.size(normalized_words(text_col)).cast("bigint").alias("toks"),
+        )
+        .withColumn(
+            "start_offset",
+            F.coalesce(
+                F.sum("toks").over(w.rowsBetween(W.unboundedPreceding, -1)),
+                F.lit(0).cast("bigint"),
+            ),
+        )
+        .select(
+            group_col,
+            F.col("__shard").alias("shard"),
+            (F.col("start_offset") / capacity).cast("bigint").alias("bin"),
+            "id",
+            "toks",
+            "start_offset",
+        )
+    )
+
+
+def redact_text(col: Column | str, rules: list[tuple[str, str]]) -> Column:
+    """Sequential regex redaction — the PII / denylist scrub step of a
+    curation pipeline: ``rules`` is an ordered list of (pattern,
+    replacement) applied left to right with global replacement.
+    Patterns must stay in the RE2-compatible subset (character
+    classes, alternation, ``\\b`` word boundaries — no lookaround) so
+    the DuckDB oracle (``regexp_replace(..., 'g')``) and Spark's Java
+    regex agree byte-for-byte. Narrow expression, no shuffle, JVM-side."""
+    out = F.col(col) if isinstance(col, str) else col
+    for pattern, repl in rules:
+        out = F.regexp_replace(out, pattern, repl)
+    return out
+
+
 def quota_sample(df: DataFrame, group_col: str, id_col: str, k: int) -> DataFrame:
     """Deterministic per-group quota sample (stratified sampling for
     data mixing): the ``k`` members with the smallest

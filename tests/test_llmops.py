@@ -790,3 +790,48 @@ def test_contamination_spans_locates_leak(spark):
     assert r["span_text"] == quote
     # 12-word quote -> 5 sliding 8-grams shared
     assert r["n_shared_grams"] == 5
+
+
+def test_pack_bins_concat_split_layout(spark):
+    """Sequence packing: within a (group, shard), documents start at
+    the running token offset of their predecessors in id order, and a
+    document belongs to the bin where it STARTS (concat-and-split) —
+    so a straddling document does not open a new bin early, and every
+    shard packs independently."""
+    # single source; force one shard so the layout is fully determined
+    rows = [
+        (1, "a b c"),            # toks 3, start 0  -> bin 0
+        (2, "d e f g"),          # toks 4, start 3  -> bin 0
+        (3, "h i j k l m n o"),  # toks 8, start 7  -> bin 0 (straddles 10)
+        (4, "p q"),              # toks 2, start 15 -> bin 1
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string").withColumn(
+        "source", F.lit("s")
+    )
+    out = {
+        r["id"]: (r["bin"], r["toks"], r["start_offset"])
+        for r in textops.pack_bins(
+            df, "text", "doc_id", "source", capacity=10, n_shards=1
+        ).collect()
+    }
+    assert out == {1: (0, 3, 0), 2: (0, 4, 3), 3: (0, 8, 7), 4: (1, 2, 15)}
+
+
+def test_redact_text_rules_apply_in_order(spark):
+    """Redaction applies rules left-to-right with global replacement;
+    RE2-subset patterns only (the oracle contract)."""
+    rows = [(1, "mail bob@example.com and http://x.io/a?b=1 for customer data "
+                "customer supplier accustomed")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    red = df.select(
+        textops.redact_text(
+            "text",
+            [
+                (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+                (r"https?://[^\s]+", "<URL>"),
+                (r"\b(customer|supplier)\b", "<ENTITY>"),
+            ],
+        ).alias("t")
+    ).first()["t"]
+    assert red == ("mail <EMAIL> and <URL> for <ENTITY> data "
+                   "<ENTITY> <ENTITY> accustomed")
