@@ -127,6 +127,49 @@ def near_dedup_canonical(spark: SparkSession, corpus: DataFrame) -> dict:
 
 
 @register(
+    "redact_corpus",
+    "Scrub emails, URLs, and denylisted entity terms from document text",
+    ("corpus", "denylist"),
+    ("corpus", "observation"),
+)
+def redact_corpus(
+    spark: SparkSession,
+    corpus: DataFrame,
+    denylist: tuple[str, ...] = ("customer", "supplier"),
+) -> dict:
+    rules = [(T.EMAIL_PATTERN, "<EMAIL>"), (T.URL_PATTERN, "<URL>")]
+    if denylist:
+        rules.append((T.denylist_pattern(denylist), "<ENTITY>"))
+    return _observed(
+        corpus.withColumn("text", T.redact_text("text", rules)), "redact"
+    )
+
+
+@register(
+    "pack_corpus",
+    "Pack the curated corpus into fixed-capacity context-window bins",
+    ("corpus", "capacity"),
+    ("packed", "observation"),
+)
+def pack_corpus(
+    spark: SparkSession,
+    corpus: DataFrame,
+    capacity: int = 2048,
+    n_shards: int = 64,
+) -> dict:
+    """Final layout step: every document gets its (shard, bin,
+    start_offset) under the concat-and-split packing of
+    :func:`textops.pack_bins` — sharded, so the sequential prefix sum
+    parallelizes per (source, shard). Emits the ASSIGNMENT frame
+    (joinable back to the corpus on doc_id), not the corpus itself."""
+    packed = T.pack_bins(
+        corpus, "text", "doc_id", "source", capacity, n_shards
+    ).withColumnRenamed("id", "doc_id")
+    packed, obs = observe_rows(packed, "pack_rows")
+    return {"packed": packed, "observation": obs}
+
+
+@register(
     "decontaminate_corpus",
     "Drop benchmark docs and training docs that leak a benchmark",
     ("corpus", "bench_source"),
@@ -168,6 +211,17 @@ def write_corpus(spark: SparkSession, corpus: DataFrame, path: str) -> dict:
     return {"path": path}
 
 
+@register(
+    "write_packed",
+    "Write the context-window packing assignment as source-partitioned parquet",
+    ("packed", "path"),
+    ("packed_path",),
+)
+def write_packed(spark: SparkSession, packed: DataFrame, path: str) -> dict:
+    write_partitioned(packed, path, ["source"])
+    return {"packed_path": path}
+
+
 def curate_corpus(
     spark: SparkSession,
     sf_dir: str,
@@ -176,17 +230,27 @@ def curate_corpus(
     min_quality: float = 0.5,
     bench_source: str = "src0",
     quota_k: int | None = None,
+    redact: bool = False,
+    pack_capacity: int | None = None,
 ) -> dict:
     """Run the full curation pipeline via the registry and return
     ``{"path": out_path, "metrics": {stage: rows_out}}``. The metrics
     come from the per-stage Observations, all materialized by the one
-    write action (no second pass)."""
+    write action (no second pass). ``redact=True`` inserts the
+    PII/denylist scrub after the quality filter (before dedup, so
+    redacted forms are what dedup compares); ``pack_capacity`` adds
+    the context-window packing assignment as a second parquet output
+    at ``{out_path}_packed`` and a ``"packed_path"`` result key."""
     from . import registry
 
     stages: list[tuple[str, dict]] = [
         ("corpus_ingest", {"sf_dir": sf_dir}),
         ("lang_filter", {"corpus": "corpus", "lang": lang}),
         ("quality_filter", {"corpus": "corpus", "min_quality": min_quality}),
+    ]
+    if redact:
+        stages.append(("redact_corpus", {"corpus": "corpus"}))
+    stages += [
         ("exact_dedup_keep_first", {"corpus": "corpus"}),
         ("near_dedup_canonical", {"corpus": "corpus"}),
         ("decontaminate_corpus", {"corpus": "corpus", "bench_source": bench_source}),
@@ -194,10 +258,16 @@ def curate_corpus(
     if quota_k is not None:
         stages.append(("quota_mix", {"corpus": "corpus", "k": quota_k}))
     stages.append(("write_corpus", {"corpus": "corpus", "path": out_path}))
+    if pack_capacity is not None:
+        stages.append(("pack_corpus", {"corpus": "corpus", "capacity": pack_capacity}))
+        stages.append(("write_packed", {"packed": "packed", "path": out_path + "_packed"}))
     ctx = registry.pipeline(spark, stages)
     metrics: dict[str, int] = {}
     for name, _ in stages:
         obs = ctx.get(f"{name}.observation")
         if obs is not None:
             metrics[name] = int(obs.get["rows"])
-    return {"path": ctx["path"], "metrics": metrics}
+    out = {"path": out_path, "metrics": metrics}
+    if pack_capacity is not None:
+        out["packed_path"] = out_path + "_packed"
+    return out

@@ -1603,9 +1603,9 @@ FROM offs GROUP BY source, shard, bin
 """
 
 
-_RE_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
-_RE_URL = r"https?://[^\s]+"
-_RE_DENY = r"\b(customer|supplier)\b"
+_RE_EMAIL = T.EMAIL_PATTERN
+_RE_URL = T.URL_PATTERN
+_RE_DENY = T.denylist_pattern(("customer", "supplier"))
 
 
 def t33_redact(spark: SparkSession, sf_dir: str) -> DataFrame:

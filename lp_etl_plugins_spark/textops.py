@@ -916,6 +916,19 @@ def pack_bins(
     )
 
 
+# Canonical RE2-compatible scrub patterns — ONE definition shared by
+# the t33 inventory query and the curation pipeline's redact stage so
+# the Spark sides can never drift (the DuckDB oracle necessarily
+# carries its own literal copy of the same strings).
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+URL_PATTERN = r"https?://[^\s]+"
+
+
+def denylist_pattern(terms: tuple[str, ...] | list[str]) -> str:
+    """``\\b``-anchored alternation over literal denylist terms."""
+    return r"\b(" + "|".join(terms) + r")\b"
+
+
 def redact_text(col: Column | str, rules: list[tuple[str, str]]) -> Column:
     """Sequential regex redaction — the PII / denylist scrub step of a
     curation pipeline: ``rules`` is an ordered list of (pattern,

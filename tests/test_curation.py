@@ -80,3 +80,37 @@ def test_curate_corpus_without_quota(spark, tmp_path):
     assert "quota_mix" not in result["metrics"]
     n = spark.read.parquet(out).count()
     assert n == result["metrics"]["decontaminate_corpus"]
+
+
+def test_curate_corpus_redact_and_pack(spark, tmp_path):
+    """redact=True scrubs denylisted terms BEFORE dedup; pack_capacity
+    writes a second parquet with the context-window assignment whose
+    layout obeys the concat-split invariant within every shard."""
+    out = str(tmp_path / "curated_rp")
+    result = curation.curate_corpus(
+        spark, SF_SMOKE, out, redact=True, pack_capacity=512
+    )
+    m = result["metrics"]
+    assert "redact_corpus" in m and "pack_corpus" in m
+    # redaction rewrites text, never drops rows
+    assert m["redact_corpus"] == m["quality_filter"]
+
+    final = spark.read.parquet(out)
+    # no denylisted term survives in the curated text
+    assert final.filter(F.col("text").rlike(r"\b(customer|supplier)\b")).count() == 0
+    assert final.filter(F.col("text").contains("<ENTITY>")).count() > 0
+
+    packed = spark.read.parquet(result["packed_path"])
+    assert packed.count() == m["pack_corpus"] == final.count()
+    # layout invariant: within (source, shard), offsets are the running
+    # token sum in doc_id order and bin = start // capacity
+    rows = sorted(
+        packed.collect(), key=lambda r: (r["source"], r["shard"], r["doc_id"])
+    )
+    run: dict = {}
+    for r in rows:
+        key = (r["source"], r["shard"])
+        expect = run.get(key, 0)
+        assert r["start_offset"] == expect, r
+        assert r["bin"] == expect // 512
+        run[key] = expect + r["toks"]
