@@ -212,6 +212,16 @@ def write_corpus(spark: SparkSession, corpus: DataFrame, path: str) -> dict:
 
 
 @register(
+    "corpus_reload",
+    "Re-open a written corpus so downstream stages read parquet instead of re-running the upstream plan",
+    ("path",),
+    ("corpus",),
+)
+def corpus_reload(spark: SparkSession, path: str) -> dict:
+    return {"corpus": spark.read.parquet(path)}
+
+
+@register(
     "write_packed",
     "Write the context-window packing assignment as source-partitioned parquet",
     ("packed", "path"),
@@ -259,6 +269,11 @@ def curate_corpus(
         stages.append(("quota_mix", {"corpus": "corpus", "k": quota_k}))
     stages.append(("write_corpus", {"corpus": "corpus", "path": out_path}))
     if pack_capacity is not None:
+        # pack from the parquet just written, not the live logical plan:
+        # re-deriving the curated corpus would re-run every upstream
+        # stage (lang-ID scans, dedup windows, decontamination joins)
+        # for the second write action
+        stages.append(("corpus_reload", {"path": "path"}))
         stages.append(("pack_corpus", {"corpus": "corpus", "capacity": pack_capacity}))
         stages.append(("write_packed", {"packed": "packed", "path": out_path + "_packed"}))
     ctx = registry.pipeline(spark, stages)

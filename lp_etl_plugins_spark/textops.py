@@ -908,7 +908,10 @@ def pack_bins(
         .select(
             group_col,
             F.col("__shard").alias("shard"),
-            (F.col("start_offset") / capacity).cast("bigint").alias("bin"),
+            # integer `div`, not a double divide-and-truncate: a
+            # double round-trip can misplace a document one bin off
+            # once offsets grow large, and the oracle's `//` is exact
+            F.expr(f"start_offset div {int(capacity)}").alias("bin"),
             "id",
             "toks",
             "start_offset",
@@ -925,7 +928,21 @@ URL_PATTERN = r"https?://[^\s]+"
 
 
 def denylist_pattern(terms: tuple[str, ...] | list[str]) -> str:
-    """``\\b``-anchored alternation over literal denylist terms."""
+    """``\\b``-anchored alternation over literal denylist terms.
+
+    Terms must be word-character-only (``[A-Za-z0-9_]+``): a regex
+    metacharacter would be interpolated into the pattern (``C++`` is a
+    PatternSyntaxException at action time; ``node.js`` silently
+    matches ``nodeXjs``), and ``\\b`` itself misfires on terms that
+    start/end with non-word characters — so anything else is refused
+    loudly here, at build time."""
+    import re
+
+    bad = [t for t in terms if not re.fullmatch(r"\w+", t)]
+    if bad:
+        raise ValueError(
+            f"denylist_pattern: terms must be word characters only, got {bad!r}"
+        )
     return r"\b(" + "|".join(terms) + r")\b"
 
 
@@ -936,9 +953,18 @@ def redact_text(col: Column | str, rules: list[tuple[str, str]]) -> Column:
     Patterns must stay in the RE2-compatible subset (character
     classes, alternation, ``\\b`` word boundaries — no lookaround) so
     the DuckDB oracle (``regexp_replace(..., 'g')``) and Spark's Java
-    regex agree byte-for-byte. Narrow expression, no shuffle, JVM-side."""
+    regex agree byte-for-byte. Replacements must be LITERAL strings:
+    ``$`` and ``\\`` are group references in Java's replacement
+    grammar but not in RE2's (which uses ``\\1``), so a replacement
+    containing either would silently mean different things per engine
+    — refused loudly here. Narrow expression, no shuffle, JVM-side."""
     out = F.col(col) if isinstance(col, str) else col
     for pattern, repl in rules:
+        if "$" in repl or "\\" in repl:
+            raise ValueError(
+                "redact_text: replacement must be a literal string "
+                f"(no '$' or backslash), got {repl!r}"
+            )
         out = F.regexp_replace(out, pattern, repl)
     return out
 

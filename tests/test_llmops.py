@@ -835,3 +835,19 @@ def test_redact_text_rules_apply_in_order(spark):
     ).first()["t"]
     assert red == ("mail <EMAIL> and <URL> for <ENTITY> data "
                    "<ENTITY> <ENTITY> accustomed")
+
+
+def test_denylist_and_replacement_guards():
+    """Non-word denylist terms and non-literal replacements are
+    refused at build time — interpolating them would crash at action
+    time (Java) or silently diverge between engines (RE2 vs Java
+    replacement grammar)."""
+    with pytest.raises(ValueError, match="word characters only"):
+        textops.denylist_pattern(("C++",))
+    with pytest.raises(ValueError, match="word characters only"):
+        textops.denylist_pattern(("node.js",))
+    assert textops.denylist_pattern(("ok_1", "two")) == r"\b(ok_1|two)\b"
+    with pytest.raises(ValueError, match="literal string"):
+        textops.redact_text("text", [("x", "<$1>")])
+    with pytest.raises(ValueError, match="literal string"):
+        textops.redact_text("text", [("x", "a\\b")])
