@@ -351,3 +351,52 @@ def test_stateful_v2_gate_and_processor_shape(spark):
     proc = streaming.make_totals_processor()
     for hook in ("init", "handleInputRows", "close"):
         assert callable(getattr(proc, hook))
+
+
+def test_totals_processor_logic_without_spark_runtime():
+    """Drive the v2 StatefulProcessor directly (stubbed handle +
+    ValueState): in this container the transformWithState runtime
+    can't execute, but the processor's accumulate-and-emit logic can —
+    totals accumulate across calls exactly like the fallback path and
+    the batch twin (count, sum rounded to 2 at emission only)."""
+    import pandas as pd
+
+    class _StubState:
+        def __init__(self):
+            self._v = None
+
+        def exists(self):
+            return self._v is not None
+
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+    class _StubHandle:
+        def __init__(self):
+            self.states = {}
+
+        def getValueState(self, name, schema):
+            return self.states.setdefault(name, _StubState())
+
+    proc = streaming.make_totals_processor()
+    handle = _StubHandle()
+    proc.init(handle)
+
+    out1 = list(proc.handleInputRows(
+        (7,), iter([pd.DataFrame({"value": [1.005, 2.0]})]), None
+    ))
+    assert len(out1) == 1
+    r1 = out1[0].iloc[0]
+    assert (r1["user_id"], r1["n_events"], r1["sum_value"]) == (7, 2, 3.0)
+
+    # second micro-batch: state carries; rounding happens at emission,
+    # not in the accumulator (1.005 + 2.0 + 0.005 = 3.01, not 3.0+0.005)
+    out2 = list(proc.handleInputRows(
+        (7,), iter([pd.DataFrame({"value": [0.005]})]), None
+    ))
+    r2 = out2[0].iloc[0]
+    assert (r2["n_events"], r2["sum_value"]) == (3, 3.01)
+    proc.close()
