@@ -139,9 +139,28 @@ def _pattern_solutions(g: LocalGraph, pattern: tuple[str, str, str]) -> Solution
     return Solutions(cols, rows)
 
 
-def join_solutions(left: Solutions, right: Solutions, how: str = "inner") -> Solutions:
+def _term_key(row: dict, v: str):
+    """Effective RDF term of ``v`` in ``row`` — mirrors
+    graphq.join_solutions' strict key: (type, lang, datatype) with
+    null meta comparing EQUAL; s/p-position bindings (no meta
+    companions) are plain IRIs by construction."""
+    t, l, d = _meta_cols(v)
+    if t not in row:
+        return ("iri", "", "")
+    return (row.get(t) or "", row.get(l) or "", row.get(d) or "")
+
+
+def join_solutions(
+    left: Solutions,
+    right: Solutions,
+    how: str = "inner",
+    strict_terms: bool = False,
+) -> Solutions:
     """Natural join on shared plain variables; NULL keys never match
-    (Spark join semantics). ``how`` in inner/left/left_anti."""
+    (Spark join semantics). ``how`` in inner/left/left_anti.
+    ``strict_terms=True`` joins on the full RDF term — (value, type,
+    lang, datatype) — mirroring ``graphq.join_solutions`` sameTerm
+    semantics."""
     shared = sorted(left.plain_vars() & right.plain_vars())
     # metadata columns of shared vars come from the LEFT side only
     drop = {c for v in shared for c in _meta_cols(v) if c in right.columns and c in left.columns}
@@ -175,17 +194,23 @@ def join_solutions(left: Solutions, right: Solutions, how: str = "inner") -> Sol
             ]
         return Solutions(out_cols, rows)
 
+    def _key(row: dict) -> tuple:
+        if strict_terms:
+            return tuple((row.get(v), _term_key(row, v)) for v in shared)
+        return tuple(row.get(v) for v in shared)
+
+    def _has_null(row: dict) -> bool:
+        return any(row.get(v) is None for v in shared)
+
     index: dict[tuple, list[dict]] = {}
     for rr in right.rows:
-        key = tuple(rr.get(v) for v in shared)
-        if any(k is None for k in key):
+        if _has_null(rr):
             continue
-        index.setdefault(key, []).append(rr)
+        index.setdefault(_key(rr), []).append(rr)
 
     rows = []
     for lr in left.rows:
-        key = tuple(lr.get(v) for v in shared)
-        matches = [] if any(k is None for k in key) else index.get(key, [])
+        matches = [] if _has_null(lr) else index.get(_key(lr), [])
         if how == "left_anti":
             if not matches:
                 rows.append(dict(lr))
@@ -199,12 +224,18 @@ def join_solutions(left: Solutions, right: Solutions, how: str = "inner") -> Sol
     return Solutions(out_cols, rows)
 
 
-def bgp(g: LocalGraph, patterns: list[tuple[str, str, str]]) -> Solutions:
+def bgp(
+    g: LocalGraph,
+    patterns: list[tuple[str, str, str]],
+    strict_terms: bool = False,
+) -> Solutions:
     if not patterns:
         raise ValueError("bgp needs at least one pattern")
     out = _pattern_solutions(g, patterns[0])
     for pat in patterns[1:]:
-        out = join_solutions(out, _pattern_solutions(g, pat))
+        out = join_solutions(
+            out, _pattern_solutions(g, pat), strict_terms=strict_terms
+        )
     return out
 
 

@@ -378,3 +378,19 @@ def test_strict_terms_compare_lang_and_datatype(spark):
         for r in graphq.bgp(g, pats, strict_terms=True).collect()
     }
     assert strict == {("urn:c", "urn:d", "ok")}
+
+    # the driver-local twin mirrors both modes
+    from lp_etl_plugins_spark import graphq_local as gl
+
+    lg = gl.LocalGraph(
+        [
+            {"s": s, "p": p, "o_value": o, "o_type": t, "o_lang": la,
+             "o_datatype": dt}
+            for s, p, o, t, la, dt in rows
+        ]
+    )
+    assert {(r["x"], r["y"], r["v"]) for r in gl.bgp(lg, pats).rows} == lex
+    assert {
+        (r["x"], r["y"], r["v"])
+        for r in gl.bgp(lg, pats, strict_terms=True).rows
+    } == strict
