@@ -245,6 +245,16 @@ def not_exists(
     return join_solutions(base, bgp(triples, patterns), "left_anti")
 
 
+def union(left: DataFrame, right: DataFrame) -> DataFrame:
+    """SPARQL UNION: multiset union of two solution sets — no dedup
+    (SPARQL 1.1 multiset semantics; wrap in ``.distinct()`` for the
+    DISTINCT projection form). Variables bound in only one branch are
+    unbound (NULL) in the other branch's rows; schema aligns by
+    variable name and metadata companions ride along. Narrow,
+    shuffle-free plan — a union is a scan concatenation."""
+    return left.unionByName(right, allowMissingColumns=True)
+
+
 def values(
     base: DataFrame,
     spark: SparkSession,

@@ -32,6 +32,7 @@ __all__ = [
     "bgp",
     "optional",
     "not_exists",
+    "union",
     "values",
     "join_solutions",
     "group_count",
@@ -237,6 +238,16 @@ def bgp(
             out, _pattern_solutions(g, pat), strict_terms=strict_terms
         )
     return out
+
+
+def union(left: Solutions, right: Solutions) -> Solutions:
+    """SPARQL UNION — mirrors :func:`graphq.union`: multiset union,
+    NULL-padding variables the other branch doesn't bind."""
+    cols = list(left.columns) + [c for c in right.columns if c not in left.columns]
+    rows = [{c: r.get(c) for c in cols} for r in left.rows] + [
+        {c: r.get(c) for c in cols} for r in right.rows
+    ]
+    return Solutions(cols, rows)
 
 
 def optional(base: Solutions, g: LocalGraph, patterns: list[tuple[str, str, str]]) -> Solutions:

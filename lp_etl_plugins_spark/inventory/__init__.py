@@ -79,10 +79,12 @@ _DEMOTED = (
     "p13_default_fill",
     "a8_cube_revenue",
     "g10_path_star",
-    # g11 (alternation path) is new in r5 and demoted on arrival so the
-    # 50-row driver prefix stays byte-stable; siblings g5/g9 keep the
-    # hard signal on the same path machinery
+    # g11 (alternation path) and g12 (UNION) are new in r5 and demoted
+    # on arrival so the 50-row driver prefix stays byte-stable;
+    # siblings g5/g9 keep the hard signal on the path machinery and
+    # u1/s4 on unionByName
     "g11_path_alt",
+    "g12_union",
 )
 
 

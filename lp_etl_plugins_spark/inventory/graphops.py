@@ -403,6 +403,50 @@ WHERE hop.p IN ('urn:nation', 'urn:region')
 """
 
 
+def g12_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL UNION of two differently-shaped branches
+    (:func:`graphq.union`): premium customers (binding ?flag) UNION
+    suppliers with their nation edge (binding ?nat) — each branch's
+    exclusive variable is NULL in the other's rows, the multiset is
+    NOT deduped, and the aggregate proves both the padding and the
+    row arithmetic. Plan: two branch scans concatenated — a union is
+    shuffle-free; only the final 1-row aggregate exchanges."""
+    tr = _graph(spark, sf_dir)
+    prem = graphq.bgp(tr, [("?e", _PREMIUM, "?flag"), ("?e", _NAME, "?name")])
+    sup = graphq.bgp(
+        tr,
+        [("?e", _T, "urn:Supplier"), ("?e", _NAME, "?name"), ("?e", _NATION, "?nat")],
+    )
+    sols = graphq.union(prem, sup)
+    return sols.agg(
+        F.count(F.lit(1)).alias("n_solutions"),
+        F.count("flag").alias("n_flagged"),
+        F.count("nat").alias("n_with_nation"),
+        F.min("name").alias("first_name"),
+    )
+
+
+G12_SQL = _CTE + """
+, u AS (
+  SELECT pf.s AS e, pf.o_value AS flag, nm.o_value AS name, NULL AS nat
+  FROM triples pf
+  JOIN triples nm ON nm.s = pf.s AND nm.p = 'urn:name'
+  WHERE pf.p = 'urn:premium'
+  UNION ALL
+  SELECT t.s, NULL, nm.o_value, nt.o_value
+  FROM triples t
+  JOIN triples nm ON nm.s = t.s AND nm.p = 'urn:name'
+  JOIN triples nt ON nt.s = t.s AND nt.p = 'urn:nation'
+  WHERE t.p = 'urn:type' AND t.o_value = 'urn:Supplier'
+)
+SELECT count(*)::BIGINT AS n_solutions,
+       count(flag)::BIGINT AS n_flagged,
+       count(nat)::BIGINT AS n_with_nation,
+       min(name) AS first_name
+FROM u
+"""
+
+
 QUERIES = {
     "g1_bgp_star": g1_bgp_star,
     "g2_optional_premium": g2_optional_premium,
@@ -415,6 +459,7 @@ QUERIES = {
     "g9_path_closure": g9_path_closure,
     "g10_path_star": g10_path_star,
     "g11_path_alt": g11_path_alt,
+    "g12_union": g12_union,
 }
 
 ORACLES = {
@@ -429,4 +474,5 @@ ORACLES = {
     "g9_path_closure": G9_SQL,
     "g10_path_star": G10_SQL,
     "g11_path_alt": G11_SQL,
+    "g12_union": G12_SQL,
 }

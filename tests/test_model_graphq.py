@@ -394,3 +394,41 @@ def test_strict_terms_compare_lang_and_datatype(spark):
         (r["x"], r["y"], r["v"])
         for r in gl.bgp(lg, pats, strict_terms=True).rows
     } == strict
+
+
+def test_union_pads_and_keeps_multiset(spark):
+    """SPARQL UNION: branch-exclusive variables are NULL in the other
+    branch's rows, duplicates are kept (multiset), and the local twin
+    agrees with the Spark layer."""
+    rows = [
+        ("urn:a", "urn:p", "1", "literal", None, None),
+        ("urn:a", "urn:p", "1", "literal", None, None),  # dup solution
+        ("urn:b", "urn:q", "2", "literal", None, None),
+    ]
+    g = _tiny_graph(spark, rows)
+    left = graphq.bgp(g, [("?x", "urn:p", "?v")])
+    right = graphq.bgp(g, [("?x", "urn:q", "?w")])
+    got = [
+        (r["x"], r["v"], r["w"])
+        for r in graphq.union(left, right).orderBy("x", "v").collect()
+    ]
+    assert got == [
+        ("urn:a", "1", None),
+        ("urn:a", "1", None),
+        ("urn:b", None, "2"),
+    ]
+
+    from lp_etl_plugins_spark import graphq_local as gl
+
+    lg = gl.LocalGraph(
+        [
+            {"s": s, "p": p, "o_value": o, "o_type": t, "o_lang": la,
+             "o_datatype": dt}
+            for s, p, o, t, la, dt in rows
+        ]
+    )
+    lsols = gl.union(
+        gl.bgp(lg, [("?x", "urn:p", "?v")]), gl.bgp(lg, [("?x", "urn:q", "?w")])
+    )
+    lgot = sorted((r["x"], r.get("v"), r.get("w")) for r in lsols.rows)
+    assert lgot == sorted(got, key=lambda t: (t[0], t[1] or "", t[2] or ""))
