@@ -417,3 +417,32 @@ def test_candidate_pairs_grow_linearly_under_inflation(spark):
     # the index — candidate growth is sublinear BY DESIGN, and can
     # only ever be below factor x, never above
     assert big_g <= factor * base_g
+
+
+def test_pack_bins_invariant_to_input_partitioning(spark):
+    """The packing layout is content-addressed (shard by id hash,
+    order by id within shard): the physical input layout must not
+    move a single document's (shard, bin, start_offset) — any
+    repartitioning yields the identical assignment, which is what
+    makes the operator safe to run after arbitrary upstream shuffles
+    at cluster scale."""
+    from pyspark.sql import functions as F
+
+    from lp_etl_plugins_spark.textops import pack_bins
+
+    rows = [(i, "w%d " % i * (1 + i % 7)) for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, text string").withColumn(
+        "source", F.concat(F.lit("s"), (F.col("doc_id") % 3).cast("string"))
+    )
+    results = []
+    for n in (1, 4, 32):
+        got = pack_bins(
+            df.repartition(n), "text", "doc_id", "source", capacity=16, n_shards=4
+        )
+        results.append(
+            {(r.source, r.shard, r.bin, r.id, r.start_offset) for r in got.collect()}
+        )
+    assert results[0] == results[1] == results[2]
+    assert len(results[0]) == 400
+    # multiple bins actually formed (capacity small enough to split)
+    assert len({(s, sh, b) for (s, sh, b, _, _) in results[0]}) > 12
