@@ -504,9 +504,11 @@ def t12_ngram_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     docs = _docs(spark, sf_dir)
+    # the gram frame feeds both profile training and scoring — one
+    # eager checkpoint instead of two corpus explodes (t23's fix)
     grams = docs.select(
         "doc_id", "lang", F.explode(T.char_ngrams("text", 3)).alias("g")
-    )
+    ).localCheckpoint()
     freq = grams.groupBy("lang", "g").agg(F.count(F.lit(1)).alias("c"))
     w_prof = W.partitionBy("lang").orderBy(F.col("c").desc(), F.col("g").asc())
     prof = (

@@ -1074,7 +1074,10 @@ def trigram_lm_logprob(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     LM — duplicate-insensitive, so a boilerplate flood cannot distort
     the model), trained IN-PLAN: counts are one groupBy, the (total,
     vocab) pair is a 1-row broadcast, scoring is one join + one
-    per-doc aggregate. Corpus-linear, no driver action.
+    per-doc aggregate. Corpus-linear. The gram frame feeds BOTH the
+    training groupBy and the scoring join, so it is localCheckpoint-ed
+    once — without it the corpus scan + interpreted char_ngrams HOF
+    run twice (measured ~20% warm and 4× cold at sf0.1).
 
     Determinism: per-gram log2 probabilities are rounded to the 1e-6
     grid (both engines take log2 of bit-identical doubles; a 1-ulp
@@ -1084,7 +1087,7 @@ def trigram_lm_logprob(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     oracle's unnest). → (id, doc_lp)."""
     grams = df.select(
         F.col(id_col).alias("id"), F.explode(char_ngrams(text_col, 3)).alias("g")
-    )
+    ).localCheckpoint()
     cnt = grams.groupBy("g").agg(F.count(F.lit(1)).alias("c"))
     totals = cnt.agg(F.sum("c").alias("n_total"), F.count(F.lit(1)).alias("v"))
     logp = F.round(
