@@ -1015,10 +1015,12 @@ def bigram_pmi(
     one-off pairings.
 
     Scale shape: two explode+groupBy count passes (map-side
-    partials), corpus totals as a 1-row broadcast, unigram lookups
-    as two joins on the (≤ vocab-sized) bigram table, and a global
-    TakeOrdered for the top-k — k rows per partition reach the
-    merge, never the counts. Parity: each count is an exact 64-bit
+    partials) — the ONLY corpus scans; the (n_uni, n_bi) totals are
+    aggregated from the vocab-sized count frames, never by
+    re-scanning the corpus — corpus totals as a 1-row broadcast,
+    unigram lookups as two joins on the (≤ vocab-sized) bigram
+    table, and a global TakeOrdered for the top-k — k rows per
+    partition reach the merge, never the counts. Parity: each count is an exact 64-bit
     integer widened to double BEFORE the products (a double chain is
     IEEE-identical in both engines at any magnitude, and exact below
     2^53 — whereas a 64-bit integer product of c_ab·n_uni² would
@@ -1031,14 +1033,15 @@ def bigram_pmi(
     bigrams = df.select(
         F.explode(shingles(normalized_words(text_col), 2)).alias("bg")
     )
-    bi = (
-        bigrams.groupBy("bg")
-        .agg(F.count(F.lit(1)).alias("c_ab"))
-        .filter(F.col("c_ab") >= min_count)
-    )
+    bi_all = bigrams.groupBy("bg").agg(F.count(F.lit(1)).alias("c_ab"))
+    bi = bi_all.filter(F.col("c_ab") >= min_count)
+    # totals from the count frames (n_uni = Σ uni counts, n_bi = Σ ALL
+    # bigram counts incl. below-floor) — identical values, and the
+    # count-frame aggregates reuse the groupBy exchanges instead of
+    # scanning + exploding the corpus twice more
     totals = F.broadcast(
-        words.agg(F.count(F.lit(1)).alias("n_uni")).crossJoin(
-            bigrams.agg(F.count(F.lit(1)).alias("n_bi"))
+        uni.agg(F.sum("c").alias("n_uni")).crossJoin(
+            bi_all.agg(F.sum("c_ab").alias("n_bi"))
         )
     )
     parts = F.split(F.col("bg"), " ", 2)
