@@ -754,15 +754,17 @@ def t17_boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the stoplist is an aggregate of the token stream (small by
     construction — only ultra-common words clear 30% df) applied back
-    via a broadcast left join, so the token stream is evaluated twice
-    (stoplist derivation, scrub) and shuffled only for its own
-    per-source counts — before/after land in ONE aggregation pass via
-    a conditional count, not separate scrubbed/unscrubbed subplans.
+    via a broadcast left join; the token stream feeds BOTH consumers
+    (stoplist derivation, scrub), so it is localCheckpoint-ed once
+    instead of re-running the corpus scan + explode (the t23/t12
+    fix), and shuffles only for its own per-source counts —
+    before/after land in ONE aggregation pass via a conditional
+    count, not separate scrubbed/unscrubbed subplans.
     → (source, tokens_before, tokens_after, keep_ratio)."""
     docs = _docs(spark, sf_dir)
     words = docs.select(
         "source", "doc_id", F.explode(T.normalized_words("text")).alias("w")
-    )
+    ).localCheckpoint()
     n_docs = docs.agg(F.count(F.lit(1)).alias("n_total"))
     stop = (
         words.select("doc_id", "w")
