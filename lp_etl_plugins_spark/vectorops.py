@@ -130,7 +130,13 @@ def knn_bruteforce(
     unit-normalized; the corpus side carries its RAW vector plus one
     scalar norm fold, so each pair costs one dot fold + a divide —
     a corpus-wide normalized projection (interpreted array HOF per
-    row) costs as much again as the norm fold."""
+    row) costs as much again as the norm fold.
+
+    Probes must be broadcast-sized BY CONTRACT (no escape hatch here,
+    unlike the bucketed/IVF/PQ variants): brute force joins on a
+    non-equi condition, so a non-broadcast plan is a cartesian
+    product — for probe-set ≈ corpus use the v5 self-join shape or a
+    bucketed variant instead."""
     p = probes.select(
         F.col(id_col).alias("probe_id"),
         unit_normalize(F.col(vec_col)).alias("probe_vec"),
@@ -479,6 +485,7 @@ def knn_pq(
     vec_col: str = "embedding",
     m: int = 4,
     dims: int = 64,
+    broadcast_probes: bool = True,
 ) -> DataFrame:
     """Product-quantization ANN (the classic PQ scheme of Jégou/Douze/
     Schmid, public literature): split each vector into ``m`` subspaces
@@ -491,7 +498,11 @@ def knn_pq(
     precomputes its distance to EVERY codebook entry (the lookup
     table), and a corpus vector's approximate distance is the sum of
     ``m`` table lookups — no raw corpus vector is ever touched at
-    query time.
+    query time. ``broadcast_probes=False`` is the same escape hatch
+    the siblings carry: the LUT grows with |probes|, and for a
+    corpus-sized probe set a forced broadcast is a driver OOM — the
+    (sub, code) join then degrades to a shuffled equi-join AQE can
+    re-plan.
 
     The 100 TB story is the compression: the scan side of the scoring
     join carries (id, sub, code) — m small ints per vector instead of
@@ -507,7 +518,7 @@ def knn_pq(
     → (probe_id, neighbor_id, adist2, rank ≤ k), self excluded."""
     codes, lut = _pq_parts(embeddings, probes, seed_col, id_col, vec_col, m, dims)
     adc = (
-        codes.join(F.broadcast(lut), on=["sub", "code"])
+        codes.join(F.broadcast(lut) if broadcast_probes else lut, on=["sub", "code"])
         .filter(F.col("probe_id") != F.col("neighbor_id"))
         .groupBy("probe_id", "neighbor_id")
         .agg(_adc_sum())
