@@ -598,6 +598,48 @@ GROUP BY a.event_type, b.event_type
 """
 
 
+def e12_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohort matrix — the product-analytics staple:
+    users are grouped by their FIRST active epoch-week (the cohort),
+    and each (cohort_week, week_offset) cell counts how many of them
+    were active that many weeks later. Offset 0 is the cohort size;
+    reading a row left-to-right is that cohort's retention curve.
+
+    Plan: one distinct on (user, week) — activity collapses to at
+    most |users|×|weeks| rows before anything else — one map-side-
+    partial min per user for the cohort, one equi-join back on
+    user_id, one small final aggregate; count(*) over the unique
+    (user, week) rows IS the distinct-user count, so no countDistinct
+    state. Weeks are floor(epoch/604800) in both engines.
+    → (cohort_week, week_offset, n_users)."""
+    ev = load_table(spark, sf_dir, "events")
+    wk = F.floor(F.unix_timestamp("ts") / 604800).cast("bigint")
+    activity = ev.select("user_id", wk.alias("week")).distinct()
+    cohort = activity.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        activity.join(cohort, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+E12_SQL = """
+WITH activity AS (
+  SELECT DISTINCT user_id, floor(epoch(ts) / 604800)::BIGINT AS week FROM events
+),
+cohort AS (
+  SELECT user_id, min(week) AS cohort_week FROM activity GROUP BY user_id
+)
+SELECT c.cohort_week, (a.week - c.cohort_week)::BIGINT AS week_offset,
+       count(*)::BIGINT AS n_users
+FROM activity a JOIN cohort c ON c.user_id = a.user_id
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "e1_tumbling_window": e1_tumbling_window,
     "e2_sliding_window": e2_sliding_window,
@@ -614,6 +656,7 @@ QUERIES = {
     "w2_moving_avg": w2_moving_avg,
     "a10_percentiles": a10_percentiles,
     "a9_hll_distinct": a9_hll_distinct,
+    "e12_retention_cohorts": e12_retention_cohorts,
 }
 
 ORACLES = {
@@ -632,4 +675,5 @@ ORACLES = {
     "w2_moving_avg": W2_SQL,
     "a10_percentiles": A10_SQL,
     "a9_hll_distinct": A9_SQL,
+    "e12_retention_cohorts": E12_SQL,
 }
