@@ -286,3 +286,50 @@ def test_connected_components_match_union_find(spark, edges):
             parent[max(ra, rb)] = min(ra, rb)
     want = {n: find(n) for n in parent}
     assert got == want
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.text(alphabet="ab cd", min_size=0, max_size=30),
+        min_size=1,
+        max_size=40,
+    ),
+    st.integers(min_value=1, max_value=20),
+)
+def test_pack_bins_matches_sequential_reference(spark, texts, capacity):
+    """pack_bins equals a plain sequential fold: within each (group,
+    shard), docs laid out in id order, each starting at the running
+    token offset, bin = offset // capacity. The distributed window
+    plan must reproduce the single-threaded reference exactly for any
+    corpus and capacity (incl. empty/whitespace-only docs, which
+    still produce one token under the shared splitter's semantics)."""
+    import hashlib
+
+    from lp_etl_plugins_spark.textops import pack_bins
+
+    rows = [(i, t, "s%d" % (i % 2)) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {
+        (r.source, r.shard, r.id): (r.bin, r.toks, r.start_offset)
+        for r in pack_bins(
+            df, "text", "doc_id", "source", capacity=capacity, n_shards=3
+        ).collect()
+    }
+
+    # sequential reference: same content-hash shard, same splitter
+    # (Spark's split(trim(x), '\s+') on '' yields [''] — one token)
+    def shard_of(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 3
+
+    def toks_of(t):
+        return len(t.strip().split()) if t.strip() else 1
+
+    want = {}
+    offsets: dict = {}
+    for i, t, src in sorted(rows):
+        sh = shard_of(i)
+        off = offsets.get((src, sh), 0)
+        want[(src, sh, i)] = (off // capacity, toks_of(t), off)
+        offsets[(src, sh)] = off + toks_of(t)
+    assert got == want
