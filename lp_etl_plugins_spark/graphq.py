@@ -40,6 +40,7 @@ __all__ = [
     "bgp",
     "optional",
     "not_exists",
+    "union",
     "values",
     "path",
     "path_plus",
@@ -250,8 +251,37 @@ def union(left: DataFrame, right: DataFrame) -> DataFrame:
     (SPARQL 1.1 multiset semantics; wrap in ``.distinct()`` for the
     DISTINCT projection form). Variables bound in only one branch are
     unbound (NULL) in the other branch's rows; schema aligns by
-    variable name and metadata companions ride along. Narrow,
-    shuffle-free plan — a union is a scan concatenation."""
+    variable name. Narrow, shuffle-free plan — a union is a scan
+    concatenation.
+
+    Metadata alignment: a variable bound in subject/predicate
+    position on one side (no ``__type`` companion) but object
+    position on the other gets its companions materialized as
+    ``('iri', NULL, NULL)`` BEFORE the union — NULL-padding them
+    would make a later ``strict_terms`` join read the IRI rows' term
+    as ``('', '', '')`` and silently drop valid sameTerm matches.
+
+    Join caveat (documented restriction, not a bug to rely on): this
+    layer's joins follow SQL NULL-never-matches semantics, so joining
+    a union result ON A BRANCH-EXCLUSIVE VARIABLE discards the branch
+    that leaves it unbound — SPARQL 1.1's unbound-is-compatible join
+    rule is NOT implemented. Bind the shared variables in both
+    branches (or join before the union) when a downstream
+    join/optional/not_exists is intended."""
+    def _with_iri_meta(df: DataFrame, v: str) -> DataFrame:
+        t, l, d = _meta_cols(v)
+        return (
+            df.withColumn(t, F.lit("iri"))
+            .withColumn(l, F.lit(None).cast("string"))
+            .withColumn(d, F.lit(None).cast("string"))
+        )
+
+    for v in sorted(_plain_vars(left) & _plain_vars(right)):
+        t = _meta_cols(v)[0]
+        if t not in left.columns and t in right.columns:
+            left = _with_iri_meta(left, v)
+        elif t in left.columns and t not in right.columns:
+            right = _with_iri_meta(right, v)
     return left.unionByName(right, allowMissingColumns=True)
 
 

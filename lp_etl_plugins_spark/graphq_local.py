@@ -242,7 +242,23 @@ def bgp(
 
 def union(left: Solutions, right: Solutions) -> Solutions:
     """SPARQL UNION — mirrors :func:`graphq.union`: multiset union,
-    NULL-padding variables the other branch doesn't bind."""
+    NULL-padding variables the other branch doesn't bind. A variable
+    bound in s/p position on one side but object position on the
+    other gets its meta companions materialized as ('iri', None,
+    None) — see the Spark twin's strict_terms rationale; the same
+    join caveat on branch-exclusive variables applies."""
+
+    def _iri_meta(sols: Solutions, v: str) -> Solutions:
+        mt, ml, md = _meta_cols(v)
+        rows = [{**r, mt: "iri", ml: None, md: None} for r in sols.rows]
+        return Solutions(list(sols.columns) + [mt, ml, md], rows)
+
+    for v in sorted(left.plain_vars() & right.plain_vars()):
+        mt = _meta_cols(v)[0]
+        if mt not in left.columns and mt in right.columns:
+            left = _iri_meta(left, v)
+        elif mt in left.columns and mt not in right.columns:
+            right = _iri_meta(right, v)
     cols = list(left.columns) + [c for c in right.columns if c not in left.columns]
     rows = [{c: r.get(c) for c in cols} for r in left.rows] + [
         {c: r.get(c) for c in cols} for r in right.rows

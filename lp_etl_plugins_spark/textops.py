@@ -1088,9 +1088,12 @@ def trigram_lm_logprob(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     mean sums exact scaled integers. Docs shorter than 3 chars have
     no grams and are absent from the output (mirrored by the
     oracle's unnest). → (id, doc_lp)."""
+    # LAZY checkpoint: materializes with the caller's first action (a
+    # plan-building function must not launch corpus jobs at call
+    # time), after which both consumers read the same blocks
     grams = df.select(
         F.col(id_col).alias("id"), F.explode(char_ngrams(text_col, 3)).alias("g")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     cnt = grams.groupBy("g").agg(F.count(F.lit(1)).alias("c"))
     totals = cnt.agg(F.sum("c").alias("n_total"), F.count(F.lit(1)).alias("v"))
     logp = F.round(

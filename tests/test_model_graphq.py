@@ -432,3 +432,44 @@ def test_union_pads_and_keeps_multiset(spark):
     )
     lgot = sorted((r["x"], r.get("v"), r.get("w")) for r in lsols.rows)
     assert lgot == sorted(got, key=lambda t: (t[0], t[1] or "", t[2] or ""))
+
+
+def test_union_meta_alignment_survives_strict_join(spark):
+    """A variable bound in SUBJECT position in one branch and OBJECT
+    position in the other must carry ('iri', null, null) meta after
+    the union — NULL-padded meta would make a downstream strict_terms
+    join read the subject-position rows' term as ('','','') and drop
+    valid sameTerm matches. Both layers."""
+    rows = [
+        ("urn:d1", "urn:p", "x", "literal", None, None),   # binds ?d subject-pos
+        ("urn:s", "urn:q", "urn:d2", "iri", None, None),   # binds ?d object-pos
+        ("urn:d1", "urn:r", "m1", "literal", None, None),
+        ("urn:d2", "urn:r", "m2", "literal", None, None),
+    ]
+    g = _tiny_graph(spark, rows)
+    u = graphq.union(
+        graphq.bgp(g, [("?d", "urn:p", "?v")]),
+        graphq.bgp(g, [("?s", "urn:q", "?d")]),
+    )
+    joined = graphq.join_solutions(
+        u, graphq.bgp(g, [("?d", "urn:r", "?m")]), strict_terms=True
+    )
+    got = sorted((r["d"], r["m"]) for r in joined.collect())
+    assert got == [("urn:d1", "m1"), ("urn:d2", "m2")]
+
+    from lp_etl_plugins_spark import graphq_local as gl
+
+    lg = gl.LocalGraph(
+        [
+            {"s": s, "p": p, "o_value": o, "o_type": t, "o_lang": la,
+             "o_datatype": dt}
+            for s, p, o, t, la, dt in rows
+        ]
+    )
+    lu = gl.union(
+        gl.bgp(lg, [("?d", "urn:p", "?v")]), gl.bgp(lg, [("?s", "urn:q", "?d")])
+    )
+    ljoined = gl.join_solutions(
+        lu, gl.bgp(lg, [("?d", "urn:r", "?m")]), strict_terms=True
+    )
+    assert sorted((r["d"], r["m"]) for r in ljoined.rows) == got
