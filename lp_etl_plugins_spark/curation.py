@@ -255,27 +255,27 @@ def curate_corpus(
 
     stages: list[tuple[str, dict]] = [
         ("corpus_ingest", {"sf_dir": sf_dir}),
-        ("lang_filter", {"corpus": "corpus", "lang": lang}),
-        ("quality_filter", {"corpus": "corpus", "min_quality": min_quality}),
+        ("lang_filter", {"corpus": "$corpus", "lang": lang}),
+        ("quality_filter", {"corpus": "$corpus", "min_quality": min_quality}),
     ]
     if redact:
-        stages.append(("redact_corpus", {"corpus": "corpus"}))
+        stages.append(("redact_corpus", {"corpus": "$corpus"}))
     stages += [
-        ("exact_dedup_keep_first", {"corpus": "corpus"}),
-        ("near_dedup_canonical", {"corpus": "corpus"}),
-        ("decontaminate_corpus", {"corpus": "corpus", "bench_source": bench_source}),
+        ("exact_dedup_keep_first", {"corpus": "$corpus"}),
+        ("near_dedup_canonical", {"corpus": "$corpus"}),
+        ("decontaminate_corpus", {"corpus": "$corpus", "bench_source": bench_source}),
     ]
     if quota_k is not None:
-        stages.append(("quota_mix", {"corpus": "corpus", "k": quota_k}))
-    stages.append(("write_corpus", {"corpus": "corpus", "path": out_path}))
+        stages.append(("quota_mix", {"corpus": "$corpus", "k": quota_k}))
+    stages.append(("write_corpus", {"corpus": "$corpus", "path": out_path}))
     if pack_capacity is not None:
         # pack from the parquet just written, not the live logical plan:
         # re-deriving the curated corpus would re-run every upstream
         # stage (lang-ID scans, dedup windows, decontamination joins)
         # for the second write action
-        stages.append(("corpus_reload", {"path": "path"}))
-        stages.append(("pack_corpus", {"corpus": "corpus", "capacity": pack_capacity}))
-        stages.append(("write_packed", {"packed": "packed", "path": out_path + "_packed"}))
+        stages.append(("corpus_reload", {"path": "$path"}))
+        stages.append(("pack_corpus", {"corpus": "$corpus", "capacity": pack_capacity}))
+        stages.append(("write_packed", {"packed": "$packed", "path": out_path + "_packed"}))
     ctx = registry.pipeline(spark, stages)
     metrics: dict[str, int] = {}
     for name, _ in stages:

@@ -359,7 +359,14 @@ def path(
         alts = list(step) if isinstance(step, (list, tuple)) else [step]
         hop = one_alt(alts[0])
         for pred in alts[1:]:
-            hop = hop.unionByName(one_alt(pred), allowMissingColumns=True)
+            # union(), not bare unionByName: a mixed forward/^inverse
+            # alternation binds the hop variable in object position on
+            # one branch (meta companions present) and subject position
+            # on the other (none) — union() materializes the
+            # subject-position branch's term as ('iri', NULL, NULL), so
+            # a downstream strict_terms join or lang/datatype filter
+            # reads inverse-branch rows correctly instead of ('','','')
+            hop = union(hop, one_alt(pred))
         if last and end_filter is not None:
             keep = _pattern_df(triples, (f"?{nxt}", end_filter[0], end_filter[1]))
             hop = join_solutions(hop, keep)

@@ -24,6 +24,14 @@ class Component:
     outputs: tuple[str, ...] = ("result",)
 
 
+@dataclass(frozen=True)
+class Ref:
+    """Explicit context reference for :func:`pipeline` kwargs — the
+    programmatic form of the ``"$key"`` string syntax."""
+
+    key: str
+
+
 _REGISTRY: dict[str, Component] = {}
 
 
@@ -55,14 +63,37 @@ def components() -> dict[str, Component]:
 
 
 def pipeline(spark, stages: list[tuple[str, dict]], context: dict | None = None) -> dict:
-    """Run named stages in order; each stage's keyword arguments resolve
-    from the accumulated context first, then from its literal dict.
-    Stage outputs merge back into the context under
-    ``<stage>.<output>`` plus the plain output name (latest wins)."""
+    """Run named stages in order. Context references are EXPLICIT: a
+    kwarg value of ``Ref("key")`` or the string ``"$key"`` resolves to
+    the accumulated context entry (and raises if it is not bound);
+    every other value — including plain strings — passes through as a
+    literal (``"$$"`` escapes a literal leading dollar). The earlier
+    context-FIRST resolution silently rewrote user literals that
+    happened to collide with a live context key (e.g. an ``out_path``
+    equal to ``"corpus"``). Stage outputs merge back into the context
+    under ``<stage>.<output>`` plus the plain output name (latest
+    wins)."""
+
+    def resolve(stage: str, v):
+        if isinstance(v, Ref):
+            key = v.key
+        elif isinstance(v, str) and v.startswith("$") and not v.startswith("$$"):
+            key = v[1:]
+        elif isinstance(v, str) and v.startswith("$$"):
+            return v[1:]
+        else:
+            return v
+        if key not in ctx:
+            raise KeyError(
+                f"pipeline stage {stage!r}: context key {key!r} is not bound "
+                f"(available: {sorted(k for k in ctx if '.' not in k)})"
+            )
+        return ctx[key]
+
     ctx = dict(context or {})
     for name, kwargs in stages:
         comp = get(name)
-        resolved = {k: ctx.get(v, v) if isinstance(v, str) else v for k, v in kwargs.items()}
+        resolved = {k: resolve(name, v) for k, v in kwargs.items()}
         out = comp.fn(spark, **resolved)
         outs = out if isinstance(out, dict) else {comp.outputs[0]: out}
         for k, v in outs.items():

@@ -434,6 +434,33 @@ def test_union_pads_and_keeps_multiset(spark):
     assert lgot == sorted(got, key=lambda t: (t[0], t[1] or "", t[2] or ""))
 
 
+def test_path_mixed_alternation_meta_alignment(spark):
+    """A mixed forward/^inverse alternation step binds the hop variable
+    in OBJECT position on the forward branch (meta companions present)
+    and SUBJECT position on the inverse branch (none). The branch union
+    must materialize the inverse branch's term as ('iri', null, null)
+    — NULL-padded meta would make a downstream strict_terms join read
+    those rows as ('','','') and silently drop them (ADVICE r5)."""
+    rows = [
+        ("urn:a", "urn:p", "urn:m1", "iri", None, None),   # forward hop a -p-> m1
+        ("urn:m2", "urn:q", "urn:a", "iri", None, None),   # inverse hop a -^q-> m2
+        ("urn:m1", "urn:r", "k1", "literal", None, None),
+        ("urn:m2", "urn:r", "k2", "literal", None, None),
+    ]
+    g = _tiny_graph(spark, rows)
+    sols = graphq.path(g, "?x", [["urn:p", "^urn:q"]], "?m")
+    # both branches present, and the inverse branch's meta is the IRI term
+    meta = {(r["m"], r["m__type"]) for r in sols.collect()}
+    assert meta == {("urn:m1", "iri"), ("urn:m2", "iri")}
+    joined = graphq.join_solutions(
+        sols, graphq.bgp(g, [("?m", "urn:r", "?k")]), strict_terms=True
+    )
+    assert sorted((r["m"], r["k"]) for r in joined.collect()) == [
+        ("urn:m1", "k1"),
+        ("urn:m2", "k2"),
+    ]
+
+
 def test_union_meta_alignment_survives_strict_join(spark):
     """A variable bound in SUBJECT position in one branch and OBJECT
     position in the other must carry ('iri', null, null) meta after

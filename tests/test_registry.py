@@ -25,11 +25,41 @@ def test_pipeline_composition(spark):
         [
             ("load_fixture_graph",
              {"path": "/root/reference/l-dcatAp11ToCkanBatch/src/test/resources/input.ttl"}),
-            ("dcat_to_dkan", {"metadata": "metadata", "lang": "en"}),
+            ("dcat_to_dkan", {"metadata": "$metadata", "lang": "en"}),
         ],
     )
     nodes = ctx["dcat_to_dkan.nodes"]
     assert nodes.count() == 4  # 2 dataset nodes + 2 resource nodes (shared distro per dataset)
+
+
+def test_pipeline_refs_are_explicit(spark):
+    """Context resolution is opt-in: plain strings are literals even
+    when they collide with a live context key (the silent-rewrite bug
+    the old context-first rule had); $key and Ref() resolve; $$ escapes
+    a literal dollar; an unbound $key raises with the stage name."""
+    from lp_etl_plugins_spark.registry import Ref
+
+    seen = {}
+    try:
+        registry.register("ref_probe", "test stage", outputs=("corpus",))(
+            lambda spark, corpus: seen.update(got=corpus) or {"corpus": "ctx-value"}
+        )
+    except ValueError:
+        pass  # already registered by a previous parametrization
+    # plain string literal, even though "corpus" is a context key
+    registry.pipeline(spark, [("ref_probe", {"corpus": "x"})], {"corpus": "ctx-value"})
+    assert seen["got"] == "x"
+    # $key resolves from context
+    registry.pipeline(spark, [("ref_probe", {"corpus": "$corpus"})], {"corpus": "ctx-value"})
+    assert seen["got"] == "ctx-value"
+    # Ref() resolves from context
+    registry.pipeline(spark, [("ref_probe", {"corpus": Ref("corpus")})], {"corpus": "ctx-value"})
+    assert seen["got"] == "ctx-value"
+    # $$ escapes a literal leading dollar
+    registry.pipeline(spark, [("ref_probe", {"corpus": "$$corpus"})], {"corpus": "ctx-value"})
+    assert seen["got"] == "$corpus"
+    with pytest.raises(KeyError, match="ref_probe.*not bound"):
+        registry.pipeline(spark, [("ref_probe", {"corpus": "$missing"})])
 
 
 def test_driver_prefix_is_exactly_the_reference_core():

@@ -313,6 +313,49 @@ def test_outer_interval_join_stream_equals_batch(spark, event_dir):
     assert extra.count() == 0
 
 
+def test_stateful_v2_runtime_equivalence(spark, tmp_path_factory):
+    """Batch equivalence of the PRIMARY transformWithStateInPandas path
+    — runs automatically wherever the v2 runtime exists (protobuf +
+    RocksDB provider, e.g. a production deployment image) and skips
+    here, where _tws_available gates to the fallback. The fallback's
+    equivalence is covered unconditionally by
+    test_stateful_totals_across_microbatches; this closes the gap that
+    the v2 call itself was only stub-tested (ADVICE r5)."""
+    if not streaming._tws_available(spark):
+        pytest.skip("transformWithState v2 runtime unavailable (needs protobuf + RocksDB provider)")
+
+    path = str(tmp_path_factory.mktemp("events_state_v2") / "events")
+    load_table(spark, SF, "events").repartition(3).write.mode("overwrite").parquet(path)
+    batch_df = spark.read.parquet(path)
+    batch = {r["user_id"]: (r["n_events"], r["sum_value"])
+             for r in streaming.user_totals(batch_df).collect()}
+    stream = (
+        spark.readStream.schema(batch_df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+        .transform(streaming.stateful_user_totals)
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("stateful_v2_mem")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    emitted = spark.table("stateful_v2_mem")
+    final = (
+        emitted.groupBy("user_id")
+        .agg(F.max(F.struct("n_events", "sum_value")).alias("last"))
+        .select("user_id", "last.n_events", "last.sum_value")
+    )
+    streamed = {r["user_id"]: (r["n_events"], r["sum_value"]) for r in final.collect()}
+    assert streamed.keys() == batch.keys()
+    for uid, (n, s) in batch.items():
+        sn, ss = streamed[uid]
+        assert sn == n and abs(ss - s) < 1e-9
+
+
 def test_stateful_v2_gate_and_processor_shape(spark):
     """The v2 arbitrary-state path is gated on BOTH the protobuf
     runtime and a RocksDB-configured session. In this container the
