@@ -1682,6 +1682,76 @@ FROM r GROUP BY source
 """
 
 
+def t34_incremental_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup-index maintenance (`DedupIndex.update`) — the
+    daily-delta pattern: build the index over a BASE slice of the
+    corpus (even doc_ids except the %10==4 residue), then merge the
+    held-out delta in WITHOUT a rebuild: only the delta is
+    shingled/minhashed, new candidate pairs come from banding the
+    delta against the persisted band frame, verification touches the
+    delta plus only the old docs a new pair references, and components
+    re-run star-seeded from the stored labels. The emitted stats are
+    over the UPDATED index; the oracle recomputes the same stats from
+    scratch over base ∪ delta — a direct hash gate on
+    update == full rebuild (the property tests additionally assert it
+    stage-for-stage through a save/load round trip). Runs on the even
+    half of the corpus so the second index build this entry pays stays
+    proportionate in the bench.
+    → (n_pairs, n_verified, n_clustered_docs, n_clusters)."""
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") % 2 == 0)
+    base = docs.filter(F.col("doc_id") % 10 != 4)
+    delta = docs.filter(F.col("doc_id") % 10 == 4)
+    idx = T.DedupIndex(
+        base,
+        "text",
+        "doc_id",
+        shingle_n=_SHINGLE_N,
+        k=_K,
+        bands=_BANDS,
+        rows=_ROWS,
+        threshold=0.8,
+    )
+    # force the base stages so update() exercises the incremental path
+    # (unforced stages would lazily derive from the merged corpus)
+    idx.verified, idx.clusters
+    idx.update(delta)
+    p = idx.pairs.agg(F.count(F.lit(1)).alias("n_pairs"))
+    v = idx.verified.agg(F.count(F.lit(1)).alias("n_verified"))
+    c = idx.clusters.agg(
+        F.count(F.lit(1)).alias("n_clustered_docs"),
+        F.countDistinct("cluster").alias("n_clusters"),
+    )
+    # three 1-row aggregates; the joins are 1x1 broadcast nested loops
+    return p.crossJoin(v).crossJoin(c)
+
+
+T34_SQL = (
+    "WITH RECURSIVE "
+    + _SH_SQL.replace("FROM documents", "FROM documents WHERE doc_id % 2 = 0")
+    + ","
+    + _CAND_SQL
+    + _VERIFIED_CTES
+    + """,
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM cand
+  UNION
+  SELECT id_b, id_a FROM cand
+),
+reach(u, lbl) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges) t
+  UNION
+  SELECT e.u, r.lbl FROM edges e JOIN reach r ON r.u = e.v
+),
+comp AS (SELECT u, min(lbl) AS cluster FROM reach GROUP BY u)
+SELECT (SELECT count(*) FROM cand)::BIGINT AS n_pairs,
+       (SELECT count(*) FROM verified)::BIGINT AS n_verified,
+       count(*)::BIGINT AS n_clustered_docs,
+       count(DISTINCT cluster)::BIGINT AS n_clusters
+FROM comp
+"""
+)
+
+
 QUERIES = {
     "t0_dedup_index_stats": t0_dedup_index_stats,
     "t1_exact_dedup": t1_exact_dedup,
@@ -1717,6 +1787,7 @@ QUERIES = {
     "t31_char_entropy": t31_char_entropy,
     "t32_sequence_pack": t32_sequence_pack,
     "t33_redact": t33_redact,
+    "t34_incremental_index_stats": t34_incremental_index_stats,
 }
 
 ORACLES = {
@@ -1754,4 +1825,5 @@ ORACLES = {
     "t31_char_entropy": T31_SQL,
     "t32_sequence_pack": T32_SQL,
     "t33_redact": T33_SQL,
+    "t34_incremental_index_stats": T34_SQL,
 }

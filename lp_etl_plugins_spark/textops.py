@@ -37,6 +37,8 @@ __all__ = [
     "fingerprint_dedup",
     "minhash_signatures",
     "lsh_candidate_pairs",
+    "band_frame",
+    "pairs_from_band_frame",
     "jaccard_over_candidates",
     "doc_shingle_sets",
     "char_ngrams",
@@ -179,6 +181,17 @@ def lsh_candidate_pairs(
     substrate's absolute df cap. Docs paired ONLY through a dropped
     group lose those candidates; mirror the cap in any oracle.
     Default None preserves exact recall semantics."""
+    return pairs_from_band_frame(
+        band_frame(signatures, bands, rows), max_band_size
+    )
+
+
+def band_frame(signatures: DataFrame, bands: int, rows: int) -> DataFrame:
+    """Banded view of a signature frame → (id, band, key): each band of
+    ``rows`` signature slots hashed to one key. This is the index's
+    JOINABLE form — a corpus delta mines its new candidate pairs by
+    banding its own signatures and equi-joining this frame, which is
+    what :meth:`DedupIndex.update` persists it for."""
     band_structs = [
         F.struct(
             F.lit(b).alias("band"),
@@ -188,17 +201,31 @@ def lsh_candidate_pairs(
         )
         for b in range(bands)
     ]
-    banded = signatures.select(
+    return signatures.select(
         "id", F.explode(F.array(*band_structs)).alias("bk")
     ).select("id", "bk.band", "bk.key")
-    if max_band_size is not None:
-        kept = (
-            banded.groupBy("band", "key")
-            .agg(F.count(F.lit(1)).alias("__n"))
-            .filter(F.col("__n") <= max_band_size)
-            .select("band", "key")
-        )
-        banded = banded.join(kept, ["band", "key"], "left_semi")
+
+
+def _cap_band_groups(banded: DataFrame, max_band_size: int | None) -> DataFrame:
+    """Drop overfull (band, key) groups — the structural pair-explosion
+    bound of :func:`lsh_candidate_pairs`; identity when uncapped."""
+    if max_band_size is None:
+        return banded
+    kept = (
+        banded.groupBy("band", "key")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") <= max_band_size)
+        .select("band", "key")
+    )
+    return banded.join(kept, ["band", "key"], "left_semi")
+
+
+def pairs_from_band_frame(
+    banded: DataFrame, max_band_size: int | None = None
+) -> DataFrame:
+    """Candidate pairs from a band frame: per-(band, key) self-join,
+    ordered distinct pairs — :func:`lsh_candidate_pairs`'s join tail."""
+    banded = _cap_band_groups(banded, max_band_size)
     left = banded.alias("a")
     right = banded.alias("b")
     return (
@@ -761,10 +788,11 @@ class DedupIndex:
         self._id_col = id_col
         self._shingle_n = shingle_n
         self._k = k
-        self._bands = bands
+        self._n_bands = bands
         self._rows = rows
         self._threshold = threshold
         self._max_band_size = max_band_size
+        self._bands: DataFrame | None = None
         self._pairs: DataFrame | None = None
         self._verified: DataFrame | None = None
         self._clusters: DataFrame | None = None
@@ -772,18 +800,31 @@ class DedupIndex:
         # stage-build counters — lets tests (and ops dashboards) assert
         # the build-once contract instead of trusting it
         self.builds: dict[str, int] = dict.fromkeys(self._STAGES, 0)
+        self.updates = 0
+
+    @property
+    def bands(self) -> DataFrame:
+        """The joinable index form (id, band, key) — every document's
+        LSH band keys. The substrate a corpus DELTA joins to find its
+        new candidate pairs (:meth:`update`), so it persists alongside
+        the derived stages."""
+        if self._bands is None:
+            self.builds["bands"] += 1
+            sh = _doc_shingles(
+                self._df, self._text_col, self._id_col, self._shingle_n, distinct=False
+            )
+            self._bands = band_frame(
+                minhash_signatures(sh, self._k), self._n_bands, self._rows
+            ).localCheckpoint()
+        return self._bands
 
     @property
     def pairs(self) -> DataFrame:
         """LSH candidate pairs (id_a, id_b), id_a < id_b — t3's output."""
         if self._pairs is None:
             self.builds["pairs"] += 1
-            sh = _doc_shingles(
-                self._df, self._text_col, self._id_col, self._shingle_n, distinct=False
-            )
-            sigs = minhash_signatures(sh, self._k)
-            self._pairs = lsh_candidate_pairs(
-                sigs, self._bands, self._rows, self._max_band_size
+            self._pairs = pairs_from_band_frame(
+                self.bands, self._max_band_size
             ).localCheckpoint()
         return self._pairs
 
@@ -800,7 +841,11 @@ class DedupIndex:
             ).localCheckpoint()
         return self._verified
 
-    _STAGES = ("pairs", "verified", "clusters", "verified_clusters")
+    _STAGES = ("bands", "pairs", "verified", "clusters", "verified_clusters")
+    _META_SCHEMA = (
+        "text_col string, id_col string, shingle_n int, k int, bands int, "
+        "rows int, threshold double, max_band_size int"
+    )
 
     @property
     def clusters(self) -> DataFrame:
@@ -833,22 +878,174 @@ class DedupIndex:
         in-session form is the localCheckpoint): a 100 TB pipeline
         materializes the dedup index once per corpus snapshot and
         every later job (and every later run) reads it. Forces any
-        not-yet-built stage."""
+        not-yet-built stage. A ``meta`` table records the build
+        parameters so :meth:`load` + :meth:`update` hash corpus
+        deltas identically to the original build."""
         for stage in self._STAGES:
             getattr(self, stage).write.mode("overwrite").parquet(f"{path}/{stage}")
+        spark = self.bands.sparkSession
+        meta = spark.createDataFrame(
+            [
+                (
+                    self._text_col,
+                    self._id_col,
+                    self._shingle_n,
+                    self._k,
+                    self._n_bands,
+                    self._rows,
+                    float(self._threshold),
+                    self._max_band_size,
+                )
+            ],
+            self._META_SCHEMA,
+        )
+        meta.coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
 
     @classmethod
     def load(cls, spark, path: str) -> "DedupIndex":
         """Re-open a :meth:`save`-d index: the returned object serves
         the parquet-backed frames directly (no corpus scan, no
         rebuild); the stage-build counters stay at 0 because nothing
-        is built."""
+        is built. Build parameters come back from the ``meta`` table,
+        so the loaded index accepts :meth:`update` deltas."""
         idx = cls.__new__(cls)
         idx._df = None
+        m = spark.read.parquet(f"{path}/meta").first()
+        idx._text_col = m["text_col"]
+        idx._id_col = m["id_col"]
+        idx._shingle_n = m["shingle_n"]
+        idx._k = m["k"]
+        idx._n_bands = m["bands"]
+        idx._rows = m["rows"]
+        idx._threshold = m["threshold"]
+        idx._max_band_size = m["max_band_size"]
         for stage in cls._STAGES:
             setattr(idx, f"_{stage}", spark.read.parquet(f"{path}/{stage}"))
         idx.builds = dict.fromkeys(cls._STAGES, 0)
+        idx.updates = 0
         return idx
+
+    def update(self, new_docs: DataFrame, old_docs: DataFrame | None = None) -> "DedupIndex":
+        """Merge a corpus delta into the index WITHOUT a full rebuild —
+        the daily-delta pattern a production 100 TB pipeline runs:
+        only the delta is shingled/minhashed; new candidate pairs come
+        from banding the delta's signatures and equi-joining the
+        persisted :attr:`bands` frame (new×all — old×old pairs cannot
+        change); Jaccard verification touches only the delta plus the
+        OLD documents that actually appear in a new pair (a semi-join,
+        bounded by candidate fan-in, never an old-corpus scan); and
+        components re-run seeded from the stored labels — each old
+        cluster collapses to STAR edges (member → label), so the
+        propagation pays O(log delta-diameter) rounds over
+        |stars| + |new pairs| edges instead of replaying the full old
+        edge list. ``load(path).update(delta)`` equals a full rebuild
+        over old ∪ delta stage-for-stage (test-asserted).
+
+        ``old_docs`` is the full pre-update corpus; required for a
+        :meth:`load`-ed index (verification needs touched old TEXTS —
+        the one thing the index does not persist), optional when the
+        index was built in-session. Delta ids must be disjoint from
+        indexed ids (append-only contract; re-ingesting an id would
+        duplicate its band rows). With ``max_band_size`` set, the cap
+        re-evaluates over the MERGED band groups for new pairs, but
+        already-mined pairs are never retracted — the index is
+        monotone; a group that outgrew the cap stops yielding NEW
+        pairs. Mutates and returns ``self``; stages never built (and
+        not loaded) stay lazy and will derive from the merged state."""
+        old = old_docs if old_docs is not None else self._df
+        # old state FIRST — after the merge below, the lazy properties
+        # would rebuild from merged inputs instead
+        old_bands = self.bands
+        old_pairs = self.pairs
+        sh = _doc_shingles(
+            new_docs, self._text_col, self._id_col, self._shingle_n, distinct=False
+        )
+        new_bands = band_frame(
+            minhash_signatures(sh, self._k), self._n_bands, self._rows
+        ).localCheckpoint()
+        merged_bands = old_bands.unionByName(new_bands).localCheckpoint()
+        capped = _cap_band_groups(merged_bands, self._max_band_size)
+        delta_side = (
+            new_bands.join(
+                capped.select("band", "key").distinct(), ["band", "key"], "left_semi"
+            )
+            if self._max_band_size is not None
+            else new_bands
+        )
+        new_pairs = (
+            delta_side.alias("a")
+            .join(
+                capped.alias("b"),
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.key") == F.col("b.key"))
+                & (F.col("a.id") != F.col("b.id")),
+            )
+            .select(
+                F.least(F.col("a.id"), F.col("b.id")).alias("id_a"),
+                F.greatest(F.col("a.id"), F.col("b.id")).alias("id_b"),
+            )
+            .distinct()
+            .localCheckpoint()
+        )
+
+        def _star(labels: DataFrame) -> DataFrame:
+            # an old cluster as diameter-1 edges (member → label): same
+            # connectivity as the old pair list, logarithmically fewer
+            # propagation rounds when new edges bridge old clusters
+            return labels.select(
+                F.col("id").alias("id_a"), F.col("cluster").alias("id_b")
+            )
+
+        if self._verified is not None:
+            new_ids = new_docs.select(
+                F.col(self._id_col).alias("id")
+            ).distinct()
+            touched_old = (
+                new_pairs.select(F.col("id_a").alias("id"))
+                .unionByName(new_pairs.select(F.col("id_b").alias("id")))
+                .distinct()
+                .join(new_ids, "id", "left_anti")
+            )
+            if old is None:
+                raise ValueError(
+                    "DedupIndex.update: verification of new candidate pairs "
+                    "needs the old documents' text — pass old_docs (the full "
+                    "pre-update corpus) when updating a load()-ed index"
+                )
+            sets = doc_shingle_sets(
+                new_docs, self._text_col, self._id_col, self._shingle_n
+            ).unionByName(
+                doc_shingle_sets(
+                    old.join(
+                        touched_old.withColumnRenamed("id", self._id_col),
+                        self._id_col,
+                        "left_semi",
+                    ),
+                    self._text_col,
+                    self._id_col,
+                    self._shingle_n,
+                )
+            )
+            new_verified = jaccard_over_candidates(
+                new_pairs, sets, self._threshold
+            ).localCheckpoint()
+            old_verified = self._verified
+            if self._verified_clusters is not None:
+                self._verified_clusters = connected_components(
+                    _star(self._verified_clusters).unionByName(
+                        new_verified.select("id_a", "id_b")
+                    )
+                )
+            self._verified = old_verified.unionByName(new_verified).localCheckpoint()
+        if self._clusters is not None:
+            self._clusters = connected_components(
+                _star(self._clusters).unionByName(new_pairs)
+            )
+        self._bands = merged_bands
+        self._pairs = old_pairs.unionByName(new_pairs).localCheckpoint()
+        self._df = old.unionByName(new_docs) if old is not None else None
+        self.updates += 1
+        return self
 
 
 def hash_bucket(col: Column | str, n_buckets: int = 100) -> Column:

@@ -34,7 +34,8 @@ def test_each_substrate_builds_exactly_once(spark):
         IT.t26_canonical_dedup(spark, SF_SMOKE).collect()
         IT.t29_source_overlap(spark, SF_SMOKE).collect()
     assert idx.builds == {
-        "pairs": 1, "verified": 1, "clusters": 1, "verified_clusters": 0,
+        "bands": 1, "pairs": 1, "verified": 1, "clusters": 1,
+        "verified_clusters": 0,
     }
     # and the cached frames are the same objects on re-access
     assert idx.pairs is idx.pairs
@@ -111,6 +112,79 @@ def test_index_save_load_roundtrip(spark, tmp_path):
         want = sorted(tuple(r) for r in getattr(idx, stage).collect())
         assert got == want, stage
     assert loaded.builds == zero
+
+
+def _stage_rows(idx, stage):
+    df = getattr(idx, stage)
+    if stage == "verified":
+        # round the float for comparison; values themselves are checked
+        # by the oracle-parity suite
+        return sorted((r["id_a"], r["id_b"], round(r["jaccard"], 6)) for r in df.collect())
+    if stage in ("clusters", "verified_clusters"):
+        return sorted((r["id"], r["cluster"]) for r in df.collect())
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_incremental_update_equals_full_rebuild(spark, tmp_path):
+    """The daily-delta pattern: save an index over the base corpus,
+    load it in a 'later session', update() with the delta — every
+    stage must equal a from-scratch build over base ∪ delta. Also
+    asserts the incremental path did NOT rebuild any stage (the build
+    counters stay 0 on the loaded index)."""
+    from lp_etl_plugins_spark.textops import DedupIndex
+    from lp_etl_plugins_spark.inventory.textops import _docs
+    from pyspark.sql import functions as F
+
+    docs = _docs(spark, SF_SMOKE)
+    base = docs.filter(F.col("doc_id") % 10 != 3)
+    delta = docs.filter(F.col("doc_id") % 10 == 3)
+    assert delta.count() > 0
+
+    full = DedupIndex(docs, "text", "doc_id")
+    built = DedupIndex(base, "text", "doc_id")
+    path = str(tmp_path / "base_index")
+    built.save(path)
+
+    loaded = DedupIndex.load(spark, path)
+    updated = loaded.update(delta, old_docs=base)
+    assert updated is loaded
+    assert loaded.updates == 1
+    assert loaded.builds == dict.fromkeys(DedupIndex._STAGES, 0)
+    for stage in DedupIndex._STAGES:
+        assert _stage_rows(loaded, stage) == _stage_rows(full, stage), stage
+
+    # the in-session form (no save/load) agrees too, including a
+    # second save/load round trip of the UPDATED index
+    insess = DedupIndex(base, "text", "doc_id").update(delta)
+    for stage in ("pairs", "verified", "clusters"):
+        assert _stage_rows(insess, stage) == _stage_rows(full, stage), stage
+    path2 = str(tmp_path / "updated_index")
+    loaded.save(path2)
+    re = DedupIndex.load(spark, path2)
+    assert _stage_rows(re, "pairs") == _stage_rows(full, "pairs")
+
+
+def test_update_new_cross_pairs_detected(spark):
+    """A delta document near-duplicating a BASE document must surface
+    as a new cross (old, new) verified pair and merge clusters."""
+    from lp_etl_plugins_spark.textops import DedupIndex
+
+    base_rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (2, "one two three four five six seven eight nine ten"),
+    ]
+    delta_rows = [
+        (3, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+    ]
+    base = spark.createDataFrame(base_rows, "doc_id long, text string")
+    delta = spark.createDataFrame(delta_rows, "doc_id long, text string")
+    idx = DedupIndex(base, "text", "doc_id", threshold=0.8)
+    # force the old stages so update() exercises the star-seeded merge
+    idx.verified_clusters, idx.clusters
+    idx.update(delta)
+    assert {(r["id_a"], r["id_b"]) for r in idx.verified.collect()} == {(1, 3)}
+    vlab = {r["id"]: r["cluster"] for r in idx.verified_clusters.collect()}
+    assert vlab[1] == vlab[3] == 1
 
 
 def test_verified_clusters_exclude_lsh_false_positives(spark):
