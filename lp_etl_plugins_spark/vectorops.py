@@ -46,6 +46,7 @@ __all__ = [
     "knn_pq",
     "knn_ivf_pq",
     "label_centroids",
+    "VectorIndex",
 ]
 
 
@@ -554,52 +555,73 @@ def _pq_parts(
     compressed corpus, lut: (probe_id, sub, code, pd2) — every
     probe's distance to every codebook entry)."""
     sub_dim = dims // m
+    cdims = _sub_split(embeddings, id_col, vec_col, sub_dim, seed_col)
+    cent, cent_norm = _pq_codebook_from_dims(cdims)
+    enc = _pq_sub_dist(cdims, cent, cent_norm)
+    codes = _pq_encode(enc)
+    lut = _pq_sub_dist(
+        _sub_split(probes, id_col, vec_col, sub_dim), cent, cent_norm
+    ).select(F.col("id").alias("probe_id"), "sub", "code", F.col("d2").alias("pd2"))
+    return codes, lut
 
-    def _dims(df: DataFrame, with_seed: bool) -> DataFrame:
-        cols = [F.col(id_col).alias("id")]
-        if with_seed:
-            cols.append(F.col(seed_col).alias("seed"))
-        return (
-            df.select(*cols, F.posexplode(F.col(vec_col)).alias("dim", "v"))
-            .withColumn("v", F.col("v").cast("double"))
-            .withColumn("sub", (F.col("dim") / sub_dim).cast("int"))
-        )
 
-    cdims = _dims(embeddings, True)
+def _sub_split(
+    df: DataFrame, id_col: str, vec_col: str, sub_dim: int, seed_col: str | None = None
+) -> DataFrame:
+    """posexplode a vector frame into (id[, seed], dim, sub, v double)
+    — the per-dimension view every PQ stage works over."""
+    cols = [F.col(id_col).alias("id")]
+    if seed_col is not None:
+        cols.append(F.col(seed_col).alias("seed"))
+    return (
+        df.select(*cols, F.posexplode(F.col(vec_col)).alias("dim", "v"))
+        .withColumn("v", F.col("v").cast("double"))
+        .withColumn("sub", (F.col("dim") / sub_dim).cast("int"))
+    )
+
+
+def _pq_codebook_from_dims(cdims: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Per-subspace codebook (seed, sub, dim, c) + entry norms
+    (seed, sub, c2) from a seeded dimension view — bounded by
+    n_codes × dims rows, broadcast-sized at any corpus scale."""
     cent = cdims.groupBy("seed", "sub", "dim").agg(F.avg("v").alias("c"))
     cent_norm = cent.groupBy("seed", "sub").agg(
         F.sum(F.col("c") * F.col("c")).alias("c2")
     )
+    return cent, cent_norm
 
-    def _sub_dist(dim_rows: DataFrame) -> DataFrame:
-        # per (vector, subspace, codebook entry) squared L2 distance
-        return (
-            dim_rows.join(cent.withColumnRenamed("seed", "code"), on=["sub", "dim"])
-            .groupBy("id", "sub", "code")
-            .agg(
-                F.sum(F.col("v") * F.col("c")).alias("dot"),
-                F.sum(F.col("v") * F.col("v")).alias("v2"),
-            )
-            .join(cent_norm.withColumnRenamed("seed", "code"), on=["sub", "code"])
-            .select(
-                "id",
-                "sub",
-                "code",
-                F.round(F.col("v2") - 2 * F.col("dot") + F.col("c2"), 6).alias("d2"),
-            )
+
+def _pq_sub_dist(
+    dim_rows: DataFrame, cent: DataFrame, cent_norm: DataFrame
+) -> DataFrame:
+    """Per (vector, subspace, codebook entry) squared L2 distance,
+    rounded to the 1e-6 grid → (id, sub, code, d2)."""
+    return (
+        dim_rows.join(cent.withColumnRenamed("seed", "code"), on=["sub", "dim"])
+        .groupBy("id", "sub", "code")
+        .agg(
+            F.sum(F.col("v") * F.col("c")).alias("dot"),
+            F.sum(F.col("v") * F.col("v")).alias("v2"),
         )
+        .join(cent_norm.withColumnRenamed("seed", "code"), on=["sub", "code"])
+        .select(
+            "id",
+            "sub",
+            "code",
+            F.round(F.col("v2") - 2 * F.col("dot") + F.col("c2"), 6).alias("d2"),
+        )
+    )
 
-    enc = _sub_dist(cdims)
+
+def _pq_encode(enc: DataFrame) -> DataFrame:
+    """Argmin codebook entry per (vector, subspace) → the compressed
+    corpus (neighbor_id, sub, code), m small ints per vector."""
     win_code = W.partitionBy("id", "sub").orderBy(F.col("d2"), F.col("code"))
-    codes = (
+    return (
         enc.withColumn("rn", F.row_number().over(win_code))
         .filter(F.col("rn") == 1)
         .select(F.col("id").alias("neighbor_id"), "sub", "code")
     )
-    lut = _sub_dist(_dims(probes, False)).select(
-        F.col("id").alias("probe_id"), "sub", "code", F.col("d2").alias("pd2")
-    )
-    return codes, lut
 
 
 def knn_ivf_pq(
@@ -665,6 +687,189 @@ def knn_ivf_pq(
         .filter(F.col("rank") <= k)
         .select("probe_id", "neighbor_id", "adist2", "rank")
     )
+
+
+class VectorIndex:
+    """Persistable IVF-PQ index — the SERVING path (VERDICT r5 #3).
+
+    The query-side ANN functions (:func:`knn_ivf`, :func:`knn_ivf_pq`)
+    train their coarse centroids and PQ codebooks in-plan, which is
+    right for one-shot analytics but wrong for serving: a production
+    vector store builds the index ONCE per corpus snapshot, persists
+    it, and answers every later query — from any session — against the
+    LOADED artifacts with no corpus scan. This class is that artifact
+    set (the :class:`lp_etl_plugins_spark.textops.DedupIndex` pattern
+    applied to ANN):
+
+    - ``ivf_centroids`` / ``ivf_norms`` — the coarse quantizer
+      (n_lists × dims rows; broadcast-sized);
+    - ``pq_codebook`` / ``pq_norms`` — per-subspace codebooks
+      (n_codes × dims rows; broadcast-sized);
+    - ``corpus_lists`` — each corpus vector's coarse list (id, bucket);
+    - ``codes`` — the PQ-compressed corpus (id, sub, code): m small
+      ints per vector, the ONLY per-vector payload a query reads
+      (~dims/m × smaller than the floats).
+
+    :meth:`search` serves EXTERNAL query vectors: probe list fan-out
+    and the ADC lookup table both derive from the probe's own vector
+    against the stored centroids/codebooks — corpus rows are touched
+    only through ``codes``/``corpus_lists``, never the raw embeddings.
+    Stages build lazily, pin with ``localCheckpoint``, and
+    ``save``/``load`` round-trip through parquet with a ``meta`` table
+    so a loaded index answers identically to the in-session build
+    (test-asserted)."""
+
+    _STAGES = ("ivf_centroids", "ivf_norms", "pq_codebook", "pq_norms", "corpus_lists", "codes")
+    _META_SCHEMA = "id_col string, vec_col string, m int, dims int"
+
+    def __init__(
+        self,
+        embeddings: DataFrame,
+        seed_col: str = "label",
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        m: int = 4,
+        dims: int = 64,
+    ) -> None:
+        self._df = embeddings
+        self._seed_col = seed_col
+        self._id_col = id_col
+        self._vec_col = vec_col
+        self._m = m
+        self._dims = dims
+        for stage in self._STAGES:
+            setattr(self, f"_{stage}", None)
+        self.builds: dict[str, int] = dict.fromkeys(self._STAGES, 0)
+
+    def _coarse(self) -> tuple[DataFrame, DataFrame]:
+        if self._ivf_centroids is None:
+            self.builds["ivf_centroids"] += 1
+            self.builds["ivf_norms"] += 1
+            cent, cent_norm = _centroid_frames(self._df, self._seed_col, self._vec_col)
+            self._ivf_centroids = cent.localCheckpoint()
+            self._ivf_norms = cent_norm.localCheckpoint()
+        return self._ivf_centroids, self._ivf_norms
+
+    def _pq(self) -> tuple[DataFrame, DataFrame]:
+        if self._pq_codebook is None:
+            self.builds["pq_codebook"] += 1
+            self.builds["pq_norms"] += 1
+            cdims = _sub_split(
+                self._df, self._id_col, self._vec_col, self._dims // self._m, self._seed_col
+            )
+            cent, cent_norm = _pq_codebook_from_dims(cdims)
+            self._pq_codebook = cent.localCheckpoint()
+            self._pq_norms = cent_norm.localCheckpoint()
+        return self._pq_codebook, self._pq_norms
+
+    @property
+    def ivf_centroids(self) -> DataFrame:
+        return self._coarse()[0]
+
+    @property
+    def ivf_norms(self) -> DataFrame:
+        return self._coarse()[1]
+
+    @property
+    def pq_codebook(self) -> DataFrame:
+        return self._pq()[0]
+
+    @property
+    def pq_norms(self) -> DataFrame:
+        return self._pq()[1]
+
+    @property
+    def corpus_lists(self) -> DataFrame:
+        if self._corpus_lists is None:
+            self.builds["corpus_lists"] += 1
+            cent, cent_norm = self._coarse()
+            self._corpus_lists = (
+                _rank_against_centroids(
+                    self._df, self._id_col, self._vec_col, cent, cent_norm, 1
+                )
+                .select("id", "bucket")
+                .localCheckpoint()
+            )
+        return self._corpus_lists
+
+    @property
+    def codes(self) -> DataFrame:
+        if self._codes is None:
+            self.builds["codes"] += 1
+            cent, cent_norm = self._pq()
+            cdims = _sub_split(
+                self._df, self._id_col, self._vec_col, self._dims // self._m
+            )
+            self._codes = _pq_encode(
+                _pq_sub_dist(cdims, cent, cent_norm)
+            ).localCheckpoint()
+        return self._codes
+
+    def search(self, probes: DataFrame, k: int, nprobe: int = 2) -> DataFrame:
+        """IVF-PQ ADC top-k for EXTERNAL query vectors against the
+        stored index: probe fan-out = the probe's own vector vs the
+        stored coarse centroids (nprobe lists); LUT = probe vs the
+        stored codebooks; candidates = stored corpus lists equi-joined
+        on bucket; score = sum of m broadcast-LUT lookups over the
+        stored codes. No corpus-vector access, no self-exclusion
+        (probe ids live in their own namespace).
+        → (probe_id, neighbor_id, adist2, rank ≤ k)."""
+        cent, cent_norm = self._coarse()
+        pq_cent, pq_norm = self._pq()
+        probe_fan = _rank_against_centroids(
+            probes, self._id_col, self._vec_col, cent, cent_norm, nprobe
+        ).select(F.col("id").alias("probe_id"), "bucket")
+        lut = _pq_sub_dist(
+            _sub_split(probes, self._id_col, self._vec_col, self._dims // self._m),
+            pq_cent,
+            pq_norm,
+        ).select(F.col("id").alias("probe_id"), "sub", "code", F.col("d2").alias("pd2"))
+        cand = (
+            self.corpus_lists.withColumnRenamed("id", "neighbor_id")
+            .join(F.broadcast(probe_fan), on="bucket")
+            .select("probe_id", "neighbor_id")
+        )
+        adc = (
+            cand.join(self.codes, on="neighbor_id")
+            .join(F.broadcast(lut), on=["probe_id", "sub", "code"])
+            .groupBy("probe_id", "neighbor_id")
+            .agg(_adc_sum())
+        )
+        win = W.partitionBy("probe_id").orderBy(F.col("adist2"), F.col("neighbor_id"))
+        return (
+            adc.withColumn("rank", F.row_number().over(win))
+            .filter(F.col("rank") <= k)
+            .select("probe_id", "neighbor_id", "adist2", "rank")
+        )
+
+    def save(self, path: str) -> None:
+        """Persist all stages + meta as parquet under ``path`` (forces
+        any not-yet-built stage) — the once-per-snapshot materialization
+        a serving deployment reads from every session."""
+        for stage in self._STAGES:
+            getattr(self, stage).write.mode("overwrite").parquet(f"{path}/{stage}")
+        spark = self.codes.sparkSession
+        meta = spark.createDataFrame(
+            [(self._id_col, self._vec_col, self._m, self._dims)], self._META_SCHEMA
+        )
+        meta.coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+
+    @classmethod
+    def load(cls, spark, path: str) -> "VectorIndex":
+        """Re-open a :meth:`save`-d index; serves the parquet frames
+        directly (build counters stay 0, no corpus needed)."""
+        idx = cls.__new__(cls)
+        idx._df = None
+        idx._seed_col = None
+        m = spark.read.parquet(f"{path}/meta").first()
+        idx._id_col = m["id_col"]
+        idx._vec_col = m["vec_col"]
+        idx._m = m["m"]
+        idx._dims = m["dims"]
+        for stage in cls._STAGES:
+            setattr(idx, f"_{stage}", spark.read.parquet(f"{path}/{stage}"))
+        idx.builds = dict.fromkeys(cls._STAGES, 0)
+        return idx
 
 
 def label_centroids(
