@@ -71,6 +71,25 @@ def dedup_index(spark: SparkSession, sf_dir: str) -> T.DedupIndex:
     return idx
 
 
+_LM_INDEXES: dict[tuple[str, str], T.TrigramLM] = {}
+
+
+def lm_index(spark: SparkSession, sf_dir: str) -> T.TrigramLM:
+    """The per-(session, corpus) shared trigram LM (VERDICT r5 #5) —
+    the LM twin of :func:`dedup_index`: the gram explode and count
+    aggregation are paid once per SparkContext × corpus (lazy
+    checkpoints), and every scoring consumer — t23 and any host
+    pipeline — reuses the trained counts; ``TrigramLM.save/load`` is
+    the cross-session form. The DuckDB oracle keeps recomputing the
+    model from scratch, independently checking the shared build."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    lm = _LM_INDEXES.get(key)
+    if lm is None:
+        lm = T.TrigramLM(_docs(spark, sf_dir), "text", "doc_id")
+        _LM_INDEXES[key] = lm
+    return lm
+
+
 _GRAM_INDEXES: dict[tuple[str, str], tuple[DataFrame, DataFrame]] = {}
 
 
@@ -1080,7 +1099,9 @@ def t23_trigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition order cannot move the last digit.
     → (source, n_docs, avg_logprob)."""
     docs = _docs(spark, sf_dir)
-    scored = T.trigram_lm_logprob(docs, "text", "doc_id")
+    # shared session substrate: counts/grams train once per corpus
+    # (lazy checkpoints) and every later score() call reuses them
+    scored = lm_index(spark, sf_dir).score()
     joined = docs.select(F.col("doc_id").alias("id"), "source").join(scored, "id")
     n = F.count(F.lit(1))
     return joined.groupBy("source").agg(
@@ -1685,7 +1706,7 @@ FROM r GROUP BY source
 def t34_incremental_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental dedup-index maintenance (`DedupIndex.update`) — the
     daily-delta pattern: build the index over a BASE slice of the
-    corpus (even doc_ids except the %10==4 residue), then merge the
+    corpus (doc_id %4==0 except the %40==16 residue), then merge the
     held-out delta in WITHOUT a rebuild: only the delta is
     shingled/minhashed, new candidate pairs come from banding the
     delta against the persisted band frame, verification touches the
@@ -1694,13 +1715,13 @@ def t34_incremental_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the UPDATED index; the oracle recomputes the same stats from
     scratch over base ∪ delta — a direct hash gate on
     update == full rebuild (the property tests additionally assert it
-    stage-for-stage through a save/load round trip). Runs on the even
-    half of the corpus so the second index build this entry pays stays
-    proportionate in the bench.
+    stage-for-stage through a save/load round trip). Runs on the
+    quarter corpus (doc_id %4==0) so the second index build this entry
+    pays stays proportionate in the bench.
     → (n_pairs, n_verified, n_clustered_docs, n_clusters)."""
-    docs = _docs(spark, sf_dir).filter(F.col("doc_id") % 2 == 0)
-    base = docs.filter(F.col("doc_id") % 10 != 4)
-    delta = docs.filter(F.col("doc_id") % 10 == 4)
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") % 4 == 0)
+    base = docs.filter(F.col("doc_id") % 40 != 16)
+    delta = docs.filter(F.col("doc_id") % 40 == 16)
     idx = T.DedupIndex(
         base,
         "text",
@@ -1711,9 +1732,12 @@ def t34_incremental_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows=_ROWS,
         threshold=0.8,
     )
-    # force the base stages so update() exercises the incremental path
-    # (unforced stages would lazily derive from the merged corpus)
-    idx.verified, idx.clusters
+    # force the base pair/verify stages so update() exercises the
+    # incremental band-join + touched-docs verification; clusters stay
+    # lazy (they derive from the merged pairs — one component run
+    # instead of base + star-merge; the star-seeded path is asserted
+    # stage-for-stage in tests/test_dedup_index.py)
+    idx.verified
     idx.update(delta)
     p = idx.pairs.agg(F.count(F.lit(1)).alias("n_pairs"))
     v = idx.verified.agg(F.count(F.lit(1)).alias("n_verified"))
@@ -1727,7 +1751,7 @@ def t34_incremental_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 T34_SQL = (
     "WITH RECURSIVE "
-    + _SH_SQL.replace("FROM documents", "FROM documents WHERE doc_id % 2 = 0")
+    + _SH_SQL.replace("FROM documents", "FROM documents WHERE doc_id % 4 = 0")
     + ","
     + _CAND_SQL
     + _VERIFIED_CTES

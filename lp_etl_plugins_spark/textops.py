@@ -54,6 +54,7 @@ __all__ = [
     "lang_id",
     "quality_score",
     "trigram_lm_logprob",
+    "TrigramLM",
     "bigram_pmi",
     "token_counts",
     "hash_bucket",
@@ -815,7 +816,7 @@ class DedupIndex:
             )
             self._bands = band_frame(
                 minhash_signatures(sh, self._k), self._n_bands, self._rows
-            ).localCheckpoint()
+            ).localCheckpoint(eager=False)
         return self._bands
 
     @property
@@ -825,7 +826,7 @@ class DedupIndex:
             self.builds["pairs"] += 1
             self._pairs = pairs_from_band_frame(
                 self.bands, self._max_band_size
-            ).localCheckpoint()
+            ).localCheckpoint(eager=False)
         return self._pairs
 
     @property
@@ -838,7 +839,7 @@ class DedupIndex:
             )
             self._verified = jaccard_over_candidates(
                 self.pairs, sets, self._threshold
-            ).localCheckpoint()
+            ).localCheckpoint(eager=False)
         return self._verified
 
     _STAGES = ("bands", "pairs", "verified", "clusters", "verified_clusters")
@@ -962,8 +963,8 @@ class DedupIndex:
         )
         new_bands = band_frame(
             minhash_signatures(sh, self._k), self._n_bands, self._rows
-        ).localCheckpoint()
-        merged_bands = old_bands.unionByName(new_bands).localCheckpoint()
+        ).localCheckpoint(eager=False)
+        merged_bands = old_bands.unionByName(new_bands).localCheckpoint(eager=False)
         capped = _cap_band_groups(merged_bands, self._max_band_size)
         delta_side = (
             new_bands.join(
@@ -985,7 +986,7 @@ class DedupIndex:
                 F.greatest(F.col("a.id"), F.col("b.id")).alias("id_b"),
             )
             .distinct()
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
 
         def _star(labels: DataFrame) -> DataFrame:
@@ -1028,7 +1029,7 @@ class DedupIndex:
             )
             new_verified = jaccard_over_candidates(
                 new_pairs, sets, self._threshold
-            ).localCheckpoint()
+            ).localCheckpoint(eager=False)
             old_verified = self._verified
             if self._verified_clusters is not None:
                 self._verified_clusters = connected_components(
@@ -1036,13 +1037,13 @@ class DedupIndex:
                         new_verified.select("id_a", "id_b")
                     )
                 )
-            self._verified = old_verified.unionByName(new_verified).localCheckpoint()
+            self._verified = old_verified.unionByName(new_verified).localCheckpoint(eager=False)
         if self._clusters is not None:
             self._clusters = connected_components(
                 _star(self._clusters).unionByName(new_pairs)
             )
         self._bands = merged_bands
-        self._pairs = old_pairs.unionByName(new_pairs).localCheckpoint()
+        self._pairs = old_pairs.unionByName(new_pairs).localCheckpoint(eager=False)
         self._df = old.unionByName(new_docs) if old is not None else None
         self.updates += 1
         return self
@@ -1269,42 +1270,154 @@ def trigram_lm_logprob(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Corpus-trained character-trigram language-model score — the
     statistical quality signal beyond t7's rule ratios: docs whose
     trigram distribution diverges from the corpus (mojibake, binary
-    spill, wrong-language fragments) score low. The model is add-one
-    smoothed over per-document distinct trigrams (document-frequency
-    LM — duplicate-insensitive, so a boilerplate flood cannot distort
-    the model), trained IN-PLAN: counts are one groupBy, the (total,
-    vocab) pair is a 1-row broadcast, scoring is one join + one
-    per-doc aggregate. Corpus-linear. The gram frame feeds BOTH the
-    training groupBy and the scoring join, so it is localCheckpoint-ed
-    once — without it the corpus scan + interpreted char_ngrams HOF
-    run twice (measured ~20% warm and 4× cold at sf0.1).
+    spill, wrong-language fragments) score low. One-shot form of
+    :class:`TrigramLM` (train on ``df``, score ``df``); use the class
+    directly to train once and score many frames/sessions.
+    → (id, doc_lp)."""
+    return TrigramLM(df, text_col, id_col).score()
+
+
+class TrigramLM:
+    """Trainable char-trigram LM substrate — the
+    :class:`DedupIndex`/``VectorIndex`` build-once pattern applied to
+    the statistical quality model (VERDICT r5 #5): the expensive parts
+    (corpus gram explode, count aggregation) are lazy, checkpointed,
+    and ``save``/``load``-able, so one training pass serves every
+    scoring consumer in this session and — via parquet — every later
+    one. The model is add-one smoothed over per-document DISTINCT
+    trigrams (document-frequency LM — duplicate-insensitive, so a
+    boilerplate flood cannot distort it).
+
+    Scoring is corpus-linear: one join of the scored frame's grams
+    against the (vocab-sized) count table, the (total, vocab)
+    normalizer as a 1-row broadcast, one per-doc aggregate. Unseen
+    grams in a scored frame take the smoothed floor count 0 (the
+    add-one numerator 1) — identical to the training-corpus path for
+    grams that ARE in vocabulary, so scoring the training corpus is
+    bit-identical to the one-shot form.
 
     Determinism: per-gram log2 probabilities are rounded to the 1e-6
     grid (both engines take log2 of bit-identical doubles; a 1-ulp
     libm divergence sits ~6 orders below the grid), and the per-doc
-    mean sums exact scaled integers. Docs shorter than 3 chars have
-    no grams and are absent from the output (mirrored by the
-    oracle's unnest). → (id, doc_lp)."""
-    # LAZY checkpoint: materializes with the caller's first action (a
-    # plan-building function must not launch corpus jobs at call
-    # time), after which both consumers read the same blocks
-    grams = df.select(
-        F.col(id_col).alias("id"), F.explode(char_ngrams(text_col, 3)).alias("g")
-    ).localCheckpoint(eager=False)
-    cnt = grams.groupBy("g").agg(F.count(F.lit(1)).alias("c"))
-    totals = cnt.agg(F.sum("c").alias("n_total"), F.count(F.lit(1)).alias("v"))
-    logp = F.round(
-        F.log2((F.col("c") + 1).cast("double") / (F.col("n_total") + F.col("v"))), 6
-    )
-    scored = grams.join(cnt, "g").join(F.broadcast(totals)).select("id", logp.alias("logp"))
-    n = F.count(F.lit(1))
-    return scored.groupBy("id").agg(
-        F.round(
-            F.sum(F.round(F.col("logp") * 1e6).cast("bigint")).cast("double")
-            / (n * 1e6),
+    mean sums exact scaled integers. Docs shorter than n chars have no
+    grams and are absent from score output (mirrored by the oracle's
+    unnest)."""
+
+    def __init__(self, df: DataFrame, text_col: str, id_col: str, n: int = 3) -> None:
+        self._df = df
+        self._text_col = text_col
+        self._id_col = id_col
+        self._n = n
+        self._grams: DataFrame | None = None
+        self._counts: DataFrame | None = None
+        self.builds: dict[str, int] = {"grams": 0, "counts": 0}
+
+    def _gram_frame(self, df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias("id"),
+            F.explode(char_ngrams(text_col, self._n)).alias("g"),
+        )
+
+    @property
+    def grams(self) -> DataFrame:
+        """(id, gram) over the TRAINING corpus — lazy checkpoint
+        (materializes with the first action), shared by the count
+        groupBy and the self-scoring join."""
+        if self._grams is None:
+            if self._df is None:
+                raise ValueError(
+                    "TrigramLM: no training corpus attached (load()-ed "
+                    "model) - pass the frame to score(df, ...)"
+                )
+            self.builds["grams"] += 1
+            self._grams = self._gram_frame(
+                self._df, self._text_col, self._id_col
+            ).localCheckpoint(eager=False)
+        return self._grams
+
+    @property
+    def counts(self) -> DataFrame:
+        """(g, c) document-frequency counts — THE model (vocab-sized),
+        checkpointed; the normalizer derives from it."""
+        if self._counts is None:
+            self.builds["counts"] += 1
+            self._counts = (
+                self.grams.groupBy("g")
+                .agg(F.count(F.lit(1)).alias("c"))
+                .localCheckpoint(eager=False)
+            )
+        return self._counts
+
+    @property
+    def totals(self) -> DataFrame:
+        """1-row (n_total, v) normalizer — aggregated from the count
+        table (never by re-scanning the corpus)."""
+        return self.counts.agg(
+            F.sum("c").alias("n_total"), F.count(F.lit(1)).alias("v")
+        )
+
+    def score(
+        self,
+        df: DataFrame | None = None,
+        text_col: str | None = None,
+        id_col: str | None = None,
+    ) -> DataFrame:
+        """Per-doc mean log2 probability under the trained model →
+        (id, doc_lp). With no arguments, scores the training corpus
+        from the SHARED gram checkpoint (no second explode); pass a
+        frame to score held-out/new documents — their unseen grams hit
+        the add-one floor."""
+        if df is None:
+            grams = self.grams
+        else:
+            grams = self._gram_frame(
+                df, text_col or self._text_col, id_col or self._id_col
+            )
+        logp = F.round(
+            F.log2(
+                (F.coalesce(F.col("c"), F.lit(0)) + 1).cast("double")
+                / (F.col("n_total") + F.col("v"))
+            ),
             6,
-        ).alias("doc_lp")
-    )
+        )
+        scored = (
+            grams.join(self.counts, "g", "left")
+            .join(F.broadcast(self.totals))
+            .select("id", logp.alias("logp"))
+        )
+        n = F.count(F.lit(1))
+        return scored.groupBy("id").agg(
+            F.round(
+                F.sum(F.round(F.col("logp") * 1e6).cast("bigint")).cast("double")
+                / (n * 1e6),
+                6,
+            ).alias("doc_lp")
+        )
+
+    def save(self, path: str) -> None:
+        """Persist the count table + meta as parquet — the LM twin of
+        ``DedupIndex.save``: train once per corpus snapshot, score
+        from any session."""
+        self.counts.write.mode("overwrite").parquet(f"{path}/counts")
+        spark = self.counts.sparkSession
+        spark.createDataFrame([(self._n,)], "n int").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{path}/meta")
+
+    @classmethod
+    def load(cls, spark, path: str) -> "TrigramLM":
+        """Re-open a :meth:`save`-d model; scoring needs no training
+        corpus (build counters stay 0). ``score()`` with no frame is
+        unavailable on a loaded model — pass the frame to score."""
+        lm = cls.__new__(cls)
+        lm._df = None
+        lm._text_col = "text"
+        lm._id_col = "id"
+        lm._n = spark.read.parquet(f"{path}/meta").first()["n"]
+        lm._grams = None
+        lm._counts = spark.read.parquet(f"{path}/counts")
+        lm.builds = {"grams": 0, "counts": 0}
+        return lm
 
 
 def weighted_sample(

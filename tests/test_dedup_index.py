@@ -187,6 +187,39 @@ def test_update_new_cross_pairs_detected(spark):
     assert vlab[1] == vlab[3] == 1
 
 
+def test_trigram_lm_substrate_and_persistence(spark, tmp_path):
+    """The LM twin of the dedup index: one training pass serves every
+    consumer (build counters), save/load round-trips the counts, a
+    loaded model scores the training corpus identically to the
+    in-session one-shot form, and unseen grams hit the add-one floor
+    instead of dropping the document."""
+    from lp_etl_plugins_spark import textops as T
+    from lp_etl_plugins_spark.inventory.textops import _docs, lm_index
+
+    docs = _docs(spark, SF_SMOKE)
+    oneshot = {r["id"]: r["doc_lp"] for r in T.trigram_lm_logprob(docs, "text", "doc_id").collect()}
+
+    lm = lm_index(spark, SF_SMOKE)
+    assert lm_index(spark, SF_SMOKE) is lm
+    for _ in range(2):
+        lm.score().collect()
+    assert lm.builds == {"grams": 1, "counts": 1}
+    assert {r["id"]: r["doc_lp"] for r in lm.score().collect()} == oneshot
+
+    path = str(tmp_path / "lm")
+    lm.save(path)
+    loaded = T.TrigramLM.load(spark, path)
+    assert loaded.builds == {"grams": 0, "counts": 0}
+    got = {r["id"]: r["doc_lp"] for r in loaded.score(docs, "text", "doc_id").collect()}
+    assert got == oneshot
+
+    # held-out doc with out-of-vocabulary grams still scores (floor),
+    # below the corpus-typical score
+    held = spark.createDataFrame([(999999, "zzqxv zzqxv zzqxv")], "doc_id long, text string")
+    h = loaded.score(held, "text", "doc_id").collect()
+    assert len(h) == 1 and h[0]["doc_lp"] < min(oneshot.values())
+
+
 def test_verified_clusters_exclude_lsh_false_positives(spark):
     """Deletion-grade clusters must derive from VERIFIED pairs: a
     candidate pair whose exact Jaccard is below threshold (an LSH
