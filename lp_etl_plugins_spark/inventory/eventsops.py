@@ -640,6 +640,48 @@ GROUP BY 1, 2
 """
 
 
+def e13_session_timeout_summaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the TIMER-based stateful operator
+    (streaming.session_timeout_summaries — transformWithStateInPandas
+    EventTime timers where available, applyInPandasWithState
+    EventTimeTimeout fallback): a user's session summary is emitted
+    when no event arrives for 6 h. Batch form is gaps-and-islands on
+    FLOORED epoch seconds (both engines; break iff gap ≥ 21600,
+    session end exclusive — e3's convention), so the stream, the
+    batch plan, and the oracle agree row-for-row. Beyond e3 it also
+    reports session_end — the quantity the timer actually fires on.
+    → (user_id, session_start, session_end, n_events, sum_value)."""
+    from ..streaming import session_timeout_summaries
+
+    return session_timeout_summaries(load_table(spark, sf_dir, "events"))
+
+
+E13_SQL = """
+WITH e AS (
+  SELECT user_id, floor(epoch(ts))::BIGINT AS sec, value FROM events
+),
+m AS (
+  SELECT user_id, sec, value,
+    CASE WHEN lag(sec) OVER (PARTITION BY user_id ORDER BY sec) IS NULL
+           OR sec - lag(sec) OVER (PARTITION BY user_id ORDER BY sec) >= 21600
+         THEN 1 ELSE 0 END AS brk
+  FROM e
+),
+s AS (
+  SELECT *, sum(brk) OVER (
+    PARTITION BY user_id ORDER BY sec ROWS UNBOUNDED PRECEDING
+  ) AS sid
+  FROM m
+)
+SELECT user_id,
+       min(sec) AS session_start,
+       max(sec) AS session_end,
+       count(*) AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM s GROUP BY user_id, sid
+"""
+
+
 QUERIES = {
     "e1_tumbling_window": e1_tumbling_window,
     "e2_sliding_window": e2_sliding_window,
@@ -657,6 +699,7 @@ QUERIES = {
     "a10_percentiles": a10_percentiles,
     "a9_hll_distinct": a9_hll_distinct,
     "e12_retention_cohorts": e12_retention_cohorts,
+    "e13_session_timeout_summaries": e13_session_timeout_summaries,
 }
 
 ORACLES = {
@@ -676,4 +719,5 @@ ORACLES = {
     "a10_percentiles": A10_SQL,
     "a9_hll_distinct": A9_SQL,
     "e12_retention_cohorts": E12_SQL,
+    "e13_session_timeout_summaries": E13_SQL,
 }

@@ -32,6 +32,8 @@ __all__ = [
     "tumbling_counts",
     "sliding_counts",
     "session_stats",
+    "session_timeout_summaries",
+    "make_session_processor",
     "user_totals",
     "stateful_user_totals",
     "dedup_events",
@@ -206,6 +208,196 @@ def stateful_user_totals(events: DataFrame) -> DataFrame:
         _TOTALS_STATE,
         "update",
         GroupStateTimeout.NoTimeout,
+    )
+
+
+_SESSION_OUT = "user_id long, session_start long, session_end long, n_events long, sum_value double"
+_SESSION_STATE = "start long, last long, n long, s double"
+
+
+def _session_rows(key, start, last, n, s):
+    import pandas as pd
+
+    return pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "session_start": [start],
+            "session_end": [last],
+            "n_events": [n],
+            "sum_value": [round(s, 2)],
+        }
+    )
+
+
+def _fold_session_events(key, secs, values, state_tuple, gap_secs):
+    """Shared accumulator for both stateful runtimes: fold (sec, value)
+    pairs (ascending sec) into the open-session tuple, yielding a
+    summary frame for every session CLOSED by an in-batch gap; returns
+    (frames, open_state)."""
+    out = []
+    start = last = n = None
+    s = 0.0
+    if state_tuple is not None:
+        start, last, n, s = state_tuple
+    for sec, value in zip(secs, values):
+        if last is not None and sec - last >= gap_secs:
+            out.append(_session_rows(key, start, last, n, s))
+            start = last = n = None
+            s = 0.0
+        if last is None:
+            start, n, s = sec, 0, 0.0
+        last = sec
+        n += 1
+        s += float(value)
+    return out, (start, last, n, s)
+
+
+def make_session_processor(gap_secs: int = 21600):
+    """StatefulProcessor for :func:`session_timeout_summaries` on the
+    Spark 4 arbitrary-state v2 API — the REGISTERED-TIMER facility:
+    one ValueState (start, last, n, sum) per user; every input batch
+    re-registers an event-time timer at ``last + gap``; when the
+    watermark passes it, ``handleExpiredTimer`` emits the session
+    summary and clears the state — emission on INACTIVITY, which no
+    windowed aggregation expresses directly. Factory (not module-level
+    class) so importing never touches the v2 API on containers
+    without it."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class SessionProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._handle = handle
+            self._sess = handle.getValueState("sess", _SESSION_STATE)
+
+        def handleInputRows(self, key, rows, timer_values):
+            recs = []
+            for pdf in rows:
+                recs.extend(zip(pdf["sec"].tolist(), pdf["value"].tolist()))
+            recs.sort()
+            prev = self._sess.get() if self._sess.exists() else None
+            out, open_state = _fold_session_events(
+                key, [r[0] for r in recs], [r[1] for r in recs], prev, gap_secs
+            )
+            if prev is not None:
+                # re-registering supersedes the old timer
+                self._handle.deleteTimer((prev[1] + gap_secs) * 1000)
+            self._sess.update(open_state)
+            self._handle.registerTimer((open_state[1] + gap_secs) * 1000)
+            yield from out
+
+        def handleExpiredTimer(self, key, timer_values, expired_timer_info):
+            if self._sess.exists():
+                start, last, n, s = self._sess.get()
+                self._sess.clear()
+                yield _session_rows(key, start, last, n, s)
+
+        def close(self) -> None:
+            pass
+
+    return SessionProcessor()
+
+
+def session_timeout_summaries(
+    events: DataFrame, gap_secs: int = 21600, watermark: str = "1 hour"
+) -> DataFrame:
+    """Inactivity-triggered session summaries — the TIMER-based custom
+    stateful operator: a user's session summary (start, end, count,
+    sum) is emitted when no event arrives for ``gap_secs`` — the
+    abandoned-cart / session-expiry topology. Windowed aggregations
+    cannot express "fire on absence"; this is exactly what the
+    arbitrary-state APIs' timers exist for.
+
+    Streaming path: per-user state (start, last, n, sum); sessions
+    closed by an IN-BATCH gap emit immediately; the trailing open
+    session emits when event time passes ``last + gap``. Primary
+    runtime is the Spark 4 v2 API (``transformWithStateInPandas``,
+    EventTime mode, :func:`make_session_processor` with registered
+    timers); where unavailable (:func:`_tws_available`) the identical
+    contract runs on ``applyInPandasWithState`` with
+    ``EventTimeTimeout`` (``setTimeoutTimestamp(last + gap)`` — the
+    v1 spelling of the same timer). State is one 4-tuple per ACTIVE
+    user, pruned at every timeout — bounded by concurrently-active
+    users, not stream length.
+
+    Batch path (same function, the correctness oracle): gaps-and-
+    islands sessionization — lag + cumulative break-sum per user, one
+    aggregate per session. Events equal seconds apart merge (break
+    iff gap ≥ ``gap_secs``, session end exclusive, matching e3's
+    session_window convention). Sessions younger than
+    watermark + gap at end-of-input have not yet emitted on the
+    stream — the equivalence test compares below that frontier.
+    → (user_id, session_start, session_end, n_events, sum_value);
+    epoch seconds."""
+    ev = events.select(
+        "user_id", F.unix_timestamp("ts").alias("sec"), "value", *(
+            ["ts"] if events.isStreaming else []
+        )
+    )
+    if not events.isStreaming:
+        from pyspark.sql import Window as W
+
+        w = W.partitionBy("user_id").orderBy("sec")
+        brk = (
+            F.when(
+                F.lag("sec").over(w).isNull()
+                | ((F.col("sec") - F.lag("sec").over(w)) >= gap_secs),
+                1,
+            )
+            .otherwise(0)
+        )
+        sess = (
+            ev.withColumn("brk", brk)
+            .withColumn(
+                "sid",
+                F.sum("brk").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+            )
+        )
+        return sess.groupBy("user_id", "sid").agg(
+            F.min("sec").alias("session_start"),
+            F.max("sec").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        ).select("user_id", "session_start", "session_end", "n_events", "sum_value")
+
+    ev = ev.withWatermark("ts", watermark)
+    if _tws_available(events.sparkSession):
+        return ev.groupBy("user_id").transformWithStateInPandas(
+            make_session_processor(gap_secs),
+            _SESSION_OUT,
+            "Append",
+            "EventTime",
+        )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update_sessions(key, pdfs, state):
+        if state.hasTimedOut:
+            start, last, n, s = state.get
+            state.remove()
+            yield _session_rows(key, start, last, n, s)
+            return
+        recs = []
+        for pdf in pdfs:
+            recs.extend(zip(pdf["sec"].tolist(), pdf["value"].tolist()))
+        recs.sort()
+        prev = state.get if state.exists else None
+        out, open_state = _fold_session_events(
+            key, [r[0] for r in recs], [r[1] for r in recs], prev, gap_secs
+        )
+        state.update(open_state)
+        # the v1 timer: fire when the watermark passes last + gap
+        state.setTimeoutTimestamp((open_state[1] + gap_secs) * 1000)
+        yield from out
+
+    return ev.groupBy("user_id").applyInPandasWithState(
+        update_sessions,
+        _SESSION_OUT,
+        _SESSION_STATE,
+        "append",
+        GroupStateTimeout.EventTimeTimeout,
     )
 
 

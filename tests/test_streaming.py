@@ -313,6 +313,120 @@ def test_outer_interval_join_stream_equals_batch(spark, event_dir):
     assert extra.count() == 0
 
 
+def test_session_timeout_stream_equals_batch(spark, event_dir):
+    """The TIMER-based stateful operator: sessions closed by an
+    in-batch gap emit immediately; the trailing open session emits
+    when the event-time timeout (last + gap) falls below the final
+    watermark. Streamed rows must be a subset of the batch
+    sessionization, complete below the obligation frontier.
+
+    One part file → one data micro-batch (the outer-join test's
+    discipline): the no-data final batch advances the watermark to
+    max(ts) − 1 h and fires the timers."""
+    import os
+
+    one_dir = event_dir + "_onefile"
+    if not os.path.exists(one_dir):
+        spark.read.parquet(event_dir).coalesce(1).write.mode("overwrite").parquet(one_dir)
+    events = spark.read.parquet(one_dir)
+    batch = streaming.session_timeout_summaries(events)
+    schema = events.schema
+    stream = (
+        spark.readStream.schema(schema).parquet(one_dir)
+        .transform(streaming.session_timeout_summaries)
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("session_timeout_mem")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = spark.table("session_timeout_mem")
+
+    # nothing invented: every streamed summary is a batch session
+    extra = streamed.join(batch, list(streamed.columns), "left_anti")
+    assert extra.count() == 0
+    # complete below the frontier: sessions whose timeout predates the
+    # final watermark (max ts − 1 h, minus 2 s floor slack) must have
+    # emitted
+    max_sec = events.agg(F.max(F.unix_timestamp("ts"))).first()[0]
+    frontier = max_sec - 3600 - 21600 - 2
+    due_b = batch.filter(F.col("session_end") < frontier)
+    due_s = streamed.filter(F.col("session_end") < frontier)
+    assert _rows(due_s) == _rows(due_b)
+    assert due_b.count() > 0
+    # and at least one multi-event session proves the accumulator
+    assert batch.filter(F.col("n_events") > 1).count() > 0
+
+
+def test_session_processor_timer_logic_without_spark_runtime():
+    """Drive the v2 StatefulProcessor directly (stubbed handle/state/
+    timers): in-batch gaps close sessions inline; the registered timer
+    moves to last + gap; an expired timer emits the open session and
+    clears state — the timer path that transformWithStateInPandas
+    would exercise where its runtime exists."""
+    import pandas as pd
+
+    class _StubState:
+        def __init__(self):
+            self._v = None
+
+        def exists(self):
+            return self._v is not None
+
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+        def clear(self):
+            self._v = None
+
+    class _StubHandle:
+        def __init__(self):
+            self.states = {}
+            self.timers = set()
+
+        def getValueState(self, name, schema):
+            return self.states.setdefault(name, _StubState())
+
+        def registerTimer(self, ts):
+            self.timers.add(ts)
+
+        def deleteTimer(self, ts):
+            self.timers.discard(ts)
+
+    proc = streaming.make_session_processor(gap_secs=100)
+    handle = _StubHandle()
+    proc.init(handle)
+
+    # batch 1: two sessions' worth of events — the first closes inline
+    out1 = list(proc.handleInputRows(
+        (7,), iter([pd.DataFrame({"sec": [10, 20, 300], "value": [1.0, 2.0, 5.0]})]), None
+    ))
+    assert len(out1) == 1
+    r = out1[0].iloc[0]
+    assert (r["user_id"], r["session_start"], r["session_end"], r["n_events"], r["sum_value"]) == (7, 10, 20, 2, 3.0)
+    assert handle.timers == {(300 + 100) * 1000}
+
+    # batch 2: extends the open session; timer re-registers
+    out2 = list(proc.handleInputRows(
+        (7,), iter([pd.DataFrame({"sec": [350], "value": [1.5]})]), None
+    ))
+    assert out2 == []
+    assert handle.timers == {(350 + 100) * 1000}
+
+    # watermark passes: the timer fires, open session emits, state clears
+    out3 = list(proc.handleExpiredTimer((7,), None, None))
+    r3 = out3[0].iloc[0]
+    assert (r3["session_start"], r3["session_end"], r3["n_events"], r3["sum_value"]) == (300, 350, 2, 6.5)
+    assert not handle.states["sess"].exists()
+    assert list(proc.handleExpiredTimer((7,), None, None)) == []
+
+
 def test_stateful_v2_runtime_equivalence(spark, tmp_path_factory):
     """Batch equivalence of the PRIMARY transformWithStateInPandas path
     — runs automatically wherever the v2 runtime exists (protobuf +
