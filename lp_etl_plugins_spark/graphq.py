@@ -124,17 +124,83 @@ def _plain_vars(df: DataFrame) -> set[str]:
     return {c for c in df.columns if "__" not in c}
 
 
+def _compat_join(left: DataFrame, right: DataFrame, shared: list[str]) -> DataFrame:
+    """SPARQL 1.1 unbound-compatible join (the algebra's Join(μ1, μ2)
+    rule): solutions are compatible when every shared variable is
+    EQUAL OR UNBOUND ON EITHER SIDE; the joined solution takes the
+    bound value. This is what a plain SQL equi-join gets wrong for
+    union results — NULL (unbound) never matches, silently discarding
+    the branch that leaves a variable unbound.
+
+    Plan shape: a theta join (v IS NULL OR v' IS NULL OR v = v') is
+    not hash-partitionable, so Spark executes it as a broadcast
+    nested-loop — correct for the metadata-scale graphs this layer
+    serves; for bulk triples keep variables bound in both branches
+    (the default join's documented contract) instead of opting in.
+    Metadata companions follow the bound side (left preferred when
+    both bind, matching the default join's left-keeps-meta rule); a
+    side that binds a variable without companions contributes the IRI
+    term, exactly as :func:`union` materializes it."""
+    rname = {c: f"__r_{c}" for v in shared for c in (v, *_meta_cols(v)) if c in right.columns}
+    r = right
+    for c, rc in rname.items():
+        r = r.withColumnRenamed(c, rc)
+    cond = None
+    for v in shared:
+        lcol, rcol = F.col(v), F.col(rname[v])
+        c = lcol.isNull() | rcol.isNull() | (lcol == rcol)
+        cond = c if cond is None else (cond & c)
+    joined = left.join(r, cond, "inner")
+
+    def _meta_of(side_has: bool, cols: tuple[str, str, str], from_right: bool):
+        t, l, d = cols
+        if side_has:
+            pre = (lambda c: F.col(rname[c])) if from_right else F.col
+            return pre(t), pre(l), pre(d)
+        none = F.lit(None).cast("string")
+        return F.lit("iri"), none, none
+
+    out: list[Column] = []
+    for c in left.columns:
+        v = c.split("__")[0]
+        if v in shared:
+            continue  # shared vars + meta handled below
+        out.append(F.col(c))
+    for c in right.columns:
+        v = c.split("__")[0]
+        if v not in shared and c not in left.columns:
+            out.append(F.col(rname.get(c, c)))
+    for v in shared:
+        t_l = _meta_cols(v)
+        l_has = t_l[0] in left.columns
+        r_has = t_l[0] in right.columns
+        out.append(F.coalesce(F.col(v), F.col(rname[v])).alias(v))
+        if l_has or r_has:
+            lmeta = _meta_of(l_has, t_l, from_right=False)
+            rmeta = _meta_of(r_has, t_l, from_right=True)
+            for name, lm, rm in zip(t_l, lmeta, rmeta):
+                out.append(F.when(F.col(v).isNotNull(), lm).otherwise(rm).alias(name))
+    return joined.select(*out)
+
+
 def join_solutions(
     left: DataFrame,
     right: DataFrame,
     how: str = "inner",
     n_salts: int | None = None,
     strict_terms: bool = False,
+    unbound_compat: bool = False,
 ) -> DataFrame:
     """Join two solution DFs on their shared variables (SPARQL-compatible
     join). Metadata columns of shared variables are kept from the left
     side only; disjoint variable sets produce a cross join (SPARQL
     cartesian product).
+
+    ``unbound_compat=True`` opts into the SPARQL 1.1 algebra's
+    unbound-is-compatible rule for shared variables (inner joins
+    only; see :func:`_compat_join`) — use it when joining a
+    :func:`union` result on a branch-exclusive variable, where the
+    default SQL NULL semantics would discard the unbound branch.
 
     ``strict_terms=True`` joins shared variables on the full RDF term
     — (lexical value, term type, language tag, datatype) — instead of
@@ -157,6 +223,15 @@ def join_solutions(
     Opt-in — leave None unless a key is known-hot (AQE handles moderate
     skew on its own)."""
     shared = sorted(_plain_vars(left) & _plain_vars(right))
+    if unbound_compat:
+        if how != "inner" or n_salts or strict_terms:
+            raise ValueError(
+                "join_solutions: unbound_compat supports plain inner joins "
+                "only (no n_salts/strict_terms)"
+            )
+        if not shared:
+            return left.crossJoin(right)
+        return _compat_join(left, right, shared)
     term_keys: list[str] = []
     if strict_terms:
         # materialize each side's effective (type, lang, datatype)
@@ -261,13 +336,13 @@ def union(left: DataFrame, right: DataFrame) -> DataFrame:
     would make a later ``strict_terms`` join read the IRI rows' term
     as ``('', '', '')`` and silently drop valid sameTerm matches.
 
-    Join caveat (documented restriction, not a bug to rely on): this
-    layer's joins follow SQL NULL-never-matches semantics, so joining
-    a union result ON A BRANCH-EXCLUSIVE VARIABLE discards the branch
-    that leaves it unbound — SPARQL 1.1's unbound-is-compatible join
-    rule is NOT implemented. Bind the shared variables in both
-    branches (or join before the union) when a downstream
-    join/optional/not_exists is intended."""
+    Join caveat: this layer's DEFAULT joins follow SQL
+    NULL-never-matches semantics, so joining a union result ON A
+    BRANCH-EXCLUSIVE VARIABLE discards the branch that leaves it
+    unbound. Either bind the shared variables in both branches (the
+    scale-safe shape — the default join stays a hash equi-join), or
+    opt into SPARQL 1.1's unbound-is-compatible rule with
+    ``join_solutions(..., unbound_compat=True)``."""
     def _with_iri_meta(df: DataFrame, v: str) -> DataFrame:
         t, l, d = _meta_cols(v)
         return (

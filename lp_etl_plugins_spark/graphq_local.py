@@ -156,13 +156,52 @@ def join_solutions(
     right: Solutions,
     how: str = "inner",
     strict_terms: bool = False,
+    unbound_compat: bool = False,
 ) -> Solutions:
     """Natural join on shared plain variables; NULL keys never match
     (Spark join semantics). ``how`` in inner/left/left_anti.
     ``strict_terms=True`` joins on the full RDF term — (value, type,
     lang, datatype) — mirroring ``graphq.join_solutions`` sameTerm
-    semantics."""
+    semantics. ``unbound_compat=True`` mirrors the Spark layer's
+    SPARQL 1.1 unbound-is-compatible inner join: a shared variable
+    unbound on either side is compatible, the bound value wins, and
+    metadata follows the bound side (left preferred)."""
     shared = sorted(left.plain_vars() & right.plain_vars())
+    if unbound_compat:
+        if how != "inner" or strict_terms:
+            raise ValueError(
+                "join_solutions: unbound_compat supports plain inner joins only"
+            )
+        out_cols = list(left.columns) + [
+            c for c in right.columns if c not in left.columns
+        ]
+        rows = []
+        for lr in left.rows:
+            for rr in right.rows:
+                if any(
+                    lr.get(v) is not None
+                    and rr.get(v) is not None
+                    and lr[v] != rr[v]
+                    for v in shared
+                ):
+                    continue
+                merged = dict(rr)
+                merged.update({k: v for k, v in lr.items() if v is not None})
+                # meta follows the bound side: where the left binds v,
+                # left meta (or the implicit IRI term) overrides
+                for v in shared:
+                    mt, ml, md = _meta_cols(v)
+                    if lr.get(v) is not None:
+                        if mt in left.columns:
+                            merged[mt], merged[ml], merged[md] = lr.get(mt), lr.get(ml), lr.get(md)
+                        elif mt in out_cols or mt in right.columns:
+                            merged[mt], merged[ml], merged[md] = "iri", None, None
+                    elif rr.get(v) is not None and mt not in right.columns and (
+                        mt in out_cols
+                    ):
+                        merged[mt], merged[ml], merged[md] = "iri", None, None
+                rows.append({c: merged.get(c) for c in out_cols})
+        return Solutions(out_cols, rows)
     # metadata columns of shared vars come from the LEFT side only
     drop = {c for v in shared for c in _meta_cols(v) if c in right.columns and c in left.columns}
     r_cols = [c for c in right.columns if c not in drop]

@@ -434,6 +434,66 @@ def test_union_pads_and_keeps_multiset(spark):
     assert lgot == sorted(got, key=lambda t: (t[0], t[1] or "", t[2] or ""))
 
 
+def test_unbound_compatible_join(spark):
+    """SPARQL 1.1 Join(μ1, μ2): a shared variable unbound on one side
+    is COMPATIBLE and takes the bound side's value. Default joins keep
+    SQL NULL semantics (branch-exclusive variables drop the unbound
+    branch); unbound_compat=True opts into the algebra rule. Both
+    layers, metadata follows the bound side."""
+    rows = [
+        ("urn:a", "urn:p", "urn:v1", "iri", None, None),   # branch 1 binds ?v
+        ("urn:b", "urn:q", "w1", "literal", None, None),   # branch 2 binds ?w only
+        ("urn:v1", "urn:r", "m1", "literal", "en", None),
+        ("urn:v2", "urn:r", "m2", "literal", None, None),
+    ]
+    g = _tiny_graph(spark, rows)
+    u = graphq.union(
+        graphq.bgp(g, [("?x", "urn:p", "?v")]),
+        graphq.bgp(g, [("?x", "urn:q", "?w")]),
+    )
+    block = graphq.bgp(g, [("?v", "urn:r", "?m")])
+    # default: the ?w branch (v unbound) is discarded — documented SQL
+    # NULL semantics
+    strict_sql = graphq.join_solutions(u, block)
+    assert sorted((r["x"], r["v"], r["m"]) for r in strict_sql.collect()) == [
+        ("urn:a", "urn:v1", "m1"),
+    ]
+    # compat: the unbound branch is compatible with EVERY ?v binding
+    compat = graphq.join_solutions(u, block, unbound_compat=True)
+    got = sorted((r["x"], r["v"], r.get("w"), r["m"]) for r in
+                 (row.asDict() for row in compat.collect()))
+    assert got == [
+        ("urn:a", "urn:v1", None, "m1"),
+        ("urn:b", "urn:v1", "w1", "m1"),
+        ("urn:b", "urn:v2", "w1", "m2"),
+    ]
+    # metadata follows the bound side: ?v from the block is an IRI
+    # subject (no meta) on the right, object-typed on the union's left
+    meta = {(r["v"], r["v__type"]) for r in compat.collect()}
+    assert meta == {("urn:v1", "iri"), ("urn:v2", "iri")}
+
+    from lp_etl_plugins_spark import graphq_local as gl
+
+    lg = gl.LocalGraph(
+        [
+            {"s": s, "p": p, "o_value": o, "o_type": t, "o_lang": la,
+             "o_datatype": dt}
+            for s, p, o, t, la, dt in rows
+        ]
+    )
+    lu = gl.union(
+        gl.bgp(lg, [("?x", "urn:p", "?v")]), gl.bgp(lg, [("?x", "urn:q", "?w")])
+    )
+    lblock = gl.bgp(lg, [("?v", "urn:r", "?m")])
+    lcompat = gl.join_solutions(lu, lblock, unbound_compat=True)
+    lgot = sorted((r["x"], r["v"], r.get("w"), r["m"]) for r in lcompat.rows)
+    assert lgot == got
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unbound_compat"):
+        graphq.join_solutions(u, block, how="left", unbound_compat=True)
+
+
 def test_path_mixed_alternation_meta_alignment(spark):
     """A mixed forward/^inverse alternation step binds the hop variable
     in OBJECT position on the forward branch (meta companions present)
