@@ -807,18 +807,27 @@ def read_csv_with_dialect(spark: SparkSession, path: str, dialect: CsvDialect) -
 
 
 def compile_cube(spark: SparkSession, spec: CubeSpec, csv_df: DataFrame,
-                 dedup_codelists: bool = True, strict_dates: bool = True) -> DataFrame:
+                 dedup_codelists: bool = True, strict_dates: bool = True,
+                 iri_scope: str | None = None) -> DataFrame:
     """CSV DataFrame + spec → triples DataFrame: one select building
     every conditional (s,p,o) struct, one explode, null-filter. The
     codelist-scoped subplan is ``distinct()``-ed (SURVEY §4).
     ``strict_dates`` aborts on malformed date cells via an in-plan
-    ``raise_error`` branch (no extra validation scan)."""
+    ``raise_error`` branch (no extra validation scan). ``iri_scope``
+    namespaces observation IRIs (``…/observation/<scope>/<rownum>/…``)
+    — required in the multi-CSV extension, where per-file row numbers
+    restart at 1 and unscoped IRIs would collide across files; None
+    (the default, single-file reference semantics) leaves the IRIs
+    byte-identical to the reference's."""
     df = with_row_numbers(csv_df)
     row_structs: list[Column] = []
     code_structs: list[Column] = []
+    obs_base = spec.dataset_iri + "/observation/" + (
+        f"{iri_scope}/" if iri_scope is not None else ""
+    )
     for mi, m in enumerate(spec.measures):
         obs = F.concat(
-            F.lit(spec.dataset_iri + "/observation/"),
+            F.lit(obs_base),
             F.col("__rownum"),
             F.lit("/for-" + m.name),
         )
@@ -857,28 +866,43 @@ def fdp_to_cube(
     nt_paths: list[str] | None = None,
     dedup_codelists: bool = True,
     strict_dates: bool = True,
+    allow_multiple_csvs: bool = False,
 ) -> DataFrame:
     """End-to-end §2.8 component op: descriptor triples + CSV file(s)
     (+ optional ``.nt`` passthrough, FdpToRdf.java:306-311) → triples
     DataFrame. ``csv_paths`` maps resource name (the descriptor's
-    ``fdp:name`` / ``fdprdf:sourceFile``) → filesystem path."""
+    ``fdp:name`` / ``fdprdf:sourceFile``) → filesystem path.
+
+    ``allow_multiple_csvs=True`` relaxes the reference's one-CSV L2
+    guard (an engine extension): each file compiles through its OWN
+    per-file plan with file-scoped row numbering and the observation
+    IRIs namespaced by resource name
+    (``…/observation/<resource>/<rownum>/…``) so rows from different
+    files can never collide; the per-file plans union. Codelist
+    dedup stays per-file in this mode (cross-file repeats of a
+    codelist triple survive the union — a multiset, distinct()
+    downstream for set semantics). Default False = reference-strict,
+    IRIs byte-identical to the single-file form."""
     from .model import triples_from_ntriples
 
     # L2 input-size guard (FdpToRdf.java:297: "Only one CSV file is
     # supported at the moment" — fail when more than 2 inputs arrive)
     n_inputs = len(csv_paths) + len(nt_paths or [])
-    if len(csv_paths) > 1 or len(nt_paths or []) > 1:
+    if (len(csv_paths) > 1 and not allow_multiple_csvs) or len(nt_paths or []) > 1:
         raise ValueError(
             f"fdp_to_cube: at most one CSV (+ one .nt) input is supported, got "
-            f"{len(csv_paths)} CSV + {len(nt_paths or [])} .nt ({n_inputs} total)"
+            f"{len(csv_paths)} CSV + {len(nt_paths or [])} .nt ({n_inputs} total); "
+            "pass allow_multiple_csvs=True for the multi-CSV extension"
         )
     spec = extract_spec(spark, descriptor)
+    scoped = len(csv_paths) > 1
     out: DataFrame | None = None
     for resource_name, path in csv_paths.items():
         dialect = spec.dialects.get(resource_name, CsvDialect())
         csv_df = read_csv_with_dialect(spark, path, dialect)
         part = compile_cube(spark, spec, csv_df,
-                            dedup_codelists=dedup_codelists, strict_dates=strict_dates)
+                            dedup_codelists=dedup_codelists, strict_dates=strict_dates,
+                            iri_scope=resource_name if scoped else None)
         out = part if out is None else out.unionByName(part)
     for path in nt_paths or []:
         nt = triples_from_ntriples(spark, path)

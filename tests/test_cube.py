@@ -205,6 +205,49 @@ def test_input_guard_rejects_two_nt_inputs(spark):
         cube.fdp_to_cube(spark, None, csv_paths={}, nt_paths=["a.nt", "b.nt"])
 
 
+def test_multi_csv_extension(spark, tmp_path):
+    """allow_multiple_csvs=True (engine extension): two CSVs compile
+    through per-file plans with file-scoped row numbering and
+    resource-scoped observation IRIs — no cross-file collisions, row
+    triples = the sum of the per-file compiles. Default mode still
+    refuses two CSVs (reference L2 guard) and keeps the single-file
+    IRIs byte-identical (c1's golden/oracle unchanged)."""
+    lines = open(CSV).read().splitlines()
+    a, b = tmp_path / "part_a.csv", tmp_path / "part_b.csv"
+    a.write_text("\n".join(lines[:3]) + "\n")          # header + rows 1-2
+    b.write_text("\n".join([lines[0]] + lines[3:]) + "\n")  # header + rest
+    desc = model.triples_from_turtle(spark, DESCRIPTOR)
+
+    with pytest.raises(ValueError, match="allow_multiple_csvs"):
+        cube.fdp_to_cube(spark, desc, {"part_a.csv": str(a), "part_b.csv": str(b)})
+
+    multi = cube.fdp_to_cube(
+        spark,
+        desc,
+        {"part_a.csv": str(a), "part_b.csv": str(b)},
+        allow_multiple_csvs=True,
+    ).cache()
+    # observation IRIs are namespaced per resource and disjoint
+    obs = (
+        multi.filter(F.col("p") == "http://www.w3.org/1999/02/22-rdf-syntax-ns#type")
+        .filter(F.col("o_value").endswith("Observation"))
+        .select("s")
+    )
+    subs = [r["s"] for r in obs.collect()]
+    assert subs and all("/observation/part_" in s for s in subs)
+    assert len(subs) == len(set(subs))
+    n_a = sum("/observation/part_a.csv/" in s for s in subs)
+    n_b = sum("/observation/part_b.csv/" in s for s in subs)
+    assert n_a == 2 and n_b == 2  # file-scoped rows: 2 data rows each
+
+    # single-file mode unchanged: same triples as the pinned fixture run
+    single = cube.fdp_to_cube(spark, desc, {"budget.csv": CSV})
+    one = cube.fdp_to_cube(
+        spark, desc, {"budget.csv": CSV}, allow_multiple_csvs=True
+    )
+    assert sorted(map(tuple, one.collect())) == sorted(map(tuple, single.collect()))
+
+
 def test_bag_parity_multimeasure_codelists(spark, spec):
     """Bag mode (dedup_codelists=False) mirrors the reference's
     per-(dimension, measure) processRow loop (Mapper.java:98-100):
