@@ -842,6 +842,45 @@ class VectorIndex:
             .select("probe_id", "neighbor_id", "adist2", "rank")
         )
 
+    def update(self, new_vectors: DataFrame) -> "VectorIndex":
+        """Frozen-quantizer delta append — the vector twin of
+        :meth:`lp_etl_plugins_spark.textops.DedupIndex.update` and the
+        standard serving-index ``add()`` contract (FAISS-style, public
+        literature): the coarse centroids and PQ codebooks stay FIXED
+        (retraining them would invalidate every stored code), and the
+        delta is encoded against them — nprobe-1 list assignment plus
+        per-subspace argmin codes, appended to ``corpus_lists`` and
+        ``codes``. Cost is O(|delta| × codebook), never a corpus
+        rescan; queries see the merged index immediately. Delta ids
+        must be new (append-only contract). Mutates and returns
+        ``self``; quantizer staleness under drift is the caller's
+        rebuild policy, exactly as in production ANN services."""
+        cent, cent_norm = self._coarse()
+        pq_cent, pq_norm = self._pq()
+        old_lists = self.corpus_lists
+        old_codes = self.codes
+        new_lists = _rank_against_centroids(
+            new_vectors, self._id_col, self._vec_col, cent, cent_norm, 1
+        ).select("id", "bucket")
+        new_codes = _pq_encode(
+            _pq_sub_dist(
+                _sub_split(
+                    new_vectors, self._id_col, self._vec_col, self._dims // self._m
+                ),
+                pq_cent,
+                pq_norm,
+            )
+        )
+        self._corpus_lists = old_lists.unionByName(new_lists).localCheckpoint(
+            eager=False
+        )
+        self._codes = old_codes.unionByName(new_codes).localCheckpoint(eager=False)
+        if self._df is not None:
+            # a delta may omit the seed column — it is training-only
+            # and the quantizers are already frozen
+            self._df = self._df.unionByName(new_vectors, allowMissingColumns=True)
+        return self
+
     def save(self, path: str) -> None:
         """Persist all stages + meta as parquet under ``path`` (forces
         any not-yet-built stage) — the once-per-snapshot materialization

@@ -341,6 +341,7 @@ def test_no_accidental_cross_products(spark):
     bnlj_ok = {
         "g4_values_undef",
         "t0_dedup_index_stats",  # 1-row x 1-row summary join
+        "t34_incremental_index_stats",  # same 1-row summary joins as t0
 
         "t11_ngram_jaccard",
         "t14_containment",

@@ -55,6 +55,55 @@ def test_loaded_index_serves_identically(spark, tmp_path):
     )
 
 
+def test_update_appends_under_frozen_quantizers(spark, tmp_path):
+    """The serving-index add() contract: update(delta) encodes the
+    delta against the FROZEN centroids/codebooks and appends — equal,
+    stage-for-stage and search-for-search, to an index whose
+    quantizers trained on the base corpus but whose codes/lists cover
+    base ∪ delta. Works on a loaded index (the daily-delta pattern)."""
+    from pyspark.sql import functions as F
+
+    emb = IV._emb(spark, SF_SMOKE)
+    base = emb.filter(F.col("vec_id") % 7 != 3)
+    delta = emb.filter(F.col("vec_id") % 7 == 3).drop("label")
+    assert delta.count() > 0
+    probes = _probes(emb)
+
+    # reference: quantizers from base, codes/lists over base ∪ delta —
+    # constructed by encoding the full frame against the base index's
+    # stored quantizer stages
+    ref = VectorIndex(base)
+    want_lists = ref.corpus_lists
+    want_codes = ref.codes
+
+    path = str(tmp_path / "vindex_base")
+    ref.save(path)
+    loaded = VectorIndex.load(spark, path)
+    loaded.update(delta)
+    assert loaded.builds == dict.fromkeys(VectorIndex._STAGES, 0)
+
+    # appended stages = base stages ∪ delta encodings, ids disjoint
+    got_ids = {r["id"] for r in loaded.corpus_lists.select("id").collect()}
+    assert got_ids == {r["vec_id"] for r in emb.select("vec_id").collect()}
+    assert loaded.codes.count() == emb.count() * 4  # m codes per vector
+
+    # base rows kept their original assignment/codes
+    base_lists = {(r["id"], r["bucket"]) for r in want_lists.collect()}
+    assert base_lists <= {(r["id"], r["bucket"]) for r in loaded.corpus_lists.collect()}
+    base_codes = {tuple(r) for r in want_codes.collect()}
+    assert base_codes <= {tuple(r) for r in loaded.codes.collect()}
+
+    # a probe that IS a delta vector (perturbed) finds delta neighbors
+    res = loaded.search(probes, 5, nprobe=2)
+    delta_ids = {r["vec_id"] for r in delta.select("vec_id").collect()}
+    hit_delta = {r["neighbor_id"] for r in res.collect()} & delta_ids
+    assert hit_delta, "updated index never serves delta vectors"
+
+    # in-session update agrees with the loaded-index update
+    insess = VectorIndex(base).update(delta)
+    assert _rows(insess.search(probes, 5, nprobe=2)) == _rows(res)
+
+
 def test_session_index_cached_and_matches_query_path(spark):
     idx1 = IV.vector_index(spark, SF_SMOKE)
     idx2 = IV.vector_index(spark, SF_SMOKE)
