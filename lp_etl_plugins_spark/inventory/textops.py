@@ -1776,6 +1776,89 @@ FROM comp
 )
 
 
+def t35_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split — the production-correct form
+    of t15: doc-level hash splitting puts near-duplicate documents on
+    opposite sides of the train/eval fence, so the benchmark scores
+    memorization. Here the split key is the VERIFIED-cluster
+    representative (component label from the shared dedup index;
+    singletons represent themselves), hashed content-addressed into
+    8/1/1 buckets — every member of a near-dup cluster lands in the
+    same split by construction. ``n_leaky_pairs`` counts verified
+    pairs straddling splits and is part of the hashed result: both
+    engines must independently derive ZERO, so the invariant itself is
+    oracle-gated, not just asserted. Consumes the shared index
+    (verified pairs + verified clusters); beyond that one join the
+    plan is a narrow expression + two tiny aggregates.
+    → (split, n_docs, n_neardup_docs, n_leaky_pairs)."""
+    idx = dedup_index(spark, sf_dir)
+    docs = _docs(spark, sf_dir).select("doc_id")
+    labels = idx.verified_clusters.withColumnRenamed("id", "doc_id")
+    assigned = docs.join(labels, "doc_id", "left").select(
+        "doc_id",
+        F.col("cluster").isNotNull().alias("in_cluster"),
+        F.coalesce("cluster", "doc_id").alias("rep"),
+    )
+    b = T.hash_bucket("rep", 10)
+    assigned = assigned.withColumn(
+        "split",
+        F.when(b < 8, F.lit("train"))
+        .when(b < 9, F.lit("validation"))
+        .otherwise(F.lit("test")),
+    )
+    per_split = assigned.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("in_cluster").cast("bigint")).alias("n_neardup_docs"),
+    )
+    a = assigned.select(F.col("doc_id").alias("id_a"), F.col("split").alias("sa"))
+    bb = assigned.select(F.col("doc_id").alias("id_b"), F.col("split").alias("sb"))
+    leak = (
+        idx.verified.select("id_a", "id_b")
+        .join(a, "id_a")
+        .join(bb, "id_b")
+        .filter(F.col("sa") != F.col("sb"))
+        .agg(F.count(F.lit(1)).alias("n_leaky_pairs"))
+    )
+    # 1-row invariant aggregate; the join is a 1x1 broadcast nested loop
+    return per_split.crossJoin(leak)
+
+
+T35_SQL = (
+    "WITH RECURSIVE " + _SH_SQL + "," + _CAND_SQL + _VERIFIED_CTES + """,
+vedges AS (
+  SELECT id_a AS u, id_b AS v FROM verified
+  UNION
+  SELECT id_b, id_a FROM verified
+),
+vreach(u, lbl) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM vedges) t
+  UNION
+  SELECT e.u, r.lbl FROM vedges e JOIN vreach r ON r.u = e.v
+),
+vcomp AS (SELECT u, min(lbl) AS cluster FROM vreach GROUP BY u),
+assigned AS (
+  SELECT d.doc_id,
+         (vc.cluster IS NOT NULL) AS in_cluster,
+         CASE WHEN ('0x' || substring(md5(coalesce(vc.cluster, d.doc_id)::VARCHAR), 1, 8))::BIGINT % 10 < 8 THEN 'train'
+              WHEN ('0x' || substring(md5(coalesce(vc.cluster, d.doc_id)::VARCHAR), 1, 8))::BIGINT % 10 < 9 THEN 'validation'
+              ELSE 'test' END AS split
+  FROM documents d LEFT JOIN vcomp vc ON vc.u = d.doc_id
+),
+leak AS (
+  SELECT count(*)::BIGINT AS n_leaky_pairs
+  FROM verified v
+  JOIN assigned a ON a.doc_id = v.id_a
+  JOIN assigned b ON b.doc_id = v.id_b
+  WHERE a.split != b.split
+)
+SELECT split, count(*)::BIGINT AS n_docs,
+       sum(in_cluster::INT)::BIGINT AS n_neardup_docs,
+       (SELECT n_leaky_pairs FROM leak) AS n_leaky_pairs
+FROM assigned GROUP BY split
+"""
+)
+
+
 QUERIES = {
     "t0_dedup_index_stats": t0_dedup_index_stats,
     "t1_exact_dedup": t1_exact_dedup,
@@ -1812,6 +1895,7 @@ QUERIES = {
     "t32_sequence_pack": t32_sequence_pack,
     "t33_redact": t33_redact,
     "t34_incremental_index_stats": t34_incremental_index_stats,
+    "t35_leakage_safe_split": t35_leakage_safe_split,
 }
 
 ORACLES = {
@@ -1850,4 +1934,5 @@ ORACLES = {
     "t32_sequence_pack": T32_SQL,
     "t33_redact": T33_SQL,
     "t34_incremental_index_stats": T34_SQL,
+    "t35_leakage_safe_split": T35_SQL,
 }

@@ -342,6 +342,7 @@ def test_no_accidental_cross_products(spark):
         "g4_values_undef",
         "t0_dedup_index_stats",  # 1-row x 1-row summary join
         "t34_incremental_index_stats",  # same 1-row summary joins as t0
+        "t35_leakage_safe_split",  # 1-row leak-invariant aggregate join
 
         "t11_ngram_jaccard",
         "t14_containment",
