@@ -150,7 +150,11 @@ def _compat_join(left: DataFrame, right: DataFrame, shared: list[str]) -> DataFr
         lcol, rcol = F.col(v), F.col(rname[v])
         c = lcol.isNull() | rcol.isNull() | (lcol == rcol)
         cond = c if cond is None else (cond & c)
-    joined = left.join(r, cond, "inner")
+    # broadcast the right (block) side: without the hint Spark falls
+    # back to a two-sided-shuffle CartesianProduct for the theta
+    # condition; the compat join's contract is small-block metadata
+    # scale, so the block is broadcast-sized by construction
+    joined = left.join(F.broadcast(r), cond, "inner")
 
     def _meta_of(side_has: bool, cols: tuple[str, str, str], from_right: bool):
         t, l, d = cols

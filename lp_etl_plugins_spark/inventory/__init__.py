@@ -85,6 +85,9 @@ _DEMOTED = (
     # u1/s4 on unionByName
     "g11_path_alt",
     "g12_union",
+    # g13 (unbound-compatible join, r6) demoted on arrival for the
+    # same reason; g2/g12 keep the hard signal on join/union machinery
+    "g13_union_compat_join",
 )
 
 

@@ -447,6 +447,58 @@ FROM u
 """
 
 
+def g13_union_compat_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL 1.1 unbound-compatible join over a mixed-binding UNION
+    (:func:`graphq.join_solutions` ``unbound_compat=True``): suppliers
+    bind ?nat (their nation edge), premium customers leave ?nat
+    unbound; joining the union against the nation block {?nat a
+    urn:Nation; urn:name ?nname} under the algebra rule keeps BOTH
+    branches — supplier rows join their own nation, unbound-?nat rows
+    are compatible with every nation binding (25 rows each) and take
+    it from the block. The default SQL-NULL join would silently drop
+    the whole premium branch (g12 documents that contract). The compat
+    condition is a theta join → broadcast nested loop against the
+    25-row nation block — the documented metadata-scale shape.
+    → (n_solutions, n_flagged, n_nations, first_nation_name)."""
+    tr = _graph(spark, sf_dir)
+    sup = graphq.bgp(tr, [("?e", _T, "urn:Supplier"), ("?e", _NATION, "?nat")])
+    prem = graphq.bgp(tr, [("?e", _PREMIUM, "?flag")])
+    u = graphq.union(sup, prem)
+    blk = graphq.bgp(tr, [("?nat", _T, "urn:Nation"), ("?nat", _NAME, "?nname")])
+    sols = graphq.join_solutions(u, blk, unbound_compat=True)
+    return sols.agg(
+        F.count(F.lit(1)).alias("n_solutions"),
+        F.count("flag").alias("n_flagged"),
+        F.countDistinct("nat").alias("n_nations"),
+        F.min("nname").alias("first_nation_name"),
+    )
+
+
+G13_SQL = _CTE + """
+, u AS (
+  SELECT t.s AS e, nt.o_value AS nat, NULL AS flag
+  FROM triples t
+  JOIN triples nt ON nt.s = t.s AND nt.p = 'urn:nation'
+  WHERE t.p = 'urn:type' AND t.o_value = 'urn:Supplier'
+  UNION ALL
+  SELECT pf.s, NULL, pf.o_value
+  FROM triples pf WHERE pf.p = 'urn:premium'
+),
+blk AS (
+  SELECT ty.s AS nat, nm.o_value AS nname
+  FROM triples ty JOIN triples nm ON nm.s = ty.s AND nm.p = 'urn:name'
+  WHERE ty.p = 'urn:type' AND ty.o_value = 'urn:Nation'
+),
+j AS (
+  SELECT coalesce(u.nat, b.nat) AS nat, u.flag, b.nname
+  FROM u JOIN blk b ON u.nat IS NULL OR u.nat = b.nat
+)
+SELECT count(*)::BIGINT AS n_solutions, count(flag)::BIGINT AS n_flagged,
+       count(DISTINCT nat)::BIGINT AS n_nations, min(nname) AS first_nation_name
+FROM j
+"""
+
+
 QUERIES = {
     "g1_bgp_star": g1_bgp_star,
     "g2_optional_premium": g2_optional_premium,
@@ -460,6 +512,7 @@ QUERIES = {
     "g10_path_star": g10_path_star,
     "g11_path_alt": g11_path_alt,
     "g12_union": g12_union,
+    "g13_union_compat_join": g13_union_compat_join,
 }
 
 ORACLES = {
@@ -475,4 +528,5 @@ ORACLES = {
     "g10_path_star": G10_SQL,
     "g11_path_alt": G11_SQL,
     "g12_union": G12_SQL,
+    "g13_union_compat_join": G13_SQL,
 }

@@ -340,6 +340,7 @@ def test_no_accidental_cross_products(spark):
 
     bnlj_ok = {
         "g4_values_undef",
+        "g13_union_compat_join",  # compat theta join vs 25-row nation block
         "t0_dedup_index_stats",  # 1-row x 1-row summary join
         "t34_incremental_index_stats",  # same 1-row summary joins as t0
         "t35_leakage_safe_split",  # 1-row leak-invariant aggregate join
