@@ -814,9 +814,13 @@ class DedupIndex:
             sh = _doc_shingles(
                 self._df, self._text_col, self._id_col, self._shingle_n, distinct=False
             )
+            # EAGER: the pair mining self-joins this frame — its two
+            # exchange stages run concurrently, and a lazy checkpoint
+            # would be computed twice (shingle+minhash duplicated, a
+            # measured ~2x on the pairs build)
             self._bands = band_frame(
                 minhash_signatures(sh, self._k), self._n_bands, self._rows
-            ).localCheckpoint(eager=False)
+            ).localCheckpoint()
         return self._bands
 
     @property
@@ -961,9 +965,10 @@ class DedupIndex:
         sh = _doc_shingles(
             new_docs, self._text_col, self._id_col, self._shingle_n, distinct=False
         )
+        # eager for the same concurrent-consumer reason as .bands
         new_bands = band_frame(
             minhash_signatures(sh, self._k), self._n_bands, self._rows
-        ).localCheckpoint(eager=False)
+        ).localCheckpoint()
         merged_bands = old_bands.unionByName(new_bands).localCheckpoint(eager=False)
         capped = _cap_band_groups(merged_bands, self._max_band_size)
         delta_side = (
