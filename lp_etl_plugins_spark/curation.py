@@ -5,9 +5,11 @@ ports (``t-fdpToRdf/src/main/resources/LP-ETL/template/definition.jsonld:12-56``
 the engine's equivalent is :mod:`registry` stages composed by
 :func:`registry.pipeline`. This module registers the corpus-curation
 stages a large-scale training-data pipeline runs — ingest → language
-ID → quality filter → exact dedup → near-dup canonicalization (via the
-build-once :class:`textops.DedupIndex`) → benchmark decontamination →
-quota mix → partitioned parquet — and a one-call composition,
+ID → rule quality filter → optional trigram-LM quality gate → optional
+PII/denylist redaction → exact dedup → near-dup canonicalization (via
+the build-once :class:`textops.DedupIndex`) → benchmark decontamination
+→ quota mix → partitioned parquet → optional context-window
+sequence-packing manifests — and a one-call composition,
 :func:`curate_corpus`.
 
 Every stage attaches a Spark ``Observation`` (the engine's A6 progress
@@ -127,6 +129,44 @@ def near_dedup_canonical(spark: SparkSession, corpus: DataFrame) -> dict:
 
 
 @register(
+    "lm_quality_filter",
+    "Keep documents at/above a trigram-LM log-probability threshold",
+    ("corpus", "min_doc_lp"),
+    ("corpus", "observation"),
+)
+def lm_quality_filter(
+    spark: SparkSession, corpus: DataFrame, min_doc_lp: float = -11.0
+) -> dict:
+    """Statistical quality gate (the CCNet-style LM filter, beyond the
+    rule-based :func:`quality_filter`): train a :class:`textops.TrigramLM`
+    on THIS corpus and keep documents whose mean log2 trigram
+    probability clears ``min_doc_lp`` — mojibake, binary spill, and
+    wrong-language fragments score far below natural text. One count
+    groupBy to train (the model is vocab-sized), one join + per-doc
+    aggregate to score, a semi-join back to keep full rows; docs too
+    short to produce a gram have no score and are dropped (nothing to
+    attest quality). The threshold is an absolute log-prob — corpus-
+    independent and deterministic, unlike a quantile cut (which needs
+    a global rank)."""
+    # checkpoint=False: the corpus carries upstream observe nodes;
+    # TrigramLM's internal lazy checkpoints would truncate that plan at
+    # call time and detach the per-stage metrics
+    lm = T.TrigramLM(corpus, "text", "doc_id", checkpoint=False)
+    # EAGER checkpoint on the kept-id set: (a) the score aggregation
+    # runs once instead of once per downstream action, and (b) without
+    # it the observed corpus subtree appears on BOTH sides of the
+    # semi-join and Spark's relation dedup breaks the upstream
+    # Observation attribution (metrics read 0)
+    keep = (
+        lm.score()
+        .filter(F.col("doc_lp") >= min_doc_lp)
+        .select(F.col("id").alias("doc_id"))
+        .localCheckpoint()
+    )
+    return _observed(corpus.join(keep, "doc_id", "left_semi"), "lm_quality")
+
+
+@register(
     "redact_corpus",
     "Scrub emails, URLs, and denylisted entity terms from document text",
     ("corpus", "denylist"),
@@ -218,7 +258,21 @@ def write_corpus(spark: SparkSession, corpus: DataFrame, path: str) -> dict:
     ("corpus",),
 )
 def corpus_reload(spark: SparkSession, path: str) -> dict:
-    return {"corpus": spark.read.parquet(path)}
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    try:
+        return {"corpus": spark.read.parquet(path)}
+    except AnalysisException as exc:
+        if "UNABLE_TO_INFER_SCHEMA" in str(exc):
+            # an all-filtered corpus writes a schemaless empty dir; the
+            # raw Spark error ("unable to infer schema") hides the
+            # actual problem from the pipeline operator
+            raise ValueError(
+                f"corpus_reload: no rows were written to {path!r} — every "
+                "document was removed by the upstream filter/dedup stages; "
+                "relax the lang/quality thresholds or check the input corpus"
+            ) from exc
+        raise
 
 
 @register(
@@ -242,15 +296,18 @@ def curate_corpus(
     quota_k: int | None = None,
     redact: bool = False,
     pack_capacity: int | None = None,
+    min_doc_lp: float | None = None,
 ) -> dict:
     """Run the full curation pipeline via the registry and return
     ``{"path": out_path, "metrics": {stage: rows_out}}``. The metrics
     come from the per-stage Observations, all materialized by the one
     write action (no second pass). ``redact=True`` inserts the
     PII/denylist scrub after the quality filter (before dedup, so
-    redacted forms are what dedup compares); ``pack_capacity`` adds
-    the context-window packing assignment as a second parquet output
-    at ``{out_path}_packed`` and a ``"packed_path"`` result key."""
+    redacted forms are what dedup compares); ``min_doc_lp`` adds the
+    trigram-LM statistical quality gate after the rule-based filter;
+    ``pack_capacity`` adds the context-window packing assignment as a
+    second parquet output at ``{out_path}_packed`` and a
+    ``"packed_path"`` result key."""
     from . import registry
 
     stages: list[tuple[str, dict]] = [
@@ -258,6 +315,8 @@ def curate_corpus(
         ("lang_filter", {"corpus": "$corpus", "lang": lang}),
         ("quality_filter", {"corpus": "$corpus", "min_quality": min_quality}),
     ]
+    if min_doc_lp is not None:
+        stages.append(("lm_quality_filter", {"corpus": "$corpus", "min_doc_lp": min_doc_lp}))
     if redact:
         stages.append(("redact_corpus", {"corpus": "$corpus"}))
     stages += [

@@ -1308,11 +1308,25 @@ class TrigramLM:
     grams and are absent from score output (mirrored by the oracle's
     unnest)."""
 
-    def __init__(self, df: DataFrame, text_col: str, id_col: str, n: int = 3) -> None:
+    def __init__(
+        self,
+        df: DataFrame,
+        text_col: str,
+        id_col: str,
+        n: int = 3,
+        checkpoint: bool = True,
+    ) -> None:
+        """``checkpoint=False`` keeps grams/counts as plain Catalyst
+        plans: required when the training frame carries ``observe``
+        nodes a caller still needs attributed (``localCheckpoint``
+        truncates the logical plan AT CALL TIME, silently detaching
+        upstream Observations — the curation LM gate hit this), at the
+        cost of re-running the explode per consumer action."""
         self._df = df
         self._text_col = text_col
         self._id_col = id_col
         self._n = n
+        self._checkpoint = checkpoint
         self._grams: DataFrame | None = None
         self._counts: DataFrame | None = None
         self.builds: dict[str, int] = {"grams": 0, "counts": 0}
@@ -1335,9 +1349,8 @@ class TrigramLM:
                     "model) - pass the frame to score(df, ...)"
                 )
             self.builds["grams"] += 1
-            self._grams = self._gram_frame(
-                self._df, self._text_col, self._id_col
-            ).localCheckpoint(eager=False)
+            g = self._gram_frame(self._df, self._text_col, self._id_col)
+            self._grams = g.localCheckpoint(eager=False) if self._checkpoint else g
         return self._grams
 
     @property
@@ -1346,11 +1359,8 @@ class TrigramLM:
         checkpointed; the normalizer derives from it."""
         if self._counts is None:
             self.builds["counts"] += 1
-            self._counts = (
-                self.grams.groupBy("g")
-                .agg(F.count(F.lit(1)).alias("c"))
-                .localCheckpoint(eager=False)
-            )
+            c = self.grams.groupBy("g").agg(F.count(F.lit(1)).alias("c"))
+            self._counts = c.localCheckpoint(eager=False) if self._checkpoint else c
         return self._counts
 
     @property

@@ -82,6 +82,25 @@ def test_curate_corpus_without_quota(spark, tmp_path):
     assert n == result["metrics"]["decontaminate_corpus"]
 
 
+def test_curate_corpus_lm_quality_gate(spark, tmp_path):
+    """min_doc_lp inserts the trigram-LM statistical gate: a permissive
+    threshold keeps the corpus intact; a prohibitive one removes
+    everything and the reload stage reports the empty corpus with a
+    clear error instead of Spark's schema-inference failure."""
+    import pytest
+
+    out = str(tmp_path / "curated_lm")
+    res = curation.curate_corpus(spark, SF_SMOKE, out, min_doc_lp=-99.0)
+    m = res["metrics"]
+    assert m["lm_quality_filter"] == m["quality_filter"]  # permissive: no-op
+
+    strict_out = str(tmp_path / "curated_lm_strict")
+    with pytest.raises(ValueError, match="no rows were written"):
+        curation.curate_corpus(
+            spark, SF_SMOKE, strict_out, min_doc_lp=0.0, pack_capacity=512
+        )
+
+
 def test_curate_corpus_redact_and_pack(spark, tmp_path):
     """redact=True scrubs denylisted terms BEFORE dedup; pack_capacity
     writes a second parquet with the context-window assignment whose
