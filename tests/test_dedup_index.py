@@ -164,6 +164,50 @@ def test_incremental_update_equals_full_rebuild(spark, tmp_path):
     assert _stage_rows(re, "pairs") == _stage_rows(full, "pairs")
 
 
+def test_chained_updates_equal_one_rebuild(spark):
+    """Two sequential daily deltas equal one from-scratch build over
+    the final corpus — the property that makes update() a maintenance
+    strategy rather than a one-shot trick."""
+    from lp_etl_plugins_spark.textops import DedupIndex
+    from lp_etl_plugins_spark.inventory.textops import _docs
+    from pyspark.sql import functions as F
+
+    docs = _docs(spark, SF_SMOKE).filter(F.col("doc_id") % 3 == 0)
+    base = docs.filter(F.col("doc_id") % 9 == 0)
+    d1 = docs.filter(F.col("doc_id") % 9 == 3)
+    d2 = docs.filter(F.col("doc_id") % 9 == 6)
+    assert d1.count() > 0 and d2.count() > 0
+
+    idx = DedupIndex(base, "text", "doc_id")
+    idx.verified, idx.clusters  # force so both updates run incrementally
+    idx.update(d1).update(d2)
+    full = DedupIndex(docs, "text", "doc_id")
+    for stage in ("pairs", "verified", "clusters"):
+        assert _stage_rows(idx, stage) == _stage_rows(full, stage), stage
+
+
+def test_update_with_band_cap_is_monotone_superset(spark):
+    """With max_band_size set, update() re-evaluates the cap over the
+    MERGED band groups for new pairs but never retracts mined pairs:
+    the updated pair set contains the old pairs and is a superset of
+    the from-scratch capped rebuild (documented monotone contract)."""
+    from lp_etl_plugins_spark.textops import DedupIndex
+    from lp_etl_plugins_spark.inventory.textops import _docs
+    from pyspark.sql import functions as F
+
+    docs = _docs(spark, SF_SMOKE).filter(F.col("doc_id") % 4 == 0)
+    base = docs.filter(F.col("doc_id") % 8 == 0)
+    delta = docs.filter(F.col("doc_id") % 8 == 4)
+    cap = 3
+    idx = DedupIndex(base, "text", "doc_id", max_band_size=cap)
+    old_pairs = set(_stage_rows(idx, "pairs"))
+    idx.update(delta)
+    got = set(_stage_rows(idx, "pairs"))
+    assert old_pairs <= got
+    rebuilt = set(_stage_rows(DedupIndex(docs, "text", "doc_id", max_band_size=cap), "pairs"))
+    assert rebuilt <= got
+
+
 def test_update_new_cross_pairs_detected(spark):
     """A delta document near-duplicating a BASE document must surface
     as a new cross (old, new) verified pair and merge clusters."""
