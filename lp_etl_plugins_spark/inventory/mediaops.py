@@ -391,6 +391,48 @@ FROM content GROUP BY sig HAVING count(*) > 1
 """
 
 
+def m9_phash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual dedup CLUSTERS — the media twin of t10/v9, closing
+    the image dedup pipeline: connected components over the m7
+    near-miss pair set (4-band guaranteed-recall LSH + exact Hamming
+    verify) → cluster label and size. After mining, a curation
+    pipeline keeps one image per cluster; the component edge list is
+    |pairs| ≪ |media|², and the propagation is the same O(log d)
+    checkpointed pointer-jumping loop as the text/vector paths.
+    → (cluster, n_media)."""
+    from ..textops import connected_components
+
+    pairs = m7_phash_neardup(spark, sf_dir).select("id_a", "id_b")
+    lab = connected_components(pairs)
+    return lab.groupBy("cluster").agg(F.count(F.lit(1)).alias("n_media"))
+
+
+M9_SQL = _PHASH_CTES.replace("WITH dims", "WITH RECURSIVE dims") + """
+, bands AS (
+  SELECT i, phash, b, substring(phash, 1 + 16 * b, 16) AS key
+  FROM bits, unnest([0, 1, 2, 3]) t(b)
+),
+cand AS (
+  SELECT DISTINCT a.i AS id_a, b.i AS id_b, a.phash AS pa, b.phash AS pb
+  FROM bands a JOIN bands b ON a.b = b.b AND a.key = b.key AND a.i < b.i
+),
+pr AS (SELECT id_a, id_b FROM cand WHERE hamming(pa, pb) <= 3),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pr
+  UNION
+  SELECT id_b, id_a FROM pr
+),
+reach(u, lbl) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges) t
+  UNION
+  SELECT e.u, r.lbl FROM edges e JOIN reach r ON r.u = e.v
+)
+SELECT cluster, count(*)::BIGINT AS n_media FROM (
+  SELECT u, min(lbl) AS cluster FROM reach GROUP BY u
+) c GROUP BY cluster
+"""
+
+
 QUERIES = {
     "m1_media_decode": m1_media_decode,
     "m2_frame_sample": m2_frame_sample,
@@ -400,6 +442,7 @@ QUERIES = {
     "m6_phash_buckets": m6_phash_buckets,
     "m7_phash_neardup": m7_phash_neardup,
     "m8_media_exact_dedup": m8_media_exact_dedup,
+    "m9_phash_clusters": m9_phash_clusters,
 }
 
 ORACLES: dict[str, str] = {
@@ -411,4 +454,5 @@ ORACLES: dict[str, str] = {
     "m6_phash_buckets": M6_SQL,
     "m7_phash_neardup": M7_SQL,
     "m8_media_exact_dedup": M8_SQL,
+    "m9_phash_clusters": M9_SQL,
 }
