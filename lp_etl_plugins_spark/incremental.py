@@ -1,0 +1,597 @@
+"""Persistent incremental curation state — the daily-delta form of
+:func:`curation.curate_corpus`.
+
+The batch pipeline (reference parity: the LP-ETL pipeline graph,
+definition.jsonld:12-56, re-run end-to-end per execution) recomputes
+every stage from scratch. A production 100 TB corpus does not arrive
+once — it grows by a daily delta that is a fraction of a percent of
+the total, and re-running lang-ID, quality scoring, shingling, LSH,
+verification, clustering, and decontamination over the WHOLE corpus
+per delta multiplies the dominant cost by the update frequency.
+
+:class:`CurationState` persists every expensive substrate the pipeline
+derives and absorbs a delta in time bounded by the DELTA (plus the
+old rows a delta pair actually touches), never by the corpus:
+
+- ``indexed/``    the working corpus after per-doc filters + exact
+                  dedup (the frame the dedup index covers) — parquet,
+                  APPEND-only;
+- ``hashes/``     distinct md5(text) of the indexed corpus (the exact-
+                  dedup membership substrate) — APPEND-only;
+- ``index/``      the :class:`textops.DedupIndex` substrates; monotone
+                  stages (bands/pairs/verified) APPEND their delta via
+                  :meth:`textops.DedupIndex.append_saved`, cluster
+                  labels are rewritten (bounded by the clustered
+                  subset — the one non-monotone piece);
+- ``working/`` + ``tombstones/``  the canonical (post-near-dedup)
+                  corpus as an append log plus a retraction log — the
+                  merge-on-read pattern: a displaced canonical is
+                  tombstoned, never rewritten in place;
+- ``grams/``      the hashed char-n-gram inverted index over the
+                  working set (decontamination's candidate substrate)
+                  — APPEND-only, tombstone-filtered at read;
+- ``contam/``     contamination evidence at PAIR granularity
+                  (train_id, bench_id, containment ≥ threshold) —
+                  small, rewritten per update. Pair-level state is
+                  what makes retraction exact: when a bench canonical
+                  is displaced, its pairs vanish and a train doc it
+                  alone contaminated is un-flagged, exactly as a full
+                  rebuild would decide.
+
+Exactness contract (test-asserted, see tests/test_incremental.py):
+under (1) monotone ingestion — every delta doc_id is greater than
+every previously ingested doc_id (enforced), and (2) the default
+uncapped band groups, ``build(base); update(delta)`` equals
+``build(base ∪ delta)`` — same indexed set, same working set, same
+contamination pairs, same curated corpus. This includes the two
+subtle df-cap interactions of the decontamination substrate: a gram
+whose document frequency crosses UNDER the (corpus-size-dependent)
+cap after the merge is re-mined over its full posting list
+(``flipped`` below), and stored pairs whose every witnessing gram
+crossed OVER the cap are dropped by the reachability recheck — both
+directions match what a from-scratch rebuild computes.
+
+Stages the batch pipeline supports that this state deliberately does
+NOT: ``min_doc_lp`` (the trigram-LM gate trains on the corpus — its
+scores shift with every delta, so incremental == rebuild cannot hold;
+freeze an LM via :meth:`textops.TrigramLM.save` and filter the delta
+upstream instead) and ``quota_k`` (a quota is a view over the curated
+pool — take it downstream of :meth:`curated`).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from . import textops as T
+
+_META_SCHEMA = (
+    "lang string, min_quality double, bench_source string, redact boolean, "
+    "denylist string, shingle_n int, k int, bands int, rows int, "
+    "jaccard_threshold double, gram_n int, max_df_frac double, max_df int, "
+    "contain_threshold double, max_doc_id bigint, n_working bigint, "
+    "n_bench bigint, n_updates int"
+)
+_TOMB_SCHEMA = "doc_id bigint"
+_GRAM_SCHEMA = "id bigint, g bigint"
+_CONTAM_SCHEMA = "train_id bigint, bench_id bigint, containment double"
+
+
+def _df_cap(max_df: int, max_df_frac: float, n: int) -> int:
+    """The posting-list cap of textops._pruned_gram_candidates as a
+    plain int — min(max_df, max(2, ceil(frac*n))). Computed on the
+    driver from the tracked working-set size so the incremental miner
+    prunes exactly like the full one."""
+    return min(max_df, max(2, math.ceil(max_df_frac * n)))
+
+
+class CurationState:
+    """Handle over a saved curation state directory. Construct with
+    :meth:`build` (initial corpus) or :meth:`load` (existing state);
+    absorb corpus deltas with :meth:`update`; read the maintained
+    views with :meth:`working` / :meth:`contamination` /
+    :meth:`curated`."""
+
+    def __init__(self, spark: SparkSession, path: str, meta: dict) -> None:
+        self._spark = spark
+        self._path = path
+        self.meta = meta
+
+    # ------------------------------------------------------------- views
+
+    def indexed(self) -> DataFrame:
+        """The filtered + exact-deduped corpus the dedup index covers."""
+        return self._spark.read.parquet(f"{self._path}/indexed")
+
+    def _tombstones(self) -> DataFrame:
+        return self._spark.read.schema(_TOMB_SCHEMA).parquet(
+            f"{self._path}/tombstones"
+        )
+
+    def working(self) -> DataFrame:
+        """Live canonical documents: the working append log minus the
+        tombstoned (displaced) canonicals — merge-on-read."""
+        return (
+            self._spark.read.parquet(f"{self._path}/working")
+            .join(self._tombstones(), "doc_id", "left_anti")
+        )
+
+    def contamination(self) -> DataFrame:
+        """Live contamination evidence pairs (train_id, bench_id,
+        containment). Rewritten per update, so every stored pair
+        references live working docs only."""
+        return self._spark.read.schema(_CONTAM_SCHEMA).parquet(
+            f"{self._path}/contam"
+        )
+
+    def curated(self) -> DataFrame:
+        """The curated corpus view: live canonicals, benchmark source
+        excluded, contaminated docs excluded."""
+        flagged = self.contamination().select(
+            F.col("train_id").alias("doc_id")
+        ).distinct()
+        return (
+            self.working()
+            .filter(F.col("source") != self.meta["bench_source"])
+            .join(flagged, "doc_id", "left_anti")
+        )
+
+    def dedup_index(self) -> T.DedupIndex:
+        """(Re-)open the persisted near-dup index. Always a fresh load:
+        after an update appended delta rows, a previously loaded
+        object's file listings are stale."""
+        return T.DedupIndex.load(self._spark, f"{self._path}/index")
+
+    # ------------------------------------------------------ construction
+
+    @classmethod
+    def build(
+        cls,
+        spark: SparkSession,
+        docs: DataFrame,
+        path: str,
+        *,
+        lang: str = "en",
+        min_quality: float = 0.5,
+        bench_source: str = "src0",
+        redact: bool = False,
+        denylist: tuple[str, ...] = ("customer", "supplier"),
+        shingle_n: int = 3,
+        k: int = 12,
+        bands: int = 6,
+        rows: int = 2,
+        jaccard_threshold: float = 0.8,
+        gram_n: int = 3,
+        max_df_frac: float = 0.05,
+        max_df: int = 64,
+        contain_threshold: float = 0.8,
+    ) -> "CurationState":
+        """Run the full pipeline over ``docs`` (columns doc_id, source,
+        text; extra columns ignored) and persist every substrate under
+        ``path``. Stage order matches curation.curate_corpus: lang →
+        quality → [redact] → exact dedup → near-dup canonical →
+        decontaminate."""
+        meta = {
+            "lang": lang,
+            "min_quality": float(min_quality),
+            "bench_source": bench_source,
+            "redact": bool(redact),
+            "denylist": ",".join(denylist),
+            "shingle_n": shingle_n,
+            "k": k,
+            "bands": bands,
+            "rows": rows,
+            "jaccard_threshold": float(jaccard_threshold),
+            "gram_n": gram_n,
+            "max_df_frac": float(max_df_frac),
+            "max_df": max_df,
+            "contain_threshold": float(contain_threshold),
+        }
+        st = cls(spark, path, meta)
+        max_doc_id = docs.agg(F.max("doc_id")).first()[0]
+        indexed = cls._exact_dedup(st._filtered(docs))
+        indexed.write.mode("overwrite").parquet(f"{path}/indexed")
+        indexed = spark.read.parquet(f"{path}/indexed")
+        indexed.select(F.md5("text").alias("h")).distinct().write.mode(
+            "overwrite"
+        ).parquet(f"{path}/hashes")
+        idx = T.DedupIndex(
+            indexed,
+            "text",
+            "doc_id",
+            shingle_n=shingle_n,
+            k=k,
+            bands=bands,
+            rows=rows,
+            threshold=jaccard_threshold,
+        )
+        working = cls._canonicals(indexed, idx.verified_clusters)
+        idx.save(f"{path}/index")
+        working.write.mode("overwrite").parquet(f"{path}/working")
+        working = spark.read.parquet(f"{path}/working")
+        spark.createDataFrame([], _TOMB_SCHEMA).write.mode("overwrite").parquet(
+            f"{path}/tombstones"
+        )
+        st._gram_frame(working).write.mode("overwrite").parquet(f"{path}/grams")
+        n_working = working.count()
+        contam = st._contam_pairs_full(working, n_working)
+        contam.write.mode("overwrite").parquet(f"{path}/contam")
+        meta["max_doc_id"] = -1 if max_doc_id is None else int(max_doc_id)
+        meta["n_working"] = int(n_working)
+        meta["n_bench"] = int(
+            working.filter(F.col("source") == bench_source).count()
+        )
+        meta["n_updates"] = 0
+        st._write_meta()
+        return st
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "CurationState":
+        row = spark.read.parquet(f"{path}/meta").first()
+        return cls(spark, path, row.asDict())
+
+    def _write_meta(self) -> None:
+        m = self.meta
+        vals = tuple(m[f.split(" ")[0]] for f in _META_SCHEMA.split(", "))
+        self._spark.createDataFrame([vals], _META_SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{self._path}/meta")
+
+    # ------------------------------------------------------ stage pieces
+
+    def _filtered(self, docs: DataFrame) -> DataFrame:
+        """Per-doc stages: lang-ID gate, quality gate, optional
+        redaction — stateless, so a delta runs them independently."""
+        m = self.meta
+        d = docs.select("doc_id", "source", "text")
+        d = d.filter(T.lang_id("text") == m["lang"]).filter(
+            T.quality_score("text") >= m["min_quality"]
+        )
+        if m["redact"]:
+            rules = [(T.EMAIL_PATTERN, "<EMAIL>"), (T.URL_PATTERN, "<URL>")]
+            terms = tuple(t for t in m["denylist"].split(",") if t)
+            if terms:
+                rules.append((T.denylist_pattern(terms), "<ENTITY>"))
+            d = d.withColumn("text", T.redact_text("text", rules))
+        return d
+
+    @staticmethod
+    def _exact_dedup(d: DataFrame) -> DataFrame:
+        w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+        return (
+            d.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+
+    @staticmethod
+    def _canonicals(docs: DataFrame, verified_clusters: DataFrame) -> DataFrame:
+        """Best-quality member per verified cluster (quality desc —
+        already 1e-6-rounded so the order is engine-deterministic —
+        then doc_id asc); singletons represent themselves. Same rule
+        as curation.near_dedup_canonical."""
+        labeled = (
+            docs.withColumn("__q", T.quality_score("text"))
+            .join(
+                verified_clusters.withColumnRenamed("id", "doc_id"),
+                "doc_id",
+                "left",
+            )
+            .withColumn("cluster", F.coalesce("cluster", "doc_id"))
+        )
+        w = Window.partitionBy("cluster").orderBy(
+            F.col("__q").desc(), F.col("doc_id").asc()
+        )
+        return (
+            labeled.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn", "__q", "cluster")
+        )
+
+    def _gram_frame(self, docs: DataFrame) -> DataFrame:
+        """Exploded hashed gram inverted index (id, g) — the persisted
+        form of the decontamination candidate substrate."""
+        return T.hashed_gram_sets(
+            docs, "text", "doc_id", self.meta["gram_n"]
+        ).select("id", F.explode("grams").alias("g"))
+
+    def _orient(self, hits: DataFrame) -> DataFrame:
+        """Orient verified mixed pairs as (train_id, bench_id)."""
+        return hits.select(
+            F.when(~F.col("ba"), F.col("id_a"))
+            .otherwise(F.col("id_b"))
+            .alias("train_id"),
+            F.when(F.col("ba"), F.col("id_a"))
+            .otherwise(F.col("id_b"))
+            .alias("bench_id"),
+            "containment",
+        )
+
+    def _contam_pairs_full(self, working: DataFrame, n_working: int) -> DataFrame:
+        """Full decontamination mine over the working set, keeping the
+        evidence PAIRS (textops.decontaminate keeps flags only): same
+        df-pruned candidates, same classify-before-verify shape."""
+        m = self.meta
+        cand, sets = T._pruned_gram_candidates(
+            working, "text", "doc_id", m["gram_n"], m["max_df_frac"], m["max_df"]
+        )
+        flags = working.select(
+            F.col("doc_id").alias("id"),
+            (F.col("source") == m["bench_source"]).alias("__b"),
+        )
+        mixed = (
+            cand.join(flags.select(F.col("id").alias("id_a"), F.col("__b").alias("ba")), "id_a")
+            .join(flags.select(F.col("id").alias("id_b"), F.col("__b").alias("bb")), "id_b")
+            .filter(F.col("ba") != F.col("bb"))
+            .drop("bb")
+        )
+        hits = T._containment_verified(mixed, sets, m["contain_threshold"])
+        return self._orient(hits)
+
+    # ------------------------------------------------------------ update
+
+    def update(self, delta_docs: DataFrame) -> dict:
+        """Absorb a corpus delta. Every step is bounded by the delta
+        plus the old rows its pairs actually touch (see module
+        docstring); returns per-stage metrics. Raises if the delta
+        violates the monotone-ingestion contract."""
+        spark, p, m = self._spark, self._path, self.meta
+        bounds = delta_docs.agg(
+            F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
+        ).first()
+        if bounds["lo"] is None:
+            return {"delta_rows": 0, "new_indexed": 0, "working_adds": 0,
+                    "working_retracts": 0, "contam_pairs": 0}
+        if bounds["lo"] <= m["max_doc_id"]:
+            raise ValueError(
+                "CurationState.update: monotone-ingestion contract violated — "
+                f"delta min doc_id {bounds['lo']} <= indexed max "
+                f"{m['max_doc_id']}; exact-dedup keep-first and index "
+                "id-disjointness both require append-only ids"
+            )
+
+        # -- per-doc stages + exact dedup against the hash substrate
+        d1 = self._exact_dedup(self._filtered(delta_docs))
+        hashes = spark.read.parquet(f"{p}/hashes")
+        new_indexed = (
+            d1.withColumn("__h", F.md5("text"))
+            .join(hashes, F.col("__h") == F.col("h"), "left_anti")
+            .drop("__h")
+            .localCheckpoint()
+        )
+
+        # -- near-dup index: banded delta join + star-seeded components
+        old_indexed = self.indexed()
+        idx = self.dedup_index()
+        idx.update(new_indexed, old_docs=old_indexed)
+        vc = idx.verified_clusters.withColumnRenamed("id", "doc_id")
+
+        # -- canonical recompute over the clusters the delta touched
+        new_ids = new_indexed.select("doc_id")
+        touched = vc.join(new_ids, "doc_id", "left_semi").select("cluster").distinct()
+        members = vc.join(touched, "cluster", "left_semi")
+        texts = old_indexed.select("doc_id", "source", "text").unionByName(
+            new_indexed.select("doc_id", "source", "text")
+        )
+        mem_docs = members.join(texts, "doc_id")
+        w = Window.partitionBy("cluster").orderBy(
+            F.col("__q").desc(), F.col("doc_id").asc()
+        )
+        winners = (
+            mem_docs.withColumn("__q", T.quality_score("text"))
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("doc_id", "source", "text")
+        )
+        singletons = new_indexed.select("doc_id", "source", "text").join(
+            vc.select("doc_id"), "doc_id", "left_anti"
+        )
+        new_canon = winners.unionByName(singletons)
+        old_live = self.working()
+        adds = new_canon.join(
+            old_live.select("doc_id"), "doc_id", "left_anti"
+        ).localCheckpoint()
+        # a previously tombstoned doc can never win again: clusters
+        # only grow, and the member that displaced it stays a member
+        retracts = (
+            old_live.join(members.select("doc_id"), "doc_id", "left_semi")
+            .join(new_canon.select("doc_id"), "doc_id", "left_anti")
+            .select("doc_id")
+            .localCheckpoint()
+        )
+        n_adds = adds.count()
+        n_retracts = retracts.count()
+
+        # -- decontamination: delta-bounded candidate mine over the
+        #    persisted gram index, exact w.r.t. the df cap's
+        #    corpus-size dependence in BOTH directions. Document
+        #    frequencies are computed for a RESTRICTED gram set only
+        #    (delta grams, retract-touched grams, stored-pair grams):
+        #    at scale the cap saturates at max_df, so a gram's allowed
+        #    status can only change if its df changed — and dfs change
+        #    only for grams of added or retracted docs. The full-df
+        #    fallback runs only while the fractional cap still governs
+        #    (working set < max_df/max_df_frac docs), where it is
+        #    trivially cheap.
+        g_all = spark.read.schema(_GRAM_SCHEMA).parquet(f"{p}/grams")
+        tomb_old = self._tombstones()
+        g_old_live = g_all.join(
+            tomb_old.withColumnRenamed("doc_id", "id"), "id", "left_anti"
+        )
+        g_after = g_old_live.join(
+            retracts.withColumnRenamed("doc_id", "id"), "id", "left_anti"
+        )
+        g_add = self._gram_frame(adds).localCheckpoint()
+        g_new = g_after.unionByName(g_add)
+        n_working_new = m["n_working"] - n_retracts + n_adds
+        cap_old = _df_cap(m["max_df"], m["max_df_frac"], max(m["n_working"], 1))
+        cap_new = _df_cap(m["max_df"], m["max_df_frac"], max(n_working_new, 1))
+        stored = self.contamination()
+        stored_ids = (
+            stored.select(F.col("train_id").alias("id"))
+            .unionByName(stored.select(F.col("bench_id").alias("id")))
+            .distinct()
+        )
+        g_ret = g_old_live.join(
+            retracts.withColumnRenamed("doc_id", "id"), "id", "left_semi"
+        )
+        ch_add = g_add.groupBy("g").agg(F.count(F.lit(1)).alias("ca"))
+        ch_ret = g_ret.groupBy("g").agg(F.count(F.lit(1)).alias("cr"))
+        if cap_new == cap_old:
+            # restricted df: only grams whose allowed status can matter
+            restricted = (
+                g_add.select("g")
+                .unionByName(g_ret.select("g"))
+                .unionByName(
+                    g_new.join(F.broadcast(stored_ids), "id", "left_semi").select("g")
+                )
+                .distinct()
+                .localCheckpoint()
+            )
+            df_old = (
+                g_old_live.join(F.broadcast(restricted), "g", "left_semi")
+                .groupBy("g")
+                .agg(F.count(F.lit(1)).alias("df_o"))
+            )
+        else:
+            restricted = None
+            df_old = g_old_live.groupBy("g").agg(F.count(F.lit(1)).alias("df_o"))
+        df_new = (
+            df_old.join(ch_add, "g", "full")
+            .join(ch_ret, "g", "full")
+            .select(
+                "g",
+                "df_o",
+                (
+                    F.coalesce("df_o", F.lit(0))
+                    + F.coalesce("ca", F.lit(0))
+                    - F.coalesce("cr", F.lit(0))
+                ).alias("df_n"),
+            )
+            .filter(F.col("df_n") > 0)
+            .localCheckpoint()
+        )
+        allowed = df_new.filter(F.col("df_n") <= cap_new).select("g")
+        # grams whose posting list crossed UNDER the cap (df shrank via
+        # retraction, or the cap itself moved with the corpus size): a
+        # fresh rebuild would mine their FULL posting lists, so we must
+        flipped = (
+            df_new.filter(
+                (F.col("df_n") <= cap_new) & (F.col("df_o") > cap_old)
+            ).select("g")
+        )
+        ga = g_add.join(F.broadcast(allowed), "g", "left_semi")
+        # the allowed filter is a broadcast semi-join, so these are
+        # scans of the stored index, never a corpus-extent shuffle
+        gn_allowed = g_new.join(F.broadcast(allowed), "g", "left_semi")
+        cand_delta = (
+            ga.alias("a")
+            .join(gn_allowed.alias("b"), "g")
+            .filter(F.col("a.id") != F.col("b.id"))
+            .select(
+                F.least("a.id", "b.id").alias("id_a"),
+                F.greatest("a.id", "b.id").alias("id_b"),
+            )
+            .distinct()
+        )
+        postings_f = (
+            g_new.join(F.broadcast(flipped), "g", "left_semi")
+            .groupBy("g")
+            .agg(F.sort_array(F.collect_list("id")).alias("ids"))
+        )
+        cand = cand_delta.unionByName(T.posting_pairs(postings_f)).distinct()
+        working_new = old_live.select("doc_id", "source", "text").join(
+            retracts, "doc_id", "left_anti"
+        ).unionByName(adds.select("doc_id", "source", "text"))
+        flags = working_new.select(
+            F.col("doc_id").alias("id"),
+            (F.col("source") == m["bench_source"]).alias("__b"),
+        )
+        mixed = (
+            cand.join(flags.select(F.col("id").alias("id_a"), F.col("__b").alias("ba")), "id_a")
+            .join(flags.select(F.col("id").alias("id_b"), F.col("__b").alias("bb")), "id_b")
+            .filter(F.col("ba") != F.col("bb"))
+            .drop("bb")
+        )
+        pair_ids = mixed.select(F.col("id_a").alias("doc_id")).unionByName(
+            mixed.select(F.col("id_b").alias("doc_id"))
+        ).distinct()
+        sets = T.hashed_gram_sets(
+            working_new.join(pair_ids, "doc_id", "left_semi"),
+            "text",
+            "doc_id",
+            m["gram_n"],
+        ).localCheckpoint(eager=False)
+        new_pairs = self._orient(
+            T._containment_verified(mixed, sets, m["contain_threshold"])
+        )
+        stored_live = stored.join(
+            retracts.withColumnRenamed("doc_id", "train_id"), "train_id", "left_anti"
+        ).join(
+            retracts.withColumnRenamed("doc_id", "bench_id"), "bench_id", "left_anti"
+        )
+        # reachability recheck: a stored pair survives only if it still
+        # shares an under-cap gram — a fresh rebuild would not even
+        # candidate it otherwise
+        g_stored = gn_allowed.join(F.broadcast(stored_ids), "id", "left_semi")
+        reach = (
+            stored_live.alias("s")
+            .join(g_stored.alias("x"), F.col("s.train_id") == F.col("x.id"))
+            .join(
+                g_stored.alias("y"),
+                (F.col("s.bench_id") == F.col("y.id"))
+                & (F.col("x.g") == F.col("y.g")),
+            )
+            .select("s.train_id", "s.bench_id")
+            .distinct()
+        )
+        contam_final = (
+            stored_live.join(reach, ["train_id", "bench_id"], "left_semi")
+            .unionByName(new_pairs)
+            .dropDuplicates(["train_id", "bench_id"])
+            .localCheckpoint()
+        )
+        n_pairs_before = stored.count()
+        n_pairs_after = contam_final.count()
+        # bench-count delta and all other metrics read OLD state —
+        # compute before any file is appended
+        bench_delta = (
+            adds.filter(F.col("source") == m["bench_source"]).count()
+            - retracts.join(
+                old_live.filter(F.col("source") == m["bench_source"]),
+                "doc_id",
+                "left_semi",
+            ).count()
+        )
+        n_delta_rows = delta_docs.count()
+        n_new_indexed = new_indexed.count()
+
+        # -- persist: index delta first (its lazy stages read the
+        #    pre-append indexed/ and index/bands files), then the
+        #    append-only data logs, then the small rewrites
+        idx.append_saved(f"{p}/index")
+        new_indexed.write.mode("append").parquet(f"{p}/indexed")
+        new_indexed.select(F.md5("text").alias("h")).distinct().write.mode(
+            "append"
+        ).parquet(f"{p}/hashes")
+        adds.write.mode("append").parquet(f"{p}/working")
+        retracts.write.mode("append").parquet(f"{p}/tombstones")
+        g_add.write.mode("append").parquet(f"{p}/grams")
+        contam_final.write.mode("overwrite").parquet(f"{p}/contam")
+        m["max_doc_id"] = int(bounds["hi"])
+        m["n_working"] = int(n_working_new)
+        m["n_bench"] = int(m["n_bench"] + bench_delta)
+        m["n_updates"] = int(m["n_updates"]) + 1
+        self._write_meta()
+        return {
+            "delta_rows": n_delta_rows,
+            "new_indexed": n_new_indexed,
+            "working_adds": n_adds,
+            "working_retracts": n_retracts,
+            "contam_pairs": n_pairs_after,
+            "contam_pairs_added": n_pairs_after - n_pairs_before,
+            "n_working": n_working_new,
+        }

@@ -296,6 +296,24 @@ def char_ngrams(col: Column | str, n: int = 3) -> Column:
     return F.coalesce(F.array_distinct(out), F.array().cast("array<string>"))
 
 
+def hashed_gram_sets(
+    df: DataFrame, text_col: str, id_col: str, n: int = 3
+) -> DataFrame:
+    """Per-doc distinct char-``n``-gram sets in the hashed 32-bit
+    space — the persistable inverted-index substrate shared by the
+    gram-candidate miners and :class:`incremental.CurationState`.
+    Grams are md5-derived ints (same function on both engines, so any
+    collision merges the same gram on both sides — parity by
+    construction). → (id, grams array<bigint>)."""
+    hashed = F.array_distinct(
+        F.transform(
+            char_ngrams(text_col, n),
+            lambda g: F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("bigint"),
+        )
+    )
+    return df.select(F.col(id_col).alias("id"), hashed.alias("grams"))
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str,
@@ -358,15 +376,7 @@ def _pruned_gram_candidates(
     (a gram shared by ≥ 2 docs) is PROVABLY impossible and even exact
     duplicates silently stopped matching.
     → (cand: (id_a < id_b), sets: (id, grams array<bigint>))."""
-    hashed = F.array_distinct(
-        F.transform(
-            char_ngrams(text_col, n),
-            lambda g: F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("bigint"),
-        )
-    )
-    sets = df.select(
-        F.col(id_col).alias("id"), hashed.alias("grams")
-    ).localCheckpoint(eager=True)
+    sets = hashed_gram_sets(df, text_col, id_col, n).localCheckpoint(eager=True)
     # ^ the substrate is read 4× (dfreq, postings, both verify sides);
     # without truncation each branch re-runs scan+split+zip_with —
     # measured 3× slower. At corpus scale this materialization is the
@@ -395,6 +405,15 @@ def _pruned_gram_candidates(
         .groupBy("g")
         .agg(F.sort_array(F.collect_list("id")).alias("ids"))
     )
+    return posting_pairs(postings), sets
+
+
+def posting_pairs(postings: DataFrame) -> DataFrame:
+    """Expand sorted posting lists (``ids`` array column) into the
+    distinct ordered candidate pairs (id_a < id_b) they witness — the
+    in-array pair expansion shared by the gram miners and the
+    incremental decontamination substrate (no self-join; per-list
+    output is C(len, 2), bounded by the caller's df cap)."""
     sz = F.size("ids")
     pair_arr = F.flatten(
         F.transform(
@@ -405,12 +424,11 @@ def _pruned_gram_candidates(
             ),
         )
     )
-    cand = (
+    return (
         postings.select(F.explode(pair_arr).alias("pr"))
         .select("pr.id_a", "pr.id_b")
         .distinct()
     )
-    return cand, sets
 
 
 def _containment_verified(
@@ -1050,8 +1068,47 @@ class DedupIndex:
         self._bands = merged_bands
         self._pairs = old_pairs.unionByName(new_pairs).localCheckpoint(eager=False)
         self._df = old.unionByName(new_docs) if old is not None else None
+        # the delta frames, kept for append_saved: the monotone stages
+        # of a persisted index grow by exactly these rows
+        self._delta = {
+            "bands": new_bands,
+            "pairs": new_pairs,
+            "verified": new_verified if self._verified is not None else None,
+        }
         self.updates += 1
         return self
+
+    def append_saved(self, path: str) -> None:
+        """Merge the LAST :meth:`update`'s delta into a :meth:`save`-d
+        index directory WITHOUT rewriting the whole index: ``bands``,
+        ``pairs``, and ``verified`` are append-only under the
+        append-only corpus contract, so only the delta rows are
+        written (O(delta), not O(index)); the two cluster-label
+        stages are NOT append-only (a delta bridge relabels merged
+        components), so they are rewritten — bounded by the clustered
+        subset, the one non-monotone piece of state. Call order:
+        pairs → verified → bands, so each lazy delta materializes
+        before the files its plan reads are appended to. The
+        in-memory object must be considered STALE after this call
+        (its merged frames captured the pre-append file listings);
+        re-``load`` to keep using the index."""
+        if not getattr(self, "_delta", None):
+            raise ValueError(
+                "DedupIndex.append_saved: no update() delta to append — "
+                "call update(new_docs) first"
+            )
+        self._delta["pairs"].write.mode("append").parquet(f"{path}/pairs")
+        if self._delta["verified"] is not None:
+            self._delta["verified"].write.mode("append").parquet(f"{path}/verified")
+        self._delta["bands"].write.mode("append").parquet(f"{path}/bands")
+        # cluster labels were recomputed eagerly during update() and
+        # are checkpoint-pinned, so overwriting the files their
+        # original plans read is safe
+        for stage in ("clusters", "verified_clusters"):
+            frame = getattr(self, f"_{stage}")
+            if frame is not None:
+                frame.write.mode("overwrite").parquet(f"{path}/{stage}")
+        self._delta = None
 
 
 def hash_bucket(col: Column | str, n_buckets: int = 100) -> Column:

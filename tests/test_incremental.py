@@ -1,0 +1,248 @@
+"""CurationState: the exactness contract of incremental curation.
+
+The load-bearing assertion in every test here is the same one
+`tests/test_dedup_index.py` makes for the index alone, lifted to the
+WHOLE pipeline: ``build(base); update(delta)`` must equal
+``build(base ∪ delta)`` — same indexed corpus, same live working set,
+same contamination pairs, same curated corpus — under the
+monotone-ingestion contract. The crafted corpus additionally forces
+every retraction path: canonical displacement by a higher-quality
+delta member, cluster merge through a delta bridge doc, a delta bench
+doc contaminating a previously clean train doc, and a displaced bench
+canonical un-flagging a train doc it alone contaminated.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from lp_etl_plugins_spark.incremental import CurationState
+
+from conftest import SF_SMOKE
+
+
+def _ids(df, col="doc_id"):
+    return sorted(r[col] for r in df.select(col).collect())
+
+
+def _pairs(df):
+    return sorted((r["train_id"], r["bench_id"]) for r in df.collect())
+
+
+def _assert_state_equal(inc: CurationState, full: CurationState) -> None:
+    assert _ids(inc.indexed()) == _ids(full.indexed())
+    assert _ids(inc.working()) == _ids(full.working())
+    assert _pairs(inc.contamination()) == _pairs(full.contamination())
+    inc_cur = sorted(
+        (r["doc_id"], r["source"], r["text"]) for r in inc.curated().collect()
+    )
+    full_cur = sorted(
+        (r["doc_id"], r["source"], r["text"]) for r in full.curated().collect()
+    )
+    assert inc_cur == full_cur
+    assert inc.meta["n_working"] == full.meta["n_working"]
+    assert inc.meta["n_bench"] == full.meta["n_bench"]
+
+
+def test_update_equals_full_rebuild_real_corpus(spark, tmp_path):
+    """Real-data split at a monotone cutoff: on sf0.001 this crosses a
+    df-cap boundary (the working set grows past a ceil(0.05·n) step),
+    so the full-df fallback path and the pair reachability recheck are
+    both exercised, not just the append path."""
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    st = CurationState.build(
+        spark, docs.filter("doc_id < 400"), str(tmp_path / "inc")
+    )
+    metrics = st.update(docs.filter("doc_id >= 400"))
+    assert metrics["new_indexed"] > 0
+    full = CurationState.build(spark, docs, str(tmp_path / "full"))
+    _assert_state_equal(st, full)
+
+
+def test_chained_updates_and_load_roundtrip(spark, tmp_path):
+    """Two deltas, the second applied through a fresh load() of the
+    state directory — cross-session incremental maintenance."""
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    path = str(tmp_path / "inc")
+    st = CurationState.build(spark, docs.filter("doc_id < 300"), path)
+    st.update(docs.filter("doc_id >= 300 AND doc_id < 420"))
+    st2 = CurationState.load(spark, path)
+    assert st2.meta["n_updates"] == 1
+    st2.update(docs.filter("doc_id >= 420"))
+    full = CurationState.build(spark, docs, str(tmp_path / "full"))
+    _assert_state_equal(st2, full)
+
+
+def test_saturated_cap_restricted_df_path(spark, tmp_path):
+    """With max_df small enough to saturate the cap on both sides of
+    the update (cap_old == cap_new), the restricted-df fast path runs;
+    its result must still equal the full rebuild."""
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    st = CurationState.build(
+        spark, docs.filter("doc_id < 400"), str(tmp_path / "inc"), max_df=4
+    )
+    st.update(docs.filter("doc_id >= 400"))
+    full = CurationState.build(spark, docs, str(tmp_path / "full"), max_df=4)
+    _assert_state_equal(st, full)
+
+
+# -- crafted corpus -----------------------------------------------------
+# Quality-ordering levers: quality_score = 0.4·min(1, chars/300)
+# + 0.3·stopword_ratio + 0.3·(1 - min(1, |mean_wlen - 4.5|/10)); all
+# texts below are >300 chars of prose-like words, so displacement is
+# driven by the stopword ratio.
+
+_BODY_A = (
+    "the alchemist kept the copper retort near the window of the "
+    "tower and the apprentice ground the silver salt to powder and "
+    "the master poured the tincture in the crucible and the furnace "
+    "glowed through the night and the smoke rose over the roofs of "
+    "the town to the stars and the bells of the abbey rang to the "
+    "dawn and the watch changed at the gate "
+)
+_BODY_U = (
+    "the cartographer drew the coastline of the northern bay and the "
+    "surveyor measured the depth of the channel and the captain "
+    "marked the reef on the chart and the crew sounded the bottom "
+    "with the lead line and the harbor master kept the ledger of the "
+    "tides and the pilots read the buoys to the narrows and the "
+    "ferry crossed to the island quay "
+)
+_BODY_N = (
+    "the astronomer watched the comet from the hill and the "
+    "telescope turned on the brass mount and the clerk noted the "
+    "hour in the journal and the dawn washed the gray sky over the "
+    "observatory and the lamps went dark in the halls of the academy "
+    "and the students copied the tables of the stars to the ledgers "
+    "of the archive before the lectures "
+)
+# the bridge chain: prefix P, then P+Q, then P+Q+R — consecutive
+# links share ≥ 0.8 of their shingles, the endpoints do not
+_BI_P = (
+    "the shepherd drove the flock across the high pasture and the "
+    "dog circled the strays back to the path and the bells rang "
+    "along the ridge and the mist settled in the valley below the "
+    "peaks and the stream ran cold from the snow "
+)
+_BI_Q = "and the shearers came to the fold "
+_BI_R = "and the carts rolled down to the barge "
+_BENCH_BODY = (
+    "question one what is the capital of the republic answer the "
+    "capital is the city on the river question two name the year of "
+    "the treaty answer the year of the treaty is known to all of the "
+    "scholars question three state the name of the author of the "
+    "famous book answer the author of the famous book is the poet of "
+    "the north question four give the sum of the numbers "
+)
+
+
+def _chunk_permute(text: str, size: int = 6) -> str:
+    """Reverse the order of ``size``-word chunks: word 3-shingles
+    survive only inside chunks (Jaccard « 0.8 → near-dedup does NOT
+    collapse the pair), while the char-3-gram SET barely changes
+    (containment ≥ 0.8 → decontamination DOES flag it) — the
+    plagiarized-but-reordered shape the two thresholds disagree on."""
+    ws = text.split()
+    chunks = [ws[i : i + size] for i in range(0, len(ws), size)]
+    return " ".join(w for c in reversed(chunks) for w in c)
+
+
+def _crafted_rows():
+    # base (ids < 100)
+    rows = [
+        (1, "train", _BODY_A + "alpha marker one"),  # near-dup cluster A
+        (2, "train", _BODY_A + "alpha marker two"),  # loses to 1 on quality tie → id
+        (10, "train", _BODY_U),
+        (11, "train", _BODY_U),  # exact dup of 10
+        (20, "bench", _BENCH_BODY + "bench marker original"),  # bench canonical
+        # chunk-reordered copy of 20: contaminated, NOT a near-dup
+        (30, "train", _chunk_permute(_BENCH_BODY + "bench marker original")),
+        # the two ends of the bridge chain — below 0.8 to each other
+        (40, "train", _BI_P),
+        (41, "train", _BI_P + _BI_Q + _BI_R),
+    ]
+    # delta (ids >= 100) — monotone
+    rows += [
+        (100, "train", _BODY_A + "alpha marker one"),  # exact dup of 1 → dropped
+        # near-dup of cluster A with one extra stopword in the body
+        # (higher quality_score) → displaces the old canonical 1
+        (101, "train", _BODY_A.replace("glowed", "the") + "alpha marker one"),
+        # the middle link: ≥ 0.8 to BOTH 40 and 41 → merges their
+        # clusters
+        (110, "train", _BI_P + _BI_Q),
+        # new bench doc containing a BASE train doc's text (reordered,
+        # so near-dedup does not collapse it) → doc 10 becomes
+        # contaminated only now
+        (120, "bench", _chunk_permute(_BODY_U + "quiz answer key")),
+        # higher-quality near-dup of bench canonical 20 → displaces it;
+        # the stored pair (30, 20) must retract and re-attach as (30, 121)
+        (121, "bench", _BENCH_BODY.replace("scholars", "the") + "bench marker original"),
+        # clean new train doc
+        (130, "train", _BODY_N),
+    ]
+    return rows
+
+
+def test_crafted_retraction_paths(spark, tmp_path):
+    docs = spark.createDataFrame(
+        _crafted_rows(), "doc_id long, source string, text string"
+    )
+    base = docs.filter("doc_id < 100")
+    delta = docs.filter("doc_id >= 100")
+    st = CurationState.build(
+        spark, base, str(tmp_path / "inc"), bench_source="bench"
+    )
+    # base facts: 30 is contaminated by 20; 10/11 collapse to 10
+    assert (30, 20) in _pairs(st.contamination())
+    base_working = _ids(st.working())
+    assert 10 in base_working and 11 not in base_working
+    metrics = st.update(delta)
+    assert metrics["working_retracts"] >= 1
+    full = CurationState.build(
+        spark, docs, str(tmp_path / "full"), bench_source="bench"
+    )
+    _assert_state_equal(st, full)
+    pairs_after = _pairs(st.contamination())
+    # the delta bench doc 120 contains base doc 10's text → flagged now
+    assert (10, 120) in pairs_after
+    assert 10 not in _ids(st.curated())
+    # bench canonical 20 displaced by 121: its pair retracts, the
+    # contamination re-attaches to the new canonical
+    working_after = _ids(st.working())
+    assert 121 in working_after and 20 not in working_after
+    assert (30, 20) not in pairs_after
+    assert (30, 121) in pairs_after
+    # cluster-A displacement: 101 wins on quality, 1 retracts
+    assert 101 in working_after and 1 not in working_after
+    # bridge: 40, 41, 110 merge into one verified cluster → 1 survivor
+    surv = [i for i in working_after if i in (40, 41, 110)]
+    assert len(surv) == 1
+
+
+def test_monotone_contract_enforced(spark, tmp_path):
+    docs = spark.createDataFrame(
+        _crafted_rows(), "doc_id long, source string, text string"
+    )
+    st = CurationState.build(
+        spark, docs.filter("doc_id < 100"), str(tmp_path / "inc"),
+        bench_source="bench",
+    )
+    with pytest.raises(ValueError, match="monotone"):
+        st.update(docs.filter("doc_id == 40"))
+
+
+def test_redact_stage_applies_to_delta(spark, tmp_path):
+    """With redaction on, the delta passes through the same scrub
+    before dedup — equality with a full redacting rebuild proves the
+    stage ordering matches."""
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").filter(
+        "doc_id < 200"
+    )
+    st = CurationState.build(
+        spark, docs.filter("doc_id < 150"), str(tmp_path / "inc"), redact=True
+    )
+    st.update(docs.filter("doc_id >= 150"))
+    full = CurationState.build(spark, docs, str(tmp_path / "full"), redact=True)
+    _assert_state_equal(st, full)
+    assert st.curated().filter(F.col("text").contains("@")).count() == 0
