@@ -209,21 +209,29 @@ class CurationState:
             threshold=jaccard_threshold,
         )
         working = cls._canonicals(indexed, idx.verified_clusters)
-        idx.save(f"{path}/index")
+        # curation never reads candidate-pair components — skip that
+        # stage's build + write entirely (deletion decisions use
+        # VERIFIED clusters only)
+        idx.save(
+            f"{path}/index",
+            stages=("bands", "pairs", "verified", "verified_clusters"),
+        )
         working.write.mode("overwrite").parquet(f"{path}/working")
         working = spark.read.parquet(f"{path}/working")
         spark.createDataFrame([], _TOMB_SCHEMA).write.mode("overwrite").parquet(
             f"{path}/tombstones"
         )
         st._gram_frame(working).write.mode("overwrite").parquet(f"{path}/grams")
-        n_working = working.count()
+        wrow = working.agg(
+            F.count(F.lit(1)).alias("nw"),
+            F.sum((F.col("source") == bench_source).cast("bigint")).alias("nb"),
+        ).first()
+        n_working = int(wrow["nw"])
         contam = st._contam_pairs_full(working, n_working)
         contam.write.mode("overwrite").parquet(f"{path}/contam")
         meta["max_doc_id"] = -1 if max_doc_id is None else int(max_doc_id)
-        meta["n_working"] = int(n_working)
-        meta["n_bench"] = int(
-            working.filter(F.col("source") == bench_source).count()
-        )
+        meta["n_working"] = n_working
+        meta["n_bench"] = int(wrow["nb"] or 0)
         meta["n_updates"] = 0
         st._write_meta()
         return st
@@ -399,11 +407,18 @@ class CurationState:
         retracts = (
             old_live.join(members.select("doc_id"), "doc_id", "left_semi")
             .join(new_canon.select("doc_id"), "doc_id", "left_anti")
-            .select("doc_id")
+            .select("doc_id", "source")
             .localCheckpoint()
         )
-        n_adds = adds.count()
-        n_retracts = retracts.count()
+        is_bench = (F.col("source") == m["bench_source"]).cast("bigint")
+        arow = adds.agg(
+            F.count(F.lit(1)).alias("n"), F.sum(is_bench).alias("nb")
+        ).first()
+        rrow = retracts.agg(
+            F.count(F.lit(1)).alias("n"), F.sum(is_bench).alias("nb")
+        ).first()
+        n_adds, n_retracts = int(arow["n"]), int(rrow["n"])
+        bench_delta = int(arow["nb"] or 0) - int(rrow["nb"] or 0)
 
         # -- decontamination: delta-bounded candidate mine over the
         #    persisted gram index, exact w.r.t. the df cap's
@@ -556,16 +571,8 @@ class CurationState:
         )
         n_pairs_before = stored.count()
         n_pairs_after = contam_final.count()
-        # bench-count delta and all other metrics read OLD state —
-        # compute before any file is appended
-        bench_delta = (
-            adds.filter(F.col("source") == m["bench_source"]).count()
-            - retracts.join(
-                old_live.filter(F.col("source") == m["bench_source"]),
-                "doc_id",
-                "left_semi",
-            ).count()
-        )
+        # all metrics read OLD state — computed before any file is
+        # appended (bench_delta came from the adds/retracts aggs above)
         n_delta_rows = delta_docs.count()
         n_new_indexed = new_indexed.count()
 
@@ -578,7 +585,7 @@ class CurationState:
             "append"
         ).parquet(f"{p}/hashes")
         adds.write.mode("append").parquet(f"{p}/working")
-        retracts.write.mode("append").parquet(f"{p}/tombstones")
+        retracts.select("doc_id").write.mode("append").parquet(f"{p}/tombstones")
         g_add.write.mode("append").parquet(f"{p}/grams")
         contam_final.write.mode("overwrite").parquet(f"{p}/contam")
         m["max_doc_id"] = int(bounds["hi"])

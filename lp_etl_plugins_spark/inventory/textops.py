@@ -1859,6 +1859,176 @@ FROM assigned GROUP BY split
 )
 
 
+def t36_incremental_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end incremental curation (`incremental.CurationState`) —
+    the daily-delta capstone: build the persistent curation state over
+    a BASE slice (first 90% of doc ids — monotone cutoff, matching the
+    append-only ingestion contract), then absorb the held-out tail as
+    a delta: only the delta is filtered/hashed/shingled, the dedup
+    index grows through DedupIndex.update + append_saved, displaced
+    canonicals are tombstoned, and contamination evidence updates at
+    pair granularity (new mines + reachability recheck). The emitted
+    per-source stats read the UPDATED state; the oracle recomputes the
+    identical stats from a from-scratch pipeline over the whole slice
+    — a direct hash gate on ``update == full rebuild`` for the ENTIRE
+    pipeline, not just the index (t34). Runs on the eighth corpus
+    (doc_id % 8 == 0); like t0, this entry is a deliberate cost sink —
+    it pays TWO full pipeline passes (state build + delta update) plus
+    every persistence write in one bench entry, and its wall time is
+    dominated by fixed per-stage scheduling across the many small
+    jobs, not by data volume (the same run on 10x the rows costs
+    nearly the same — measured).
+    → (source, n_working, n_contaminated, n_curated) for training
+    sources."""
+    import shutil
+    import tempfile
+
+    from .. import incremental as INC
+
+    docs = (
+        _docs(spark, sf_dir)
+        .filter(F.col("doc_id") % 8 == 0)
+        .select("doc_id", "source", "text")
+    )
+    # 1-row max aggregate to place the monotone cutoff — same
+    # sanctioned driver-action class as the other 1-row agg consumers
+    hi = docs.agg(F.max("doc_id")).first()[0]
+    cut = (hi * 9) // 10
+    tmp = tempfile.mkdtemp(prefix="t36_state_")
+    try:
+        st = INC.CurationState.build(
+            spark, docs.filter(F.col("doc_id") <= cut), tmp
+        )
+        st.update(docs.filter(F.col("doc_id") > cut))
+        flagged = (
+            st.contamination()
+            .select(F.col("train_id").alias("doc_id"))
+            .distinct()
+            .withColumn("__c", F.lit(True))
+        )
+        out = (
+            st.working()
+            .filter(F.col("source") != "src0")
+            .join(flagged, "doc_id", "left")
+            .groupBy("source")
+            .agg(
+                F.count(F.lit(1)).alias("n_working"),
+                F.count("__c").alias("n_contaminated"),
+                (F.count(F.lit(1)) - F.count("__c")).alias("n_curated"),
+            )
+        )
+        # pin the (tiny) result before the state directory goes away —
+        # the driver collects AFTER this function returns
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+# _SH_SQL opens with "words AS (...)" — retarget its scan at dd
+T36_SQL = (
+    "WITH RECURSIVE qslice AS (\n"
+    "  SELECT doc_id, source, text FROM documents WHERE doc_id % 8 = 0\n"
+    "),\n"
+    "hits AS (\n"
+    "  SELECT doc_id, source, text, ws,\n    "
+    + _HITS_COLS_SQL
+    + r"""
+  FROM (SELECT doc_id, source, text,
+               regexp_split_to_array(lower(trim(text)), '\s+') AS ws
+        FROM qslice) b
+),
+scored AS (
+  SELECT doc_id, source, text,
+    """
+    + _PRED_CASE_SQL
+    + """ AS pred_lang,
+    """
+    + _QUALITY_SQL
+    + r""" AS quality
+  FROM hits
+),
+kept AS (SELECT * FROM scored WHERE pred_lang = 'en' AND quality >= 0.5),
+dd AS (
+  SELECT doc_id, source, text, quality FROM (
+    SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+    FROM kept
+  ) r WHERE rn = 1
+),
+"""
+    + _SH_SQL.strip().replace("FROM documents", "FROM dd")
+    + ","
+    + _CAND_SQL
+    + _VERIFIED_CTES
+    + """,
+vedges AS (
+  SELECT id_a AS u, id_b AS v FROM verified
+  UNION
+  SELECT id_b, id_a FROM verified
+),
+vreach(u, lbl) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM vedges) t
+  UNION
+  SELECT e.u, r.lbl FROM vedges e JOIN vreach r ON r.u = e.v
+),
+vcomp AS (SELECT u, min(lbl) AS cluster FROM vreach GROUP BY u),
+assigned AS (
+  SELECT d.doc_id, d.source, d.text, d.quality,
+         coalesce(vc.cluster, d.doc_id) AS cl
+  FROM dd d LEFT JOIN vcomp vc ON vc.u = d.doc_id
+),
+working AS (
+  SELECT doc_id, source, text FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY cl ORDER BY quality DESC, doc_id ASC) AS rn
+    FROM assigned
+  ) w WHERE rn = 1
+),
+wgrams AS (
+  SELECT DISTINCT doc_id AS id,
+         ('0x' || substring(md5(substring(lower(trim(text)), i, 3)), 1, 8))::BIGINT AS g
+  FROM working, unnest(generate_series(1, length(lower(trim(text))) - 2)) t(i)
+),
+wdfreq AS (SELECT g, count(*) AS c FROM wgrams GROUP BY g),
+wrare AS (
+  SELECT id, g FROM wgrams JOIN wdfreq USING (g)
+  WHERE c <= least(64, greatest(2, ceil(0.05 * (SELECT count(*) FROM working))))
+),
+wcand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM wrare a JOIN wrare b ON a.g = b.g AND a.id < b.id
+),
+marked AS (
+  SELECT c.id_a, c.id_b, (wa.source = 'src0') AS ba
+  FROM wcand c
+  JOIN working wa ON wa.doc_id = c.id_a
+  JOIN working wb ON wb.doc_id = c.id_b
+  WHERE (wa.source = 'src0') != (wb.source = 'src0')
+),
+wsizes AS (SELECT id, count(*) AS n FROM wgrams GROUP BY id),
+winter AS (
+  SELECT mk.id_a, mk.id_b, mk.ba, count(*) AS i
+  FROM marked mk
+  JOIN wgrams ga ON ga.id = mk.id_a
+  JOIN wgrams gb ON gb.id = mk.id_b AND gb.g = ga.g
+  GROUP BY mk.id_a, mk.id_b, mk.ba
+),
+contam AS (
+  SELECT DISTINCT CASE WHEN NOT ba THEN id_a ELSE id_b END AS doc_id
+  FROM winter
+  JOIN wsizes na ON na.id = winter.id_a
+  JOIN wsizes nb ON nb.id = winter.id_b
+  WHERE round(i::DOUBLE / least(na.n, nb.n), 6) >= 0.8
+)
+SELECT w.source, count(*)::BIGINT AS n_working,
+       count(c.doc_id)::BIGINT AS n_contaminated,
+       (count(*) - count(c.doc_id))::BIGINT AS n_curated
+FROM working w LEFT JOIN contam c ON c.doc_id = w.doc_id
+WHERE w.source != 'src0'
+GROUP BY w.source
+"""
+)
+
+
 QUERIES = {
     "t0_dedup_index_stats": t0_dedup_index_stats,
     "t1_exact_dedup": t1_exact_dedup,
@@ -1896,6 +2066,7 @@ QUERIES = {
     "t33_redact": t33_redact,
     "t34_incremental_index_stats": t34_incremental_index_stats,
     "t35_leakage_safe_split": t35_leakage_safe_split,
+    "t36_incremental_curation": t36_incremental_curation,
 }
 
 ORACLES = {
@@ -1935,4 +2106,5 @@ ORACLES = {
     "t33_redact": T33_SQL,
     "t34_incremental_index_stats": T34_SQL,
     "t35_leakage_safe_split": T35_SQL,
+    "t36_incremental_curation": T36_SQL,
 }

@@ -895,7 +895,7 @@ class DedupIndex:
             )
         return self._verified_clusters
 
-    def save(self, path: str) -> None:
+    def save(self, path: str, stages: tuple[str, ...] | None = None) -> None:
         """Persist the substrates as parquet under ``path`` —
         the cross-SESSION form of the build-once pattern (the
         in-session form is the localCheckpoint): a 100 TB pipeline
@@ -903,8 +903,16 @@ class DedupIndex:
         every later job (and every later run) reads it. Forces any
         not-yet-built stage. A ``meta`` table records the build
         parameters so :meth:`load` + :meth:`update` hash corpus
-        deltas identically to the original build."""
-        for stage in self._STAGES:
+        deltas identically to the original build.
+
+        ``stages`` restricts which substrates are materialized and
+        written (default: all). A consumer that never reads a stage —
+        e.g. a curation state, which collapses VERIFIED clusters only
+        — skips paying for it entirely; :meth:`load` maps the missing
+        directories to not-yet-built stages, which lazily derive from
+        the loaded ones where possible (clusters from pairs) and raise
+        where the corpus itself would be needed (bands/verified)."""
+        for stage in stages or self._STAGES:
             getattr(self, stage).write.mode("overwrite").parquet(f"{path}/{stage}")
         spark = self.bands.sparkSession
         meta = spark.createDataFrame(
@@ -942,8 +950,14 @@ class DedupIndex:
         idx._rows = m["rows"]
         idx._threshold = m["threshold"]
         idx._max_band_size = m["max_band_size"]
+        from pyspark.errors.exceptions.captured import AnalysisException
+
         for stage in cls._STAGES:
-            setattr(idx, f"_{stage}", spark.read.parquet(f"{path}/{stage}"))
+            try:
+                setattr(idx, f"_{stage}", spark.read.parquet(f"{path}/{stage}"))
+            except AnalysisException:
+                # stage was excluded at save time (save(stages=...))
+                setattr(idx, f"_{stage}", None)
         idx.builds = dict.fromkeys(cls._STAGES, 0)
         idx.updates = 0
         return idx
