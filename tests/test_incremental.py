@@ -232,6 +232,49 @@ def test_monotone_contract_enforced(spark, tmp_path):
         st.update(docs.filter("doc_id == 40"))
 
 
+def test_streamed_ingestion_equals_batch_rebuild(spark, tmp_path):
+    """Micro-batch ingestion through foreach_batch_update: two delta
+    files drained oldest-first (maxFilesPerTrigger=1 + availableNow),
+    each absorbed as one CurationState.update — the final state must
+    equal a full batch rebuild, and a replayed batch must be skipped
+    idempotently."""
+    import os
+    import time
+
+    from lp_etl_plugins_spark.incremental import foreach_batch_update
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    path = str(tmp_path / "inc")
+    CurationState.build(spark, docs.filter("doc_id < 300"), path)
+    # two monotone delta files; mtimes force oldest-first batch order
+    stream_dir = tmp_path / "stream"
+    docs.filter("doc_id >= 300 AND doc_id < 420").coalesce(1).write.parquet(
+        str(stream_dir / "d1")
+    )
+    docs.filter("doc_id >= 420").coalesce(1).write.parquet(str(stream_dir / "d2"))
+    now = time.time()
+    for sub, age in (("d1", 120), ("d2", 60)):
+        for f in (stream_dir / sub).iterdir():
+            os.utime(f, (now - age, now - age))
+    absorb = foreach_batch_update(spark, path)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(stream_dir / "*"))
+    )
+    q = stream.writeStream.foreachBatch(absorb).trigger(availableNow=True).option(
+        "checkpointLocation", str(tmp_path / "ckpt")
+    ).start()
+    q.awaitTermination(300)
+    st = CurationState.load(spark, path)
+    assert st.meta["n_updates"] == 2
+    full = CurationState.build(spark, docs, str(tmp_path / "full"))
+    _assert_state_equal(st, full)
+    # replay: re-absorbing an already-committed batch is a no-op
+    absorb(docs.filter("doc_id >= 420"), 99)
+    assert CurationState.load(spark, path).meta["n_updates"] == 2
+
+
 def test_redact_stage_applies_to_delta(spark, tmp_path):
     """With redaction on, the delta passes through the same scrub
     before dedup — equality with a full redacting rebuild proves the
