@@ -2029,6 +2029,63 @@ GROUP BY w.source
 )
 
 
+def t37_repeated_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated-substring spans — the exact-substring
+    dedup primitive (Lee et al. 2022 style, via stride-1 word 8-grams
+    and coverage-merged islands; textops.repeated_substring_spans).
+    The PAIRS-FREE member of the dedup family: the detector needs only
+    each gram's distinct-document count, so a passage shared by a
+    million documents costs one count row — linear at any duplication
+    level, where the pairwise family needs banding/df caps to survive.
+    → per flagged doc: (id, n_spans, repeat_words, max_span_words,
+    max_span_start, repeat_frac)."""
+    return T.repeated_substring_spans(_docs(spark, sf_dir), "text", "doc_id")
+
+
+T37_SQL = r"""
+WITH words AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ws FROM documents
+),
+pos AS (
+  SELECT doc_id AS id, len(ws) AS n_words, i - 1 AS pos,
+         array_to_string(ws[i:i+7], ' ') AS gram
+  FROM words, unnest(generate_series(1, len(ws) - 7)) AS g(i)
+  WHERE len(ws) >= 8
+),
+rep AS (
+  SELECT gram FROM (SELECT DISTINCT id, gram FROM pos) t
+  GROUP BY gram HAVING count(*) >= 2
+),
+shared AS (SELECT id, n_words, pos FROM pos JOIN rep USING (gram)),
+flagged AS (
+  SELECT id, n_words, pos,
+         CASE WHEN lag(pos) OVER w IS NULL OR pos - lag(pos) OVER w > 7
+              THEN 1 ELSE 0 END AS new_isl
+  FROM shared WINDOW w AS (PARTITION BY id ORDER BY pos)
+),
+isl AS (
+  SELECT id, n_words, pos,
+         sum(new_isl) OVER (PARTITION BY id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS island
+  FROM flagged
+),
+islands AS (
+  SELECT id, n_words, island, min(pos) AS start,
+         max(pos) - min(pos) + 8 AS covered
+  FROM isl GROUP BY id, n_words, island
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY id ORDER BY covered DESC, start ASC) AS rn
+  FROM islands
+)
+SELECT id, count(*)::BIGINT AS n_spans,
+       sum(covered)::BIGINT AS repeat_words,
+       max(CASE WHEN rn = 1 THEN covered END)::BIGINT AS max_span_words,
+       max(CASE WHEN rn = 1 THEN start END)::BIGINT AS max_span_start,
+       round(sum(covered)::DOUBLE / n_words, 6) AS repeat_frac
+FROM ranked GROUP BY id, n_words
+"""
+
+
 QUERIES = {
     "t0_dedup_index_stats": t0_dedup_index_stats,
     "t1_exact_dedup": t1_exact_dedup,
@@ -2067,6 +2124,7 @@ QUERIES = {
     "t34_incremental_index_stats": t34_incremental_index_stats,
     "t35_leakage_safe_split": t35_leakage_safe_split,
     "t36_incremental_curation": t36_incremental_curation,
+    "t37_repeated_substrings": t37_repeated_substrings,
 }
 
 ORACLES = {
@@ -2107,4 +2165,5 @@ ORACLES = {
     "t34_incremental_index_stats": T34_SQL,
     "t35_leakage_safe_split": T35_SQL,
     "t36_incremental_curation": T36_SQL,
+    "t37_repeated_substrings": T37_SQL,
 }

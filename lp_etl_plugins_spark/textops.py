@@ -630,6 +630,97 @@ def contamination_spans(
     )
 
 
+def repeated_substring_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    span_n: int = 8,
+) -> DataFrame:
+    """Cross-document repeated-substring detection — the
+    exact-substring dedup primitive (the approach of Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better", public
+    literature; suffix-array exactness approximated by sliding
+    word-``span_n``-grams at stride 1, so any repeated run of
+    ≥ span_n words is found with exact word boundaries): a position is
+    REPEATED when its gram occurs in at least one OTHER document;
+    repeated positions whose coverage overlaps or touches (gap ≤
+    span_n−1) merge into maximal covered islands.
+
+    The scale property that makes this the 100 TB-safe member of the
+    dedup family: it is PAIRS-FREE. Near-dup mining must bound pair
+    expansion (banded LSH, df caps); here the detector needs only each
+    gram's distinct-document count — a gram shared by a million docs
+    costs ONE count row, not 10¹² pairs — so cost is linear in corpus
+    size at ANY duplication level. The islands window partitions per
+    document (state bounded by the longest doc), and the covered-word
+    arithmetic is exact: islands are coverage-disjoint by
+    construction, so ``repeat_words`` never double-counts.
+
+    → (id, n_words, n_spans, repeat_words, max_span_words,
+    max_span_start, repeat_frac) for documents with ≥ 1 repeated span;
+    positions are 0-based word offsets."""
+    words = df.select(
+        F.col(id_col).alias("id"), normalized_words(text_col).alias("ws")
+    )
+    pos = words.select(
+        "id",
+        F.size("ws").alias("n_words"),
+        F.posexplode(shingles(F.col("ws"), span_n)).alias("pos", "gram"),
+    )
+    rep_g = (
+        pos.select("id", "gram")
+        .distinct()
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("ndocs"))
+        .filter(F.col("ndocs") >= 2)
+        .select("gram")
+    )
+    shared = pos.join(rep_g, "gram").select("id", "n_words", "pos")
+    w_ord = W.partitionBy("id").orderBy("pos")
+    flagged = shared.withColumn(
+        "new_isl",
+        F.when(
+            F.col("pos") - F.lag("pos").over(w_ord) > span_n - 1, 1
+        ).otherwise(F.when(F.lag("pos").over(w_ord).isNull(), 1).otherwise(0)),
+    ).withColumn(
+        "island",
+        F.sum("new_isl").over(
+            w_ord.rowsBetween(W.unboundedPreceding, W.currentRow)
+        ),
+    )
+    islands = flagged.groupBy("id", "n_words", "island").agg(
+        F.min("pos").alias("start"),
+        (F.max("pos") - F.min("pos") + F.lit(span_n)).alias("covered"),
+    )
+    w_best = W.partitionBy("id").orderBy(
+        F.col("covered").desc(), F.col("start").asc()
+    )
+    return (
+        islands.withColumn("rn", F.row_number().over(w_best))
+        .groupBy("id", "n_words")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum("covered").alias("repeat_words"),
+            F.max(F.when(F.col("rn") == 1, F.col("covered"))).alias(
+                "max_span_words"
+            ),
+            F.max(F.when(F.col("rn") == 1, F.col("start"))).alias(
+                "max_span_start"
+            ),
+        )
+        .select(
+            "id",
+            "n_spans",
+            "repeat_words",
+            "max_span_words",
+            "max_span_start",
+            F.round(
+                F.col("repeat_words").cast("double") / F.col("n_words"), 6
+            ).alias("repeat_frac"),
+        )
+    )
+
+
 def simhash16(col: Column | str) -> Column:
     """16-bit SimHash over the word bag: per token take the low 16 bits
     of md5, per bit position sum ±1 votes, sign → bit. 16 bits keeps
@@ -1401,6 +1492,7 @@ class TrigramLM:
         self._grams: DataFrame | None = None
         self._counts: DataFrame | None = None
         self.builds: dict[str, int] = {"grams": 0, "counts": 0}
+        self.updates = 0
 
     def _gram_frame(self, df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         return df.select(
@@ -1480,6 +1572,50 @@ class TrigramLM:
             ).alias("doc_lp")
         )
 
+    def update(
+        self,
+        new_docs: DataFrame,
+        text_col: str | None = None,
+        id_col: str | None = None,
+    ) -> "TrigramLM":
+        """Absorb a corpus delta WITHOUT retraining — the LM leg of
+        the incremental-substrate family (DedupIndex.update /
+        VectorIndex.update / CurationState.update): the model is a
+        document-frequency count table over per-doc DISTINCT grams,
+        which is ADDITIVE over disjoint document sets, so
+        ``counts(old) ⊕ counts(delta)`` EQUALS retraining on
+        old ∪ delta exactly (test-asserted) — one delta-sized explode
+        plus a vocab-sized outer merge, never an old-corpus scan. The
+        caller owns the disjointness contract (re-ingesting a doc
+        would double its grams' df, same as DedupIndex). Works on a
+        ``load``-ed model (no training corpus needed). Mutates and
+        returns ``self``; the merged counts re-checkpoint and
+        ``save`` rewrites the vocab-sized table (the one substrate
+        whose persisted form is cheap to rewrite by construction)."""
+        dg = self._gram_frame(
+            new_docs, text_col or self._text_col, id_col or self._id_col
+        )
+        dc = dg.groupBy("g").agg(F.count(F.lit(1)).alias("__dc"))
+        merged = (
+            self.counts.join(dc, "g", "full")
+            .select(
+                "g",
+                (
+                    F.coalesce("c", F.lit(0)) + F.coalesce("__dc", F.lit(0))
+                ).alias("c"),
+            )
+        )
+        self._counts = (
+            merged.localCheckpoint(eager=False) if self._checkpoint else merged
+        )
+        if self._df is not None:
+            self._df = self._df.unionByName(
+                new_docs.select(*self._df.columns)
+            )
+            self._grams = None  # re-derive lazily over the merged corpus
+        self.updates += 1
+        return self
+
     def save(self, path: str) -> None:
         """Persist the count table + meta as parquet — the LM twin of
         ``DedupIndex.save``: train once per corpus snapshot, score
@@ -1501,8 +1637,10 @@ class TrigramLM:
         lm._id_col = "id"
         lm._n = spark.read.parquet(f"{path}/meta").first()["n"]
         lm._grams = None
+        lm._checkpoint = True
         lm._counts = spark.read.parquet(f"{path}/counts")
         lm.builds = {"grams": 0, "counts": 0}
+        lm.updates = 0
         return lm
 
 

@@ -264,6 +264,45 @@ def test_trigram_lm_substrate_and_persistence(spark, tmp_path):
     assert len(h) == 1 and h[0]["doc_lp"] < min(oneshot.values())
 
 
+def test_trigram_lm_incremental_update(spark, tmp_path):
+    """TrigramLM.update == retrain on the union, exactly: the model is
+    an additive doc-frequency count table, so the delta merge is
+    lossless. Asserted on raw counts AND on scores of a probe frame,
+    in-session and through a save/load round trip."""
+    from lp_etl_plugins_spark import textops as T
+    from lp_etl_plugins_spark.inventory.textops import _docs
+
+    docs = _docs(spark, SF_SMOKE)
+    base, delta = docs.filter("doc_id < 400"), docs.filter("doc_id >= 400")
+    full = T.TrigramLM(docs, "text", "doc_id")
+    want_counts = {r["g"]: r["c"] for r in full.counts.collect()}
+    probe = docs.filter("doc_id % 7 == 0")
+    want_scores = {
+        r["id"]: r["doc_lp"] for r in full.score(probe, "text", "doc_id").collect()
+    }
+
+    lm = T.TrigramLM(base, "text", "doc_id")
+    lm.counts.count()  # force the base model before the merge
+    lm.update(delta)
+    assert lm.updates == 1
+    assert {r["g"]: r["c"] for r in lm.counts.collect()} == want_counts
+    got = {r["id"]: r["doc_lp"] for r in lm.score(probe, "text", "doc_id").collect()}
+    assert got == want_scores
+    # score() with no frame covers the merged corpus after update
+    assert lm.score().count() == full.score().count()
+
+    # cross-session: save base, load, update, save again, reload
+    p1 = str(tmp_path / "lm_base")
+    T.TrigramLM(base, "text", "doc_id").save(p1)
+    loaded = T.TrigramLM.load(spark, p1)
+    loaded.update(delta, "text", "doc_id")
+    p2 = str(tmp_path / "lm_updated")
+    loaded.save(p2)
+    re = T.TrigramLM.load(spark, p2)
+    got2 = {r["id"]: r["doc_lp"] for r in re.score(probe, "text", "doc_id").collect()}
+    assert got2 == want_scores
+
+
 def test_verified_clusters_exclude_lsh_false_positives(spark):
     """Deletion-grade clusters must derive from VERIFIED pairs: a
     candidate pair whose exact Jaccard is below threshold (an LSH
