@@ -99,6 +99,28 @@ def exact_dedup_keep_first(spark: SparkSession, corpus: DataFrame) -> dict:
 
 
 @register(
+    "scrub_repeats",
+    "Trim cross-document repeated passages, keeping the minimal-id owner's copy",
+    ("corpus", "span_n"),
+    ("corpus", "observation"),
+)
+def scrub_repeats(
+    spark: SparkSession, corpus: DataFrame, span_n: int = 8
+) -> dict:
+    """Exact-substring dedup as a pipeline stage (the transform half
+    of t37): boilerplate passages shared across documents survive
+    exact AND near dedup (the carrying docs differ elsewhere), so they
+    are cut here — every repeated run of ≥ ``span_n`` words is kept
+    only in its minimal-id owner. Runs after exact dedup (owners are
+    canonical) and before near-dedup (trimmed text is what similarity
+    should judge). Trimmed documents are rebuilt from normalized
+    words; untouched documents pass through byte-identical."""
+    return _observed(
+        T.trim_repeated_spans(corpus, "text", "doc_id", span_n), "scrub_repeats"
+    )
+
+
+@register(
     "near_dedup_canonical",
     "Collapse near-dup clusters (build-once LSH index) to their best-quality member",
     ("corpus",),
@@ -297,6 +319,7 @@ def curate_corpus(
     redact: bool = False,
     pack_capacity: int | None = None,
     min_doc_lp: float | None = None,
+    scrub_repeat_spans: bool = False,
 ) -> dict:
     """Run the full curation pipeline via the registry and return
     ``{"path": out_path, "metrics": {stage: rows_out}}``. The metrics
@@ -305,6 +328,8 @@ def curate_corpus(
     PII/denylist scrub after the quality filter (before dedup, so
     redacted forms are what dedup compares); ``min_doc_lp`` adds the
     trigram-LM statistical quality gate after the rule-based filter;
+    ``scrub_repeat_spans=True`` inserts the exact-substring scrub
+    (:func:`scrub_repeats`) between exact and near dedup;
     ``pack_capacity`` adds the context-window packing assignment as a
     second parquet output at ``{out_path}_packed`` and a
     ``"packed_path"`` result key."""
@@ -319,8 +344,10 @@ def curate_corpus(
         stages.append(("lm_quality_filter", {"corpus": "$corpus", "min_doc_lp": min_doc_lp}))
     if redact:
         stages.append(("redact_corpus", {"corpus": "$corpus"}))
+    stages.append(("exact_dedup_keep_first", {"corpus": "$corpus"}))
+    if scrub_repeat_spans:
+        stages.append(("scrub_repeats", {"corpus": "$corpus", "span_n": 8}))
     stages += [
-        ("exact_dedup_keep_first", {"corpus": "$corpus"}),
         ("near_dedup_canonical", {"corpus": "$corpus"}),
         ("decontaminate_corpus", {"corpus": "$corpus", "bench_source": bench_source}),
     ]

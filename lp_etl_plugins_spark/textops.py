@@ -721,6 +721,87 @@ def repeated_substring_spans(
     )
 
 
+def trim_repeated_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    span_n: int = 8,
+) -> DataFrame:
+    """Remove cross-document repeated passages, KEEPING one copy — the
+    transform half of :func:`repeated_substring_spans` (find) and the
+    exact-substring analog of C4's line dedup: for every repeated gram
+    the minimal-id document containing it is the OWNER; positions
+    whose gram is owned elsewhere are foreign-repeats, their coverage
+    islands are cut from the word sequence, and the text is rebuilt
+    from the surviving words. The first document to carry a passage
+    keeps it verbatim; later carriers lose exactly the shared words.
+
+    Same pairs-free scale shape as the finder (one distinct-doc
+    count + one min-owner aggregate per gram, per-doc windows), plus
+    one array rebuild per trimmed doc: the covered ranges ship as a
+    per-doc broadcast-free array and the word filter is a single
+    JVM-side higher-order expression — no per-row Python.
+    → original columns with ``text_col`` rewritten (docs with nothing
+    to trim pass through byte-identical)."""
+    words = df.select(
+        F.col(id_col).alias("id"), normalized_words(text_col).alias("ws")
+    )
+    pos = words.select(
+        "id", F.posexplode(shingles(F.col("ws"), span_n)).alias("pos", "gram")
+    )
+    owners = (
+        pos.select("id", "gram")
+        .distinct()
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("ndocs"), F.min("id").alias("owner"))
+        .filter(F.col("ndocs") >= 2)
+        .select("gram", "owner")
+    )
+    foreign = (
+        pos.join(owners, "gram")
+        .filter(F.col("id") != F.col("owner"))
+        .select("id", "pos")
+        .distinct()
+    )
+    w_ord = W.partitionBy("id").orderBy("pos")
+    flagged = foreign.withColumn(
+        "new_isl",
+        F.when(
+            F.col("pos") - F.lag("pos").over(w_ord) > span_n - 1, 1
+        ).otherwise(F.when(F.lag("pos").over(w_ord).isNull(), 1).otherwise(0)),
+    ).withColumn(
+        "island",
+        F.sum("new_isl").over(
+            w_ord.rowsBetween(W.unboundedPreceding, W.currentRow)
+        ),
+    )
+    ranges = (
+        flagged.groupBy("id", "island")
+        .agg(
+            F.min("pos").alias("lo"),
+            (F.max("pos") + F.lit(span_n - 1)).alias("hi"),
+        )
+        .groupBy("id")
+        .agg(F.collect_list(F.struct("lo", "hi")).alias("cuts"))
+    )
+    cut = df.join(
+        ranges.withColumnRenamed("id", id_col), id_col, "left"
+    )
+    ws = normalized_words(text_col)
+    kept = F.filter(
+        ws,
+        lambda w, i: ~F.exists(
+            F.col("cuts"), lambda r: (i >= r["lo"]) & (i <= r["hi"])
+        ),
+    )
+    return cut.withColumn(
+        text_col,
+        F.when(F.col("cuts").isNull(), F.col(text_col)).otherwise(
+            F.concat_ws(" ", kept)
+        ),
+    ).drop("cuts")
+
+
 def simhash16(col: Column | str) -> Column:
     """16-bit SimHash over the word bag: per token take the low 16 bits
     of md5, per bit position sum ±1 votes, sign → bit. 16 bits keeps

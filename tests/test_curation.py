@@ -133,3 +133,49 @@ def test_curate_corpus_redact_and_pack(spark, tmp_path):
         assert r["start_offset"] == expect, r
         assert r["bin"] == expect // 512
         run[key] = expect + r["toks"]
+
+
+def test_trim_repeated_spans_keeps_owner_copy(spark):
+    """The exact-substring scrub: the minimal-id owner of a repeated
+    passage keeps its text verbatim, every later carrier loses exactly
+    the shared words, and documents without cross-doc repeats pass
+    through byte-identical."""
+    from lp_etl_plugins_spark import textops as T
+
+    shared = "one two three four five six seven eight nine ten"
+    rows = [
+        (1, "src1", f"alpha opening words {shared} alpha closing words"),
+        (2, "src2", f"beta begins here {shared} beta ends here"),
+        (3, "src3", "gamma has entirely original content with no repeats at all"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {r["doc_id"]: r["text"] for r in T.trim_repeated_spans(
+        docs, "text", "doc_id"
+    ).collect()}
+    assert out[1] == rows[0][2]  # owner untouched
+    assert out[3] == rows[2][2]  # no-repeat doc untouched
+    assert out[2] == "beta begins here beta ends here"  # shared span cut
+    # idempotent: a second pass finds nothing left to trim
+    docs2 = spark.createDataFrame(
+        [(k, "s", v) for k, v in out.items()], "doc_id long, source string, text string"
+    )
+    out2 = {r["doc_id"]: r["text"] for r in T.trim_repeated_spans(
+        docs2, "text", "doc_id"
+    ).collect()}
+    assert out2 == out
+
+
+def test_curate_corpus_scrub_repeats_stage(spark, tmp_path):
+    """scrub_repeat_spans=True inserts the exact-substring scrub
+    between exact and near dedup: the stage metric is recorded, row
+    count is preserved (it rewrites, never drops), and the stage order
+    in the metrics dict matches the declared pipeline."""
+    out = str(tmp_path / "curated_scrub")
+    result = curation.curate_corpus(spark, SF_SMOKE, out, scrub_repeat_spans=True)
+    m = result["metrics"]
+    assert "scrub_repeats" in m
+    assert m["scrub_repeats"] == m["exact_dedup_keep_first"]
+    keys = list(m)
+    assert keys.index("exact_dedup_keep_first") < keys.index("scrub_repeats") < keys.index(
+        "near_dedup_canonical"
+    )
