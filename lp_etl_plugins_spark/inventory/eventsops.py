@@ -539,6 +539,47 @@ FROM orders GROUP BY o_orderpriority
 """
 
 
+def a11_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable fixed-grid quantile SKETCH (util.histogram_quantile_
+    sketch) over the same distribution a10 measures exactly — the
+    engine-portable alternative to approx_percentile: the sketch is an
+    additive bucket-count table (mergeable across partitions, corpus
+    deltas, and stream micro-batches like a9's HLL registers), the
+    estimate is the lower edge of the bucket where the CDF crosses
+    ceil(q*n), and the error bound is the bucket width (1000 here) by
+    construction. Deterministic in BOTH engines, so unlike a GK/KLL
+    sketch it hash-checks. -> (priority, n_orders, h50_price,
+    h90_price)."""
+    from ..util import histogram_quantile_sketch
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("priority"), "o_totalprice"
+    )
+    return histogram_quantile_sketch(
+        orders, "o_totalprice", ["priority"],
+        1000.0, {"h50_price": 0.5, "h90_price": 0.9},
+    ).withColumnRenamed("n", "n_orders")
+
+
+A11_SQL = """
+WITH counts AS (
+  SELECT o_orderpriority AS priority, floor(o_totalprice / 1000.0) AS b,
+         count(*) AS c
+  FROM orders GROUP BY priority, b
+),
+cum AS (
+  SELECT priority, b, c,
+         sum(c) OVER (PARTITION BY priority ORDER BY b ROWS UNBOUNDED PRECEDING) AS cm,
+         sum(c) OVER (PARTITION BY priority) AS n
+  FROM counts
+)
+SELECT priority, max(n)::BIGINT AS n_orders,
+       (min(CASE WHEN cm >= ceil(0.5 * n) THEN b END) * 1000.0) AS h50_price,
+       (min(CASE WHEN cm >= ceil(0.9 * n) THEN b END) * 1000.0) AS h90_price
+FROM cum GROUP BY priority
+"""
+
+
 def e11_bucketed_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temporal range join DISTRIBUTED THE RIGHT WAY: pairs of
     DIFFERENT-type events by the same user within 30 minutes of each
@@ -697,6 +738,7 @@ QUERIES = {
     "e11_bucketed_range_join": e11_bucketed_range_join,
     "w2_moving_avg": w2_moving_avg,
     "a10_percentiles": a10_percentiles,
+    "a11_histogram_quantiles": a11_histogram_quantiles,
     "a9_hll_distinct": a9_hll_distinct,
     "e12_retention_cohorts": e12_retention_cohorts,
     "e13_session_timeout_summaries": e13_session_timeout_summaries,
@@ -717,6 +759,7 @@ ORACLES = {
     "e11_bucketed_range_join": E11_SQL,
     "w2_moving_avg": W2_SQL,
     "a10_percentiles": A10_SQL,
+    "a11_histogram_quantiles": A11_SQL,
     "a9_hll_distinct": A9_SQL,
     "e12_retention_cohorts": E12_SQL,
     "e13_session_timeout_summaries": E13_SQL,

@@ -193,3 +193,60 @@ def write_partitioned(df: DataFrame, path: str, keys: list[str]) -> None:
     low-cardinality (source, date, language), never high-cardinality
     ids — one directory per value."""
     df.write.mode("overwrite").partitionBy(*keys).parquet(path)
+
+
+def histogram_quantile_sketch(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    width: float,
+    qs: dict[str, float],
+) -> DataFrame:
+    """Mergeable fixed-grid quantile sketch — the quantile sibling of
+    the HLL register table (inventory a9): the sketch is the per-group
+    bucket-count table for ``bucket = floor(value / width)``, which is
+    ADDITIVE (two sketches merge by summing bucket counts — partitions,
+    corpus deltas, and stream micro-batches all combine losslessly),
+    and the quantile estimate reads the cumulative distribution: the
+    LOWER EDGE of the first bucket whose running count reaches
+    ceil(q·n). Error is bounded by ``width`` by construction —
+    engine-portable and deterministic (no sampling, no interpolation),
+    unlike Spark's approx_percentile whose GK sketch no other engine
+    reproduces. Scale shape: one map-side-combinable groupBy; the
+    cumulative window runs over the BUCKET table (|groups| ×
+    buckets-per-group rows), never the data. → one row per group:
+    (*group_cols, n, <name> per qs entry)."""
+    from pyspark.sql import Window as W
+
+    bucket = F.floor(F.col(value_col) / F.lit(width))
+    counts = df.groupBy(*group_cols, bucket.alias("__b")).agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    w_cum = (
+        W.partitionBy(*group_cols)
+        .orderBy("__b")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = counts.withColumn("__cum", F.sum("__c").over(w_cum)).withColumn(
+        "__n", F.sum("__c").over(W.partitionBy(*group_cols))
+    )
+    aggs = [F.max("__n").alias("n")]
+    for name, q in qs.items():
+        aggs.append(
+            F.min(
+                F.when(
+                    F.col("__cum") >= F.ceil(F.lit(q) * F.col("__n")),
+                    F.col("__b"),
+                )
+            ).cast("double").alias(f"__b_{name}")
+        )
+    est = cum.groupBy(*group_cols).agg(*aggs)
+    out = est.select(
+        *group_cols,
+        "n",
+        *[
+            (F.col(f"__b_{name}") * F.lit(width)).alias(name)
+            for name in qs
+        ],
+    )
+    return out
