@@ -43,6 +43,8 @@ __all__ = [
     "make_totals_processor",
     "hll_registers",
     "hll_estimate",
+    "histogram_registers",
+    "histogram_estimate",
     "write_stream_parquet",
     "with_watermark",
 ]
@@ -622,6 +624,61 @@ def hll_estimate(regs: DataFrame) -> DataFrame:
         F.lit(256.0) * F.log(F.lit(256.0) / v),
     ).otherwise(e_raw)
     return est.select("event_type", F.round(e, 3).alias("hll_users"))
+
+
+def histogram_registers(events: DataFrame, width: float = 60.0) -> DataFrame:
+    """Fixed-grid histogram-quantile registers (the quantile sibling
+    of :func:`hll_registers`, sharing util.histogram_quantile_sketch's
+    scheme with batch query a11): per (event_type, bucket) running
+    counts for ``bucket = floor(value / width)``. As a streaming
+    aggregation the state is groups × occupied-buckets rows — bounded
+    by the value range over the grid, independent of stream length —
+    and the register table is ADDITIVE, so batch-built and
+    stream-maintained registers merge by summing counts.
+    → (event_type, bucket, c)."""
+    ev = events.filter(F.col("value").isNotNull())
+    bucket = F.floor(F.col("value") / F.lit(width))
+    return (
+        ev.select("event_type", bucket.alias("bucket"))
+        .groupBy("event_type", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def histogram_estimate(
+    regs: DataFrame, width: float = 60.0, qs: tuple[float, ...] = (0.5, 0.9)
+) -> DataFrame:
+    """Batch finisher over a :func:`histogram_registers` table (the
+    same tiny-handoff shape as :func:`hll_estimate`): cumulative
+    counts over the bucket table, then each quantile reads the lower
+    edge of the bucket where the CDF reaches ceil(q·n). Deterministic
+    integer/grid arithmetic end to end. → (event_type, n,
+    q50, q90, ...)."""
+    from pyspark.sql import Window as W
+
+    w_cum = (
+        W.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = regs.withColumn("cum", F.sum("c").over(w_cum)).withColumn(
+        "n", F.sum("c").over(W.partitionBy("event_type"))
+    )
+    aggs = [F.max("n").alias("n")]
+    for q in qs:
+        name = f"q{int(q * 100)}"
+        aggs.append(
+            (
+                F.min(
+                    F.when(
+                        F.col("cum") >= F.ceil(F.lit(q) * F.col("n")),
+                        F.col("bucket"),
+                    )
+                ).cast("double")
+                * F.lit(width)
+            ).alias(name)
+        )
+    return cum.groupBy("event_type").agg(*aggs)
 
 
 def write_stream_parquet(

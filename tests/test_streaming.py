@@ -557,3 +557,33 @@ def test_totals_processor_logic_without_spark_runtime():
     r2 = out2[0].iloc[0]
     assert (r2["n_events"], r2["sum_value"]) == (3, 3.01)
     proc.close()
+
+
+def test_histogram_registers_stream_equals_batch(spark, event_dir):
+    """The quantile-sketch sibling of the HLL test: stream-maintained
+    bucket registers equal the batch registers, the finisher over the
+    streamed table reproduces the batch estimates bit-for-bit, and the
+    register table is additive — summing two half-stream sketches
+    equals the full-corpus sketch."""
+    from pyspark.sql import functions as F
+
+    batch = streaming.histogram_registers(spark.read.parquet(event_dir))
+    streamed = _stream_result(
+        spark, event_dir, streaming.histogram_registers, "hist_mem"
+    )
+    assert _rows(streamed) == _rows(batch)
+    assert _rows(streaming.histogram_estimate(spark.table("hist_mem"))) == _rows(
+        streaming.histogram_estimate(batch)
+    )
+    # additivity: sketches of disjoint halves merge by summing counts
+    ev = spark.read.parquet(event_dir)
+    h1 = streaming.histogram_registers(ev.filter("event_id % 2 = 0"))
+    h2 = streaming.histogram_registers(ev.filter("event_id % 2 = 1"))
+    merged = (
+        h1.unionByName(h2)
+        .groupBy("event_type", "bucket")
+        .agg(F.sum("c").alias("c"))
+    )
+    assert _rows(streaming.histogram_estimate(merged)) == _rows(
+        streaming.histogram_estimate(batch)
+    )
