@@ -289,3 +289,55 @@ def test_redact_stage_applies_to_delta(spark, tmp_path):
     full = CurationState.build(spark, docs, str(tmp_path / "full"), redact=True)
     _assert_state_equal(st, full)
     assert st.curated().filter(F.col("text").contains("@")).count() == 0
+
+
+# -- property: incremental == full rebuild on random corpora ------------
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_VOCAB = ["kestrel", "bramble", "cobalt", "fathom", "girder", "hollow", "ingot", "jasper"]
+_doc = st.lists(st.sampled_from(_VOCAB), min_size=1, max_size=14).map(" ".join)
+
+
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    texts=st.lists(_doc, min_size=6, max_size=22),
+    bench_mask=st.lists(st.booleans(), min_size=22, max_size=22),
+    cut_frac=st.floats(min_value=0.3, max_value=1.0),
+)
+def test_incremental_equals_rebuild_property(spark, texts, bench_mask, cut_frac):
+    """Random tiny-vocab corpora force what crafted cases can't
+    enumerate: exact-dup collisions across the split, chains of
+    near-dups merging several clusters at once, bench/train flips of
+    a displaced canonical, df-cap flips in both directions on a
+    corpus where the fractional cap binds, and empty deltas. The
+    pipeline gates run keep-all (tiny-vocab text has no stopwords) so
+    every document reaches the dedup/contamination machinery. The
+    invariant is the module's headline: build(base) + update(delta)
+    == build(all), for working set, contamination pairs, and curated
+    ids alike."""
+    import shutil
+    import tempfile
+
+    rows = [
+        (i, "bench" if bench_mask[i] else "train", t)
+        for i, t in enumerate(texts)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    cut = int(len(rows) * cut_frac)
+    base = docs.filter(F.col("doc_id") < cut)
+    delta = docs.filter(F.col("doc_id") >= cut)
+    kw = dict(lang="unknown", min_quality=0.0, bench_source="bench")
+    d1, d2 = tempfile.mkdtemp(prefix="propinc_"), tempfile.mkdtemp(prefix="propfull_")
+    try:
+        st_inc = CurationState.build(spark, base, d1, **kw)
+        st_inc.update(delta)
+        full = CurationState.build(spark, docs, d2, **kw)
+        _assert_state_equal(st_inc, full)
+    finally:
+        shutil.rmtree(d1, ignore_errors=True)
+        shutil.rmtree(d2, ignore_errors=True)
