@@ -177,6 +177,89 @@ class CurationState:
         object's file listings are stale."""
         return T.DedupIndex.load(self._spark, f"{self._path}/index")
 
+    def check(self) -> dict:
+        """Integrity probe for the multi-file state — the operational
+        answer to the non-atomicity seam :func:`foreach_batch_update`
+        documents: a crash between :meth:`update`'s writes leaves a
+        torn state, and this verifies the cross-substrate invariants a
+        consistent state satisfies, each as one small aggregate:
+
+        - indexed ids are unique, and ``hashes`` is exactly the
+          distinct md5 set of the indexed texts (both inclusions);
+        - every live working doc is an indexed doc; tombstones only
+          name docs present in the working log;
+        - the gram index references only working-log docs, and every
+          live working doc long enough to gram is covered;
+        - contamination pairs reference live docs with the right
+          source sides (train ≠ bench_source, bench = bench_source);
+        - the meta counters match the recounted working set.
+
+        → ``{"ok": bool, "violations": {name: count, ...}}`` with only
+        nonzero counters listed. Read-only; run it after a suspected
+        torn update before trusting the views."""
+        spark, p, m = self._spark, self._path, self.meta
+        indexed = self.indexed()
+        live = self.working()
+        v: dict[str, int] = {}
+
+        def bad(name: str, n: int) -> None:
+            if n:
+                v[name] = int(n)
+
+        ids = indexed.groupBy("doc_id").count().filter(F.col("count") > 1)
+        bad("duplicate_indexed_ids", ids.count())
+        h = spark.read.parquet(f"{p}/hashes").select("h").distinct()
+        ih = indexed.select(F.md5("text").alias("h")).distinct()
+        bad("hashes_missing", ih.join(h, "h", "left_anti").count())
+        bad("hashes_orphaned", h.join(ih, "h", "left_anti").count())
+        bad(
+            "working_not_indexed",
+            live.join(indexed.select("doc_id"), "doc_id", "left_anti").count(),
+        )
+        wlog = spark.read.parquet(f"{p}/working").select("doc_id")
+        bad(
+            "tombstone_not_in_working_log",
+            self._tombstones().join(wlog, "doc_id", "left_anti").count(),
+        )
+        g_ids = (
+            spark.read.schema(_GRAM_SCHEMA)
+            .parquet(f"{p}/grams")
+            .select(F.col("id").alias("doc_id"))
+            .distinct()
+        )
+        bad("gram_orphans", g_ids.join(wlog, "doc_id", "left_anti").count())
+        grammable = live.filter(
+            F.length(F.lower(F.trim("text"))) >= m["gram_n"]
+        ).select("doc_id")
+        bad("gram_missing", grammable.join(g_ids, "doc_id", "left_anti").count())
+        contam = self.contamination()
+        live_src = live.select("doc_id", "source")
+        t_side = contam.join(
+            live_src.withColumnRenamed("doc_id", "train_id"), "train_id", "left"
+        )
+        bad(
+            "contam_train_bad",
+            t_side.filter(
+                F.col("source").isNull() | (F.col("source") == m["bench_source"])
+            ).count(),
+        )
+        b_side = contam.join(
+            live_src.withColumnRenamed("doc_id", "bench_id"), "bench_id", "left"
+        )
+        bad(
+            "contam_bench_bad",
+            b_side.filter(
+                F.col("source").isNull() | (F.col("source") != m["bench_source"])
+            ).count(),
+        )
+        wrow = live.agg(
+            F.count(F.lit(1)).alias("nw"),
+            F.sum((F.col("source") == m["bench_source"]).cast("bigint")).alias("nb"),
+        ).first()
+        bad("n_working_drift", abs(int(wrow["nw"]) - int(m["n_working"])))
+        bad("n_bench_drift", abs(int(wrow["nb"] or 0) - int(m["n_bench"])))
+        return {"ok": not v, "violations": v}
+
     # ------------------------------------------------------ construction
 
     @classmethod

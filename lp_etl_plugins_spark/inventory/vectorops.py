@@ -890,6 +890,52 @@ SELECT probe_id, neighbor_id, adist2, rank FROM (
 """
 
 
+
+
+def v15_knn_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantized (SQ8) approximate kNN (vectorops.knn_sq8) —
+    the compression-family member serving stacks reach for first:
+    64 int8 codes per vector (4x less scan payload) against a shared
+    per-dimension (lo, step) codebook row, approximate dot = probe x
+    reconstructed vector, error bounded by step/2 per dimension with
+    NO training iterations and append-only codes under a frozen
+    codebook. Complements PQ (v11, codebook lookups) and IVF-PQ (v12,
+    list-bounded candidates). -> (probe_id, neighbor_id, adot, rank)."""
+    emb = _emb(spark, sf_dir)
+    probes = emb.filter(F.col("vec_id") < _PROBE_LIMIT)
+    return V.knn_sq8(emb, probes, _K)
+
+
+V15_SQL = f"""
+WITH dims AS (
+  SELECT vec_id AS id, (g.i - 1) AS dim, embedding[g.i]::DOUBLE AS v
+  FROM embeddings, unnest(generate_series(1, len(embedding))) AS g(i)
+),
+rng AS (SELECT dim, min(v) AS lo, max(v) - min(v) AS r FROM dims GROUP BY dim),
+codes AS (
+  SELECT id, dim,
+         CASE WHEN r = 0 THEN 0
+              ELSE least(255, greatest(0, floor((v - lo) / r * 256)))::INT END AS q
+  FROM dims JOIN rng USING (dim)
+),
+recon AS (
+  SELECT id, dim, (q * (r / 255.0)) + lo AS rv
+  FROM codes JOIN rng USING (dim)
+),
+scored AS (
+  SELECT p.id AS probe_id, c.id AS neighbor_id,
+         round(sum(p.v * c.rv), 6) AS adot
+  FROM dims p JOIN recon c ON p.dim = c.dim AND c.id != p.id
+  WHERE p.id < {_PROBE_LIMIT}
+  GROUP BY p.id, c.id
+)
+SELECT probe_id, neighbor_id, adot, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY adot DESC, neighbor_id) AS rank
+  FROM scored
+) t WHERE rank <= {_K}
+"""
+
+
 QUERIES = {
     "v0_vector_index_serving": v0_vector_index_serving,
     "v1_knn_bruteforce": v1_knn_bruteforce,
@@ -906,6 +952,7 @@ QUERIES = {
     "v12_knn_ivf_pq": v12_knn_ivf_pq,
     "v13_knn_ivf_external": v13_knn_ivf_external,
     "v14_range_search": v14_range_search,
+    "v15_knn_sq8": v15_knn_sq8,
 }
 
 ORACLES = {
@@ -924,4 +971,5 @@ ORACLES = {
     "v12_knn_ivf_pq": V12_SQL,
     "v13_knn_ivf_external": V13_SQL,
     "v14_range_search": V14_SQL,
+    "v15_knn_sq8": V15_SQL,
 }

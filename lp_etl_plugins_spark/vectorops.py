@@ -930,3 +930,105 @@ def label_centroids(
         F.round(F.sqrt(F.sum(F.col("c") * F.col("c"))), 6).alias("centroid_norm")
     )
     return counts.join(norms, "label")
+
+
+def sq8_codebook(
+    embeddings: DataFrame, vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-dimension scalar-quantization ranges as ONE broadcastable
+    row: (lo, rng, step) arrays over the corpus — ``lo[d]``/``hi[d]``
+    are the dimension's min/max, ``rng = hi - lo``, ``step = rng/255``.
+    Training an SQ8 codebook is one posexplode + one 64-group
+    aggregate; the result is bytes-sized regardless of corpus scale,
+    the natural save()/broadcast artifact."""
+    dims = embeddings.select(
+        F.posexplode(F.transform(F.col(vec_col), lambda x: x.cast("double"))).alias(
+            "dim", "v"
+        )
+    )
+    rng = dims.groupBy("dim").agg(
+        F.min("v").alias("lo_d"), F.max("v").alias("hi_d")
+    )
+    packed = F.array_sort(F.collect_list(F.struct("dim", "lo_d", "hi_d")))
+    return rng.agg(packed.alias("p")).select(
+        F.transform("p", lambda s: s["lo_d"]).alias("lo"),
+        F.transform("p", lambda s: s["hi_d"] - s["lo_d"]).alias("rng"),
+        F.transform("p", lambda s: (s["hi_d"] - s["lo_d"]) / F.lit(255.0)).alias(
+            "step"
+        ),
+    )
+
+
+def sq8_encode(vec: Column, lo: Column, rng: Column) -> Column:
+    """int8 code per dimension: ``floor((v - lo) / rng * 256)`` clamped
+    to [0, 255]; a constant dimension (rng 0) codes to 0. Identical
+    operation order to the DuckDB oracle, so codes match bit-for-bit."""
+    t = F.zip_with(
+        F.transform(vec, lambda x: x.cast("double")), lo, lambda x, l: x - l
+    )
+    return F.zip_with(
+        t,
+        rng,
+        lambda d, r: F.when(r == 0, F.lit(0)).otherwise(
+            F.least(
+                F.lit(255), F.greatest(F.lit(0), F.floor(d / r * F.lit(256)))
+            )
+        ).cast("int"),
+    )
+
+
+def knn_sq8(
+    embeddings: DataFrame,
+    probes: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Scalar-quantized (SQ8) approximate kNN — the remaining member
+    of the compression family next to PQ (v11) and IVF-PQ (v12), and
+    the one large-scale serving reaches for first because it is
+    memory-bandwidth math: each corpus vector is stored as 64 int8
+    codes (4× less scan payload than float32) plus a SHARED
+    per-dimension (lo, step) codebook row, and a pair's approximate
+    dot product is the probe against the RECONSTRUCTED vector
+    ``lo + q·step`` — error bounded by step/2 per dimension by
+    construction, no training iterations, codes append-only under
+    corpus growth (the codebook freezes like VectorIndex's
+    quantizer). Probes are broadcast, the corpus never shuffles, and
+    the reconstruction + dot is one fused zip/fold per pair.
+    → (probe_id, neighbor_id, adot, rank ≤ k), self excluded,
+    ties on (adot desc, neighbor_id)."""
+    cb = sq8_codebook(embeddings, vec_col)
+    codes = embeddings.crossJoin(F.broadcast(cb)).select(
+        F.col(id_col).alias("neighbor_id"),
+        sq8_encode(F.col(vec_col), F.col("lo"), F.col("rng")).alias("q"),
+        "lo",
+        "step",
+    )
+    recon = F.zip_with(
+        F.zip_with(F.col("q"), F.col("step"), lambda q, s: q * s),
+        F.col("lo"),
+        lambda x, l: x + l,
+    )
+    c = codes.select("neighbor_id", recon.alias("rv"))
+    p = probes.select(
+        F.col(id_col).alias("probe_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("pv"),
+    )
+    pairs = c.join(F.broadcast(p), F.col("probe_id") != F.col("neighbor_id"))
+    adot = F.round(
+        F.aggregate(
+            F.zip_with("pv", "rv", lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    )
+    win = W.partitionBy("probe_id").orderBy(
+        F.col("adot").desc(), F.col("neighbor_id")
+    )
+    return (
+        pairs.select("probe_id", "neighbor_id", adot.alias("adot"))
+        .withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= k)
+    )

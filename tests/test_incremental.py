@@ -341,3 +341,22 @@ def test_incremental_equals_rebuild_property(spark, texts, bench_mask, cut_frac)
     finally:
         shutil.rmtree(d1, ignore_errors=True)
         shutil.rmtree(d2, ignore_errors=True)
+
+
+def test_check_detects_torn_state(spark, tmp_path):
+    """The integrity probe: a freshly built and updated state passes
+    every invariant; a simulated torn update (a tombstone written
+    without its sibling appends) is detected."""
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").filter("doc_id < 300")
+    path = str(tmp_path / "inc")
+    st = CurationState.build(spark, docs.filter("doc_id < 250"), path)
+    st.update(docs.filter("doc_id >= 250"))
+    res = st.check()
+    assert res == {"ok": True, "violations": {}}
+    # tear: tombstone a doc that was never in the working log
+    spark.createDataFrame([(999999,)], "doc_id bigint").write.mode("append").parquet(
+        f"{path}/tombstones"
+    )
+    res = st.check()
+    assert not res["ok"]
+    assert res["violations"].get("tombstone_not_in_working_log") == 1
