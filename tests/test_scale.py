@@ -355,6 +355,7 @@ def test_no_accidental_cross_products(spark):
         "t28_tfidf_topk",  # 1-row n_src (distinct source count) broadcast
         "v1_knn_bruteforce",
         "v8_ann_recall",
+        "v15_knn_sq8",  # 1-row SQ8 codebook crossJoin + broadcast probes (v1 shape)
         "m5_media_knn",
     }
     flagged = {}
