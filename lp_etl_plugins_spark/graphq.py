@@ -325,6 +325,53 @@ def not_exists(
     return join_solutions(base, bgp(triples, patterns), "left_anti")
 
 
+def minus(
+    base: DataFrame,
+    triples: DataFrame,
+    patterns: list[tuple[str, str, str]],
+) -> DataFrame:
+    """SPARQL 1.1 MINUS (§8.3) — the algebra member NOT EXISTS cannot
+    emulate: remove a solution only when some right solution is
+    COMPATIBLE with it AND the two share at least one bound variable.
+    The observable splits from :func:`not_exists`:
+
+    - a right pattern with NO variables in common removes NOTHING
+      (the disjoint-domain rule; NOT EXISTS with a non-empty disjoint
+      pattern removes everything) — detected statically, the base
+      returns unchanged, no join at all;
+    - a base row whose shared variable is UNBOUND (NULL from an
+      OPTIONAL/UNION upstream) has no common bound variable with any
+      right solution and therefore SURVIVES.
+
+    One shared variable (the overwhelmingly common shape) is a plain
+    anti equi-join — NULL never matches in SQL equality, which is
+    exactly the unbound-survives rule, so the fast path IS the
+    semantics and stays hash-joinable. The multi-variable general
+    case needs per-row compatibility (every shared var NULL on a side
+    or equal, plus ≥1 bound-equal pair) — a non-equi anti join whose
+    right side is a bounded BGP result (broadcast); like the default
+    join layer this compares object bindings lexically (o_value)."""
+    right = bgp(triples, patterns)
+    shared = sorted(_plain_vars(base) & _plain_vars(right))
+    if not shared:
+        return base
+    if len(shared) == 1:
+        v = shared[0]
+        return base.join(
+            right.select(v).distinct(), v, "left_anti"
+        )
+    l, r = base.alias("l"), right.alias("r")
+    compat = F.lit(True)
+    bound_eq = F.lit(False)
+    for v in shared:
+        lv, rv = F.col(f"l.{v}"), F.col(f"r.{v}")
+        compat = compat & (lv.isNull() | rv.isNull() | (lv == rv))
+        bound_eq = bound_eq | (lv.isNotNull() & rv.isNotNull() & (lv == rv))
+    return l.join(
+        F.broadcast(r.select(*shared).distinct()), compat & bound_eq, "left_anti"
+    ).select(*[F.col(f"l.{c}").alias(c) for c in base.columns])
+
+
 def union(left: DataFrame, right: DataFrame) -> DataFrame:
     """SPARQL UNION: multiset union of two solution sets — no dedup
     (SPARQL 1.1 multiset semantics; wrap in ``.distinct()`` for the

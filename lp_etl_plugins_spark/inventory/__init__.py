@@ -88,6 +88,9 @@ _DEMOTED = (
     # g13 (unbound-compatible join, r6) demoted on arrival for the
     # same reason; g2/g12 keep the hard signal on join/union machinery
     "g13_union_compat_join",
+    # g14 (MINUS, r6) demoted on arrival; g3 keeps the hard signal on
+    # the anti-join machinery
+    "g14_minus",
 )
 
 

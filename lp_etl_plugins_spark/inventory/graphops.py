@@ -499,6 +499,48 @@ FROM j
 """
 
 
+
+
+def g14_minus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL 1.1 MINUS (:func:`graphq.minus`) vs FILTER NOT EXISTS —
+    the algebra split in one result: the shared-variable leg (?c
+    urn:premium ?p shares ?c) removes premium customers exactly like
+    g3's NOT EXISTS, while the DISJOINT leg ({?x a urn:Nation} shares
+    no variable with the base) removes NOTHING under MINUS's
+    disjoint-domain rule — where NOT EXISTS with the same non-empty
+    pattern would empty the result. The oracle encodes each leg by its
+    semantics: an anti join for the shared leg, a plain count for the
+    disjoint leg. -> (seg, n_minus_premium, n_minus_disjoint)."""
+    tr = _graph(spark, sf_dir)
+    base = graphq.bgp(tr, [("?c", _T, "urn:Customer"), ("?c", _SEG, "?seg")])
+    shared_leg = graphq.minus(base, tr, [("?c", _PREMIUM, "?p")])
+    disjoint_leg = graphq.minus(base, tr, [("?x", _T, "urn:Nation")])
+    a = shared_leg.groupBy("seg").agg(F.count(F.lit(1)).alias("n_minus_premium"))
+    b = disjoint_leg.groupBy("seg").agg(F.count(F.lit(1)).alias("n_minus_disjoint"))
+    return a.join(b, "seg")
+
+
+G14_SQL = _CTE + """
+, base AS (
+  SELECT ct.s AS c, cs.o_value AS seg
+  FROM triples ct
+  JOIN triples cs ON cs.s = ct.s AND cs.p = 'urn:segment'
+  WHERE ct.p = 'urn:type' AND ct.o_value = 'urn:Customer'
+),
+shared_leg AS (
+  SELECT seg, count(*) AS n_minus_premium
+  FROM base
+  WHERE NOT EXISTS (SELECT 1 FROM triples x WHERE x.p = 'urn:premium' AND x.s = base.c)
+  GROUP BY seg
+),
+disjoint_leg AS (
+  SELECT seg, count(*) AS n_minus_disjoint FROM base GROUP BY seg
+)
+SELECT seg, n_minus_premium, n_minus_disjoint
+FROM shared_leg JOIN disjoint_leg USING (seg)
+"""
+
+
 QUERIES = {
     "g1_bgp_star": g1_bgp_star,
     "g2_optional_premium": g2_optional_premium,
@@ -513,6 +555,7 @@ QUERIES = {
     "g11_path_alt": g11_path_alt,
     "g12_union": g12_union,
     "g13_union_compat_join": g13_union_compat_join,
+    "g14_minus": g14_minus,
 }
 
 ORACLES = {
@@ -529,4 +572,5 @@ ORACLES = {
     "g11_path_alt": G11_SQL,
     "g12_union": G12_SQL,
     "g13_union_compat_join": G13_SQL,
+    "g14_minus": G14_SQL,
 }

@@ -560,3 +560,39 @@ def test_union_meta_alignment_survives_strict_join(spark):
         lu, gl.bgp(lg, [("?d", "urn:r", "?m")]), strict_terms=True
     )
     assert sorted((r["d"], r["m"]) for r in ljoined.rows) == got
+
+
+def test_minus_vs_not_exists_semantics(spark):
+    """The three SPARQL 1.1 §8.3 splits between MINUS and FILTER NOT
+    EXISTS: (1) a disjoint-domain right pattern removes nothing under
+    MINUS but everything under NOT EXISTS; (2) a shared bound variable
+    removes compatible solutions under both; (3) a solution whose
+    shared variable is UNBOUND (NULL from a UNION branch) survives
+    MINUS — no common bound variable means no compatibility."""
+    g = _tiny_graph(
+        spark,
+        [
+            ("urn:a", "urn:type", "urn:Doc", "iri", None, None),
+            ("urn:b", "urn:type", "urn:Doc", "iri", None, None),
+            ("urn:a", "urn:flag", "1", "literal", None, None),
+            ("urn:n", "urn:type", "urn:Other", "iri", None, None),
+        ],
+    )
+    base = graphq.bgp(g, [("?d", "urn:type", "urn:Doc")])
+    # (1) disjoint: MINUS keeps both docs, NOT EXISTS keeps none
+    assert graphq.minus(base, g, [("?x", "urn:type", "urn:Other")]).count() == 2
+    assert (
+        graphq.not_exists(base, g, [("?x", "urn:type", "urn:Other")]).count() == 0
+    )
+    # (2) shared var: flagged doc removed under both
+    m = graphq.minus(base, g, [("?d", "urn:flag", "?f")])
+    assert sorted(r["d"] for r in m.collect()) == ["urn:b"]
+    # (3) unbound shared var survives MINUS: a union branch that never
+    # binds ?d is incompatible with every right solution
+    from pyspark.sql import functions as F
+
+    other = graphq.bgp(g, [("?x", "urn:type", "urn:Other")])
+    u = graphq.union(base, other)  # ?d unbound on the other branch
+    m2 = graphq.minus(u, g, [("?d", "urn:flag", "?f")])
+    got = sorted((r["d"] or "-") for r in m2.collect())
+    assert got == ["-", "urn:b"]  # unbound row survives, urn:a removed
