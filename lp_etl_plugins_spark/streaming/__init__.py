@@ -128,6 +128,16 @@ def _tws_available(spark) -> bool:
     return "RocksDBStateStoreProvider" in provider
 
 
+def _round2(s: float) -> float:
+    """2-decimal HALF_UP rounding for the pandas emit paths — the same
+    rule as Spark's ``F.round``, so a sum landing exactly on a
+    half-cent boundary can't break the asserted stream == batch
+    equality (Python's built-in ``round`` is banker's rounding)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(Decimal(repr(s)).quantize(Decimal("0.01"), ROUND_HALF_UP))
+
+
 def make_totals_processor():
     """StatefulProcessor for :func:`stateful_user_totals` on the
     Spark 4 arbitrary-state v2 API: ONE ValueState of (count,
@@ -152,7 +162,7 @@ def make_totals_processor():
                 s += float(pdf["value"].sum())
             self._totals.update((n, s))
             yield pd.DataFrame(
-                {"user_id": [key[0]], "n_events": [n], "sum_value": [round(s, 2)]}
+                {"user_id": [key[0]], "n_events": [n], "sum_value": [_round2(s)]}
             )
 
         def close(self) -> None:
@@ -201,7 +211,7 @@ def stateful_user_totals(events: DataFrame) -> DataFrame:
             s += float(pdf["value"].sum())
         state.update((n, s))
         yield pd.DataFrame(
-            {"user_id": [key[0]], "n_events": [n], "sum_value": [round(s, 2)]}
+            {"user_id": [key[0]], "n_events": [n], "sum_value": [_round2(s)]}
         )
 
     return events.groupBy("user_id").applyInPandasWithState(
@@ -226,7 +236,7 @@ def _session_rows(key, start, last, n, s):
             "session_start": [start],
             "session_end": [last],
             "n_events": [n],
-            "sum_value": [round(s, 2)],
+            "sum_value": [_round2(s)],
         }
     )
 

@@ -656,9 +656,10 @@ def repeated_substring_spans(
     arithmetic is exact: islands are coverage-disjoint by
     construction, so ``repeat_words`` never double-counts.
 
-    → (id, n_words, n_spans, repeat_words, max_span_words,
-    max_span_start, repeat_frac) for documents with ≥ 1 repeated span;
-    positions are 0-based word offsets."""
+    → (id, n_spans, repeat_words, max_span_words, max_span_start,
+    repeat_frac) for documents with ≥ 1 repeated span; positions are
+    0-based word offsets (``n_words`` is internal to ``repeat_frac``
+    and not emitted — matching the T37 oracle's projection)."""
     words = df.select(
         F.col(id_col).alias("id"), normalized_words(text_col).alias("ws")
     )
@@ -1000,6 +1001,13 @@ class DedupIndex:
         new candidate pairs (:meth:`update`), so it persists alongside
         the derived stages."""
         if self._bands is None:
+            if self._df is None:
+                raise ValueError(
+                    "DedupIndex.bands: stage was excluded at save(stages=...) "
+                    "time and a load()-ed index has no corpus to rebuild it "
+                    "from - re-save including 'bands', or rebuild the index "
+                    "over the corpus"
+                )
             self.builds["bands"] += 1
             sh = _doc_shingles(
                 self._df, self._text_col, self._id_col, self._shingle_n, distinct=False
@@ -1027,6 +1035,13 @@ class DedupIndex:
     def verified(self) -> DataFrame:
         """Exact-Jaccard-verified pairs (id_a, id_b, jaccard ≥ threshold)."""
         if self._verified is None:
+            if self._df is None:
+                raise ValueError(
+                    "DedupIndex.verified: stage was excluded at "
+                    "save(stages=...) time and a load()-ed index has no "
+                    "corpus to rebuild it from - re-save including "
+                    "'verified', or rebuild the index over the corpus"
+                )
             self.builds["verified"] += 1
             sets = doc_shingle_sets(
                 self._df, self._text_col, self._id_col, self._shingle_n
@@ -1703,9 +1718,13 @@ class TrigramLM:
         from any session."""
         self.counts.write.mode("overwrite").parquet(f"{path}/counts")
         spark = self.counts.sparkSession
-        spark.createDataFrame([(self._n,)], "n int").coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(f"{path}/meta")
+        # column config persists alongside n (mirroring
+        # DedupIndex._META_SCHEMA) so a model trained on nonstandard
+        # column names scores/updates the right columns after load()
+        spark.createDataFrame(
+            [(self._n, self._text_col, self._id_col)],
+            "n int, text_col string, id_col string",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
 
     @classmethod
     def load(cls, spark, path: str) -> "TrigramLM":
@@ -1714,9 +1733,10 @@ class TrigramLM:
         unavailable on a loaded model — pass the frame to score."""
         lm = cls.__new__(cls)
         lm._df = None
-        lm._text_col = "text"
-        lm._id_col = "id"
-        lm._n = spark.read.parquet(f"{path}/meta").first()["n"]
+        m = spark.read.parquet(f"{path}/meta").first()
+        lm._text_col = m["text_col"]
+        lm._id_col = m["id_col"]
+        lm._n = m["n"]
         lm._grams = None
         lm._checkpoint = True
         lm._counts = spark.read.parquet(f"{path}/counts")

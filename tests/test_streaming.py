@@ -547,7 +547,9 @@ def test_totals_processor_logic_without_spark_runtime():
     ))
     assert len(out1) == 1
     r1 = out1[0].iloc[0]
-    assert (r1["user_id"], r1["n_events"], r1["sum_value"]) == (7, 2, 3.0)
+    # HALF_UP at 2dp, matching Spark F.round: 3.005 -> 3.01 (Python's
+    # built-in round would give 3.0 here)
+    assert (r1["user_id"], r1["n_events"], r1["sum_value"]) == (7, 2, 3.01)
 
     # second micro-batch: state carries; rounding happens at emission,
     # not in the accumulator (1.005 + 2.0 + 0.005 = 3.01, not 3.0+0.005)
