@@ -73,7 +73,7 @@ _META_SCHEMA = (
     "denylist string, shingle_n int, k int, bands int, rows int, "
     "jaccard_threshold double, gram_n int, max_df_frac double, max_df int, "
     "contain_threshold double, max_doc_id bigint, n_working bigint, "
-    "n_bench bigint, n_updates int"
+    "n_bench bigint, n_updates int, n_compactions int"
 )
 _TOMB_SCHEMA = "doc_id bigint"
 _GRAM_SCHEMA = "id bigint, g bigint"
@@ -258,7 +258,134 @@ class CurationState:
         ).first()
         bad("n_working_drift", abs(int(wrow["nw"]) - int(m["n_working"])))
         bad("n_bench_drift", abs(int(wrow["nb"] or 0) - int(m["n_bench"])))
+        # index-side invariants (compaction-aware: they hold before and
+        # after compact() because compaction never changes index rows):
+        # band ids cover exactly the shingle-able indexed docs, mined
+        # pairs share a band bucket, verified ⊆ pairs, and the verified
+        # cluster labels name verified-pair endpoints only
+        idx_path = f"{p}/index"
+        if T._parquet_dir_exists(f"{idx_path}/bands"):
+            bands = spark.read.parquet(f"{idx_path}/bands")
+            b_ids = bands.select(F.col("id").alias("doc_id")).distinct()
+            bad(
+                "band_orphans",
+                b_ids.join(indexed.select("doc_id"), "doc_id", "left_anti").count(),
+            )
+            shingleable = indexed.filter(
+                F.size(T.normalized_words("text")) >= m["shingle_n"]
+            ).select("doc_id")
+            bad(
+                "band_missing",
+                shingleable.join(b_ids, "doc_id", "left_anti").count(),
+            )
+            pairs = spark.read.parquet(f"{idx_path}/pairs")
+            cooc = (
+                bands.alias("x")
+                .join(
+                    bands.alias("y"),
+                    (F.col("x.band") == F.col("y.band"))
+                    & (F.col("x.key") == F.col("y.key"))
+                    & (F.col("x.id") < F.col("y.id")),
+                )
+                .select(
+                    F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b")
+                )
+                .distinct()
+            )
+            bad(
+                "pairs_not_cooccupant",
+                pairs.join(cooc, ["id_a", "id_b"], "left_anti").count(),
+            )
+            verified = spark.read.parquet(f"{idx_path}/verified")
+            bad(
+                "verified_not_in_pairs",
+                verified.select("id_a", "id_b")
+                .join(pairs, ["id_a", "id_b"], "left_anti")
+                .count(),
+            )
+            if T._parquet_dir_exists(f"{idx_path}/verified_clusters"):
+                vc_ids = (
+                    spark.read.parquet(f"{idx_path}/verified_clusters")
+                    .select("id")
+                    .distinct()
+                )
+                v_ids = (
+                    verified.select(F.col("id_a").alias("id"))
+                    .unionByName(verified.select(F.col("id_b").alias("id")))
+                    .distinct()
+                )
+                bad(
+                    "verified_cluster_orphans",
+                    vc_ids.join(v_ids, "id", "left_anti").count(),
+                )
         return {"ok": not v, "violations": v}
+
+    def compact(self, *, target_rows_per_file: int = 1 << 20) -> dict:
+        """Rewrite the state's append/tombstone logs into their
+        steady-state form — the lifecycle operation a daily-delta
+        deployment runs periodically, because :meth:`update` grows the
+        state by O(updates) small files and every ``working()`` read
+        pays an ever-growing tombstone anti-join:
+
+        - ``working`` is rewritten as working-minus-tombstones (the
+          merge-on-read resolved once) and the tombstone log is
+          cleared;
+        - ``grams`` drops tombstoned docs' postings (dead rows that
+          every decontamination read filters out again);
+        - ``indexed``/``hashes``/``contam`` and every index substrate
+          are re-partitioned to ``ceil(rows / target_rows_per_file)``
+          files (pure re-layout — these have no dead rows);
+        - ``meta.n_compactions`` bumps, so readers can tell a
+          compacted lineage from the update count alone.
+
+        Every maintained VIEW (indexed/working/contamination/curated,
+        and every index stage) is row-identical before and after —
+        equality-tested in tests/test_incremental.py — and
+        :meth:`update` composes with compaction transparently: the
+        cleared tombstone log makes its anti-joins no-ops until new
+        retractions arrive. Swap order is crash-considerate within the
+        documented non-atomic seam: each directory is fully
+        materialized before its delete+rename swap, and ``working`` is
+        swapped before the tombstone clear (a stale tombstone over the
+        already-live-only working log is a no-op at read, caught by
+        :meth:`check` as the torn-state probe).
+
+        → per-substrate ``{"rows", "files_before", "files_after"}``."""
+        spark, p = self._spark, self._path
+        out: dict[str, dict] = {}
+        tombs = self._tombstones()
+        out["working"] = T._rewrite_parquet_dir(
+            spark, f"{p}/working", self.working(), target_rows_per_file
+        )
+        live_grams = (
+            spark.read.schema(_GRAM_SCHEMA)
+            .parquet(f"{p}/grams")
+            .join(tombs.withColumnRenamed("doc_id", "id"), "id", "left_anti")
+        )
+        out["grams"] = T._rewrite_parquet_dir(
+            spark, f"{p}/grams", live_grams, target_rows_per_file
+        )
+        # tombstones resolved into working/grams above — clear the log
+        spark.createDataFrame([], _TOMB_SCHEMA).write.mode("overwrite").parquet(
+            f"{p}/tombstones"
+        )
+        out["tombstones"] = {"rows": 0, "files_before": None, "files_after": None}
+        for sub in ("indexed", "hashes"):
+            out[sub] = T._rewrite_parquet_dir(
+                spark,
+                f"{p}/{sub}",
+                spark.read.parquet(f"{p}/{sub}"),
+                target_rows_per_file,
+            )
+        out["contam"] = T._rewrite_parquet_dir(
+            spark, f"{p}/contam", self.contamination(), target_rows_per_file
+        )
+        out["index"] = T.DedupIndex.compact(
+            spark, f"{p}/index", target_rows_per_file=target_rows_per_file
+        )
+        self.meta["n_compactions"] = int(self.meta.get("n_compactions") or 0) + 1
+        self._write_meta()
+        return out
 
     # ------------------------------------------------------ construction
 
@@ -348,6 +475,7 @@ class CurationState:
         meta["n_working"] = n_working
         meta["n_bench"] = int(wrow["nb"] or 0)
         meta["n_updates"] = 0
+        meta["n_compactions"] = 0
         st._write_meta()
         return st
 

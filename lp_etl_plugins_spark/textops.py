@@ -928,6 +928,61 @@ def connected_components(
     return labels.select(F.col("u").alias("id"), F.col("lbl").alias("cluster"))
 
 
+def _local_path(path: str) -> str:
+    """Strip a ``file:`` scheme for driver-side filesystem operations
+    (compaction's delete+rename swap). This engine targets the local
+    filesystem; an object-store deployment fronts the same directories
+    with a transactional table format and gets compaction's swap as a
+    metadata commit instead."""
+    return path[len("file:"):] if path.startswith("file:") else path
+
+
+def _parquet_dir_exists(path: str) -> bool:
+    import os
+
+    return os.path.isdir(_local_path(path))
+
+
+def _count_data_files(path: str) -> int:
+    """Data files under a parquet directory (recursive; skips Spark's
+    ``_SUCCESS``/metadata and hidden files)."""
+    import os
+
+    n = 0
+    for _, _, files in os.walk(_local_path(path)):
+        n += sum(1 for f in files if not f.startswith(("_", "."))
+                 and not f.endswith(".crc"))
+    return n
+
+
+def _rewrite_parquet_dir(
+    spark, path: str, frame: DataFrame, target_rows_per_file: int
+) -> dict:
+    """Replace ``path``'s parquet contents with ``frame`` laid out as
+    ``ceil(rows / target_rows_per_file)`` files: write the new layout
+    COMPLETELY into a sibling temp directory (this executes any read
+    of the old files), then swap via delete + rename. Returns
+    ``{"rows", "files_before", "files_after"}``."""
+    import math
+    import os
+    import shutil
+
+    n = frame.count()
+    parts = max(1, math.ceil(n / max(target_rows_per_file, 1)))
+    local = _local_path(path)
+    tmp = local + ".__compact__"
+    shutil.rmtree(tmp, ignore_errors=True)
+    frame.repartition(parts).write.mode("overwrite").parquet(tmp)
+    files_before = _count_data_files(path)
+    shutil.rmtree(local)
+    os.rename(tmp, local)
+    return {
+        "rows": int(n),
+        "files_before": files_before,
+        "files_after": _count_data_files(path),
+    }
+
+
 class DedupIndex:
     """Build-once, share-everywhere near-duplicate index.
 
@@ -1310,6 +1365,46 @@ class DedupIndex:
             if frame is not None:
                 frame.write.mode("overwrite").parquet(f"{path}/{stage}")
         self._delta = None
+
+    @classmethod
+    def compact(
+        cls, spark, path: str, *, target_rows_per_file: int = 1 << 20
+    ) -> dict:
+        """Rewrite a :meth:`save`-d index directory to size-targeted
+        files — the maintenance half of :meth:`append_saved`: every
+        delta merge appends O(delta) SMALL files to the monotone
+        stages, so a year of daily deltas leaves ~365 file appends per
+        substrate and every later scan pays the per-file open/footer
+        cost (read amplification grows with update count, not data).
+        Compaction re-partitions each stage to
+        ``ceil(rows / target_rows_per_file)`` files; the index is
+        append-only (no tombstones), so this is a pure file re-layout
+        — row content is untouched and ``load`` serves identical
+        frames (equality-tested in tests/test_dedup_index.py).
+
+        Each stage is fully materialized into a sibling temp directory
+        BEFORE the original is replaced, so a crash mid-stage leaves
+        either the old or the new complete layout plus at most a
+        leftover temp dir; the swap itself (delete + rename) is the
+        same documented non-atomic seam as CurationState.update — a
+        production deployment fronts these directories with a
+        transactional table format. Any in-memory object over ``path``
+        is STALE afterwards (its plans captured the old file
+        listings); re-``load`` to keep using the index.
+
+        → ``{stage: {"rows": n, "files_before": b, "files_after": a}}``
+        for the stages present on disk."""
+        out: dict[str, dict] = {}
+        for stage in cls._STAGES:
+            if not _parquet_dir_exists(f"{path}/{stage}"):
+                continue
+            out[stage] = _rewrite_parquet_dir(
+                spark,
+                f"{path}/{stage}",
+                spark.read.parquet(f"{path}/{stage}"),
+                target_rows_per_file,
+            )
+        return out
 
 
 def hash_bucket(col: Column | str, n_buckets: int = 100) -> Column:

@@ -331,3 +331,49 @@ def test_verified_clusters_exclude_lsh_false_positives(spark):
     # a candidate
     assert vlab.get(1) == vlab.get(2)
     assert vlab.get(3, 3) != vlab[1]
+
+
+def test_compact_saved_index_pure_relayout(spark, tmp_path):
+    """DedupIndex.compact over a save()-d directory: after two
+    update()+append_saved cycles have grown the monotone stages by
+    small per-delta files, compaction re-partitions every stage to the
+    target file count with row content untouched — load() serves
+    identical frames before and after."""
+    from lp_etl_plugins_spark.inventory.textops import _docs
+    from lp_etl_plugins_spark.textops import DedupIndex, _count_data_files
+    from pyspark.sql import functions as F
+
+    docs = _docs(spark, SF_SMOKE)
+    base = docs.filter(F.col("doc_id") % 10 <= 6)
+    idx = DedupIndex(base, "text", "doc_id")
+    path = str(tmp_path / "idx")
+    idx.save(path)
+    live = DedupIndex.load(spark, path)
+    for residue in (7, 8):
+        live.update(
+            docs.filter(F.col("doc_id") % 10 == residue),
+            old_docs=docs.filter(F.col("doc_id") % 10 < residue),
+        )
+        live.append_saved(path)
+        live = DedupIndex.load(spark, path)
+
+    before = {s: _stage_rows(live, s) for s in DedupIndex._STAGES}
+    files_before = _count_data_files(f"{path}/pairs")
+    assert files_before >= 3  # base + two appended deltas
+
+    metrics = DedupIndex.compact(spark, path)
+    assert set(metrics) == set(DedupIndex._STAGES)
+    for s in DedupIndex._STAGES:
+        assert metrics[s]["files_after"] == 1, s
+    assert metrics["pairs"]["files_before"] == files_before
+
+    re = DedupIndex.load(spark, path)
+    assert {s: _stage_rows(re, s) for s in DedupIndex._STAGES} == before
+    # and the compacted index still absorbs deltas
+    re.update(
+        docs.filter(F.col("doc_id") % 10 == 9),
+        old_docs=docs.filter(F.col("doc_id") % 10 <= 8),
+    )
+    full = DedupIndex(docs, "text", "doc_id")
+    assert _stage_rows(re, "pairs") == _stage_rows(full, "pairs")
+    assert _stage_rows(re, "verified") == _stage_rows(full, "verified")

@@ -360,3 +360,92 @@ def test_check_detects_torn_state(spark, tmp_path):
     res = st.check()
     assert not res["ok"]
     assert res["violations"].get("tombstone_not_in_working_log") == 1
+
+
+def test_compaction_preserves_views_and_composes_with_update(spark, tmp_path):
+    """The lifecycle operation: after updates have grown the append
+    logs and tombstones, compact() must leave every maintained view
+    row-identical, empty the tombstone log, shrink the file counts,
+    keep check() green — and a LATER update over the compacted state
+    must still equal a full rebuild (compaction is transparent to the
+    incremental contract)."""
+    from lp_etl_plugins_spark.textops import _count_data_files
+
+    docs = spark.createDataFrame(
+        _crafted_rows(), "doc_id long, source string, text string"
+    )
+    path = str(tmp_path / "inc")
+    st = CurationState.build(
+        spark, docs.filter("doc_id < 100"), path, bench_source="bench"
+    )
+    st.update(docs.filter("doc_id >= 100 AND doc_id <= 120"))
+    # the 101-displaces-1 retraction guarantees a live tombstone
+    assert spark.read.parquet(f"{path}/tombstones").count() >= 1
+
+    def _views(s):
+        return (
+            _ids(s.indexed()),
+            sorted(tuple(r) for r in s.working().collect()),
+            _pairs(s.contamination()),
+            sorted(tuple(r) for r in s.curated().collect()),
+            sorted(tuple(r) for r in s.dedup_index().pairs.collect()),
+            sorted(
+                (r["id"], r["cluster"])
+                for r in s.dedup_index().verified_clusters.collect()
+            ),
+        )
+
+    before = _views(st)
+    files_before = {
+        sub: _count_data_files(f"{path}/{sub}")
+        for sub in ("working", "grams", "indexed")
+    }
+    metrics = st.compact()
+    assert metrics["working"]["rows"] == len(before[1])
+    for sub in ("working", "grams", "indexed"):
+        assert metrics[sub]["files_before"] == files_before[sub]
+        assert metrics[sub]["files_after"] <= files_before[sub]
+        # tiny rows, huge target → everything coalesces to one file
+        assert metrics[sub]["files_after"] == 1
+    assert "pairs" in metrics["index"] and metrics["index"]["pairs"]["files_after"] == 1
+    assert spark.read.schema("doc_id bigint").parquet(
+        f"{path}/tombstones"
+    ).count() == 0
+
+    reloaded = CurationState.load(spark, path)
+    assert reloaded.meta["n_compactions"] == 1
+    assert reloaded.meta["n_updates"] == 1
+    assert _views(reloaded) == before
+    assert reloaded.check() == {"ok": True, "violations": {}}
+
+    # composability: update AFTER compaction == one full rebuild
+    reloaded.update(docs.filter("doc_id > 120"))
+    full = CurationState.build(
+        spark, docs, str(tmp_path / "full"), bench_source="bench"
+    )
+    _assert_state_equal(reloaded, full)
+
+
+def test_check_detects_corrupted_index_stage(spark, tmp_path):
+    """The compaction-aware probe covers the index substrates too: a
+    fabricated pair that shares no band bucket, and a fabricated
+    verified row with no backing pair, are both caught."""
+    docs = spark.createDataFrame(
+        _crafted_rows(), "doc_id long, source string, text string"
+    ).filter("doc_id < 100")
+    path = str(tmp_path / "inc")
+    st = CurationState.build(spark, docs, path, bench_source="bench")
+    assert st.check() == {"ok": True, "violations": {}}
+    # ids 999998/999999 have no band rows, so the fabricated rows can
+    # never legitimately co-occur / be candidate-mined
+    spark.createDataFrame([(1, 999999)], "id_a bigint, id_b bigint").write.mode(
+        "append"
+    ).parquet(f"{path}/index/pairs")
+    res = st.check()
+    assert res["violations"].get("pairs_not_cooccupant") == 1
+    spark.createDataFrame(
+        [(2, 999998, 0.9)], "id_a bigint, id_b bigint, jaccard double"
+    ).write.mode("append").parquet(f"{path}/index/verified")
+    res = st.check()
+    assert res["violations"].get("verified_not_in_pairs") == 1
+    assert res["violations"].get("verified_cluster_orphans") is None
