@@ -936,6 +936,118 @@ SELECT probe_id, neighbor_id, adot, rank FROM (
 """
 
 
+def v16_incremental_vector_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental serving-index maintenance
+    (vectorops.VectorIndex.update) — the ANN twin of t34's daily-delta
+    gate: build the IVF-PQ index over a BASE corpus slice
+    (vec_id %8 != 7), then absorb the held-out delta with the
+    quantizers FROZEN — the delta (which drops the training label
+    column entirely: deltas are serving-time data, training metadata
+    not required) is coarse-assigned and PQ-encoded against the
+    stored centroids/codebooks and appended to corpus_lists/codes,
+    never a corpus rescan. External probes are then answered from the
+    merged index. The oracle recomputes lists + codes over
+    base ∪ delta with the BASE-trained quantizers — a direct hash
+    gate on `update == fresh encode of the union`, which is exactly
+    the FAISS-style add() contract (public literature).
+    → (probe_id, neighbor_id, adist2, rank ≤ 3)."""
+    emb = _emb(spark, sf_dir)
+    base = emb.filter(F.col("vec_id") % 8 != 7)
+    delta = emb.filter(F.col("vec_id") % 8 == 7).drop("label")
+    idx = V.VectorIndex(base)
+    idx.update(delta)
+    return idx.search(_external_probes(emb), _K, nprobe=2)
+
+
+V16_SQL = f"""
+WITH dims AS (
+  SELECT vec_id AS id, label AS seed, (g.i - 1) AS dim,
+         ((g.i - 1) // 16) AS sub, embedding[g.i]::DOUBLE AS v
+  FROM embeddings, unnest(generate_series(1, len(embedding))) AS g(i)
+),
+bdims AS (SELECT * FROM dims WHERE id % 8 != 7),
+icent AS (SELECT seed, dim, avg(v) AS c FROM bdims GROUP BY seed, dim),
+icent_norm AS (SELECT seed, sum(c * c) AS c2 FROM icent GROUP BY seed),
+iscored AS (
+  SELECT d.id, ct.seed AS bucket,
+         round(sum(d.v * d.v) - 2 * sum(d.v * ct.c) + any_value(cn.c2), 6) AS dist2
+  FROM dims d
+  JOIN icent ct ON ct.dim = d.dim
+  JOIN icent_norm cn ON cn.seed = ct.seed
+  GROUP BY d.id, ct.seed
+),
+corpus_lists AS (
+  SELECT id AS neighbor_id, bucket FROM (
+    SELECT *, row_number() OVER (PARTITION BY id ORDER BY dist2, bucket) AS rn
+    FROM iscored
+  ) t WHERE rn = 1
+),
+cent AS (SELECT seed, sub, dim, avg(v) AS c FROM bdims GROUP BY seed, sub, dim),
+cent_norm AS (SELECT seed, sub, sum(c * c) AS c2 FROM cent GROUP BY seed, sub),
+enc AS (
+  SELECT d.id, d.sub, ct.seed AS code,
+         round(sum(d.v * d.v) - 2 * sum(d.v * ct.c) + any_value(cn.c2), 6) AS d2
+  FROM dims d
+  JOIN cent ct ON ct.sub = d.sub AND ct.dim = d.dim
+  JOIN cent_norm cn ON cn.seed = ct.seed AND cn.sub = ct.sub
+  GROUP BY d.id, d.sub, ct.seed
+),
+codes AS (
+  SELECT id AS neighbor_id, sub, code FROM (
+    SELECT *, row_number() OVER (PARTITION BY id, sub ORDER BY d2, code) AS rn
+    FROM enc
+  ) t WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id + 100000 AS vec_id,
+         list_transform(embedding::DOUBLE[], x -> x * 1.1 + 0.01) AS pv
+  FROM embeddings WHERE vec_id < {_PROBE_LIMIT}
+),
+pdims AS (
+  SELECT vec_id AS id, g.i - 1 AS dim, ((g.i - 1) // 16) AS sub, pv[g.i] AS v
+  FROM probes, unnest(generate_series(1, len(pv))) AS g(i)
+),
+pscored AS (
+  SELECT d.id, ct.seed AS bucket,
+         round(sum(d.v * d.v) - 2 * sum(d.v * ct.c) + any_value(cn.c2), 6) AS dist2
+  FROM pdims d
+  JOIN icent ct ON ct.dim = d.dim
+  JOIN icent_norm cn ON cn.seed = ct.seed
+  GROUP BY d.id, ct.seed
+),
+probe_fan AS (
+  SELECT id AS probe_id, bucket FROM (
+    SELECT *, row_number() OVER (PARTITION BY id ORDER BY dist2, bucket) AS rn
+    FROM pscored
+  ) t WHERE rn <= 2
+),
+penc AS (
+  SELECT d.id, d.sub, ct.seed AS code,
+         round(sum(d.v * d.v) - 2 * sum(d.v * ct.c) + any_value(cn.c2), 6) AS pd2
+  FROM pdims d
+  JOIN cent ct ON ct.sub = d.sub AND ct.dim = d.dim
+  JOIN cent_norm cn ON cn.seed = ct.seed AND cn.sub = ct.sub
+  GROUP BY d.id, d.sub, ct.seed
+),
+cand AS (
+  SELECT pf.probe_id, cl.neighbor_id
+  FROM corpus_lists cl JOIN probe_fan pf ON pf.bucket = cl.bucket
+),
+adc AS (
+  SELECT c.probe_id, c.neighbor_id,
+         sum(round(l.pd2 * 1000000)::BIGINT)::DOUBLE / 1000000 AS adist2
+  FROM cand c
+  JOIN codes co ON co.neighbor_id = c.neighbor_id
+  JOIN penc l ON l.id = c.probe_id AND l.sub = co.sub AND l.code = co.code
+  GROUP BY c.probe_id, c.neighbor_id
+)
+SELECT probe_id, neighbor_id, adist2, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY adist2, neighbor_id) AS rank
+  FROM adc
+) r WHERE rank <= {_K}
+"""
+
+
 QUERIES = {
     "v0_vector_index_serving": v0_vector_index_serving,
     "v1_knn_bruteforce": v1_knn_bruteforce,
@@ -953,6 +1065,7 @@ QUERIES = {
     "v13_knn_ivf_external": v13_knn_ivf_external,
     "v14_range_search": v14_range_search,
     "v15_knn_sq8": v15_knn_sq8,
+    "v16_incremental_vector_serving": v16_incremental_vector_serving,
 }
 
 ORACLES = {
@@ -972,4 +1085,5 @@ ORACLES = {
     "v13_knn_ivf_external": V13_SQL,
     "v14_range_search": V14_SQL,
     "v15_knn_sq8": V15_SQL,
+    "v16_incremental_vector_serving": V16_SQL,
 }
