@@ -366,9 +366,9 @@ class CurationState:
             spark, f"{p}/grams", live_grams, target_rows_per_file
         )
         # tombstones resolved into working/grams above — clear the log
-        spark.createDataFrame([], _TOMB_SCHEMA).write.mode("overwrite").parquet(
-            f"{p}/tombstones"
-        )
+        T._single_partition_df(spark, [], _TOMB_SCHEMA).write.mode(
+            "overwrite"
+        ).parquet(f"{p}/tombstones")
         out["tombstones"] = {"rows": 0, "files_before": None, "files_after": None}
         for sub in ("indexed", "hashes"):
             out[sub] = T._rewrite_parquet_dir(
@@ -460,9 +460,9 @@ class CurationState:
         )
         working.write.mode("overwrite").parquet(f"{path}/working")
         working = spark.read.parquet(f"{path}/working")
-        spark.createDataFrame([], _TOMB_SCHEMA).write.mode("overwrite").parquet(
-            f"{path}/tombstones"
-        )
+        T._single_partition_df(spark, [], _TOMB_SCHEMA).write.mode(
+            "overwrite"
+        ).parquet(f"{path}/tombstones")
         st._gram_frame(working).write.mode("overwrite").parquet(f"{path}/grams")
         wrow = working.agg(
             F.count(F.lit(1)).alias("nw"),
@@ -487,7 +487,7 @@ class CurationState:
     def _write_meta(self) -> None:
         m = self.meta
         vals = tuple(m[f.split(" ")[0]] for f in _META_SCHEMA.split(", "))
-        self._spark.createDataFrame([vals], _META_SCHEMA).coalesce(1).write.mode(
+        T._single_partition_df(self._spark, [vals], _META_SCHEMA).write.mode(
             "overwrite"
         ).parquet(f"{self._path}/meta")
 

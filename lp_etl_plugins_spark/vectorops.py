@@ -887,11 +887,13 @@ class VectorIndex:
         a serving deployment reads from every session."""
         for stage in self._STAGES:
             getattr(self, stage).write.mode("overwrite").parquet(f"{path}/{stage}")
+        from .textops import _single_partition_df
+
         spark = self.codes.sparkSession
-        meta = spark.createDataFrame(
-            [(self._id_col, self._vec_col, self._m, self._dims)], self._META_SCHEMA
+        meta = _single_partition_df(
+            spark, [(self._id_col, self._vec_col, self._m, self._dims)], self._META_SCHEMA
         )
-        meta.coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+        meta.write.mode("overwrite").parquet(f"{path}/meta")
 
     @classmethod
     def load(cls, spark, path: str) -> "VectorIndex":
