@@ -588,7 +588,18 @@ class CurationState:
         """Absorb a corpus delta. Every step is bounded by the delta
         plus the old rows its pairs actually touch (see module
         docstring); returns per-stage metrics. Raises if the delta
-        violates the monotone-ingestion contract."""
+        violates the monotone-ingestion contract.
+
+        Deltas are source-agnostic: a delta of ``bench_source`` docs —
+        a NEW benchmark suite landing after the corpus was curated —
+        takes the same path as training data. Its docs' grams join the
+        existing working set through ``cand_delta``, so every old
+        train doc the new suite contaminates is flagged incrementally
+        (and a new bench doc that near-dups into an existing cluster
+        participates in canonical displacement like any other member).
+        ``update == rebuild`` holds for pure-bench deltas exactly as
+        for train deltas (test_new_benchmark_suite_delta and the
+        bench_mask leg of the Hypothesis property test)."""
         spark, p, m = self._spark, self._path, self.meta
         bounds = delta_docs.agg(
             F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
@@ -841,6 +852,13 @@ class CurationState:
             "new_indexed": n_new_indexed,
             "working_adds": n_adds,
             "working_retracts": n_retracts,
+            # bench-side visibility: a delta is not always training
+            # data — a NEW benchmark suite arriving is the other daily
+            # event, and its docs flow through the same delta path
+            # (bench adds mine against the existing working set via
+            # cand_delta, so previously clean train docs get flagged
+            # without a rebuild — test_new_benchmark_suite_delta)
+            "bench_adds": int(arow["nb"] or 0),
             "contam_pairs": n_pairs_after,
             "contam_pairs_added": n_pairs_after - n_pairs_before,
             "n_working": n_working_new,

@@ -449,3 +449,47 @@ def test_check_detects_corrupted_index_stage(spark, tmp_path):
     res = st.check()
     assert res["violations"].get("verified_not_in_pairs") == 1
     assert res["violations"].get("verified_cluster_orphans") is None
+
+
+def test_new_benchmark_suite_delta(spark, tmp_path):
+    """The other daily event: the corpus is curated, then a NEW
+    benchmark suite arrives as a pure-bench delta. Its docs must mine
+    against the EXISTING working set through the delta path — a
+    previously clean train doc contained in a new bench doc gets
+    flagged (and drops out of curated()) without a rebuild, and the
+    whole state equals build(base ∪ suite)."""
+    import shutil
+    import tempfile
+
+    vocab = "kestrel bramble cobalt fathom girder hollow ingot jasper".split()
+    train_text = " ".join(vocab * 3)  # long enough to gram
+    rows = [
+        (0, "train", train_text),
+        (1, "train", "girder hollow ingot jasper " * 6),
+        (2, "bench", "zephyr gulch " * 10),  # pre-existing suite (disjoint tokens)
+        # --- the new suite (monotone ids) ---
+        # 100 CONTAINS train doc 0's text: every trigram of doc 0
+        # appears, so containment(train side) == 1.0 ≥ threshold,
+        # while the extra prose keeps word-shingle Jaccard < 0.8
+        # (no near-dup merge — pure contamination evidence)
+        (100, "bench", train_text + " quartz anvil sextant lantern "
+                       "marrow tundra velvet wicker quartz anvil "
+                       "sextant lantern marrow tundra velvet wicker"),
+        (101, "bench", "sable onyx umber russet " * 8),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    kw = dict(lang="unknown", min_quality=0.0, bench_source="bench")
+    d1, d2 = tempfile.mkdtemp(prefix="suiteinc_"), tempfile.mkdtemp(prefix="suitefull_")
+    try:
+        st = CurationState.build(spark, docs.filter("doc_id < 100"), d1, **kw)
+        assert _ids(st.curated()) == [0, 1]  # clean before the suite
+        m = st.update(docs.filter("doc_id >= 100"))
+        assert m["bench_adds"] == 2
+        assert m["contam_pairs_added"] >= 1
+        assert (0, 100) in _pairs(st.contamination())
+        assert 0 not in _ids(st.curated())  # flagged incrementally
+        full = CurationState.build(spark, docs, d2, **kw)
+        _assert_state_equal(st, full)
+    finally:
+        shutil.rmtree(d1, ignore_errors=True)
+        shutil.rmtree(d2, ignore_errors=True)
