@@ -720,7 +720,7 @@ class VectorIndex:
     (test-asserted)."""
 
     _STAGES = ("ivf_centroids", "ivf_norms", "pq_codebook", "pq_norms", "corpus_lists", "codes")
-    _META_SCHEMA = "id_col string, vec_col string, m int, dims int"
+    _META_SCHEMA = "id_col string, vec_col string, m int, dims int, max_id bigint"
 
     def __init__(
         self,
@@ -740,6 +740,7 @@ class VectorIndex:
         for stage in self._STAGES:
             setattr(self, f"_{stage}", None)
         self.builds: dict[str, int] = dict.fromkeys(self._STAGES, 0)
+        self.max_id: int | None = None  # set by save()/load()/append_saved()
 
     def _coarse(self) -> tuple[DataFrame, DataFrame]:
         if self._ivf_centroids is None:
@@ -861,7 +862,7 @@ class VectorIndex:
         old_codes = self.codes
         new_lists = _rank_against_centroids(
             new_vectors, self._id_col, self._vec_col, cent, cent_norm, 1
-        ).select("id", "bucket")
+        ).select("id", "bucket").localCheckpoint(eager=False)
         new_codes = _pq_encode(
             _pq_sub_dist(
                 _sub_split(
@@ -870,7 +871,11 @@ class VectorIndex:
                 pq_cent,
                 pq_norm,
             )
-        )
+        ).localCheckpoint(eager=False)
+        # the delta frames, kept for append_saved: a persisted index's
+        # corpus_lists/codes grow by exactly these rows (the quantizer
+        # stages are frozen, so they never change)
+        self._delta = {"corpus_lists": new_lists, "codes": new_codes}
         self._corpus_lists = old_lists.unionByName(new_lists).localCheckpoint(
             eager=False
         )
@@ -884,16 +889,52 @@ class VectorIndex:
     def save(self, path: str) -> None:
         """Persist all stages + meta as parquet under ``path`` (forces
         any not-yet-built stage) — the once-per-snapshot materialization
-        a serving deployment reads from every session."""
+        a serving deployment reads from every session. Meta records the
+        corpus id high-water mark, the idempotence anchor for
+        :func:`foreach_batch_add`'s streamed ingestion."""
         for stage in self._STAGES:
             getattr(self, stage).write.mode("overwrite").parquet(f"{path}/{stage}")
+        hi = self.corpus_lists.agg(F.max("id")).first()[0]
+        self.max_id = None if hi is None else int(hi)
+        self._write_meta(path)
+
+    def _write_meta(self, path: str) -> None:
         from .textops import _single_partition_df
 
         spark = self.codes.sparkSession
         meta = _single_partition_df(
-            spark, [(self._id_col, self._vec_col, self._m, self._dims)], self._META_SCHEMA
+            spark,
+            [(self._id_col, self._vec_col, self._m, self._dims, self.max_id)],
+            self._META_SCHEMA,
         )
         meta.write.mode("overwrite").parquet(f"{path}/meta")
+
+    def append_saved(self, path: str) -> None:
+        """Merge the LAST :meth:`update`'s delta into a :meth:`save`-d
+        index directory WITHOUT rewriting the index — the vector twin
+        of :meth:`textops.DedupIndex.append_saved`: under the frozen
+        quantizers, ``corpus_lists`` and ``codes`` are append-only, so
+        only the delta rows are written (O(delta), not O(corpus)); the
+        quantizer stages never change after training and are not
+        touched. Meta's ``max_id`` high-water mark advances to cover
+        the delta. The in-memory object must be considered STALE after
+        this call (its merged frames captured the pre-append file
+        listings); re-``load`` to keep serving."""
+        if not getattr(self, "_delta", None):
+            raise ValueError(
+                "VectorIndex.append_saved: no update() delta to append — "
+                "call update(new_vectors) first"
+            )
+        self._delta["corpus_lists"].write.mode("append").parquet(
+            f"{path}/corpus_lists"
+        )
+        self._delta["codes"].write.mode("append").parquet(f"{path}/codes")
+        hi = self._delta["corpus_lists"].agg(F.max("id")).first()[0]
+        if hi is not None:
+            old = getattr(self, "max_id", None)
+            self.max_id = int(hi) if old is None else max(int(hi), int(old))
+        self._write_meta(path)
+        self._delta = None
 
     @classmethod
     def load(cls, spark, path: str) -> "VectorIndex":
@@ -907,10 +948,52 @@ class VectorIndex:
         idx._vec_col = m["vec_col"]
         idx._m = m["m"]
         idx._dims = m["dims"]
+        idx.max_id = None if m["max_id"] is None else int(m["max_id"])
         for stage in cls._STAGES:
             setattr(idx, f"_{stage}", spark.read.parquet(f"{path}/{stage}"))
         idx.builds = dict.fromkeys(cls._STAGES, 0)
         return idx
+
+
+def foreach_batch_add(spark, index_path: str):
+    """Structured-Streaming ingestion into a saved vector index: a
+    ``(batch_df, batch_id) -> None`` function for
+    ``writeStream.foreachBatch`` that absorbs each micro-batch as one
+    frozen-quantizer :meth:`VectorIndex.update` + O(delta)
+    :meth:`VectorIndex.append_saved` — the continuous form of the
+    serving-index add() path, mirroring
+    :func:`incremental.foreach_batch_update` for curation state
+    (tests prove streamed ingestion equals one batch update).
+
+    At-least-once safety rides on the same monotone-id contract: the
+    saved meta's ``max_id`` is the high-water mark, a fully REPLAYED
+    batch (``max(id) <= max_id``) is skipped idempotently, and a
+    PARTIALLY overlapping batch raises — re-appending half a batch
+    would duplicate its list/code rows. The append itself is two
+    parquet appends + a meta rewrite (non-atomic, the engine's
+    documented seam; a transactional table format makes it a single
+    commit)."""
+
+    def absorb(batch_df: DataFrame, batch_id: int) -> None:
+        idx = VectorIndex.load(spark, index_path)
+        b = batch_df.agg(
+            F.min(idx._id_col).alias("lo"), F.max(idx._id_col).alias("hi")
+        ).first()
+        if b["hi"] is None:
+            return
+        if idx.max_id is not None and b["hi"] <= idx.max_id:
+            return  # fully-replayed batch — already absorbed
+        if idx.max_id is not None and b["lo"] <= idx.max_id:
+            raise ValueError(
+                "foreach_batch_add: monotone-id contract violated — batch "
+                f"ids straddle the saved high-water mark {idx.max_id} "
+                f"(lo={b['lo']}, hi={b['hi']}); re-appending part of a "
+                "batch would duplicate its rows"
+            )
+        idx.update(batch_df)
+        idx.append_saved(index_path)
+
+    return absorb
 
 
 def label_centroids(

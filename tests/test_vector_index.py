@@ -111,3 +111,115 @@ def test_session_index_cached_and_matches_query_path(spark):
     out = IV.v0_vector_index_serving(spark, SF_SMOKE)
     assert out.filter(F.col("rank") > 3).count() == 0
     assert out.count() > 0
+
+
+def test_append_saved_is_delta_only(spark, tmp_path):
+    """The persisted form of update(): append_saved writes ONLY the
+    delta's corpus_lists/codes rows (quantizer stage files untouched),
+    advances the max_id high-water mark, and a re-load serves exactly
+    what an in-session base+update index serves."""
+    import os
+
+    emb = IV._emb(spark, SF_SMOKE)
+    base = emb.filter(F.col("vec_id") % 7 != 3)
+    delta = emb.filter(F.col("vec_id") % 7 == 3).drop("label")
+    probes = _probes(emb)
+    path = str(tmp_path / "vindex")
+
+    built = VectorIndex(base)
+    built.save(path)
+    base_hi = built.max_id
+    assert base_hi == base.agg(F.max("vec_id")).first()[0]
+
+    def _listing(stage):
+        d = f"{path}/{stage}"
+        return sorted(
+            (f, os.path.getmtime(os.path.join(d, f)))
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        )
+
+    quant_before = {s: _listing(s) for s in
+                    ("ivf_centroids", "ivf_norms", "pq_codebook", "pq_norms")}
+    lists_files_before = len(_listing("corpus_lists"))
+
+    live = VectorIndex.load(spark, path)
+    live.update(delta)
+    live.append_saved(path)
+    # quantizer artifacts byte-stable; corpus stages grew by appends
+    assert {s: _listing(s) for s in quant_before} == quant_before
+    assert len(_listing("corpus_lists")) > lists_files_before
+
+    re = VectorIndex.load(spark, path)
+    assert re.max_id == emb.agg(F.max("vec_id")).first()[0]
+    want = _rows(VectorIndex(base).update(delta).search(probes, 3, nprobe=2))
+    assert _rows(re.search(probes, 3, nprobe=2)) == want
+    # double-append guard: the delta was consumed
+    import pytest
+    with pytest.raises(ValueError, match="no update"):
+        live.append_saved(path)
+
+
+def test_streamed_ingestion_equals_batch_update(spark, tmp_path):
+    """Micro-batch ingestion through foreach_batch_add: two monotone
+    delta files drained oldest-first, each absorbed as one
+    frozen-quantizer update + O(delta) append — the final saved index
+    must serve exactly what one batch update over the union serves; a
+    replayed batch is skipped idempotently and a straddling batch
+    raises."""
+    import os
+    import time
+
+    import pytest
+
+    from lp_etl_plugins_spark.vectorops import foreach_batch_add
+
+    emb = IV._emb(spark, SF_SMOKE)
+    hi = emb.agg(F.max("vec_id")).first()[0]
+    c1, c2 = (hi * 7) // 10, (hi * 85) // 100
+    base = emb.filter(F.col("vec_id") <= c1)
+    d1 = emb.filter((F.col("vec_id") > c1) & (F.col("vec_id") <= c2))
+    d2 = emb.filter(F.col("vec_id") > c2)
+    assert d1.count() > 0 and d2.count() > 0
+    probes = _probes(emb)
+    path = str(tmp_path / "vindex")
+    VectorIndex(base).save(path)
+
+    stream_dir = tmp_path / "stream"
+    d1.coalesce(1).write.parquet(str(stream_dir / "d1"))
+    d2.coalesce(1).write.parquet(str(stream_dir / "d2"))
+    now = time.time()
+    for sub, age in (("d1", 120), ("d2", 60)):
+        for f in (stream_dir / sub).iterdir():
+            os.utime(f, (now - age, now - age))
+    absorb = foreach_batch_add(spark, path)
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(stream_dir / "*"))
+    )
+    q = stream.writeStream.foreachBatch(absorb).trigger(availableNow=True).option(
+        "checkpointLocation", str(tmp_path / "ckpt")
+    ).start()
+    q.awaitTermination(300)
+
+    re = VectorIndex.load(spark, path)
+    assert re.max_id == hi
+    want = _rows(
+        VectorIndex(base).update(d1.drop("label")).update(d2.drop("label"))
+        .search(probes, 3, nprobe=2)
+    )
+    assert _rows(re.search(probes, 3, nprobe=2)) == want
+    # replay: re-absorbing a committed batch is a no-op
+    n_lists = re.corpus_lists.count()
+    absorb(d2, 99)
+    assert VectorIndex.load(spark, path).corpus_lists.count() == n_lists
+    # straddling batch (one committed id + one genuinely new id):
+    # contract violation raises instead of double-appending
+    strad = emb.filter(F.col("vec_id") == c2).unionByName(
+        emb.filter(F.col("vec_id") == hi).withColumn(
+            "vec_id", F.col("vec_id") + 1
+        )
+    )
+    with pytest.raises(ValueError, match="straddle"):
+        absorb(strad, 100)
