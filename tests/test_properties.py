@@ -333,3 +333,111 @@ def test_pack_bins_matches_sequential_reference(spark, texts, capacity):
         want[(src, sh, i)] = (off // capacity, toks_of(t), off)
         offsets[(src, sh)] = off + toks_of(t)
     assert got == want
+
+
+# -- SPARQL 1.1 MINUS vs NOT EXISTS: the full algebra split ------------
+
+_term = st.sampled_from(["a", "b", "c", "d"])
+_pred = st.sampled_from(["p", "q"])
+_MINUS_PATTERNS = (
+    [("?z", "p", "?w")],            # one shared var (z) — unbound-survives
+    [("?x", "p", "?z")],            # two shared vars — per-row compatibility
+    [("?u", "q", "?w")],            # disjoint domain — MINUS removes nothing
+    [("?x", "q", "?x")],            # one shared var via a self-referential pattern
+)
+
+
+def _model_minus(base_rows, right_rows, shared):
+    """SPARQL 1.1 §8.3 Minus(Ω1, Ω2) over plain dicts: drop μ1 iff some
+    μ2 is compatible with it AND dom(μ1) ∩ dom(μ2) ≠ ∅ (None = unbound;
+    BGP solutions are always fully bound, but the model stays general)."""
+    out = []
+    for b in base_rows:
+        removed = False
+        for r in right_rows:
+            both = [v for v in shared if b[v] is not None and r[v] is not None]
+            if both and all(b[v] == r[v] for v in both):
+                removed = True
+                break
+        if not removed:
+            out.append(b)
+    return out
+
+
+def _model_not_exists(base_rows, right_rows, shared):
+    """The engine's FILTER NOT EXISTS: anti equi-join on the shared
+    columns under SQL null semantics (NULL matches nothing); with no
+    shared variables a non-empty block removes every base row."""
+    if not shared:
+        return [] if right_rows else list(base_rows)
+    return [
+        b
+        for b in base_rows
+        if not any(
+            all(b[v] is not None and b[v] == r[v] for v in shared)
+            for r in right_rows
+        )
+    ]
+
+
+@settings(**_SETTINGS)
+@given(
+    triples=st.lists(st.tuples(_term, _pred, _term), min_size=0, max_size=12),
+    base=st.lists(
+        st.tuples(_term, st.one_of(st.none(), _term)), min_size=0, max_size=10
+    ),
+    pattern_ix=st.integers(min_value=0, max_value=len(_MINUS_PATTERNS) - 1),
+)
+def test_minus_vs_not_exists_algebra_property(spark, triples, base, pattern_ix):
+    """Random BGPs against random solution sets (with genuinely unbound
+    variables in the base) pin the full MINUS / NOT EXISTS split that
+    g14's fixed query spot-checks: shared-unbound base rows survive
+    MINUS, a disjoint-domain pattern removes nothing under MINUS but
+    everything under a non-empty NOT EXISTS, and multi-shared-variable
+    removal requires per-row compatibility with at least one bound
+    overlap. Both operators are checked against pure-Python models of
+    their algebra (multiset equality)."""
+    from collections import Counter
+
+    from lp_etl_plugins_spark import graphq as G
+
+    patterns = _MINUS_PATTERNS[pattern_ix]
+    tdf = spark.createDataFrame(
+        [(s, p, o, "iri", None, None) for (s, p, o) in triples],
+        model.TRIPLES_SCHEMA,
+    )
+    bdf = spark.createDataFrame(base, "x string, z string")
+    base_rows = [{"x": x, "z": z} for (x, z) in base]
+    right_df = G.bgp(tdf, patterns)
+    rvars = sorted(G._plain_vars(right_df))
+    right_rows = [dict(zip(rvars, r)) for r in right_df.select(*rvars).collect()]
+    shared = sorted({"x", "z"} & set(rvars))
+
+    got_minus = Counter(
+        (r["x"], r["z"]) for r in G.minus(bdf, tdf, patterns).collect()
+    )
+    want_minus = Counter((b["x"], b["z"]) for b in _model_minus(base_rows, right_rows, shared))
+    assert got_minus == want_minus
+
+    got_ne = Counter(
+        (r["x"], r["z"]) for r in G.not_exists(bdf, tdf, patterns).collect()
+    )
+    want_ne = Counter(
+        (b["x"], b["z"]) for b in _model_not_exists(base_rows, right_rows, shared)
+    )
+    assert got_ne == want_ne
+
+    # the split, stated directly:
+    if not shared:
+        assert got_minus == Counter((b["x"], b["z"]) for b in base_rows)
+        if right_rows:
+            assert got_ne == Counter()
+    else:
+        # every unbound-shared base row survives MINUS when z is the
+        # only shared variable
+        if shared == ["z"]:
+            unbound = Counter((b["x"], b["z"]) for b in base_rows if b["z"] is None)
+            surviving = Counter(
+                (k for k, n in got_minus.items() if k[1] is None for _ in range(n))
+            )
+            assert surviving == Counter(k for k, n in unbound.items() for _ in range(n))
