@@ -387,6 +387,28 @@ class CurationState:
         self._write_meta()
         return out
 
+    def maybe_compact(
+        self,
+        *,
+        max_files_per_substrate: int = 64,
+        target_rows_per_file: int = 1 << 20,
+    ) -> dict | None:
+        """The self-maintenance policy wrapper over :meth:`compact`:
+        compact only when some append log has accumulated more than
+        ``max_files_per_substrate`` data files (the read-amplification
+        driver — file count grows with UPDATE COUNT, not data). Call
+        it after :meth:`update` on whatever cadence is convenient; at
+        daily deltas and the default threshold that is roughly a
+        bi-monthly compaction. Returns :meth:`compact`'s metrics when
+        it ran, ``None`` when no substrate crossed the threshold (the
+        check is a driver-side file listing — no Spark job)."""
+        subs = ("indexed", "hashes", "working", "tombstones", "grams",
+                "contam", "index/bands", "index/pairs", "index/verified")
+        worst = max(T._count_data_files(f"{self._path}/{s}") for s in subs)
+        if worst <= max_files_per_substrate:
+            return None
+        return self.compact(target_rows_per_file=target_rows_per_file)
+
     # ------------------------------------------------------ construction
 
     @classmethod

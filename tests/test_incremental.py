@@ -493,3 +493,24 @@ def test_new_benchmark_suite_delta(spark, tmp_path):
     finally:
         shutil.rmtree(d1, ignore_errors=True)
         shutil.rmtree(d2, ignore_errors=True)
+
+
+def test_maybe_compact_policy(spark, tmp_path):
+    """The self-maintenance wrapper: below the file-count threshold it
+    is a no-op (None, no files touched); above it, it compacts and the
+    views are preserved."""
+    docs = spark.createDataFrame(
+        _crafted_rows(), "doc_id long, source string, text string"
+    )
+    path = str(tmp_path / "inc")
+    st = CurationState.build(
+        spark, docs.filter("doc_id < 100"), path, bench_source="bench"
+    )
+    st.update(docs.filter("doc_id >= 100 AND doc_id <= 120"))
+    before = sorted(tuple(r) for r in st.working().collect())
+    assert st.maybe_compact(max_files_per_substrate=10_000) is None
+    assert st.meta["n_compactions"] == 0
+    metrics = st.maybe_compact(max_files_per_substrate=1)
+    assert metrics is not None and metrics["working"]["files_after"] == 1
+    assert CurationState.load(spark, path).meta["n_compactions"] == 1
+    assert sorted(tuple(r) for r in st.working().collect()) == before
