@@ -937,6 +937,35 @@ class VectorIndex:
         self._delta = None
 
     @classmethod
+    def compact(
+        cls, spark, path: str, *, target_rows_per_file: int = 1 << 20
+    ) -> dict:
+        """Rewrite a :meth:`save`-d index directory to size-targeted
+        files — the maintenance half of :meth:`append_saved`, same
+        contract as :meth:`textops.DedupIndex.compact`: every delta
+        merge appends O(delta) small files to ``corpus_lists`` and
+        ``codes``, so a long streamed-ingestion run leaves per-batch
+        file fragments whose open/footer cost every later search pays.
+        All stages are append-only (no tombstones), so this is a pure
+        file re-layout — row content untouched, a re-``load`` serves
+        identical results (test-asserted). Meta (with its ``max_id``
+        high-water mark) is not touched. Any in-memory object over
+        ``path`` is STALE afterwards; re-``load``.
+
+        → ``{stage: {"rows", "files_before", "files_after"}}``."""
+        from .textops import _rewrite_parquet_dir
+
+        return {
+            stage: _rewrite_parquet_dir(
+                spark,
+                f"{path}/{stage}",
+                spark.read.parquet(f"{path}/{stage}"),
+                target_rows_per_file,
+            )
+            for stage in cls._STAGES
+        }
+
+    @classmethod
     def load(cls, spark, path: str) -> "VectorIndex":
         """Re-open a :meth:`save`-d index; serves the parquet frames
         directly (build counters stay 0, no corpus needed)."""

@@ -223,3 +223,36 @@ def test_streamed_ingestion_equals_batch_update(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="straddle"):
         absorb(strad, 100)
+
+
+def test_compact_saved_vector_index_pure_relayout(spark, tmp_path):
+    """VectorIndex.compact after streamed appends: every stage
+    coalesces to the target file count with row content untouched —
+    a re-load serves identical search results and the same max_id."""
+    from lp_etl_plugins_spark.textops import _count_data_files
+    from lp_etl_plugins_spark.vectorops import VectorIndex
+
+    emb = IV._emb(spark, SF_SMOKE)
+    base = emb.filter(F.col("vec_id") % 5 != 0)
+    probes = _probes(emb)
+    path = str(tmp_path / "vindex")
+    VectorIndex(base).save(path)
+    for residue in (0,):
+        live = VectorIndex.load(spark, path)
+        live.update(emb.filter(F.col("vec_id") % 5 == residue).drop("label"))
+        live.append_saved(path)
+
+    pre = VectorIndex.load(spark, path)
+    want = _rows(pre.search(probes, 3, nprobe=2))
+    files_before = _count_data_files(f"{path}/codes")
+    assert files_before >= 2  # base + appended delta
+
+    metrics = VectorIndex.compact(spark, path)
+    assert set(metrics) == set(VectorIndex._STAGES)
+    for s in VectorIndex._STAGES:
+        assert metrics[s]["files_after"] == 1, s
+    assert metrics["codes"]["files_before"] == files_before
+
+    re = VectorIndex.load(spark, path)
+    assert re.max_id == pre.max_id
+    assert _rows(re.search(probes, 3, nprobe=2)) == want
