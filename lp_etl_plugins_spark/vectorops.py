@@ -977,7 +977,10 @@ class VectorIndex:
         idx._vec_col = m["vec_col"]
         idx._m = m["m"]
         idx._dims = m["dims"]
-        idx.max_id = None if m["max_id"] is None else int(m["max_id"])
+        # meta written before the high-water mark existed loads as
+        # unknown (None) — the first save()/append_saved() stamps it
+        hi = m["max_id"] if "max_id" in m.__fields__ else None
+        idx.max_id = None if hi is None else int(hi)
         for stage in cls._STAGES:
             setattr(idx, f"_{stage}", spark.read.parquet(f"{path}/{stage}"))
         idx.builds = dict.fromkeys(cls._STAGES, 0)
