@@ -377,3 +377,34 @@ def test_compact_saved_index_pure_relayout(spark, tmp_path):
     full = DedupIndex(docs, "text", "doc_id")
     assert _stage_rows(re, "pairs") == _stage_rows(full, "pairs")
     assert _stage_rows(re, "verified") == _stage_rows(full, "verified")
+
+
+def test_compact_recovers_from_stale_temp_dir(spark, tmp_path):
+    """Crash-considerateness: a leftover .__compact__ temp directory
+    from an interrupted compaction (the documented seam) is discarded
+    and replaced on the next run — compact succeeds, leaves no temp
+    dirs, and the index content is unchanged."""
+    import os
+
+    from lp_etl_plugins_spark.inventory.textops import _docs
+    from lp_etl_plugins_spark.textops import DedupIndex
+
+    docs = _docs(spark, SF_SMOKE)
+    idx = DedupIndex(docs, "text", "doc_id")
+    path = str(tmp_path / "idx")
+    idx.save(path)
+    before = {s: _stage_rows(DedupIndex.load(spark, path), s)
+              for s in DedupIndex._STAGES}
+    # plant a stale half-written temp dir where compact will write
+    stale = f"{path}/pairs.__compact__"
+    os.makedirs(stale)
+    with open(os.path.join(stale, "part-garbage.parquet"), "wb") as f:
+        f.write(b"not parquet")
+
+    metrics = DedupIndex.compact(spark, path)
+    assert metrics["pairs"]["files_after"] == 1
+    assert not os.path.exists(stale)
+    assert not [d for d in os.listdir(path) if d.endswith(".__compact__")]
+    after = {s: _stage_rows(DedupIndex.load(spark, path), s)
+             for s in DedupIndex._STAGES}
+    assert after == before
