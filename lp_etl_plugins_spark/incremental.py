@@ -177,7 +177,7 @@ class CurationState:
         object's file listings are stale."""
         return T.DedupIndex.load(self._spark, f"{self._path}/index")
 
-    def check(self) -> dict:
+    def check(self, *, index_stages: bool = True) -> dict:
         """Integrity probe for the multi-file state — the operational
         answer to the non-atomicity seam :func:`foreach_batch_update`
         documents: a crash between :meth:`update`'s writes leaves a
@@ -193,6 +193,15 @@ class CurationState:
         - contamination pairs reference live docs with the right
           source sides (train ≠ bench_source, bench = bench_source);
         - the meta counters match the recounted working set.
+
+        With ``index_stages=True`` (default) the probe also verifies
+        the dedup-index substrates (band coverage, pairs ⊆ band
+        co-occupancy, verified ⊆ pairs, cluster-label domains). Note
+        the co-occupancy probe REPLAYS the band self-join — the same
+        cost class as pair mining itself, quadratic in a hot band
+        bucket — so it is NOT a small aggregate like the rest; pass
+        ``index_stages=False`` for the cheap substrate-consistency
+        probe alone (e.g. a post-crash triage before trusting views).
 
         → ``{"ok": bool, "violations": {name: count, ...}}`` with only
         nonzero counters listed. Read-only; run it after a suspected
@@ -264,7 +273,7 @@ class CurationState:
         # pairs share a band bucket, verified ⊆ pairs, and the verified
         # cluster labels name verified-pair endpoints only
         idx_path = f"{p}/index"
-        if T._parquet_dir_exists(f"{idx_path}/bands"):
+        if index_stages and T._parquet_dir_exists(f"{idx_path}/bands"):
             bands = spark.read.parquet(f"{idx_path}/bands")
             b_ids = bands.select(F.col("id").alias("doc_id")).distinct()
             bad(
@@ -504,7 +513,12 @@ class CurationState:
     @classmethod
     def load(cls, spark: SparkSession, path: str) -> "CurationState":
         row = spark.read.parquet(f"{path}/meta").first()
-        return cls(spark, path, row.asDict())
+        meta = row.asDict()
+        # states saved before the compaction lifecycle existed have no
+        # n_compactions column; default it so the next _write_meta
+        # (update/compact) doesn't KeyError mid-lifecycle
+        meta.setdefault("n_compactions", 0)
+        return cls(spark, path, meta)
 
     def _write_meta(self) -> None:
         m = self.meta
@@ -627,8 +641,13 @@ class CurationState:
             F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
         ).first()
         if bounds["lo"] is None:
+            # same key set as the non-empty path: contam_pairs reports
+            # the CURRENT pair count (nothing changed), not a bogus 0
             return {"delta_rows": 0, "new_indexed": 0, "working_adds": 0,
-                    "working_retracts": 0, "contam_pairs": 0}
+                    "working_retracts": 0, "bench_adds": 0,
+                    "contam_pairs": int(self.contamination().count()),
+                    "contam_pairs_added": 0,
+                    "n_working": int(m["n_working"])}
         if bounds["lo"] <= m["max_doc_id"]:
             raise ValueError(
                 "CurationState.update: monotone-ingestion contract violated — "

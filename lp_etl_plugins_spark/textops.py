@@ -974,18 +974,25 @@ def _rewrite_parquet_dir(
     """Replace ``path``'s parquet contents with ``frame`` laid out as
     ``ceil(rows / target_rows_per_file)`` files: write the new layout
     COMPLETELY into a sibling temp directory (this executes any read
-    of the old files), then swap via delete + rename. Returns
+    of the old files), then swap via delete + rename. The frame is
+    persisted (memory-and-disk, the maintenance-job norm) across the
+    row count and the write so merge-on-read views (tombstone
+    anti-joins) compute ONCE, not once per action. Returns
     ``{"rows", "files_before", "files_after"}``."""
     import math
     import os
     import shutil
 
-    n = frame.count()
-    parts = max(1, math.ceil(n / max(target_rows_per_file, 1)))
-    local = _local_path(path)
-    tmp = local + ".__compact__"
-    shutil.rmtree(tmp, ignore_errors=True)
-    frame.repartition(parts).write.mode("overwrite").parquet(tmp)
+    frame = frame.persist()
+    try:
+        n = frame.count()
+        parts = max(1, math.ceil(n / max(target_rows_per_file, 1)))
+        local = _local_path(path)
+        tmp = local + ".__compact__"
+        shutil.rmtree(tmp, ignore_errors=True)
+        frame.repartition(parts).write.mode("overwrite").parquet(tmp)
+    finally:
+        frame.unpersist()
     files_before = _count_data_files(path)
     shutil.rmtree(local)
     os.rename(tmp, local)
@@ -1844,8 +1851,10 @@ class TrigramLM:
         lm = cls.__new__(cls)
         lm._df = None
         m = spark.read.parquet(f"{path}/meta").first()
-        lm._text_col = m["text_col"]
-        lm._id_col = m["id_col"]
+        # models saved before the meta gained column config (n-only
+        # schema) fall back to the historical defaults
+        lm._text_col = m["text_col"] if "text_col" in m.__fields__ else "text"
+        lm._id_col = m["id_col"] if "id_col" in m.__fields__ else "id"
         lm._n = m["n"]
         lm._grams = None
         lm._checkpoint = True

@@ -1013,9 +1013,20 @@ def foreach_batch_add(spark, index_path: str):
         ).first()
         if b["hi"] is None:
             return
-        if idx.max_id is not None and b["hi"] <= idx.max_id:
+        if idx.max_id is None:
+            # no high-water mark (meta predates it, or the index was
+            # saved over an empty corpus): replay detection is
+            # impossible, and proceeding unguarded would duplicate
+            # rows on the first restart — refuse instead of silently
+            # breaking the documented at-least-once idempotence
+            raise ValueError(
+                "foreach_batch_add: the saved index has no max_id "
+                "high-water mark — re-save() the index (which stamps "
+                "it) before attaching streamed ingestion"
+            )
+        if b["hi"] <= idx.max_id:
             return  # fully-replayed batch — already absorbed
-        if idx.max_id is not None and b["lo"] <= idx.max_id:
+        if b["lo"] <= idx.max_id:
             raise ValueError(
                 "foreach_batch_add: monotone-id contract violated — batch "
                 f"ids straddle the saved high-water mark {idx.max_id} "

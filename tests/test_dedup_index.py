@@ -408,3 +408,27 @@ def test_compact_recovers_from_stale_temp_dir(spark, tmp_path):
     after = {s: _stage_rows(DedupIndex.load(spark, path), s)
              for s in DedupIndex._STAGES}
     assert after == before
+
+
+def test_trigram_lm_load_pre_column_meta(spark, tmp_path):
+    """A model saved before the meta gained text_col/id_col (n-only
+    schema) loads with the historical defaults instead of crashing."""
+    from lp_etl_plugins_spark.inventory.textops import _docs
+    from lp_etl_plugins_spark.textops import TrigramLM, _single_partition_df
+
+    docs = _docs(spark, SF_SMOKE).selectExpr("doc_id as id", "text")
+    lm = TrigramLM(docs, "text", "id")
+    path = str(tmp_path / "lm")
+    lm.save(path)
+    want = sorted(
+        tuple(r) for r in lm.score(docs.filter("id < 20")).collect()
+    )
+    _single_partition_df(spark, [(3,)], "n int").write.mode(
+        "overwrite"
+    ).parquet(f"{path}/meta")
+    re = TrigramLM.load(spark, path)
+    assert (re._text_col, re._id_col, re._n) == ("text", "id", 3)
+    got = sorted(
+        tuple(r) for r in re.score(docs.filter("id < 20")).collect()
+    )
+    assert got == want

@@ -514,3 +514,48 @@ def test_maybe_compact_policy(spark, tmp_path):
     assert metrics is not None and metrics["working"]["files_after"] == 1
     assert CurationState.load(spark, path).meta["n_compactions"] == 1
     assert sorted(tuple(r) for r in st.working().collect()) == before
+
+
+def test_load_defaults_missing_n_compactions(spark, tmp_path):
+    """A state saved before the compaction lifecycle existed (meta
+    without n_compactions) loads with the counter defaulted to 0 and
+    the next update()/_write_meta round-trips cleanly instead of
+    KeyError-ing mid-lifecycle."""
+    docs = spark.createDataFrame(
+        _crafted_rows(), "doc_id long, source string, text string"
+    )
+    path = str(tmp_path / "inc")
+    CurationState.build(
+        spark, docs.filter("doc_id < 100"), path, bench_source="bench"
+    )
+    # simulate the pre-r7 meta: drop the column and rewrite
+    old = spark.read.parquet(f"{path}/meta").drop("n_compactions").collect()
+    schema = spark.read.parquet(f"{path}/meta").drop("n_compactions").schema
+    spark.createDataFrame(old, schema).write.mode("overwrite").parquet(
+        f"{path}/meta"
+    )
+    st = CurationState.load(spark, path)
+    assert st.meta["n_compactions"] == 0
+    m = st.update(docs.filter("doc_id >= 100"))
+    assert m["delta_rows"] > 0
+    assert CurationState.load(spark, path).meta["n_compactions"] == 0
+
+
+def test_empty_delta_metrics_shape(spark, tmp_path):
+    """An empty delta returns the SAME key set as a real one, with
+    contam_pairs reporting the current state (not a bogus 0)."""
+    docs = spark.createDataFrame(
+        _crafted_rows(), "doc_id long, source string, text string"
+    )
+    st = CurationState.build(
+        spark, docs, str(tmp_path / "inc"), bench_source="bench"
+    )
+    full = st.update(docs.filter("doc_id < 0"))  # empty
+    n_pairs = st.contamination().count()
+    assert full == {
+        "delta_rows": 0, "new_indexed": 0, "working_adds": 0,
+        "working_retracts": 0, "bench_adds": 0,
+        "contam_pairs": n_pairs, "contam_pairs_added": 0,
+        "n_working": st.meta["n_working"],
+    }
+    assert n_pairs > 0  # the crafted corpus ships contamination

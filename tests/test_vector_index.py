@@ -256,3 +256,26 @@ def test_compact_saved_vector_index_pure_relayout(spark, tmp_path):
     re = VectorIndex.load(spark, path)
     assert re.max_id == pre.max_id
     assert _rows(re.search(probes, 3, nprobe=2)) == want
+
+
+def test_foreach_batch_add_refuses_unknown_high_water_mark(spark, tmp_path):
+    """A saved index whose meta has no max_id (pre-mark save) makes
+    replay detection impossible — streamed ingestion must refuse
+    rather than silently duplicate rows on restart."""
+    import pytest
+
+    from lp_etl_plugins_spark.textops import _single_partition_df
+    from lp_etl_plugins_spark.vectorops import foreach_batch_add
+
+    emb = IV._emb(spark, SF_SMOKE)
+    path = str(tmp_path / "vindex")
+    VectorIndex(emb.filter(F.col("vec_id") % 2 == 0)).save(path)
+    # simulate the pre-max_id meta schema
+    _single_partition_df(
+        spark, [("vec_id", "embedding", 4, 64)],
+        "id_col string, vec_col string, m int, dims int",
+    ).write.mode("overwrite").parquet(f"{path}/meta")
+    assert VectorIndex.load(spark, path).max_id is None
+    absorb = foreach_batch_add(spark, path)
+    with pytest.raises(ValueError, match="high-water mark"):
+        absorb(emb.filter(F.col("vec_id") % 2 == 1), 0)
