@@ -55,8 +55,14 @@ Stages the batch pipeline supports that this state deliberately does
 NOT: ``min_doc_lp`` (the trigram-LM gate trains on the corpus — its
 scores shift with every delta, so incremental == rebuild cannot hold;
 freeze an LM via :meth:`textops.TrigramLM.save` and filter the delta
-upstream instead) and ``quota_k`` (a quota is a view over the curated
-pool — take it downstream of :meth:`curated`).
+upstream instead), ``scrub_repeats`` (repeated-span trimming depends
+on corpus-WIDE gram document frequencies, so a new duplicate arriving
+would retroactively rewrite old documents' text — incompatible with
+the append-only working log for the same train-on-corpus reason as
+the LM gate; run :func:`textops.trim_repeated_spans` over a frozen
+snapshot upstream, or over :meth:`curated` downstream), and
+``quota_k`` (a quota is a view over the curated pool — take it
+downstream of :meth:`curated`).
 """
 
 from __future__ import annotations
