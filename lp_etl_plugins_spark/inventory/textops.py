@@ -2093,6 +2093,67 @@ FROM ranked GROUP BY id, n_words
 """
 
 
+def t38_incremental_repeat_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact-substring maintenance (`textops.RepeatIndex`)
+    — the t34/t36/v16 daily-delta gate applied to the pairs-free dedup
+    member: build the persisted detector over a BASE slice (doc_id
+    %4==0 except the %40==0 residue — this residue chosen because at
+    the driver's sf0.01 its delta actually FLIPS a stored gram, so the
+    hard gate exercises the retroactive re-evaluation path, not just
+    appends), then absorb the held-out delta WITHOUT a rebuild —
+    per-gram distinct-doc counts are additive over id-disjoint doc
+    sets, so only the delta plus the old docs holding a gram the delta
+    flipped to repeated (count 1 → ≥2) are re-evaluated; everything
+    else's spans are untouched stored rows. The emitted aggregate reads the UPDATED spans view;
+    the oracle recomputes the same stats from scratch over
+    base ∪ delta — a direct hash gate on ``update == full rebuild``
+    for the exact-substring family (the chained/flip/shadowing edges
+    are property-tested in tests/test_repeat_index.py).
+    → (n_flagged, n_spans_total, repeat_words_total, max_span,
+    frac_chk)."""
+    import shutil
+    import tempfile
+
+    docs = (
+        _docs(spark, sf_dir)
+        .filter(F.col("doc_id") % 4 == 0)
+        .select("doc_id", "text")
+    )
+    base = docs.filter(F.col("doc_id") % 40 != 0)
+    delta = docs.filter(F.col("doc_id") % 40 == 0)
+    tmp = tempfile.mkdtemp(prefix="t38_repeat_")
+    try:
+        idx = T.RepeatIndex.build(spark, base, tmp, "text", "doc_id")
+        idx.update(delta, old_docs=base)
+        out = idx.spans().agg(
+            F.count(F.lit(1)).alias("n_flagged"),
+            F.sum("n_spans").alias("n_spans_total"),
+            F.sum("repeat_words").alias("repeat_words_total"),
+            F.max("max_span_words").alias("max_span"),
+            F.sum(F.round(F.col("repeat_frac") * 1e6).cast("long")).alias(
+                "frac_chk"
+            ),
+        )
+        # pin the 1-row result before the state directory goes away
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+T38_SQL = (
+    "SELECT count(*)::BIGINT AS n_flagged,\n"
+    "       sum(n_spans)::BIGINT AS n_spans_total,\n"
+    "       sum(repeat_words)::BIGINT AS repeat_words_total,\n"
+    "       max(max_span_words)::BIGINT AS max_span,\n"
+    "       sum(round(repeat_frac * 1000000)::BIGINT)::BIGINT AS frac_chk\n"
+    "FROM (\n"
+    + T37_SQL.replace(
+        "FROM documents", "FROM documents WHERE doc_id % 4 = 0"
+    )
+    + ") perdoc"
+)
+
+
 QUERIES = {
     "t0_dedup_index_stats": t0_dedup_index_stats,
     "t1_exact_dedup": t1_exact_dedup,
@@ -2132,6 +2193,7 @@ QUERIES = {
     "t35_leakage_safe_split": t35_leakage_safe_split,
     "t36_incremental_curation": t36_incremental_curation,
     "t37_repeated_substrings": t37_repeated_substrings,
+    "t38_incremental_repeat_stats": t38_incremental_repeat_stats,
 }
 
 ORACLES = {
@@ -2173,4 +2235,5 @@ ORACLES = {
     "t35_leakage_safe_split": T35_SQL,
     "t36_incremental_curation": T36_SQL,
     "t37_repeated_substrings": T37_SQL,
+    "t38_incremental_repeat_stats": T38_SQL,
 }

@@ -677,6 +677,15 @@ def repeated_substring_spans(
         .select("gram")
     )
     shared = pos.join(rep_g, "gram").select("id", "n_words", "pos")
+    return _island_spans(shared, span_n)
+
+
+def _island_spans(shared: DataFrame, span_n: int) -> DataFrame:
+    """Merge repeated positions (id, n_words, pos) into maximal
+    coverage islands and emit the per-doc span stats — the second half
+    of :func:`repeated_substring_spans`, shared with
+    :class:`RepeatIndex`'s delta-bounded re-evaluation (identical
+    arithmetic is what makes ``update == rebuild`` hold row-for-row)."""
     w_ord = W.partitionBy("id").orderBy("pos")
     flagged = shared.withColumn(
         "new_isl",
@@ -801,6 +810,246 @@ def trim_repeated_spans(
             F.concat_ws(" ", kept)
         ),
     ).drop("cuts")
+
+
+class RepeatIndex:
+    """Persisted, incrementally-updatable exact-substring detector —
+    the :func:`repeated_substring_spans` family's daily-delta form,
+    closing the last index-family asymmetry (near-dup: DedupIndex;
+    vectors: VectorIndex; whole pipeline: incremental.CurationState).
+
+    Why this one is the EASY incremental index: a position is repeated
+    iff its gram's distinct-document count is ≥ 2, and over
+    id-DISJOINT doc sets those counts are ADDITIVE — no retraction,
+    no pair state, and (unlike CurationState's exact-dedup keep-first
+    rule) no order dependence, so the contract is plain disjointness
+    rather than monotone ingestion; ``update`` verifies it against
+    the stored postings with one delta-bounded semi-join. A delta
+    changes the repeated status of exactly two groups of grams: its
+    own, and the stored grams whose count crosses 1 → ≥2
+    (``flipped``). Only documents holding a flipped gram can change
+    their spans, so re-evaluation is bounded by the delta plus those
+    touched old docs — never a corpus re-scan. ``build(base);
+    update(delta)`` equals ``build(base ∪ delta)`` row-for-row on the
+    spans view (tested, and hash-gated end-to-end by the t38 oracle).
+
+    Substrates under ``path`` (same merge-on-read pattern as
+    ``incremental.CurationState``):
+
+    - ``postings/``  (g, id) distinct gram→doc postings, APPEND-only.
+      Grams are stored as their word strings for oracle-exactness;
+      a production build swaps a 64-bit hash into the same plan
+      (the SCALE.md md5→xxhash note applies).
+    - ``spans/``  per-doc span stats as a GENERATION-stamped append
+      log with last-wins merge-on-read (a re-evaluated doc's fresh
+      row carries a higher ``gen`` and shadows its old one — the LSM
+      upsert shape, chosen over a tombstone log because the same doc
+      can be re-evaluated by MANY updates and an id-keyed tombstone
+      would also kill the replacement row).
+    - ``meta/``  (text_col, id_col, span_n, max_doc_id, n_updates).
+
+    ``update(delta, old_docs)`` needs the old TEXTS only for the
+    touched docs (a semi-join against the caller's corpus — the one
+    thing the index does not persist), mirroring
+    ``DedupIndex.update``'s contract."""
+
+    _META_SCHEMA = (
+        "text_col string, id_col string, span_n int, "
+        "max_doc_id bigint, n_updates int"
+    )
+    _SPAN_COLS = (
+        "id", "n_spans", "repeat_words", "max_span_words",
+        "max_span_start", "repeat_frac",
+    )
+
+    def __init__(self, spark, path: str, meta: dict) -> None:
+        self._spark = spark
+        self._path = path
+        self.meta = meta
+
+    # ------------------------------------------------------------- views
+
+    def postings(self) -> DataFrame:
+        return self._spark.read.parquet(f"{self._path}/postings")
+
+    def spans(self) -> DataFrame:
+        """Live per-doc repeated-span stats — last-wins over the
+        generation-stamped log, exactly
+        :func:`repeated_substring_spans` over everything indexed."""
+        log = self._spark.read.parquet(f"{self._path}/spans")
+        w = W.partitionBy("id").orderBy(F.col("gen").desc())
+        return (
+            log.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select(*self._SPAN_COLS)
+        )
+
+    # ------------------------------------------------------ construction
+
+    @staticmethod
+    def _pos(docs: DataFrame, text_col: str, id_col: str, span_n: int) -> DataFrame:
+        return docs.select(
+            F.col(id_col).alias("id"), normalized_words(text_col).alias("ws")
+        ).select(
+            "id",
+            F.size("ws").alias("n_words"),
+            F.posexplode(shingles(F.col("ws"), span_n)).alias("pos", "g"),
+        )
+
+    @classmethod
+    def build(
+        cls,
+        spark,
+        docs: DataFrame,
+        path: str,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        span_n: int = 8,
+    ) -> "RepeatIndex":
+        meta = {"text_col": text_col, "id_col": id_col, "span_n": span_n}
+        st = cls(spark, path, meta)
+        max_doc_id = docs.agg(F.max(id_col)).first()[0]
+        pos = cls._pos(docs, text_col, id_col, span_n)
+        pos.select("g", "id").distinct().write.mode("overwrite").parquet(
+            f"{path}/postings"
+        )
+        repeated_substring_spans(docs, text_col, id_col, span_n).withColumn(
+            "gen", F.lit(0)
+        ).write.mode("overwrite").parquet(f"{path}/spans")
+        meta["max_doc_id"] = -1 if max_doc_id is None else int(max_doc_id)
+        meta["n_updates"] = 0
+        st._write_meta()
+        return st
+
+    @classmethod
+    def load(cls, spark, path: str) -> "RepeatIndex":
+        return cls(spark, path, spark.read.parquet(f"{path}/meta").first().asDict())
+
+    def _write_meta(self) -> None:
+        m = self.meta
+        vals = tuple(m[f.split(" ")[0]] for f in self._META_SCHEMA.split(", "))
+        _single_partition_df(self._spark, [vals], self._META_SCHEMA).write.mode(
+            "overwrite"
+        ).parquet(f"{self._path}/meta")
+
+    # ------------------------------------------------------------ update
+
+    def update(self, delta_docs: DataFrame, old_docs: DataFrame) -> dict:
+        """Absorb a corpus delta; bounded by the delta plus the old
+        docs holding a gram the delta flipped to repeated. Raises if a
+        delta id is already indexed (id-disjointness contract —
+        re-ingesting a doc would double its postings; the check is a
+        delta-bounded semi-join over the stored postings, so it covers
+        every doc long enough to gram — a reingested sub-``span_n``
+        doc has no postings and no possible effect on any count).
+        → per-stage metrics."""
+        spark, p, m = self._spark, self._path, self.meta
+        span_n = m["span_n"]
+        bounds = delta_docs.agg(
+            F.min(m["id_col"]).alias("lo"), F.max(m["id_col"]).alias("hi")
+        ).first()
+        if bounds["lo"] is None:
+            return {"delta_rows": 0, "touched_old": 0, "spans_rewritten": 0}
+
+        dpos = self._pos(delta_docs, m["text_col"], m["id_col"], span_n)
+        d_post = dpos.select("g", "id").distinct().localCheckpoint()
+        stored = self.postings()
+        d_ids = delta_docs.select(F.col(m["id_col"]).alias("id")).distinct()
+        n_overlap = stored.join(F.broadcast(d_ids), "id", "left_semi").count()
+        if n_overlap:
+            raise ValueError(
+                "RepeatIndex.update: id-disjointness contract violated — "
+                f"{n_overlap} stored posting rows share ids with the delta; "
+                "re-ingesting an indexed doc would double its gram counts"
+            )
+
+        # stored counts restricted to the delta's grams (only they can
+        # flip) — broadcast semi-join, never a full-postings aggregate
+        d_grams = d_post.select("g").distinct()
+        c_old = (
+            stored.join(F.broadcast(d_grams), "g", "left_semi")
+            .groupBy("g")
+            .agg(F.count(F.lit(1)).alias("c_old"))
+        )
+        # flipped: stored count 1, any delta occurrence pushes it ≥ 2
+        flipped = c_old.filter(F.col("c_old") == 1).select("g")
+        touched = (
+            stored.join(F.broadcast(flipped), "g", "left_semi")
+            .select("id")
+            .distinct()
+            .localCheckpoint()
+        )
+        n_touched = touched.count()
+
+        # re-evaluate: delta docs + touched old docs, repeated status
+        # from MERGED counts restricted to the eval docs' grams
+        old_eval = old_docs.join(
+            touched.withColumnRenamed("id", m["id_col"]), m["id_col"], "left_semi"
+        )
+        eval_pos = dpos.unionByName(
+            self._pos(old_eval, m["text_col"], m["id_col"], span_n)
+        ).localCheckpoint(eager=False)
+        e_grams = eval_pos.select("g").distinct()
+        c_stored = (
+            stored.join(F.broadcast(e_grams), "g", "left_semi")
+            .groupBy("g")
+            .agg(F.count(F.lit(1)).alias("cs"))
+        )
+        c_delta = d_post.groupBy("g").agg(F.count(F.lit(1)).alias("cd"))
+        rep_g = (
+            c_stored.join(c_delta, "g", "full")
+            .filter(
+                F.coalesce("cs", F.lit(0)) + F.coalesce("cd", F.lit(0)) >= 2
+            )
+            .select("g")
+        )
+        shared = eval_pos.join(rep_g, "g").select("id", "n_words", "pos")
+        gen = int(m["n_updates"]) + 1
+        new_spans = (
+            _island_spans(shared, span_n)
+            .withColumn("gen", F.lit(gen))
+            .localCheckpoint()
+        )
+        n_spans = new_spans.count()
+
+        # persist: postings append; spans upsert via the higher-gen
+        # append (last-wins at read)
+        d_post.write.mode("append").parquet(f"{p}/postings")
+        new_spans.write.mode("append").parquet(f"{p}/spans")
+        m["max_doc_id"] = max(int(m["max_doc_id"]), int(bounds["hi"]))
+        m["n_updates"] = int(m["n_updates"]) + 1
+        self._write_meta()
+        return {
+            "delta_rows": int(delta_docs.count()),
+            "touched_old": int(n_touched),
+            "spans_rewritten": int(n_spans),
+        }
+
+    # ------------------------------------------------------------ compact
+
+    def compact(self, *, target_rows_per_file: int = 1 << 20) -> dict:
+        """Resolve the last-wins merge once (shadowed span rows
+        dropped, ``gen`` preserved so later updates still shadow
+        correctly) and re-layout both append logs — the same lifecycle
+        operation as ``CurationState.compact`` (views row-identical
+        before/after, later updates compose)."""
+        spark, p = self._spark, self._path
+        log = spark.read.parquet(f"{p}/spans")
+        w = W.partitionBy("id").orderBy(F.col("gen").desc())
+        resolved = (
+            log.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        out = {
+            "spans": _rewrite_parquet_dir(
+                spark, f"{p}/spans", resolved, target_rows_per_file
+            ),
+            "postings": _rewrite_parquet_dir(
+                spark, f"{p}/postings", self.postings(), target_rows_per_file
+            ),
+        }
+        return out
 
 
 def simhash16(col: Column | str) -> Column:

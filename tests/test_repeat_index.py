@@ -1,0 +1,141 @@
+"""RepeatIndex: the incremental exact-substring detector.
+
+The load-bearing assertion mirrors test_incremental.py / the t34
+pattern: ``build(base); update(delta)`` must equal
+``build(base ∪ delta)`` on the spans view — including the flip path
+(a delta doc repeating a passage that previously occurred in exactly
+ONE old doc must retroactively give that old doc spans) and repeated
+re-evaluation of the same old doc across chained updates (the
+generation-shadowing case a tombstone log would get wrong).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from conftest import SF_SMOKE
+from lp_etl_plugins_spark.textops import RepeatIndex, repeated_substring_spans
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select(
+        "doc_id", "text"
+    )
+
+
+def test_update_equals_rebuild_real_corpus(spark, tmp_path):
+    docs = _docs(spark)
+    idx = RepeatIndex.build(
+        spark, docs.filter("doc_id < 400"), str(tmp_path / "inc")
+    )
+    m = idx.update(docs.filter("doc_id >= 400"), old_docs=docs.filter("doc_id < 400"))
+    assert m["delta_rows"] > 0
+    want = _rows(repeated_substring_spans(docs, "text", "doc_id"))
+    assert want  # the corpus ships repeated passages
+    assert _rows(idx.spans()) == want
+    # cross-session: a fresh load serves the same view
+    assert _rows(RepeatIndex.load(spark, str(tmp_path / "inc")).spans()) == want
+
+
+_P = "alpha beta gamma delta epsilon zeta eta theta iota kappa"  # 10 words
+_Q = "lambda mu nu xi omicron pi rho sigma tau upsilon"
+
+
+def test_flip_path_and_chained_regen(spark, tmp_path):
+    """Doc 1 holds passage P alone (no spans). Delta doc 100 repeats P
+    → gram counts flip 1→2 and doc 1 must gain spans incrementally.
+    A second delta (doc 200, also with P) re-touches doc 1 — its
+    second re-evaluation must SHADOW the first, not vanish behind an
+    id-keyed tombstone. Both states equal full rebuilds."""
+    base = spark.createDataFrame(
+        [(1, _P + " one tail word here now ok"), (2, _Q + " other text")],
+        "doc_id long, text string",
+    )
+    d1 = spark.createDataFrame([(100, _P + " different ending")], "doc_id long, text string")
+    d2 = spark.createDataFrame([(200, _P + " third carrier")], "doc_id long, text string")
+    path = str(tmp_path / "inc")
+    idx = RepeatIndex.build(spark, base, path)
+    assert idx.spans().count() == 0  # nothing repeated yet
+
+    m1 = idx.update(d1, old_docs=base)
+    assert m1["touched_old"] == 1  # doc 1 re-evaluated
+    full1 = repeated_substring_spans(base.unionByName(d1), "text", "doc_id")
+    assert _rows(idx.spans()) == _rows(full1)
+    assert 1 in {r["id"] for r in idx.spans().collect()}
+
+    m2 = idx.update(d2, old_docs=base.unionByName(d1))
+    # P's grams are already repeated (count 2) — no flip, doc 1 is NOT
+    # touched again; only the delta doc is evaluated
+    assert m2["touched_old"] == 0
+    full2 = repeated_substring_spans(
+        base.unionByName(d1).unionByName(d2), "text", "doc_id"
+    )
+    assert _rows(idx.spans()) == _rows(full2)
+
+
+def test_regen_shadowing_on_retouched_doc(spark, tmp_path):
+    """A doc re-evaluated by TWO different updates (different flipped
+    grams each time) keeps exactly its latest row — the last-wins
+    merge the gen column exists for."""
+    base = spark.createDataFrame(
+        [(1, _P + " filler " + _Q), (2, "unrelated words entirely here today fine ok yes")],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "inc")
+    idx = RepeatIndex.build(spark, base, path)
+    d1 = spark.createDataFrame([(100, _P + " x")], "doc_id long, text string")
+    idx.update(d1, old_docs=base)
+    all1 = base.unionByName(d1)
+    d2 = spark.createDataFrame([(200, _Q + " y")], "doc_id long, text string")
+    m2 = idx.update(d2, old_docs=all1)
+    assert m2["touched_old"] == 1  # doc 1 re-touched via Q's flip
+    full = repeated_substring_spans(all1.unionByName(d2), "text", "doc_id")
+    assert _rows(idx.spans()) == _rows(full)
+    # the log holds multiple generations for doc 1; the view exactly one
+    log = spark.read.parquet(f"{path}/spans")
+    assert log.filter("id = 1").count() >= 2
+    assert idx.spans().filter("id = 1").count() == 1
+
+
+def test_compact_preserves_view_and_composes(spark, tmp_path):
+    docs = _docs(spark)
+    path = str(tmp_path / "inc")
+    idx = RepeatIndex.build(spark, docs.filter("doc_id < 300"), path)
+    idx.update(
+        docs.filter("doc_id >= 300 AND doc_id < 420"),
+        old_docs=docs.filter("doc_id < 300"),
+    )
+    before = _rows(idx.spans())
+    metrics = idx.compact()
+    assert metrics["spans"]["files_after"] == 1
+    assert metrics["postings"]["files_after"] == 1
+    assert _rows(idx.spans()) == before
+    # update after compaction still equals a rebuild
+    idx.update(docs.filter("doc_id >= 420"), old_docs=docs.filter("doc_id < 420"))
+    want = _rows(repeated_substring_spans(docs, "text", "doc_id"))
+    assert _rows(idx.spans()) == want
+
+
+def test_disjointness_contract_and_empty_delta(spark, tmp_path):
+    base = spark.createDataFrame([(5, _P)], "doc_id long, text string")
+    idx = RepeatIndex.build(spark, base, str(tmp_path / "inc"))
+    with pytest.raises(ValueError, match="disjointness"):
+        idx.update(
+            spark.createDataFrame([(5, _P)], "doc_id long, text string"),
+            old_docs=base,
+        )
+    # interleaved (non-monotone) NEW ids are legal — only overlap is not
+    lower = spark.createDataFrame([(3, _P + " again")], "doc_id long, text string")
+    idx.update(lower, old_docs=base)
+    full = repeated_substring_spans(
+        base.unionByName(lower), "text", "doc_id"
+    )
+    assert _rows(idx.spans()) == _rows(full)
+    m = idx.update(base.filter("doc_id < 0"), old_docs=base)
+    assert m == {"delta_rows": 0, "touched_old": 0, "spans_rewritten": 0}
+    assert idx.meta["n_updates"] == 1
