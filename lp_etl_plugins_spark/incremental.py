@@ -183,7 +183,7 @@ class CurationState:
         object's file listings are stale."""
         return T.DedupIndex.load(self._spark, f"{self._path}/index")
 
-    def check(self, *, index_stages: bool = True) -> dict:
+    def check(self, *, index_stages: bool = True, cooccupancy: bool = True) -> dict:
         """Integrity probe for the multi-file state — the operational
         answer to the non-atomicity seam :func:`foreach_batch_update`
         documents: a crash between :meth:`update`'s writes leaves a
@@ -201,13 +201,16 @@ class CurationState:
         - the meta counters match the recounted working set.
 
         With ``index_stages=True`` (default) the probe also verifies
-        the dedup-index substrates (band coverage, pairs ⊆ band
-        co-occupancy, verified ⊆ pairs, cluster-label domains). Note
-        the co-occupancy probe REPLAYS the band self-join — the same
-        cost class as pair mining itself, quadratic in a hot band
-        bucket — so it is NOT a small aggregate like the rest; pass
-        ``index_stages=False`` for the cheap substrate-consistency
-        probe alone (e.g. a post-crash triage before trusting views).
+        the dedup-index substrates (band coverage, verified ⊆ pairs,
+        cluster-label domains — each still one cheap aggregate) and,
+        with ``cooccupancy=True`` (default), that every mined pair
+        shares a band bucket. That last probe REPLAYS the band
+        self-join — the same cost class as pair mining itself,
+        quadratic in a hot band bucket — so it is NOT a small
+        aggregate like the rest: pass ``cooccupancy=False`` to keep
+        the cheap index probes in a post-crash triage (a torn update
+        shows up as band_missing / verified_not_in_pairs, which stay
+        on), or ``index_stages=False`` to skip the index entirely.
 
         → ``{"ok": bool, "violations": {name: count, ...}}`` with only
         nonzero counters listed. Read-only; run it after a suspected
@@ -294,23 +297,24 @@ class CurationState:
                 shingleable.join(b_ids, "doc_id", "left_anti").count(),
             )
             pairs = spark.read.parquet(f"{idx_path}/pairs")
-            cooc = (
-                bands.alias("x")
-                .join(
-                    bands.alias("y"),
-                    (F.col("x.band") == F.col("y.band"))
-                    & (F.col("x.key") == F.col("y.key"))
-                    & (F.col("x.id") < F.col("y.id")),
+            if cooccupancy:
+                cooc = (
+                    bands.alias("x")
+                    .join(
+                        bands.alias("y"),
+                        (F.col("x.band") == F.col("y.band"))
+                        & (F.col("x.key") == F.col("y.key"))
+                        & (F.col("x.id") < F.col("y.id")),
+                    )
+                    .select(
+                        F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b")
+                    )
+                    .distinct()
                 )
-                .select(
-                    F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b")
+                bad(
+                    "pairs_not_cooccupant",
+                    pairs.join(cooc, ["id_a", "id_b"], "left_anti").count(),
                 )
-                .distinct()
-            )
-            bad(
-                "pairs_not_cooccupant",
-                pairs.join(cooc, ["id_a", "id_b"], "left_anti").count(),
-            )
             verified = spark.read.parquet(f"{idx_path}/verified")
             bad(
                 "verified_not_in_pairs",

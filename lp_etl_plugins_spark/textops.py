@@ -846,7 +846,10 @@ class RepeatIndex:
       upsert shape, chosen over a tombstone log because the same doc
       can be re-evaluated by MANY updates and an id-keyed tombstone
       would also kill the replacement row).
-    - ``meta/``  (text_col, id_col, span_n, max_doc_id, n_updates).
+    - ``meta/``  (text_col, id_col, span_n, max_doc_id, n_updates);
+      ``max_doc_id`` is informational/reserved for a future streamed-
+      ingestion high-water guard — no RepeatIndex code path gates on
+      it (ids only need to be disjoint, not monotone).
 
     ``update(delta, old_docs)`` needs the old TEXTS only for the
     touched docs (a semi-join against the caller's corpus — the one
@@ -945,17 +948,29 @@ class RepeatIndex:
         → per-stage metrics."""
         spark, p, m = self._spark, self._path, self.meta
         span_n = m["span_n"]
+        # one delta pass for bounds + row count + the within-delta
+        # duplicate-id check (two texts under one id would merge their
+        # gram sets and tie the spans log at one generation)
         bounds = delta_docs.agg(
-            F.min(m["id_col"]).alias("lo"), F.max(m["id_col"]).alias("hi")
+            F.min(m["id_col"]).alias("lo"),
+            F.max(m["id_col"]).alias("hi"),
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct(m["id_col"]).alias("nd"),
         ).first()
         if bounds["lo"] is None:
             return {"delta_rows": 0, "touched_old": 0, "spans_rewritten": 0}
+        if int(bounds["nd"]) != int(bounds["n"]):
+            raise ValueError(
+                "RepeatIndex.update: delta contains duplicate ids "
+                f"({bounds['n']} rows, {bounds['nd']} distinct) — one row "
+                "per document id is required"
+            )
 
         dpos = self._pos(delta_docs, m["text_col"], m["id_col"], span_n)
         d_post = dpos.select("g", "id").distinct().localCheckpoint()
         stored = self.postings()
         d_ids = delta_docs.select(F.col(m["id_col"]).alias("id")).distinct()
-        n_overlap = stored.join(F.broadcast(d_ids), "id", "left_semi").count()
+        n_overlap = stored.join(d_ids, "id", "left_semi").count()
         if n_overlap:
             raise ValueError(
                 "RepeatIndex.update: id-disjointness contract violated — "
@@ -964,17 +979,21 @@ class RepeatIndex:
             )
 
         # stored counts restricted to the delta's grams (only they can
-        # flip) — broadcast semi-join, never a full-postings aggregate
+        # flip) — a semi-join, never a full-postings aggregate. No
+        # broadcast hints on these gram-STRING sets: they are
+        # delta-PROPORTIONAL (hundreds of millions of 8-word strings
+        # for a realistic daily delta), so AQE must stay free to pick
+        # a shuffle join when they outgrow broadcast size
         d_grams = d_post.select("g").distinct()
         c_old = (
-            stored.join(F.broadcast(d_grams), "g", "left_semi")
+            stored.join(d_grams, "g", "left_semi")
             .groupBy("g")
             .agg(F.count(F.lit(1)).alias("c_old"))
         )
         # flipped: stored count 1, any delta occurrence pushes it ≥ 2
         flipped = c_old.filter(F.col("c_old") == 1).select("g")
         touched = (
-            stored.join(F.broadcast(flipped), "g", "left_semi")
+            stored.join(flipped, "g", "left_semi")
             .select("id")
             .distinct()
             .localCheckpoint()
@@ -991,7 +1010,7 @@ class RepeatIndex:
         ).localCheckpoint(eager=False)
         e_grams = eval_pos.select("g").distinct()
         c_stored = (
-            stored.join(F.broadcast(e_grams), "g", "left_semi")
+            stored.join(e_grams, "g", "left_semi")
             .groupBy("g")
             .agg(F.count(F.lit(1)).alias("cs"))
         )
@@ -1020,7 +1039,7 @@ class RepeatIndex:
         m["n_updates"] = int(m["n_updates"]) + 1
         self._write_meta()
         return {
-            "delta_rows": int(delta_docs.count()),
+            "delta_rows": int(bounds["n"]),
             "touched_old": int(n_touched),
             "spans_rewritten": int(n_spans),
         }

@@ -1014,15 +1014,25 @@ def foreach_batch_add(spark, index_path: str):
         if b["hi"] is None:
             return
         if idx.max_id is None:
-            # no high-water mark (meta predates it, or the index was
-            # saved over an empty corpus): replay detection is
-            # impossible, and proceeding unguarded would duplicate
-            # rows on the first restart — refuse instead of silently
-            # breaking the documented at-least-once idempotence
+            # no high-water mark — refuse either way, with the cause:
+            # a meta predating the mark (re-save stamps it) makes
+            # replay detection impossible, and an index saved over an
+            # EMPTY corpus has untrained quantizers (nothing to encode
+            # a delta against — FAISS's add-before-train error); both
+            # would silently break the documented idempotence/serving
+            # contract if absorbed.
+            if idx.corpus_lists.first() is None:
+                raise ValueError(
+                    "foreach_batch_add: the saved index was built over an "
+                    "empty corpus (untrained quantizers) — build() over "
+                    "the first real corpus snapshot before attaching "
+                    "streamed ingestion"
+                )
             raise ValueError(
                 "foreach_batch_add: the saved index has no max_id "
-                "high-water mark — re-save() the index (which stamps "
-                "it) before attaching streamed ingestion"
+                "high-water mark (meta predates it) — re-save() the "
+                "index (which stamps it) before attaching streamed "
+                "ingestion"
             )
         if b["hi"] <= idx.max_id:
             return  # fully-replayed batch — already absorbed

@@ -23,9 +23,9 @@ def _rows(df):
 
 
 def _docs(spark):
-    return spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select(
-        "doc_id", "text"
-    )
+    from lp_etl_plugins_spark.inventory.textops import _docs as _inv_docs
+
+    return _inv_docs(spark, SF_SMOKE).select("doc_id", "text")
 
 
 def test_update_equals_rebuild_real_corpus(spark, tmp_path):
@@ -139,3 +139,10 @@ def test_disjointness_contract_and_empty_delta(spark, tmp_path):
     m = idx.update(base.filter("doc_id < 0"), old_docs=base)
     assert m == {"delta_rows": 0, "touched_old": 0, "spans_rewritten": 0}
     assert idx.meta["n_updates"] == 1
+    # within-delta duplicate ids would merge gram sets and tie the
+    # spans log at one generation — rejected up front
+    dup = spark.createDataFrame(
+        [(7, _P + " a"), (7, _Q + " b")], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="duplicate ids"):
+        idx.update(dup, old_docs=base)
