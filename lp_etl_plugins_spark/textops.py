@@ -847,9 +847,10 @@ class RepeatIndex:
       can be re-evaluated by MANY updates and an id-keyed tombstone
       would also kill the replacement row).
     - ``meta/``  (text_col, id_col, span_n, max_doc_id, n_updates);
-      ``max_doc_id`` is informational/reserved for a future streamed-
-      ingestion high-water guard — no RepeatIndex code path gates on
-      it (ids only need to be disjoint, not monotone).
+      batch ``update`` does not gate on ``max_doc_id`` (ids only need
+      to be disjoint, not monotone) — it is the replay high-water mark
+      for :meth:`foreach_batch_update`, whose streaming form imposes
+      the stricter monotone contract.
 
     ``update(delta, old_docs)`` needs the old TEXTS only for the
     touched docs (a semi-join against the caller's corpus — the one
@@ -1043,6 +1044,65 @@ class RepeatIndex:
             "touched_old": int(n_touched),
             "spans_rewritten": int(n_spans),
         }
+
+    # ---------------------------------------------------------- streaming
+
+    @classmethod
+    def foreach_batch_update(cls, spark, index_path: str, corpus_path: str):
+        """Structured-Streaming ingestion — the RepeatIndex member of
+        the family (`incremental.foreach_batch_update`,
+        `vectorops.foreach_batch_add`): a ``(batch_df, batch_id) ->
+        None`` function for ``writeStream.foreachBatch`` that appends
+        each micro-batch to the corpus parquet log at ``corpus_path``
+        AND absorbs it as one :meth:`update`. Because ``update`` needs
+        the old TEXTS of touched docs, the helper co-maintains the
+        corpus log the index was built from — pass the directory the
+        index's ``build`` corpus lives in.
+
+        The STREAMING form imposes the monotone-id contract (batch ids
+        strictly above ``meta.max_doc_id`` — this is what the
+        otherwise-informational counter is for): a fully replayed
+        batch is skipped idempotently, a straddling batch raises. The
+        corpus append runs FIRST and is itself replay-guarded against
+        the corpus max id, so the crash window between the two writes
+        (the engine's documented non-atomic seam) recovers on replay
+        instead of duplicating rows."""
+
+        def absorb(batch_df: "DataFrame", batch_id: int) -> None:
+            idx = cls.load(spark, index_path)
+            id_col = idx.meta["id_col"]
+            b = batch_df.agg(
+                F.min(id_col).alias("lo"), F.max(id_col).alias("hi")
+            ).first()
+            if b["hi"] is None:
+                return
+            if b["hi"] <= idx.meta["max_doc_id"]:
+                return  # fully-replayed batch — already absorbed
+            if b["lo"] <= idx.meta["max_doc_id"]:
+                raise ValueError(
+                    "RepeatIndex.foreach_batch_update: monotone-id contract "
+                    f"violated — batch ids straddle the indexed max "
+                    f"{idx.meta['max_doc_id']} (lo={b['lo']}, hi={b['hi']})"
+                )
+            corpus = spark.read.parquet(corpus_path)
+            c_hi = corpus.agg(F.max(id_col)).first()[0]
+            if c_hi is None or c_hi < b["lo"]:
+                batch_df.write.mode("append").parquet(corpus_path)
+            elif c_hi < b["hi"]:
+                raise ValueError(
+                    "RepeatIndex.foreach_batch_update: corpus log partially "
+                    f"overlaps the batch (corpus max {c_hi} inside "
+                    f"[{b['lo']}, {b['hi']}]) — torn corpus append; repair "
+                    "the corpus log before resuming"
+                )
+            # else: corpus already holds the whole batch (crash landed
+            # between the corpus append and the index update — recover
+            # by redoing only the index half)
+            idx.update(
+                batch_df, old_docs=corpus.filter(F.col(id_col) < b["lo"])
+            )
+
+        return absorb
 
     # ------------------------------------------------------------ compact
 

@@ -146,3 +146,64 @@ def test_disjointness_contract_and_empty_delta(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="duplicate ids"):
         idx.update(dup, old_docs=base)
+
+
+def test_streamed_ingestion_equals_batch(spark, tmp_path):
+    """Micro-batch ingestion through foreach_batch_update: two
+    monotone delta files drained oldest-first, each appended to the
+    co-maintained corpus log and absorbed as one update — the final
+    spans view must equal a from-scratch batch computation over
+    everything; a replayed batch is skipped idempotently and a
+    straddling batch raises."""
+    import os
+    import time
+
+    docs = _docs(spark)
+    hi = docs.agg(F.max("doc_id")).first()[0]
+    c1, c2 = (hi * 7) // 10, (hi * 85) // 100
+    corpus_dir = str(tmp_path / "corpus")
+    docs.filter(F.col("doc_id") <= c1).write.parquet(corpus_dir)
+    path = str(tmp_path / "inc")
+    RepeatIndex.build(spark, spark.read.parquet(corpus_dir), path)
+
+    stream_dir = tmp_path / "stream"
+    docs.filter((F.col("doc_id") > c1) & (F.col("doc_id") <= c2)).coalesce(
+        1
+    ).write.parquet(str(stream_dir / "d1"))
+    docs.filter(F.col("doc_id") > c2).coalesce(1).write.parquet(
+        str(stream_dir / "d2")
+    )
+    now = time.time()
+    for sub, age in (("d1", 120), ("d2", 60)):
+        for f in (stream_dir / sub).iterdir():
+            os.utime(f, (now - age, now - age))
+    absorb = RepeatIndex.foreach_batch_update(spark, path, corpus_dir)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(stream_dir / "*"))
+    )
+    q = stream.writeStream.foreachBatch(absorb).trigger(availableNow=True).option(
+        "checkpointLocation", str(tmp_path / "ckpt")
+    ).start()
+    q.awaitTermination(300)
+
+    idx = RepeatIndex.load(spark, path)
+    assert idx.meta["n_updates"] == 2
+    assert spark.read.parquet(corpus_dir).count() == docs.count()
+    want = _rows(repeated_substring_spans(docs, "text", "doc_id"))
+    assert _rows(idx.spans()) == want
+    # replay: a committed batch is a no-op for corpus AND index
+    absorb(docs.filter(F.col("doc_id") > c2), 99)
+    assert RepeatIndex.load(spark, path).meta["n_updates"] == 2
+    assert spark.read.parquet(corpus_dir).count() == docs.count()
+    # straddling batch raises
+    import pytest
+
+    strad = docs.filter(F.col("doc_id") == c2).unionByName(
+        docs.filter(F.col("doc_id") == hi).withColumn(
+            "doc_id", F.col("doc_id") + 1
+        )
+    )
+    with pytest.raises(ValueError, match="straddle"):
+        absorb(strad, 100)
