@@ -296,6 +296,13 @@ class CurationState:
                 "band_missing",
                 shingleable.join(b_ids, "doc_id", "left_anti").count(),
             )
+            # stage-subset saves (DedupIndex.save(stages=...)) or a
+            # torn write can leave pairs/verified absent — the probe
+            # must REPORT that, not crash on the read (it exists for
+            # post-crash triage)
+            if not T._parquet_dir_exists(f"{idx_path}/pairs"):
+                bad("index_stage_missing_pairs", 1)
+                return {"ok": not v, "violations": v}
             pairs = spark.read.parquet(f"{idx_path}/pairs")
             if cooccupancy:
                 cooc = (
@@ -315,6 +322,9 @@ class CurationState:
                     "pairs_not_cooccupant",
                     pairs.join(cooc, ["id_a", "id_b"], "left_anti").count(),
                 )
+            if not T._parquet_dir_exists(f"{idx_path}/verified"):
+                bad("index_stage_missing_verified", 1)
+                return {"ok": not v, "violations": v}
             verified = spark.read.parquet(f"{idx_path}/verified")
             bad(
                 "verified_not_in_pairs",

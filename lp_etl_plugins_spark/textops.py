@@ -1095,9 +1095,29 @@ class RepeatIndex:
                     f"[{b['lo']}, {b['hi']}]) — torn corpus append; repair "
                     "the corpus log before resuming"
                 )
-            # else: corpus already holds the whole batch (crash landed
-            # between the corpus append and the index update — recover
-            # by redoing only the index half)
+            else:
+                # corpus max covers the batch — but a torn MULTI-FILE
+                # append can commit the part-file holding the batch's
+                # max id while losing others, which satisfies
+                # c_hi >= hi with rows in [lo, hi] missing; skipping
+                # the append then silently breaks update == rebuild
+                # (touched-doc re-eval misses the lost texts). Verify
+                # completeness with one aggregate before trusting it.
+                n_disk = corpus.filter(
+                    F.col(id_col).between(int(b["lo"]), int(b["hi"]))
+                ).count()
+                n_batch = batch_df.count()
+                if n_disk != n_batch:
+                    raise ValueError(
+                        "RepeatIndex.foreach_batch_update: corpus log max "
+                        f"covers the batch but holds {n_disk} rows in "
+                        f"[{b['lo']}, {b['hi']}] vs the batch's {n_batch} "
+                        "— torn corpus append; repair the corpus log "
+                        "before resuming"
+                    )
+                # corpus holds the whole batch (crash landed between
+                # the corpus append and the index update — recover by
+                # redoing only the index half)
             idx.update(
                 batch_df, old_docs=corpus.filter(F.col(id_col) < b["lo"])
             )
@@ -1302,7 +1322,17 @@ def _rewrite_parquet_dir(
     """Replace ``path``'s parquet contents with ``frame`` laid out as
     ``ceil(rows / target_rows_per_file)`` files: write the new layout
     COMPLETELY into a sibling temp directory (this executes any read
-    of the old files), then swap via delete + rename. The frame is
+    of the old files), then swap via rename-aside — the old directory
+    is renamed to ``path.__old__`` BEFORE the new one is renamed in,
+    so a COMPLETE copy of the data exists on disk at every instant.
+    Crash contract: a crash during the new-layout write or before the
+    first rename leaves the old layout live (plus a temp dir); a
+    crash between the two renames leaves NO directory at ``path`` but
+    BOTH complete copies beside it — recovery is a single rename of
+    either surviving copy (``path.__compact__`` = new or
+    ``path.__old__`` = old) back to ``path``; a crash after the
+    second rename leaves the new layout live plus at most a leftover
+    ``.__old__`` dir, which the next rewrite clears. The frame is
     persisted (memory-and-disk, the maintenance-job norm) across the
     row count and the write so merge-on-read views (tombstone
     anti-joins) compute ONCE, not once per action. Returns
@@ -1322,8 +1352,11 @@ def _rewrite_parquet_dir(
     finally:
         frame.unpersist()
     files_before = _count_data_files(path)
-    shutil.rmtree(local)
+    old_aside = local + ".__old__"
+    shutil.rmtree(old_aside, ignore_errors=True)
+    os.rename(local, old_aside)
     os.rename(tmp, local)
+    shutil.rmtree(old_aside)
     return {
         "rows": int(n),
         "files_before": files_before,
@@ -1732,9 +1765,12 @@ class DedupIndex:
         frames (equality-tested in tests/test_dedup_index.py).
 
         Each stage is fully materialized into a sibling temp directory
-        BEFORE the original is replaced, so a crash mid-stage leaves
-        either the old or the new complete layout plus at most a
-        leftover temp dir; the swap itself (delete + rename) is the
+        BEFORE the original is replaced, and the swap renames the old
+        directory aside before renaming the new one in — a complete
+        copy exists on disk at every instant, and the one bad crash
+        window (between the two renames) recovers with a single
+        rename of either surviving copy (see
+        :func:`_rewrite_parquet_dir`'s crash contract). Still the
         same documented non-atomic seam as CurationState.update — a
         production deployment fronts these directories with a
         transactional table format. Any in-memory object over ``path``

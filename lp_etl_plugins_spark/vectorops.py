@@ -1004,7 +1004,12 @@ def foreach_batch_add(spark, index_path: str):
     would duplicate its list/code rows. The append itself is two
     parquet appends + a meta rewrite (non-atomic, the engine's
     documented seam; a transactional table format makes it a single
-    commit)."""
+    commit), and that seam is disk-guarded: before absorbing, the
+    on-disk ``corpus_lists`` max id is compared against the meta
+    stamp — rows beyond the stamp mean a prior append landed without
+    its meta rewrite, and the absorber re-stamps meta when the batch
+    is fully present (exact list/code row counts) or raises on a torn
+    partial append, never re-appends."""
 
     def absorb(batch_df: DataFrame, batch_id: int) -> None:
         idx = VectorIndex.load(spark, index_path)
@@ -1042,6 +1047,40 @@ def foreach_batch_add(spark, index_path: str):
                 f"ids straddle the saved high-water mark {idx.max_id} "
                 f"(lo={b['lo']}, hi={b['hi']}); re-appending part of a "
                 "batch would duplicate its rows"
+            )
+        # torn-append guard (the disk-side half of the high-water-mark
+        # contract, mirroring RepeatIndex.foreach_batch_update's corpus
+        # guard): append_saved writes corpus_lists, then codes, then
+        # meta — a crash before the meta rewrite leaves appended rows
+        # ABOVE the stamped max_id, and the replayed batch would pass
+        # the checks above and be appended AGAIN (duplicated list/code
+        # rows multiply ADC join contributions — silent rank
+        # corruption). Read the on-disk max id: if rows beyond the
+        # stamp exist, the previous append (partially) landed — repair
+        # by re-stamping meta when the batch is FULLY present (both
+        # stages, exact row counts), raise otherwise.
+        disk_hi = idx.corpus_lists.agg(F.max("id")).first()[0]
+        if disk_hi is not None and int(disk_hi) > idx.max_id:
+            n_batch = batch_df.count()
+            n_lists = idx.corpus_lists.filter(F.col("id") > idx.max_id).count()
+            n_codes = idx.codes.filter(
+                F.col("neighbor_id") > idx.max_id
+            ).count()
+            if (
+                int(disk_hi) == int(b["hi"])
+                and n_lists == n_batch
+                and n_codes == n_batch * int(idx._m)
+            ):
+                idx.max_id = int(disk_hi)
+                idx._write_meta(index_path)
+                return  # batch fully landed; only the meta stamp was lost
+            raise ValueError(
+                "foreach_batch_add: torn append detected — the saved "
+                f"index holds rows above its max_id stamp {idx.max_id} "
+                f"(disk max {disk_hi}; {n_lists} list rows / {n_codes} "
+                f"code rows beyond the stamp vs batch {n_batch} rows × "
+                f"m={idx._m}) but the batch is not fully present; repair "
+                "the index directory before resuming ingestion"
             )
         idx.update(batch_df)
         idx.append_saved(index_path)

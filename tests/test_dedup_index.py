@@ -432,3 +432,50 @@ def test_trigram_lm_load_pre_column_meta(spark, tmp_path):
         tuple(r) for r in re.score(docs.filter("id < 20")).collect()
     )
     assert got == want
+
+
+def test_compact_swap_crash_windows(spark, tmp_path):
+    """r7 ADVICE: the rewrite swap renames the OLD directory aside
+    before renaming the new one in, so a complete copy exists on disk
+    at every instant. A normal compact leaves neither temp nor
+    .__old__ dirs; a planted stale .__old__ dir is cleared; and the
+    one bad crash window (between the two renames) recovers with a
+    single rename of the surviving complete copy — simulated here."""
+    import os
+    import shutil
+
+    from lp_etl_plugins_spark.inventory.textops import _docs
+    from lp_etl_plugins_spark.textops import DedupIndex, _rewrite_parquet_dir
+
+    docs = _docs(spark, SF_SMOKE)
+    idx = DedupIndex(docs, "text", "doc_id")
+    path = str(tmp_path / "idx")
+    idx.save(path)
+    before = _stage_rows(DedupIndex.load(spark, path), "pairs")
+
+    # stale .__old__ from an interrupted earlier swap is cleared
+    stale = f"{path}/pairs.__old__"
+    os.makedirs(stale)
+    with open(os.path.join(stale, "junk"), "wb") as f:
+        f.write(b"x")
+    DedupIndex.compact(spark, path)
+    assert not os.path.exists(stale)
+    assert not [d for d in os.listdir(path)
+                if d.endswith((".__compact__", ".__old__"))]
+    assert _stage_rows(DedupIndex.load(spark, path), "pairs") == before
+
+    # crash between the renames: old aside, new still in the temp dir
+    # — BOTH complete; recovery is one rename of either copy
+    p = f"{path}/pairs"
+    shutil.copytree(p, p + ".__compact__")
+    os.rename(p, p + ".__old__")
+    assert not os.path.exists(p)
+    os.rename(p + ".__compact__", p)  # the documented single-rename
+    shutil.rmtree(p + ".__old__")
+    assert _stage_rows(DedupIndex.load(spark, path), "pairs") == before
+    # and a later compact over the recovered dir is clean
+    m = _rewrite_parquet_dir(
+        spark, p, spark.read.parquet(p), 1 << 20
+    )
+    assert m["files_after"] == 1
+    assert _stage_rows(DedupIndex.load(spark, path), "pairs") == before

@@ -559,3 +559,29 @@ def test_empty_delta_metrics_shape(spark, tmp_path):
         "n_working": st.meta["n_working"],
     }
     assert n_pairs > 0  # the crafted corpus ships contamination
+
+
+def test_check_reports_missing_index_stages(spark, tmp_path):
+    """r7 ADVICE: against an index directory holding only a stage
+    subset (DedupIndex.save(stages=...) or a torn write), the
+    integrity probe must REPORT the absent stages as violations —
+    not crash with an AnalysisException (it exists for post-crash
+    triage)."""
+    import shutil
+
+    docs = spark.createDataFrame(
+        _crafted_rows(), "doc_id long, source string, text string"
+    ).filter("doc_id < 100")
+    path = str(tmp_path / "inc")
+    st = CurationState.build(spark, docs, path, bench_source="bench")
+    assert st.check() == {"ok": True, "violations": {}}
+
+    shutil.rmtree(f"{path}/index/verified")
+    res = st.check()
+    assert not res["ok"]
+    assert res["violations"].get("index_stage_missing_verified") == 1
+
+    shutil.rmtree(f"{path}/index/pairs")
+    res = st.check(cooccupancy=False)
+    assert not res["ok"]
+    assert res["violations"].get("index_stage_missing_pairs") == 1

@@ -207,3 +207,38 @@ def test_streamed_ingestion_equals_batch(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="straddle"):
         absorb(strad, 100)
+
+
+def test_foreach_batch_update_detects_torn_multifile_corpus_append(
+    spark, tmp_path
+):
+    """r7 ADVICE: a torn MULTI-FILE corpus append can commit the
+    part-file holding the batch's max id while losing others — the
+    corpus max then covers the batch and the old guard skipped the
+    append, silently losing rows (update no longer equals rebuild).
+    The absorber must verify row-count completeness and raise."""
+    base = spark.createDataFrame(
+        [(1, _P + " one tail"), (2, _Q + " other text")],
+        "doc_id long, text string",
+    )
+    corpus_dir = str(tmp_path / "corpus")
+    base.write.parquet(corpus_dir)
+    path = str(tmp_path / "inc")
+    RepeatIndex.build(spark, spark.read.parquet(corpus_dir), path)
+
+    batch = spark.createDataFrame(
+        [(100, _P + " carrier a"), (101, _Q + " carrier b")],
+        "doc_id long, text string",
+    )
+    # tear: only the part-file with the max id (101) landed
+    batch.filter("doc_id = 101").write.mode("append").parquet(corpus_dir)
+    absorb = RepeatIndex.foreach_batch_update(spark, path, corpus_dir)
+    with pytest.raises(ValueError, match="torn corpus append"):
+        absorb(batch, 0)
+    # a FULLY landed corpus append (crash between corpus write and
+    # index update) still recovers by redoing only the index half
+    batch.filter("doc_id = 100").write.mode("append").parquet(corpus_dir)
+    absorb(batch, 0)
+    everything = base.unionByName(batch)
+    want = _rows(repeated_substring_spans(everything, "text", "doc_id"))
+    assert _rows(RepeatIndex.load(spark, path).spans()) == want

@@ -279,3 +279,61 @@ def test_foreach_batch_add_refuses_unknown_high_water_mark(spark, tmp_path):
     absorb = foreach_batch_add(spark, path)
     with pytest.raises(ValueError, match="high-water mark"):
         absorb(emb.filter(F.col("vec_id") % 2 == 1), 0)
+
+
+def test_foreach_batch_add_repairs_lost_meta_stamp(spark, tmp_path):
+    """Torn-append recovery (r7 ADVICE): append_saved writes
+    corpus_lists, then codes, then meta — a crash before the meta
+    rewrite leaves the appended rows ABOVE a stale max_id stamp, and
+    a naive replay would re-append them (duplicated rows silently
+    multiply ADC contributions). The absorber must read the on-disk
+    max id: a fully-landed batch is repaired by re-stamping meta (no
+    re-append); a partially-landed one raises."""
+    import pytest
+
+    from lp_etl_plugins_spark.textops import _single_partition_df
+    from lp_etl_plugins_spark.vectorops import foreach_batch_add
+
+    emb = IV._emb(spark, SF_SMOKE)
+    hi = emb.agg(F.max("vec_id")).first()[0]
+    c1, c2 = (hi * 7) // 10, (hi * 85) // 100
+    base = emb.filter(F.col("vec_id") <= c1)
+    d1 = emb.filter((F.col("vec_id") > c1) & (F.col("vec_id") <= c2))
+    d2 = emb.filter(F.col("vec_id") > c2)
+    path = str(tmp_path / "vindex")
+    VectorIndex(base).save(path)
+    base_hi = VectorIndex.load(spark, path).max_id
+
+    absorb = foreach_batch_add(spark, path)
+    absorb(d1, 0)  # full append incl. meta
+    n_lists = VectorIndex.load(spark, path).corpus_lists.count()
+
+    def _stamp_meta(max_id):
+        idx = VectorIndex.load(spark, path)
+        _single_partition_df(
+            spark,
+            [(idx._id_col, idx._vec_col, idx._m, idx._dims, max_id)],
+            VectorIndex._META_SCHEMA,
+        ).write.mode("overwrite").parquet(f"{path}/meta")
+
+    # simulate the crash: roll the meta stamp back to the pre-batch
+    # value — the appended d1 rows now sit above the stamp
+    _stamp_meta(base_hi)
+    absorb(d1, 1)  # replay of the "lost" batch
+    re = VectorIndex.load(spark, path)
+    assert re.corpus_lists.count() == n_lists  # NOT re-appended
+    assert re.max_id == d1.agg(F.max("vec_id")).first()[0]  # re-stamped
+    # and serving is uncorrupted: equals one clean batch path
+    probes = _probes(emb)
+    want = _rows(VectorIndex(base).update(d1.drop("label")).search(probes, 3, nprobe=2))
+    assert _rows(re.search(probes, 3, nprobe=2)) == want
+
+    # partial landing: only d2's corpus_lists rows hit disk (codes
+    # lost with the crash) — replay must refuse, not guess
+    live = VectorIndex.load(spark, path)
+    live.update(d2.drop("label"))
+    live._delta["corpus_lists"].write.mode("append").parquet(
+        f"{path}/corpus_lists"
+    )
+    with pytest.raises(ValueError, match="torn append"):
+        absorb(d2, 2)
