@@ -1,10 +1,28 @@
-"""Benchmark runner — prints ONE JSON line with per-query wall times.
+"""Benchmark runner — per-query wall times, truncation-proof emission.
 
 Runs the headline inventory queries at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]. Each query is fully
 materialized with a noop-format write so scan+shuffle+compute+serialize
 are all inside the clock — ``count()`` would let Catalyst prune
 projection-only expressions out of the measured plan.
+
+Output protocol (stdout), hardened against tail-window capture — six
+consecutive driver artifacts kept only the last ~2000 chars of output,
+head-truncating the single summary line once the surface outgrew it:
+
+1. one ``{"q": name, "s": secs}`` line per query, streamed as each
+   finishes — any capture window landing here holds complete rows;
+2. the full contract line
+   ``{"metric", "value", "unit", "queries": {...}, "sf"}`` (the
+   per-query map grew past any fixed tail window at 144 queries — the
+   line is kept for consumers that read the whole stream);
+3. LAST, a compact recovery line that always fits a 2000-char tail:
+   ``{"metric", "value", "unit", "sf", "n_queries", "qn_md5", "qv"}``
+   where ``qv`` lists the per-query seconds in sorted-name order and
+   ``qn_md5`` is md5 over the comma-joined sorted names — zip ``qv``
+   with ``sorted(inventory.all_queries())`` at the bench HEAD to
+   reconstruct the full map, and verify the name list against
+   ``qn_md5``.
 """
 
 from __future__ import annotations
@@ -51,11 +69,14 @@ def main() -> None:
     import gc
 
     timings: dict[str, float] = {}
-    for name in sorted(queries):
+    names = sorted(queries)
+    for name in names:
         fn = queries[name]
         t0 = time.perf_counter()
         _materialize(fn(spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 4)
+        # individually-parseable per-query row (see module docstring §1)
+        print(json.dumps({"q": name, "s": timings[name]}), flush=True)
         print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
         # drop references to the query's checkpoint/broadcast blocks so
         # the ContextCleaner frees them between queries instead of
@@ -64,6 +85,7 @@ def main() -> None:
 
     total = round(sum(timings.values()), 4)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     print(
         json.dumps(
             {
@@ -71,9 +93,27 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "sf": sf_val,
             }
         )
+    )
+    # compact recovery line, LAST so it survives any tail-window
+    # capture whole (see module docstring §3)
+    import hashlib
+
+    print(
+        json.dumps(
+            {
+                "metric": "inventory_total_wall",
+                "value": total,
+                "unit": "sec",
+                "sf": sf_val,
+                "n_queries": len(names),
+                "qn_md5": hashlib.md5(",".join(names).encode()).hexdigest(),
+                "qv": [timings[n] for n in names],
+            }
+        ),
+        flush=True,
     )
 
 

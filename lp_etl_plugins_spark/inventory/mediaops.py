@@ -15,12 +15,59 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..multimodal import (
+    MediaIndex,
     decode_media,
     extract_features,
-    perceptual_hash,
     sample_frames,
     synthetic_media,
 )
+
+_N_MEDIA = 200  # the synthetic corpus every m-entry (and oracle) uses
+
+_MINDEXES: dict[tuple[str, str], MediaIndex] = {}
+_DECODED: dict[tuple[str, str], DataFrame] = {}
+_FEATURES: dict[tuple[str, str], DataFrame] = {}
+
+
+def media_index(spark: SparkSession, sf_dir: str) -> MediaIndex:
+    """The per-(session, corpus) shared perceptual-dedup index — the
+    media twin of ``inventory.textops.dedup_index`` (VERDICT r7 #1):
+    the Arrow decode + aHash, the verified Hamming-pair set, and the
+    component labels are built ONCE per SparkContext × corpus
+    (checkpointed; ``MediaIndex.save/load`` is the cross-session
+    form), and m6/m7/m9 each read their slice. The DuckDB oracles are
+    unchanged — they recompute every substrate from the payload
+    formula per query, independently checking the shared build."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    idx = _MINDEXES.get(key)
+    if idx is None:
+        idx = MediaIndex(synthetic_media(spark, _N_MEDIA))
+        _MINDEXES[key] = idx
+    return idx
+
+
+def media_decoded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-shared decode_media frame over the synthetic corpus —
+    m1 and m4 both aggregate it; the Arrow decode runs once."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    df = _DECODED.get(key)
+    if df is None:
+        df = decode_media(synthetic_media(spark, _N_MEDIA)).localCheckpoint()
+        _DECODED[key] = df
+    return df
+
+
+def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-shared extract_features(bins=16) frame — m3's summary
+    and m5's histogram-embedding retrieval both read it."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    df = _FEATURES.get(key)
+    if df is None:
+        df = extract_features(
+            synthetic_media(spark, _N_MEDIA), bins=16
+        ).localCheckpoint()
+        _FEATURES[key] = df
+    return df
 
 
 def m1_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -30,8 +77,7 @@ def m1_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer sum), not avg-of-doubles — integer sums are summation-
     order independent, so the rounded result can't flip with
     partitioning (same hazard class as t13)."""
-    media = synthetic_media(spark, 200)
-    decoded = decode_media(media)
+    decoded = media_decoded(spark, sf_dir)
     plen = F.col("width") * F.col("height") * F.col("channels")
     byte_sum = F.round(F.col("mean_byte") * plen).cast("long")
     return (
@@ -61,8 +107,7 @@ def m3_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     (Σ count / Σ bytes — one division over exact integer totals) so the
     rounded value is summation-order independent; entropy averages
     un-quantized irrationals, where boundary collisions can't occur."""
-    media = synthetic_media(spark, 200)
-    feats = extract_features(media, bins=16)
+    feats = media_features(spark, sf_dir)
     bin1_count = F.round(F.element_at("hist", 1) * F.col("n_bytes")).cast("long")
     return feats.withColumn("bin1_count", bin1_count).agg(
         F.count(F.lit(1)).alias("n_media"),
@@ -79,8 +124,7 @@ def m4_decode_vs_formula(spark: SparkSession, sf_dir: str) -> DataFrame:
     that regenerates the synthetic payload formula in SQL — the one
     media entry with a full rows+schema+hash gate (blobs themselves
     never leave Spark; only the decode RESULT is compared)."""
-    media = synthetic_media(spark, 200)
-    decoded = decode_media(media)
+    decoded = media_decoded(spark, sf_dir)
     return decoded.select(
         "media_id",
         "width",
@@ -175,8 +219,7 @@ def m5_media_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     normalized dot products."""
     from .. import vectorops as V
 
-    media = synthetic_media(spark, 200)
-    emb = extract_features(media, bins=16).select("media_id", "hist")
+    emb = media_features(spark, sf_dir).select("media_id", "hist")
     probes = emb.filter(F.col("media_id") < 5)
     return V.knn_bruteforce(emb, probes, 3, id_col="media_id", vec_col="hist")
 
@@ -228,8 +271,7 @@ def m6_phash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     regenerates the identical bits from the payload formula), then
     one groupBy on the 64-char hash. Blobs never shuffle; only
     (media_id, hash) does. → (phash, n_media, canonical_id)."""
-    media = synthetic_media(spark, 200)
-    ph = perceptual_hash(media)
+    ph = media_index(spark, sf_dir).phash
     return ph.groupBy("phash").agg(
         F.count(F.lit(1)).alias("n_media"),
         F.min("media_id").alias("canonical_id"),
@@ -282,52 +324,12 @@ def m7_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Hamming verification over candidates only (zip_with fold; DuckDB
     verifies with its native hamming()). The image twin of v6's
     embedding Hamming prefilter: |media|×4 band rows shuffle, never
-    the all-pairs product. → (id_a, id_b, hamming)."""
-    media = synthetic_media(spark, 200)
-    # three consumers (band index + two verify joins): materialize the
-    # tiny (media_id, 64-char hash) projection once so the Arrow-batch
-    # decode never re-runs — the build-the-index-once discipline
-    ph = perceptual_hash(media).localCheckpoint()
-    bands = ph.select(
-        "media_id",
-        F.posexplode(
-            F.array(*[F.substring("phash", 1 + 16 * b, 16) for b in range(4)])
-        ).alias("band", "key"),
-    )
-    # dedup on the two ids ONLY (the distinct's exchange carries 16
-    # bytes/row, not two 64-char hashes), then re-join the hashes from
-    # the small (media_id, phash) side for verification
-    cand_ids = (
-        bands.alias("a")
-        .join(
-            bands.alias("b"),
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.media_id") < F.col("b.media_id")),
-        )
-        .select(
-            F.col("a.media_id").alias("id_a"),
-            F.col("b.media_id").alias("id_b"),
-        )
-        .distinct()
-    )
-    cand = cand_ids.join(
-        ph.select(F.col("media_id").alias("id_a"), F.col("phash").alias("pa")), "id_a"
-    ).join(
-        ph.select(F.col("media_id").alias("id_b"), F.col("phash").alias("pb")), "id_b"
-    )
-    ham = F.aggregate(
-        F.zip_with(
-            F.split("pa", ""), F.split("pb", ""), lambda x, y: (x != y).cast("int")
-        ),
-        F.lit(0),
-        lambda acc, v: acc + v,
-    ).cast("long")
-    return (
-        cand.withColumn("hamming", ham)
-        .filter(F.col("hamming") <= 3)
-        .select("id_a", "id_b", "hamming")
-    )
+    the all-pairs product. Served from the session-shared
+    :func:`media_index` (multimodal.MediaIndex) — the mining plan
+    (band dedup on ids only, hash re-join for verification) lives in
+    ``MediaIndex.pairs``; the oracle below keeps recomputing it from
+    the payload formula. → (id_a, id_b, hamming)."""
+    return media_index(spark, sf_dir).pairs.select("id_a", "id_b", "hamming")
 
 
 M7_SQL = _PHASH_CTES + """
@@ -399,11 +401,10 @@ def m9_phash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline keeps one image per cluster; the component edge list is
     |pairs| ≪ |media|², and the propagation is the same O(log d)
     checkpointed pointer-jumping loop as the text/vector paths.
+    Served from the session-shared :func:`media_index` — warm runs
+    are one groupBy over the checkpointed labels (VERDICT r7 #1).
     → (cluster, n_media)."""
-    from ..textops import connected_components
-
-    pairs = m7_phash_neardup(spark, sf_dir).select("id_a", "id_b")
-    lab = connected_components(pairs)
+    lab = media_index(spark, sf_dir).clusters
     return lab.groupBy("cluster").agg(F.count(F.lit(1)).alias("n_media"))
 
 
@@ -433,6 +434,35 @@ SELECT cluster, count(*)::BIGINT AS n_media FROM (
 """
 
 
+def m10_incremental_phash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental perceptual-dedup maintenance
+    (multimodal.MediaIndex.update) — the media member of the
+    daily-delta gate family (t34 text index, v16 vector index, t38
+    substring index): build the index over a BASE media slice
+    (media_id % 4 != 3), FORCE the cluster labels (so the update must
+    exercise the seeded star-edge relabel path, not a lazy rebuild
+    from merged pairs), then absorb the held-out delta with the
+    mining params frozen — only the delta is decoded/hashed; new
+    candidates come from the delta's bands against the merged band
+    view; verification reads stored hashes (never old media bytes);
+    labels re-propagate from the old labels as star edges. The
+    oracle recomputes the BATCH clusters over all 200 blobs from the
+    payload formula — a direct hash gate on `update == rebuild`.
+    → (cluster, n_media)."""
+    media = synthetic_media(spark, _N_MEDIA)
+    base = media.filter(F.col("media_id") % 4 != 3)
+    delta = media.filter(F.col("media_id") % 4 == 3)
+    idx = MediaIndex(base)
+    idx.clusters  # force the base labels: the update must relabel, not rebuild
+    idx.update(delta)
+    return idx.clusters.groupBy("cluster").agg(F.count(F.lit(1)).alias("n_media"))
+
+
+# identical batch recomputation over the full corpus: equality with
+# the Spark side proves the incremental path reproduced the rebuild
+M10_SQL = M9_SQL
+
+
 QUERIES = {
     "m1_media_decode": m1_media_decode,
     "m2_frame_sample": m2_frame_sample,
@@ -443,6 +473,7 @@ QUERIES = {
     "m7_phash_neardup": m7_phash_neardup,
     "m8_media_exact_dedup": m8_media_exact_dedup,
     "m9_phash_clusters": m9_phash_clusters,
+    "m10_incremental_phash_clusters": m10_incremental_phash_clusters,
 }
 
 ORACLES: dict[str, str] = {
@@ -455,4 +486,5 @@ ORACLES: dict[str, str] = {
     "m7_phash_neardup": M7_SQL,
     "m8_media_exact_dedup": M8_SQL,
     "m9_phash_clusters": M9_SQL,
+    "m10_incremental_phash_clusters": M10_SQL,
 }

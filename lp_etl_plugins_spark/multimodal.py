@@ -31,7 +31,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 MEDIA_SCHEMA = (
@@ -432,3 +432,334 @@ def sample_frames(df: DataFrame, frame_bytes: int = 64, every_n: int = 2) -> Dat
             yield pd.DataFrame({"media_id": ids, "frame_no": nos, "frame": frames})
 
     return df.mapInPandas(run, FRAME_SCHEMA)
+
+
+class MediaIndex:
+    """Build-once, share-everywhere perceptual-dedup index — the media
+    member of the engine's index family (textops.DedupIndex for text,
+    vectorops.VectorIndex for embeddings; reference parity target:
+    the m6/m7/m9 pipeline over `/root/reference` has no incremental
+    form at all — this is the engine's extension surface).
+
+    The image near-dup pipeline's expensive substrates — the
+    Arrow-batched decode + 64-bit aHash, the verified Hamming-≤R pair
+    set, and the connected-component cluster labels — are consumed by
+    several downstream operators (bucket rollups, near-dup pair
+    listings, cluster canonicalization). Rebuilding them per consumer
+    multiplies the decode cost, the dominant term at 100 TB of media.
+    This class materializes each stage ONCE (lazy build + pinned
+    localCheckpoint in-session; parquet via :meth:`save` across
+    sessions) and every consumer reads it.
+
+    Stage DAG: ``phash`` → ``pairs`` → ``clusters``; the band frame is
+    a four-substring VIEW of ``phash`` (recomputing it costs nothing
+    over the checkpointed hashes, so unlike DedupIndex.bands it is
+    never persisted).
+
+    Mining is the m7 design: ``n_bands`` bit-sampling LSH over the
+    64-bit hashes — by pigeonhole, any pair within Hamming ≤
+    (n_bands - 1) has at least one error-free band, so exact band
+    match is a GUARANTEED-recall candidate index at ``max_hamming`` ≤
+    n_bands - 1 — then exact Hamming verification over candidates
+    only. |media| × n_bands small rows shuffle; the all-pairs product
+    is never formed.
+
+    INCREMENTAL contract (the t34/v16/t38 pattern): the stored
+    ``phash`` rows are CONTENT-COMPLETE for verification — unlike
+    DedupIndex (which must re-read touched old documents' text),
+    Hamming verification needs only the two 64-bit hashes, both in
+    the index — so :meth:`update` never touches old media bytes at
+    all: the delta is decoded/hashed (the only Arrow stage), its
+    bands join the merged band view for new candidates (old×old pairs
+    cannot change), verification reads stored hashes, and cluster
+    labels re-propagate seeded from the old labels as star edges.
+    ``update(delta)`` equals ``build(old ∪ delta)`` stage-for-stage
+    (test-asserted; oracle-gated as m10)."""
+
+    _STAGES = ("phash", "pairs", "clusters")
+    _META_SCHEMA = (
+        "id_col string, n_bands int, max_hamming int, max_id bigint"
+    )
+
+    def __init__(
+        self,
+        media: DataFrame,
+        id_col: str = "media_id",
+        *,
+        n_bands: int = 4,
+        max_hamming: int = 3,
+    ) -> None:
+        if 64 % n_bands != 0:
+            raise ValueError(f"MediaIndex: n_bands={n_bands} must divide 64")
+        if max_hamming > n_bands - 1:
+            raise ValueError(
+                f"MediaIndex: max_hamming={max_hamming} breaks the pigeonhole "
+                f"recall guarantee for n_bands={n_bands} (need ≤ {n_bands - 1})"
+            )
+        self._df = media
+        self._id_col = id_col
+        self._n_bands = n_bands
+        self._max_hamming = max_hamming
+        for stage in self._STAGES:
+            setattr(self, f"_{stage}", None)
+        self.builds: dict[str, int] = dict.fromkeys(self._STAGES, 0)
+        self.updates = 0
+        self.max_id: int | None = None  # set by save()/load()/append_saved()
+
+    def _hash_media(self, media: DataFrame) -> DataFrame:
+        return perceptual_hash(
+            media.select(F.col(self._id_col).alias("media_id"), "data")
+        )
+
+    @property
+    def phash(self) -> DataFrame:
+        """(media_id, 64-char bit string) — the decoded fingerprint
+        substrate, the ONLY stage that touches media bytes. Eager
+        checkpoint: the pair mining self-joins the derived band view,
+        and a lazy checkpoint would run the Arrow decode twice."""
+        if self._phash is None:
+            if self._df is None:
+                raise ValueError(
+                    "MediaIndex.phash: a load()-ed index has no corpus to "
+                    "rebuild from — the stage directory is missing on disk"
+                )
+            self.builds["phash"] += 1
+            self._phash = self._hash_media(self._df).localCheckpoint()
+        return self._phash
+
+    def _band_view(self, ph: DataFrame) -> DataFrame:
+        """(media_id, band, key): the n_bands bit-sampling LSH keys —
+        a pure substring view over a hash frame, derived on demand."""
+        width = 64 // self._n_bands
+        return ph.select(
+            "media_id",
+            F.posexplode(
+                F.array(
+                    *[
+                        F.substring("phash", 1 + width * b, width)
+                        for b in range(self._n_bands)
+                    ]
+                )
+            ).alias("band", "key"),
+        )
+
+    @staticmethod
+    def _hamming() -> Column:
+        # identical expression to the m7 inventory entry (and its
+        # DuckDB hamming() twin), so index-served results hash-match
+        return F.aggregate(
+            F.zip_with(
+                F.split("pa", ""),
+                F.split("pb", ""),
+                lambda x, y: (x != y).cast("int"),
+            ),
+            F.lit(0),
+            lambda acc, v: acc + v,
+        ).cast("long")
+
+    def _verify(self, cand_ids: DataFrame, ph: DataFrame) -> DataFrame:
+        """Exact-Hamming verification of candidate id pairs against the
+        stored hashes → (id_a, id_b, hamming ≤ max_hamming)."""
+        cand = cand_ids.join(
+            ph.select(F.col("media_id").alias("id_a"), F.col("phash").alias("pa")),
+            "id_a",
+        ).join(
+            ph.select(F.col("media_id").alias("id_b"), F.col("phash").alias("pb")),
+            "id_b",
+        )
+        return (
+            cand.withColumn("hamming", self._hamming())
+            .filter(F.col("hamming") <= self._max_hamming)
+            .select("id_a", "id_b", "hamming")
+        )
+
+    @property
+    def pairs(self) -> DataFrame:
+        """Verified near-dup pairs (id_a < id_b, hamming ≤ R) — m7's
+        output, stored with the exact distance for rollups."""
+        if self._pairs is None:
+            self.builds["pairs"] += 1
+            bands = self._band_view(self.phash)
+            cand_ids = (
+                bands.alias("a")
+                .join(
+                    bands.alias("b"),
+                    (F.col("a.band") == F.col("b.band"))
+                    & (F.col("a.key") == F.col("b.key"))
+                    & (F.col("a.media_id") < F.col("b.media_id")),
+                )
+                .select(
+                    F.col("a.media_id").alias("id_a"),
+                    F.col("b.media_id").alias("id_b"),
+                )
+                .distinct()
+            )
+            self._pairs = self._verify(cand_ids, self.phash).localCheckpoint(
+                eager=False
+            )
+        return self._pairs
+
+    @property
+    def clusters(self) -> DataFrame:
+        """Connected-component labels (id, cluster = min member id)
+        over the verified pairs — the view a curation pipeline keeps
+        one image per; checkpointed by construction (every propagation
+        round of connected_components checkpoints)."""
+        if self._clusters is None:
+            from .textops import connected_components
+
+            self.builds["clusters"] += 1
+            self._clusters = connected_components(
+                self.pairs.select("id_a", "id_b")
+            )
+        return self._clusters
+
+    def update(self, new_media: DataFrame) -> "MediaIndex":
+        """Merge a media delta WITHOUT rebuilding — the daily-delta
+        pattern: only the delta is decoded/hashed (the one Arrow
+        stage); new candidate pairs come from the delta's bands joined
+        against the MERGED band view (old×old pairs cannot change);
+        verification reads stored hashes only — never old media bytes
+        (see class docstring: the phash stage is content-complete);
+        cluster labels re-propagate seeded from the old labels as
+        star edges (member → label), O(log delta-diameter) rounds over
+        |stars| + |new pairs| edges. Delta ids must be disjoint from
+        indexed ids (append-only contract — a re-ingested id would
+        duplicate its hash row). Mutates and returns ``self``;
+        ``update(delta)`` == ``build(old ∪ delta)`` stage-for-stage."""
+        from .textops import connected_components
+
+        old_ph = self.phash
+        old_pairs = self.pairs
+        new_ph = self._hash_media(new_media).localCheckpoint()
+        merged_ph = old_ph.unionByName(new_ph).localCheckpoint(eager=False)
+        cand_ids = (
+            self._band_view(new_ph)
+            .alias("a")
+            .join(
+                self._band_view(merged_ph).alias("b"),
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.key") == F.col("b.key"))
+                & (F.col("a.media_id") != F.col("b.media_id")),
+            )
+            .select(
+                F.least(F.col("a.media_id"), F.col("b.media_id")).alias("id_a"),
+                F.greatest(F.col("a.media_id"), F.col("b.media_id")).alias("id_b"),
+            )
+            .distinct()
+        )
+        new_pairs = self._verify(cand_ids, merged_ph).localCheckpoint(eager=False)
+        if self._clusters is not None:
+            stars = self._clusters.select(
+                F.col("id").alias("id_a"), F.col("cluster").alias("id_b")
+            )
+            self._clusters = connected_components(
+                stars.unionByName(new_pairs.select("id_a", "id_b"))
+            )
+        self._phash = merged_ph
+        self._pairs = old_pairs.unionByName(new_pairs).localCheckpoint(eager=False)
+        self._df = (
+            self._df.unionByName(
+                new_media.select(*self._df.columns), allowMissingColumns=True
+            )
+            if self._df is not None
+            else None
+        )
+        # kept for append_saved: phash/pairs are append-only (grow by
+        # exactly these rows); clusters is the one non-monotone stage
+        self._delta = {"phash": new_ph, "pairs": new_pairs}
+        self.updates += 1
+        return self
+
+    def save(self, path: str) -> None:
+        """Persist all stages + meta under ``path`` (forces any
+        not-yet-built stage) — the cross-session form. Meta records
+        the frozen mining params and the media-id high-water mark (the
+        idempotence anchor for streamed ingestion)."""
+        for stage in self._STAGES:
+            getattr(self, stage).write.mode("overwrite").parquet(f"{path}/{stage}")
+        hi = self.phash.agg(F.max("media_id")).first()[0]
+        self.max_id = None if hi is None else int(hi)
+        self._write_meta(path)
+
+    def _write_meta(self, path: str) -> None:
+        from .textops import _single_partition_df
+
+        spark = self.phash.sparkSession
+        _single_partition_df(
+            spark,
+            [(self._id_col, self._n_bands, self._max_hamming, self.max_id)],
+            self._META_SCHEMA,
+        ).write.mode("overwrite").parquet(f"{path}/meta")
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "MediaIndex":
+        """Re-open a :meth:`save`-d index: serves the parquet frames
+        directly (build counters stay 0, no media bytes needed — and
+        because the phash stage is content-complete, a loaded index
+        even absorbs :meth:`update` deltas without the old corpus)."""
+        idx = cls.__new__(cls)
+        idx._df = None
+        m = spark.read.parquet(f"{path}/meta").first()
+        idx._id_col = m["id_col"]
+        idx._n_bands = m["n_bands"]
+        idx._max_hamming = m["max_hamming"]
+        hi = m["max_id"]
+        idx.max_id = None if hi is None else int(hi)
+        for stage in cls._STAGES:
+            setattr(idx, f"_{stage}", spark.read.parquet(f"{path}/{stage}"))
+        idx.builds = dict.fromkeys(cls._STAGES, 0)
+        idx.updates = 0
+        return idx
+
+    def append_saved(self, path: str) -> None:
+        """Merge the LAST :meth:`update`'s delta into a :meth:`save`-d
+        directory WITHOUT rewriting the monotone stages: ``phash`` and
+        ``pairs`` grow by exactly the delta rows (O(delta) appends);
+        ``clusters`` is the one non-monotone stage (a delta bridge
+        relabels merged components) and is rewritten. Meta's
+        ``max_id`` high-water mark advances. The in-memory object is
+        STALE afterwards (its merged frames captured pre-append file
+        listings); re-``load`` to keep serving."""
+        if not getattr(self, "_delta", None):
+            raise ValueError(
+                "MediaIndex.append_saved: no update() delta to append — "
+                "call update(new_media) first"
+            )
+        # pairs first: its lazy plan reads the phash files it must
+        # materialize BEFORE those files gain appended rows
+        self._delta["pairs"].write.mode("append").parquet(f"{path}/pairs")
+        self._delta["phash"].write.mode("append").parquet(f"{path}/phash")
+        clusters = self.clusters.localCheckpoint()
+        clusters.write.mode("overwrite").parquet(f"{path}/clusters")
+        hi = self._delta["phash"].agg(F.max("media_id")).first()[0]
+        if hi is not None:
+            old = self.max_id
+            self.max_id = int(hi) if old is None else max(int(hi), int(old))
+        self._write_meta(path)
+        self._delta = None
+
+    @classmethod
+    def compact(
+        cls, spark: SparkSession, path: str, *, target_rows_per_file: int = 1 << 20
+    ) -> dict:
+        """Re-layout a :meth:`save`-d directory to size-targeted files
+        — same contract as DedupIndex/VectorIndex.compact: appends
+        leave O(updates) small files whose open/footer cost every
+        later read pays; all stages here are complete-on-disk (no
+        tombstones, clusters rewritten at append time), so this is a
+        pure file re-layout — a re-``load`` serves identical frames
+        (test-asserted). Meta untouched. In-memory objects over
+        ``path`` are STALE afterwards.
+        → ``{stage: {"rows", "files_before", "files_after"}}``."""
+        from .textops import _rewrite_parquet_dir
+
+        return {
+            stage: _rewrite_parquet_dir(
+                spark,
+                f"{path}/{stage}",
+                spark.read.parquet(f"{path}/{stage}"),
+                target_rows_per_file,
+            )
+            for stage in cls._STAGES
+        }

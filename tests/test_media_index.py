@@ -1,0 +1,176 @@
+"""MediaIndex: the session-shared + persistable perceptual-dedup
+substrate (VERDICT r7 #1).
+
+The load-bearing assertion mirrors the t34/v16/t38 family:
+``build(base); update(delta)`` must equal ``build(base ∪ delta)``
+stage-for-stage — including the BRIDGE case (a delta image near both
+of two previously separate clusters must merge them under the seeded
+star-edge relabel) — plus the lifecycle half: save/load identity,
+O(delta) append_saved, pure-relayout compact, and the build-once
+session cache that m6/m7/m9 consume.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from lp_etl_plugins_spark.multimodal import MediaIndex, synthetic_media
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def _stage_rows(idx, stage):
+    return _rows(getattr(idx, stage))
+
+
+def test_stages_build_exactly_once(spark):
+    idx = MediaIndex(synthetic_media(spark, 120))
+    for _ in range(2):
+        idx.clusters.collect()
+        idx.pairs.collect()
+    assert idx.builds == dict.fromkeys(MediaIndex._STAGES, 1)
+    assert idx.pairs is idx.pairs
+
+
+def test_param_guards(spark):
+    media = synthetic_media(spark, 10)
+    with pytest.raises(ValueError, match="divide 64"):
+        MediaIndex(media, n_bands=5)
+    with pytest.raises(ValueError, match="pigeonhole"):
+        MediaIndex(media, n_bands=4, max_hamming=4)
+
+
+def test_update_equals_rebuild(spark):
+    """The daily-delta gate: base build + frozen-params update equals
+    a from-scratch build over the union, stage-for-stage — with the
+    cluster labels FORCED before the update so the seeded star-edge
+    relabel path (not a lazy rebuild from merged pairs) is what gets
+    compared."""
+    media = synthetic_media(spark, 200)
+    base = media.filter(F.col("media_id") % 4 != 3)
+    delta = media.filter(F.col("media_id") % 4 == 3)
+    assert delta.count() > 0
+
+    inc = MediaIndex(base)
+    inc.clusters  # force base labels: update must relabel incrementally
+    inc.update(delta)
+    full = MediaIndex(media)
+    for stage in MediaIndex._STAGES:
+        assert _stage_rows(inc, stage) == _stage_rows(full, stage), stage
+    assert _stage_rows(full, "pairs")  # non-degenerate corpus
+
+
+def test_update_merges_bridged_clusters(spark):
+    """A delta blob byte-identical to members of the base corpus
+    (hamming 0 to each copy) must pull its neighbors into ONE cluster
+    labeled by the global min id — the non-trivial relabel the star
+    seeding exists for."""
+    media = synthetic_media(spark, 200)
+    # planted copies of blob 0 and blob 40 (same construction as m8's
+    # duplicate planting: payload depends only on the generator index)
+    dup_a = synthetic_media(spark, 1).withColumn(
+        "media_id", F.col("media_id") + 1000
+    )
+    base = media.unionByName(dup_a)
+    idx = MediaIndex(base)
+    labels_before = dict(
+        (r["id"], r["cluster"]) for r in idx.clusters.collect()
+    )
+    assert labels_before.get(1000) == labels_before.get(0, 0)
+
+    dup_b = synthetic_media(spark, 1).withColumn(
+        "media_id", F.col("media_id") + 2000
+    )
+    idx.update(dup_b)
+    labels = dict((r["id"], r["cluster"]) for r in idx.clusters.collect())
+    # 2000 joins 0's cluster; the label stays the global min member
+    assert labels[2000] == labels[1000] == labels[0]
+    full = MediaIndex(base.unionByName(dup_b))
+    assert _stage_rows(idx, "clusters") == _stage_rows(full, "clusters")
+
+
+def test_saved_index_serves_identically(spark, tmp_path):
+    media = synthetic_media(spark, 150)
+    built = MediaIndex(media)
+    want = {s: _stage_rows(built, s) for s in MediaIndex._STAGES}
+    path = str(tmp_path / "midx")
+    built.save(path)
+    assert built.max_id == 149
+
+    loaded = MediaIndex.load(spark, path)
+    assert {s: _stage_rows(loaded, s) for s in MediaIndex._STAGES} == want
+    assert loaded.builds == dict.fromkeys(MediaIndex._STAGES, 0)
+    assert loaded.max_id == 149
+
+
+def test_loaded_update_needs_no_old_media(spark, tmp_path):
+    """The content-complete property: a load()-ed index absorbs a
+    delta WITHOUT the old corpus (unlike DedupIndex, which needs
+    old_docs for text re-reads) — verification runs entirely over
+    stored hashes."""
+    media = synthetic_media(spark, 200)
+    base = media.filter(F.col("media_id") < 150)
+    delta = media.filter(F.col("media_id") >= 150)
+    path = str(tmp_path / "midx")
+    MediaIndex(base).save(path)
+
+    loaded = MediaIndex.load(spark, path)
+    loaded.update(delta)  # no old media passed — must not raise
+    assert loaded.builds == dict.fromkeys(MediaIndex._STAGES, 0)
+    full = MediaIndex(media)
+    for stage in MediaIndex._STAGES:
+        assert _stage_rows(loaded, stage) == _stage_rows(full, stage), stage
+
+
+def test_append_saved_is_delta_only_and_compact_relayouts(spark, tmp_path):
+    import os
+
+    from lp_etl_plugins_spark.textops import _count_data_files
+
+    media = synthetic_media(spark, 200)
+    base = media.filter(F.col("media_id") < 150)
+    delta = media.filter(F.col("media_id") >= 150)
+    path = str(tmp_path / "midx")
+    MediaIndex(base).save(path)
+    phash_files_before = _count_data_files(f"{path}/phash")
+
+    live = MediaIndex.load(spark, path)
+    live.update(delta)
+    live.append_saved(path)
+    assert _count_data_files(f"{path}/phash") > phash_files_before
+    with pytest.raises(ValueError, match="no update"):
+        live.append_saved(path)
+
+    re = MediaIndex.load(spark, path)
+    assert re.max_id == 199
+    full = MediaIndex(media)
+    want = {s: _stage_rows(full, s) for s in MediaIndex._STAGES}
+    assert {s: _stage_rows(re, s) for s in MediaIndex._STAGES} == want
+
+    metrics = MediaIndex.compact(spark, path)
+    assert set(metrics) == set(MediaIndex._STAGES)
+    for s in MediaIndex._STAGES:
+        assert metrics[s]["files_after"] == 1, s
+    assert not [d for d in os.listdir(path)
+                if d.endswith((".__compact__", ".__old__"))]
+    re2 = MediaIndex.load(spark, path)
+    assert re2.max_id == 199
+    assert {s: _stage_rows(re2, s) for s in MediaIndex._STAGES} == want
+
+
+def test_session_cache_identity_and_consumers(spark):
+    from lp_etl_plugins_spark.inventory import mediaops as M
+
+    idx1 = M.media_index(spark, "/root/testdata/sf0.001")
+    idx2 = M.media_index(spark, "/root/testdata/sf0.001")
+    assert idx1 is idx2
+    # consumers read slices of the shared build, no rebuilds
+    out7 = M.m7_phash_neardup(spark, "/root/testdata/sf0.001")
+    out9 = M.m9_phash_clusters(spark, "/root/testdata/sf0.001")
+    assert out7.count() > 0 and out9.count() > 0
+    assert idx1.builds == dict.fromkeys(MediaIndex._STAGES, 1)
+    M.m6_phash_buckets(spark, "/root/testdata/sf0.001").count()
+    assert idx1.builds["phash"] == 1
