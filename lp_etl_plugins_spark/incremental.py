@@ -657,8 +657,13 @@ class CurationState:
         for train deltas (test_new_benchmark_suite_delta and the
         bench_mask leg of the Hypothesis property test)."""
         spark, p, m = self._spark, self._path, self.meta
+        # one pass over the delta for cutoffs AND the row-count metric
+        # (it was a separate count() job; every action here is ~250
+        # small AQE stages of fixed scheduling cost — VERDICT r7 #2)
         bounds = delta_docs.agg(
-            F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
+            F.min("doc_id").alias("lo"),
+            F.max("doc_id").alias("hi"),
+            F.count(F.lit(1)).alias("n"),
         ).first()
         if bounds["lo"] is None:
             # same key set as the non-empty path: contam_pairs reports
@@ -679,11 +684,15 @@ class CurationState:
         # -- per-doc stages + exact dedup against the hash substrate
         d1 = self._exact_dedup(self._filtered(delta_docs))
         hashes = spark.read.parquet(f"{p}/hashes")
+        # lazy: the index update's band build is the next action and
+        # materializes this (and every later consumer reads the
+        # truncated lineage) — an eager checkpoint here was one more
+        # scheduled job for the same work
         new_indexed = (
             d1.withColumn("__h", F.md5("text"))
             .join(hashes, F.col("__h") == F.col("h"), "left_anti")
             .drop("__h")
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
 
         # -- near-dup index: banded delta join + star-seeded components
@@ -694,8 +703,15 @@ class CurationState:
 
         # -- canonical recompute over the clusters the delta touched
         new_ids = new_indexed.select("doc_id")
-        touched = vc.join(new_ids, "doc_id", "left_semi").select("cluster").distinct()
-        members = vc.join(touched, "cluster", "left_semi")
+        # no distinct: touched feeds a left_semi join only, which
+        # tolerates duplicate keys — the dedup shuffle bought nothing
+        touched = vc.join(new_ids, "doc_id", "left_semi").select("cluster")
+        # members and the winner set are each read by BOTH the adds and
+        # the retracts actions — lazy checkpoints so the window/join
+        # trees execute once, not once per consumer
+        members = vc.join(touched, "cluster", "left_semi").localCheckpoint(
+            eager=False
+        )
         texts = old_indexed.select("doc_id", "source", "text").unionByName(
             new_indexed.select("doc_id", "source", "text")
         )
@@ -712,28 +728,41 @@ class CurationState:
         singletons = new_indexed.select("doc_id", "source", "text").join(
             vc.select("doc_id"), "doc_id", "left_anti"
         )
-        new_canon = winners.unionByName(singletons)
+        new_canon = winners.unionByName(singletons).localCheckpoint(eager=False)
         old_live = self.working()
+        # lazy: the fused adds/retracts aggregate below is the
+        # materializing action for both frames
         adds = new_canon.join(
             old_live.select("doc_id"), "doc_id", "left_anti"
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
         # a previously tombstoned doc can never win again: clusters
         # only grow, and the member that displaced it stays a member
         retracts = (
             old_live.join(members.select("doc_id"), "doc_id", "left_semi")
             .join(new_canon.select("doc_id"), "doc_id", "left_anti")
             .select("doc_id", "source")
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         is_bench = (F.col("source") == m["bench_source"]).cast("bigint")
-        arow = adds.agg(
-            F.count(F.lit(1)).alias("n"), F.sum(is_bench).alias("nb")
-        ).first()
-        rrow = retracts.agg(
-            F.count(F.lit(1)).alias("n"), F.sum(is_bench).alias("nb")
-        ).first()
-        n_adds, n_retracts = int(arow["n"]), int(rrow["n"])
-        bench_delta = int(arow["nb"] or 0) - int(rrow["nb"] or 0)
+        # one fused job over the two checkpointed frames instead of two
+        # sibling aggregates
+        ar_rows = {
+            int(r["__add"]): r
+            for r in adds.select(F.lit(1).alias("__add"), is_bench.alias("__b"))
+            .unionByName(
+                retracts.select(F.lit(0).alias("__add"), is_bench.alias("__b"))
+            )
+            .groupBy("__add")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("__b").alias("nb"))
+            .collect()
+        }
+
+        def _cnt(side: int, field: str) -> int:
+            r = ar_rows.get(side)
+            return int(r[field] or 0) if r is not None else 0
+
+        n_adds, n_retracts = _cnt(1, "n"), _cnt(0, "n")
+        bench_delta = _cnt(1, "nb") - _cnt(0, "nb")
 
         # -- decontamination: delta-bounded candidate mine over the
         #    persisted gram index, exact w.r.t. the df cap's
@@ -751,31 +780,48 @@ class CurationState:
         g_old_live = g_all.join(
             tomb_old.withColumnRenamed("doc_id", "id"), "id", "left_anti"
         )
-        g_after = g_old_live.join(
-            retracts.withColumnRenamed("doc_id", "id"), "id", "left_anti"
+        # retraction-free fast path (the common daily delta): every
+        # retract-derived branch below is PROVABLY empty, so its joins
+        # and aggregations are dropped from the plans outright instead
+        # of scheduling empty stages — row-identical by construction
+        # (n_adds/n_retracts came from the checkpointed frames above)
+        no_retracts = n_retracts == 0
+        g_after = (
+            g_old_live
+            if no_retracts
+            else g_old_live.join(
+                retracts.withColumnRenamed("doc_id", "id"), "id", "left_anti"
+            )
         )
-        g_add = self._gram_frame(adds).localCheckpoint()
+        # lazy: materialized by the restricted/df jobs below, before
+        # any self-joining consumer
+        g_add = self._gram_frame(adds).localCheckpoint(eager=False)
         g_new = g_after.unionByName(g_add)
         n_working_new = m["n_working"] - n_retracts + n_adds
         cap_old = _df_cap(m["max_df"], m["max_df_frac"], max(m["n_working"], 1))
         cap_new = _df_cap(m["max_df"], m["max_df_frac"], max(n_working_new, 1))
         stored = self.contamination()
-        stored_ids = (
-            stored.select(F.col("train_id").alias("id"))
-            .unionByName(stored.select(F.col("bench_id").alias("id")))
-            .distinct()
+        # no distinct: consumed only through broadcast left_semi joins
+        # (duplicate ids are harmless there) and the pair set is small —
+        # dropping the dedup shuffle is free
+        stored_ids = stored.select(F.col("train_id").alias("id")).unionByName(
+            stored.select(F.col("bench_id").alias("id"))
         )
-        g_ret = g_old_live.join(
-            retracts.withColumnRenamed("doc_id", "id"), "id", "left_semi"
+        g_ret = (
+            None
+            if no_retracts
+            else g_old_live.join(
+                retracts.withColumnRenamed("doc_id", "id"), "id", "left_semi"
+            )
         )
         ch_add = g_add.groupBy("g").agg(F.count(F.lit(1)).alias("ca"))
-        ch_ret = g_ret.groupBy("g").agg(F.count(F.lit(1)).alias("cr"))
         if cap_new == cap_old:
             # restricted df: only grams whose allowed status can matter
+            restricted = g_add.select("g")
+            if g_ret is not None:
+                restricted = restricted.unionByName(g_ret.select("g"))
             restricted = (
-                g_add.select("g")
-                .unionByName(g_ret.select("g"))
-                .unionByName(
+                restricted.unionByName(
                     g_new.join(F.broadcast(stored_ids), "id", "left_semi").select("g")
                 )
                 .distinct()
@@ -789,16 +835,22 @@ class CurationState:
         else:
             restricted = None
             df_old = g_old_live.groupBy("g").agg(F.count(F.lit(1)).alias("df_o"))
+        df_new = df_old.join(ch_add, "g", "full")
+        if g_ret is not None:
+            ch_ret = g_ret.groupBy("g").agg(F.count(F.lit(1)).alias("cr"))
+            df_new = df_new.join(ch_ret, "g", "full")
         df_new = (
-            df_old.join(ch_add, "g", "full")
-            .join(ch_ret, "g", "full")
-            .select(
+            df_new.select(
                 "g",
                 "df_o",
                 (
                     F.coalesce("df_o", F.lit(0))
                     + F.coalesce("ca", F.lit(0))
-                    - F.coalesce("cr", F.lit(0))
+                    - (
+                        F.lit(0)
+                        if no_retracts
+                        else F.coalesce("cr", F.lit(0))
+                    )
                 ).alias("df_n"),
             )
             .filter(F.col("df_n") > 0)
@@ -807,12 +859,12 @@ class CurationState:
         allowed = df_new.filter(F.col("df_n") <= cap_new).select("g")
         # grams whose posting list crossed UNDER the cap (df shrank via
         # retraction, or the cap itself moved with the corpus size): a
-        # fresh rebuild would mine their FULL posting lists, so we must
-        flipped = (
-            df_new.filter(
-                (F.col("df_n") <= cap_new) & (F.col("df_o") > cap_old)
-            ).select("g")
-        )
+        # fresh rebuild would mine their FULL posting lists, so we must.
+        # Without retractions and with the cap unchanged, a flip is
+        # IMPOSSIBLE (dfs only grow: df_n >= df_o, so df_o > cap and
+        # df_n <= cap cannot both hold) — the whole posting re-mine
+        # branch is dropped statically, no runtime probe needed.
+        no_flips = no_retracts and cap_new == cap_old
         ga = g_add.join(F.broadcast(allowed), "g", "left_semi")
         # the allowed filter is a broadcast semi-join, so these are
         # scans of the stored index, never a corpus-extent shuffle
@@ -827,15 +879,26 @@ class CurationState:
             )
             .distinct()
         )
-        postings_f = (
-            g_new.join(F.broadcast(flipped), "g", "left_semi")
-            .groupBy("g")
-            .agg(F.sort_array(F.collect_list("id")).alias("ids"))
+        if no_flips:
+            cand = cand_delta
+        else:
+            flipped = (
+                df_new.filter(
+                    (F.col("df_n") <= cap_new) & (F.col("df_o") > cap_old)
+                ).select("g")
+            )
+            postings_f = (
+                g_new.join(F.broadcast(flipped), "g", "left_semi")
+                .groupBy("g")
+                .agg(F.sort_array(F.collect_list("id")).alias("ids"))
+            )
+            cand = cand_delta.unionByName(T.posting_pairs(postings_f)).distinct()
+        working_new = old_live.select("doc_id", "source", "text")
+        if not no_retracts:
+            working_new = working_new.join(retracts, "doc_id", "left_anti")
+        working_new = working_new.unionByName(
+            adds.select("doc_id", "source", "text")
         )
-        cand = cand_delta.unionByName(T.posting_pairs(postings_f)).distinct()
-        working_new = old_live.select("doc_id", "source", "text").join(
-            retracts, "doc_id", "left_anti"
-        ).unionByName(adds.select("doc_id", "source", "text"))
         flags = working_new.select(
             F.col("doc_id").alias("id"),
             (F.col("source") == m["bench_source"]).alias("__b"),
@@ -846,9 +909,10 @@ class CurationState:
             .filter(F.col("ba") != F.col("bb"))
             .drop("bb")
         )
+        # no distinct: left_semi consumer
         pair_ids = mixed.select(F.col("id_a").alias("doc_id")).unionByName(
             mixed.select(F.col("id_b").alias("doc_id"))
-        ).distinct()
+        )
         sets = T.hashed_gram_sets(
             working_new.join(pair_ids, "doc_id", "left_semi"),
             "text",
@@ -858,10 +922,18 @@ class CurationState:
         new_pairs = self._orient(
             T._containment_verified(mixed, sets, m["contain_threshold"])
         )
-        stored_live = stored.join(
-            retracts.withColumnRenamed("doc_id", "train_id"), "train_id", "left_anti"
-        ).join(
-            retracts.withColumnRenamed("doc_id", "bench_id"), "bench_id", "left_anti"
+        stored_live = (
+            stored
+            if no_retracts
+            else stored.join(
+                retracts.withColumnRenamed("doc_id", "train_id"),
+                "train_id",
+                "left_anti",
+            ).join(
+                retracts.withColumnRenamed("doc_id", "bench_id"),
+                "bench_id",
+                "left_anti",
+            )
         )
         # reachability recheck: a stored pair survives only if it still
         # shares an under-cap gram — a fresh rebuild would not even
@@ -876,20 +948,39 @@ class CurationState:
                 & (F.col("x.g") == F.col("y.g")),
             )
             .select("s.train_id", "s.bench_id")
-            .distinct()
+            # no distinct: left_semi consumer
         )
-        contam_final = (
-            stored_live.join(reach, ["train_id", "bench_id"], "left_semi")
-            .unionByName(new_pairs)
-            .dropDuplicates(["train_id", "bench_id"])
-            .localCheckpoint()
-        )
-        n_pairs_before = stored.count()
-        n_pairs_after = contam_final.count()
+        contam_final = stored_live.join(
+            reach, ["train_id", "bench_id"], "left_semi"
+        ).unionByName(new_pairs)
+        # duplicates are possible ONLY through the flipped-gram posting
+        # re-mine (a full posting list regenerates old×old pairs that
+        # may already be stored); with no_flips the union is provably
+        # disjoint — stored pairs reference previously-live docs on
+        # both sides while every new pair involves an added doc (adds =
+        # new_canon ∖ old_live), and cand_delta is already distinct —
+        # so the dedup shuffle is dropped from the plan
+        if not no_flips:
+            contam_final = contam_final.dropDuplicates(["train_id", "bench_id"])
+        # lazy: the fused count job below materializes it
+        contam_final = contam_final.localCheckpoint(eager=False)
         # all metrics read OLD state — computed before any file is
-        # appended (bench_delta came from the adds/retracts aggs above)
-        n_delta_rows = delta_docs.count()
-        n_new_indexed = new_indexed.count()
+        # appended (bench_delta came from the fused adds/retracts agg
+        # above, n_delta_rows from the bounds pass); the three frame
+        # counts fuse into ONE job over checkpointed/tiny frames
+        n_delta_rows = int(bounds["n"])
+        cnt_rows = {
+            r["__t"]: int(r["n"])
+            for r in stored.select(F.lit("sp").alias("__t"))
+            .unionByName(contam_final.select(F.lit("cf").alias("__t")))
+            .unionByName(new_indexed.select(F.lit("ni").alias("__t")))
+            .groupBy("__t")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        n_pairs_before = cnt_rows.get("sp", 0)
+        n_pairs_after = cnt_rows.get("cf", 0)
+        n_new_indexed = cnt_rows.get("ni", 0)
 
         # -- persist: index delta first (its lazy stages read the
         #    pre-append indexed/ and index/bands files), then the
@@ -919,7 +1010,7 @@ class CurationState:
             # (bench adds mine against the existing working set via
             # cand_delta, so previously clean train docs get flagged
             # without a rebuild — test_new_benchmark_suite_delta)
-            "bench_adds": int(arow["nb"] or 0),
+            "bench_adds": _cnt(1, "nb"),
             "contam_pairs": n_pairs_after,
             "contam_pairs_added": n_pairs_after - n_pairs_before,
             "n_working": n_working_new,

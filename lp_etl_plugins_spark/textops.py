@@ -1265,7 +1265,12 @@ def connected_components(
                 F.least("lbl", "j_lbl").alias("lbl"),
                 (F.col("chg") | (F.col("j_lbl") < F.col("lbl"))).alias("chg"),
             )
-            .localCheckpoint()
+            # LAZY checkpoint: the convergence agg below is the round's
+            # ONE action — it materializes the round's join DAG and
+            # checkpoints it in the same job (eager + separate agg was
+            # two scheduled jobs per round for the same work; the
+            # next round then reads the truncated lineage either way)
+            .localCheckpoint(eager=False)
         )
         changed = new_labels.agg(F.sum(F.col("chg").cast("int"))).first()[0] or 0
         labels = new_labels.drop("chg")
@@ -1662,10 +1667,11 @@ class DedupIndex:
             new_ids = new_docs.select(
                 F.col(self._id_col).alias("id")
             ).distinct()
+            # no distinct: consumed only through a left_semi join below,
+            # which tolerates duplicate keys
             touched_old = (
                 new_pairs.select(F.col("id_a").alias("id"))
                 .unionByName(new_pairs.select(F.col("id_b").alias("id")))
-                .distinct()
                 .join(new_ids, "id", "left_anti")
             )
             if old is None:
