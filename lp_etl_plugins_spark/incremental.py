@@ -395,9 +395,7 @@ class CurationState:
             spark, f"{p}/grams", live_grams, target_rows_per_file
         )
         # tombstones resolved into working/grams above — clear the log
-        T._single_partition_df(spark, [], _TOMB_SCHEMA).write.mode(
-            "overwrite"
-        ).parquet(f"{p}/tombstones")
+        T._write_control_parquet(f"{p}/tombstones", [], _TOMB_SCHEMA)
         out["tombstones"] = {"rows": 0, "files_before": None, "files_after": None}
         for sub in ("indexed", "hashes"):
             out[sub] = T._rewrite_parquet_dir(
@@ -511,9 +509,7 @@ class CurationState:
         )
         working.write.mode("overwrite").parquet(f"{path}/working")
         working = spark.read.parquet(f"{path}/working")
-        T._single_partition_df(spark, [], _TOMB_SCHEMA).write.mode(
-            "overwrite"
-        ).parquet(f"{path}/tombstones")
+        T._write_control_parquet(f"{path}/tombstones", [], _TOMB_SCHEMA)
         st._gram_frame(working).write.mode("overwrite").parquet(f"{path}/grams")
         wrow = working.agg(
             F.count(F.lit(1)).alias("nw"),
@@ -532,8 +528,7 @@ class CurationState:
 
     @classmethod
     def load(cls, spark: SparkSession, path: str) -> "CurationState":
-        row = spark.read.parquet(f"{path}/meta").first()
-        meta = row.asDict()
+        meta = T._read_control_row(f"{path}/meta")
         # states saved before the compaction lifecycle existed have no
         # n_compactions column; default it so the next _write_meta
         # (update/compact) doesn't KeyError mid-lifecycle
@@ -543,9 +538,7 @@ class CurationState:
     def _write_meta(self) -> None:
         m = self.meta
         vals = tuple(m[f.split(" ")[0]] for f in _META_SCHEMA.split(", "))
-        T._single_partition_df(self._spark, [vals], _META_SCHEMA).write.mode(
-            "overwrite"
-        ).parquet(f"{self._path}/meta")
+        T._write_control_parquet(f"{self._path}/meta", [vals], _META_SCHEMA)
 
     # ------------------------------------------------------ stage pieces
 

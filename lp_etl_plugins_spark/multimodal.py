@@ -683,14 +683,13 @@ class MediaIndex:
         self._write_meta(path)
 
     def _write_meta(self, path: str) -> None:
-        from .textops import _single_partition_df
+        from .textops import _write_control_parquet
 
-        spark = self.phash.sparkSession
-        _single_partition_df(
-            spark,
+        _write_control_parquet(
+            f"{path}/meta",
             [(self._id_col, self._n_bands, self._max_hamming, self.max_id)],
             self._META_SCHEMA,
-        ).write.mode("overwrite").parquet(f"{path}/meta")
+        )
 
     @classmethod
     def load(cls, spark: SparkSession, path: str) -> "MediaIndex":
@@ -700,7 +699,9 @@ class MediaIndex:
         even absorbs :meth:`update` deltas without the old corpus)."""
         idx = cls.__new__(cls)
         idx._df = None
-        m = spark.read.parquet(f"{path}/meta").first()
+        from .textops import _read_control_row
+
+        m = _read_control_row(f"{path}/meta")
         idx._id_col = m["id_col"]
         idx._n_bands = m["n_bands"]
         idx._max_hamming = m["max_hamming"]

@@ -927,14 +927,12 @@ class RepeatIndex:
 
     @classmethod
     def load(cls, spark, path: str) -> "RepeatIndex":
-        return cls(spark, path, spark.read.parquet(f"{path}/meta").first().asDict())
+        return cls(spark, path, _read_control_row(f"{path}/meta"))
 
     def _write_meta(self) -> None:
         m = self.meta
         vals = tuple(m[f.split(" ")[0]] for f in self._META_SCHEMA.split(", "))
-        _single_partition_df(self._spark, [vals], self._META_SCHEMA).write.mode(
-            "overwrite"
-        ).parquet(f"{self._path}/meta")
+        _write_control_parquet(f"{self._path}/meta", [vals], self._META_SCHEMA)
 
     # ------------------------------------------------------------ update
 
@@ -1303,6 +1301,75 @@ def _single_partition_df(spark, rows: list, schema: str) -> DataFrame:
     return spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
 
 
+def _write_control_parquet(path: str, rows: list, schema: str) -> None:
+    """Driver-side overwrite of a CONTROL-PLANE parquet directory (meta
+    rows, empty log initializers) via pyarrow — no Spark job at all.
+
+    The Spark path for a 1-row meta write costs a full scheduled job
+    (~0.4 s on local[32]: py4j round trips + task launch + commit
+    protocol) and the state-maintenance gates (t0/t34/t36/t38/v16)
+    each pay it up to three times. The bytes are the same parquet any
+    engine reads back (``spark.read.parquet`` infers the identical
+    schema from the footer; asserted by the round-trip tests that
+    cover every meta consumer). Driver-local filesystem only — the
+    same constraint as compaction's rename swap (:func:`_local_path`);
+    an object-store deployment fronts these directories with a table
+    format whose commit IS a metadata write."""
+    import os
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql.pandas.types import to_arrow_schema
+    from pyspark.sql.types import _parse_datatype_string
+
+    arrow_schema = to_arrow_schema(_parse_datatype_string(schema))
+    cols = [
+        [row[i] for row in rows] for i in range(len(arrow_schema.names))
+    ]
+    table = pa.Table.from_arrays(
+        [pa.array(c, type=f.type) for c, f in zip(cols, arrow_schema)],
+        schema=arrow_schema,
+    )
+    local = _local_path(path)
+    tmp = local + ".__meta__"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp)
+    pq.write_table(table, os.path.join(tmp, "part-00000.parquet"))
+    if os.path.isdir(local):
+        old = local + ".__old__"
+        shutil.rmtree(old, ignore_errors=True)
+        os.rename(local, old)
+        os.rename(tmp, local)
+        shutil.rmtree(old)
+    else:
+        os.rename(tmp, local)
+
+
+def _read_control_row(path: str) -> dict:
+    """Driver-side read of a 1-row control-plane parquet directory
+    (the meta tables every index family writes) via pyarrow — the
+    read twin of :func:`_write_control_parquet`: a Spark
+    ``read.parquet(...).first()`` costs a scheduled job (~0.2 s on
+    local[32]) per index ``load``, for one row of configuration.
+    Reads whatever engine wrote the files (Spark- and pyarrow-written
+    metas are both plain parquet). Returns the first row as a dict;
+    raises if the directory holds no rows."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    local = _local_path(path)
+    for root, _, files in os.walk(local):
+        for f in sorted(files):
+            if f.startswith(("_", ".")) or f.endswith(".crc"):
+                continue
+            t = pq.read_table(os.path.join(root, f))
+            if t.num_rows:
+                return {c: t.column(c)[0].as_py() for c in t.column_names}
+    raise ValueError(f"_read_control_row: no rows under {path}")
+
+
 def _parquet_dir_exists(path: str) -> bool:
     import os
 
@@ -1542,9 +1609,8 @@ class DedupIndex:
         where the corpus itself would be needed (bands/verified)."""
         for stage in stages or self._STAGES:
             getattr(self, stage).write.mode("overwrite").parquet(f"{path}/{stage}")
-        spark = self.bands.sparkSession
-        meta = _single_partition_df(
-            spark,
+        _write_control_parquet(
+            f"{path}/meta",
             [
                 (
                     self._text_col,
@@ -1559,7 +1625,6 @@ class DedupIndex:
             ],
             self._META_SCHEMA,
         )
-        meta.write.mode("overwrite").parquet(f"{path}/meta")
 
     @classmethod
     def load(cls, spark, path: str) -> "DedupIndex":
@@ -1570,7 +1635,7 @@ class DedupIndex:
         so the loaded index accepts :meth:`update` deltas."""
         idx = cls.__new__(cls)
         idx._df = None
-        m = spark.read.parquet(f"{path}/meta").first()
+        m = _read_control_row(f"{path}/meta")
         idx._text_col = m["text_col"]
         idx._id_col = m["id_col"]
         idx._shingle_n = m["shingle_n"]
@@ -2203,15 +2268,14 @@ class TrigramLM:
         ``DedupIndex.save``: train once per corpus snapshot, score
         from any session."""
         self.counts.write.mode("overwrite").parquet(f"{path}/counts")
-        spark = self.counts.sparkSession
         # column config persists alongside n (mirroring
         # DedupIndex._META_SCHEMA) so a model trained on nonstandard
         # column names scores/updates the right columns after load()
-        _single_partition_df(
-            spark,
+        _write_control_parquet(
+            f"{path}/meta",
             [(self._n, self._text_col, self._id_col)],
             "n int, text_col string, id_col string",
-        ).write.mode("overwrite").parquet(f"{path}/meta")
+        )
 
     @classmethod
     def load(cls, spark, path: str) -> "TrigramLM":
@@ -2220,11 +2284,11 @@ class TrigramLM:
         unavailable on a loaded model — pass the frame to score."""
         lm = cls.__new__(cls)
         lm._df = None
-        m = spark.read.parquet(f"{path}/meta").first()
+        m = _read_control_row(f"{path}/meta")
         # models saved before the meta gained column config (n-only
         # schema) fall back to the historical defaults
-        lm._text_col = m["text_col"] if "text_col" in m.__fields__ else "text"
-        lm._id_col = m["id_col"] if "id_col" in m.__fields__ else "id"
+        lm._text_col = m.get("text_col", "text")
+        lm._id_col = m.get("id_col", "id")
         lm._n = m["n"]
         lm._grams = None
         lm._checkpoint = True

@@ -899,15 +899,13 @@ class VectorIndex:
         self._write_meta(path)
 
     def _write_meta(self, path: str) -> None:
-        from .textops import _single_partition_df
+        from .textops import _write_control_parquet
 
-        spark = self.codes.sparkSession
-        meta = _single_partition_df(
-            spark,
+        _write_control_parquet(
+            f"{path}/meta",
             [(self._id_col, self._vec_col, self._m, self._dims, self.max_id)],
             self._META_SCHEMA,
         )
-        meta.write.mode("overwrite").parquet(f"{path}/meta")
 
     def append_saved(self, path: str) -> None:
         """Merge the LAST :meth:`update`'s delta into a :meth:`save`-d
@@ -972,14 +970,16 @@ class VectorIndex:
         idx = cls.__new__(cls)
         idx._df = None
         idx._seed_col = None
-        m = spark.read.parquet(f"{path}/meta").first()
+        from .textops import _read_control_row
+
+        m = _read_control_row(f"{path}/meta")
         idx._id_col = m["id_col"]
         idx._vec_col = m["vec_col"]
         idx._m = m["m"]
         idx._dims = m["dims"]
         # meta written before the high-water mark existed loads as
         # unknown (None) — the first save()/append_saved() stamps it
-        hi = m["max_id"] if "max_id" in m.__fields__ else None
+        hi = m.get("max_id")
         idx.max_id = None if hi is None else int(hi)
         for stage in cls._STAGES:
             setattr(idx, f"_{stage}", spark.read.parquet(f"{path}/{stage}"))
