@@ -1,0 +1,138 @@
+"""maintenance.vacuum — the one-call nightly sweep (VERDICT r7 #5).
+
+One test corrupts one stage of EACH index family and shows the single
+vacuum call catching all of them; one test exercises the threshold
+compaction policy (healthy + fragmented → compacted; healthy + tidy →
+untouched; unhealthy → never compacted by default).
+"""
+
+from __future__ import annotations
+
+from conftest import SF_SMOKE
+from pyspark.sql import functions as F
+
+from lp_etl_plugins_spark import maintenance as M
+from lp_etl_plugins_spark.multimodal import MediaIndex, synthetic_media
+from lp_etl_plugins_spark.textops import DedupIndex, RepeatIndex
+from lp_etl_plugins_spark.vectorops import VectorIndex
+
+
+def _build_all(spark, tmp_path):
+    from lp_etl_plugins_spark.incremental import CurationState
+    from lp_etl_plugins_spark.inventory.textops import _docs
+    from lp_etl_plugins_spark.inventory.vectorops import _emb
+
+    docs = _docs(spark, SF_SMOKE).select("doc_id", "source", "text")
+    paths = {}
+    paths["CurationState"] = str(tmp_path / "state")
+    CurationState.build(spark, docs.filter("doc_id < 250"), paths["CurationState"])
+    paths["DedupIndex"] = str(tmp_path / "didx")
+    DedupIndex(docs.filter("doc_id < 250"), "text", "doc_id").save(
+        paths["DedupIndex"]
+    )
+    paths["RepeatIndex"] = str(tmp_path / "ridx")
+    RepeatIndex.build(spark, docs.filter("doc_id < 250"), paths["RepeatIndex"])
+    paths["VectorIndex"] = str(tmp_path / "vidx")
+    VectorIndex(_emb(spark, SF_SMOKE)).save(paths["VectorIndex"])
+    paths["MediaIndex"] = str(tmp_path / "midx")
+    MediaIndex(synthetic_media(spark, 120)).save(paths["MediaIndex"])
+    return paths
+
+
+def test_vacuum_detects_families_and_catches_corruption(spark, tmp_path):
+    paths = _build_all(spark, tmp_path)
+
+    report = {
+        r["path"]: r
+        for r in M.vacuum(spark, list(paths.values())).collect()
+    }
+    for family, p in paths.items():
+        assert report[p]["family"] == family, (family, report[p])
+        assert report[p]["ok"], (family, report[p]["violations"])
+
+    # corrupt ONE stage of each family
+    # CurationState: tombstone naming a doc never in the working log
+    spark.createDataFrame([(999999,)], "doc_id bigint").write.mode(
+        "append"
+    ).parquet(f"{paths['CurationState']}/tombstones")
+    # DedupIndex: fabricated verified row with no backing pair
+    spark.createDataFrame(
+        [(1, 999998, 0.9)], "id_a bigint, id_b bigint, jaccard double"
+    ).write.mode("append").parquet(f"{paths['DedupIndex']}/verified")
+    # RepeatIndex: span row beyond the indexed high-water mark
+    spark.read.parquet(f"{paths['RepeatIndex']}/spans").limit(1).withColumn(
+        "id", F.lit(999997).cast("long")
+    ).write.mode("append").parquet(f"{paths['RepeatIndex']}/spans")
+    # VectorIndex: code rows for an id not in corpus_lists
+    spark.read.parquet(f"{paths['VectorIndex']}/codes").limit(4).withColumn(
+        "neighbor_id", F.lit(999996).cast("long")
+    ).write.mode("append").parquet(f"{paths['VectorIndex']}/codes")
+    # MediaIndex: pair referencing an unhashed id
+    spark.createDataFrame(
+        [(0, 999995, 0)], "id_a bigint, id_b bigint, hamming bigint"
+    ).write.mode("append").parquet(f"{paths['MediaIndex']}/pairs")
+
+    report = {
+        r["path"]: r
+        for r in M.vacuum(spark, list(paths.values())).collect()
+    }
+    want = {
+        "CurationState": "tombstone_not_in_working_log",
+        "DedupIndex": "verified_not_in_pairs",
+        "RepeatIndex": "spans_beyond_max_doc",
+        "VectorIndex": "code_orphans",
+        "MediaIndex": "pair_endpoint_unhashed",
+    }
+    for family, p in paths.items():
+        assert not report[p]["ok"], family
+        assert want[family] in report[p]["violations"], (
+            family,
+            report[p]["violations"],
+        )
+    # nothing was compacted while unhealthy
+    assert not any(r["compacted"] for r in report.values())
+
+    # unknown path reports, never raises
+    stray = str(tmp_path / "not_an_index")
+    (tmp_path / "not_an_index").mkdir()
+    row = M.vacuum(spark, [stray]).collect()[0]
+    assert row["family"] == "unknown" and not row["ok"]
+
+
+def test_vacuum_threshold_compaction_policy(spark, tmp_path):
+    """Healthy + fragmented past the threshold → compacted (and still
+    healthy, fewer files); healthy + under threshold → untouched."""
+    media = synthetic_media(spark, 200)
+    base = media.filter(F.col("media_id") < 150)
+    path = str(tmp_path / "midx")
+    MediaIndex(base).save(path)
+    # fragment the monotone stages with two O(delta) appends
+    for lo, hi in ((150, 175), (175, 200)):
+        live = MediaIndex.load(spark, path)
+        live.update(
+            media.filter(
+                (F.col("media_id") >= lo) & (F.col("media_id") < hi)
+            )
+        )
+        live.append_saved(path)
+
+    from lp_etl_plugins_spark.textops import _count_data_files
+
+    frag = _count_data_files(f"{path}/phash")
+    assert frag >= 3
+
+    # threshold above the fragmentation: untouched
+    row = M.vacuum(spark, [path], max_files_per_substrate=1000).collect()[0]
+    assert row["ok"] and not row["compacted"]
+    assert _count_data_files(f"{path}/phash") == frag
+
+    # threshold below: compacted, healthy, single-file stages
+    row = M.vacuum(spark, [path], max_files_per_substrate=2).collect()[0]
+    assert row["ok"] and row["compacted"]
+    assert row["max_files_after"] <= row["max_files_before"]
+    assert _count_data_files(f"{path}/phash") == 1
+    # and the compacted index still serves identically
+    full = MediaIndex(media)
+    re = MediaIndex.load(spark, path)
+    want = sorted(tuple(r) for r in full.clusters.collect())
+    assert sorted(tuple(r) for r in re.clusters.collect()) == want
