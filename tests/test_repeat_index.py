@@ -242,3 +242,61 @@ def test_foreach_batch_update_detects_torn_multifile_corpus_append(
     everything = base.unionByName(batch)
     want = _rows(repeated_substring_spans(everything, "text", "doc_id"))
     assert _rows(RepeatIndex.load(spark, path).spans()) == want
+
+
+# -- property: incremental == full rebuild on random corpora ------------
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_W = ["kestrel", "bramble", "cobalt", "fathom", "girder", "hollow", "ingot", "jasper"]
+_text = st.lists(st.sampled_from(_W), min_size=1, max_size=12).map(" ".join)
+
+
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    texts=st.lists(_text, min_size=5, max_size=18),
+    cuts=st.tuples(
+        st.floats(min_value=0.2, max_value=0.9),
+        st.floats(min_value=0.2, max_value=0.9),
+    ),
+)
+def test_repeat_update_equals_rebuild_property(spark, texts, cuts):
+    """VERDICT r7 #8 — the RepeatIndex twin of the CurationState
+    property: random tiny-vocab corpora with random disjoint splits
+    (and a CHAINED second delta) force what the crafted flip/
+    shadowing/chained-regen examples can't enumerate — several grams
+    flipping 1→2 at once, a delta doc re-touching an old doc across
+    both updates (generation shadowing), docs too short to gram, and
+    empty deltas. span_n=4 over 1–12-word docs from an 8-word vocab
+    makes repeated 4-grams dense enough that most examples exercise
+    real flips. The invariant is the class's headline:
+    ``build(base); update(d1); update(d2)`` equals
+    ``build(base ∪ d1 ∪ d2)`` on the spans view (and the postings
+    stage, which the spans derive from)."""
+    import shutil
+    import tempfile
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    c1, c2 = sorted(int(len(rows) * f) for f in cuts)
+    c1 = max(c1, 1)  # build needs a non-empty base
+    c2 = max(c2, c1)
+    base = docs.filter(F.col("doc_id") < c1)
+    d1 = docs.filter((F.col("doc_id") >= c1) & (F.col("doc_id") < c2))
+    d2 = docs.filter(F.col("doc_id") >= c2)
+    tmp = tempfile.mkdtemp(prefix="propridx_")
+    full_tmp = tempfile.mkdtemp(prefix="propridxf_")
+    try:
+        idx = RepeatIndex.build(spark, base, tmp, span_n=4)
+        idx.update(d1, old_docs=base)
+        idx.update(d2, old_docs=docs.filter(F.col("doc_id") < c2))
+        full = RepeatIndex.build(spark, docs, full_tmp, span_n=4)
+        assert _rows(idx.spans()) == _rows(full.spans())
+        assert _rows(idx.postings()) == _rows(full.postings())
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(full_tmp, ignore_errors=True)
