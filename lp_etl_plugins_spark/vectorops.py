@@ -35,6 +35,7 @@ __all__ = [
     "unit_normalize",
     "norm",
     "knn_bruteforce",
+    "knn_bruteforce_l2",
     "sign_bucket",
     "pack_sign_bits",
     "hamming",
@@ -149,6 +150,49 @@ def knn_bruteforce(
     )
     return _cosine_topk(
         c.join(F.broadcast(p), F.col("probe_id") != F.col("neighbor_id")), k
+    )
+
+
+def knn_bruteforce_l2(
+    embeddings: DataFrame,
+    probes: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Exact top-k by SQUARED L2 distance — the ground-truth baseline
+    for the L2-metric ANN family (PQ/IVF-PQ ADC, VectorIndex serving),
+    as :func:`knn_bruteforce` is for the cosine family: recall@k of a
+    compressed variant is only meaningful against an exact ranking
+    under the SAME metric. Same broadcast contract as the cosine
+    brute force (probes broadcast-sized; the corpus never shuffles).
+    Ties on (dist2 asc, neighbor_id) over the 1e-6-rounded grid.
+    → (probe_id, neighbor_id, dist2, rank ≤ k)."""
+    p = probes.select(
+        F.col(id_col).alias("probe_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("pv"),
+    )
+    c = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("cv"),
+    )
+    pairs = c.join(F.broadcast(p), F.col("probe_id") != F.col("neighbor_id"))
+    if not exclude_self:
+        pairs = c.crossJoin(F.broadcast(p))
+    d2 = F.round(
+        F.aggregate(
+            F.zip_with("pv", "cv", lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    )
+    win = W.partitionBy("probe_id").orderBy(F.col("dist2"), F.col("neighbor_id"))
+    return (
+        pairs.select("probe_id", "neighbor_id", d2.alias("dist2"))
+        .withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= k)
     )
 
 
