@@ -78,8 +78,8 @@ _META_SCHEMA = (
     "lang string, min_quality double, bench_source string, redact boolean, "
     "denylist string, shingle_n int, k int, bands int, rows int, "
     "jaccard_threshold double, gram_n int, max_df_frac double, max_df int, "
-    "contain_threshold double, max_doc_id bigint, n_working bigint, "
-    "n_bench bigint, n_updates int, n_compactions int"
+    "contain_threshold double, max_band_size int, max_doc_id bigint, "
+    "n_working bigint, n_bench bigint, n_updates int, n_compactions int"
 )
 _TOMB_SCHEMA = "doc_id bigint"
 _GRAM_SCHEMA = "id bigint, g bigint"
@@ -459,6 +459,7 @@ class CurationState:
         max_df_frac: float = 0.05,
         max_df: int = 64,
         contain_threshold: float = 0.8,
+        max_band_size: int | None = None,
     ) -> "CurationState":
         """Run the full pipeline over ``docs`` (columns doc_id, source,
         text; extra columns ignored) and persist every substrate under
@@ -480,6 +481,14 @@ class CurationState:
             "max_df_frac": float(max_df_frac),
             "max_df": max_df,
             "contain_threshold": float(contain_threshold),
+            # the skew guard (textops.pairs_from_band_frame's cap): an
+            # adversarial corpus whose near-identical docs survive
+            # exact dedup (boilerplate + unique tails) otherwise makes
+            # the band self-join quadratic in the hot group. None =
+            # exact (the default, and the update==rebuild oracle
+            # contract); set it for adversarial corpora — update then
+            # follows the documented monotone-superset cap contract.
+            "max_band_size": max_band_size,
         }
         st = cls(spark, path, meta)
         max_doc_id = docs.agg(F.max("doc_id")).first()[0]
@@ -498,6 +507,7 @@ class CurationState:
             bands=bands,
             rows=rows,
             threshold=jaccard_threshold,
+            max_band_size=max_band_size,
         )
         working = cls._canonicals(indexed, idx.verified_clusters)
         # curation never reads candidate-pair components — skip that
@@ -533,6 +543,8 @@ class CurationState:
         # n_compactions column; default it so the next _write_meta
         # (update/compact) doesn't KeyError mid-lifecycle
         meta.setdefault("n_compactions", 0)
+        # states saved before the skew-cap column existed load uncapped
+        meta.setdefault("max_band_size", None)
         return cls(spark, path, meta)
 
     def _write_meta(self) -> None:

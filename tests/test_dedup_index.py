@@ -479,3 +479,77 @@ def test_compact_swap_crash_windows(spark, tmp_path):
     )
     assert m["files_after"] == 1
     assert _stage_rows(DedupIndex.load(spark, path), "pairs") == before
+
+
+# -- property: the band cap is EXACT, not heuristic ----------------------
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as hst
+
+
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    n_boiler=hst.integers(min_value=2, max_value=12),
+    n_noise=hst.integers(min_value=1, max_value=6),
+    cap=hst.integers(min_value=2, max_value=8),
+)
+def test_band_cap_exactness_property(spark, n_boiler, n_noise, cap):
+    """VERDICT r7 #3 — cap-triggered exactness on adversarial shapes:
+    a planted boilerplate group of random size (same passage + unique
+    tail word, so every member co-occupies every band group) against
+    a random cap. The capped pair set must equal its DEFINITION
+    recomputed from the band frame in the test — co-occupant pairs
+    within (band, key) groups of size ≤ cap, nothing else — i.e. the
+    cap is a deterministic admission rule, not a sampler: groups at
+    or under the cap yield ALL their pairs, groups over it yield
+    none. (The monotone-superset UPDATE contract over capped groups
+    has its own test above.)"""
+    from itertools import combinations
+
+    from lp_etl_plugins_spark.textops import DedupIndex
+
+    boiler = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [(i, f"{boiler} tail{i}") for i in range(n_boiler)]
+    rows += [
+        (100 + j, f"noise{j}a noise{j}b noise{j}c noise{j}d noise{j}e")
+        for j in range(n_noise)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    idx = DedupIndex(docs, "text", "doc_id", max_band_size=cap)
+    got = {(r["id_a"], r["id_b"]) for r in idx.pairs.collect()}
+
+    # the definition, recomputed independently from the band frame
+    groups: dict[tuple, list] = {}
+    for r in idx.bands.collect():
+        groups.setdefault((r["band"], r["key"]), []).append(r["id"])
+    want = set()
+    for ids in groups.values():
+        if len(ids) <= cap:
+            for a, b in combinations(sorted(set(ids)), 2):
+                want.add((a, b))
+    assert got == want
+    # when some band group actually outgrew the cap, the capped set
+    # must be a strict subset of the uncapped mining UNLESS every
+    # suppressed pair is also mined through a smaller co-occupied
+    # group — so assert the subset relation plus the exact difference:
+    # uncapped-only pairs are precisely those whose EVERY shared group
+    # is over the cap
+    if any(len(set(ids)) > cap for ids in groups.values()):
+        full = {
+            (r["id_a"], r["id_b"])
+            for r in DedupIndex(docs, "text", "doc_id").pairs.collect()
+        }
+        assert got <= full
+        only_big = set()
+        for a, b in full:
+            shared = [
+                ids
+                for ids in groups.values()
+                if a in ids and b in ids
+            ]
+            if shared and all(len(set(ids)) > cap for ids in shared):
+                only_big.add((a, b))
+        assert full - got == only_big
