@@ -449,12 +449,14 @@ def path(
 ) -> DataFrame:
     """Property path ``start step1/step2/… end``; a ``^``-prefixed step
     traverses the edge inversely (DcatAp11ToCkanBatch.java:372:
-    ``^foaf:primaryTopic/dcterms:source``), and a step given as a
+    ``^foaf:primaryTopic/dcterms:source``), a step given as a
     LIST/TUPLE of predicates is a SPARQL alternation ``(p1|p2)`` —
     the union of the alternatives' bindings at that hop (each
-    alternative may itself carry the ``^`` prefix). Returns a
-    2-column solution DF [start, end] (+ object metadata for the
-    final forward step).
+    alternative may itself carry the ``^`` prefix) — and a
+    ``!``-prefixed step ``!(p1|p2|…)`` is a NEGATED property set
+    (SPARQL 1.1 §9.1): the hop traverses any forward edge whose
+    predicate is outside the set. Returns a 2-column solution DF
+    [start, end] (+ object metadata for the final forward step).
 
     ``end_filter=(predicate, object)`` restricts the END variable to
     subjects matching that constant pattern, pushed INTO the final hop
@@ -480,6 +482,25 @@ def path(
                 # inverse edge: `cur` sits in object position here, but
                 # the path already bound it — strip duplicate metadata.
                 return h.drop(*[c for c in h.columns if c.startswith(f"{cur}__")])
+            if pred.startswith("!"):
+                # negated property set !(p1|p2|…) — SPARQL 1.1 §9.1:
+                # the hop traverses any FORWARD edge whose predicate
+                # is NOT in the set (the ^-inside-negation form is not
+                # supported; spell it as an explicit inverse step).
+                # Same output shape as a forward _pattern_df hop —
+                # object metadata included — so downstream
+                # join_solutions / filters are oblivious to negation.
+                negs = [p for p in pred[1:].lstrip("(").rstrip(")").split("|") if p]
+                if not negs:
+                    raise ValueError("path: empty negated property set")
+                t, l, d = _meta_cols(nxt)
+                return triples.filter(~F.col("p").isin(negs)).select(
+                    F.col("s").alias(cur),
+                    F.col("o_value").alias(nxt),
+                    F.col("o_type").alias(t),
+                    F.col("o_lang").alias(l),
+                    F.col("o_datatype").alias(d),
+                )
             return _pattern_df(triples, (f"?{cur}", pred, f"?{nxt}"))
 
         alts = list(step) if isinstance(step, (list, tuple)) else [step]
@@ -598,6 +619,63 @@ def path_star(
         F.col("n").alias(_var(start)), F.col("n").alias(_var(end))
     )
     return plus.unionByName(ident).distinct()
+
+
+def path_repeat(
+    triples: DataFrame,
+    preds: list[str],
+    n: int,
+    m: int,
+    start: str = "?s",
+    end: str = "?o",
+    _edges: DataFrame | None = None,
+) -> DataFrame:
+    """Bounded path quantifier ``(p1|p2|…){n,m}``: every (start, end)
+    pair connected by SOME path of length k with n ≤ k ≤ m over the
+    predicate alternation — the bounded member of the path-closure
+    family on the same :func:`_path_edges` machinery as ``+``/``*``
+    (the quantifier appeared in the SPARQL 1.1 drafts and survives in
+    several engines as an extension; the reference's paths are all
+    fixed-length, which is the {k,k} special case).
+
+    Plan: the exact-k pair set iterates k = 1..m (each round one
+    equi-join of the previous round against the checkpointed edge
+    list + a distinct — |pairs| ≤ |nodes|² keeps cyclic graphs
+    terminating), unioned into the result for k ≥ n. ``n = 0`` adds
+    the identity pair over the alternation's node universe, exactly
+    :func:`path_star`'s domain convention. Rounds are checkpointed so
+    round k replays nothing of rounds 1..k-1."""
+    if n < 0 or m < n:
+        raise ValueError(f"path_repeat: need 0 <= n <= m, got {{{n},{m}}}")
+    edges = _edges if _edges is not None else _path_edges(triples, preds)
+    out: DataFrame | None = None
+    if m >= 1:
+        hop_edges = edges.select(
+            F.col("s").alias("__es"), F.col("o").alias("__eo")
+        )
+        cur = edges  # pairs connected by a path of length exactly k=1
+        for k in range(1, m + 1):
+            if k >= max(n, 1):
+                out = cur if out is None else out.unionByName(cur)
+            if k < m:
+                cur = (
+                    cur.join(hop_edges, F.col("o") == F.col("__es"))
+                    .select("s", F.col("__eo").alias("o"))
+                    .distinct()
+                    .localCheckpoint(eager=False)
+                )
+    if n == 0:
+        nodes = (
+            edges.select(F.col("s").alias("n"))
+            .union(edges.select(F.col("o").alias("n")))
+            .distinct()
+        )
+        ident = nodes.select(F.col("n").alias("s"), F.col("n").alias("o"))
+        out = ident if out is None else out.unionByName(ident)
+    assert out is not None
+    return out.distinct().select(
+        F.col("s").alias(_var(start)), F.col("o").alias(_var(end))
+    )
 
 
 def lang_filter(df: DataFrame, var: str, lang: str) -> DataFrame:

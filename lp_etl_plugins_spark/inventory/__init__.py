@@ -91,6 +91,12 @@ _DEMOTED = (
     # g14 (MINUS, r6) demoted on arrival; g3 keeps the hard signal on
     # the anti-join machinery
     "g14_minus",
+    # g15 (bounded path quantifier) and g16 (negated property set) are
+    # new in r8 and demoted on arrival so the 50-row driver prefix
+    # stays byte-stable; g9/g10 keep the hard signal on the closure
+    # machinery and g1/g5 on pattern/path hops
+    "g15_path_repeat",
+    "g16_negated_property_set",
 )
 
 

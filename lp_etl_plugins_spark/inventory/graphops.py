@@ -541,6 +541,57 @@ FROM shared_leg JOIN disjoint_leg USING (seg)
 """
 
 
+def g15_path_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded path quantifier ``(urn:nation|urn:region){2,2}``
+    (:func:`graphq.path_repeat`) — the bounded member of the
+    path-closure family on the same edge machinery as g9's ``+`` and
+    g10's ``*``: exactly-two-hop located-in pairs, i.e. the
+    supplier/customer → region reachability WITHOUT the one-hop pairs
+    the closure also returns. The oracle joins the edge list to
+    itself once — a bounded quantifier needs no recursion."""
+    tr = _graph(spark, sf_dir)
+    return graphq.path_repeat(tr, [_NATION, _REGION], 2, 2, "?start", "?reached")
+
+
+G15_SQL = _CTE + """
+, edges AS (
+  SELECT DISTINCT s, o_value AS o FROM triples
+  WHERE p IN ('urn:nation', 'urn:region')
+)
+SELECT DISTINCT a.s AS start, b.o AS reached
+FROM edges a JOIN edges b ON b.s = a.o
+"""
+
+
+def g16_negated_property_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Negated property set ``!(urn:type|urn:name|urn:segment|
+    urn:premium)`` as a path step (SPARQL 1.1 §9.1, graphq.path's
+    ``!`` step): each customer's edges OUTSIDE the listed predicates
+    — which leaves exactly the located-in edge — composed with a
+    forward urn:name hop, so the negation's bindings flow through a
+    normal sequence path. → (c, loc) customer IRI × nation name."""
+    tr = _graph(spark, sf_dir)
+    cust = graphq.bgp(tr, [("?c", _T, "urn:Customer")])
+    hop = graphq.path(
+        tr,
+        "?c",
+        [f"!({_T}|{_NAME}|{_SEG}|{_PREMIUM})", _NAME],
+        "?loc",
+    )
+    return graphq.join_solutions(cust, hop).select("c", "loc")
+
+
+G16_SQL = _CTE + """
+SELECT ct.s AS c, nm.o_value AS loc
+FROM triples ct
+JOIN triples hop
+  ON hop.s = ct.s
+ AND hop.p NOT IN ('urn:type', 'urn:name', 'urn:segment', 'urn:premium')
+JOIN triples nm ON nm.s = hop.o_value AND nm.p = 'urn:name'
+WHERE ct.p = 'urn:type' AND ct.o_value = 'urn:Customer'
+"""
+
+
 QUERIES = {
     "g1_bgp_star": g1_bgp_star,
     "g2_optional_premium": g2_optional_premium,
@@ -556,6 +607,8 @@ QUERIES = {
     "g12_union": g12_union,
     "g13_union_compat_join": g13_union_compat_join,
     "g14_minus": g14_minus,
+    "g15_path_repeat": g15_path_repeat,
+    "g16_negated_property_set": g16_negated_property_set,
 }
 
 ORACLES = {
@@ -573,4 +626,6 @@ ORACLES = {
     "g12_union": G12_SQL,
     "g13_union_compat_join": G13_SQL,
     "g14_minus": G14_SQL,
+    "g15_path_repeat": G15_SQL,
+    "g16_negated_property_set": G16_SQL,
 }
