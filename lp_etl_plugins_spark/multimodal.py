@@ -721,17 +721,27 @@ class MediaIndex:
         relabels merged components) and is rewritten. Meta's
         ``max_id`` high-water mark advances. The in-memory object is
         STALE afterwards (its merged frames captured pre-append file
-        listings); re-``load`` to keep serving."""
+        listings); re-``load`` to keep serving.
+
+        Write ORDER is the crash contract: the delta's pairs and the
+        relabeled clusters are materialized in memory FIRST (their
+        lazy plans read the pre-append phash file listings), then the
+        WITNESS stage ``phash`` is appended before the derived stages
+        — so any crash after phash landed is detectable (rows above
+        the meta stamp) and repairable by re-deriving pairs/clusters
+        from the stored hashes (:meth:`repair_saved`; phash is
+        content-complete, so they are pure functions of it), while a
+        crash BEFORE phash landed leaves no trace and the replayed
+        batch re-runs cleanly."""
         if not getattr(self, "_delta", None):
             raise ValueError(
                 "MediaIndex.append_saved: no update() delta to append — "
                 "call update(new_media) first"
             )
-        # pairs first: its lazy plan reads the phash files it must
-        # materialize BEFORE those files gain appended rows
-        self._delta["pairs"].write.mode("append").parquet(f"{path}/pairs")
-        self._delta["phash"].write.mode("append").parquet(f"{path}/phash")
+        pairs_delta = self._delta["pairs"].localCheckpoint()
         clusters = self.clusters.localCheckpoint()
+        self._delta["phash"].write.mode("append").parquet(f"{path}/phash")
+        pairs_delta.write.mode("append").parquet(f"{path}/pairs")
         clusters.write.mode("overwrite").parquet(f"{path}/clusters")
         hi = self._delta["phash"].agg(F.max("media_id")).first()[0]
         if hi is not None:
@@ -739,6 +749,74 @@ class MediaIndex:
             self.max_id = int(hi) if old is None else max(int(hi), int(old))
         self._write_meta(path)
         self._delta = None
+
+    @classmethod
+    def repair_saved(cls, spark: SparkSession, path: str) -> dict:
+        """Converge a torn :meth:`append_saved` (crash after the phash
+        append, before the meta re-stamp): because the phash stage is
+        content-complete and pairs/clusters are PURE FUNCTIONS of it,
+        the repair re-derives them from the stored hashes — no media
+        bytes, no guessing which derived writes landed. Idempotent:
+
+        - hash rows above the meta stamp are the landed-but-unstamped
+          delta; its pairs are re-mined from the stored hashes and
+          only the MISSING ones appended (anti-join — a fully landed
+          pairs append adds nothing);
+        - clusters are rewritten from the full pair set;
+        - meta re-stamps to the on-disk max id.
+
+        A PARTIAL phash append cannot be repaired from disk (the lost
+        rows' hashes exist only in the source batch) — the streaming
+        absorber detects that case by row count and raises instead.
+        → {"repaired": bool, "rows_beyond_stamp": n, "pairs_added": n}."""
+        idx = cls.load(spark, path)
+        if idx.max_id is None:
+            raise ValueError(
+                "MediaIndex.repair_saved: meta has no max_id stamp — "
+                "re-save() the index first"
+            )
+        full_ph = idx.phash
+        delta_ph = full_ph.filter(F.col("media_id") > idx.max_id).localCheckpoint()
+        n_delta = delta_ph.count()
+        if n_delta == 0:
+            return {"repaired": False, "rows_beyond_stamp": 0, "pairs_added": 0}
+        cand_ids = (
+            idx._band_view(delta_ph)
+            .alias("a")
+            .join(
+                idx._band_view(full_ph).alias("b"),
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.key") == F.col("b.key"))
+                & (F.col("a.media_id") != F.col("b.media_id")),
+            )
+            .select(
+                F.least(F.col("a.media_id"), F.col("b.media_id")).alias("id_a"),
+                F.greatest(F.col("a.media_id"), F.col("b.media_id")).alias("id_b"),
+            )
+            .distinct()
+        )
+        want_pairs = idx._verify(cand_ids, full_ph)
+        missing = want_pairs.join(
+            idx.pairs, ["id_a", "id_b"], "left_anti"
+        ).localCheckpoint()
+        n_missing = missing.count()
+        if n_missing:
+            missing.write.mode("append").parquet(f"{path}/pairs")
+        from .textops import connected_components
+
+        all_pairs = spark.read.parquet(f"{path}/pairs")
+        clusters = connected_components(
+            all_pairs.select("id_a", "id_b")
+        ).localCheckpoint()
+        clusters.write.mode("overwrite").parquet(f"{path}/clusters")
+        hi = full_ph.agg(F.max("media_id")).first()[0]
+        idx.max_id = int(hi)
+        idx._write_meta(path)
+        return {
+            "repaired": True,
+            "rows_beyond_stamp": int(n_delta),
+            "pairs_added": int(n_missing),
+        }
 
     @classmethod
     def compact(
@@ -764,3 +842,73 @@ class MediaIndex:
             )
             for stage in cls._STAGES
         }
+
+
+def foreach_batch_add(spark: SparkSession, index_path: str):
+    """Structured-Streaming ingestion into a saved media index: a
+    ``(batch_df, batch_id) -> None`` function for
+    ``writeStream.foreachBatch`` that absorbs each micro-batch as one
+    frozen-params :meth:`MediaIndex.update` + O(delta)
+    :meth:`MediaIndex.append_saved` — the media member of the
+    streaming-absorber family (`incremental.foreach_batch_update`,
+    `vectorops.foreach_batch_add`,
+    `textops.RepeatIndex.foreach_batch_update`). Because the phash
+    stage is content-complete, the absorber needs no corpus log at
+    all — the one absorber in the family with a single directory to
+    maintain.
+
+    At-least-once safety is the family's monotone-id contract plus
+    the DISK-side guard the vector absorber carries: meta's
+    ``max_id`` is the high-water mark, a fully replayed batch is
+    skipped idempotently, a straddling batch raises, and rows found
+    ABOVE the stamp mean a prior append landed without its meta
+    rewrite — repaired by re-stamping when the batch is fully present
+    (exact phash row count), raised on a torn partial append, never
+    re-appended."""
+
+    def absorb(batch_df: DataFrame, batch_id: int) -> None:
+        idx = MediaIndex.load(spark, index_path)
+        b = batch_df.agg(
+            F.min(idx._id_col).alias("lo"), F.max(idx._id_col).alias("hi")
+        ).first()
+        if b["hi"] is None:
+            return
+        if idx.max_id is None:
+            raise ValueError(
+                "multimodal.foreach_batch_add: the saved index has no "
+                "max_id high-water mark (meta predates it) — re-save() "
+                "the index before attaching streamed ingestion"
+            )
+        if b["hi"] <= idx.max_id:
+            return  # fully-replayed batch — already absorbed
+        if b["lo"] <= idx.max_id:
+            raise ValueError(
+                "multimodal.foreach_batch_add: monotone-id contract "
+                f"violated — batch ids straddle the saved high-water mark "
+                f"{idx.max_id} (lo={b['lo']}, hi={b['hi']}); re-appending "
+                "part of a batch would duplicate its rows"
+            )
+        disk_hi = idx.phash.agg(F.max("media_id")).first()[0]
+        if disk_hi is not None and int(disk_hi) > idx.max_id:
+            n_batch = batch_df.count()
+            n_ph = idx.phash.filter(F.col("media_id") > idx.max_id).count()
+            if int(disk_hi) == int(b["hi"]) and n_ph == n_batch:
+                # the batch's hashes fully landed; whichever DERIVED
+                # writes the crash lost are re-derived from them
+                # (pairs/clusters are pure functions of the stored
+                # hashes) and meta re-stamps — never a re-append
+                MediaIndex.repair_saved(spark, index_path)
+                return
+            raise ValueError(
+                "multimodal.foreach_batch_add: torn append detected — the "
+                f"saved index holds hash rows above its max_id stamp "
+                f"{idx.max_id} (disk max {disk_hi}; {n_ph} rows beyond the "
+                f"stamp vs batch {n_batch}) but the batch's hashes are not "
+                "fully present (they exist only in the source batch, so "
+                "repair_saved cannot reconstruct them); repair the index "
+                "directory before resuming"
+            )
+        idx.update(batch_df)
+        idx.append_saved(index_path)
+
+    return absorb

@@ -174,3 +174,102 @@ def test_session_cache_identity_and_consumers(spark):
     assert idx1.builds == dict.fromkeys(MediaIndex._STAGES, 1)
     M.m6_phash_buckets(spark, "/root/testdata/sf0.001").count()
     assert idx1.builds["phash"] == 1
+
+
+def test_streamed_ingestion_equals_batch(spark, tmp_path):
+    """Micro-batch ingestion through multimodal.foreach_batch_add:
+    two monotone delta files drained oldest-first, each absorbed as
+    one frozen-params update + O(delta) append — the final saved
+    index serves exactly what one batch build over everything does; a
+    replayed batch is a no-op and a straddling batch raises."""
+    import os
+    import time
+
+    from lp_etl_plugins_spark.multimodal import foreach_batch_add
+
+    media = synthetic_media(spark, 200)
+    base = media.filter(F.col("media_id") < 140)
+    d1 = media.filter((F.col("media_id") >= 140) & (F.col("media_id") < 170))
+    d2 = media.filter(F.col("media_id") >= 170)
+    path = str(tmp_path / "midx")
+    MediaIndex(base).save(path)
+
+    stream_dir = tmp_path / "stream"
+    d1.coalesce(1).write.parquet(str(stream_dir / "d1"))
+    d2.coalesce(1).write.parquet(str(stream_dir / "d2"))
+    now = time.time()
+    for sub, age in (("d1", 120), ("d2", 60)):
+        for f in (stream_dir / sub).iterdir():
+            os.utime(f, (now - age, now - age))
+    absorb = foreach_batch_add(spark, path)
+    stream = (
+        spark.readStream.schema(media.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(stream_dir / "*"))
+    )
+    q = stream.writeStream.foreachBatch(absorb).trigger(
+        availableNow=True
+    ).option("checkpointLocation", str(tmp_path / "ckpt")).start()
+    q.awaitTermination(300)
+
+    re = MediaIndex.load(spark, path)
+    assert re.max_id == 199
+    full = MediaIndex(media)
+    for stage in MediaIndex._STAGES:
+        assert _stage_rows(re, stage) == _stage_rows(full, stage), stage
+    # replay: a committed batch is a no-op
+    n_ph = re.phash.count()
+    absorb(d2, 99)
+    assert MediaIndex.load(spark, path).phash.count() == n_ph
+    # straddling batch raises
+    strad = media.filter(F.col("media_id") == 199).unionByName(
+        media.filter(F.col("media_id") == 0).withColumn(
+            "media_id", F.col("media_id") + 500
+        )
+    )
+    with pytest.raises(ValueError, match="straddle"):
+        absorb(strad, 100)
+
+
+def test_repair_saved_rederives_lost_writes(spark, tmp_path):
+    """The crash window after the witness stage landed: phash rows
+    above the stamp with the DERIVED writes (pairs, clusters, meta)
+    lost must converge through repair_saved / the absorber's repair
+    path — pairs re-mined from stored hashes, clusters rewritten,
+    meta re-stamped — to exactly the clean-append state; a partial
+    phash append raises instead."""
+    from lp_etl_plugins_spark.multimodal import foreach_batch_add
+
+    media = synthetic_media(spark, 200)
+    base = media.filter(F.col("media_id") < 150)
+    delta = media.filter(F.col("media_id") >= 150)
+    path = str(tmp_path / "midx")
+    MediaIndex(base).save(path)
+    stamp = MediaIndex.load(spark, path).max_id
+
+    # simulate: ONLY the phash append landed (derived writes + meta lost)
+    live = MediaIndex.load(spark, path)
+    live.update(delta)
+    live._delta["phash"].write.mode("append").parquet(f"{path}/phash")
+
+    absorb = foreach_batch_add(spark, path)
+    absorb(delta, 0)  # replay hits the repair path
+    re = MediaIndex.load(spark, path)
+    assert re.max_id == 199
+    full = MediaIndex(media)
+    for stage in MediaIndex._STAGES:
+        assert _stage_rows(re, stage) == _stage_rows(full, stage), stage
+    # idempotent: nothing left beyond the stamp
+    r = MediaIndex.repair_saved(spark, path)
+    assert r == {"repaired": False, "rows_beyond_stamp": 0, "pairs_added": 0}
+
+    # partial phash landing (half the delta) → refuse loudly
+    path2 = str(tmp_path / "midx2")
+    MediaIndex(base).save(path2)
+    live2 = MediaIndex.load(spark, path2)
+    live2.update(delta)
+    live2._delta["phash"].filter(F.col("media_id") >= 175).write.mode(
+        "append"
+    ).parquet(f"{path2}/phash")
+    with pytest.raises(ValueError, match="torn append"):
+        foreach_batch_add(spark, path2)(delta, 0)
