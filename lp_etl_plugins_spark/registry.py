@@ -117,7 +117,7 @@ def _ensure_builtins() -> None:
     if _BUILTINS_LOADED:
         return
 
-    from . import catalog, cube, dcat
+    from . import catalog, cube, dcat, maintenance
 
     builtins = (
         Component(
@@ -144,6 +144,15 @@ def _ensure_builtins() -> None:
             "dkan_purge", catalog.dkan_purge,
             "Paginated DKAN node enumeration and bulk delete (x-dkanPurger)",
             ("api_uri", "api_key"), ("results",),
+        ),
+        # extension surface: the nightly maintenance sweep as a
+        # pipeline stage, so a scheduled pipeline run is one component
+        # invocation returning the report frame
+        Component(
+            "vacuum", maintenance.vacuum,
+            "Integrity probes + threshold compaction across every "
+            "persisted index-state family (maintenance.vacuum)",
+            ("paths",), ("report",),
         ),
     )
     for comp in builtins:
