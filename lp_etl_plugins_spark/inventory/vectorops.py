@@ -756,6 +756,82 @@ WHERE p.vec_id < {_PROBE_LIMIT} AND c.vec_id != p.vec_id
 """
 
 
+def v17_knn_pq_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ with per-subspace Lloyd-refined codebooks
+    (vectorops.knn_pq_refined, one refinement round): assign every
+    subvector against the label-seeded codebooks, recompute each
+    codeword as the mean of its ASSIGNED subvectors, re-encode corpus
+    and probes, answer by ADC — k-means-trained PQ exactly as
+    production builds it, deterministic because the seeding is. The
+    oracle replays the identical round in SQL (the per-subspace form
+    of v10's coarse Lloyd step). The round-8 recall study
+    (SCALE.md §ANN recall) showed m — not codeword placement — is the
+    binding recall knob on this corpus; this entry gates the training
+    machinery itself. → (probe_id, neighbor_id, adist2, rank ≤ 3)."""
+    emb = _emb(spark, sf_dir)
+    probes = emb.filter(F.col("vec_id") < _PROBE_LIMIT)
+    return V.knn_pq_refined(emb, probes, _K, m=4, dims=64, n_iter=1)
+
+
+V17_SQL = f"""
+WITH dims AS (
+  SELECT vec_id AS id, label AS seed, (g.i - 1) AS dim,
+         ((g.i - 1) // 16) AS sub, embedding[g.i]::DOUBLE AS v
+  FROM embeddings, unnest(generate_series(1, len(embedding))) AS g(i)
+),
+cent AS (SELECT seed, sub, dim, avg(v) AS c FROM dims GROUP BY seed, sub, dim),
+cent_norm AS (SELECT seed, sub, sum(c * c) AS c2 FROM cent GROUP BY seed, sub),
+enc0 AS (
+  SELECT d.id, d.sub, ct.seed AS code,
+         round(sum(d.v * d.v) - 2 * sum(d.v * ct.c) + any_value(cn.c2), 6) AS d2
+  FROM dims d
+  JOIN cent ct ON ct.sub = d.sub AND ct.dim = d.dim
+  JOIN cent_norm cn ON cn.seed = ct.seed AND cn.sub = ct.sub
+  GROUP BY d.id, d.sub, ct.seed
+),
+assign0 AS (
+  SELECT id, sub, code FROM (
+    SELECT *, row_number() OVER (PARTITION BY id, sub ORDER BY d2, code) AS rn
+    FROM enc0
+  ) t WHERE rn = 1
+),
+cent2 AS (
+  SELECT a.code AS seed, d.sub, d.dim, avg(d.v) AS c
+  FROM dims d JOIN assign0 a ON a.id = d.id AND a.sub = d.sub
+  GROUP BY a.code, d.sub, d.dim
+),
+cent2_norm AS (SELECT seed, sub, sum(c * c) AS c2 FROM cent2 GROUP BY seed, sub),
+enc2 AS (
+  SELECT d.id, d.sub, ct.seed AS code,
+         round(sum(d.v * d.v) - 2 * sum(d.v * ct.c) + any_value(cn.c2), 6) AS d2
+  FROM dims d
+  JOIN cent2 ct ON ct.sub = d.sub AND ct.dim = d.dim
+  JOIN cent2_norm cn ON cn.seed = ct.seed AND cn.sub = ct.sub
+  GROUP BY d.id, d.sub, ct.seed
+),
+codes AS (
+  SELECT id AS neighbor_id, sub, code FROM (
+    SELECT *, row_number() OVER (PARTITION BY id, sub ORDER BY d2, code) AS rn
+    FROM enc2
+  ) t WHERE rn = 1
+),
+lut AS (
+  SELECT id AS probe_id, sub, code, d2 AS pd2 FROM enc2 WHERE id < {_PROBE_LIMIT}
+),
+adc AS (
+  SELECT l.probe_id, c.neighbor_id,
+         sum(round(l.pd2 * 1000000)::BIGINT)::DOUBLE / 1000000 AS adist2
+  FROM codes c JOIN lut l ON l.sub = c.sub AND l.code = c.code
+  WHERE l.probe_id != c.neighbor_id
+  GROUP BY l.probe_id, c.neighbor_id
+)
+SELECT probe_id, neighbor_id, adist2, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY adist2, neighbor_id) AS rank
+  FROM adc
+) r WHERE rank <= {_K}
+"""
+
+
 _VINDEXES: dict[tuple[str, str], V.VectorIndex] = {}
 
 
@@ -1066,6 +1142,7 @@ QUERIES = {
     "v14_range_search": v14_range_search,
     "v15_knn_sq8": v15_knn_sq8,
     "v16_incremental_vector_serving": v16_incremental_vector_serving,
+    "v17_knn_pq_refined": v17_knn_pq_refined,
 }
 
 ORACLES = {
@@ -1086,4 +1163,5 @@ ORACLES = {
     "v14_range_search": V14_SQL,
     "v15_knn_sq8": V15_SQL,
     "v16_incremental_vector_serving": V16_SQL,
+    "v17_knn_pq_refined": V17_SQL,
 }

@@ -45,6 +45,8 @@ __all__ = [
     "kmeans_refine",
     "knn_ivf",
     "knn_pq",
+    "knn_pq_refined",
+    "pq_refined_codebook",
     "knn_ivf_pq",
     "label_centroids",
     "VectorIndex",
@@ -562,6 +564,93 @@ def knn_pq(
     divide; ranking ties break on neighbor id.
     → (probe_id, neighbor_id, adist2, rank ≤ k), self excluded."""
     codes, lut = _pq_parts(embeddings, probes, seed_col, id_col, vec_col, m, dims)
+    adc = (
+        codes.join(F.broadcast(lut) if broadcast_probes else lut, on=["sub", "code"])
+        .filter(F.col("probe_id") != F.col("neighbor_id"))
+        .groupBy("probe_id", "neighbor_id")
+        .agg(_adc_sum())
+    )
+    win = W.partitionBy("probe_id").orderBy(F.col("adist2"), F.col("neighbor_id"))
+    return (
+        adc.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", "neighbor_id", "adist2", "rank")
+    )
+
+
+def pq_refined_codebook(
+    embeddings: DataFrame,
+    seed_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 4,
+    dims: int = 64,
+    n_iter: int = 1,
+) -> tuple[DataFrame, DataFrame]:
+    """Per-subspace Lloyd refinement of the label-seeded PQ codebooks
+    — the production knob the round-8 recall measurement names
+    (SCALE.md §ANN recall: the label-mean codebooks' reconstruction
+    error exceeds the corpus's neighbor separation): each round
+    re-encodes every subvector against the CURRENT codebooks and
+    recomputes each codeword as the mean of its assigned subvectors —
+    k-means in each subspace independently, exactly how production PQ
+    trains (Jégou et al., public literature), seeded from the label
+    groups so determinism and the DuckDB-oracle parity carry over
+    (the oracle replays the same rounds in SQL). Same plan shape as
+    :func:`kmeans_refine`, applied per subspace; each round's
+    codebook is checkpointed so round N replays nothing.
+    → (cent: (seed, sub, dim, c), cent_norm: (seed, sub, c2)) —
+    drop-in for the unrefined codebooks, broadcast-sized."""
+    sub_dim = dims // m
+    cdims = _sub_split(
+        embeddings, id_col, vec_col, sub_dim, seed_col
+    ).localCheckpoint(eager=True)
+    cent, cent_norm = _pq_codebook_from_dims(cdims)
+    plain = cdims.drop("seed")
+    for _ in range(n_iter):
+        assign = _pq_encode(_pq_sub_dist(plain, cent, cent_norm))
+        seeded = plain.join(
+            assign.select(
+                F.col("neighbor_id").alias("id"),
+                "sub",
+                F.col("code").alias("seed"),
+            ),
+            on=["id", "sub"],
+        )
+        cent, cent_norm = _pq_codebook_from_dims(seeded)
+        cent = cent.localCheckpoint()
+        cent_norm = cent_norm.localCheckpoint(eager=False)
+    return cent, cent_norm
+
+
+def knn_pq_refined(
+    embeddings: DataFrame,
+    probes: DataFrame,
+    k: int,
+    seed_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 4,
+    dims: int = 64,
+    n_iter: int = 1,
+    broadcast_probes: bool = True,
+) -> DataFrame:
+    """:func:`knn_pq` with :func:`pq_refined_codebook`'s Lloyd-refined
+    codebooks — identical ADC query plan (codes scan + broadcast LUT,
+    exact scaled-integer sums), better codebooks. The recall gain is
+    measured, not assumed: see SCALE.md §ANN recall and the floor in
+    tests/test_vector_index.py.
+    → (probe_id, neighbor_id, adist2, rank ≤ k), self excluded."""
+    cent, cent_norm = pq_refined_codebook(
+        embeddings, seed_col, id_col, vec_col, m, dims, n_iter
+    )
+    sub_dim = dims // m
+    codes = _pq_encode(
+        _pq_sub_dist(_sub_split(embeddings, id_col, vec_col, sub_dim), cent, cent_norm)
+    )
+    lut = _pq_sub_dist(
+        _sub_split(probes, id_col, vec_col, sub_dim), cent, cent_norm
+    ).select(F.col("id").alias("probe_id"), "sub", "code", F.col("d2").alias("pd2"))
     adc = (
         codes.join(F.broadcast(lut) if broadcast_probes else lut, on=["sub", "code"])
         .filter(F.col("probe_id") != F.col("neighbor_id"))
