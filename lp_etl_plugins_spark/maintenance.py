@@ -40,6 +40,7 @@ _FAMILY_MARKERS = (
     ("VectorIndex", ("corpus_lists", "codes")),
     ("MediaIndex", ("phash", "clusters")),
     ("DedupIndex", ("pairs",)),
+    ("TrigramLM", ("counts",)),
 )
 
 
@@ -236,6 +237,30 @@ def check_media_index(spark: SparkSession, path: str) -> dict:
     return {"ok": not v, "violations": v}
 
 
+def check_trigram_lm(spark: SparkSession, path: str) -> dict:
+    """Integrity probe over a saved :class:`textops.TrigramLM`: the
+    count table is THE model, so its invariants are the model's —
+    non-empty vocabulary, no null grams, every document-frequency
+    count positive, and one count row per gram."""
+    v: dict[str, int] = {}
+    if not T._parquet_dir_exists(f"{path}/counts"):
+        _bad(v, "stage_missing_counts", 1)
+        return {"ok": False, "violations": v}
+    counts = spark.read.parquet(f"{path}/counts")
+    row = counts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct("g").alias("d"),
+        F.sum((F.col("c") <= 0).cast("bigint")).alias("bad_c"),
+        F.sum(F.col("g").isNull().cast("bigint")).alias("null_g"),
+    ).first()
+    if int(row["n"]) == 0:
+        _bad(v, "empty_vocabulary", 1)
+    _bad(v, "nonpositive_counts", int(row["bad_c"] or 0))
+    _bad(v, "null_grams", int(row["null_g"] or 0))
+    _bad(v, "duplicate_gram_rows", int(row["n"]) - int(row["d"]))
+    return {"ok": not v, "violations": v}
+
+
 def _check_curation_state(spark: SparkSession, path: str) -> dict:
     from .incremental import CurationState
 
@@ -251,6 +276,7 @@ _CHECKS = {
     "RepeatIndex": check_repeat_index,
     "VectorIndex": check_vector_index,
     "MediaIndex": check_media_index,
+    "TrigramLM": check_trigram_lm,
 }
 
 
@@ -265,6 +291,8 @@ def _stage_dirs(path: str, family: str) -> list[str]:
         subs = DedupIndex._STAGES
     elif family == "RepeatIndex":
         subs = ("postings", "spans")
+    elif family == "TrigramLM":
+        subs = ("counts",)
     elif family == "VectorIndex":
         from .vectorops import VectorIndex
 
@@ -293,6 +321,16 @@ def _compact(spark: SparkSession, path: str, family: str, target: int) -> dict:
         return RepeatIndex.load(spark, path).compact(
             target_rows_per_file=target
         )
+    if family == "TrigramLM":
+        # counts is overwrite-only (no append log) — a pure re-layout
+        return {
+            "counts": T._rewrite_parquet_dir(
+                spark,
+                f"{path}/counts",
+                spark.read.parquet(f"{path}/counts"),
+                target,
+            )
+        }
     if family == "VectorIndex":
         from .vectorops import VectorIndex
 

@@ -1501,6 +1501,7 @@ class DedupIndex:
         # the build-once contract instead of trusting it
         self.builds: dict[str, int] = dict.fromkeys(self._STAGES, 0)
         self.updates = 0
+        self.max_doc_id: int | None = None  # stamped by save()/load()
 
     @property
     def bands(self) -> DataFrame:
@@ -1562,7 +1563,7 @@ class DedupIndex:
     _STAGES = ("bands", "pairs", "verified", "clusters", "verified_clusters")
     _META_SCHEMA = (
         "text_col string, id_col string, shingle_n int, k int, bands int, "
-        "rows int, threshold double, max_band_size int"
+        "rows int, threshold double, max_band_size int, max_doc_id bigint"
     )
 
     @property
@@ -1609,6 +1610,14 @@ class DedupIndex:
         where the corpus itself would be needed (bands/verified)."""
         for stage in stages or self._STAGES:
             getattr(self, stage).write.mode("overwrite").parquet(f"{path}/{stage}")
+        # the indexed-id high-water mark — the idempotence anchor for
+        # foreach_batch_update's streamed ingestion (banded ids cover
+        # every indexed doc, so the bands max IS the corpus max)
+        hi = self.bands.agg(F.max("id")).first()[0]
+        self.max_doc_id = None if hi is None else int(hi)
+        self._write_meta(path)
+
+    def _write_meta(self, path: str) -> None:
         _write_control_parquet(
             f"{path}/meta",
             [
@@ -1621,6 +1630,7 @@ class DedupIndex:
                     self._rows,
                     float(self._threshold),
                     self._max_band_size,
+                    self.max_doc_id,
                 )
             ],
             self._META_SCHEMA,
@@ -1644,6 +1654,10 @@ class DedupIndex:
         idx._rows = m["rows"]
         idx._threshold = m["threshold"]
         idx._max_band_size = m["max_band_size"]
+        # metas written before the high-water mark existed load as
+        # unknown (None) — the next save()/append_saved() stamps it
+        hi = m.get("max_doc_id")
+        idx.max_doc_id = None if hi is None else int(hi)
         from pyspark.errors.exceptions.captured import AnalysisException
 
         for stage in cls._STAGES:
@@ -1817,7 +1831,94 @@ class DedupIndex:
             frame = getattr(self, f"_{stage}")
             if frame is not None:
                 frame.write.mode("overwrite").parquet(f"{path}/{stage}")
+        hi = self._delta["bands"].agg(F.max("id")).first()[0]
+        if hi is not None:
+            old_hi = self.max_doc_id
+            self.max_doc_id = (
+                int(hi) if old_hi is None else max(int(hi), int(old_hi))
+            )
+        self._write_meta(path)
         self._delta = None
+
+    @classmethod
+    def foreach_batch_update(cls, spark, index_path: str, corpus_path: str):
+        """Structured-Streaming ingestion into a saved standalone
+        dedup index — completing the streaming-absorber family
+        (`incremental.foreach_batch_update` for the full pipeline,
+        `vectorops.foreach_batch_add`, `RepeatIndex.
+        foreach_batch_update`, `multimodal.foreach_batch_add`): a
+        ``(batch_df, batch_id) -> None`` function for
+        ``writeStream.foreachBatch`` that appends each micro-batch to
+        the corpus parquet log at ``corpus_path`` AND absorbs it as
+        one :meth:`update` + O(delta) :meth:`append_saved`. Like
+        RepeatIndex, the absorber co-maintains the corpus log because
+        ``update`` verifies new pairs against touched old TEXTS — the
+        one thing the index does not persist.
+
+        At-least-once safety: meta's ``max_doc_id`` is the high-water
+        mark (a pre-mark save must be re-``save``-d first — refused
+        loudly), a fully replayed batch is skipped idempotently, a
+        straddling batch raises, and the corpus append is
+        replay-guarded with the row-count completeness check (a torn
+        multi-file append satisfying the max-id probe alone is
+        detected, not silently skipped)."""
+
+        def absorb(batch_df: "DataFrame", batch_id: int) -> None:
+            idx = cls.load(spark, index_path)
+            id_col = idx._id_col
+            b = batch_df.agg(
+                F.min(id_col).alias("lo"), F.max(id_col).alias("hi")
+            ).first()
+            if b["hi"] is None:
+                return
+            if idx.max_doc_id is None:
+                raise ValueError(
+                    "DedupIndex.foreach_batch_update: the saved index has "
+                    "no max_doc_id high-water mark (meta predates it) — "
+                    "re-save() the index (which stamps it) before attaching "
+                    "streamed ingestion"
+                )
+            if b["hi"] <= idx.max_doc_id:
+                return  # fully-replayed batch — already absorbed
+            if b["lo"] <= idx.max_doc_id:
+                raise ValueError(
+                    "DedupIndex.foreach_batch_update: monotone-id contract "
+                    f"violated — batch ids straddle the indexed max "
+                    f"{idx.max_doc_id} (lo={b['lo']}, hi={b['hi']})"
+                )
+            corpus = spark.read.parquet(corpus_path)
+            c_hi = corpus.agg(F.max(id_col)).first()[0]
+            if c_hi is None or c_hi < b["lo"]:
+                batch_df.write.mode("append").parquet(corpus_path)
+            elif c_hi < b["hi"]:
+                raise ValueError(
+                    "DedupIndex.foreach_batch_update: corpus log partially "
+                    f"overlaps the batch (corpus max {c_hi} inside "
+                    f"[{b['lo']}, {b['hi']}]) — torn corpus append; repair "
+                    "the corpus log before resuming"
+                )
+            else:
+                n_disk = corpus.filter(
+                    F.col(id_col).between(int(b["lo"]), int(b["hi"]))
+                ).count()
+                n_batch = batch_df.count()
+                if n_disk != n_batch:
+                    raise ValueError(
+                        "DedupIndex.foreach_batch_update: corpus log max "
+                        f"covers the batch but holds {n_disk} rows in "
+                        f"[{b['lo']}, {b['hi']}] vs the batch's {n_batch} "
+                        "— torn corpus append; repair the corpus log "
+                        "before resuming"
+                    )
+                # corpus holds the whole batch (crash between the
+                # corpus append and the index update — redo only the
+                # index half)
+            idx.update(
+                batch_df, old_docs=corpus.filter(F.col(id_col) < b["lo"])
+            )
+            idx.append_saved(index_path)
+
+        return absorb
 
     @classmethod
     def compact(

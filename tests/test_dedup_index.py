@@ -553,3 +553,89 @@ def test_band_cap_exactness_property(spark, n_boiler, n_noise, cap):
             if shared and all(len(set(ids)) > cap for ids in shared):
                 only_big.add((a, b))
         assert full - got == only_big
+
+
+def test_streamed_ingestion_equals_batch(spark, tmp_path):
+    """Micro-batch ingestion through DedupIndex.foreach_batch_update
+    (the standalone index's absorber, r8 — completing the family):
+    two monotone delta files drained oldest-first, each appended to
+    the co-maintained corpus log and absorbed as one update +
+    append_saved — the final saved index equals a from-scratch build
+    stage-for-stage; a replayed batch is a no-op for corpus AND
+    index; a straddling batch raises; a pre-mark save is refused."""
+    import os
+    import time
+
+    from lp_etl_plugins_spark.inventory.textops import _docs
+    from lp_etl_plugins_spark.textops import DedupIndex
+    from pyspark.sql import functions as F
+
+    docs = _docs(spark, SF_SMOKE).select("doc_id", "text")
+    hi = docs.agg(F.max("doc_id")).first()[0]
+    c1, c2 = (hi * 7) // 10, (hi * 85) // 100
+    corpus_dir = str(tmp_path / "corpus")
+    docs.filter(F.col("doc_id") <= c1).write.parquet(corpus_dir)
+    path = str(tmp_path / "idx")
+    base_idx = DedupIndex(spark.read.parquet(corpus_dir), "text", "doc_id")
+    base_idx.save(path)
+    assert base_idx.max_doc_id == c1 or base_idx.max_doc_id <= c1
+
+    stream_dir = tmp_path / "stream"
+    docs.filter((F.col("doc_id") > c1) & (F.col("doc_id") <= c2)).coalesce(
+        1
+    ).write.parquet(str(stream_dir / "d1"))
+    docs.filter(F.col("doc_id") > c2).coalesce(1).write.parquet(
+        str(stream_dir / "d2")
+    )
+    now = time.time()
+    for sub, age in (("d1", 120), ("d2", 60)):
+        for f in (stream_dir / sub).iterdir():
+            os.utime(f, (now - age, now - age))
+    absorb = DedupIndex.foreach_batch_update(spark, path, corpus_dir)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(stream_dir / "*"))
+    )
+    q = stream.writeStream.foreachBatch(absorb).trigger(
+        availableNow=True
+    ).option("checkpointLocation", str(tmp_path / "ckpt")).start()
+    q.awaitTermination(300)
+
+    re = DedupIndex.load(spark, path)
+    assert re.max_doc_id == hi
+    assert spark.read.parquet(corpus_dir).count() == docs.count()
+    full = DedupIndex(docs, "text", "doc_id")
+    for stage in DedupIndex._STAGES:
+        assert _stage_rows(re, stage) == _stage_rows(full, stage), stage
+    # replay: committed batch is a no-op for corpus and index
+    n_bands = re.bands.count()
+    absorb(docs.filter(F.col("doc_id") > c2), 99)
+    assert spark.read.parquet(corpus_dir).count() == docs.count()
+    assert DedupIndex.load(spark, path).bands.count() == n_bands
+    # straddling batch raises
+    strad = docs.filter(F.col("doc_id") == c2).unionByName(
+        docs.filter(F.col("doc_id") == hi).withColumn(
+            "doc_id", F.col("doc_id") + 1
+        )
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="straddle"):
+        absorb(strad, 100)
+    # pre-mark meta (legacy save) is refused loudly
+    from lp_etl_plugins_spark.textops import _write_control_parquet
+
+    _write_control_parquet(
+        f"{path}/meta",
+        [("text", "doc_id", 3, 12, 6, 2, 0.8, None)],
+        "text_col string, id_col string, shingle_n int, k int, bands int, "
+        "rows int, threshold double, max_band_size int",
+    )
+    with _pytest.raises(ValueError, match="high-water mark"):
+        DedupIndex.foreach_batch_update(spark, path, corpus_dir)(
+            docs.filter(F.col("doc_id") > c2).withColumn(
+                "doc_id", F.col("doc_id") + 10000
+            ),
+            0,
+        )

@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 
 from lp_etl_plugins_spark import maintenance as M
 from lp_etl_plugins_spark.multimodal import MediaIndex, synthetic_media
-from lp_etl_plugins_spark.textops import DedupIndex, RepeatIndex
+from lp_etl_plugins_spark.textops import DedupIndex, RepeatIndex, TrigramLM
 from lp_etl_plugins_spark.vectorops import VectorIndex
 
 
@@ -36,6 +36,12 @@ def _build_all(spark, tmp_path):
     VectorIndex(_emb(spark, SF_SMOKE)).save(paths["VectorIndex"])
     paths["MediaIndex"] = str(tmp_path / "midx")
     MediaIndex(synthetic_media(spark, 120)).save(paths["MediaIndex"])
+    paths["TrigramLM"] = str(tmp_path / "lm")
+    TrigramLM(
+        docs.filter("doc_id < 250").selectExpr("doc_id as id", "text"),
+        "text",
+        "id",
+    ).save(paths["TrigramLM"])
     return paths
 
 
@@ -71,6 +77,10 @@ def test_vacuum_detects_families_and_catches_corruption(spark, tmp_path):
     spark.createDataFrame(
         [(0, 999995, 0)], "id_a bigint, id_b bigint, hamming bigint"
     ).write.mode("append").parquet(f"{paths['MediaIndex']}/pairs")
+    # TrigramLM: a non-positive document-frequency count
+    spark.createDataFrame(
+        [("zzz", -1)], "g string, c bigint"
+    ).write.mode("append").parquet(f"{paths['TrigramLM']}/counts")
 
     report = {
         r["path"]: r
@@ -82,6 +92,7 @@ def test_vacuum_detects_families_and_catches_corruption(spark, tmp_path):
         "RepeatIndex": "spans_beyond_max_doc",
         "VectorIndex": "code_orphans",
         "MediaIndex": "pair_endpoint_unhashed",
+        "TrigramLM": "nonpositive_counts",
     }
     for family, p in paths.items():
         assert not report[p]["ok"], family
