@@ -1861,7 +1861,15 @@ class DedupIndex:
         straddling batch raises, and the corpus append is
         replay-guarded with the row-count completeness check (a torn
         multi-file append satisfying the max-id probe alone is
-        detected, not silently skipped)."""
+        detected, not silently skipped). The index half's multi-stage
+        append (pairs → verified → bands → clusters → meta) remains
+        the family's documented non-atomic seam — a crash INSIDE it
+        leaves a torn index a replay cannot distinguish from an
+        unabsorbed batch (the meta stamp trails the stage appends);
+        run :func:`maintenance.check_dedup_index` /
+        ``maintenance.vacuum`` before resuming after such a crash, or
+        front the directory with a transactional table format, whose
+        commit makes the whole absorb one atomic step."""
 
         def absorb(batch_df: "DataFrame", batch_id: int) -> None:
             idx = cls.load(spark, index_path)
