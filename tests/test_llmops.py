@@ -476,6 +476,43 @@ def test_connected_components_clusters(spark):
     assert comps == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 4, 7: 7, 8: 7}
 
 
+def test_connected_components_deep_graph_fallback(spark):
+    """The adaptive regime switch (round 8): a long PATH with
+    adversarially shuffled node ids defeats label propagation (local
+    id minima trap the labels — Θ(diameter) rounds), so after
+    prop_rounds the implementation must hand off to the
+    large-star/small-star contraction and still produce exact
+    min-member labels. 400 nodes / diameter 399 with prop_rounds at
+    its default 8 guarantees the fallback actually runs — the test
+    would time out (old behavior: RuntimeError or ~diameter rounds)
+    if the handoff regressed."""
+    import random
+
+    rng = random.Random(7)
+    ids = list(range(400))
+    rng.shuffle(ids)
+    pairs = spark.createDataFrame(
+        [(ids[i], ids[i + 1]) for i in range(len(ids) - 1)],
+        "id_a long, id_b long",
+    )
+    comps = {
+        r["id"]: r["cluster"]
+        for r in textops.connected_components(pairs).collect()
+    }
+    assert comps == {i: 0 for i in range(400)}
+
+
+def test_star_contract_raises_without_fixpoint(spark):
+    """The runaway backstop stays a loud failure, not a hang."""
+    import pytest as _pytest
+
+    from lp_etl_plugins_spark.textops import _star_contract
+
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "u long, v long")
+    with _pytest.raises(RuntimeError, match="no star-forest fixpoint"):
+        _star_contract(edges, max_iter=1)
+
+
 def test_char_ngrams_short_and_normal(spark):
     df = spark.createDataFrame(
         [(1, "  AbCd "), (2, "ab"), (3, None)], "id long, t string"
