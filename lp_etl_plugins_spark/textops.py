@@ -1925,7 +1925,7 @@ class DedupIndex:
         self.updates += 1
         return self
 
-    def append_saved(self, path: str) -> None:
+    def append_saved(self, path: str, *, repair: bool = False) -> None:
         """Merge the LAST :meth:`update`'s delta into a :meth:`save`-d
         index directory WITHOUT rewriting the whole index: ``bands``,
         ``pairs``, and ``verified`` are append-only under the
@@ -1938,16 +1938,35 @@ class DedupIndex:
         before the files its plan reads are appended to. The
         in-memory object must be considered STALE after this call
         (its merged frames captured the pre-append file listings);
-        re-``load`` to keep using the index."""
+        re-``load`` to keep using the index.
+
+        ``repair=True`` is the REDO form for a crash inside a previous
+        append (some stage appends landed, the meta stamp did not):
+        each monotone delta is anti-joined against its on-disk stage
+        first, so rows that already landed — including a torn partial
+        append — are not duplicated, and the append converges to
+        exactly the clean-append state (test-asserted). Costs one
+        delta-vs-stage anti-join per monotone stage, so the streaming
+        absorber pays it only on the crash-replay branch, never in
+        steady state."""
         if not getattr(self, "_delta", None):
             raise ValueError(
                 "DedupIndex.append_saved: no update() delta to append — "
                 "call update(new_docs) first"
             )
-        self._delta["pairs"].write.mode("append").parquet(f"{path}/pairs")
+
+        def _append(delta: "DataFrame", stage: str, keys: list) -> None:
+            if repair:
+                spark = delta.sparkSession
+                delta = delta.join(
+                    spark.read.parquet(f"{path}/{stage}"), keys, "left_anti"
+                ).localCheckpoint()  # materialize before appending to the read dir
+            delta.write.mode("append").parquet(f"{path}/{stage}")
+
+        _append(self._delta["pairs"], "pairs", ["id_a", "id_b"])
         if self._delta["verified"] is not None:
-            self._delta["verified"].write.mode("append").parquet(f"{path}/verified")
-        self._delta["bands"].write.mode("append").parquet(f"{path}/bands")
+            _append(self._delta["verified"], "verified", ["id_a", "id_b"])
+        _append(self._delta["bands"], "bands", ["id", "band"])
         # cluster labels were recomputed eagerly during update() and
         # are checkpoint-pinned, so overwriting the files their
         # original plans read is safe
@@ -1986,18 +2005,24 @@ class DedupIndex:
         replay-guarded with the row-count completeness check (a torn
         multi-file append satisfying the max-id probe alone is
         detected, not silently skipped). The index half's multi-stage
-        append (pairs → verified → bands → clusters → meta) remains
-        the family's documented non-atomic seam — a crash INSIDE it
-        leaves a torn index a replay cannot distinguish from an
-        unabsorbed batch (the meta stamp trails the stage appends);
-        run :func:`maintenance.check_dedup_index` /
-        ``maintenance.vacuum`` before resuming after such a crash, or
-        front the directory with a transactional table format, whose
-        commit makes the whole absorb one atomic step."""
+        append (pairs → verified → bands → clusters → meta) is
+        non-atomic, but a crash INSIDE it now REPAIRS on replay
+        instead of corrupting: the meta stamp trails every stage
+        write, so a replayed batch whose corpus half already landed
+        takes the redo branch — landed-but-unstamped rows (ids beyond
+        the stamp) are dropped from the loaded monotone stages, the
+        label stages (whose wholesale overwrite could itself have
+        torn) are re-derived from the repaired pair sets, and
+        :meth:`append_saved` runs in ``repair`` mode, anti-joining
+        each monotone delta against disk so nothing lands twice. The
+        replayed absorb converges to exactly the clean-absorb state
+        regardless of which prefix of the stage writes the crash
+        preserved (test-asserted across the crash windows)."""
 
         def absorb(batch_df: "DataFrame", batch_id: int) -> None:
             idx = cls.load(spark, index_path)
             id_col = idx._id_col
+            redo = False  # set when the corpus half already landed
             b = batch_df.agg(
                 F.min(id_col).alias("lo"), F.max(id_col).alias("hi")
             ).first()
@@ -2043,12 +2068,53 @@ class DedupIndex:
                         "before resuming"
                     )
                 # corpus holds the whole batch (crash between the
-                # corpus append and the index update — redo only the
-                # index half)
+                # corpus append and the index meta stamp — redo the
+                # index half in repair mode: the crash may have landed
+                # any prefix of the stage appends, so each monotone
+                # delta anti-joins its on-disk stage instead of
+                # appending blindly)
+                redo = True
+            had_labels = ()
+            if redo:
+                # drop landed-but-unstamped rows (id beyond the meta
+                # stamp) from the loaded monotone stages: a crashed
+                # bands append would otherwise double-count the
+                # delta's rows in update()'s merged band groups —
+                # inflating _cap_band_groups sizes past the cap on a
+                # capped index — and a crashed pairs/verified append
+                # would seed update()'s merged views with duplicates.
+                # Delta rows are exactly those beyond the stamp (ids
+                # are monotone; a delta pair's greater endpoint id_b
+                # is always a new doc).
+                stamp = idx.max_doc_id
+                if idx._bands is not None:
+                    idx._bands = idx._bands.filter(F.col("id") <= stamp)
+                if idx._pairs is not None:
+                    idx._pairs = idx._pairs.filter(F.col("id_b") <= stamp)
+                if idx._verified is not None:
+                    idx._verified = idx._verified.filter(
+                        F.col("id_b") <= stamp
+                    )
+                # the label stages are rewritten WHOLESALE by
+                # append_saved, and a crash during that overwrite
+                # leaves a torn label set indistinguishable from a
+                # complete one — drop them and re-derive from the
+                # repaired pair sets (labels are pure functions of
+                # pairs/verified), instead of star-seeding update()
+                # from labels that cannot be trusted
+                had_labels = tuple(
+                    s
+                    for s in ("clusters", "verified_clusters")
+                    if getattr(idx, f"_{s}") is not None
+                )
+                for s in had_labels:
+                    setattr(idx, f"_{s}", None)
             idx.update(
                 batch_df, old_docs=corpus.filter(F.col(id_col) < b["lo"])
             )
-            idx.append_saved(index_path)
+            for s in had_labels:
+                getattr(idx, s)  # force rebuild so append_saved rewrites it
+            idx.append_saved(index_path, repair=redo)
 
         return absorb
 

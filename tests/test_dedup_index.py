@@ -639,3 +639,79 @@ def test_streamed_ingestion_equals_batch(spark, tmp_path):
             ),
             0,
         )
+
+
+def test_absorber_repairs_torn_index_half(spark, tmp_path):
+    """Round-8 seam closure: a crash INSIDE the index half's
+    multi-stage append (after the corpus log landed, before the meta
+    stamp) must CONVERGE on replay to exactly the clean-absorb state,
+    whatever prefix of the stage writes the crash preserved — the
+    redo branch drops landed-but-unstamped rows from the loaded
+    monotone stages, re-derives the label stages (whose wholesale
+    overwrite may itself have torn — simulated here with a truncated
+    clusters frame), and append_saved(repair=True) anti-joins each
+    monotone delta against disk so nothing lands twice. Runs with a
+    binding max_band_size so the merged-band double-count hazard (a
+    landed bands append inflating _cap_band_groups sizes) is
+    exercised, not just the duplication hazard."""
+    from lp_etl_plugins_spark.inventory.textops import _docs
+    from lp_etl_plugins_spark.textops import DedupIndex
+    from pyspark.sql import functions as F
+
+    docs = _docs(spark, SF_SMOKE).filter(F.col("doc_id") % 3 == 0).select(
+        "doc_id", "text"
+    )
+    hi = docs.agg(F.max("doc_id")).first()[0]
+    cut = (hi * 7) // 10
+    base = docs.filter(F.col("doc_id") <= cut)
+    delta = docs.filter(F.col("doc_id") > cut)
+    assert delta.count() > 0
+    cap = 3
+
+    def fresh(tag):
+        corpus_dir = str(tmp_path / tag / "corpus")
+        idx_dir = str(tmp_path / tag / "idx")
+        base.write.parquet(corpus_dir)
+        DedupIndex(
+            spark.read.parquet(corpus_dir), "text", "doc_id", max_band_size=cap
+        ).save(idx_dir)
+        return corpus_dir, idx_dir
+
+    # the reference: one clean absorb
+    ref_corpus, ref_idx = fresh("clean")
+    DedupIndex.foreach_batch_update(spark, ref_idx, ref_corpus)(delta, 0)
+    want = {
+        s: _stage_rows(DedupIndex.load(spark, ref_idx), s)
+        for s in DedupIndex._STAGES
+    }
+
+    for crash in ("corpus_only", "pairs", "partial_pairs", "monotone", "labels"):
+        corpus_dir, idx_dir = fresh(crash)
+        # the crashed attempt: corpus half landed ...
+        delta.write.mode("append").parquet(corpus_dir)
+        if crash != "corpus_only":
+            # ... and some prefix of the index half's stage writes
+            live = DedupIndex.load(spark, idx_dir)
+            live.update(delta, old_docs=base)
+            d = live._delta
+            if crash == "partial_pairs":  # torn multi-file append
+                d["pairs"].filter(F.col("id_b") % 2 == 0).write.mode(
+                    "append"
+                ).parquet(f"{idx_dir}/pairs")
+            else:
+                d["pairs"].write.mode("append").parquet(f"{idx_dir}/pairs")
+            if crash in ("monotone", "labels"):
+                d["verified"].write.mode("append").parquet(f"{idx_dir}/verified")
+                d["bands"].write.mode("append").parquet(f"{idx_dir}/bands")
+            if crash == "labels":  # torn label overwrite: half the rows
+                torn = live._clusters.limit(max(1, live._clusters.count() // 2))
+                torn.localCheckpoint().write.mode("overwrite").parquet(
+                    f"{idx_dir}/clusters"
+                )
+        # the replay converges
+        DedupIndex.foreach_batch_update(spark, idx_dir, corpus_dir)(delta, 1)
+        got = {
+            s: _stage_rows(DedupIndex.load(spark, idx_dir), s)
+            for s in DedupIndex._STAGES
+        }
+        assert got == want, crash
