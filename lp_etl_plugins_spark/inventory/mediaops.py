@@ -321,8 +321,9 @@ def m7_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pigeonhole, any pair within Hamming ≤ 3 has at least one
     error-free 16-bit quarter, so exact quarter match is a
     GUARANTEED-recall candidate index at that radius — then exact
-    Hamming verification over candidates only (zip_with fold; DuckDB
-    verifies with its native hamming()). The image twin of v6's
+    Hamming verification over candidates only (bit_count(xor) over
+    the bit string's 32-bit halves — codegen arithmetic; DuckDB
+    verifies with its native hamming(), same values). The image twin of v6's
     embedding Hamming prefilter: |media|×4 band rows shuffle, never
     the all-pairs product. Served from the session-shared
     :func:`media_index` (multimodal.MediaIndex) — the mining plan

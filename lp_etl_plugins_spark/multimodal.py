@@ -478,7 +478,8 @@ class MediaIndex:
 
     _STAGES = ("phash", "pairs", "clusters")
     _META_SCHEMA = (
-        "id_col string, n_bands int, max_hamming int, max_id bigint"
+        "id_col string, n_bands int, max_hamming int, max_band_size int, "
+        "max_id bigint"
     )
 
     def __init__(
@@ -488,6 +489,7 @@ class MediaIndex:
         *,
         n_bands: int = 4,
         max_hamming: int = 3,
+        max_band_size: int | None = None,
     ) -> None:
         if 64 % n_bands != 0:
             raise ValueError(f"MediaIndex: n_bands={n_bands} must divide 64")
@@ -500,6 +502,15 @@ class MediaIndex:
         self._id_col = id_col
         self._n_bands = n_bands
         self._max_hamming = max_hamming
+        # the skew guard (textops._cap_band_groups): structured or
+        # near-duplicate-heavy media can pile thousands of hashes into
+        # one band bucket, making the candidate self-join quadratic in
+        # the hot group (measured: 12.8k formula-generated blobs
+        # produced 1.8M candidate expansions). None = exact mining
+        # (the pigeonhole recall guarantee holds unconditionally);
+        # capped groups stop yielding pairs — the same documented
+        # monotone trade as DedupIndex(max_band_size=...)
+        self._max_band_size = max_band_size
         for stage in self._STAGES:
             setattr(self, f"_{stage}", None)
         self.builds: dict[str, int] = dict.fromkeys(self._STAGES, 0)
@@ -545,16 +556,24 @@ class MediaIndex:
 
     @staticmethod
     def _hamming() -> Column:
-        # identical expression to the m7 inventory entry (and its
-        # DuckDB hamming() twin), so index-served results hash-match
-        return F.aggregate(
-            F.zip_with(
-                F.split("pa", ""),
-                F.split("pb", ""),
-                lambda x, y: (x != y).cast("int"),
-            ),
-            F.lit(0),
-            lambda acc, v: acc + v,
+        # bit_count(xor) over the bit string's two 32-bit halves —
+        # whole-stage-codegen integer arithmetic. The earlier
+        # split/zip_with/aggregate form computes the same VALUES (all
+        # the oracle hash parity compares — the m7 DuckDB twin stays
+        # char-wise) but higher-order functions are interpreted per
+        # element: ~130 lambda evaluations per pair made it the
+        # straggler at 700k candidate pairs (a >10 min single task on
+        # the adversarial 12.8k-blob corpus; this form verifies the
+        # same set in seconds)
+        def half(c: str, lo: int) -> Column:
+            # bits [lo, lo+32) as a long — 32-bit halves so the
+            # unsigned top bit of a 64-bit hash cannot overflow the
+            # signed long conv() returns through
+            return F.conv(F.substring(c, lo + 1, 32), 2, 10).cast("long")
+
+        return (
+            F.bit_count(half("pa", 0).bitwiseXOR(half("pb", 0)))
+            + F.bit_count(half("pa", 32).bitwiseXOR(half("pb", 32)))
         ).cast("long")
 
     def _verify(self, cand_ids: DataFrame, ph: DataFrame) -> DataFrame:
@@ -578,8 +597,12 @@ class MediaIndex:
         """Verified near-dup pairs (id_a < id_b, hamming ≤ R) — m7's
         output, stored with the exact distance for rollups."""
         if self._pairs is None:
+            from .textops import _cap_band_groups
+
             self.builds["pairs"] += 1
-            bands = self._band_view(self.phash)
+            bands = _cap_band_groups(
+                self._band_view(self.phash), self._max_band_size
+            )
             cand_ids = (
                 bands.alias("a")
                 .join(
@@ -627,17 +650,25 @@ class MediaIndex:
         indexed ids (append-only contract — a re-ingested id would
         duplicate its hash row). Mutates and returns ``self``;
         ``update(delta)`` == ``build(old ∪ delta)`` stage-for-stage."""
-        from .textops import connected_components
+        from .textops import _cap_band_groups, connected_components
 
         old_ph = self.phash
         old_pairs = self.pairs
         new_ph = self._hash_media(new_media).localCheckpoint()
         merged_ph = old_ph.unionByName(new_ph).localCheckpoint(eager=False)
+        # with a cap, re-evaluate it over the MERGED band groups for
+        # new pairs (mined pairs are never retracted — the DedupIndex
+        # monotone-superset contract); the equi-join below already
+        # confines the delta's bands to surviving groups, so no
+        # delta-side pre-filter is needed
+        capped = _cap_band_groups(
+            self._band_view(merged_ph), self._max_band_size
+        )
         cand_ids = (
             self._band_view(new_ph)
             .alias("a")
             .join(
-                self._band_view(merged_ph).alias("b"),
+                capped.alias("b"),
                 (F.col("a.band") == F.col("b.band"))
                 & (F.col("a.key") == F.col("b.key"))
                 & (F.col("a.media_id") != F.col("b.media_id")),
@@ -687,7 +718,15 @@ class MediaIndex:
 
         _write_control_parquet(
             f"{path}/meta",
-            [(self._id_col, self._n_bands, self._max_hamming, self.max_id)],
+            [
+                (
+                    self._id_col,
+                    self._n_bands,
+                    self._max_hamming,
+                    self._max_band_size,
+                    self.max_id,
+                )
+            ],
             self._META_SCHEMA,
         )
 
@@ -705,6 +744,8 @@ class MediaIndex:
         idx._id_col = m["id_col"]
         idx._n_bands = m["n_bands"]
         idx._max_hamming = m["max_hamming"]
+        # metas saved before the skew cap existed load uncapped
+        idx._max_band_size = m.get("max_band_size")
         hi = m["max_id"]
         idx.max_id = None if hi is None else int(hi)
         for stage in cls._STAGES:
@@ -775,16 +816,23 @@ class MediaIndex:
                 "MediaIndex.repair_saved: meta has no max_id stamp — "
                 "re-save() the index first"
             )
+        from .textops import _cap_band_groups
+
         full_ph = idx.phash
         delta_ph = full_ph.filter(F.col("media_id") > idx.max_id).localCheckpoint()
         n_delta = delta_ph.count()
         if n_delta == 0:
             return {"repaired": False, "rows_beyond_stamp": 0, "pairs_added": 0}
+        # identical candidate rule to update() — including the skew
+        # cap over the merged band groups, so a repaired index serves
+        # exactly what the clean absorb would have
         cand_ids = (
             idx._band_view(delta_ph)
             .alias("a")
             .join(
-                idx._band_view(full_ph).alias("b"),
+                _cap_band_groups(
+                    idx._band_view(full_ph), idx._max_band_size
+                ).alias("b"),
                 (F.col("a.band") == F.col("b.band"))
                 & (F.col("a.key") == F.col("b.key"))
                 & (F.col("a.media_id") != F.col("b.media_id")),

@@ -231,6 +231,108 @@ def test_streamed_ingestion_equals_batch(spark, tmp_path):
         absorb(strad, 100)
 
 
+def test_band_cap_is_definitional_and_persisted(spark, tmp_path):
+    """The skew guard (max_band_size): capped mining must equal its
+    DEFINITION — all verified pairs whose ids co-occur in at least one
+    uncapped (band, key) group of size ≤ cap, nothing else (the
+    deterministic-admission-rule contract of
+    tests/test_dedup_index.py::test_band_cap_exactness_property,
+    applied to the media side) — with the hot group (planted identical
+    blobs, the structured-media shape that measured 1.8M candidate
+    expansions uncapped at 12.8k blobs) actually over the cap and
+    yielding nothing. save()/load() must round-trip the cap."""
+    media = synthetic_media(spark, 60)
+    corpus = media
+    for i in range(8):  # nine identical hashes incl. original blob 0
+        corpus = corpus.unionByName(
+            synthetic_media(spark, 1).withColumn(
+                "media_id", F.col("media_id") + 1000 + i
+            )
+        )
+    cap = 4
+    idx = MediaIndex(corpus, max_band_size=cap)
+    got = {(r["id_a"], r["id_b"]) for r in idx.pairs.collect()}
+
+    # the definition, recomputed from the uncapped hash substrate
+    ph = {r["media_id"]: r["phash"] for r in MediaIndex(corpus).phash.collect()}
+    groups: dict[tuple, set] = {}
+    for mid, h in ph.items():
+        for b in range(4):
+            groups.setdefault((b, h[b * 16 : (b + 1) * 16]), set()).add(mid)
+    want = {
+        (a, b)
+        for ids in groups.values()
+        if len(ids) <= cap
+        for a in ids
+        for b in ids
+        if a < b and sum(x != y for x, y in zip(ph[a], ph[b])) <= 3
+    }
+    assert got == want
+    assert any(len(ids) > cap for ids in groups.values())  # cap binds
+    assert (1000, 1001) not in got  # the hot group yields nothing
+
+    path = str(tmp_path / "midx")
+    idx.save(path)
+    assert MediaIndex.load(spark, path)._max_band_size == cap
+
+
+def test_update_with_band_cap_is_monotone_superset(spark):
+    """With a cap, update() re-evaluates it over the MERGED band
+    groups for new pairs but never retracts mined pairs: old pairs ⊆
+    updated, and capped-rebuild ⊆ updated (the DedupIndex monotone
+    contract, mirrored). The planted duplicates make a group CROSS the
+    cap at the merge, so the non-trivial direction is exercised."""
+    media = synthetic_media(spark, 80)
+    dups = [
+        synthetic_media(spark, 1).withColumn(
+            "media_id", F.col("media_id") + 1000 + i
+        )
+        for i in range(6)
+    ]
+    base = media
+    for d in dups[:2]:
+        base = base.unionByName(d)
+    delta = dups[2]
+    for d in dups[3:]:
+        delta = delta.unionByName(d)
+    cap = 3
+    idx = MediaIndex(base, max_band_size=cap)
+    old = {tuple(r) for r in idx.pairs.collect()}
+    assert old  # the under-cap copies pair up in the base build
+    idx.update(delta)
+    got = {tuple(r) for r in idx.pairs.collect()}
+    assert old <= got
+    full = base
+    for d in dups[2:]:
+        full = full.unionByName(d)
+    rebuilt = {
+        tuple(r) for r in MediaIndex(full, max_band_size=cap).pairs.collect()
+    }
+    assert rebuilt <= got
+    assert rebuilt < got  # the crossed cap retracts in rebuild, not update
+
+
+def test_precap_meta_loads_uncapped(spark, tmp_path):
+    """Metas saved before the skew cap existed (round-8 mid-round
+    layout, no max_band_size column) must load as uncapped indexes."""
+    from lp_etl_plugins_spark.textops import _write_control_parquet
+
+    media = synthetic_media(spark, 40)
+    idx = MediaIndex(media)
+    n_pairs = idx.pairs.count()
+    path = str(tmp_path / "midx")
+    idx.save(path)
+    _write_control_parquet(
+        f"{path}/meta",
+        [("media_id", 4, 3, 39)],
+        "id_col string, n_bands int, max_hamming int, max_id bigint",
+    )
+    loaded = MediaIndex.load(spark, path)
+    assert loaded._max_band_size is None
+    assert loaded.max_id == 39
+    assert loaded.pairs.count() == n_pairs
+
+
 def test_repair_saved_rederives_lost_writes(spark, tmp_path):
     """The crash window after the witness stage landed: phash rows
     above the stamp with the DERIVED writes (pairs, clusters, meta)
@@ -273,3 +375,46 @@ def test_repair_saved_rederives_lost_writes(spark, tmp_path):
     ).parquet(f"{path2}/phash")
     with pytest.raises(ValueError, match="torn append"):
         foreach_batch_add(spark, path2)(delta, 0)
+
+
+def test_repair_saved_respects_band_cap(spark, tmp_path):
+    """A repaired CAPPED index must serve exactly what the clean
+    absorb would have: repair_saved re-mines with the same capped
+    candidate rule as update() — uncapped re-mining would resurrect
+    pairs from over-cap groups (and blow up on the skewed corpora the
+    cap exists for). Planted duplicates make the cap bind across the
+    base/delta merge."""
+    from lp_etl_plugins_spark.multimodal import foreach_batch_add
+
+    media = synthetic_media(spark, 80)
+    corpus = media
+    for i in range(6):
+        corpus = corpus.unionByName(
+            synthetic_media(spark, 1).withColumn(
+                "media_id", F.col("media_id") + 1000 + i
+            )
+        )
+    base = corpus.filter(F.col("media_id") < 1002)
+    delta = corpus.filter(F.col("media_id") >= 1002)
+    cap = 3
+
+    # reference: the clean absorb
+    path_a = str(tmp_path / "clean")
+    MediaIndex(base, max_band_size=cap).save(path_a)
+    live = MediaIndex.load(spark, path_a)
+    live.update(delta)
+    live.append_saved(path_a)
+    want = {s: _stage_rows(MediaIndex.load(spark, path_a), s)
+            for s in MediaIndex._STAGES}
+
+    # torn: only the phash witness landed, then the replay repairs
+    path_b = str(tmp_path / "torn")
+    MediaIndex(base, max_band_size=cap).save(path_b)
+    torn = MediaIndex.load(spark, path_b)
+    torn.update(delta)
+    torn._delta["phash"].write.mode("append").parquet(f"{path_b}/phash")
+    foreach_batch_add(spark, path_b)(delta, 0)
+
+    got = {s: _stage_rows(MediaIndex.load(spark, path_b), s)
+           for s in MediaIndex._STAGES}
+    assert got == want
