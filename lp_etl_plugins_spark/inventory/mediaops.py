@@ -464,6 +464,77 @@ def m10_incremental_phash_clusters(spark: SparkSession, sf_dir: str) -> DataFram
 M10_SQL = M9_SQL
 
 
+def m11_phash_neardup_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The media skew cap (multimodal.MediaIndex(max_band_size=...)),
+    oracle-gated: nine byte-identical blobs (blob 0 plus eight planted
+    copies at ids 1000-1007) collide in every band, so with cap=4
+    every group containing them is over-cap and yields NOTHING — the
+    hot-group admission rule measured in SCALE.md ("Media index under
+    structured skew") — while all benign groups (≤ 4 members) still
+    yield ALL their pairs. The oracle recomputes the capped definition
+    independently: hashes from the payload formula, band groups with
+    HAVING count ≤ cap, pairs admitted iff they co-occur in at least
+    one under-cap group, exact-Hamming verified. → (id_a, id_b,
+    hamming)."""
+    corpus = synthetic_media(spark, _N_MEDIA)
+    for d in range(8):
+        corpus = corpus.unionByName(
+            synthetic_media(spark, 1).withColumn(
+                "media_id", F.col("media_id") + 1000 + d
+            )
+        )
+    return MediaIndex(corpus, max_band_size=4).pairs
+
+
+M11_SQL = """
+WITH members AS (
+  SELECT i, i AS gen FROM unnest(generate_series(0, 199)) t(i)
+  UNION ALL
+  SELECT 1000 + d, 0 FROM unnest(generate_series(0, 7)) t(d)
+),
+dims AS (
+  SELECT i, gen, 16 + (gen % 8) AS w, 12 + (gen % 5) AS h FROM members
+),
+px AS (
+  SELECT i, w, h, y, x,
+         ((gen * 31 + ((y * w + x) * 3 + 0) * 7) % 251)
+       + ((gen * 31 + ((y * w + x) * 3 + 1) * 7) % 251)
+       + ((gen * 31 + ((y * w + x) * 3 + 2) * 7) % 251) AS gray,
+         (y * 8) // h AS r, (x * 8) // w AS cb
+  FROM dims,
+       unnest(generate_series(0, h - 1)) ty(y),
+       unnest(generate_series(0, w - 1)) tx(x)
+),
+tot AS (SELECT i, sum(gray) AS t_sum, count(*) AS n_px FROM px GROUP BY i),
+blocks AS (
+  SELECT i, r, cb, sum(gray) AS s_blk, count(*) AS n_blk
+  FROM px GROUP BY i, r, cb
+),
+bits AS (
+  SELECT b.i,
+         string_agg(CASE WHEN b.s_blk * t.n_px > t.t_sum * b.n_blk
+                         THEN '1' ELSE '0' END, '' ORDER BY b.r, b.cb) AS phash
+  FROM blocks b JOIN tot t ON t.i = b.i
+  GROUP BY b.i
+),
+bands AS (
+  SELECT i, phash, b, substring(phash, 1 + 16 * b, 16) AS key
+  FROM bits, unnest([0, 1, 2, 3]) t(b)
+),
+kept AS (
+  SELECT b, key FROM bands GROUP BY b, key HAVING count(*) <= 4
+),
+cand AS (
+  SELECT DISTINCT a.i AS id_a, b.i AS id_b, a.phash AS pa, b.phash AS pb
+  FROM bands a
+  JOIN kept k ON k.b = a.b AND k.key = a.key
+  JOIN bands b ON a.b = b.b AND a.key = b.key AND a.i < b.i
+)
+SELECT id_a, id_b, hamming(pa, pb)::BIGINT AS hamming
+FROM cand WHERE hamming(pa, pb) <= 3
+"""
+
+
 QUERIES = {
     "m1_media_decode": m1_media_decode,
     "m2_frame_sample": m2_frame_sample,
@@ -475,6 +546,7 @@ QUERIES = {
     "m8_media_exact_dedup": m8_media_exact_dedup,
     "m9_phash_clusters": m9_phash_clusters,
     "m10_incremental_phash_clusters": m10_incremental_phash_clusters,
+    "m11_phash_neardup_capped": m11_phash_neardup_capped,
 }
 
 ORACLES: dict[str, str] = {
@@ -488,4 +560,5 @@ ORACLES: dict[str, str] = {
     "m8_media_exact_dedup": M8_SQL,
     "m9_phash_clusters": M9_SQL,
     "m10_incremental_phash_clusters": M10_SQL,
+    "m11_phash_neardup_capped": M11_SQL,
 }

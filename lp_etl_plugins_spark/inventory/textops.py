@@ -2154,6 +2154,37 @@ T38_SQL = (
 )
 
 
+def t39_lsh_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH skew cap (textops.pairs_from_band_frame /
+    DedupIndex(max_band_size=...)), oracle-gated on the REAL corpus:
+    candidate mining over the shared index's band substrate with
+    max_band_size=2 — overfull (band, key) groups yield nothing, a
+    pair survives iff it co-occurs in at least one under-cap group
+    (the deterministic admission rule of
+    tests/test_dedup_index.py::test_band_cap_exactness_property and
+    SCALE.md's adversarial-skew table). Cap 2 binds at BOTH driver
+    scales (band groups reach 3 at sf0.01 and 11 at sf0.1, measured),
+    so the gate checks real dropped groups, not a no-op. Reads the
+    session-shared bands — no second shingle/minhash pass.
+    → (id_a, id_b)."""
+    return T.pairs_from_band_frame(dedup_index(spark, sf_dir).bands, 2)
+
+
+T39_SQL = (
+    "WITH " + _SH_SQL + "," + _CAND_SQL + """,
+kept AS (
+  SELECT b, key FROM bands GROUP BY b, key HAVING count(*) <= 2
+),
+candc AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM bands a
+  JOIN kept k ON k.b = a.b AND k.key = a.key
+  JOIN bands b ON a.b = b.b AND a.key = b.key AND a.id < b.id
+)
+SELECT id_a, id_b FROM candc"""
+)
+
+
 QUERIES = {
     "t0_dedup_index_stats": t0_dedup_index_stats,
     "t1_exact_dedup": t1_exact_dedup,
@@ -2194,6 +2225,7 @@ QUERIES = {
     "t36_incremental_curation": t36_incremental_curation,
     "t37_repeated_substrings": t37_repeated_substrings,
     "t38_incremental_repeat_stats": t38_incremental_repeat_stats,
+    "t39_lsh_pairs_capped": t39_lsh_pairs_capped,
 }
 
 ORACLES = {
@@ -2236,4 +2268,5 @@ ORACLES = {
     "t36_incremental_curation": T36_SQL,
     "t37_repeated_substrings": T37_SQL,
     "t38_incremental_repeat_stats": T38_SQL,
+    "t39_lsh_pairs_capped": T39_SQL,
 }
