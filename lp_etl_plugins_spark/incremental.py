@@ -81,9 +81,22 @@ _META_SCHEMA = (
     "contain_threshold double, max_band_size int, max_doc_id bigint, "
     "n_working bigint, n_bench bigint, n_updates int, n_compactions int"
 )
-_TOMB_SCHEMA = "doc_id bigint"
+# tombstones carry the high-water mark of the update that wrote them
+# (src_max_id) so a crashed update's landed-but-unstamped retractions
+# are identifiable on replay — the doc_id alone cannot be (tombstoned
+# docs are OLD canonicals, below the stamp). Pre-round-8 logs lack the
+# column; the explicit-schema read yields NULL there, which every
+# stamp filter treats as "committed long ago".
+_TOMB_SCHEMA = "doc_id bigint, src_max_id bigint"
 _GRAM_SCHEMA = "id bigint, g bigint"
+# hashes likewise carry the doc that introduced each text hash
+# (src_id) — exact dedup's anti-join still keys on h alone, but a
+# replay can now separate a crashed append's hashes from committed
+# ones. Explicit-schema reads keep mixed old/new-layout directories
+# readable (missing column → NULL).
+_HASH_SCHEMA = "h string, src_id bigint"
 _CONTAM_SCHEMA = "train_id bigint, bench_id bigint, containment double"
+_PENDING_SCHEMA = "lo bigint, hi bigint"
 
 
 def _df_cap(max_df: int, max_df_frac: float, n: int) -> int:
@@ -107,19 +120,41 @@ def foreach_batch_update(spark: SparkSession, state_path: str):
     ``max(doc_id) <=`` the state's high-water mark and is skipped
     idempotently; a PARTIALLY overlapping batch (ids straddling the
     mark) is a contract violation and raises, because re-applying half
-    a batch would double-append band/gram rows. The state update
-    itself is multi-file and non-atomic — a crash in the middle of
-    :meth:`CurationState.update`'s write sequence leaves a torn state,
-    which a production deployment prevents by fronting the appends
-    with a transactional table format (the append/tombstone logs map
-     1:1 onto one); this engine keeps plain parquet and documents the
-    seam rather than faking atomicity."""
+    a batch would double-append band/gram rows. A crash INSIDE the
+    multi-file write sequence REPAIRS on replay instead of corrupting:
+    :meth:`CurationState.update` brackets its writes with a driver-side
+    ``pending`` marker (written before the first substrate write,
+    cleared after the meta stamp), and a replay that finds a matching
+    marker runs in repair mode — landed-but-unstamped rows are dropped
+    from every loaded substrate (ids beyond the meta stamp for
+    doc-keyed logs, the ``src`` stamps for hashes/tombstones, the
+    DedupIndex rollback for the index half), appends are anti-join
+    guarded so nothing lands twice, and the contam swap's
+    between-renames window is recovered from its surviving complete
+    copy. The replayed absorb converges to exactly the clean-absorb
+    state regardless of which prefix of the writes the crash preserved
+    (test-asserted across the crash windows). A crash after the meta
+    stamp but before the marker clear leaves a stale marker, which the
+    replay's skip path removes here."""
 
     def absorb(batch_df: DataFrame, batch_id: int) -> None:
         st = CurationState.load(spark, state_path)
-        hi = batch_df.agg(F.max("doc_id")).first()[0]
-        if hi is None or hi <= st.meta["max_doc_id"]:
-            return  # empty or fully-replayed batch — already absorbed
+        b = batch_df.agg(
+            F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
+        ).first()
+        if b["hi"] is None:
+            return  # empty batch
+        if b["hi"] <= st.meta["max_doc_id"]:
+            # fully-replayed batch — already absorbed; a marker match
+            # means the previous run crashed between the meta stamp
+            # and the marker clear: finish that cleanup
+            pend = st._read_pending()
+            if pend is not None and (
+                int(pend["lo"]),
+                int(pend["hi"]),
+            ) == (int(b["lo"]), int(b["hi"])):
+                st._clear_pending()
+            return
         st.update(batch_df)
 
     return absorb
@@ -183,6 +218,30 @@ class CurationState:
         object's file listings are stale."""
         return T.DedupIndex.load(self._spark, f"{self._path}/index")
 
+    # ------------------------------------------------- pending marker
+    # The commit protocol of update(): a driver-side `pending` marker
+    # (the delta's id bounds) is written BEFORE the first substrate
+    # write and removed AFTER the meta stamp. A replay that finds a
+    # matching marker knows the previous attempt crashed mid-write and
+    # runs in repair mode; no marker means a clean first attempt; a
+    # marker from a DIFFERENT delta means the torn batch must be
+    # replayed first (raised loudly).
+
+    def _read_pending(self) -> dict | None:
+        if not T._parquet_dir_exists(f"{self._path}/pending"):
+            return None
+        return T._read_control_row(f"{self._path}/pending")
+
+    def _write_pending(self, lo: int, hi: int) -> None:
+        T._write_control_parquet(
+            f"{self._path}/pending", [(int(lo), int(hi))], _PENDING_SCHEMA
+        )
+
+    def _clear_pending(self) -> None:
+        import shutil
+
+        shutil.rmtree(T._local_path(f"{self._path}/pending"), ignore_errors=True)
+
     def check(self, *, index_stages: bool = True, cooccupancy: bool = True) -> dict:
         """Integrity probe for the multi-file state — the operational
         answer to the non-atomicity seam :func:`foreach_batch_update`
@@ -224,9 +283,19 @@ class CurationState:
             if n:
                 v[name] = int(n)
 
+        # a pending marker with no update in flight IS the torn-state
+        # signal: the crashed delta must be replayed (update's repair
+        # mode converges it) before the views are trusted
+        if self._read_pending() is not None:
+            bad("pending_update_marker", 1)
         ids = indexed.groupBy("doc_id").count().filter(F.col("count") > 1)
         bad("duplicate_indexed_ids", ids.count())
-        h = spark.read.parquet(f"{p}/hashes").select("h").distinct()
+        h = (
+            spark.read.schema(_HASH_SCHEMA)
+            .parquet(f"{p}/hashes")
+            .select("h")
+            .distinct()
+        )
         ih = indexed.select(F.md5("text").alias("h")).distinct()
         bad("hashes_missing", ih.join(h, "h", "left_anti").count())
         bad("hashes_orphaned", h.join(ih, "h", "left_anti").count())
@@ -495,9 +564,12 @@ class CurationState:
         indexed = cls._exact_dedup(st._filtered(docs))
         indexed.write.mode("overwrite").parquet(f"{path}/indexed")
         indexed = spark.read.parquet(f"{path}/indexed")
-        indexed.select(F.md5("text").alias("h")).distinct().write.mode(
-            "overwrite"
-        ).parquet(f"{path}/hashes")
+        # (h, src_id): still one row per distinct text hash (the
+        # anti-join consumers key on h alone) — src_id, the doc that
+        # introduced the hash, is the replay stamp (_HASH_SCHEMA note)
+        indexed.groupBy(F.md5("text").alias("h")).agg(
+            F.min("doc_id").alias("src_id")
+        ).write.mode("overwrite").parquet(f"{path}/hashes")
         idx = T.DedupIndex(
             indexed,
             "text",
@@ -660,7 +732,24 @@ class CurationState:
         participates in canonical displacement like any other member).
         ``update == rebuild`` holds for pure-bench deltas exactly as
         for train deltas (test_new_benchmark_suite_delta and the
-        bench_mask leg of the Hypothesis property test)."""
+        bench_mask leg of the Hypothesis property test).
+
+        CRASH CONTRACT (round 8): the multi-substrate write sequence
+        is bracketed by a driver-side ``pending`` marker (the delta's
+        id bounds, written before the first substrate write, cleared
+        after the meta stamp). Replaying the SAME delta against a
+        matching marker runs in repair mode and converges to exactly
+        the clean-update state no matter which prefix of the writes
+        the crash preserved — landed-but-unstamped rows are dropped
+        from every loaded substrate (doc-keyed logs by id, hashes /
+        tombstones by their src stamps, the index by
+        ``DedupIndex.rollback_unstamped``), every append is anti-join
+        guarded (torn partial appends included), and the contam
+        swap's between-renames window is recovered from a surviving
+        complete copy (test-asserted across seven crash windows in
+        tests/test_incremental.py). A marker from a DIFFERENT delta
+        raises: that batch must be replayed first. ``check()`` reports
+        a dangling marker as ``pending_update_marker``."""
         spark, p, m = self._spark, self._path, self.meta
         # one pass over the delta for cutoffs AND the row-count metric
         # (it was a separate count() job; every action here is ~250
@@ -686,23 +775,58 @@ class CurationState:
                 "id-disjointness both require append-only ids"
             )
 
+        # -- commit protocol: a matching pending marker means the
+        #    previous attempt at THIS delta crashed mid-write — run in
+        #    repair mode: reconstruct the pre-crash state by dropping
+        #    landed-but-unstamped rows (ids/src stamps beyond the meta
+        #    high-water mark) from every loaded substrate, and guard
+        #    every append with an anti-join so nothing lands twice.
+        #    Repair-mode extra work (stamp filters + per-append
+        #    anti-joins) is paid ONLY on the crash-replay branch.
+        stamp = int(m["max_doc_id"])
+        pending = self._read_pending()
+        repair = False
+        if pending is not None:
+            if (int(pending["lo"]), int(pending["hi"])) != (
+                int(bounds["lo"]),
+                int(bounds["hi"]),
+            ):
+                raise ValueError(
+                    "CurationState.update: pending marker from a different "
+                    f"delta (lo={pending['lo']}, hi={pending['hi']}) — a "
+                    "previous update of THAT batch crashed mid-write; "
+                    "replay it (same bounds) before absorbing new deltas"
+                )
+            repair = True
+            # the one non-append write is the contam swap — recover the
+            # between-renames crash window before reading it
+            T._recover_swapped_dir(f"{p}/contam")
+        self._write_pending(int(bounds["lo"]), int(bounds["hi"]))
+
         # -- per-doc stages + exact dedup against the hash substrate
         d1 = self._exact_dedup(self._filtered(delta_docs))
-        hashes = spark.read.parquet(f"{p}/hashes")
+        hashes = spark.read.schema(_HASH_SCHEMA).parquet(f"{p}/hashes")
+        if repair:
+            hashes = hashes.filter(
+                F.col("src_id").isNull() | (F.col("src_id") <= stamp)
+            )
         # lazy: the index update's band build is the next action and
         # materializes this (and every later consumer reads the
         # truncated lineage) — an eager checkpoint here was one more
         # scheduled job for the same work
         new_indexed = (
             d1.withColumn("__h", F.md5("text"))
-            .join(hashes, F.col("__h") == F.col("h"), "left_anti")
+            .join(hashes.select("h"), F.col("__h") == F.col("h"), "left_anti")
             .drop("__h")
             .localCheckpoint(eager=False)
         )
 
         # -- near-dup index: banded delta join + star-seeded components
         old_indexed = self.indexed()
+        if repair:
+            old_indexed = old_indexed.filter(F.col("doc_id") <= stamp)
         idx = self.dedup_index()
+        idx_labels = idx.rollback_unstamped(stamp) if repair else ()
         idx.update(new_indexed, old_docs=old_indexed)
         vc = idx.verified_clusters.withColumnRenamed("id", "doc_id")
 
@@ -734,7 +858,18 @@ class CurationState:
             vc.select("doc_id"), "doc_id", "left_anti"
         )
         new_canon = winners.unionByName(singletons).localCheckpoint(eager=False)
-        old_live = self.working()
+        old_live = self.working() if not repair else (
+            self._spark.read.parquet(f"{p}/working")
+            .filter(F.col("doc_id") <= stamp)
+            .join(
+                self._tombstones().filter(
+                    F.col("src_max_id").isNull()
+                    | (F.col("src_max_id") <= stamp)
+                ),
+                "doc_id",
+                "left_anti",
+            )
+        )
         # lazy: the fused adds/retracts aggregate below is the
         # materializing action for both frames
         adds = new_canon.join(
@@ -782,6 +917,11 @@ class CurationState:
         #    trivially cheap.
         g_all = spark.read.schema(_GRAM_SCHEMA).parquet(f"{p}/grams")
         tomb_old = self._tombstones()
+        if repair:
+            g_all = g_all.filter(F.col("id") <= stamp)
+            tomb_old = tomb_old.filter(
+                F.col("src_max_id").isNull() | (F.col("src_max_id") <= stamp)
+            )
         g_old_live = g_all.join(
             tomb_old.withColumnRenamed("doc_id", "id"), "id", "left_anti"
         )
@@ -806,6 +946,18 @@ class CurationState:
         cap_old = _df_cap(m["max_df"], m["max_df_frac"], max(m["n_working"], 1))
         cap_new = _df_cap(m["max_df"], m["max_df_frac"], max(n_working_new, 1))
         stored = self.contamination()
+        if repair:
+            # every pair the crashed run ADDED involves an added doc
+            # (> stamp) on one side; pairs it PRUNED (liveness /
+            # reachability) cannot be resurrected, but pruning is a
+            # deterministic filter given the same delta — re-pruning
+            # the already-pruned set is a no-op, so the redo still
+            # converges to the clean result even when the crashed
+            # contam swap completed (flip-re-mined old×old pairs are
+            # likewise re-mined and deduplicated by the flip branch)
+            stored = stored.filter(
+                (F.col("train_id") <= stamp) & (F.col("bench_id") <= stamp)
+            )
         # no distinct: consumed only through broadcast left_semi joins
         # (duplicate ids are harmless there) and the pair set is small —
         # dropping the dedup shuffle is free
@@ -989,21 +1141,56 @@ class CurationState:
 
         # -- persist: index delta first (its lazy stages read the
         #    pre-append indexed/ and index/bands files), then the
-        #    append-only data logs, then the small rewrites
-        idx.append_saved(f"{p}/index")
-        new_indexed.write.mode("append").parquet(f"{p}/indexed")
-        new_indexed.select(F.md5("text").alias("h")).distinct().write.mode(
-            "append"
-        ).parquet(f"{p}/hashes")
-        adds.write.mode("append").parquet(f"{p}/working")
-        retracts.select("doc_id").write.mode("append").parquet(f"{p}/tombstones")
-        g_add.write.mode("append").parquet(f"{p}/grams")
-        contam_final.write.mode("overwrite").parquet(f"{p}/contam")
+        #    append-only data logs, then the contam swap, then the meta
+        #    stamp, then the pending-marker clear. In repair mode every
+        #    append anti-joins its on-disk log (keyed uniquely: docs by
+        #    doc_id, hashes by h — global distinctness holds because
+        #    new_indexed survived the anti-join against committed
+        #    hashes — grams by (id, g), tombstones by doc_id — a doc
+        #    tombstones at most once ever, retracts draw from old_live
+        #    which excludes the already-tombstoned), so rows a crashed
+        #    attempt landed are never duplicated, torn partial appends
+        #    included.
+        def _append(delta: DataFrame, sub: str, keys: list[str]) -> None:
+            if repair:
+                delta = delta.join(
+                    spark.read.parquet(f"{p}/{sub}").select(*keys),
+                    keys,
+                    "left_anti",
+                ).localCheckpoint()
+            delta.write.mode("append").parquet(f"{p}/{sub}")
+
+        for s in idx_labels:
+            getattr(idx, s)  # force rebuild so append_saved rewrites it
+        idx.append_saved(f"{p}/index", repair=repair)
+        _append(new_indexed, "indexed", ["doc_id"])
+        _append(
+            new_indexed.groupBy(F.md5("text").alias("h")).agg(
+                F.min("doc_id").alias("src_id")
+            ),
+            "hashes",
+            ["h"],
+        )
+        _append(adds, "working", ["doc_id"])
+        _append(
+            retracts.select(
+                "doc_id",
+                F.lit(int(bounds["hi"])).cast("bigint").alias("src_max_id"),
+            ),
+            "tombstones",
+            ["doc_id"],
+        )
+        _append(g_add, "grams", ["id", "g"])
+        # the one non-append write: rename-aside swap, so a complete
+        # contam copy exists on disk at every instant (the repair
+        # branch recovers the between-renames window at entry)
+        T._rewrite_parquet_dir(spark, f"{p}/contam", contam_final, 1 << 20)
         m["max_doc_id"] = int(bounds["hi"])
         m["n_working"] = int(n_working_new)
         m["n_bench"] = int(m["n_bench"] + bench_delta)
         m["n_updates"] = int(m["n_updates"]) + 1
         self._write_meta()
+        self._clear_pending()
         return {
             "delta_rows": n_delta_rows,
             "new_indexed": n_new_indexed,

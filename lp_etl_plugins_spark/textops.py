@@ -1560,6 +1560,31 @@ def _rewrite_parquet_dir(
     }
 
 
+def _recover_swapped_dir(path: str) -> bool:
+    """Recover a :func:`_rewrite_parquet_dir` swap that crashed between
+    its two renames (the one window that leaves NO live directory at
+    ``path`` — but BOTH complete copies beside it): rename a surviving
+    complete copy back, preferring the new layout (``.__compact__`` —
+    complete by the write-before-swap contract) over the old
+    (``.__old__``). A live ``path`` is left untouched (leftover
+    sibling dirs are cleared by the next rewrite). Returns True if a
+    rename was performed; raises if ``path`` is missing and no
+    complete copy survives."""
+    import os
+
+    local = _local_path(path)
+    if os.path.isdir(local):
+        return False
+    for cand in (local + ".__compact__", local + ".__old__"):
+        if os.path.isdir(cand):
+            os.rename(cand, local)
+            return True
+    raise FileNotFoundError(
+        f"_recover_swapped_dir: {path} is missing and neither "
+        f"{path}.__compact__ nor {path}.__old__ survives"
+    )
+
+
 class DedupIndex:
     """Build-once, share-everywhere near-duplicate index.
 
@@ -1925,6 +1950,37 @@ class DedupIndex:
         self.updates += 1
         return self
 
+    def rollback_unstamped(self, stamp: int) -> tuple[str, ...]:
+        """Drop landed-but-unstamped rows (ids beyond ``stamp``, the
+        meta high-water mark) from the LOADED monotone stages, and
+        unload the label stages so they re-derive from the repaired
+        pair sets — the in-memory half of replaying a crashed
+        multi-stage append (:meth:`append_saved`'s ``repair`` mode is
+        the disk half; :meth:`foreach_batch_update`'s redo branch and
+        ``CurationState.update``'s repair mode both drive the pair).
+        Monotone ids make the unstamped rows identifiable: bands by
+        ``id``, pairs/verified by ``id_b`` (a delta pair's greater
+        endpoint is always a new doc). The label stages are rewritten
+        WHOLESALE by append_saved, and a torn overwrite is
+        indistinguishable from a complete one — so they are dropped
+        rather than trusted. Returns the label stages that were
+        loaded; callers force them after ``update()`` so append_saved
+        rewrites them."""
+        if self._bands is not None:
+            self._bands = self._bands.filter(F.col("id") <= stamp)
+        if self._pairs is not None:
+            self._pairs = self._pairs.filter(F.col("id_b") <= stamp)
+        if self._verified is not None:
+            self._verified = self._verified.filter(F.col("id_b") <= stamp)
+        had = tuple(
+            s
+            for s in ("clusters", "verified_clusters")
+            if getattr(self, f"_{s}") is not None
+        )
+        for s in had:
+            setattr(self, f"_{s}", None)
+        return had
+
     def append_saved(self, path: str, *, repair: bool = False) -> None:
         """Merge the LAST :meth:`update`'s delta into a :meth:`save`-d
         index directory WITHOUT rewriting the whole index: ``bands``,
@@ -2074,41 +2130,14 @@ class DedupIndex:
                 # delta anti-joins its on-disk stage instead of
                 # appending blindly)
                 redo = True
-            had_labels = ()
-            if redo:
-                # drop landed-but-unstamped rows (id beyond the meta
-                # stamp) from the loaded monotone stages: a crashed
-                # bands append would otherwise double-count the
-                # delta's rows in update()'s merged band groups —
-                # inflating _cap_band_groups sizes past the cap on a
-                # capped index — and a crashed pairs/verified append
-                # would seed update()'s merged views with duplicates.
-                # Delta rows are exactly those beyond the stamp (ids
-                # are monotone; a delta pair's greater endpoint id_b
-                # is always a new doc).
-                stamp = idx.max_doc_id
-                if idx._bands is not None:
-                    idx._bands = idx._bands.filter(F.col("id") <= stamp)
-                if idx._pairs is not None:
-                    idx._pairs = idx._pairs.filter(F.col("id_b") <= stamp)
-                if idx._verified is not None:
-                    idx._verified = idx._verified.filter(
-                        F.col("id_b") <= stamp
-                    )
-                # the label stages are rewritten WHOLESALE by
-                # append_saved, and a crash during that overwrite
-                # leaves a torn label set indistinguishable from a
-                # complete one — drop them and re-derive from the
-                # repaired pair sets (labels are pure functions of
-                # pairs/verified), instead of star-seeding update()
-                # from labels that cannot be trusted
-                had_labels = tuple(
-                    s
-                    for s in ("clusters", "verified_clusters")
-                    if getattr(idx, f"_{s}") is not None
-                )
-                for s in had_labels:
-                    setattr(idx, f"_{s}", None)
+            # on redo, the crashed append may have landed any prefix of
+            # the stage writes — roll the loaded stages back to the meta
+            # stamp (a landed bands append would otherwise double-count
+            # the delta's rows in update()'s merged band groups,
+            # inflating _cap_band_groups sizes past the cap; landed
+            # pairs/verified would seed the merged views with
+            # duplicates; torn label overwrites cannot be trusted)
+            had_labels = idx.rollback_unstamped(idx.max_doc_id) if redo else ()
             idx.update(
                 batch_df, old_docs=corpus.filter(F.col(id_col) < b["lo"])
             )
@@ -2140,8 +2169,8 @@ class DedupIndex:
         copy exists on disk at every instant, and the one bad crash
         window (between the two renames) recovers with a single
         rename of either surviving copy (see
-        :func:`_rewrite_parquet_dir`'s crash contract). Still the
-        same documented non-atomic seam as CurationState.update — a
+        :func:`_rewrite_parquet_dir`'s crash contract;
+        :func:`_recover_swapped_dir` performs that rename). A
         production deployment fronts these directories with a
         transactional table format. Any in-memory object over ``path``
         is STALE afterwards (its plans captured the old file

@@ -585,3 +585,105 @@ def test_check_reports_missing_index_stages(spark, tmp_path):
     res = st.check(cooccupancy=False)
     assert not res["ok"]
     assert res["violations"].get("index_stage_missing_pairs") == 1
+
+
+def test_update_repairs_torn_write_sequence(spark, tmp_path):
+    """Round-8 commit protocol: a crash anywhere inside update()'s
+    write sequence (index → indexed → hashes → working → tombstones →
+    grams → contam swap → meta → pending-clear) must CONVERGE on
+    replay to exactly the clean-update state. update() brackets its
+    writes with a pending marker; a replay that finds a matching
+    marker reconstructs the pre-crash state (stamp filters over every
+    substrate, DedupIndex rollback for the index half) and anti-join
+    guards every append. Each crash window below is constructed from
+    a REAL update's post-state (post dirs for the written prefix, pre
+    dirs for the rest, pre meta, marker present) — including a torn
+    multi-file grams append and the contam swap's between-renames
+    window — and the replay's full substrate snapshot (rows AND meta)
+    must equal the clean reference's. The crafted corpus forces every
+    retraction path, so tombstones and contam re-attachment are
+    exercised, not just appends."""
+    import os
+    import shutil
+
+    from lp_etl_plugins_spark import textops as T
+
+    docs = spark.createDataFrame(
+        _crafted_rows(), "doc_id long, source string, text string"
+    )
+    base = docs.filter("doc_id < 100")
+    delta = docs.filter("doc_id >= 100").localCheckpoint()
+    b = delta.agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")).first()
+
+    base_dir = str(tmp_path / "base")
+    CurationState.build(spark, base, base_dir, bench_source="bench")
+
+    clean_dir = str(tmp_path / "clean")
+    shutil.copytree(base_dir, clean_dir)
+    CurationState.load(spark, clean_dir).update(delta)
+
+    SUBS = ["index", "indexed", "hashes", "working", "tombstones", "grams", "contam"]
+    STAGES = ["bands", "pairs", "verified", "verified_clusters"]
+
+    def rows(path, sub):
+        return sorted(tuple(r) for r in spark.read.parquet(f"{path}/{sub}").collect())
+
+    def snapshot(path):
+        snap = {s: rows(path, s) for s in SUBS if s != "index"}
+        for st in STAGES:
+            snap[f"index/{st}"] = rows(path, f"index/{st}")
+        snap["meta"] = T._read_control_row(f"{path}/meta")
+        snap["index_meta"] = T._read_control_row(f"{path}/index/meta")
+        return snap
+
+    want = snapshot(clean_dir)
+    assert want["tombstones"], "crafted corpus must force retractions"
+
+    def make_case(tag, n_written, torn_grams=False, swap_window=False):
+        case = str(tmp_path / tag)
+        shutil.copytree(base_dir, case)
+        for sub in SUBS[:n_written]:
+            shutil.rmtree(f"{case}/{sub}")
+            shutil.copytree(f"{clean_dir}/{sub}", f"{case}/{sub}")
+        if torn_grams:
+            # the grams append landed PARTIALLY: drop half the new files
+            pre = set(os.listdir(f"{base_dir}/grams"))
+            new = sorted(
+                f for f in os.listdir(f"{case}/grams")
+                if f not in pre and f.endswith(".parquet")
+            )
+            assert new, "delta must have appended gram files"
+            for f in new[: max(1, len(new) // 2)]:
+                os.remove(f"{case}/grams/{f}")
+        if swap_window:
+            # crash between the contam swap's two renames: no live dir,
+            # both complete copies beside it
+            os.rename(f"{case}/contam", f"{case}/contam.__old__")
+            shutil.copytree(f"{clean_dir}/contam", f"{case}/contam.__compact__")
+        T._write_control_parquet(
+            f"{case}/pending", [(int(b["lo"]), int(b["hi"]))], "lo bigint, hi bigint"
+        )
+        return case
+
+    cases = [
+        make_case("w_pending_only", 0),
+        make_case("w_index", 1),
+        make_case("w_through_hashes", 3),
+        make_case("w_through_tombstones", 5),
+        make_case("w_torn_grams", 6, torn_grams=True),
+        make_case("w_all_but_meta", 7),
+        make_case("w_swap_window", 6, swap_window=True),
+    ]
+    # pre-repair, the torn state is loudly visible
+    probe = CurationState.load(spark, cases[3])
+    assert probe.check(index_stages=False)["violations"].get(
+        "pending_update_marker"
+    ) == 1
+
+    for case in cases:
+        st = CurationState.load(spark, case)
+        st.update(delta)  # the replay — repair mode
+        got = snapshot(case)
+        assert got == want, case
+    # repaired state passes the full integrity probe
+    assert CurationState.load(spark, cases[4]).check()["ok"]
