@@ -1183,8 +1183,13 @@ class CurationState:
         _append(g_add, "grams", ["id", "g"])
         # the one non-append write: rename-aside swap, so a complete
         # contam copy exists on disk at every instant (the repair
-        # branch recovers the between-renames window at entry)
-        T._rewrite_parquet_dir(spark, f"{p}/contam", contam_final, 1 << 20)
+        # branch recovers the between-renames window at entry); the
+        # fused metrics job above already counted the checkpointed
+        # frame, so the swap costs exactly the one write job the old
+        # bare overwrite did
+        T._rewrite_parquet_dir(
+            spark, f"{p}/contam", contam_final, 1 << 20, n_rows=n_pairs_after
+        )
         m["max_doc_id"] = int(bounds["hi"])
         m["n_working"] = int(n_working_new)
         m["n_bench"] = int(m["n_bench"] + bench_delta)

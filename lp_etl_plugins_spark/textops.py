@@ -1513,7 +1513,11 @@ def _count_data_files(path: str) -> int:
 
 
 def _rewrite_parquet_dir(
-    spark, path: str, frame: DataFrame, target_rows_per_file: int
+    spark,
+    path: str,
+    frame: DataFrame,
+    target_rows_per_file: int,
+    n_rows: int | None = None,
 ) -> dict:
     """Replace ``path``'s parquet contents with ``frame`` laid out as
     ``ceil(rows / target_rows_per_file)`` files: write the new layout
@@ -1537,16 +1541,27 @@ def _rewrite_parquet_dir(
     import os
     import shutil
 
-    frame = frame.persist()
-    try:
-        n = frame.count()
+    if n_rows is not None:
+        # caller already knows the count (e.g. update()'s fused metrics
+        # job counted the checkpointed frame) — skip the persist+count
+        # job; the write is then the single action over the frame
+        n = int(n_rows)
         parts = max(1, math.ceil(n / max(target_rows_per_file, 1)))
         local = _local_path(path)
         tmp = local + ".__compact__"
         shutil.rmtree(tmp, ignore_errors=True)
         frame.repartition(parts).write.mode("overwrite").parquet(tmp)
-    finally:
-        frame.unpersist()
+    else:
+        frame = frame.persist()
+        try:
+            n = frame.count()
+            parts = max(1, math.ceil(n / max(target_rows_per_file, 1)))
+            local = _local_path(path)
+            tmp = local + ".__compact__"
+            shutil.rmtree(tmp, ignore_errors=True)
+            frame.repartition(parts).write.mode("overwrite").parquet(tmp)
+        finally:
+            frame.unpersist()
     files_before = _count_data_files(path)
     old_aside = local + ".__old__"
     shutil.rmtree(old_aside, ignore_errors=True)
