@@ -564,12 +564,6 @@ class CurationState:
         indexed = cls._exact_dedup(st._filtered(docs))
         indexed.write.mode("overwrite").parquet(f"{path}/indexed")
         indexed = spark.read.parquet(f"{path}/indexed")
-        # (h, src_id): still one row per distinct text hash (the
-        # anti-join consumers key on h alone) — src_id, the doc that
-        # introduced the hash, is the replay stamp (_HASH_SCHEMA note)
-        indexed.groupBy(F.md5("text").alias("h")).agg(
-            F.min("doc_id").alias("src_id")
-        ).write.mode("overwrite").parquet(f"{path}/hashes")
         idx = T.DedupIndex(
             indexed,
             "text",
@@ -581,28 +575,61 @@ class CurationState:
             threshold=jaccard_threshold,
             max_band_size=max_band_size,
         )
-        working = cls._canonicals(indexed, idx.verified_clusters)
-        # curation never reads candidate-pair components — skip that
-        # stage's build + write entirely (deletion decisions use
-        # VERIFIED clusters only)
-        idx.save(
-            f"{path}/index",
-            stages=("bands", "pairs", "verified", "verified_clusters"),
-        )
-        working.write.mode("overwrite").parquet(f"{path}/working")
+        from concurrent.futures import ThreadPoolExecutor
+
+        # independent writes overlap from driver threads (build has no
+        # crash contract to preserve — a torn build is rebuilt): the
+        # hashes projection only needs the sealed indexed/ files, while
+        # the index+working chain runs its own jobs.
+        # (h, src_id): still one row per distinct text hash (the
+        # anti-join consumers key on h alone) — src_id, the doc that
+        # introduced the hash, is the replay stamp (_HASH_SCHEMA note)
+        def _hashes() -> None:
+            indexed.groupBy(F.md5("text").alias("h")).agg(
+                F.min("doc_id").alias("src_id")
+            ).write.mode("overwrite").parquet(f"{path}/hashes")
+
+        def _index_and_working() -> None:
+            working = cls._canonicals(indexed, idx.verified_clusters)
+            # curation never reads candidate-pair components — skip
+            # that stage's build + write entirely (deletion decisions
+            # use VERIFIED clusters only)
+            idx.save(
+                f"{path}/index",
+                stages=("bands", "pairs", "verified", "verified_clusters"),
+            )
+            working.write.mode("overwrite").parquet(f"{path}/working")
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            for fut in [pool.submit(_hashes), pool.submit(_index_and_working)]:
+                fut.result()
         working = spark.read.parquet(f"{path}/working")
         T._write_control_parquet(f"{path}/tombstones", [], _TOMB_SCHEMA)
-        st._gram_frame(working).write.mode("overwrite").parquet(f"{path}/grams")
-        wrow = working.agg(
-            F.count(F.lit(1)).alias("nw"),
-            F.sum((F.col("source") == bench_source).cast("bigint")).alias("nb"),
-        ).first()
-        n_working = int(wrow["nw"])
-        contam = st._contam_pairs_full(working, n_working)
-        contam.write.mode("overwrite").parquet(f"{path}/contam")
+        wrow_acc: dict = {}
+
+        def _grams() -> None:
+            st._gram_frame(working).write.mode("overwrite").parquet(
+                f"{path}/grams"
+            )
+
+        def _contam() -> None:
+            wrow = working.agg(
+                F.count(F.lit(1)).alias("nw"),
+                F.sum(
+                    (F.col("source") == bench_source).cast("bigint")
+                ).alias("nb"),
+            ).first()
+            wrow_acc.update(nw=int(wrow["nw"]), nb=int(wrow["nb"] or 0))
+            contam = st._contam_pairs_full(working, wrow_acc["nw"])
+            contam.write.mode("overwrite").parquet(f"{path}/contam")
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            for fut in [pool.submit(_grams), pool.submit(_contam)]:
+                fut.result()
+        n_working = wrow_acc["nw"]
         meta["max_doc_id"] = -1 if max_doc_id is None else int(max_doc_id)
         meta["n_working"] = n_working
-        meta["n_bench"] = int(wrow["nb"] or 0)
+        meta["n_bench"] = wrow_acc["nb"]
         meta["n_updates"] = 0
         meta["n_compactions"] = 0
         st._write_meta()
@@ -1140,17 +1167,28 @@ class CurationState:
         n_new_indexed = cnt_rows.get("ni", 0)
 
         # -- persist: index delta first (its lazy stages read the
-        #    pre-append indexed/ and index/bands files), then the
-        #    append-only data logs, then the contam swap, then the meta
-        #    stamp, then the pending-marker clear. In repair mode every
-        #    append anti-joins its on-disk log (keyed uniquely: docs by
+        #    pre-append indexed/ and index/bands file LISTINGS, so it
+        #    must materialize before those logs grow), then the six
+        #    independent writes CONCURRENTLY from driver threads, then
+        #    the meta stamp, then the pending-marker clear. The
+        #    concurrency is safe on both axes: every written frame is
+        #    checkpoint-pinned and already materialized (by the index
+        #    update, the fused aggregates, or the metrics job), so the
+        #    write jobs read sealed partitions and no substrate reads
+        #    another's directory; and the crash contract doesn't need
+        #    an order — repair mode reconstructs from an ARBITRARY
+        #    landed subset, not just a prefix, because every substrate
+        #    carries its own stamp. In repair mode every append
+        #    anti-joins its on-disk log (keyed uniquely: docs by
         #    doc_id, hashes by h — global distinctness holds because
         #    new_indexed survived the anti-join against committed
         #    hashes — grams by (id, g), tombstones by doc_id — a doc
         #    tombstones at most once ever, retracts draw from old_live
         #    which excludes the already-tombstoned), so rows a crashed
         #    attempt landed are never duplicated, torn partial appends
-        #    included.
+        #    included. Serial, the six writes were ~40% of update's
+        #    warm wall (each a small job that leaves local[32] idle);
+        #    overlapped they cost ~the slowest one.
         def _append(delta: DataFrame, sub: str, keys: list[str]) -> None:
             if repair:
                 delta = delta.join(
@@ -1163,33 +1201,40 @@ class CurationState:
         for s in idx_labels:
             getattr(idx, s)  # force rebuild so append_saved rewrites it
         idx.append_saved(f"{p}/index", repair=repair)
-        _append(new_indexed, "indexed", ["doc_id"])
-        _append(
-            new_indexed.groupBy(F.md5("text").alias("h")).agg(
-                F.min("doc_id").alias("src_id")
+        writes = (
+            lambda: _append(new_indexed, "indexed", ["doc_id"]),
+            lambda: _append(
+                new_indexed.groupBy(F.md5("text").alias("h")).agg(
+                    F.min("doc_id").alias("src_id")
+                ),
+                "hashes",
+                ["h"],
             ),
-            "hashes",
-            ["h"],
-        )
-        _append(adds, "working", ["doc_id"])
-        _append(
-            retracts.select(
-                "doc_id",
-                F.lit(int(bounds["hi"])).cast("bigint").alias("src_max_id"),
+            lambda: _append(adds, "working", ["doc_id"]),
+            lambda: _append(
+                retracts.select(
+                    "doc_id",
+                    F.lit(int(bounds["hi"])).cast("bigint").alias("src_max_id"),
+                ),
+                "tombstones",
+                ["doc_id"],
             ),
-            "tombstones",
-            ["doc_id"],
+            lambda: _append(g_add, "grams", ["id", "g"]),
+            # the one non-append write: rename-aside swap, so a
+            # complete contam copy exists on disk at every instant
+            # (the repair branch recovers the between-renames window
+            # at entry); the fused metrics job already counted the
+            # checkpointed frame, so the swap costs exactly the one
+            # write job the old bare overwrite did
+            lambda: T._rewrite_parquet_dir(
+                spark, f"{p}/contam", contam_final, 1 << 20, n_rows=n_pairs_after
+            ),
         )
-        _append(g_add, "grams", ["id", "g"])
-        # the one non-append write: rename-aside swap, so a complete
-        # contam copy exists on disk at every instant (the repair
-        # branch recovers the between-renames window at entry); the
-        # fused metrics job above already counted the checkpointed
-        # frame, so the swap costs exactly the one write job the old
-        # bare overwrite did
-        T._rewrite_parquet_dir(
-            spark, f"{p}/contam", contam_final, 1 << 20, n_rows=n_pairs_after
-        )
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=len(writes)) as pool:
+            for fut in [pool.submit(w) for w in writes]:
+                fut.result()  # surface the first failure loudly
         m["max_doc_id"] = int(bounds["hi"])
         m["n_working"] = int(n_working_new)
         m["n_bench"] = int(m["n_bench"] + bench_delta)

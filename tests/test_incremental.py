@@ -639,10 +639,11 @@ def test_update_repairs_torn_write_sequence(spark, tmp_path):
     want = snapshot(clean_dir)
     assert want["tombstones"], "crafted corpus must force retractions"
 
-    def make_case(tag, n_written, torn_grams=False, swap_window=False):
+    def make_case(tag, written, torn_grams=False, swap_window=False):
+        written = SUBS[:written] if isinstance(written, int) else written
         case = str(tmp_path / tag)
         shutil.copytree(base_dir, case)
-        for sub in SUBS[:n_written]:
+        for sub in written:
             shutil.rmtree(f"{case}/{sub}")
             shutil.copytree(f"{clean_dir}/{sub}", f"{case}/{sub}")
         if torn_grams:
@@ -673,6 +674,10 @@ def test_update_repairs_torn_write_sequence(spark, tmp_path):
         make_case("w_torn_grams", 6, torn_grams=True),
         make_case("w_all_but_meta", 7),
         make_case("w_swap_window", 6, swap_window=True),
+        # the writes run CONCURRENTLY, so a crash leaves an arbitrary
+        # SUBSET, not a prefix — repair must reconstruct from e.g.
+        # tombstones+grams landed while indexed/hashes/working did not
+        make_case("w_out_of_order", ["tombstones", "grams"]),
     ]
     # pre-repair, the torn state is loudly visible
     probe = CurationState.load(spark, cases[3])
