@@ -2019,7 +2019,16 @@ class DedupIndex:
         exactly the clean-append state (test-asserted). Costs one
         delta-vs-stage anti-join per monotone stage, so the streaming
         absorber pays it only on the crash-replay branch, never in
-        steady state."""
+        steady state.
+
+        The stage writes run CONCURRENTLY from driver threads: every
+        delta plan reads file LISTINGS pinned when the index was
+        loaded (so a sibling append cannot leak into it), the label
+        frames are checkpoint-pinned from update(), and the crash
+        contract never depended on write order — the redo machinery
+        (stamp rollback + anti-join guards) reconstructs from an
+        arbitrary landed subset. Serially these were up to five small
+        jobs that each left the cluster idle."""
         if not getattr(self, "_delta", None):
             raise ValueError(
                 "DedupIndex.append_saved: no update() delta to append — "
@@ -2034,17 +2043,29 @@ class DedupIndex:
                 ).localCheckpoint()  # materialize before appending to the read dir
             delta.write.mode("append").parquet(f"{path}/{stage}")
 
-        _append(self._delta["pairs"], "pairs", ["id_a", "id_b"])
+        writes = [
+            lambda: _append(self._delta["pairs"], "pairs", ["id_a", "id_b"]),
+            lambda: _append(self._delta["bands"], "bands", ["id", "band"]),
+        ]
         if self._delta["verified"] is not None:
-            _append(self._delta["verified"], "verified", ["id_a", "id_b"])
-        _append(self._delta["bands"], "bands", ["id", "band"])
-        # cluster labels were recomputed eagerly during update() and
-        # are checkpoint-pinned, so overwriting the files their
-        # original plans read is safe
+            writes.append(
+                lambda: _append(
+                    self._delta["verified"], "verified", ["id_a", "id_b"]
+                )
+            )
         for stage in ("clusters", "verified_clusters"):
             frame = getattr(self, f"_{stage}")
             if frame is not None:
-                frame.write.mode("overwrite").parquet(f"{path}/{stage}")
+                writes.append(
+                    lambda f=frame, s=stage: f.write.mode("overwrite").parquet(
+                        f"{path}/{s}"
+                    )
+                )
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=len(writes)) as pool:
+            for fut in [pool.submit(w) for w in writes]:
+                fut.result()
         hi = self._delta["bands"].agg(F.max("id")).first()[0]
         if hi is not None:
             old_hi = self.max_doc_id
