@@ -141,13 +141,43 @@ def doc_shingle_sets(df: DataFrame, text_col: str, id_col: str, n: int) -> DataF
     )
 
 
-def minhash_signatures(doc_shingles: DataFrame, k: int) -> DataFrame:
+def minhash_signatures(
+    doc_shingles: DataFrame, k: int, hash_family: str = "md5"
+) -> DataFrame:
     """k min-hash slots per document in ONE groupBy (k aggregates,
-    map-side partials). Each md5 digest yields THREE independent 40-bit
-    slots (10 hex chars each), so only ceil(k/3) digests are computed
-    per shingle — 3× less hashing and 3× smaller aggregate state than
-    one digest per slot, with the same min-wise property (fixed-width
-    lowercase hex compares as the 40-bit integer)."""
+    map-side partials).
+
+    ``hash_family="md5"`` (default): each md5 digest yields THREE
+    independent 40-bit slots (10 hex chars each), so only ceil(k/3)
+    digests are computed per shingle — 3× less hashing and 3× smaller
+    aggregate state than one digest per slot, with the same min-wise
+    property (fixed-width lowercase hex compares as the 40-bit
+    integer). md5 is the ORACLE family: DuckDB computes the identical
+    digests, so every driver parity gate runs over it.
+
+    ``hash_family="xxhash64"``: one salted 64-bit non-cryptographic
+    hash per slot (Spark's built-in xxhash64 — the SCALE.md "md5 →
+    xxhash swap" production note, implemented). Cheaper per call than
+    md5 and the slots aggregate as 8-byte longs instead of 10-char
+    strings; no SQL-engine twin, so it is self-consistency-tested
+    (update == rebuild, planted-dup recall) rather than
+    oracle-twinned. Same plan shape either way."""
+    if hash_family == "xxhash64":
+        proj = doc_shingles.select(
+            "id",
+            *[
+                F.xxhash64(F.lit(g), F.col("shingle")).alias(f"d{g}")
+                for g in range(k)
+            ],
+        )
+        return proj.groupBy("id").agg(
+            *[F.min(F.col(f"d{i}")).alias(f"h{i}") for i in range(k)]
+        )
+    if hash_family != "md5":
+        raise ValueError(
+            f"minhash_signatures: unknown hash_family {hash_family!r} "
+            "(expected 'md5' or 'xxhash64')"
+        )
     n_digests = (k + 2) // 3
     proj = doc_shingles.select(
         "id",
@@ -187,21 +217,37 @@ def lsh_candidate_pairs(
     )
 
 
-def band_frame(signatures: DataFrame, bands: int, rows: int) -> DataFrame:
+def band_frame(
+    signatures: DataFrame, bands: int, rows: int, hash_family: str = "md5"
+) -> DataFrame:
     """Banded view of a signature frame → (id, band, key): each band of
     ``rows`` signature slots hashed to one key. This is the index's
     JOINABLE form — a corpus delta mines its new candidate pairs by
     banding its own signatures and equi-joining this frame, which is
-    what :meth:`DedupIndex.update` persists it for."""
-    band_structs = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.md5(
-                F.concat_ws(",", *[F.col(f"h{b * rows + r}") for r in range(rows)])
-            ).alias("key"),
-        )
-        for b in range(bands)
-    ]
+    what :meth:`DedupIndex.update` persists it for. Under the
+    ``xxhash64`` family the key is a salted 64-bit long over the slot
+    longs (8-byte join keys instead of 32-char hex strings — smaller
+    shuffles, same plan)."""
+    if hash_family == "xxhash64":
+        band_structs = [
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    F.lit(b), *[F.col(f"h{b * rows + r}") for r in range(rows)]
+                ).alias("key"),
+            )
+            for b in range(bands)
+        ]
+    else:
+        band_structs = [
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(",", *[F.col(f"h{b * rows + r}") for r in range(rows)])
+                ).alias("key"),
+            )
+            for b in range(bands)
+        ]
     return signatures.select(
         "id", F.explode(F.array(*band_structs)).alias("bk")
     ).select("id", "bk.band", "bk.key")
@@ -1646,6 +1692,7 @@ class DedupIndex:
         rows: int = 2,
         threshold: float = 0.8,
         max_band_size: int | None = None,
+        hash_family: str = "md5",
     ) -> None:
         self._df = df
         self._text_col = text_col
@@ -1656,6 +1703,13 @@ class DedupIndex:
         self._rows = rows
         self._threshold = threshold
         self._max_band_size = max_band_size
+        # "md5" (default) is the ORACLE family — DuckDB recomputes the
+        # identical signatures, so every driver parity gate uses it;
+        # "xxhash64" is the production family (cheaper non-crypto
+        # hashing, 8-byte slots/keys instead of hex strings) —
+        # self-consistency-tested, persisted in meta so update()
+        # hashes deltas identically to the original build
+        self._hash_family = hash_family
         self._bands: DataFrame | None = None
         self._pairs: DataFrame | None = None
         self._verified: DataFrame | None = None
@@ -1690,7 +1744,10 @@ class DedupIndex:
             # would be computed twice (shingle+minhash duplicated, a
             # measured ~2x on the pairs build)
             self._bands = band_frame(
-                minhash_signatures(sh, self._k), self._n_bands, self._rows
+                minhash_signatures(sh, self._k, self._hash_family),
+                self._n_bands,
+                self._rows,
+                self._hash_family,
             ).localCheckpoint()
         return self._bands
 
@@ -1727,7 +1784,8 @@ class DedupIndex:
     _STAGES = ("bands", "pairs", "verified", "clusters", "verified_clusters")
     _META_SCHEMA = (
         "text_col string, id_col string, shingle_n int, k int, bands int, "
-        "rows int, threshold double, max_band_size int, max_doc_id bigint"
+        "rows int, threshold double, max_band_size int, max_doc_id bigint, "
+        "hash_family string"
     )
 
     @property
@@ -1795,6 +1853,7 @@ class DedupIndex:
                     float(self._threshold),
                     self._max_band_size,
                     self.max_doc_id,
+                    self._hash_family,
                 )
             ],
             self._META_SCHEMA,
@@ -1818,6 +1877,9 @@ class DedupIndex:
         idx._rows = m["rows"]
         idx._threshold = m["threshold"]
         idx._max_band_size = m["max_band_size"]
+        # metas saved before the family option existed are md5 (the
+        # only family that existed)
+        idx._hash_family = m.get("hash_family") or "md5"
         # metas written before the high-water mark existed load as
         # unknown (None) — the next save()/append_saved() stamps it
         hi = m.get("max_doc_id")
@@ -1871,7 +1933,10 @@ class DedupIndex:
         )
         # eager for the same concurrent-consumer reason as .bands
         new_bands = band_frame(
-            minhash_signatures(sh, self._k), self._n_bands, self._rows
+            minhash_signatures(sh, self._k, self._hash_family),
+            self._n_bands,
+            self._rows,
+            self._hash_family,
         ).localCheckpoint()
         merged_bands = old_bands.unionByName(new_bands).localCheckpoint(eager=False)
         capped = _cap_band_groups(merged_bands, self._max_band_size)

@@ -715,3 +715,62 @@ def test_absorber_repairs_torn_index_half(spark, tmp_path):
             for s in DedupIndex._STAGES
         }
         assert got == want, crash
+
+
+def test_xxhash64_family_end_to_end(spark, tmp_path):
+    """The SCALE.md "md5 → xxhash swap" production note, implemented
+    as DedupIndex(hash_family="xxhash64"): salted 64-bit
+    non-cryptographic slots and band keys (8-byte longs instead of
+    hex strings) in the SAME plan shapes. No SQL-engine twin exists
+    for xxhash64, so the family is self-consistency-gated instead of
+    oracle-twinned: update == rebuild stage-for-stage, planted exact
+    duplicates are found (identical shingle sets give identical
+    signatures under any min-wise family), save/load round-trips the
+    family so deltas hash identically to the original build, and a
+    legacy meta (no hash_family column) loads as md5."""
+    from lp_etl_plugins_spark.inventory.textops import _docs
+    from lp_etl_plugins_spark.textops import DedupIndex, _write_control_parquet
+    from pyspark.sql import functions as F
+
+    real = _docs(spark, SF_SMOKE).select("doc_id", "text")
+    hi0 = real.agg(F.max("doc_id")).first()[0]
+    # plant an exact duplicate of the lowest doc at the top of the id
+    # range (the smoke slice has no byte-identical texts of its own)
+    planted = real.orderBy("doc_id").limit(1).withColumn(
+        "doc_id", F.lit(int(hi0) + 1000)
+    )
+    docs = real.unionByName(planted).localCheckpoint()
+    hi = int(hi0) + 1000
+    cut = (hi0 * 7) // 10
+    base = docs.filter(F.col("doc_id") <= cut)
+    delta = docs.filter(F.col("doc_id") > cut)
+
+    inc = DedupIndex(base, "text", "doc_id", hash_family="xxhash64")
+    inc.verified, inc.clusters  # force: updates must run incrementally
+    inc.update(delta, old_docs=base)
+    full = DedupIndex(docs, "text", "doc_id", hash_family="xxhash64")
+    for stage in DedupIndex._STAGES:
+        assert _stage_rows(inc, stage) == _stage_rows(full, stage), stage
+
+    # the planted exact duplicate pairs up under the family (identical
+    # shingle set → identical signatures → every band matches)
+    lo = int(docs.agg(F.min("doc_id")).first()[0])
+    verified = {(r["id_a"], r["id_b"]) for r in full.verified.collect()}
+    assert (lo, hi) in verified
+    # band keys are longs, not hex strings
+    assert dict(full.bands.dtypes)["key"] == "bigint"
+
+    path = str(tmp_path / "xxidx")
+    full.save(path)
+    loaded = DedupIndex.load(spark, path)
+    assert loaded._hash_family == "xxhash64"
+    assert _stage_rows(loaded, "pairs") == _stage_rows(full, "pairs")
+
+    # legacy meta (pre-family layout) loads as the md5 family
+    _write_control_parquet(
+        f"{path}/meta",
+        [("text", "doc_id", 3, 12, 6, 2, 0.8, None, int(hi))],
+        "text_col string, id_col string, shingle_n int, k int, bands int, "
+        "rows int, threshold double, max_band_size int, max_doc_id bigint",
+    )
+    assert DedupIndex.load(spark, path)._hash_family == "md5"
