@@ -476,13 +476,15 @@ def m11_phash_neardup_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     HAVING count ≤ cap, pairs admitted iff they co-occur in at least
     one under-cap group, exact-Hamming verified. → (id_a, id_b,
     hamming)."""
-    corpus = synthetic_media(spark, _N_MEDIA)
-    for d in range(8):
-        corpus = corpus.unionByName(
-            synthetic_media(spark, 1).withColumn(
-                "media_id", F.col("media_id") + 1000 + d
-            )
-        )
+    dups = synthetic_media(spark, 1).select(
+        F.explode(
+            F.array(*[F.lit(1000 + d).cast("long") for d in range(8)])
+        ).alias("media_id"),
+        "kind",
+        "data",
+        "meta",
+    )
+    corpus = synthetic_media(spark, _N_MEDIA).unionByName(dups)
     return MediaIndex(corpus, max_band_size=4).pairs
 
 
