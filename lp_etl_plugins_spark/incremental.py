@@ -275,8 +275,6 @@ class CurationState:
         nonzero counters listed. Read-only; run it after a suspected
         torn update before trusting the views."""
         spark, p, m = self._spark, self._path, self.meta
-        indexed = self.indexed()
-        live = self.working()
         v: dict[str, int] = {}
 
         def bad(name: str, n: int) -> None:
@@ -288,6 +286,19 @@ class CurationState:
         # mode converges it) before the views are trusted
         if self._read_pending() is not None:
             bad("pending_update_marker", 1)
+        # a crash between a rename-aside swap's two renames (update's
+        # contam swap, any compact() substrate) leaves NO live
+        # directory — the probe must REPORT that, not crash on the
+        # read (it exists for post-crash triage); recovery is one
+        # rename of a surviving complete copy
+        # (textops._recover_swapped_dir)
+        for sub in ("indexed", "hashes", "working", "grams", "contam"):
+            if not T._parquet_dir_exists(f"{p}/{sub}"):
+                bad(f"substrate_missing_{sub}", 1)
+        if v and any(k.startswith("substrate_missing_") for k in v):
+            return {"ok": False, "violations": v}
+        indexed = self.indexed()
+        live = self.working()
         ids = indexed.groupBy("doc_id").count().filter(F.col("count") > 1)
         bad("duplicate_indexed_ids", ids.count())
         h = (

@@ -692,3 +692,28 @@ def test_update_repairs_torn_write_sequence(spark, tmp_path):
         assert got == want, case
     # repaired state passes the full integrity probe
     assert CurationState.load(spark, cases[4]).check()["ok"]
+
+
+def test_check_reports_mid_swap_crash(spark, tmp_path):
+    """A crash between a rename-aside swap's two renames (compact(),
+    update()'s contam swap) leaves NO live directory at the substrate
+    path. check() must REPORT that (substrate_missing_*) rather than
+    crash on the read — it exists for post-crash triage — and recovery
+    is the one rename _recover_swapped_dir performs."""
+    import os
+
+    from lp_etl_plugins_spark.textops import _recover_swapped_dir
+
+    docs = spark.createDataFrame(
+        _crafted_rows(), "doc_id long, source string, text string"
+    ).filter("doc_id < 100")
+    p = str(tmp_path / "inc")
+    CurationState.build(spark, docs, p, bench_source="bench")
+
+    os.rename(f"{p}/working", f"{p}/working.__old__")
+    res = CurationState.load(spark, p).check(index_stages=False)
+    assert not res["ok"]
+    assert res["violations"] == {"substrate_missing_working": 1}
+
+    assert _recover_swapped_dir(f"{p}/working") is True
+    assert CurationState.load(spark, p).check(index_stages=False)["ok"]
