@@ -46,11 +46,22 @@ _FAMILY_MARKERS = (
 
 def detect_family(path: str) -> str | None:
     """Structural family detection by stage directories; None when the
-    path holds no recognizable index state."""
+    path holds no recognizable index state. A marker directory caught
+    mid-rename-swap (no live dir, but a ``.__old__`` / ``.__compact__``
+    complete copy beside it) still counts as present — the nightly
+    sweep must recognize a crashed state so its probe REPORTS the
+    missing substrate, not shrug it off as unknown."""
     if not T._parquet_dir_exists(f"{path}/meta"):
         return None
+
+    def present(m: str) -> bool:
+        return any(
+            T._parquet_dir_exists(f"{path}/{m}{suffix}")
+            for suffix in ("", ".__old__", ".__compact__")
+        )
+
     for family, markers in _FAMILY_MARKERS:
-        if all(T._parquet_dir_exists(f"{path}/{m}") for m in markers):
+        if all(present(m) for m in markers):
             return family
     return None
 

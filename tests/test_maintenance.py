@@ -147,3 +147,27 @@ def test_vacuum_threshold_compaction_policy(spark, tmp_path):
     re = MediaIndex.load(spark, path)
     want = sorted(tuple(r) for r in full.clusters.collect())
     assert sorted(tuple(r) for r in re.clusters.collect()) == want
+
+
+def test_vacuum_recognizes_mid_swap_crashed_state(spark, tmp_path):
+    """A substrate caught between a rename-aside swap's two renames
+    must not demote the state to family='unknown' — detect_family
+    accepts the surviving swap copies as markers, and the probe then
+    REPORTS substrate_missing_working instead of crashing or
+    shrugging."""
+    import os
+
+    from lp_etl_plugins_spark import maintenance
+    from lp_etl_plugins_spark.incremental import CurationState
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").filter(
+        "doc_id < 200"
+    )
+    p = str(tmp_path / "inc")
+    CurationState.build(spark, docs, p)
+    os.rename(f"{p}/working", f"{p}/working.__old__")
+
+    row = maintenance.vacuum(spark, [p]).collect()[0]
+    assert row["family"] == "CurationState"
+    assert not row["ok"]
+    assert "substrate_missing_working=1" in row["violations"]
