@@ -292,7 +292,8 @@ class CurationState:
         # read (it exists for post-crash triage); recovery is one
         # rename of a surviving complete copy
         # (textops._recover_swapped_dir)
-        for sub in ("indexed", "hashes", "working", "grams", "contam"):
+        for sub in ("indexed", "hashes", "working", "grams", "contam",
+                    "tombstones"):
             if not T._parquet_dir_exists(f"{p}/{sub}"):
                 bad(f"substrate_missing_{sub}", 1)
         if v and any(k.startswith("substrate_missing_") for k in v):
@@ -459,8 +460,24 @@ class CurationState:
         already-live-only working log is a no-op at read, caught by
         :meth:`check` as the torn-state probe).
 
-        → per-substrate ``{"rows", "files_before", "files_after"}``."""
+        → per-substrate ``{"rows", "files_before", "files_after"}``.
+
+        Refuses (ValueError) while a ``pending`` update marker is on
+        disk: the working rewrite would resolve the crashed update's
+        UNCOMMITTED tombstones (src stamps beyond the meta high-water
+        mark) and clear the tombstone log, leaving the repair replay
+        unable to reconstruct the pre-crash live set — replay the torn
+        delta (``update`` with the same bounds) first. ``vacuum``
+        already refuses unhealthy states; this closes the direct-call
+        path."""
         spark, p = self._spark, self._path
+        if self._read_pending() is not None:
+            raise ValueError(
+                "CurationState.compact: a pending update marker is on disk — "
+                "a previous update crashed mid-write; replay that delta "
+                "(update with the same batch) before compacting, or the "
+                "rewrite destroys the tombstone log the repair needs"
+            )
         out: dict[str, dict] = {}
         tombs = self._tombstones()
         out["working"] = T._rewrite_parquet_dir(
@@ -839,7 +856,13 @@ class CurationState:
             # the one non-append write is the contam swap — recover the
             # between-renames crash window before reading it
             T._recover_swapped_dir(f"{p}/contam")
-        self._write_pending(int(bounds["lo"]), int(bounds["hi"]))
+        if not repair:
+            # on a repair replay the on-disk marker already holds these
+            # exact bounds — rewriting it would reopen the two-rename
+            # swap window (a second crash between the renames deletes
+            # the marker, and the NEXT replay then runs non-repair
+            # against a partially-landed state and double-appends)
+            self._write_pending(int(bounds["lo"]), int(bounds["hi"]))
 
         # -- per-doc stages + exact dedup against the hash substrate
         d1 = self._exact_dedup(self._filtered(delta_docs))

@@ -84,6 +84,11 @@ def check_dedup_index(spark: SparkSession, path: str) -> dict:
         s: T._parquet_dir_exists(f"{path}/{s}") for s in T.DedupIndex._STAGES
     }
     pairs = spark.read.parquet(f"{path}/pairs") if has["pairs"] else None
+    if has["pairs"] and not has["verified"]:
+        # every full save writes verified beside pairs, so its absence
+        # next to a pairs directory is a torn save regardless of
+        # whether verified_clusters made it to disk
+        _bad(v, "stage_missing_verified", 1)
     if has["verified"] and pairs is not None:
         verified = spark.read.parquet(f"{path}/verified")
         _bad(

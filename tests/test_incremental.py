@@ -717,3 +717,87 @@ def test_check_reports_mid_swap_crash(spark, tmp_path):
 
     assert _recover_swapped_dir(f"{p}/working") is True
     assert CurationState.load(spark, p).check(index_stages=False)["ok"]
+
+
+def test_compact_refuses_pending_marker(spark, tmp_path):
+    """r8 ADVICE (medium): compact() while a dangling `pending` marker
+    shows a crashed update must REFUSE — its working rewrite resolves
+    the crashed update's uncommitted tombstones and clears the
+    tombstone log, after which the repair replay can no longer
+    reconstruct the pre-crash live set. The caller is directed to
+    replay the torn delta first."""
+    from lp_etl_plugins_spark import textops as T
+
+    docs = spark.createDataFrame(
+        _crafted_rows(), "doc_id long, source string, text string"
+    ).filter("doc_id < 100")
+    p = str(tmp_path / "inc")
+    st = CurationState.build(spark, docs, p, bench_source="bench")
+    T._write_control_parquet(f"{p}/pending", [(500, 600)], "lo bigint, hi bigint")
+
+    with pytest.raises(ValueError, match="pending update marker"):
+        st.compact()
+    with pytest.raises(ValueError, match="pending update marker"):
+        st.maybe_compact(max_files_per_substrate=0)
+
+    st._clear_pending()
+    assert st.compact()["working"]["rows"] >= 0  # healthy again
+
+
+def test_check_reports_mid_swap_tombstones(spark, tmp_path):
+    """r8 ADVICE (low): the substrate-missing probe must cover the
+    tombstone log too — compact() swaps it via the same rename-aside,
+    so a crash between its two renames leaves no live tombstones dir
+    and check() previously crashed in _tombstones() instead of
+    reporting."""
+    import os
+
+    from lp_etl_plugins_spark.textops import _recover_swapped_dir
+
+    docs = spark.createDataFrame(
+        _crafted_rows(), "doc_id long, source string, text string"
+    ).filter("doc_id < 100")
+    p = str(tmp_path / "inc")
+    CurationState.build(spark, docs, p, bench_source="bench")
+
+    os.rename(f"{p}/tombstones", f"{p}/tombstones.__old__")
+    res = CurationState.load(spark, p).check(index_stages=False)
+    assert not res["ok"]
+    assert res["violations"] == {"substrate_missing_tombstones": 1}
+
+    assert _recover_swapped_dir(f"{p}/tombstones") is True
+    assert CurationState.load(spark, p).check(index_stages=False)["ok"]
+
+
+def test_repair_replay_never_rewrites_pending_marker(spark, tmp_path, monkeypatch):
+    """r8 ADVICE (low): on a repair replay the on-disk marker already
+    holds the delta's bounds — rewriting it reopens the control-swap
+    window (a second crash between the two renames deletes the marker
+    and the NEXT replay runs non-repair and double-appends). The
+    repair branch must therefore never call _write_pending."""
+    import shutil
+
+    from lp_etl_plugins_spark import textops as T
+
+    docs = spark.createDataFrame(
+        _crafted_rows(), "doc_id long, source string, text string"
+    )
+    base = docs.filter("doc_id < 100")
+    delta = docs.filter("doc_id >= 100").localCheckpoint()
+    b = delta.agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")).first()
+
+    p = str(tmp_path / "inc")
+    CurationState.build(spark, base, p, bench_source="bench")
+    # crash window: marker landed, nothing else did
+    T._write_control_parquet(
+        f"{p}/pending", [(int(b["lo"]), int(b["hi"]))], "lo bigint, hi bigint"
+    )
+
+    def boom(self, lo, hi):
+        raise AssertionError("repair replay rewrote the pending marker")
+
+    monkeypatch.setattr(CurationState, "_write_pending", boom)
+    st = CurationState.load(spark, p)
+    st.update(delta)  # repair mode — must not touch the marker
+    assert st._read_pending() is None  # and the commit still clears it
+    assert st.check(index_stages=False)["ok"]

@@ -171,3 +171,27 @@ def test_vacuum_recognizes_mid_swap_crashed_state(spark, tmp_path):
     assert row["family"] == "CurationState"
     assert not row["ok"]
     assert "substrate_missing_working=1" in row["violations"]
+
+
+def test_check_dedup_index_pairs_without_verified(spark, tmp_path):
+    """r8 ADVICE (low): a pairs directory with NEITHER verified nor
+    verified_clusters beside it is a torn save (every full save writes
+    both) — the probe must report stage_missing_verified, not pass
+    ok=True."""
+    import shutil
+
+    from conftest import SF_SMOKE
+    from lp_etl_plugins_spark.inventory.textops import _docs
+
+    docs = _docs(spark, SF_SMOKE).select("doc_id", "source", "text").filter(
+        "doc_id < 120"
+    )
+    p = str(tmp_path / "didx")
+    DedupIndex(docs, "text", "doc_id").save(p)
+    assert M.check_dedup_index(spark, p)["ok"]
+
+    shutil.rmtree(f"{p}/verified_clusters")
+    shutil.rmtree(f"{p}/verified")
+    res = M.check_dedup_index(spark, p)
+    assert not res["ok"]
+    assert res["violations"].get("stage_missing_verified") == 1
