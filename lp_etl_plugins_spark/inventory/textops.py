@@ -2185,6 +2185,92 @@ SELECT id_a, id_b FROM candc"""
 )
 
 
+def t40_incremental_trigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental LM maintenance through the PERSISTED lifecycle
+    (``TrigramLM`` round-9 segment log) — the LM leg of the
+    incremental-substrate gates (t34 index / t36 pipeline / t38
+    repeats / v16 vectors / m10 media): train on a BASE slice (first
+    90% of ids — monotone cutoff), ``save``, then ``load`` + ``update``
+    + ``append_saved`` the held-out tail (one O(delta-vocab) stamped
+    segment, no retrain), ``compact`` the segment log (merge resolved
+    once, rename-aside swap), and score a probe slice from the
+    RELOADED model. The oracle recomputes the same scores from a
+    from-scratch LM over the whole slice — a direct hash gate on
+    update == rebuild THROUGH persistence and compaction, not just the
+    in-memory merge (t23 holds the one-shot signal; streamed == batch
+    is hash-gated in tests/test_trigram_lifecycle.py). Runs on the
+    half corpus (doc_id % 2 == 0) to keep the second model this entry
+    pays proportionate in the bench.
+    → (source, n_docs, avg_logprob) for the probe docs."""
+    import shutil
+    import tempfile
+
+    docs = (
+        _docs(spark, sf_dir)
+        .filter(F.col("doc_id") % 2 == 0)
+        .select("doc_id", "source", "text")
+    )
+    hi = docs.agg(F.max("doc_id")).first()[0]
+    cut = (hi * 9) // 10
+    tmp = tempfile.mkdtemp(prefix="t40_lm_")
+    try:
+        T.TrigramLM(
+            docs.filter(F.col("doc_id") <= cut), "text", "doc_id"
+        ).save(tmp)
+        lm = T.TrigramLM.load(spark, tmp)
+        lm.update(docs.filter(F.col("doc_id") > cut))
+        lm.append_saved(tmp)
+        T.TrigramLM.compact(spark, tmp)
+        probe = docs.filter(F.col("doc_id") % 10 == 0)
+        scored = T.TrigramLM.load(spark, tmp).score(probe, "text", "doc_id")
+        joined = probe.select(
+            F.col("doc_id").alias("id"), "source"
+        ).join(scored, "id")
+        n = F.count(F.lit(1))
+        out = joined.groupBy("source").agg(
+            n.alias("n_docs"),
+            F.round(
+                F.sum(F.round(F.col("doc_lp") * 1e6).cast("bigint")).cast(
+                    "double"
+                )
+                / (n * 1e6),
+                6,
+            ).alias("avg_logprob"),
+        )
+        # pin the (tiny) result before the model directory goes away —
+        # the driver collects AFTER this function returns
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+T40_SQL = """
+WITH d AS (SELECT doc_id, source, text FROM documents WHERE doc_id % 2 = 0),
+grams AS (
+  SELECT DISTINCT doc_id AS id, substring(lower(trim(text)), i, 3) AS g
+  FROM d, unnest(generate_series(1, length(lower(trim(text))) - 2)) t(i)
+),
+cnt AS (SELECT g, count(*) AS c FROM grams GROUP BY g),
+tot AS (SELECT sum(c)::BIGINT AS n_total, count(*) AS v FROM cnt),
+sg AS (
+  SELECT id, round(log2((c + 1)::DOUBLE / (n_total + v)), 6) AS logp
+  FROM grams JOIN cnt USING (g) CROSS JOIN tot
+  WHERE id % 10 = 0
+),
+pd AS (
+  SELECT id,
+         round(sum(round(logp * 1000000)::BIGINT)::DOUBLE / (count(*) * 1000000), 6)
+           AS doc_lp
+  FROM sg GROUP BY id
+)
+SELECT dd.source, count(*) AS n_docs,
+       round(sum(round(pd.doc_lp * 1000000)::BIGINT)::DOUBLE / (count(*) * 1000000), 6)
+         AS avg_logprob
+FROM pd JOIN d dd ON dd.doc_id = pd.id
+GROUP BY dd.source
+"""
+
+
 QUERIES = {
     "t0_dedup_index_stats": t0_dedup_index_stats,
     "t1_exact_dedup": t1_exact_dedup,
@@ -2226,6 +2312,7 @@ QUERIES = {
     "t37_repeated_substrings": t37_repeated_substrings,
     "t38_incremental_repeat_stats": t38_incremental_repeat_stats,
     "t39_lsh_pairs_capped": t39_lsh_pairs_capped,
+    "t40_incremental_trigram_lm": t40_incremental_trigram_lm,
 }
 
 ORACLES = {
@@ -2269,4 +2356,5 @@ ORACLES = {
     "t37_repeated_substrings": T37_SQL,
     "t38_incremental_repeat_stats": T38_SQL,
     "t39_lsh_pairs_capped": T39_SQL,
+    "t40_incremental_trigram_lm": T40_SQL,
 }

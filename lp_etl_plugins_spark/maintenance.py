@@ -255,25 +255,43 @@ def check_media_index(spark: SparkSession, path: str) -> dict:
 
 def check_trigram_lm(spark: SparkSession, path: str) -> dict:
     """Integrity probe over a saved :class:`textops.TrigramLM`: the
-    count table is THE model, so its invariants are the model's —
+    count log is THE model, so its invariants are the model's —
     non-empty vocabulary, no null grams, every document-frequency
-    count positive, and one count row per gram."""
+    count positive, one count row per (gram, segment), and — the
+    round-9 segmented form's torn-append signal — no segment rows
+    stamped beyond the meta high-water mark (uncommitted rows from a
+    crash between an absorber's segment append and its meta stamp;
+    replay the delta to repair)."""
     v: dict[str, int] = {}
     if not T._parquet_dir_exists(f"{path}/counts"):
         _bad(v, "stage_missing_counts", 1)
         return {"ok": False, "violations": v}
-    counts = spark.read.parquet(f"{path}/counts")
+    from .textops import TrigramLM
+
+    counts = TrigramLM._raw_counts(spark, path)
+    stamp = None
+    if T._parquet_dir_exists(f"{path}/meta"):
+        stamp = T._read_control_row(f"{path}/meta").get("max_id")
     row = counts.agg(
         F.count(F.lit(1)).alias("n"),
-        F.count_distinct("g").alias("d"),
+        # count(DISTINCT a, b) drops rows with ANY null column — a
+        # pre-segmented model's all-null src would zero the distinct
+        F.count_distinct(
+            "g", F.coalesce("src", F.lit(-1)).alias("src")
+        ).alias("d"),
         F.sum((F.col("c") <= 0).cast("bigint")).alias("bad_c"),
         F.sum(F.col("g").isNull().cast("bigint")).alias("null_g"),
+        F.sum(
+            (F.col("src") > F.lit(stamp).cast("bigint")).cast("bigint")
+        ).alias("unstamped"),
     ).first()
     if int(row["n"]) == 0:
         _bad(v, "empty_vocabulary", 1)
     _bad(v, "nonpositive_counts", int(row["bad_c"] or 0))
     _bad(v, "null_grams", int(row["null_g"] or 0))
     _bad(v, "duplicate_gram_rows", int(row["n"]) - int(row["d"]))
+    if stamp is not None:
+        _bad(v, "uncommitted_segment_rows", int(row["unstamped"] or 0))
     return {"ok": not v, "violations": v}
 
 
@@ -338,15 +356,9 @@ def _compact(spark: SparkSession, path: str, family: str, target: int) -> dict:
             target_rows_per_file=target
         )
     if family == "TrigramLM":
-        # counts is overwrite-only (no append log) — a pure re-layout
-        return {
-            "counts": T._rewrite_parquet_dir(
-                spark,
-                f"{path}/counts",
-                spark.read.parquet(f"{path}/counts"),
-                target,
-            )
-        }
+        from .textops import TrigramLM
+
+        return TrigramLM.compact(spark, path, target_rows_per_file=target)
     if family == "VectorIndex":
         from .vectorops import VectorIndex
 

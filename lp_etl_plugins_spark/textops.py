@@ -2546,6 +2546,8 @@ class TrigramLM:
     grams and are absent from score output (mirrored by the oracle's
     unnest)."""
 
+    _META_SCHEMA = "n int, text_col string, id_col string, max_id bigint"
+
     def __init__(
         self,
         df: DataFrame,
@@ -2567,6 +2569,11 @@ class TrigramLM:
         self._checkpoint = checkpoint
         self._grams: DataFrame | None = None
         self._counts: DataFrame | None = None
+        # the id high-water mark — the idempotence anchor for streamed
+        # ingestion (None until save() stamps it or load() reads it)
+        self.max_id: int | None = None
+        # the last update()'s delta, kept for append_saved
+        self._delta: dict | None = None
         self.builds: dict[str, int] = {"grams": 0, "counts": 0}
         self.updates = 0
 
@@ -2668,10 +2675,15 @@ class TrigramLM:
         returns ``self``; the merged counts re-checkpoint and
         ``save`` rewrites the vocab-sized table (the one substrate
         whose persisted form is cheap to rewrite by construction)."""
-        dg = self._gram_frame(
-            new_docs, text_col or self._text_col, id_col or self._id_col
+        icol = id_col or self._id_col
+        dg = self._gram_frame(new_docs, text_col or self._text_col, icol)
+        # checkpoint-shared by the merge below AND append_saved's
+        # segment write (without it each consumer re-runs the explode)
+        dc = (
+            dg.groupBy("g")
+            .agg(F.count(F.lit(1)).alias("__dc"))
+            .localCheckpoint(eager=False)
         )
-        dc = dg.groupBy("g").agg(F.count(F.lit(1)).alias("__dc"))
         merged = (
             self.counts.join(dc, "g", "full")
             .select(
@@ -2689,28 +2701,81 @@ class TrigramLM:
                 new_docs.select(*self._df.columns)
             )
             self._grams = None  # re-derive lazily over the merged corpus
+        # delta bookkeeping for append_saved: the partial counts and
+        # the delta's id bounds (computed eagerly only when the model
+        # is stamped — in-session builds that never persist pay no
+        # extra job; a stamped model must track the mark so a later
+        # save()/append_saved() stamps correctly)
+        bounds: tuple[int, int] | None = None
+        if self.max_id is not None:
+            b = new_docs.agg(
+                F.min(icol).alias("lo"), F.max(icol).alias("hi")
+            ).first()
+            if b["hi"] is not None:
+                bounds = (int(b["lo"]), int(b["hi"]))
+                self.max_id = max(self.max_id, bounds[1])
+        self._delta = {
+            "counts": dc.select("g", F.col("__dc").alias("c")),
+            "ids": new_docs.select(F.col(icol).alias("id")),
+            "bounds": bounds,
+        }
         self.updates += 1
         return self
 
     def save(self, path: str) -> None:
         """Persist the count table + meta as parquet — the LM twin of
         ``DedupIndex.save``: train once per corpus snapshot, score
-        from any session."""
-        self.counts.write.mode("overwrite").parquet(f"{path}/counts")
+        from any session.
+
+        On-disk form (round 9): an ADDITIVE SEGMENT LOG
+        ``(g, c, src)`` — ``src`` stamps every row with the id
+        high-water mark of the write that produced it. A full save is
+        one segment; :meth:`append_saved` appends O(delta-vocab)
+        segments; :meth:`load` serves committed rows (``src`` ≤ the
+        meta stamp) merged by an additive groupBy — exactly the
+        merge :meth:`update` performs in memory, resolved at read.
+        The stamp is what makes a torn append IDENTIFIABLE (rows
+        beyond the meta mark are uncommitted) — the same src-stamp
+        repair contract as ``CurationState``'s hash log."""
+        hi = self.max_id
+        if hi is None and self._df is not None:
+            row = self.grams.agg(F.max("id")).first()
+            hi = None if row[0] is None else int(row[0])
+        self.max_id = hi
+        self.counts.select(
+            "g", "c", F.lit(hi).cast("bigint").alias("src")
+        ).write.mode("overwrite").parquet(f"{path}/counts")
+        self._write_meta(path)
+
+    def _write_meta(self, path: str) -> None:
         # column config persists alongside n (mirroring
         # DedupIndex._META_SCHEMA) so a model trained on nonstandard
         # column names scores/updates the right columns after load()
         _write_control_parquet(
             f"{path}/meta",
-            [(self._n, self._text_col, self._id_col)],
-            "n int, text_col string, id_col string",
+            [(self._n, self._text_col, self._id_col, self.max_id)],
+            self._META_SCHEMA,
         )
+
+    @staticmethod
+    def _raw_counts(spark, path: str) -> DataFrame:
+        """The segment log with the compat ``src`` column (models
+        saved before the segmented form have none — all rows are
+        base/committed)."""
+        raw = spark.read.parquet(f"{path}/counts")
+        if "src" not in raw.columns:
+            raw = raw.withColumn("src", F.lit(None).cast("bigint"))
+        return raw
 
     @classmethod
     def load(cls, spark, path: str) -> "TrigramLM":
         """Re-open a :meth:`save`-d model; scoring needs no training
         corpus (build counters stay 0). ``score()`` with no frame is
-        unavailable on a loaded model — pass the frame to score."""
+        unavailable on a loaded model — pass the frame to score.
+        Serves the COMMITTED segments (rows stamped ≤ the meta
+        high-water mark) merged on read; a torn append's unstamped
+        rows are invisible, so a crashed absorber never skews
+        scores."""
         lm = cls.__new__(cls)
         lm._df = None
         m = _read_control_row(f"{path}/meta")
@@ -2721,10 +2786,195 @@ class TrigramLM:
         lm._n = m["n"]
         lm._grams = None
         lm._checkpoint = True
-        lm._counts = spark.read.parquet(f"{path}/counts")
+        hi = m.get("max_id")
+        lm.max_id = None if hi is None else int(hi)
+        raw = cls._raw_counts(spark, path)
+        if lm.max_id is not None:
+            raw = raw.filter(
+                F.col("src").isNull() | (F.col("src") <= lm.max_id)
+            )
+        lm._counts = (
+            raw.groupBy("g")
+            .agg(F.sum("c").alias("c"))
+            .localCheckpoint(eager=False)
+        )
+        lm._delta = None
         lm.builds = {"grams": 0, "counts": 0}
         lm.updates = 0
         return lm
+
+    def append_saved(self, path: str, *, repair: bool = False) -> None:
+        """Merge the LAST :meth:`update`'s delta into a :meth:`save`-d
+        model directory WITHOUT rewriting the vocab table: the model
+        is an additive count log, so the delta's partial counts land
+        as ONE O(delta-vocab) segment stamped with the delta's max id,
+        and the meta stamp trails the write (the family commit
+        protocol: a crash between segment and stamp leaves the rows
+        identifiable as uncommitted — readers ignore them, the replay
+        repairs them). Monotone-id contract enforced against the DISK
+        stamp, mirroring ``DedupIndex.append_saved``.
+
+        ``repair=True`` is the REDO form for a crash inside a previous
+        append (segment rows landed — possibly torn mid-multi-file —
+        the meta stamp did not): the unstamped rows are purged by a
+        rename-aside rewrite of the committed subset, then the fresh
+        segment lands. Unlike DedupIndex's anti-join redo, purge is
+        the correct primitive here because identical ``(g, c)`` rows
+        across segments are LEGITIMATE — only the stamp identifies
+        the crashed write. Costs one vocab-sized rewrite, paid only on
+        the crash-replay branch."""
+        if not self._delta:
+            raise ValueError(
+                "TrigramLM.append_saved: no update() delta to append — "
+                "call update(new_docs) first"
+            )
+        m = _read_control_row(f"{path}/meta")
+        stamp = m.get("max_id")
+        if stamp is None:
+            raise ValueError(
+                "TrigramLM.append_saved: the saved model has no max_id "
+                "high-water mark (meta predates it, or it was saved "
+                "without a training corpus) — re-save() from the corpus "
+                "(which stamps it) before appending deltas"
+            )
+        b = self._delta["bounds"]
+        if b is None:
+            row = self._delta["ids"].agg(
+                F.min("id").alias("lo"), F.max("id").alias("hi")
+            ).first()
+            if row["hi"] is None:
+                self._delta = None
+                return  # empty delta — nothing to land
+            b = (int(row["lo"]), int(row["hi"]))
+        if b[0] <= int(stamp):
+            raise ValueError(
+                "TrigramLM.append_saved: monotone-id contract violated — "
+                f"delta min id {b[0]} <= saved max_id {stamp}; appending "
+                "a re-ingested doc would double its grams' document "
+                "frequency"
+            )
+        if repair:
+            # the crashed append may itself have died inside THIS
+            # purge's rename-aside swap — recover the surviving copy
+            _recover_swapped_dir(f"{path}/counts")
+            spark = self._delta["counts"].sparkSession
+            committed = self._raw_counts(spark, path).filter(
+                F.col("src").isNull() | (F.col("src") <= int(stamp))
+            )
+            _rewrite_parquet_dir(spark, f"{path}/counts", committed, 1 << 20)
+        self._delta["counts"].select(
+            "g", "c", F.lit(b[1]).cast("bigint").alias("src")
+        ).write.mode("append").parquet(f"{path}/counts")
+        self.max_id = max(int(stamp), b[1])
+        self._write_meta(path)
+        self._delta = None
+
+    @classmethod
+    def foreach_batch_update(cls, spark, lm_path: str):
+        """Structured-Streaming ingestion into a saved LM — the last
+        index family to join the streaming-absorber set
+        (`incremental.foreach_batch_update`, `DedupIndex.
+        foreach_batch_update`, `RepeatIndex.foreach_batch_update`,
+        `vectorops.foreach_batch_add`, `multimodal.foreach_batch_add`):
+        a ``(batch_df, batch_id) -> None`` function for
+        ``writeStream.foreachBatch`` that absorbs each micro-batch as
+        one O(delta) :meth:`update` + :meth:`append_saved`. No corpus
+        log is co-maintained — the LM's additive math never needs old
+        TEXTS (the one structural simplification vs DedupIndex's
+        absorber).
+
+        At-least-once safety: meta's ``max_id`` is the high-water mark
+        (a pre-mark save is refused loudly), a fully replayed batch is
+        skipped idempotently, a straddling batch raises, and a replay
+        that finds landed-but-unstamped segment rows (the crash-inside
+        -append signature) takes the redo branch — purge + fresh
+        append via ``append_saved(repair=True)``. The replayed absorb
+        converges to exactly the clean-absorb state regardless of
+        which prefix of {segment files, meta stamp} the crash
+        preserved (test-asserted across the crash windows)."""
+
+        def absorb(batch_df: "DataFrame", batch_id: int) -> None:
+            # a prior repair purge may have died between its swap's two
+            # renames — recover the surviving complete copy first
+            _recover_swapped_dir(f"{lm_path}/counts")
+            lm = cls.load(spark, lm_path)
+            if lm.max_id is None:
+                raise ValueError(
+                    "TrigramLM.foreach_batch_update: the saved model has "
+                    "no max_id high-water mark — re-save() from the "
+                    "corpus before attaching streamed ingestion"
+                )
+            b = batch_df.agg(
+                F.min(lm._id_col).alias("lo"), F.max(lm._id_col).alias("hi")
+            ).first()
+            if b["hi"] is None:
+                return
+            if int(b["hi"]) <= lm.max_id:
+                return  # fully-replayed batch — already absorbed
+            if int(b["lo"]) <= lm.max_id:
+                raise ValueError(
+                    "TrigramLM.foreach_batch_update: monotone-id contract "
+                    f"violated — batch ids straddle the saved max "
+                    f"{lm.max_id} (lo={b['lo']}, hi={b['hi']})"
+                )
+            # redo detection: unstamped segment rows mean the previous
+            # attempt at SOME batch crashed between its segment append
+            # and the meta stamp — one vocab-sized existence probe,
+            # paid per batch (the corpus-log completeness check other
+            # absorbers pay is the same cost class)
+            redo = bool(
+                cls._raw_counts(spark, lm_path)
+                .filter(F.col("src") > lm.max_id)
+                .limit(1)
+                .count()
+            )
+            lm.update(batch_df)
+            lm.append_saved(lm_path, repair=redo)
+
+        return absorb
+
+    @classmethod
+    def compact(
+        cls, spark, path: str, *, target_rows_per_file: int = 1 << 20
+    ) -> dict:
+        """Rewrite a :meth:`save`-d model's segment log into its
+        steady-state form — the maintenance half of
+        :meth:`append_saved`: every streamed delta appends an
+        O(delta-vocab) segment, so the merge-on-read groupBy and the
+        per-file open cost grow with UPDATE COUNT, not data.
+        Compaction resolves the additive merge once (one row per gram,
+        stamped at the current high-water mark) and re-partitions to
+        ``ceil(rows / target_rows_per_file)`` files. The served
+        COUNTS VIEW is row-identical before and after
+        (equality-tested); the swap is the same rename-aside contract
+        as every other family's compact.
+
+        Refuses (ValueError) while unstamped segment rows show a
+        crashed append: resolving them into the merged table would
+        commit a torn write — replay the delta first
+        (``append_saved(repair=True)`` via the absorber)."""
+        m = _read_control_row(f"{path}/meta")
+        stamp = m.get("max_id")
+        raw = cls._raw_counts(spark, path)
+        if stamp is not None and raw.filter(F.col("src") > int(stamp)).limit(
+            1
+        ).count():
+            raise ValueError(
+                "TrigramLM.compact: unstamped segment rows on disk — a "
+                "previous append crashed before its meta stamp; replay "
+                "that delta (the streamed absorber's repair mode "
+                "converges it) before compacting"
+            )
+        merged = (
+            raw.groupBy("g")
+            .agg(F.sum("c").alias("c"))
+            .select("g", "c", F.lit(stamp).cast("bigint").alias("src"))
+        )
+        return {
+            "counts": _rewrite_parquet_dir(
+                spark, f"{path}/counts", merged, target_rows_per_file
+            )
+        }
 
 
 def weighted_sample(

@@ -1,0 +1,270 @@
+"""TrigramLM lifecycle — the last index family to get the streamed
+ingestion + compaction + crash-repair treatment (VERDICT r8 #1).
+
+The model's persisted form is an ADDITIVE SEGMENT LOG (g, c, src):
+appends are O(delta-vocab) stamped segments, readers serve committed
+rows merged on read, compaction resolves the merge once, and the
+src stamp makes a torn append identifiable and repairable. These tests
+pin the family contract:
+
+- update + append_saved == full rebuild (counts view AND scores);
+- streamed micro-batch ingestion == one-shot batch training;
+- a crash at ANY seam of the append (torn segment files, full segment
+  without the meta stamp, mid-purge rename window, post-stamp)
+  converges on replay to exactly the clean-absorb state;
+- compact() is served-view-identical, refuses unstamped rows;
+- maintenance.vacuum reports the torn-append state.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time
+
+import pytest
+from conftest import SF_SMOKE
+from pyspark.sql import functions as F
+
+from lp_etl_plugins_spark import maintenance as M
+from lp_etl_plugins_spark.textops import (
+    TrigramLM,
+    _count_data_files,
+    _read_control_row,
+)
+
+
+def _docs(spark):
+    from lp_etl_plugins_spark.inventory.textops import _docs as d
+
+    return d(spark, SF_SMOKE).select("doc_id", "source", "text")
+
+
+def _counts_view(spark, path):
+    return sorted(
+        tuple(r) for r in TrigramLM.load(spark, path)._counts.collect()
+    )
+
+
+def _raw_rows(spark, path):
+    return sorted(
+        tuple(r) for r in TrigramLM._raw_counts(spark, path).collect()
+    )
+
+
+def test_append_saved_matches_rebuild_then_compacts(spark, tmp_path):
+    """load().update(delta) + append_saved == retrain on the union,
+    through the persisted segment log; compact() then resolves the
+    segments with the served view row-identical and the model still
+    updatable."""
+    docs = _docs(spark)
+    base, d1, d2 = (
+        docs.filter("doc_id < 300"),
+        docs.filter("doc_id >= 300 and doc_id < 400"),
+        docs.filter("doc_id >= 400"),
+    )
+    path = str(tmp_path / "lm")
+    TrigramLM(base, "text", "doc_id").save(path)
+    assert _read_control_row(f"{path}/meta")["max_id"] == 299
+
+    for delta in (d1, d2):
+        lm = TrigramLM.load(spark, path)
+        lm.update(delta)
+        lm.append_saved(path)
+    assert _read_control_row(f"{path}/meta")["max_id"] == int(
+        docs.agg(F.max("doc_id")).first()[0]
+    )
+    assert _count_data_files(f"{path}/counts") >= 3  # base + two segments
+
+    full = TrigramLM(docs, "text", "doc_id")
+    want_counts = sorted(tuple(r) for r in full.counts.collect())
+    assert _counts_view(spark, path) == want_counts
+    probe = docs.filter("doc_id % 7 = 0")
+    want_scores = sorted(
+        tuple(r) for r in full.score(probe, "text", "doc_id").collect()
+    )
+    got = TrigramLM.load(spark, path).score(probe, "text", "doc_id")
+    assert sorted(tuple(r) for r in got.collect()) == want_scores
+
+    # compact: served view identical, one file, still updatable
+    metrics = TrigramLM.compact(spark, path)
+    assert metrics["counts"]["files_after"] == 1
+    assert _counts_view(spark, path) == want_counts
+    lm = TrigramLM.load(spark, path)
+    extra = spark.createDataFrame(
+        [(999999, "src0", "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, source string, text string",
+    )
+    lm.update(extra)
+    lm.append_saved(path)
+    re = TrigramLM.load(spark, path)
+    want2 = sorted(
+        tuple(r)
+        for r in TrigramLM(docs.unionByName(extra), "text", "doc_id")
+        .score(probe, "text", "doc_id")
+        .collect()
+    )
+    assert (
+        sorted(tuple(r) for r in re.score(probe, "text", "doc_id").collect())
+        == want2
+    )
+
+
+def test_append_saved_contracts(spark, tmp_path):
+    """The loud refusals: non-monotone delta ids, a pre-mark meta, and
+    append without a prior update."""
+    docs = _docs(spark)
+    base, delta = docs.filter("doc_id < 400"), docs.filter("doc_id >= 400")
+    path = str(tmp_path / "lm")
+    TrigramLM(base, "text", "doc_id").save(path)
+
+    lm = TrigramLM.load(spark, path)
+    with pytest.raises(ValueError, match="no update\\(\\) delta"):
+        lm.append_saved(path)
+
+    lm.update(base.limit(5))  # ids overlap the saved mark
+    with pytest.raises(ValueError, match="monotone-id contract"):
+        lm.append_saved(path)
+
+    # pre-mark meta (legacy n-only save) is refused loudly
+    from lp_etl_plugins_spark.textops import _write_control_parquet
+
+    _write_control_parquet(
+        f"{path}/meta",
+        [(3, "text", "doc_id")],
+        "n int, text_col string, id_col string",
+    )
+    lm2 = TrigramLM.load(spark, path)
+    lm2.update(delta)
+    with pytest.raises(ValueError, match="high-water mark"):
+        lm2.append_saved(path)
+    with pytest.raises(ValueError, match="high-water mark"):
+        TrigramLM.foreach_batch_update(spark, path)(delta, 0)
+
+
+def test_streamed_ingestion_equals_batch(spark, tmp_path):
+    """Micro-batch ingestion through TrigramLM.foreach_batch_update:
+    two monotone delta files drained oldest-first, each absorbed as
+    one update + append_saved — the final saved model equals one-shot
+    training (counts view + scores); a replayed batch is a no-op; a
+    straddling batch raises."""
+    docs = _docs(spark)
+    hi = int(docs.agg(F.max("doc_id")).first()[0])
+    c1, c2 = (hi * 7) // 10, (hi * 85) // 100
+    path = str(tmp_path / "lm")
+    TrigramLM(docs.filter(F.col("doc_id") <= c1), "text", "doc_id").save(path)
+
+    stream_dir = tmp_path / "stream"
+    docs.filter((F.col("doc_id") > c1) & (F.col("doc_id") <= c2)).coalesce(
+        1
+    ).write.parquet(str(stream_dir / "d1"))
+    docs.filter(F.col("doc_id") > c2).coalesce(1).write.parquet(
+        str(stream_dir / "d2")
+    )
+    now = time.time()
+    for sub, age in (("d1", 120), ("d2", 60)):
+        for f in (stream_dir / sub).iterdir():
+            os.utime(f, (now - age, now - age))
+    absorb = TrigramLM.foreach_batch_update(spark, path)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(stream_dir / "*"))
+    )
+    q = (
+        stream.writeStream.foreachBatch(absorb)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(300)
+
+    full = TrigramLM(docs, "text", "doc_id")
+    assert _counts_view(spark, path) == sorted(
+        tuple(r) for r in full.counts.collect()
+    )
+    assert _read_control_row(f"{path}/meta")["max_id"] == hi
+    probe = docs.filter("doc_id % 7 = 0")
+    got = TrigramLM.load(spark, path).score(probe, "text", "doc_id")
+    assert sorted(tuple(r) for r in got.collect()) == sorted(
+        tuple(r) for r in full.score(probe, "text", "doc_id").collect()
+    )
+
+    # replay: committed batch is a no-op
+    before = _raw_rows(spark, path)
+    absorb(docs.filter(F.col("doc_id") > c2), 99)
+    assert _raw_rows(spark, path) == before
+    # straddling batch raises
+    strad = docs.filter(F.col("doc_id") == c2).unionByName(
+        docs.filter(F.col("doc_id") == hi).withColumn(
+            "doc_id", F.col("doc_id") + 1
+        )
+    )
+    with pytest.raises(ValueError, match="straddle"):
+        absorb(strad, 100)
+
+
+def test_absorber_repairs_crash_windows(spark, tmp_path):
+    """A crash at any seam of the append protocol (segment append →
+    meta stamp) must CONVERGE on replay to exactly the clean-absorb
+    state. Windows: (a) torn multi-file segment, meta unstamped;
+    (b) full segment landed, meta unstamped; (c) crash inside a
+    previous repair's purge swap (no live counts dir, complete copy
+    aside); (d) crash after the stamp (pure replay → skip). Raw
+    committed rows AND meta must equal the clean reference's."""
+    docs = _docs(spark)
+    base = docs.filter("doc_id < 400")
+    delta = docs.filter("doc_id >= 400").localCheckpoint()
+    d_hi = int(delta.agg(F.max("doc_id")).first()[0])
+
+    base_dir = str(tmp_path / "base")
+    TrigramLM(base, "text", "doc_id").save(base_dir)
+
+    clean_dir = str(tmp_path / "clean")
+    shutil.copytree(base_dir, clean_dir)
+    TrigramLM.foreach_batch_update(spark, clean_dir)(delta, 0)
+    want_raw = _raw_rows(spark, clean_dir)
+    want_meta = _read_control_row(f"{clean_dir}/meta")
+    want_view = _counts_view(spark, clean_dir)
+
+    def make_case(tag, *, landed_frac=None, stamp=False, purge_window=False):
+        case = str(tmp_path / tag)
+        shutil.copytree(base_dir, case)
+        if landed_frac is not None:
+            pre = set(os.listdir(f"{base_dir}/counts"))
+            new = sorted(
+                f
+                for f in os.listdir(f"{clean_dir}/counts")
+                if f not in pre and f.endswith(".parquet")
+            )
+            assert new, "clean absorb must have appended segment files"
+            keep = new[: max(1, int(len(new) * landed_frac))]
+            for f in keep:
+                shutil.copy(f"{clean_dir}/counts/{f}", f"{case}/counts/{f}")
+        if stamp:
+            shutil.rmtree(f"{case}/meta")
+            shutil.copytree(f"{clean_dir}/meta", f"{case}/meta")
+        if purge_window:
+            os.rename(f"{case}/counts", f"{case}/counts.__old__")
+        return case
+
+    cases = [
+        make_case("w_torn_segment", landed_frac=0.5),
+        make_case("w_full_segment_no_stamp", landed_frac=1.0),
+        make_case("w_purge_swap_window", landed_frac=1.0, purge_window=True),
+        make_case("w_post_stamp", landed_frac=1.0, stamp=True),
+    ]
+    # pre-repair, vacuum reports the torn state loudly (uncommitted
+    # rows beyond the stamp) and refuses to compact it
+    probe = M.vacuum(spark, [cases[1]]).collect()[0]
+    assert not probe["ok"]
+    assert "uncommitted_segment_rows" in probe["violations"]
+    with pytest.raises(ValueError, match="unstamped segment rows"):
+        TrigramLM.compact(spark, cases[1])
+
+    for case in cases:
+        TrigramLM.foreach_batch_update(spark, case)(delta, 1)  # the replay
+        assert _raw_rows(spark, case) == want_raw, case
+        assert _read_control_row(f"{case}/meta") == want_meta, case
+        assert _counts_view(spark, case) == want_view, case
+        assert M.vacuum(spark, [case]).collect()[0]["ok"], case
