@@ -469,8 +469,9 @@ class CurationState:
         unable to reconstruct the pre-crash live set — replay the torn
         delta (``update`` with the same bounds) first. ``vacuum``
         already refuses unhealthy states; this closes the direct-call
-        path."""
-        spark, p = self._spark, self._path
+        path. Single-writer-fenced (see :mod:`.lease`): holds the
+        state ROOT lease, so a concurrent update/absorber is refused
+        instead of its appends being dropped by these swaps."""
         if self._read_pending() is not None:
             raise ValueError(
                 "CurationState.compact: a pending update marker is on disk — "
@@ -478,6 +479,15 @@ class CurationState:
                 "(update with the same batch) before compacting, or the "
                 "rewrite destroys the tombstone log the repair needs"
             )
+        from .lease import dir_lease
+
+        with dir_lease(self._path, role="CurationState.compact"):
+            return self._compact_unfenced(
+                target_rows_per_file=target_rows_per_file
+            )
+
+    def _compact_unfenced(self, *, target_rows_per_file: int = 1 << 20) -> dict:
+        spark, p = self._spark, self._path
         out: dict[str, dict] = {}
         tombs = self._tombstones()
         out["working"] = T._rewrite_parquet_dir(
@@ -804,7 +814,21 @@ class CurationState:
         complete copy (test-asserted across seven crash windows in
         tests/test_incremental.py). A marker from a DIFFERENT delta
         raises: that batch must be replayed first. ``check()`` reports
-        a dangling marker as ``pending_update_marker``."""
+        a dangling marker as ``pending_update_marker``.
+
+        Single-writer-fenced (round 9, see :mod:`.lease`): the state
+        ROOT lease is held for the whole write sequence, so a
+        concurrent ``compact``/``vacuum`` on the same state is refused
+        loudly instead of its rename-aside swaps racing these appends
+        (the index half additionally takes ``<root>/index`` through
+        ``DedupIndex.append_saved`` — distinct scopes, no self-
+        contention)."""
+        from .lease import dir_lease
+
+        with dir_lease(self._path, role="CurationState.update"):
+            return self._update_unfenced(delta_docs)
+
+    def _update_unfenced(self, delta_docs: DataFrame) -> dict:
         spark, p, m = self._spark, self._path, self.meta
         # one pass over the delta for cutoffs AND the row-count metric
         # (it was a separate count() job; every action here is ~250

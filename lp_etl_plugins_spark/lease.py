@@ -1,0 +1,129 @@
+"""Single-writer fencing for index directories (VERDICT r8 #2).
+
+Every index family's crash contract assumes ONE writer replaying: the
+absorbers' redo machinery reconstructs from an arbitrary landed subset
+of its OWN writes, but nothing stopped ``maintenance.vacuum``'s
+rename-aside compaction from racing a concurrent
+``append_saved``/``foreach_batch_*`` on the same directory — an append
+landing between :func:`textops._rewrite_parquet_dir`'s temp-write and
+its swap is deleted with the ``.__old__`` directory, silently losing
+rows (the two-thread test in ``tests/test_lease.py`` demonstrates
+exactly that loss without the lease). A real nightly deployment runs
+exactly this pair.
+
+The fence is a LEASE FILE beside the index directory
+(``<path>.__lease__`` — a sibling, so it survives every substrate's
+rename-aside swap and works before the directory exists):
+
+- **acquire** = atomic ``O_CREAT | O_EXCL`` create (the POSIX
+  mutual-exclusion primitive on a local filesystem — the same
+  driver-local assumption as the rename swap itself; an object-store
+  deployment fronts these directories with a transactional table
+  format and gets writer fencing from its commit protocol);
+- **contention** = loud :class:`LeaseContention` refusal, never
+  blocking — the caller decides whether to retry, reschedule, or
+  surface it (a nightly vacuum skips the path and reports; a
+  streaming absorber lets the micro-batch fail and replay);
+- **stale expiry** = a lease older than ``ttl_seconds`` (mtime) is
+  from a crashed writer — it is broken by RENAME (exactly one breaker
+  wins the rename; losers re-enter the acquire loop), so two
+  concurrent breakers cannot both think they removed it and both
+  acquire;
+- **release** = unlink on exit, crash-tolerated (a leaked lease
+  expires by ttl).
+
+Scope: every mutation path acquires it — the per-family
+``append_saved`` / ``update`` absorb operations and every
+``compact()`` (including ``maintenance.vacuum``'s threshold
+compaction). Reads never do: every reader serves committed rows only
+(meta-stamp filtering), so a read concurrent with an append or a
+rename-aside swap was already safe. Nested acquisition composes
+because the scopes are distinct paths (``CurationState.update`` holds
+the state ROOT lease while its index half takes ``<root>/index`` —
+two files), and a same-path re-entry is a genuine bug the contention
+error surfaces.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from contextlib import contextmanager
+
+
+class LeaseContention(RuntimeError):
+    """Another writer holds the directory lease — refused loudly
+    rather than silently racing the crash contracts."""
+
+
+def _lease_file(path: str) -> str:
+    from .textops import _local_path
+
+    return _local_path(path).rstrip("/") + ".__lease__"
+
+
+@contextmanager
+def dir_lease(path: str, *, role: str, ttl_seconds: float = 3600.0):
+    """Hold the single-writer lease for ``path`` for the duration of
+    the ``with`` block. Raises :class:`LeaseContention` when a live
+    (non-expired) lease exists. ``role`` is recorded in the lease file
+    for the contention message ("append_saved", "compact", ...);
+    ``ttl_seconds`` bounds how long a crashed writer's leaked lease
+    fences the directory — size it above the operation's worst-case
+    runtime (the default 1 h covers any single compaction/absorb this
+    engine runs; a multi-hour job passes its own)."""
+    lease = _lease_file(path)
+    parent = os.path.dirname(lease)
+    if parent:
+        os.makedirs(parent, exist_ok=True)
+    acquired = False
+    for _ in range(3):
+        try:
+            fd = os.open(lease, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            try:
+                os.write(
+                    fd, f"{role} pid={os.getpid()} t={time.time()}\n".encode()
+                )
+            finally:
+                os.close(fd)
+            acquired = True
+            break
+        except FileExistsError:
+            try:
+                age = time.time() - os.stat(lease).st_mtime
+            except FileNotFoundError:
+                continue  # holder released between create and stat — retry
+            if age <= ttl_seconds:
+                holder = ""
+                try:
+                    with open(lease) as f:
+                        holder = f.read().strip()
+                except OSError:
+                    pass
+                raise LeaseContention(
+                    f"{role}: another writer holds the lease on {path}"
+                    f"{' (' + holder + ')' if holder else ''} — concurrent "
+                    "mutation would race the crash contracts; retry after "
+                    "it releases, or remove the stale lease file if the "
+                    f"holder is known dead ({lease})"
+                )
+            # stale (crashed writer): break by rename — exactly one
+            # breaker wins; losers loop back to the create attempt
+            stale = f"{lease}.broken.{os.getpid()}"
+            try:
+                os.rename(lease, stale)
+                os.unlink(stale)
+            except FileNotFoundError:
+                pass
+    if not acquired:
+        raise LeaseContention(
+            f"{role}: could not acquire the lease on {path} after "
+            "stale-break retries — a writer keeps re-acquiring it"
+        )
+    try:
+        yield
+    finally:
+        try:
+            os.unlink(lease)
+        except FileNotFoundError:
+            pass

@@ -410,8 +410,18 @@ def vacuum(
         worst = max((T._count_data_files(d) for d in dirs), default=0)
         compacted = False
         if worst > max_files_per_substrate and (res["ok"] or compact_unhealthy):
-            _compact(spark, path, family, target_rows_per_file)
-            compacted = True
+            from .lease import LeaseContention
+
+            try:
+                _compact(spark, path, family, target_rows_per_file)
+                compacted = True
+            except LeaseContention:
+                # a live absorber holds the directory — the nightly
+                # sweep reports and moves on rather than racing it;
+                # the next sweep compacts once the writer releases
+                viol = ";".join(
+                    filter(None, [viol, "lease_contention_skipped_compact=1"])
+                )
         worst_after = (
             max((T._count_data_files(d) for d in dirs), default=0)
             if compacted

@@ -773,12 +773,21 @@ class MediaIndex:
         from the stored hashes (:meth:`repair_saved`; phash is
         content-complete, so they are pure functions of it), while a
         crash BEFORE phash landed leaves no trace and the replayed
-        batch re-runs cleanly."""
+        batch re-runs cleanly.
+        Single-writer-fenced (see :mod:`.lease`): a concurrent
+        compact/vacuum on the same directory is refused loudly instead
+        of racing the rename-aside swap."""
         if not getattr(self, "_delta", None):
             raise ValueError(
                 "MediaIndex.append_saved: no update() delta to append — "
                 "call update(new_media) first"
             )
+        from .lease import dir_lease
+
+        with dir_lease(path, role="MediaIndex.append_saved"):
+            self._append_saved_locked(path)
+
+    def _append_saved_locked(self, path: str) -> None:
         pairs_delta = self._delta["pairs"].localCheckpoint()
         clusters = self.clusters.localCheckpoint()
         self._delta["phash"].write.mode("append").parquet(f"{path}/phash")
@@ -809,7 +818,15 @@ class MediaIndex:
         A PARTIAL phash append cannot be repaired from disk (the lost
         rows' hashes exist only in the source batch) — the streaming
         absorber detects that case by row count and raises instead.
-        → {"repaired": bool, "rows_beyond_stamp": n, "pairs_added": n}."""
+        → {"repaired": bool, "rows_beyond_stamp": n, "pairs_added": n}.
+        Single-writer-fenced (see :mod:`.lease`)."""
+        from .lease import dir_lease
+
+        with dir_lease(path, role="MediaIndex.repair_saved"):
+            return cls._repair_saved_locked(spark, path)
+
+    @classmethod
+    def _repair_saved_locked(cls, spark: SparkSession, path: str) -> dict:
         idx = cls.load(spark, path)
         if idx.max_id is None:
             raise ValueError(
@@ -878,18 +895,21 @@ class MediaIndex:
         pure file re-layout — a re-``load`` serves identical frames
         (test-asserted). Meta untouched. In-memory objects over
         ``path`` are STALE afterwards.
-        → ``{stage: {"rows", "files_before", "files_after"}}``."""
+        → ``{stage: {"rows", "files_before", "files_after"}}``.
+        Single-writer-fenced (see :mod:`.lease`)."""
+        from .lease import dir_lease
         from .textops import _rewrite_parquet_dir
 
-        return {
-            stage: _rewrite_parquet_dir(
-                spark,
-                f"{path}/{stage}",
-                spark.read.parquet(f"{path}/{stage}"),
-                target_rows_per_file,
-            )
-            for stage in cls._STAGES
-        }
+        with dir_lease(path, role="MediaIndex.compact"):
+            return {
+                stage: _rewrite_parquet_dir(
+                    spark,
+                    f"{path}/{stage}",
+                    spark.read.parquet(f"{path}/{stage}"),
+                    target_rows_per_file,
+                )
+                for stage in cls._STAGES
+            }
 
 
 def foreach_batch_add(spark: SparkSession, index_path: str):

@@ -983,6 +983,17 @@ class RepeatIndex:
     # ------------------------------------------------------------ update
 
     def update(self, delta_docs: DataFrame, old_docs: DataFrame) -> dict:
+        """Single-writer-fenced entry (see :mod:`..lease`) over
+        :meth:`_update_unfenced` — RepeatIndex.update IS the absorb
+        write (postings/spans appends + meta), so it takes the
+        directory lease a concurrent compact/vacuum would contend
+        on."""
+        from .lease import dir_lease
+
+        with dir_lease(self._path, role="RepeatIndex.update"):
+            return self._update_unfenced(delta_docs, old_docs)
+
+    def _update_unfenced(self, delta_docs: DataFrame, old_docs: DataFrame) -> dict:
         """Absorb a corpus delta; bounded by the delta plus the old
         docs holding a gram the delta flipped to repeated. Raises if a
         delta id is already indexed (id-disjointness contract —
@@ -1175,7 +1186,18 @@ class RepeatIndex:
         dropped, ``gen`` preserved so later updates still shadow
         correctly) and re-layout both append logs — the same lifecycle
         operation as ``CurationState.compact`` (views row-identical
-        before/after, later updates compose)."""
+        before/after, later updates compose). Single-writer-fenced
+        (see :mod:`..lease`): a concurrent absorber on the same
+        directory is refused loudly instead of its append being
+        dropped by the rename-aside swap."""
+        from .lease import dir_lease
+
+        with dir_lease(self._path, role="RepeatIndex.compact"):
+            return self._compact_unfenced(
+                target_rows_per_file=target_rows_per_file
+            )
+
+    def _compact_unfenced(self, *, target_rows_per_file: int = 1 << 20) -> dict:
         spark, p = self._spark, self._path
         log = spark.read.parquet(f"{p}/spans")
         w = W.partitionBy("id").orderBy(F.col("gen").desc())
@@ -2062,6 +2084,16 @@ class DedupIndex:
         return had
 
     def append_saved(self, path: str, *, repair: bool = False) -> None:
+        """Single-writer-fenced entry (see :mod:`..lease`) over
+        :meth:`_append_saved_unfenced` — a concurrent compact/vacuum
+        on the same directory is refused loudly instead of racing the
+        crash contract."""
+        from .lease import dir_lease
+
+        with dir_lease(path, role="DedupIndex.append_saved"):
+            return self._append_saved_unfenced(path, repair=repair)
+
+    def _append_saved_unfenced(self, path: str, *, repair: bool = False) -> None:
         """Merge the LAST :meth:`update`'s delta into a :meth:`save`-d
         index directory WITHOUT rewriting the whole index: ``bands``,
         ``pairs``, and ``verified`` are append-only under the
@@ -2250,6 +2282,21 @@ class DedupIndex:
 
     @classmethod
     def compact(
+        cls, spark, path: str, *, target_rows_per_file: int = 1 << 20
+    ) -> dict:
+        """Single-writer-fenced entry (see :mod:`..lease`) over
+        :meth:`_compact_unfenced` — a concurrent absorber append on
+        the same directory is refused loudly instead of being silently
+        dropped by the rename-aside swap."""
+        from .lease import dir_lease
+
+        with dir_lease(path, role="DedupIndex.compact"):
+            return cls._compact_unfenced(
+                spark, path, target_rows_per_file=target_rows_per_file
+            )
+
+    @classmethod
+    def _compact_unfenced(
         cls, spark, path: str, *, target_rows_per_file: int = 1 << 20
     ) -> dict:
         """Rewrite a :meth:`save`-d index directory to size-targeted
@@ -2804,6 +2851,14 @@ class TrigramLM:
         return lm
 
     def append_saved(self, path: str, *, repair: bool = False) -> None:
+        """Single-writer-fenced entry (see :mod:`..lease`) over
+        :meth:`_append_saved_unfenced`."""
+        from .lease import dir_lease
+
+        with dir_lease(path, role="TrigramLM.append_saved"):
+            return self._append_saved_unfenced(path, repair=repair)
+
+    def _append_saved_unfenced(self, path: str, *, repair: bool = False) -> None:
         """Merge the LAST :meth:`update`'s delta into a :meth:`save`-d
         model directory WITHOUT rewriting the vocab table: the model
         is an additive count log, so the delta's partial counts land
@@ -2952,7 +3007,19 @@ class TrigramLM:
         Refuses (ValueError) while unstamped segment rows show a
         crashed append: resolving them into the merged table would
         commit a torn write — replay the delta first
-        (``append_saved(repair=True)`` via the absorber)."""
+        (``append_saved(repair=True)`` via the absorber).
+        Single-writer-fenced (see :mod:`..lease`)."""
+        from .lease import dir_lease
+
+        with dir_lease(path, role="TrigramLM.compact"):
+            return cls._compact_unfenced(
+                spark, path, target_rows_per_file=target_rows_per_file
+            )
+
+    @classmethod
+    def _compact_unfenced(
+        cls, spark, path: str, *, target_rows_per_file: int = 1 << 20
+    ) -> dict:
         m = _read_control_row(f"{path}/meta")
         stamp = m.get("max_id")
         raw = cls._raw_counts(spark, path)

@@ -1050,12 +1050,21 @@ class VectorIndex:
         touched. Meta's ``max_id`` high-water mark advances to cover
         the delta. The in-memory object must be considered STALE after
         this call (its merged frames captured the pre-append file
-        listings); re-``load`` to keep serving."""
+        listings); re-``load`` to keep serving.
+        Single-writer-fenced (see :mod:`.lease`): a concurrent
+        compact/vacuum on the same directory is refused loudly instead
+        of racing the rename-aside swap."""
         if not getattr(self, "_delta", None):
             raise ValueError(
                 "VectorIndex.append_saved: no update() delta to append — "
                 "call update(new_vectors) first"
             )
+        from .lease import dir_lease
+
+        with dir_lease(path, role="VectorIndex.append_saved"):
+            self._append_saved_locked(path)
+
+    def _append_saved_locked(self, path: str) -> None:
         self._delta["corpus_lists"].write.mode("append").parquet(
             f"{path}/corpus_lists"
         )
@@ -1083,18 +1092,21 @@ class VectorIndex:
         high-water mark) is not touched. Any in-memory object over
         ``path`` is STALE afterwards; re-``load``.
 
-        → ``{stage: {"rows", "files_before", "files_after"}}``."""
+        → ``{stage: {"rows", "files_before", "files_after"}}``.
+        Single-writer-fenced (see :mod:`.lease`)."""
+        from .lease import dir_lease
         from .textops import _rewrite_parquet_dir
 
-        return {
-            stage: _rewrite_parquet_dir(
-                spark,
-                f"{path}/{stage}",
-                spark.read.parquet(f"{path}/{stage}"),
-                target_rows_per_file,
-            )
-            for stage in cls._STAGES
-        }
+        with dir_lease(path, role="VectorIndex.compact"):
+            return {
+                stage: _rewrite_parquet_dir(
+                    spark,
+                    f"{path}/{stage}",
+                    spark.read.parquet(f"{path}/{stage}"),
+                    target_rows_per_file,
+                )
+                for stage in cls._STAGES
+            }
 
     @classmethod
     def load(cls, spark, path: str) -> "VectorIndex":
