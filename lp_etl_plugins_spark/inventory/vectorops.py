@@ -832,7 +832,7 @@ SELECT probe_id, neighbor_id, adist2, rank FROM (
 """
 
 
-_VINDEXES: dict[tuple[str, str], V.VectorIndex] = {}
+_VINDEXES: dict[tuple[str, str, int], V.VectorIndex] = {}
 
 
 def vector_index(spark: SparkSession, sf_dir: str) -> V.VectorIndex:
@@ -842,10 +842,25 @@ def vector_index(spark: SparkSession, sf_dir: str) -> V.VectorIndex:
     × corpus (checkpointed; ``save``/``load`` is the cross-session
     form) and every query against them is index-only — no corpus
     vector is read at search time."""
-    key = (spark.sparkContext.applicationId, sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir, 4)
     idx = _VINDEXES.get(key)
     if idx is None:
         idx = V.VectorIndex(_emb(spark, sf_dir))
+        _VINDEXES[key] = idx
+    return idx
+
+
+def vector_index_production(spark: SparkSession, sf_dir: str) -> V.VectorIndex:
+    """The PRODUCTION-configured shared serving index (m=16) — the
+    round-8 recall study proved m binds recall on this corpus
+    (m=4 → 0.37, m=16 → 0.50 @ sf0.1 external-probe serving,
+    SCALE.md §ANN recall); v18 gates this configuration so the
+    shipped default is the measured-good one, not the
+    oracle-convenient m=4 the earlier entries keep for continuity."""
+    key = (spark.sparkContext.applicationId, sf_dir, 16)
+    idx = _VINDEXES.get(key)
+    if idx is None:
+        idx = V.VectorIndex(_emb(spark, sf_dir), m=16)
         _VINDEXES[key] = idx
     return idx
 
@@ -966,6 +981,30 @@ SELECT probe_id, neighbor_id, adist2, rank FROM (
 """
 
 
+def v18_vector_serving_production(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """v0's serving path at the MEASURED production configuration
+    (VERDICT r8 #4): the round-8 recall study proved the PQ family's
+    recall is bound by m, not codeword placement (SCALE.md §ANN
+    recall: m=4 → 0.37, m=16 → 0.50, m=32 → 0.50 external-probe
+    recall@3 at sf0.1), so the gated serving default moves to m=16 —
+    4-dim subspaces, 4× the code payload of m=4 (16 vs 4 small ints
+    per vector), still 16× smaller than the raw floats, at the
+    recall knee (m=32 doubles payload for +0.00). Identical plan
+    shape to v0 (probe fan-out nprobe=2, stored-codebook ADC,
+    index-only candidates); the oracle recomputes index + search from
+    scratch at the same m. The recall floor itself is pinned in
+    tests/test_vector_index.py::test_compressed_ann_recall_floors.
+    → (probe_id, neighbor_id, adist2, rank ≤ 3)."""
+    idx = vector_index_production(spark, sf_dir)
+    return idx.search(_external_probes(_emb(spark, sf_dir)), _K, nprobe=2)
+
+
+# V0_SQL with the production subspace width: 64 dims / m=16 → 4 dims
+# per subspace (the only difference — training, fan-out, and ADC are
+# the same machinery)
+V18_SQL = V0_SQL.replace("(g.i - 1) // 16", "(g.i - 1) // 4")
 
 
 def v15_knn_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1143,6 +1182,7 @@ QUERIES = {
     "v15_knn_sq8": v15_knn_sq8,
     "v16_incremental_vector_serving": v16_incremental_vector_serving,
     "v17_knn_pq_refined": v17_knn_pq_refined,
+    "v18_vector_serving_production": v18_vector_serving_production,
 }
 
 ORACLES = {
@@ -1164,4 +1204,5 @@ ORACLES = {
     "v15_knn_sq8": V15_SQL,
     "v16_incremental_vector_serving": V16_SQL,
     "v17_knn_pq_refined": V17_SQL,
+    "v18_vector_serving_production": V18_SQL,
 }

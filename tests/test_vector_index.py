@@ -385,6 +385,12 @@ def test_compressed_ann_recall_floors(spark):
 
     built = VectorIndex(emb)
     assert _recall(exact_l2_ext, built.search(ext, 3, nprobe=2)) >= 0.35
+    # the v18 PRODUCTION configuration (m=16 — the measured recall
+    # knee, SCALE.md §ANN recall: 0.40 @ sf0.001, 0.50 @ sf0.1): its
+    # floor must hold ABOVE the m=4 default's, or the shipped-default
+    # claim is hollow
+    prod = VectorIndex(emb, m=16)
+    assert _recall(exact_l2_ext, prod.search(ext, 3, nprobe=2)) >= 0.38
     base = emb.filter(F.col("vec_id") % 8 != 7)
     upd = VectorIndex(base).update(emb.filter(F.col("vec_id") % 8 == 7).drop("label"))
     assert _recall(exact_l2_ext, upd.search(ext, 3, nprobe=2)) >= 0.35
