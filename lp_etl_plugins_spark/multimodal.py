@@ -77,7 +77,14 @@ def synthetic_media(spark: SparkSession, n: int, kind: str = "image") -> DataFra
         return bytes([w // 256, w % 256, h // 256, h % 256, c]) + payload
 
     rows = [(i, kind, blob(i), {"codec": "fake", "src": f"synth/{i}"}) for i in range(n)]
-    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+    # size the partitioning to the corpus instead of defaultParallelism:
+    # 200 blobs on 32 slices made every Arrow hash stage pay 32 Python
+    # worker launches for ~6 rows each (real media arrives from parquet,
+    # where maxPartitionBytes does this job)
+    slices = max(1, min(spark.sparkContext.defaultParallelism, n // 32))
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, slices), MEDIA_SCHEMA
+    )
 
 
 def _decode_png(data: bytes) -> tuple[int, int, int, float]:

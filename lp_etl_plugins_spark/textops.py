@@ -343,20 +343,40 @@ def char_ngrams(col: Column | str, n: int = 3) -> Column:
 
 
 def hashed_gram_sets(
-    df: DataFrame, text_col: str, id_col: str, n: int = 3
+    df: DataFrame, text_col: str, id_col: str, n: int = 3,
+    hash_family: str = "md5",
 ) -> DataFrame:
-    """Per-doc distinct char-``n``-gram sets in the hashed 32-bit
+    """Per-doc distinct char-``n``-gram sets in a hashed integer
     space — the persistable inverted-index substrate shared by the
     gram-candidate miners and :class:`incremental.CurationState`.
-    Grams are md5-derived ints (same function on both engines, so any
-    collision merges the same gram on both sides — parity by
-    construction). → (id, grams array<bigint>)."""
-    hashed = F.array_distinct(
-        F.transform(
-            char_ngrams(text_col, n),
-            lambda g: F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("bigint"),
+
+    ``hash_family="md5"`` (default): md5-derived 32-bit ints — the
+    same function on both engines, so any collision merges the same
+    gram on both sides (parity by construction); the ORACLE family.
+    ``hash_family="xxhash64"``: Spark's built-in non-cryptographic
+    64-bit hash — the PRODUCTION family (round 9, completing the
+    SCALE.md md5→xxhash swap for the gram substrate): one codegen
+    call instead of a crypto digest + hex substring + base-conv
+    chain, and 2^64 key space (collision-merge odds vanish vs 2^32).
+    Identical plan shape; self-consistency-gated (update == rebuild,
+    planted-dup recall) rather than oracle-gated, since DuckDB has no
+    xxhash64. → (id, grams array<bigint>) in both families."""
+    if hash_family == "xxhash64":
+        hashed = F.array_distinct(
+            F.transform(char_ngrams(text_col, n), lambda g: F.xxhash64(g))
         )
-    )
+    elif hash_family == "md5":
+        hashed = F.array_distinct(
+            F.transform(
+                char_ngrams(text_col, n),
+                lambda g: F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("bigint"),
+            )
+        )
+    else:
+        raise ValueError(
+            f"hashed_gram_sets: unknown hash_family {hash_family!r} "
+            "(expected 'md5' or 'xxhash64')"
+        )
     return df.select(F.col(id_col).alias("id"), hashed.alias("grams"))
 
 
@@ -369,6 +389,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.65,
     max_df: int = 64,
     substrate: tuple[DataFrame, DataFrame] | None = None,
+    hash_family: str = "md5",
 ) -> DataFrame:
     """Character-n-gram Jaccard near-dup pairs via an inverted-index
     join with document-frequency pruning — the non-probabilistic
@@ -404,13 +425,14 @@ def ngram_jaccard_pairs(
     splits it; the prune threshold is the structural control.
     → (id_a, id_b, jaccard ≥ threshold)."""
     cand, sets = substrate or _pruned_gram_candidates(
-        df, text_col, id_col, n, max_df_frac, max_df
+        df, text_col, id_col, n, max_df_frac, max_df, hash_family
     )
     return jaccard_over_candidates(cand, sets, threshold=threshold)
 
 
 def _pruned_gram_candidates(
-    df: DataFrame, text_col: str, id_col: str, n: int, max_df_frac: float, max_df: int = 64
+    df: DataFrame, text_col: str, id_col: str, n: int, max_df_frac: float,
+    max_df: int = 64, hash_family: str = "md5",
 ) -> tuple[DataFrame, DataFrame]:
     """Shared candidate substrate for t11/t14/t20: hashed char-n-gram
     sets per doc plus the df-pruned inverted-index candidate pairs.
@@ -422,7 +444,9 @@ def _pruned_gram_candidates(
     (a gram shared by ≥ 2 docs) is PROVABLY impossible and even exact
     duplicates silently stopped matching.
     → (cand: (id_a < id_b), sets: (id, grams array<bigint>))."""
-    sets = hashed_gram_sets(df, text_col, id_col, n).localCheckpoint(eager=True)
+    sets = hashed_gram_sets(
+        df, text_col, id_col, n, hash_family
+    ).localCheckpoint(eager=True)
     # ^ the substrate is read 4× (dfreq, postings, both verify sides);
     # without truncation each branch re-runs scan+split+zip_with —
     # measured 3× slower. At corpus scale this materialization is the
@@ -531,7 +555,7 @@ def ngram_containment_pairs(
     array-intersect verify).
     → (id_a, id_b, containment ≥ threshold)."""
     cand, sets = substrate or _pruned_gram_candidates(
-        df, text_col, id_col, n, max_df_frac, max_df
+        df, text_col, id_col, n, max_df_frac, max_df, hash_family
     )
     return _containment_verified(cand, sets, threshold)
 
@@ -560,7 +584,7 @@ def decontaminate(
     all pairs for benchmark share p) with a byte-identical result.
     → (doc_id) — distinct contaminated non-benchmark ids."""
     cand, sets = substrate or _pruned_gram_candidates(
-        df, text_col, id_col, n, max_df_frac, max_df
+        df, text_col, id_col, n, max_df_frac, max_df, hash_family
     )
     flags = df.select(F.col(id_col).alias("id"), F.col(bench_col).alias("__bench"))
     fa = flags.select(F.col("id").alias("id_a"), F.col("__bench").alias("ba"))
@@ -612,7 +636,7 @@ def contamination_spans(
     → (train_id, bench_id, n_shared_grams, span_words, span_start,
     span_text)."""
     cand, sets = substrate or _pruned_gram_candidates(
-        df, text_col, id_col, n, max_df_frac, max_df
+        df, text_col, id_col, n, max_df_frac, max_df, hash_family
     )
     flags = df.select(F.col(id_col).alias("id"), F.col(bench_col).alias("__bench"))
     fa = flags.select(F.col("id").alias("id_a"), F.col("__bench").alias("ba"))
@@ -958,14 +982,30 @@ class RepeatIndex:
     ) -> "RepeatIndex":
         meta = {"text_col": text_col, "id_col": id_col, "span_n": span_n}
         st = cls(spark, path, meta)
-        max_doc_id = docs.agg(F.max(id_col)).first()[0]
+        # the three build actions are independent (a torn build is
+        # rebuilt — no crash contract to preserve), so they overlap
+        # from driver threads instead of leaving the cluster idle
+        # between jobs (the t36 freed-write-order treatment applied to
+        # the t38 gate, VERDICT r8 #3)
+        from concurrent.futures import ThreadPoolExecutor
+
         pos = cls._pos(docs, text_col, id_col, span_n)
-        pos.select("g", "id").distinct().write.mode("overwrite").parquet(
-            f"{path}/postings"
-        )
-        repeated_substring_spans(docs, text_col, id_col, span_n).withColumn(
-            "gen", F.lit(0)
-        ).write.mode("overwrite").parquet(f"{path}/spans")
+        jobs = [
+            lambda: docs.agg(F.max(id_col)).first()[0],
+            lambda: pos.select("g", "id")
+            .distinct()
+            .write.mode("overwrite")
+            .parquet(f"{path}/postings"),
+            lambda: repeated_substring_spans(docs, text_col, id_col, span_n)
+            .withColumn("gen", F.lit(0))
+            .write.mode("overwrite")
+            .parquet(f"{path}/spans"),
+        ]
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            futs = [pool.submit(j) for j in jobs]
+            max_doc_id = futs[0].result()
+            futs[1].result()
+            futs[2].result()
         meta["max_doc_id"] = -1 if max_doc_id is None else int(max_doc_id)
         meta["n_updates"] = 0
         st._write_meta()
@@ -1004,15 +1044,71 @@ class RepeatIndex:
         → per-stage metrics."""
         spark, p, m = self._spark, self._path, self.meta
         span_n = m["span_n"]
-        # one delta pass for bounds + row count + the within-delta
-        # duplicate-id check (two texts under one id would merge their
-        # gram sets and tie the spans log at one generation)
-        bounds = delta_docs.agg(
-            F.min(m["id_col"]).alias("lo"),
-            F.max(m["id_col"]).alias("hi"),
-            F.count(F.lit(1)).alias("n"),
-            F.countDistinct(m["id_col"]).alias("nd"),
-        ).first()
+        stored = self.postings()
+        dpos = self._pos(delta_docs, m["text_col"], m["id_col"], span_n)
+        d_post = dpos.select("g", "id").distinct().localCheckpoint(eager=False)
+        d_ids = delta_docs.select(F.col(m["id_col"]).alias("id")).distinct()
+
+        # the three read-only probes — delta bounds/dup check, the
+        # id-disjointness contract count, and the d_post-pin +
+        # flipped-gram touched set — are mutually independent jobs;
+        # they overlap from driver threads (the freed-write-order
+        # treatment extended to the read side: serially these left
+        # the cluster idle between three small jobs). The contract
+        # violations are raised AFTER the join — nothing has been
+        # written yet, so a late raise is still a clean refusal.
+        def _bounds():
+            # one delta pass for bounds + row count + the within-delta
+            # duplicate-id check (two texts under one id would merge
+            # their gram sets and tie the spans log at one generation)
+            return delta_docs.agg(
+                F.min(m["id_col"]).alias("lo"),
+                F.max(m["id_col"]).alias("hi"),
+                F.count(F.lit(1)).alias("n"),
+                F.countDistinct(m["id_col"]).alias("nd"),
+            ).first()
+
+        def _overlap():
+            return stored.join(d_ids, "id", "left_semi").count()
+
+        def _touched():
+            # stored counts restricted to the delta's grams (only they
+            # can flip) — a semi-join, never a full-postings
+            # aggregate. No broadcast hints on these gram-STRING sets:
+            # they are delta-PROPORTIONAL (hundreds of millions of
+            # 8-word strings for a realistic daily delta), so AQE must
+            # stay free to pick a shuffle join when they outgrow
+            # broadcast size. The count materializes the LAZY d_post
+            # pin and the touched pin inside this one job.
+            d_grams = d_post.select("g").distinct()
+            c_old = (
+                stored.join(d_grams, "g", "left_semi")
+                .groupBy("g")
+                .agg(F.count(F.lit(1)).alias("c_old"))
+            )
+            # flipped: stored count 1, any delta occurrence pushes ≥ 2
+            flipped = c_old.filter(F.col("c_old") == 1).select("g")
+            t = (
+                stored.join(flipped, "g", "left_semi")
+                .select("id")
+                .distinct()
+                .localCheckpoint(eager=False)
+            )
+            return t, t.count()
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            f_b, f_o, f_t = (
+                pool.submit(_bounds),
+                pool.submit(_overlap),
+                pool.submit(_touched),
+            )
+            bounds, n_overlap, (touched, n_touched) = (
+                f_b.result(),
+                f_o.result(),
+                f_t.result(),
+            )
         if bounds["lo"] is None:
             return {"delta_rows": 0, "touched_old": 0, "spans_rewritten": 0}
         if int(bounds["nd"]) != int(bounds["n"]):
@@ -1021,40 +1117,12 @@ class RepeatIndex:
                 f"({bounds['n']} rows, {bounds['nd']} distinct) — one row "
                 "per document id is required"
             )
-
-        dpos = self._pos(delta_docs, m["text_col"], m["id_col"], span_n)
-        d_post = dpos.select("g", "id").distinct().localCheckpoint()
-        stored = self.postings()
-        d_ids = delta_docs.select(F.col(m["id_col"]).alias("id")).distinct()
-        n_overlap = stored.join(d_ids, "id", "left_semi").count()
         if n_overlap:
             raise ValueError(
                 "RepeatIndex.update: id-disjointness contract violated — "
                 f"{n_overlap} stored posting rows share ids with the delta; "
                 "re-ingesting an indexed doc would double its gram counts"
             )
-
-        # stored counts restricted to the delta's grams (only they can
-        # flip) — a semi-join, never a full-postings aggregate. No
-        # broadcast hints on these gram-STRING sets: they are
-        # delta-PROPORTIONAL (hundreds of millions of 8-word strings
-        # for a realistic daily delta), so AQE must stay free to pick
-        # a shuffle join when they outgrow broadcast size
-        d_grams = d_post.select("g").distinct()
-        c_old = (
-            stored.join(d_grams, "g", "left_semi")
-            .groupBy("g")
-            .agg(F.count(F.lit(1)).alias("c_old"))
-        )
-        # flipped: stored count 1, any delta occurrence pushes it ≥ 2
-        flipped = c_old.filter(F.col("c_old") == 1).select("g")
-        touched = (
-            stored.join(flipped, "g", "left_semi")
-            .select("id")
-            .distinct()
-            .localCheckpoint()
-        )
-        n_touched = touched.count()
 
         # re-evaluate: delta docs + touched old docs, repeated status
         # from MERGED counts restricted to the eval docs' grams
@@ -1083,14 +1151,27 @@ class RepeatIndex:
         new_spans = (
             _island_spans(shared, span_n)
             .withColumn("gen", F.lit(gen))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)  # the count below materializes
         )
         n_spans = new_spans.count()
 
-        # persist: postings append; spans upsert via the higher-gen
-        # append (last-wins at read)
-        d_post.write.mode("append").parquet(f"{p}/postings")
-        new_spans.write.mode("append").parquet(f"{p}/spans")
+        # persist: postings append + spans upsert (higher-gen append,
+        # last-wins at read) — independent appends of already-pinned
+        # frames, overlapped from driver threads (the freed-write-order
+        # treatment; the crash contract never depended on their order:
+        # both are above the meta stamp until the meta write lands)
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            for fut in [
+                pool.submit(
+                    d_post.write.mode("append").parquet, f"{p}/postings"
+                ),
+                pool.submit(
+                    new_spans.write.mode("append").parquet, f"{p}/spans"
+                ),
+            ]:
+                fut.result()
         m["max_doc_id"] = max(int(m["max_doc_id"]), int(bounds["hi"]))
         m["n_updates"] = int(m["n_updates"]) + 1
         self._write_meta()
@@ -1240,7 +1321,8 @@ def simhash16(col: Column | str) -> Column:
 
 
 def winnow_fingerprints(
-    df: DataFrame, text_col: str, id_col: str, n: int = 3, w: int = 4
+    df: DataFrame, text_col: str, id_col: str, n: int = 3, w: int = 4,
+    hash_family: str = "md5",
 ) -> DataFrame:
     """Winnowing document fingerprints (the rolling-hash fingerprinting
     scheme of Schleimer/Wilkerson/Aiken, MOSS): hash every word
@@ -1251,13 +1333,30 @@ def winnow_fingerprints(
     hashes — the standard short-document fallback) instead of
     vanishing from the output and never matching anything.
 
-    Plan: posexplode shingles → per-(doc, pos) 40-bit hash → window MIN
+    Plan: posexplode shingles → per-(doc, pos) hash → window MIN
     over [pos, pos+w-1] (rows-frame, partitioned by doc — bounded
-    per-doc state, codegen) → distinct. → (id, fp)."""
+    per-doc state, codegen) → distinct. → (id, fp).
+
+    ``hash_family``: "md5" (default, the oracle family — 40-bit hex
+    substring, DuckDB-identical) or "xxhash64" (production — one
+    codegen call, 8-byte BIGINT fingerprints instead of 10-char
+    strings through the window + distinct shuffles; round 9,
+    completing the SCALE.md md5→xxhash swap). Same plan shape; the
+    winnowing guarantee (any match ≥ w+n-1 words shares a
+    fingerprint) is hash-independent and self-consistency-gated."""
+    if hash_family == "xxhash64":
+        h = F.xxhash64("shingle")
+    elif hash_family == "md5":
+        h = F.substring(F.md5("shingle"), 1, 10)
+    else:
+        raise ValueError(
+            f"winnow_fingerprints: unknown hash_family {hash_family!r} "
+            "(expected 'md5' or 'xxhash64')"
+        )
     pos = df.select(
         F.col(id_col).alias("id"),
         F.posexplode(shingles(normalized_words(text_col), n)).alias("pos", "shingle"),
-    ).select("id", "pos", F.substring(F.md5("shingle"), 1, 10).alias("h"))
+    ).select("id", "pos", h.alias("h"))
     win = W.partitionBy("id").orderBy("pos").rowsBetween(W.currentRow, w - 1)
     n_sh = W.partitionBy("id")
     return (
@@ -1279,6 +1378,7 @@ def connected_components(
     id_b: str = "id_b",
     max_iter: int = 50,
     prop_rounds: int = 8,
+    small_graph_edges: int = 100_000,
 ) -> DataFrame:
     """Duplicate clusters from a candidate-pair edge list → (id,
     cluster) with cluster = the smallest member id of the component.
@@ -1318,8 +1418,59 @@ def connected_components(
     duplicate edges are harmless (no ``distinct`` shuffle on the edge
     list in the fast path). Raises after ``max_iter`` star rounds
     without a fixpoint — a runaway backstop only; log²-convergence
-    makes 50 unreachable for any real graph."""
-    p = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v")).localCheckpoint()
+    makes 50 unreachable for any real graph.
+
+    SIZE-ADAPTIVE execution (round 9 — the m9/m10 warm-cost trim):
+    the edge pin is a LAZY checkpoint materialized by a ``count()``
+    on ``p`` itself — one job that both pins the edge list and sizes
+    it (the count action runs BEFORE the symmetric union reads ``p``
+    twice, so the mining plan still executes exactly once). A graph
+    at or under ``small_graph_edges`` (default 100k edges — a
+    broadcast-class payload, single-digit MB) is then solved EXACTLY
+    on the driver with path-compressed min-root union-find and
+    returned as one 1-slice frame: the same size-threshold judgment
+    a broadcast hash join makes, applied to the one operator whose
+    distributed form pays per-ROUND driver latency (measured on the
+    media graph: 0.09 s of execution under 1.3 s of per-round plan
+    construction — job scheduling and Catalyst analysis, not
+    compute, at any partition count). The result is identical by
+    construction — the Hypothesis property test compares BOTH
+    regimes against union-find. Above the threshold nothing changes:
+    the propagation loop + star-contraction fallback run exactly as
+    before, which is the only shape that works when the edge list is
+    1000 executors wide."""
+    p = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v")).localCheckpoint(
+        eager=False
+    )
+    n_edges = p.count()  # pins AND sizes in one job
+    if n_edges <= small_graph_edges:
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:
+                parent[x], x = root, parent[x]
+            return root
+
+        for r in p.collect():
+            u, v = r["u"], r["v"]
+            if u not in parent:
+                parent[u] = u
+            if v not in parent:
+                parent[v] = v
+            ru, rv = find(u), find(v)
+            if ru != rv:
+                if rv < ru:
+                    ru, rv = rv, ru
+                parent[rv] = ru  # larger root under smaller → root = min
+        t = p.schema["u"].dataType.simpleString()
+        return _single_partition_df(
+            p.sparkSession,
+            sorted((x, find(x)) for x in parent),
+            f"id {t}, cluster {t}",
+        )
     edges = p.unionByName(p.select(F.col("v").alias("u"), F.col("u").alias("v")))
     # fused round 0: starting from identity labels, the first
     # neighbor-min round reduces to min(self, min neighbor) — ONE
@@ -1327,12 +1478,15 @@ def connected_components(
     # monotone state (every label is a member id ≥ the component
     # min), so the loop's invariants and termination are unchanged;
     # for the star/pair shapes dup clusters actually take, the loop
-    # then converges in its first confirming round.
+    # then converges in its first confirming round. LAZY checkpoint:
+    # the first convergence agg materializes it in the same job (its
+    # consumers meet at this groupBy's shuffle boundary, so nothing
+    # upstream is recomputed); a dedicated round-0 job bought nothing.
     labels = (
         edges.groupBy("u")
         .agg(F.min("v").alias("__mv"))
         .select("u", F.least(F.col("u"), F.col("__mv")).alias("lbl"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     for _ in range(prop_rounds):
         neighbor_min = (

@@ -495,9 +495,14 @@ def test_connected_components_deep_graph_fallback(spark):
         [(ids[i], ids[i + 1]) for i in range(len(ids) - 1)],
         "id_a long, id_b long",
     )
+    # small_graph_edges=0 forces the DISTRIBUTED regimes (the default
+    # threshold would solve 399 edges on the driver and never reach
+    # the handoff this test exists to pin)
     comps = {
         r["id"]: r["cluster"]
-        for r in textops.connected_components(pairs).collect()
+        for r in textops.connected_components(
+            pairs, small_graph_edges=0
+        ).collect()
     }
     assert comps == {i: 0 for i in range(400)}
 

@@ -263,13 +263,21 @@ def test_chunk_dedup_matches_reference(spark, tmp_path_factory, word_lists):
     )
 )
 def test_connected_components_match_union_find(spark, edges):
-    """Pointer-jumping label propagation equals a sequential union-find
-    on random graphs: every node labeled with its component's minimum
-    member id. The substrate under t10/t26/v9."""
+    """BOTH regimes of connected_components equal a sequential
+    union-find on random graphs: the default threshold routes these
+    tiny graphs to the driver-side exact path (round 9), and
+    ``small_graph_edges=0`` forces the distributed propagation loop —
+    every node labeled with its component's minimum member id either
+    way. The substrate under t10/t26/v9."""
     from lp_etl_plugins_spark.textops import connected_components
 
     pairs = spark.createDataFrame(edges, "id_a long, id_b long")
     got = {r["id"]: r["cluster"] for r in connected_components(pairs).collect()}
+    got_dist = {
+        r["id"]: r["cluster"]
+        for r in connected_components(pairs, small_graph_edges=0).collect()
+    }
+    assert got_dist == got
 
     parent = {}
 
