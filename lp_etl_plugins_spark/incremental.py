@@ -79,7 +79,8 @@ _META_SCHEMA = (
     "denylist string, shingle_n int, k int, bands int, rows int, "
     "jaccard_threshold double, gram_n int, max_df_frac double, max_df int, "
     "contain_threshold double, max_band_size int, max_doc_id bigint, "
-    "n_working bigint, n_bench bigint, n_updates int, n_compactions int"
+    "n_working bigint, n_bench bigint, n_updates int, n_compactions int, "
+    "gram_hash_family string"
 )
 # tombstones carry the high-water mark of the update that wrote them
 # (src_max_id) so a crashed update's landed-but-unstamped retractions
@@ -567,6 +568,7 @@ class CurationState:
         max_df: int = 64,
         contain_threshold: float = 0.8,
         max_band_size: int | None = None,
+        gram_hash_family: str = "md5",
     ) -> "CurationState":
         """Run the full pipeline over ``docs`` (columns doc_id, source,
         text; extra columns ignored) and persist every substrate under
@@ -596,6 +598,10 @@ class CurationState:
             # contract); set it for adversarial corpora — update then
             # follows the documented monotone-superset cap contract.
             "max_band_size": max_band_size,
+            # md5 is the oracle family; xxhash64 is the production
+            # swap (one codegen call, 64-bit keys) — same plan shapes,
+            # update==rebuild self-consistency-gated
+            "gram_hash_family": gram_hash_family,
         }
         st = cls(spark, path, meta)
         max_doc_id = docs.agg(F.max("doc_id")).first()[0]
@@ -682,6 +688,8 @@ class CurationState:
         meta.setdefault("n_compactions", 0)
         # states saved before the skew-cap column existed load uncapped
         meta.setdefault("max_band_size", None)
+        # states saved before the gram hash family existed are md5
+        meta.setdefault("gram_hash_family", "md5")
         return cls(spark, path, meta)
 
     def _write_meta(self) -> None:
@@ -744,7 +752,8 @@ class CurationState:
         """Exploded hashed gram inverted index (id, g) — the persisted
         form of the decontamination candidate substrate."""
         return T.hashed_gram_sets(
-            docs, "text", "doc_id", self.meta["gram_n"]
+            docs, "text", "doc_id", self.meta["gram_n"],
+            self.meta.get("gram_hash_family", "md5"),
         ).select("id", F.explode("grams").alias("g"))
 
     def _orient(self, hits: DataFrame) -> DataFrame:
@@ -765,7 +774,8 @@ class CurationState:
         df-pruned candidates, same classify-before-verify shape."""
         m = self.meta
         cand, sets = T._pruned_gram_candidates(
-            working, "text", "doc_id", m["gram_n"], m["max_df_frac"], m["max_df"]
+            working, "text", "doc_id", m["gram_n"], m["max_df_frac"],
+            m["max_df"], m.get("gram_hash_family", "md5"),
         )
         flags = working.select(
             F.col("doc_id").alias("id"),
@@ -1160,6 +1170,7 @@ class CurationState:
             "text",
             "doc_id",
             m["gram_n"],
+            m.get("gram_hash_family", "md5"),
         ).localCheckpoint(eager=False)
         new_pairs = self._orient(
             T._containment_verified(mixed, sets, m["contain_threshold"])

@@ -1,0 +1,246 @@
+"""Randomized crash-point chaos test (VERDICT r8 #5).
+
+The per-family crash-window tests enumerate hand-picked torn states;
+this generalizes them: a write interceptor fails the absorb after N
+driver-level writes (Hypothesis draws the family AND the kill point),
+and the replay must converge to EXACTLY the clean-absorb state — full
+directory snapshot, meta included. This is the test that keeps the
+freed (concurrent, order-free) write sequences honest as they evolve:
+any new write added to any absorber is automatically inside the kill
+zone.
+
+Interception is at driver-write granularity (each
+``DataFrameWriter.parquet`` call and each control-plane
+``_write_control_parquet``) — clean boundaries between writes, which
+is exactly the granularity the concurrent write sets make
+unpredictable (a ThreadPoolExecutor absorb crashes with an ARBITRARY
+landed subset, not a prefix). Torn multi-file states INSIDE one
+parquet write are covered by the dedicated per-family tests.
+
+Family contracts asserted:
+- CurationState / DedupIndex / TrigramLM / MediaIndex: replay
+  converges at EVERY kill point;
+- VectorIndex: replay converges, OR raises its DOCUMENTED torn-append
+  refusal (a crash between the corpus_lists and codes appends), after
+  which the documented manual repair (purge rows beyond the meta
+  stamp) plus one more replay converges.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import threading
+from contextlib import contextmanager
+
+import pytest
+from conftest import SF_SMOKE
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from lp_etl_plugins_spark import incremental as INC
+from lp_etl_plugins_spark import textops as T
+from lp_etl_plugins_spark import vectorops as V
+from lp_etl_plugins_spark.multimodal import MediaIndex, foreach_batch_add, synthetic_media
+from lp_etl_plugins_spark.textops import DedupIndex, TrigramLM
+
+
+class SimulatedCrash(Exception):
+    pass
+
+
+@contextmanager
+def crash_after(n: int):
+    """Fail the (n+1)-th driver-level write — DataFrameWriter.parquet
+    or a control-plane _write_control_parquet — with SimulatedCrash.
+    Thread-safe: concurrent absorber writes share the countdown, so a
+    kill inside a thread-pooled write set leaves an arbitrary landed
+    subset. Yields the state dict ({"left": remaining})."""
+    from pyspark.sql.readwriter import DataFrameWriter
+
+    lock = threading.Lock()
+    state = {"left": int(n)}
+    real_pq = DataFrameWriter.parquet
+    real_ctrl = T._write_control_parquet
+
+    def _tick(what: str) -> None:
+        with lock:
+            if state["left"] <= 0:
+                raise SimulatedCrash(what)
+            state["left"] -= 1
+
+    def fake_pq(self, path, *a, **k):
+        _tick(f"parquet:{path}")
+        return real_pq(self, path, *a, **k)
+
+    def fake_ctrl(path, rows, schema):
+        _tick(f"control:{path}")
+        return real_ctrl(path, rows, schema)
+
+    DataFrameWriter.parquet = fake_pq
+    T._write_control_parquet = fake_ctrl
+    try:
+        yield state
+    finally:
+        DataFrameWriter.parquet = real_pq
+        T._write_control_parquet = real_ctrl
+
+
+def _key(t):
+    # None-safe total order inside a column (None sorts first)
+    return tuple((v is not None, v) for v in t)
+
+
+def _snap(spark, root: str) -> dict:
+    """Full state snapshot: sorted rows of every parquet leaf dir under
+    root (meta/pending/corpus logs included — a leftover or missing
+    directory shows up as a key difference)."""
+    out = {}
+    for dirpath, _dirs, files in os.walk(root):
+        if any(f.endswith(".parquet") for f in files):
+            rel = os.path.relpath(dirpath, root)
+            rows = [tuple(r) for r in spark.read.parquet(dirpath).collect()]
+            out[rel] = sorted(rows, key=_key)
+    return out
+
+
+FAMILIES = ("curation", "dedup", "trigram", "vector", "media")
+
+
+def _docs(spark):
+    from lp_etl_plugins_spark.inventory.textops import _docs as d
+
+    return d(spark, SF_SMOKE).select("doc_id", "source", "text")
+
+
+def _emb(spark):
+    from lp_etl_plugins_spark.inventory.vectorops import _emb as e
+
+    return e(spark, SF_SMOKE)
+
+
+class _Spec:
+    def __init__(self, template: str, delta, make_absorb, max_writes: int,
+                 clean_snap: dict):
+        self.template = template
+        self.delta = delta
+        self.make_absorb = make_absorb
+        self.max_writes = max_writes
+        self.clean_snap = clean_snap
+
+
+_ENV: dict[str, _Spec] = {}
+
+
+def _chaos_env(spark, tmp_path_factory) -> dict[str, _Spec]:
+    if _ENV:
+        return _ENV
+    root = tmp_path_factory.mktemp("chaos_templates")
+    docs = _docs(spark)
+    d_base, d_delta = docs.filter("doc_id < 300"), docs.filter(
+        "doc_id >= 300"
+    ).localCheckpoint()
+    emb = _emb(spark)
+    e_base, e_delta = emb.filter("vec_id < 400"), emb.filter(
+        "vec_id >= 400"
+    ).drop("label").localCheckpoint()
+    media = synthetic_media(spark, 200)
+    m_base, m_delta = media.filter(F.col("media_id") < 150), media.filter(
+        F.col("media_id") >= 150
+    ).localCheckpoint()
+
+    def build(family: str):
+        tpl = str(root / family)
+        os.makedirs(tpl)
+        if family == "curation":
+            INC.CurationState.build(spark, d_base, f"{tpl}/state")
+            delta = d_delta
+            mk = lambda case: INC.foreach_batch_update(spark, f"{case}/state")
+        elif family == "dedup":
+            d_base.write.parquet(f"{tpl}/corpus")
+            DedupIndex(
+                spark.read.parquet(f"{tpl}/corpus"), "text", "doc_id"
+            ).save(f"{tpl}/idx")
+            delta = d_delta
+            mk = lambda case: DedupIndex.foreach_batch_update(
+                spark, f"{case}/idx", f"{case}/corpus"
+            )
+        elif family == "trigram":
+            TrigramLM(d_base, "text", "doc_id").save(f"{tpl}/lm")
+            delta = d_delta
+            mk = lambda case: TrigramLM.foreach_batch_update(
+                spark, f"{case}/lm"
+            )
+        elif family == "vector":
+            V.VectorIndex(e_base).save(f"{tpl}/vidx")
+            delta = e_delta
+            mk = lambda case: V.foreach_batch_add(spark, f"{case}/vidx")
+        else:  # media
+            MediaIndex(m_base).save(f"{tpl}/midx")
+            delta = m_delta
+            mk = lambda case: foreach_batch_add(spark, f"{case}/midx")
+
+        # clean reference absorb — counted, so the kill-point domain
+        # covers the whole write sequence (n == max_writes completes)
+        clean = str(root / f"{family}_clean")
+        shutil.copytree(tpl, clean)
+        with crash_after(10**9) as state:
+            mk(clean)(delta, 0)
+        writes = 10**9 - state["left"]
+        assert writes >= 2, (family, writes)
+        return _Spec(tpl, delta, mk, writes, _snap(spark, clean))
+
+    for fam in FAMILIES:
+        _ENV[fam] = build(fam)
+    return _ENV
+
+
+def _vector_manual_repair(spark, path: str) -> None:
+    """The absorber's documented 'repair the index directory': purge
+    rows beyond the meta stamp from both monotone stages."""
+    stamp = int(T._read_control_row(f"{path}/meta")["max_id"])
+    for stage, idc in (("corpus_lists", "id"), ("codes", "neighbor_id")):
+        T._rewrite_parquet_dir(
+            spark,
+            f"{path}/{stage}",
+            spark.read.parquet(f"{path}/{stage}").filter(F.col(idc) <= stamp),
+            1 << 20,
+        )
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.function_scoped_fixture,
+        HealthCheck.too_slow,
+    ],
+)
+@given(st.data())
+def test_chaos_crash_replay_converges(spark, tmp_path_factory, data):
+    env = _chaos_env(spark, tmp_path_factory)
+    family = data.draw(st.sampled_from(FAMILIES))
+    spec = env[family]
+    n = data.draw(st.integers(min_value=0, max_value=spec.max_writes))
+
+    case = str(tmp_path_factory.mktemp(f"chaos_{family}"))
+    shutil.rmtree(case)
+    shutil.copytree(spec.template, case)
+
+    with crash_after(n):
+        try:
+            spec.make_absorb(case)(spec.delta, 1)
+        except SimulatedCrash:
+            pass  # the kill point — any landed subset is on disk
+
+    try:
+        spec.make_absorb(case)(spec.delta, 2)  # the replay
+    except ValueError as e:
+        # the one family whose contract is refuse-then-manual-repair
+        assert family == "vector" and "torn append" in str(e), (family, e)
+        _vector_manual_repair(spark, f"{case}/vidx")
+        spec.make_absorb(case)(spec.delta, 3)
+
+    assert _snap(spark, case) == spec.clean_snap, (family, n)
+    shutil.rmtree(case, ignore_errors=True)

@@ -774,3 +774,80 @@ def test_xxhash64_family_end_to_end(spark, tmp_path):
         "rows int, threshold double, max_band_size int, max_doc_id bigint",
     )
     assert DedupIndex.load(spark, path)._hash_family == "md5"
+
+
+def test_xxhash64_gram_and_winnow_families(spark, tmp_path):
+    """Round 9 completes the SCALE.md md5→xxhash swap for the two
+    substrates that still shuffled md5-derived keys: the gram
+    candidate index and the winnowing fingerprints. DuckDB has no
+    xxhash64, so the family is self-consistency-gated:
+
+    - planted near-dup recall: the xxhash64 gram miner finds the
+      planted pair the md5 miner finds, with the identical plan shape;
+    - the winnowing guarantee (docs sharing a run of ≥ w+n-1 words
+      share a fingerprint) holds under xxhash64, and fingerprints are
+      BIGINT (8 bytes through the window + distinct shuffles, not
+      10-char hex strings);
+    - CurationState(gram_hash_family="xxhash64"): update == rebuild
+      on the contamination evidence — the same exactness contract the
+      md5 family is oracle-gated on — through a save/load round trip
+      (the meta carries the family)."""
+    from lp_etl_plugins_spark import textops as T
+    from lp_etl_plugins_spark.incremental import CurationState
+    from lp_etl_plugins_spark.inventory.textops import _docs
+
+    docs = _docs(spark, SF_SMOKE).select("doc_id", "source", "text")
+
+    # gram miner: identical planted-pair recall across families
+    md5_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in T.ngram_jaccard_pairs(
+            docs, "text", "doc_id", threshold=0.65
+        ).collect()
+    }
+    xx_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in T.ngram_jaccard_pairs(
+            docs, "text", "doc_id", threshold=0.65, hash_family="xxhash64"
+        ).collect()
+    }
+    assert md5_pairs, "corpus must contain near-dup pairs"
+    assert xx_pairs == md5_pairs
+
+    # winnowing: bigint fingerprints, guarantee holds
+    two = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta unique one"),
+            (2, "prefix words alpha beta gamma delta epsilon zeta eta theta"),
+            (3, "completely different text with no shared run at all here"),
+        ],
+        "doc_id long, text string",
+    )
+    fps = T.winnow_fingerprints(two, "text", "doc_id", n=3, w=4,
+                                hash_family="xxhash64")
+    assert dict(fps.dtypes)["fp"] == "bigint"
+    by_id = {}
+    for r in fps.collect():
+        by_id.setdefault(r["id"], set()).add(r["fp"])
+    assert by_id[1] & by_id[2]          # shared ≥ w+n-1 word run
+    assert not (by_id[1] & by_id[3])    # unrelated docs don't collide
+
+    # curation state: update == rebuild under the production family
+    base, delta = docs.filter("doc_id < 300"), docs.filter("doc_id >= 300")
+    p1, p2 = str(tmp_path / "inc"), str(tmp_path / "full")
+    st = CurationState.build(spark, base, p1, gram_hash_family="xxhash64")
+    assert st.meta["gram_hash_family"] == "xxhash64"
+    st = CurationState.load(spark, p1)  # family survives the round trip
+    assert st.meta["gram_hash_family"] == "xxhash64"
+    st.update(delta.localCheckpoint())
+    full = CurationState.build(spark, docs, p2, gram_hash_family="xxhash64")
+
+    def pairs(s):
+        return sorted(tuple(r) for r in s.contamination().collect())
+
+    def curated(s):
+        return sorted(tuple(r) for r in s.curated().collect())
+
+    assert pairs(st) == pairs(full)
+    assert curated(st) == curated(full)
+    assert st.check(index_stages=False)["ok"]
