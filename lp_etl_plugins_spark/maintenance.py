@@ -123,12 +123,24 @@ def check_dedup_index(spark: SparkSession, path: str) -> dict:
     return {"ok": not v, "violations": v}
 
 
-def check_vector_index(spark: SparkSession, path: str) -> dict:
+def check_vector_index(
+    spark: SparkSession, path: str, *, degenerate_list_frac: float = 0.5
+) -> dict:
     """Integrity probe over a saved :class:`vectorops.VectorIndex`:
     unique corpus ids, exactly m code rows per corpus vector, no code
-    rows for unknown ids, and the meta high-water mark covering the
+    rows for unknown ids, the meta high-water mark covering the
     on-disk max id (rows above the stamp = the torn-append state the
-    streamed absorber refuses)."""
+    streamed absorber refuses), and — round 9, from the adversarial
+    skew measurement (SCALE.md) — coarse-assignment HEALTH: one list
+    holding more than ``degenerate_list_frac`` of a multi-list corpus
+    means the coarse quantizer has degenerated (nprobe stops pruning;
+    every probe scans ~the corpus). The serving plan survives this
+    structurally (the probe fan is broadcast — no skewed shuffle key,
+    measured linear under a 95%-one-list adversary), but the cost
+    target is gone; a size CAP here would silently drop corpus
+    vectors from serving (a recall hole), so the probe REPORTS and
+    the fix is the standard serving-stack one — retrain the coarse
+    quantizer (rebuild), FAISS's reindex guidance."""
     from .vectorops import VectorIndex
 
     v: dict[str, int] = {}
@@ -162,6 +174,15 @@ def check_vector_index(spark: SparkSession, path: str) -> dict:
     hi, stamp = row["hi"], m.get("max_id")
     if hi is not None and stamp is not None and int(hi) > int(stamp):
         _bad(v, "rows_beyond_max_id_stamp", 1)
+    bal = lists.groupBy("bucket").count().agg(
+        F.max("count").alias("mx"), F.count(F.lit(1)).alias("nl")
+    ).first()
+    if (
+        int(row["n"]) > 0
+        and int(bal["nl"] or 0) > 1
+        and int(bal["mx"] or 0) > degenerate_list_frac * int(row["n"])
+    ):
+        _bad(v, "coarse_assignment_degenerate", 1)
     return {"ok": not v, "violations": v}
 
 

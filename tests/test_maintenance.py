@@ -195,3 +195,44 @@ def test_check_dedup_index_pairs_without_verified(spark, tmp_path):
     res = M.check_dedup_index(spark, p)
     assert not res["ok"]
     assert res["violations"].get("stage_missing_verified") == 1
+
+
+def test_check_vector_index_reports_degenerate_coarse_assignment(
+    spark, tmp_path
+):
+    """Round 9 (SCALE.md vector-adversary measurement): one coarse
+    list holding most of a multi-list corpus means nprobe stops
+    pruning — the probe must REPORT coarse_assignment_degenerate (the
+    fix is a quantizer rebuild; a size cap would silently drop corpus
+    vectors from serving). A balanced index stays ok."""
+    from lp_etl_plugins_spark.inventory.vectorops import _emb
+
+    emb = _emb(spark, SF_SMOKE)
+    balanced = str(tmp_path / "balanced")
+    VectorIndex(emb).save(balanced)
+    res = M.check_vector_index(spark, balanced)
+    assert res["ok"], res
+
+    # the one-hot-list adversary: 95% of vectors collapse to a tiny
+    # cloud under label 0; the rest are flung far under labels 1-9
+    cloud = emb.filter(F.col("vec_id") % 20 != 0).select(
+        "vec_id",
+        F.lit(0).alias("label"),
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x: x * F.lit(0.001) + F.lit(0.5),
+        ).alias("embedding"),
+    )
+    far = emb.filter(F.col("vec_id") % 20 == 0).select(
+        "vec_id",
+        (F.col("vec_id") % 9 + 1).cast("int").alias("label"),
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x: x + (F.col("vec_id") % 9 + 1) * F.lit(10.0),
+        ).alias("embedding"),
+    )
+    hot = str(tmp_path / "hot")
+    VectorIndex(cloud.unionByName(far)).save(hot)
+    res = M.check_vector_index(spark, hot)
+    assert not res["ok"]
+    assert res["violations"].get("coarse_assignment_degenerate") == 1
