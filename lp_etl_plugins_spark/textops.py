@@ -543,6 +543,7 @@ def ngram_containment_pairs(
     threshold: float = 0.8,
     max_df: int = 64,
     substrate: tuple[DataFrame, DataFrame] | None = None,
+    hash_family: str = "md5",
 ) -> DataFrame:
     """Near-CONTAINMENT detection — the decontamination primitive: find
     documents whose gram set is (nearly) a subset of another's
@@ -570,6 +571,7 @@ def decontaminate(
     threshold: float = 0.8,
     max_df: int = 64,
     substrate: tuple[DataFrame, DataFrame] | None = None,
+    hash_family: str = "md5",
 ) -> DataFrame:
     """Benchmark-decontamination sweep: ids of non-benchmark docs
     whose gram-set containment with ANY benchmark doc (boolean
@@ -615,6 +617,7 @@ def contamination_spans(
     max_df: int = 64,
     substrate: tuple[DataFrame, DataFrame] | None = None,
     span_n: int = 8,
+    hash_family: str = "md5",
 ) -> DataFrame:
     """Span-granular decontamination: :func:`decontaminate` says WHICH
     training docs leak a benchmark; this says WHERE. For every flagged
