@@ -244,3 +244,84 @@ def test_chaos_crash_replay_converges(spark, tmp_path_factory, data):
 
     assert _snap(spark, case) == spec.clean_snap, (family, n)
     shutil.rmtree(case, ignore_errors=True)
+
+
+def _views(spark, family: str, case: str) -> dict:
+    """SERVED-view snapshot (compaction changes file layout, so the
+    contract is view identity, not file identity)."""
+    if family == "curation":
+        st = INC.CurationState.load(spark, f"{case}/state")
+        out = {
+            "indexed": st.indexed(), "working": st.working(),
+            "contam": st.contamination(), "curated": st.curated(),
+        }
+    elif family == "dedup":
+        idx = DedupIndex.load(spark, f"{case}/idx")
+        out = {s: getattr(idx, s) for s in DedupIndex._STAGES}
+    elif family == "trigram":
+        lm = TrigramLM.load(spark, f"{case}/lm")
+        out = {"counts": lm._counts}
+    elif family == "vector":
+        idx = V.VectorIndex.load(spark, f"{case}/vidx")
+        out = {"lists": idx.corpus_lists, "codes": idx.codes}
+    else:
+        idx = MediaIndex.load(spark, f"{case}/midx")
+        out = {s: getattr(idx, s) for s in MediaIndex._STAGES}
+    return {
+        k: sorted((tuple(r) for r in df.collect()), key=_key)
+        for k, df in out.items()
+    }
+
+
+def _compact(spark, family: str, case: str) -> None:
+    if family == "curation":
+        INC.CurationState.load(spark, f"{case}/state").compact()
+    elif family == "dedup":
+        DedupIndex.compact(spark, f"{case}/idx")
+    elif family == "trigram":
+        TrigramLM.compact(spark, f"{case}/lm")
+    elif family == "vector":
+        V.VectorIndex.compact(spark, f"{case}/vidx")
+    else:
+        MediaIndex.compact(spark, f"{case}/midx")
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.function_scoped_fixture,
+        HealthCheck.too_slow,
+    ],
+)
+@given(st.data())
+def test_chaos_crash_compact_preserves_views(spark, tmp_path_factory, data):
+    """The compact half of the kill-zone: a crash after any number of
+    compaction writes leaves SOME substrates re-laid-out and others
+    not — every served view must be identical regardless (compaction
+    is view-preserving substrate by substrate), and re-running compact
+    from the torn state converges. (The between-renames swap window —
+    not reachable at write granularity — is covered by the dedicated
+    swap-window tests and `_recover_swapped_dir`.)"""
+    env = _chaos_env(spark, tmp_path_factory)
+    family = data.draw(st.sampled_from(FAMILIES))
+    spec = env[family]
+
+    case = str(tmp_path_factory.mktemp(f"chaosc_{family}"))
+    shutil.rmtree(case)
+    # start from the post-absorb state (fragmented by the delta)
+    shutil.copytree(spec.template, case)
+    spec.make_absorb(case)(spec.delta, 1)
+    want = _views(spark, family, case)
+
+    n = data.draw(st.integers(min_value=0, max_value=12))
+    with crash_after(n):
+        try:
+            _compact(spark, family, case)
+        except SimulatedCrash:
+            pass
+    assert _views(spark, family, case) == want, (family, n, "post-crash")
+
+    _compact(spark, family, case)  # re-run from the torn state
+    assert _views(spark, family, case) == want, (family, n, "post-redo")
+    shutil.rmtree(case, ignore_errors=True)
