@@ -51,14 +51,17 @@ def detect_family(path: str) -> str | None:
     complete copy beside it) still counts as present — the nightly
     sweep must recognize a crashed state so its probe REPORTS the
     missing substrate, not shrug it off as unknown."""
-    if not T._parquet_dir_exists(f"{path}/meta"):
-        return None
-
     def present(m: str) -> bool:
         return any(
             T._parquet_dir_exists(f"{path}/{m}{suffix}")
             for suffix in ("", ".__old__", ".__compact__")
         )
+
+    # the meta's own control-plane swap has the same between-renames
+    # window as any substrate — a surviving .__old__ still identifies
+    # the family (the sweep's recovery path renames it back)
+    if not present("meta"):
+        return None
 
     for family, markers in _FAMILY_MARKERS:
         if all(present(m) for m in markers):
@@ -335,7 +338,20 @@ _CHECKS = {
 }
 
 
-def _stage_dirs(path: str, family: str) -> list[str]:
+def _stage_candidates(path: str, family: str) -> list[str]:
+    """Every directory the family's lifecycle can swap via
+    rename-aside — stage dirs plus the control-plane metas — whether
+    or not it currently exists (the recovery sweep needs the MISSING
+    ones)."""
+    metas = ["meta"]
+    if family == "CurationState":
+        metas.append("index/meta")
+    return [d for d in _stage_dirs(path, family, existing_only=False)] + [
+        f"{path}/{m}" for m in metas
+    ]
+
+
+def _stage_dirs(path: str, family: str, existing_only: bool = True) -> list[str]:
     if family == "CurationState":
         subs = ("indexed", "hashes", "working", "tombstones", "grams",
                 "contam", "index/bands", "index/pairs", "index/verified",
@@ -356,7 +372,32 @@ def _stage_dirs(path: str, family: str) -> list[str]:
         from .multimodal import MediaIndex
 
         subs = MediaIndex._STAGES
-    return [f"{path}/{s}" for s in subs if T._parquet_dir_exists(f"{path}/{s}")]
+    return [
+        f"{path}/{s}"
+        for s in subs
+        if not existing_only or T._parquet_dir_exists(f"{path}/{s}")
+    ]
+
+
+def _recover_family_swaps(path: str, family: str) -> int:
+    """Perform the one-rename recovery for every substrate caught
+    between a rename-aside swap's two renames (no live directory, a
+    complete ``.__compact__``/``.__old__`` copy beside it) — the
+    mechanical half of what the probes report as
+    ``substrate_missing_*``. Idempotent; returns how many directories
+    were recovered."""
+    import os
+
+    n = 0
+    for d in _stage_candidates(path, family):
+        local = T._local_path(d)
+        if not os.path.isdir(local) and (
+            os.path.isdir(local + ".__compact__")
+            or os.path.isdir(local + ".__old__")
+        ):
+            T._recover_swapped_dir(d)
+            n += 1
+    return n
 
 
 def _compact(spark: SparkSession, path: str, family: str, target: int) -> dict:
@@ -391,7 +432,8 @@ def _compact(spark: SparkSession, path: str, family: str, target: int) -> dict:
 
 _REPORT_SCHEMA = (
     "path string, family string, ok boolean, violations string, "
-    "max_files_before int, compacted boolean, max_files_after int"
+    "max_files_before int, compacted boolean, max_files_after int, "
+    "recovered int"
 )
 
 
@@ -402,6 +444,7 @@ def vacuum(
     max_files_per_substrate: int = 64,
     target_rows_per_file: int = 1 << 20,
     compact_unhealthy: bool = False,
+    recover_swaps: bool = False,
 ) -> DataFrame:
     """The nightly maintenance sweep: for each path, detect the index
     family, run its integrity probe, and — when healthy and some
@@ -413,9 +456,21 @@ def vacuum(
     evidence is re-laid-out; pass ``compact_unhealthy=True`` to
     override in a disposable environment.
 
+    ``recover_swaps=True`` (round 9) additionally PERFORMS the one
+    mechanical repair the probes otherwise only report: a substrate
+    caught between a rename-aside swap's two renames (no live
+    directory, a complete copy beside it) is recovered with
+    :func:`textops._recover_swapped_dir`'s single rename — under the
+    directory lease, so a concurrent writer is never raced — and the
+    probe re-runs over the recovered state. Only the unambiguous
+    rename window is auto-repaired; torn APPENDS stay report-only
+    (their repair needs the delta, which only the absorber's replay
+    has). Default off so the report-only contract stays available for
+    forensic sweeps.
+
     → one report row per path:
     (path, family, ok, violations "name=n;...", max_files_before,
-    compacted, max_files_after). Unknown paths report
+    compacted, max_files_after, recovered). Unknown paths report
     family='unknown', ok=false. The report comes back as a DataFrame
     so a deployment can append it to a maintenance log table."""
     rows = []
@@ -423,7 +478,23 @@ def vacuum(
         family = detect_family(path)
         if family is None:
             rows.append((path, "unknown", False, "unrecognized_state=1",
-                         None, False, None))
+                         None, False, None, 0))
+            continue
+        recovered = 0
+        if recover_swaps:
+            from .lease import LeaseContention, dir_lease
+
+            try:
+                with dir_lease(path, role="maintenance.recover_swaps"):
+                    recovered = _recover_family_swaps(path, family)
+            except LeaseContention:
+                pass  # a live writer owns the path; its replay repairs
+        if not T._parquet_dir_exists(f"{path}/meta"):
+            # the meta itself is mid-swap (family detected from its
+            # surviving copy) — the probe would crash reading it;
+            # report instead (recover_swaps=True renames it back)
+            rows.append((path, family, False, "substrate_missing_meta=1",
+                         None, False, None, recovered))
             continue
         res = _CHECKS[family](spark, path)
         viol = ";".join(f"{k}={n}" for k, n in sorted(res["violations"].items()))
@@ -449,6 +520,7 @@ def vacuum(
             else worst
         )
         rows.append(
-            (path, family, bool(res["ok"]), viol, worst, compacted, worst_after)
+            (path, family, bool(res["ok"]), viol, worst, compacted,
+             worst_after, recovered)
         )
     return T._single_partition_df(spark, rows, _REPORT_SCHEMA)

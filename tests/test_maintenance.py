@@ -236,3 +236,44 @@ def test_check_vector_index_reports_degenerate_coarse_assignment(
     res = M.check_vector_index(spark, hot)
     assert not res["ok"]
     assert res["violations"].get("coarse_assignment_degenerate") == 1
+
+
+def test_vacuum_recover_swaps_repairs_mid_swap_states(spark, tmp_path):
+    """Round 9: vacuum(recover_swaps=True) performs the one-rename
+    recovery for mid-swap crash states (including the control-plane
+    meta's own swap window) and re-probes — a full nightly story
+    instead of report-only. Default stays report-only; a lease-held
+    path is skipped, never raced."""
+    import os
+
+    from lp_etl_plugins_spark.incremental import CurationState
+    from lp_etl_plugins_spark.lease import dir_lease
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").filter(
+        "doc_id < 200"
+    )
+    p = str(tmp_path / "inc")
+    CurationState.build(spark, docs, p)
+    # two simultaneous swap windows: a substrate and the meta itself
+    os.rename(f"{p}/working", f"{p}/working.__old__")
+    os.rename(f"{p}/meta", f"{p}/meta.__old__")
+
+    # report-only default: violation, nothing touched
+    row = M.vacuum(spark, [p]).collect()[0]
+    assert not row["ok"] and row["recovered"] == 0
+    assert os.path.isdir(f"{p}/working.__old__")
+
+    # lease held by a live writer: recovery defers
+    with dir_lease(p, role="absorber"):
+        row = M.vacuum(spark, [p], recover_swaps=True).collect()[0]
+        assert row["recovered"] == 0
+    assert os.path.isdir(f"{p}/working.__old__")
+
+    # free: both windows recovered in one sweep, probe green again
+    row = M.vacuum(spark, [p], recover_swaps=True).collect()[0]
+    assert row["recovered"] == 2
+    assert row["ok"], row["violations"]
+    assert os.path.isdir(f"{p}/working") and os.path.isdir(f"{p}/meta")
+    # idempotent
+    row = M.vacuum(spark, [p], recover_swaps=True).collect()[0]
+    assert row["recovered"] == 0 and row["ok"]
