@@ -222,3 +222,50 @@ def test_curation_state_update_vs_compact_fenced(spark, tmp_path):
     # internally) runs clean
     st.update(docs.filter("doc_id >= 300").localCheckpoint())
     assert st.check(index_stages=False)["ok"]
+
+
+def test_lease_mutual_exclusion_under_thread_storm(tmp_path):
+    """Pure-protocol stress: 16 threads × 25 acquire attempts (with a
+    planted STALE lease at the start, so the break-by-rename path is
+    in the storm too). At no instant may two threads hold the lease —
+    the holder counter never exceeds 1 — and contention always
+    surfaces as LeaseContention, never a silent double-acquire."""
+    path = str(tmp_path / "idx")
+    os.makedirs(path)
+    lease = f"{path}.__lease__"
+    with open(lease, "w") as f:
+        f.write("crashed pid=1\n")
+    old = time.time() - 7200
+    os.utime(lease, (old, old))
+
+    lock = threading.Lock()
+    state = {"holders": 0, "max_holders": 0, "acquired": 0}
+    start = threading.Event()
+
+    def worker():
+        start.wait(10)
+        for _ in range(25):
+            try:
+                with dir_lease(path, role="stress", ttl_seconds=3600):
+                    with lock:
+                        state["holders"] += 1
+                        state["acquired"] += 1
+                        state["max_holders"] = max(
+                            state["max_holders"], state["holders"]
+                        )
+                    time.sleep(0.002)
+                    with lock:
+                        state["holders"] -= 1
+            except LeaseContention:
+                time.sleep(0.001)
+
+    threads = [threading.Thread(target=worker) for _ in range(16)]
+    for t in threads:
+        t.start()
+    start.set()
+    for t in threads:
+        t.join(60)
+
+    assert state["acquired"] >= 1
+    assert state["max_holders"] == 1, state
+    assert not os.path.exists(lease)  # fully released at the end
