@@ -2943,7 +2943,11 @@ class TrigramLM:
         repair contract as ``CurationState``'s hash log."""
         hi = self.max_id
         if hi is None and self._df is not None:
-            row = self.grams.agg(F.max("id")).first()
+            # the stamp covers DOC ids, not gram rows — a corpus of
+            # sub-n-char docs has an empty gram frame but still needs
+            # its high-water mark (the Hypothesis lifecycle property
+            # found exactly this edge)
+            row = self._df.agg(F.max(self._id_col)).first()
             hi = None if row[0] is None else int(row[0])
         self.max_id = hi
         self.counts.select(

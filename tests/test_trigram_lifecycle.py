@@ -268,3 +268,57 @@ def test_absorber_repairs_crash_windows(spark, tmp_path):
         assert _read_control_row(f"{case}/meta") == want_meta, case
         assert _counts_view(spark, case) == want_view, case
         assert M.vacuum(spark, [case]).collect()[0]["ok"], case
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_W = ["kestrel", "bramble", "cobalt", "fathom", "girder", "hollow"]
+_text = st.lists(st.sampled_from(_W), min_size=0, max_size=10).map(" ".join)
+
+
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    texts=st.lists(_text, min_size=3, max_size=16),
+    cuts=st.tuples(
+        st.floats(min_value=0.2, max_value=0.9),
+        st.floats(min_value=0.2, max_value=0.9),
+    ),
+)
+def test_trigram_chained_appends_equal_rebuild_property(
+    spark, tmp_path_factory, texts, cuts
+):
+    """The TrigramLM twin of the RepeatIndex/CurationState property
+    (r7 #8 pattern, extended to the round-9 PERSISTED lifecycle):
+    random tiny-vocab corpora with random disjoint splits, pushed
+    through ``save → (load, update, append_saved) × 2 → compact``,
+    must serve the identical counts view as one-shot training on the
+    union — including empty deltas (the absorber's empty branch),
+    empty texts (no grams), and segments whose vocab overlaps the base
+    entirely (pure additive merges)."""
+    rows = [(i, t) for i, t in enumerate(texts)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    c1, c2 = sorted(int(len(rows) * f) for f in cuts)
+    c1 = max(c1, 1)
+    c2 = max(c2, c1)
+    path = str(tmp_path_factory.mktemp("proplm") / "lm")
+    TrigramLM(
+        docs.filter(F.col("doc_id") < c1), "text", "doc_id"
+    ).save(path)
+    for lo, hi in ((c1, c2), (c2, 10**9)):
+        delta = docs.filter(
+            (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+        )
+        lm = TrigramLM.load(spark, path)
+        lm.update(delta)
+        lm.append_saved(path)
+    TrigramLM.compact(spark, path)
+    got = _counts_view(spark, path)
+    want = sorted(
+        tuple(r) for r in TrigramLM(docs, "text", "doc_id").counts.collect()
+    )
+    assert got == want
