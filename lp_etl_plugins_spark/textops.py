@@ -2012,9 +2012,17 @@ class DedupIndex:
         for stage in stages or self._STAGES:
             getattr(self, stage).write.mode("overwrite").parquet(f"{path}/{stage}")
         # the indexed-id high-water mark — the idempotence anchor for
-        # foreach_batch_update's streamed ingestion (banded ids cover
-        # every indexed doc, so the bands max IS the corpus max)
-        hi = self.bands.agg(F.max("id")).first()[0]
+        # foreach_batch_update's streamed ingestion. Stamped from the
+        # CORPUS ids when the corpus is attached: bands only cover
+        # shingle-able docs (≥ shingle_n words), so a corpus whose
+        # max-id doc is short would understate the mark and leave that
+        # batch permanently redo-replaying (the round-9 TrigramLM
+        # property test found this bug class — same fix here).
+        src = self._df if self._df is not None else None
+        if src is not None:
+            hi = src.agg(F.max(self._id_col)).first()[0]
+        else:
+            hi = self.bands.agg(F.max("id")).first()[0]
         self.max_doc_id = None if hi is None else int(hi)
         self._write_meta(path)
 
@@ -2434,6 +2442,14 @@ class DedupIndex:
             for s in had_labels:
                 getattr(idx, s)  # force rebuild so append_saved rewrites it
             idx.append_saved(index_path, repair=redo)
+            # append_saved stamps from the delta's BANDED ids; a batch
+            # whose max-id doc is too short to shingle would understate
+            # the mark and replay this batch through the redo branch
+            # forever — lift the stamp to the batch max (the absorber
+            # knows it; same bug class the TrigramLM property found)
+            if idx.max_doc_id is None or idx.max_doc_id < int(b["hi"]):
+                idx.max_doc_id = int(b["hi"])
+                idx._write_meta(index_path)
 
         return absorb
 

@@ -851,3 +851,42 @@ def test_xxhash64_gram_and_winnow_families(spark, tmp_path):
     assert pairs(st) == pairs(full)
     assert curated(st) == curated(full)
     assert st.check(index_stages=False)["ok"]
+
+
+def test_high_water_mark_covers_unshingleable_docs(spark, tmp_path):
+    """Round 9 (found by the TrigramLM lifecycle property, fixed across
+    the family): the idempotence stamp must cover DOC ids, not derived
+    rows — a corpus or batch whose max-id document is too short to
+    shingle previously understated max_doc_id (bands max), leaving
+    that batch permanently replaying through the redo branch."""
+    from lp_etl_plugins_spark.textops import DedupIndex, _read_control_row
+
+    rows = [
+        (i, f"alpha beta gamma delta epsilon zeta eta theta run {i}")
+        for i in range(8)
+    ] + [(8, "short")]  # max-id doc: 1 word, below shingle_n
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    corpus_dir = str(tmp_path / "corpus")
+    docs.write.parquet(corpus_dir)
+    path = str(tmp_path / "idx")
+    DedupIndex(spark.read.parquet(corpus_dir), "text", "doc_id").save(path)
+    assert _read_control_row(f"{path}/meta")["max_doc_id"] == 8
+
+    # a streamed batch ENDING in a short doc: stamp covers it, replay
+    # is a clean idempotent skip (not a redo), state unchanged
+    delta = spark.createDataFrame(
+        [(9, "alpha beta gamma delta epsilon zeta eta theta run 9"),
+         (10, "tiny")],
+        "doc_id long, text string",
+    )
+    absorb = DedupIndex.foreach_batch_update(spark, path, corpus_dir)
+    absorb(delta, 0)
+    assert _read_control_row(f"{path}/meta")["max_doc_id"] == 10
+    before = sorted(
+        tuple(r) for r in spark.read.parquet(f"{path}/bands").collect()
+    )
+    absorb(delta, 1)  # replay: skipped, nothing re-landed
+    assert sorted(
+        tuple(r) for r in spark.read.parquet(f"{path}/bands").collect()
+    ) == before
+    assert spark.read.parquet(corpus_dir).count() == 11
