@@ -705,6 +705,14 @@ class MediaIndex:
         )
         # kept for append_saved: phash/pairs are append-only (grow by
         # exactly these rows); clusters is the one non-monotone stage
+        # ACCUMULATED across chained update() calls (round 9, family-
+        # wide fix): append_saved lands the pending delta once —
+        # keeping only the last one would silently drop earlier
+        # deltas' rows while the meta stamp covers their ids
+        prev = getattr(self, "_delta", None)
+        if prev:
+            new_ph = prev["phash"].unionByName(new_ph)
+            new_pairs = prev["pairs"].unionByName(new_pairs)
         self._delta = {"phash": new_ph, "pairs": new_pairs}
         self.updates += 1
         return self

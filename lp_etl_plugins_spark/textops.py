@@ -2207,12 +2207,26 @@ class DedupIndex:
         self._bands = merged_bands
         self._pairs = old_pairs.unionByName(new_pairs).localCheckpoint(eager=False)
         self._df = old.unionByName(new_docs) if old is not None else None
-        # the delta frames, kept for append_saved: the monotone stages
-        # of a persisted index grow by exactly these rows
+        # the delta frames, kept for append_saved. ACCUMULATED across
+        # chained update() calls (round 9): append_saved previously
+        # landed only the LAST delta, so update();update();append_saved()
+        # silently dropped the first delta from disk while the meta
+        # stamp covered its ids — a replay then skipped the batch and
+        # the rows were gone. The legs are monotone, so accumulation is
+        # a plain union.
+        prev = getattr(self, "_delta", None)
+        new_v = new_verified if self._verified is not None else None
+        if prev:
+            new_bands = prev["bands"].unionByName(new_bands)
+            new_pairs = prev["pairs"].unionByName(new_pairs)
+            if prev["verified"] is not None and new_v is not None:
+                new_v = prev["verified"].unionByName(new_v)
+            elif new_v is None:
+                new_v = prev["verified"]
         self._delta = {
             "bands": new_bands,
             "pairs": new_pairs,
-            "verified": new_verified if self._verified is not None else None,
+            "verified": new_v,
         }
         self.updates += 1
         return self
@@ -2934,11 +2948,31 @@ class TrigramLM:
             if b["hi"] is not None:
                 bounds = (int(b["lo"]), int(b["hi"]))
                 self.max_id = max(self.max_id, bounds[1])
-        self._delta = {
-            "counts": dc.select("g", F.col("__dc").alias("c")),
-            "ids": new_docs.select(F.col(icol).alias("id")),
-            "bounds": bounds,
-        }
+        seg = dc.select("g", F.col("__dc").alias("c"))
+        ids = new_docs.select(F.col(icol).alias("id"))
+        # ACCUMULATE across chained update() calls (round 9, family-wide
+        # fix): append_saved lands ONE segment — landing only the last
+        # delta would silently drop earlier ones while the stamp covers
+        # their ids. Counts are additive, so the combined segment is an
+        # additive merge of the pending ones.
+        prev = self._delta
+        if prev is not None:
+            seg = (
+                prev["counts"].unionByName(seg)
+                .groupBy("g")
+                .agg(F.sum("c").alias("c"))
+                .localCheckpoint(eager=False)
+            )
+            ids = prev["ids"].unionByName(ids)
+            pb = prev["bounds"]
+            if pb is not None and bounds is not None:
+                bounds = (min(pb[0], bounds[0]), max(pb[1], bounds[1]))
+            else:
+                # one side unknown (empty delta / unstamped model) —
+                # append_saved recomputes from the combined ids, which
+                # is always correct
+                bounds = None
+        self._delta = {"counts": seg, "ids": ids, "bounds": bounds}
         self.updates += 1
         return self
 

@@ -1008,7 +1008,18 @@ class VectorIndex:
         # the delta frames, kept for append_saved: a persisted index's
         # corpus_lists/codes grow by exactly these rows (the quantizer
         # stages are frozen, so they never change)
-        self._delta = {"corpus_lists": new_lists, "codes": new_codes}
+        # ACCUMULATED across chained update() calls (round 9, family-
+        # wide fix): append_saved lands the pending delta once —
+        # keeping only the last one would silently drop earlier
+        # deltas' rows while the meta stamp covers their ids. The
+        # SERVED state merges only the CURRENT delta (old_lists/old_codes
+        # already contain the earlier ones).
+        prev = getattr(self, "_delta", None)
+        self._delta = {
+            "corpus_lists": prev["corpus_lists"].unionByName(new_lists)
+            if prev else new_lists,
+            "codes": prev["codes"].unionByName(new_codes) if prev else new_codes,
+        }
         self._corpus_lists = old_lists.unionByName(new_lists).localCheckpoint(
             eager=False
         )

@@ -890,3 +890,90 @@ def test_high_water_mark_covers_unshingleable_docs(spark, tmp_path):
         tuple(r) for r in spark.read.parquet(f"{path}/bands").collect()
     ) == before
     assert spark.read.parquet(corpus_dir).count() == 11
+
+
+def test_chained_updates_single_append_lands_every_delta(spark, tmp_path):
+    """Round 9 family-wide fix: append_saved previously landed only
+    the LAST update()'s delta — update(d1); update(d2); append_saved()
+    silently dropped d1's rows from disk while the meta stamp covered
+    its ids (the replay then skipped the batch and the rows were gone
+    forever). The pending delta now ACCUMULATES: one append lands
+    everything since the last save/append, across all four standalone
+    index families."""
+    from lp_etl_plugins_spark import vectorops as V
+    from lp_etl_plugins_spark.inventory.textops import _docs
+    from lp_etl_plugins_spark.inventory.vectorops import _emb
+    from lp_etl_plugins_spark.multimodal import MediaIndex, synthetic_media
+    from lp_etl_plugins_spark.textops import DedupIndex, TrigramLM
+
+    docs = _docs(spark, SF_SMOKE).select("doc_id", "source", "text")
+    base = docs.filter("doc_id < 300")
+    d1 = docs.filter("doc_id >= 300 and doc_id < 400").localCheckpoint()
+    d2 = docs.filter("doc_id >= 400").localCheckpoint()
+
+    # DedupIndex
+    p = str(tmp_path / "didx")
+    DedupIndex(base, "text", "doc_id").save(p)
+    idx = DedupIndex.load(spark, p)
+    idx.update(d1, old_docs=base)
+    idx.update(d2, old_docs=base.unionByName(d1))
+    idx.append_saved(p)
+    re = DedupIndex.load(spark, p)
+    full = DedupIndex(docs, "text", "doc_id")
+    for stage in ("bands", "pairs", "verified"):
+        assert sorted(
+            tuple(r) for r in getattr(re, stage).collect()
+        ) == sorted(tuple(r) for r in getattr(full, stage).collect()), stage
+
+    # TrigramLM
+    p = str(tmp_path / "lm")
+    TrigramLM(base, "text", "doc_id").save(p)
+    lm = TrigramLM.load(spark, p)
+    lm.update(d1)
+    lm.update(d2)
+    lm.append_saved(p)
+    got = sorted(tuple(r) for r in TrigramLM.load(spark, p)._counts.collect())
+    want = sorted(
+        tuple(r) for r in TrigramLM(docs, "text", "doc_id").counts.collect()
+    )
+    assert got == want
+
+    # VectorIndex (frozen quantizers: rebuild twin = base-trained
+    # quantizers encoding the union, i.e. update on a fresh load)
+    emb = _emb(spark, SF_SMOKE)
+    e_base = emb.filter("vec_id < 300")
+    e1 = emb.filter("vec_id >= 300 and vec_id < 400").drop("label").localCheckpoint()
+    e2 = emb.filter("vec_id >= 400").drop("label").localCheckpoint()
+    p = str(tmp_path / "vidx")
+    V.VectorIndex(e_base).save(p)
+    vi = V.VectorIndex.load(spark, p)
+    vi.update(e1)
+    vi.update(e2)
+    vi.append_saved(p)
+    re = V.VectorIndex.load(spark, p)
+    one = V.VectorIndex(e_base)
+    one.update(e1.unionByName(e2))
+    assert sorted(tuple(r) for r in re.corpus_lists.collect()) == sorted(
+        tuple(r) for r in one.corpus_lists.collect()
+    )
+    assert sorted(tuple(r) for r in re.codes.collect()) == sorted(
+        tuple(r) for r in one.codes.collect()
+    )
+
+    # MediaIndex
+    media = synthetic_media(spark, 200)
+    m_base = media.filter("media_id < 120")
+    m1 = media.filter("media_id >= 120 and media_id < 160").localCheckpoint()
+    m2 = media.filter("media_id >= 160").localCheckpoint()
+    p = str(tmp_path / "midx")
+    MediaIndex(m_base).save(p)
+    mi = MediaIndex.load(spark, p)
+    mi.update(m1)
+    mi.update(m2)
+    mi.append_saved(p)
+    re = MediaIndex.load(spark, p)
+    full = MediaIndex(media)
+    for stage in ("phash", "pairs"):
+        assert sorted(
+            tuple(r) for r in getattr(re, stage).collect()
+        ) == sorted(tuple(r) for r in getattr(full, stage).collect()), stage
