@@ -47,6 +47,7 @@ error surfaces.
 from __future__ import annotations
 
 import os
+import threading
 import time
 from contextlib import contextmanager
 
@@ -54,6 +55,19 @@ from contextlib import contextmanager
 class LeaseContention(RuntimeError):
     """Another writer holds the directory lease — refused loudly
     rather than silently racing the crash contracts."""
+
+
+# Serializes the acquire/stale-break section WITHIN a process: the
+# realistic contention (absorber driver threads vs a vacuum thread in
+# the one Spark driver) is same-process, and without this lock the
+# stale-break path has a TOCTOU hole — a breaker's rename acts on
+# whatever file is at the path AT RENAME TIME, which can be a FRESH
+# lease created between the staleness stat and the rename (the
+# 16-thread storm test caught exactly that: two holders at once).
+# Held only across the acquire attempt, never across the caller's
+# operation. Cross-process, the same window is closed by the
+# identity check below.
+_ACQUIRE_LOCK = threading.Lock()
 
 
 def _lease_file(path: str) -> str:
@@ -77,44 +91,65 @@ def dir_lease(path: str, *, role: str, ttl_seconds: float = 3600.0):
     if parent:
         os.makedirs(parent, exist_ok=True)
     acquired = False
-    for _ in range(3):
-        try:
-            fd = os.open(lease, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    with _ACQUIRE_LOCK:
+        for _ in range(3):
             try:
-                os.write(
-                    fd, f"{role} pid={os.getpid()} t={time.time()}\n".encode()
-                )
-            finally:
-                os.close(fd)
-            acquired = True
-            break
-        except FileExistsError:
-            try:
-                age = time.time() - os.stat(lease).st_mtime
-            except FileNotFoundError:
-                continue  # holder released between create and stat — retry
-            if age <= ttl_seconds:
-                holder = ""
+                fd = os.open(lease, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
                 try:
-                    with open(lease) as f:
-                        holder = f.read().strip()
-                except OSError:
-                    pass
-                raise LeaseContention(
-                    f"{role}: another writer holds the lease on {path}"
-                    f"{' (' + holder + ')' if holder else ''} — concurrent "
-                    "mutation would race the crash contracts; retry after "
-                    "it releases, or remove the stale lease file if the "
-                    f"holder is known dead ({lease})"
+                    os.write(
+                        fd,
+                        f"{role} pid={os.getpid()} t={time.time()}\n".encode(),
+                    )
+                finally:
+                    os.close(fd)
+                acquired = True
+                break
+            except FileExistsError:
+                try:
+                    st = os.stat(lease)
+                except FileNotFoundError:
+                    continue  # holder released between create and stat
+                if time.time() - st.st_mtime <= ttl_seconds:
+                    holder = ""
+                    try:
+                        with open(lease) as f:
+                            holder = f.read().strip()
+                    except OSError:
+                        pass
+                    raise LeaseContention(
+                        f"{role}: another writer holds the lease on {path}"
+                        f"{' (' + holder + ')' if holder else ''} — "
+                        "concurrent mutation would race the crash "
+                        "contracts; retry after it releases, or remove "
+                        "the stale lease file if the holder is known "
+                        f"dead ({lease})"
+                    )
+                # stale (crashed writer): break by rename to a unique
+                # name, then VERIFY identity — the rename moves
+                # whatever file is at the path at rename time, which a
+                # cross-process race could have replaced with a FRESH
+                # lease between the stat and the rename. On identity
+                # mismatch the stolen fresh lease is restored with a
+                # no-clobber link and the attempt is contention.
+                uniq = (
+                    f"{lease}.broken.{os.getpid()}.{threading.get_ident()}"
                 )
-            # stale (crashed writer): break by rename — exactly one
-            # breaker wins; losers loop back to the create attempt
-            stale = f"{lease}.broken.{os.getpid()}"
-            try:
-                os.rename(lease, stale)
-                os.unlink(stale)
-            except FileNotFoundError:
-                pass
+                try:
+                    os.rename(lease, uniq)
+                except FileNotFoundError:
+                    continue  # another breaker won — retry the create
+                moved = os.stat(uniq)
+                if (moved.st_ino, moved.st_mtime) != (st.st_ino, st.st_mtime):
+                    try:
+                        os.link(uniq, lease)  # fails rather than clobbers
+                    except FileExistsError:
+                        pass
+                    os.unlink(uniq)
+                    raise LeaseContention(
+                        f"{role}: lost the stale-break race on {path} to a "
+                        "writer that re-acquired first — retry later"
+                    )
+                os.unlink(uniq)
     if not acquired:
         raise LeaseContention(
             f"{role}: could not acquire the lease on {path} after "
