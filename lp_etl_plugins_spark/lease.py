@@ -57,6 +57,35 @@ class LeaseContention(RuntimeError):
     rather than silently racing the crash contracts."""
 
 
+# Thread-local default wait budget (see :func:`waiting`): lets a
+# caller that WANTS to serialize behind a live writer (the nightly
+# vacuum waiting out a streaming absorber's micro-batch) declare that
+# once, without threading a wait parameter through every family's
+# compact()/append_saved() signature. Thread-local on purpose — an
+# absorber driver thread keeps fail-fast semantics while a vacuum
+# thread in the same process waits.
+_WAIT = threading.local()
+
+
+@contextmanager
+def waiting(seconds: float):
+    """Scope a default ``wait_seconds`` for every :func:`dir_lease`
+    acquisition on THIS thread: inside the block, lease contention
+    polls (50 ms cadence) until the holder releases or ``seconds``
+    elapses, then raises :class:`LeaseContention` as before. An
+    explicit ``dir_lease(..., wait_seconds=...)`` still wins. Nests by
+    shadowing (inner scope's budget applies; outer restored on exit)."""
+    prev = getattr(_WAIT, "seconds", None)
+    _WAIT.seconds = float(seconds)
+    try:
+        yield
+    finally:
+        if prev is None:
+            del _WAIT.seconds
+        else:
+            _WAIT.seconds = prev
+
+
 # Serializes the acquire/stale-break section WITHIN a process: the
 # realistic contention (absorber driver threads vs a vacuum thread in
 # the one Spark driver) is same-process, and without this lock the
@@ -77,7 +106,13 @@ def _lease_file(path: str) -> str:
 
 
 @contextmanager
-def dir_lease(path: str, *, role: str, ttl_seconds: float = 3600.0):
+def dir_lease(
+    path: str,
+    *,
+    role: str,
+    ttl_seconds: float = 3600.0,
+    wait_seconds: float | None = None,
+):
     """Hold the single-writer lease for ``path`` for the duration of
     the ``with`` block. Raises :class:`LeaseContention` when a live
     (non-expired) lease exists. ``role`` is recorded in the lease file
@@ -85,11 +120,49 @@ def dir_lease(path: str, *, role: str, ttl_seconds: float = 3600.0):
     ``ttl_seconds`` bounds how long a crashed writer's leaked lease
     fences the directory — size it above the operation's worst-case
     runtime (the default 1 h covers any single compaction/absorb this
-    engine runs; a multi-hour job passes its own)."""
+    engine runs; a multi-hour job passes its own).
+
+    ``wait_seconds`` (or an enclosing :func:`waiting` scope) turns the
+    refusal into a BOUNDED wait: contention is retried on a 50 ms poll
+    until the holder releases or the budget elapses, then raised. The
+    default stays fail-fast — an absorber's micro-batch should fail
+    and replay, not queue; it is the scheduled maintenance caller that
+    knows it can afford to wait."""
     lease = _lease_file(path)
     parent = os.path.dirname(lease)
     if parent:
         os.makedirs(parent, exist_ok=True)
+    budget = (
+        float(wait_seconds)
+        if wait_seconds is not None
+        else float(getattr(_WAIT, "seconds", 0.0))
+    )
+    deadline = time.monotonic() + budget
+    while True:
+        try:
+            _acquire_once(lease, path, role, ttl_seconds)
+            break
+        except LeaseContention:
+            now = time.monotonic()
+            if now >= deadline:
+                raise
+            time.sleep(min(0.05, deadline - now))
+    try:
+        yield
+    finally:
+        try:
+            os.unlink(lease)
+        except FileNotFoundError:
+            pass
+
+
+def _acquire_once(
+    lease: str, path: str, role: str, ttl_seconds: float
+) -> None:
+    """One acquire attempt (create, or break a stale lease and
+    create): returns holding the lease, raises
+    :class:`LeaseContention` otherwise. Serialized process-wide by
+    ``_ACQUIRE_LOCK`` (never held across the caller's operation)."""
     acquired = False
     with _ACQUIRE_LOCK:
         for _ in range(3):
@@ -155,10 +228,3 @@ def dir_lease(path: str, *, role: str, ttl_seconds: float = 3600.0):
             f"{role}: could not acquire the lease on {path} after "
             "stale-break retries — a writer keeps re-acquiring it"
         )
-    try:
-        yield
-    finally:
-        try:
-            os.unlink(lease)
-        except FileNotFoundError:
-            pass

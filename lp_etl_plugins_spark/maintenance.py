@@ -445,6 +445,7 @@ def vacuum(
     target_rows_per_file: int = 1 << 20,
     compact_unhealthy: bool = False,
     recover_swaps: bool = False,
+    lease_wait_seconds: float = 0.0,
 ) -> DataFrame:
     """The nightly maintenance sweep: for each path, detect the index
     family, run its integrity probe, and — when healthy and some
@@ -468,6 +469,15 @@ def vacuum(
     has). Default off so the report-only contract stays available for
     forensic sweeps.
 
+    ``lease_wait_seconds`` (round 9) bounds how long the sweep will
+    WAIT for a live writer's directory lease before skipping: the
+    default 0 keeps the fail-fast report-and-move-on behavior, while a
+    nightly deployment that knows its absorber micro-batches are short
+    passes e.g. 120 to serialize behind them instead of deferring the
+    compaction a whole day (:func:`lease.waiting`'s 50 ms poll — the
+    wait applies to both the swap-recovery lease and the compaction's
+    own per-family lease).
+
     → one report row per path:
     (path, family, ok, violations "name=n;...", max_files_before,
     compacted, max_files_after, recovered). Unknown paths report
@@ -485,7 +495,11 @@ def vacuum(
             from .lease import LeaseContention, dir_lease
 
             try:
-                with dir_lease(path, role="maintenance.recover_swaps"):
+                with dir_lease(
+                    path,
+                    role="maintenance.recover_swaps",
+                    wait_seconds=lease_wait_seconds,
+                ):
                     recovered = _recover_family_swaps(path, family)
             except LeaseContention:
                 pass  # a live writer owns the path; its replay repairs
@@ -502,10 +516,11 @@ def vacuum(
         worst = max((T._count_data_files(d) for d in dirs), default=0)
         compacted = False
         if worst > max_files_per_substrate and (res["ok"] or compact_unhealthy):
-            from .lease import LeaseContention
+            from .lease import LeaseContention, waiting
 
             try:
-                _compact(spark, path, family, target_rows_per_file)
+                with waiting(lease_wait_seconds):
+                    _compact(spark, path, family, target_rows_per_file)
                 compacted = True
             except LeaseContention:
                 # a live absorber holds the directory — the nightly

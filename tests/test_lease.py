@@ -269,3 +269,120 @@ def test_lease_mutual_exclusion_under_thread_storm(tmp_path):
     assert state["acquired"] >= 1
     assert state["max_holders"] == 1, state
     assert not os.path.exists(lease)  # fully released at the end
+
+
+def test_bounded_wait_acquires_after_release(tmp_path):
+    """wait_seconds turns refusal into a bounded wait: a waiter polls
+    out a short-lived holder and acquires, where the zero-wait default
+    still refuses immediately."""
+    path = str(tmp_path / "idx")
+    os.makedirs(path)
+
+    release = threading.Event()
+    held = threading.Event()
+
+    def holder():
+        with dir_lease(path, role="absorber"):
+            held.set()
+            release.wait(10)
+
+    t = threading.Thread(target=holder)
+    t.start()
+    assert held.wait(10)
+    # fail-fast default: refused while held
+    with pytest.raises(LeaseContention):
+        with dir_lease(path, role="vacuum"):
+            pass
+    # bounded wait: serializes behind the holder
+    timer = threading.Timer(0.3, release.set)
+    timer.start()
+    t0 = time.monotonic()
+    with dir_lease(path, role="vacuum", wait_seconds=10):
+        elapsed = time.monotonic() - t0
+    t.join(10)
+    timer.cancel()
+    assert elapsed >= 0.25, elapsed  # really waited the holder out
+    assert not os.path.exists(f"{path}.__lease__")
+
+
+def test_waiting_budget_elapses_into_contention(tmp_path):
+    """A holder that never releases exhausts the wait budget and the
+    contention surfaces exactly as in the fail-fast path."""
+    from lp_etl_plugins_spark.lease import waiting
+
+    path = str(tmp_path / "idx")
+    os.makedirs(path)
+    with open(f"{path}.__lease__", "w") as f:
+        f.write("other pid=1\n")
+    t0 = time.monotonic()
+    with waiting(0.2):
+        with pytest.raises(LeaseContention):
+            with dir_lease(path, role="vacuum"):
+                pass
+    elapsed = time.monotonic() - t0
+    assert 0.15 <= elapsed <= 5.0, elapsed
+    assert os.path.exists(f"{path}.__lease__")  # foreign lease untouched
+
+
+def test_waiting_scope_is_thread_local(tmp_path):
+    """waiting() must not leak patience into absorber threads: with a
+    waiting scope active on one thread, another thread's acquisition
+    stays fail-fast."""
+    from lp_etl_plugins_spark.lease import waiting
+
+    path = str(tmp_path / "idx")
+    os.makedirs(path)
+    with open(f"{path}.__lease__", "w") as f:
+        f.write("other pid=1\n")
+
+    outcome: dict[str, float] = {}
+
+    def absorber():
+        t0 = time.monotonic()
+        try:
+            with dir_lease(path, role="absorber"):
+                pass
+        except LeaseContention:
+            outcome["elapsed"] = time.monotonic() - t0
+
+    with waiting(30.0):
+        t = threading.Thread(target=absorber)
+        t.start()
+        t.join(10)
+    assert outcome["elapsed"] < 1.0, outcome  # no inherited wait
+
+
+def test_vacuum_waits_out_live_writer(spark, tmp_path):
+    """vacuum(lease_wait_seconds=N) serializes behind a short-lived
+    absorber instead of deferring the compaction to the next sweep."""
+    docs, path = _lm(spark, tmp_path)
+    for lo, hi in ((300, 400), (400, 10_000)):
+        lm = TrigramLM.load(spark, path)
+        lm.update(docs.filter(f"doc_id >= {lo} and doc_id < {hi}"))
+        lm.append_saved(path)
+
+    from lp_etl_plugins_spark.textops import _count_data_files
+
+    assert _count_data_files(f"{path}/counts") >= 3
+
+    release = threading.Event()
+    held = threading.Event()
+
+    def holder():
+        with dir_lease(path, role="absorber"):
+            held.set()
+            release.wait(30)
+
+    t = threading.Thread(target=holder)
+    t.start()
+    assert held.wait(10)
+    timer = threading.Timer(0.5, release.set)
+    timer.start()
+    row = M.vacuum(
+        spark, [path], max_files_per_substrate=1, lease_wait_seconds=30
+    ).collect()[0]
+    t.join(10)
+    timer.cancel()
+    assert row["compacted"], row
+    assert "lease_contention" not in row["violations"]
+    assert _count_data_files(f"{path}/counts") == 1
