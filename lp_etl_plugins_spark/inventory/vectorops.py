@@ -1007,6 +1007,44 @@ def v18_vector_serving_production(
 V18_SQL = V0_SQL.replace("(g.i - 1) // 16", "(g.i - 1) // 4")
 
 
+def v19_vector_retraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serving-index DELETION lifecycle
+    (vectorops.VectorIndex.retract) — the half the append-only add()
+    contract was missing, and the vector twin of the text families'
+    tombstones (GDPR-style removal, re-crawl supersession): the
+    production (m=16) index is saved, a retraction set
+    (vec_id % 7 == 3) lands as ONE O(delta) idempotent tombstone
+    append (retract_saved — no corpus rewrite, quantizers and stored
+    codes untouched), and a re-loaded index answers external probes
+    with the retracted vectors filtered from candidates via a
+    broadcast anti-join (compact() resolves the log physically on the
+    maintenance cadence). The oracle recomputes the full index + the
+    search with the retraction as a WHERE on the candidate corpus
+    lists — training still sees the WHOLE corpus, exactly the
+    frozen-quantizer deletion semantics. → (probe_id, neighbor_id,
+    adist2, rank ≤ 3)."""
+    import tempfile
+
+    idx = vector_index_production(spark, sf_dir)
+    path = f"{tempfile.mkdtemp(prefix='v19_vindex_')}/index"
+    idx.save(path)
+    loaded = V.VectorIndex.load(spark, path)
+    emb = _emb(spark, sf_dir)
+    loaded.retract(emb.filter(F.col("vec_id") % 7 == 3).select("vec_id"))
+    loaded.retract_saved(path)
+    served = V.VectorIndex.load(spark, path)
+    return served.search(_external_probes(emb), _K, nprobe=2)
+
+
+# the retraction filters CANDIDATES only — centroid/codebook training
+# and the probe-side CTEs are byte-identical to v18's
+V19_SQL = V18_SQL.replace(
+    "ON pf.bucket = cl.bucket",
+    "ON pf.bucket = cl.bucket\n  WHERE cl.neighbor_id % 7 != 3",
+)
+assert V19_SQL != V18_SQL  # the anchor must keep matching
+
+
 def v15_knn_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar-quantized (SQ8) approximate kNN (vectorops.knn_sq8) —
     the compression-family member serving stacks reach for first:
@@ -1183,6 +1221,7 @@ QUERIES = {
     "v16_incremental_vector_serving": v16_incremental_vector_serving,
     "v17_knn_pq_refined": v17_knn_pq_refined,
     "v18_vector_serving_production": v18_vector_serving_production,
+    "v19_vector_retraction": v19_vector_retraction,
 }
 
 ORACLES = {
@@ -1205,4 +1244,5 @@ ORACLES = {
     "v16_incremental_vector_serving": V16_SQL,
     "v17_knn_pq_refined": V17_SQL,
     "v18_vector_serving_production": V18_SQL,
+    "v19_vector_retraction": V19_SQL,
 }

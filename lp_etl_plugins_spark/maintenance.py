@@ -143,7 +143,15 @@ def check_vector_index(
     target is gone; a size CAP here would silently drop corpus
     vectors from serving (a recall hole), so the probe REPORTS and
     the fix is the standard serving-stack one — retrain the coarse
-    quantizer (rebuild), FAISS's reindex guidance."""
+    quantizer (rebuild), FAISS's reindex guidance.
+
+    With a :meth:`~vectorops.VectorIndex.retract` tombstone log
+    present, the row-consistency probes run over the LIVE view (rows
+    minus tombstones) — the invariant that holds in EVERY legitimate
+    state of the retraction lifecycle, including each of compact()'s
+    crash windows (pre-compact both sides carry the dead rows;
+    mid-compact one side does; post-compact neither — the live view is
+    identical throughout)."""
     from .vectorops import VectorIndex
 
     v: dict[str, int] = {}
@@ -157,6 +165,19 @@ def check_vector_index(
     m = T._read_control_row(f"{path}/meta")
     lists = spark.read.parquet(f"{path}/corpus_lists")
     codes = spark.read.parquet(f"{path}/codes")
+    tombs = None
+    if T._parquet_dir_exists(f"{path}/tombstones"):
+        t = spark.read.parquet(f"{path}/tombstones").select("id").distinct()
+        if t.first() is not None:
+            tombs = t
+    live_lists, live_codes = lists, codes
+    if tombs is not None:
+        live_lists = lists.join(F.broadcast(tombs), "id", "left_anti")
+        live_codes = codes.join(
+            F.broadcast(tombs.withColumnRenamed("id", "neighbor_id")),
+            "neighbor_id",
+            "left_anti",
+        )
     _bad(
         v,
         "duplicate_corpus_ids",
@@ -165,13 +186,14 @@ def check_vector_index(
     row = lists.agg(
         F.count(F.lit(1)).alias("n"), F.max("id").alias("hi")
     ).first()
-    n_codes = codes.count()
-    _bad(v, "code_row_drift", abs(n_codes - int(row["n"]) * int(m["m"])))
+    n_live = live_lists.count() if tombs is not None else int(row["n"])
+    n_codes = live_codes.count()
+    _bad(v, "code_row_drift", abs(n_codes - n_live * int(m["m"])))
     _bad(
         v,
         "code_orphans",
-        codes.select(F.col("neighbor_id").alias("id"))
-        .join(lists.select("id"), "id", "left_anti")
+        live_codes.select(F.col("neighbor_id").alias("id"))
+        .join(live_lists.select("id"), "id", "left_anti")
         .count(),
     )
     hi, stamp = row["hi"], m.get("max_id")
@@ -367,7 +389,7 @@ def _stage_dirs(path: str, family: str, existing_only: bool = True) -> list[str]
     elif family == "VectorIndex":
         from .vectorops import VectorIndex
 
-        subs = VectorIndex._STAGES
+        subs = VectorIndex._STAGES + ("tombstones",)
     else:
         from .multimodal import MediaIndex
 

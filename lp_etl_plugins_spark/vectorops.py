@@ -874,6 +874,8 @@ class VectorIndex:
             setattr(self, f"_{stage}", None)
         self.builds: dict[str, int] = dict.fromkeys(self._STAGES, 0)
         self.max_id: int | None = None  # set by save()/load()/append_saved()
+        self._tombstones: DataFrame | None = None  # retract() filter set
+        self._tomb_delta: DataFrame | None = None  # pending retract_saved
 
     def _coarse(self) -> tuple[DataFrame, DataFrame]:
         if self._ivf_centroids is None:
@@ -939,12 +941,27 @@ class VectorIndex:
             ).localCheckpoint()
         return self._codes
 
+    def live_lists(self) -> DataFrame:
+        """``corpus_lists`` minus the retraction set — the candidate
+        source :meth:`search` serves from. The filter is a BROADCAST
+        anti-join (retraction sets are deletion-sized, orders of
+        magnitude below the corpus, and :meth:`compact` resolves them
+        physically on the maintenance cadence — the filter never grows
+        unbounded), so at 100 TB it adds no shuffle to the serving
+        plan. Identity pass-through when nothing is retracted."""
+        cl = self.corpus_lists
+        if self._tombstones is None:
+            return cl
+        return cl.join(F.broadcast(self._tombstones), "id", "left_anti")
+
     def search(self, probes: DataFrame, k: int, nprobe: int = 2) -> DataFrame:
         """IVF-PQ ADC top-k for EXTERNAL query vectors against the
         stored index: probe fan-out = the probe's own vector vs the
         stored coarse centroids (nprobe lists); LUT = probe vs the
         stored codebooks; candidates = stored corpus lists equi-joined
-        on bucket; score = sum of m broadcast-LUT lookups over the
+        on bucket (minus any retracted ids — :meth:`live_lists`; dead
+        ``codes`` rows need no filter of their own, the candidate join
+        is inner); score = sum of m broadcast-LUT lookups over the
         stored codes. No corpus-vector access, no self-exclusion
         (probe ids live in their own namespace).
         → (probe_id, neighbor_id, adist2, rank ≤ k)."""
@@ -959,7 +976,7 @@ class VectorIndex:
             pq_norm,
         ).select(F.col("id").alias("probe_id"), "sub", "code", F.col("d2").alias("pd2"))
         cand = (
-            self.corpus_lists.withColumnRenamed("id", "neighbor_id")
+            self.live_lists().withColumnRenamed("id", "neighbor_id")
             .join(F.broadcast(probe_fan), on="bucket")
             .select("probe_id", "neighbor_id")
         )
@@ -989,6 +1006,23 @@ class VectorIndex:
         must be new (append-only contract). Mutates and returns
         ``self``; quantizer staleness under drift is the caller's
         rebuild policy, exactly as in production ANN services."""
+        if self._tombstones is not None:
+            # a delta id colliding with a retracted id would be
+            # silently killed by the serving filter — the caller's id
+            # allocator is broken; refuse with the evidence (one small
+            # aggregate, and only on indexes that HAVE retractions)
+            n_dead = (
+                new_vectors.select(F.col(self._id_col).alias("id"))
+                .join(F.broadcast(self._tombstones), "id", "left_semi")
+                .count()
+            )
+            if n_dead:
+                raise ValueError(
+                    f"VectorIndex.update: {n_dead} delta id(s) collide with "
+                    "retracted ids — a retracted id stays dead (the serving "
+                    "filter would hide the new vector); allocate fresh ids "
+                    "for re-added content"
+                )
         cent, cent_norm = self._coarse()
         pq_cent, pq_norm = self._pq()
         old_lists = self.corpus_lists
@@ -1030,6 +1064,82 @@ class VectorIndex:
             self._df = self._df.unionByName(new_vectors, allowMissingColumns=True)
         return self
 
+    def retract(self, ids: DataFrame) -> "VectorIndex":
+        """Delete corpus vectors from SERVING — the lifecycle half the
+        append-only contract was missing (every text-side family has
+        tombstones; GDPR-style removal and re-crawl supersession need
+        them on the vector side too). Mirrors the tombstone design of
+        :class:`incremental.CurationState`: the retraction lands as a
+        TOMBSTONE SET (``ids``: a one-column frame of corpus ids), the
+        quantizers and the stored ``corpus_lists``/``codes`` rows stay
+        physically untouched (rewriting the corpus per deletion is the
+        O(corpus)-per-delta trap), and serving filters candidates via
+        :meth:`live_lists`'s broadcast anti-join. :meth:`compact`
+        resolves tombstones physically and clears the log, bounding
+        the filter set by the maintenance cadence.
+
+        Ids must name live corpus vectors — an unknown id is a caller
+        bug surfaced loudly (silently no-op'ing a deletion request is
+        the one wrong behavior for a deletion API), and a retracted id
+        stays dead: :meth:`update` refuses deltas that re-use one (the
+        monotone-id contract of the streamed absorber already implies
+        this — tombstoned ids sit at or below the high-water mark).
+        Mutates and returns ``self``; call :meth:`retract_saved` to
+        land the delta on a :meth:`save`-d directory."""
+        tombs = (
+            ids.select(F.col(ids.columns[0]).cast("long").alias("id"))
+            .distinct()
+            .localCheckpoint()
+        )
+        n_unknown = tombs.join(
+            self.live_lists().select("id"), "id", "left_anti"
+        ).count()
+        if n_unknown:
+            raise ValueError(
+                f"VectorIndex.retract: {n_unknown} id(s) are not live corpus "
+                "vectors (unknown, or already retracted) — a deletion "
+                "request that silently misses is worse than an error"
+            )
+        self._tombstones = (
+            tombs
+            if self._tombstones is None
+            else self._tombstones.unionByName(tombs).localCheckpoint(
+                eager=False
+            )
+        )
+        self._tomb_delta = (
+            tombs
+            if self._tomb_delta is None
+            else self._tomb_delta.unionByName(tombs).localCheckpoint(
+                eager=False
+            )
+        )
+        return self
+
+    def retract_saved(self, path: str) -> None:
+        """Land the pending :meth:`retract` delta on a :meth:`save`-d
+        index directory: ONE O(delta) parquet append to
+        ``tombstones`` — no other substrate moves. The crash contract
+        is the simplest in the engine, by construction: the tombstone
+        log is a SET consumed by anti-joins, so a replayed retraction
+        that re-appends its ids converges (duplicate tombstone rows
+        change no anti-join result and are physically deduped by the
+        next :meth:`compact`) — no high-water mark, no repair mode.
+        Single-writer-fenced (see :mod:`.lease`) so a concurrent
+        compaction's tombstone-clear cannot drop a landing delta."""
+        if self._tomb_delta is None:
+            raise ValueError(
+                "VectorIndex.retract_saved: no retract() delta to land — "
+                "call retract(ids) first"
+            )
+        from .lease import dir_lease
+
+        with dir_lease(path, role="VectorIndex.retract_saved"):
+            self._tomb_delta.write.mode("append").parquet(
+                f"{path}/tombstones"
+            )
+        self._tomb_delta = None
+
     def save(self, path: str) -> None:
         """Persist all stages + meta as parquet under ``path`` (forces
         any not-yet-built stage) — the once-per-snapshot materialization
@@ -1038,6 +1148,23 @@ class VectorIndex:
         :func:`foreach_batch_add`'s streamed ingestion."""
         for stage in self._STAGES:
             getattr(self, stage).write.mode("overwrite").parquet(f"{path}/{stage}")
+        if self._tombstones is not None:
+            # retractions are part of the snapshot; a fresh save with
+            # none leaves no tombstones dir (absence == empty set, the
+            # legacy-layout reading load() already does)
+            self._tombstones.write.mode("overwrite").parquet(
+                f"{path}/tombstones"
+            )
+        else:
+            from .textops import _local_path, _parquet_dir_exists
+
+            if _parquet_dir_exists(f"{path}/tombstones"):
+                # re-saving a tombstone-free snapshot over a directory
+                # that had retractions: a surviving stale log would
+                # filter the NEW corpus's colliding ids
+                import shutil
+
+                shutil.rmtree(_local_path(f"{path}/tombstones"))
         hi = self.corpus_lists.agg(F.max("id")).first()[0]
         self.max_id = None if hi is None else int(hi)
         self._write_meta(path)
@@ -1099,25 +1226,61 @@ class VectorIndex:
         file fragments whose open/footer cost every later search pays.
         All stages are append-only (no tombstones), so this is a pure
         file re-layout — row content untouched, a re-``load`` serves
-        identical results (test-asserted). Meta (with its ``max_id``
-        high-water mark) is not touched. Any in-memory object over
-        ``path`` is STALE afterwards; re-``load``.
+        identical results (test-asserted) — EXCEPT when a
+        :meth:`retract` tombstone log is present: the rewrite then
+        RESOLVES it (``corpus_lists``/``codes`` drop the retracted
+        rows; the log is cleared), which is also view-identical — the
+        dropped rows were already filtered at serve time. Meta (with
+        its ``max_id`` high-water mark) is not touched: the mark
+        records id ALLOCATION, and retracted ids stay allocated (the
+        streamed absorber's monotone contract is what keeps them from
+        being silently re-used). Any in-memory object over ``path`` is
+        STALE afterwards; re-``load``.
+
+        Crash windows all converge because the tombstone filter is
+        idempotent: lists swapped but codes not (dead code rows join
+        inner against the filtered candidates — invisible), both
+        swapped but the log not cleared (anti-join of already-absent
+        ids — a no-op), log clear torn (same). A compact replay
+        finishes the job from any of them.
 
         → ``{stage: {"rows", "files_before", "files_after"}}``.
         Single-writer-fenced (see :mod:`.lease`)."""
         from .lease import dir_lease
-        from .textops import _rewrite_parquet_dir
+        from .textops import _parquet_dir_exists, _rewrite_parquet_dir
 
         with dir_lease(path, role="VectorIndex.compact"):
-            return {
-                stage: _rewrite_parquet_dir(
-                    spark,
-                    f"{path}/{stage}",
-                    spark.read.parquet(f"{path}/{stage}"),
-                    target_rows_per_file,
+            tomb_dir = f"{path}/tombstones"
+            tombs = None
+            if _parquet_dir_exists(tomb_dir):
+                t = spark.read.parquet(tomb_dir).select("id").distinct()
+                if t.first() is not None:
+                    tombs = t.localCheckpoint()
+            out = {}
+            for stage in cls._STAGES:
+                df = spark.read.parquet(f"{path}/{stage}")
+                if tombs is not None and stage == "corpus_lists":
+                    df = df.join(F.broadcast(tombs), "id", "left_anti")
+                elif tombs is not None and stage == "codes":
+                    df = df.join(
+                        F.broadcast(
+                            tombs.withColumnRenamed("id", "neighbor_id")
+                        ),
+                        "neighbor_id",
+                        "left_anti",
+                    )
+                out[stage] = _rewrite_parquet_dir(
+                    spark, f"{path}/{stage}", df, target_rows_per_file
                 )
-                for stage in cls._STAGES
-            }
+            if _parquet_dir_exists(tomb_dir):
+                # resolved into the rewrites above — clear the log
+                spark.createDataFrame([], "id bigint").write.mode(
+                    "overwrite"
+                ).parquet(tomb_dir)
+                out["tombstones"] = {
+                    "rows": 0, "files_before": None, "files_after": None,
+                }
+            return out
 
     @classmethod
     def load(cls, spark, path: str) -> "VectorIndex":
@@ -1140,6 +1303,16 @@ class VectorIndex:
         for stage in cls._STAGES:
             setattr(idx, f"_{stage}", spark.read.parquet(f"{path}/{stage}"))
         idx.builds = dict.fromkeys(cls._STAGES, 0)
+        from .textops import _parquet_dir_exists
+
+        idx._tombstones = None
+        idx._tomb_delta = None
+        if _parquet_dir_exists(f"{path}/tombstones"):
+            t = spark.read.parquet(f"{path}/tombstones").select("id").distinct()
+            # an empty log (a compact()'s cleared state) serves as no
+            # retractions — keep the fast identity path
+            if t.first() is not None:
+                idx._tombstones = t
         return idx
 
 

@@ -439,3 +439,189 @@ def test_adc_equals_reconstructed_l2(spark):
         for r in V.knn_pq(emb, probes, 3, m=4, dims=64).collect()
     )
     assert got == want
+
+
+# --------------------------------------------------------------- retraction
+# The deletion half of the lifecycle (round 9): retract() tombstones
+# corpus vectors out of serving without touching the stored rows,
+# retract_saved() lands the set as one idempotent O(delta) append,
+# compact() resolves it physically, and every crash window converges
+# because the tombstone filter is an anti-join over a set.
+
+
+def _retracted_expected(idx, emb, tomb_ids, k=3):
+    """Ground truth for a retraction: the SAME index (same trained
+    quantizers) with candidates filtered out-of-band."""
+    full = idx.search(_probes(emb), 50, nprobe=2)
+    from pyspark.sql import Window as W
+
+    alive = full.filter(~F.col("neighbor_id").isin(tomb_ids))
+    win = W.partitionBy("probe_id").orderBy(
+        F.col("adist2"), F.col("neighbor_id")
+    )
+    return _rows(
+        alive.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", "neighbor_id", "adist2", "rank")
+    )
+
+
+def test_retract_filters_serving(spark):
+    """retract() removes the ids from every later search, ranks
+    recomputed over the survivors, quantizers untouched."""
+    emb = IV._emb(spark, SF_SMOKE)
+    idx = VectorIndex(emb)
+    tomb_ids = [r["neighbor_id"] for r in idx.search(_probes(emb), 1, nprobe=2).collect()][:3]
+    want = _retracted_expected(idx, emb, tomb_ids)
+
+    idx.retract(spark.createDataFrame([(i,) for i in tomb_ids], "vec_id long"))
+    got = _rows(idx.search(_probes(emb), 3, nprobe=2))
+    assert got == want
+    assert not {r[1] for r in got} & set(tomb_ids)
+    # quantizer stages were not rebuilt by the retraction
+    assert idx.builds["ivf_centroids"] == 1
+    assert idx.builds["pq_codebook"] == 1
+
+
+def test_retract_unknown_or_double_raises(spark):
+    """A deletion request that names a non-live id is a caller bug —
+    loud, never a silent no-op; a second retraction of the same id is
+    equally dead-on-arrival."""
+    import pytest
+
+    emb = IV._emb(spark, SF_SMOKE)
+    idx = VectorIndex(emb)
+    with pytest.raises(ValueError, match="not live"):
+        idx.retract(spark.createDataFrame([(10_000_000,)], "vec_id long"))
+    idx.retract(spark.createDataFrame([(0,)], "vec_id long"))
+    with pytest.raises(ValueError, match="not live"):
+        idx.retract(spark.createDataFrame([(0,)], "vec_id long"))
+
+
+def test_update_refuses_retracted_id_reuse(spark):
+    """A delta id colliding with a tombstone would be silently hidden
+    by the serving filter — refused with the count."""
+    import pytest
+
+    emb = IV._emb(spark, SF_SMOKE)
+    idx = VectorIndex(emb)
+    idx.retract(spark.createDataFrame([(1,), (2,)], "vec_id long"))
+    delta = emb.filter(F.col("vec_id").isin([1, 5])).drop("label")
+    with pytest.raises(ValueError, match="collide with\n?\\s*retracted"):
+        idx.update(delta)
+
+
+def test_retract_saved_load_roundtrip_and_compact_resolves(spark, tmp_path):
+    """The persisted lifecycle: save → retract → retract_saved → load
+    serves the filtered corpus; compact() drops the dead rows
+    physically, clears the log, and the served rows are identical
+    before and after."""
+    emb = IV._emb(spark, SF_SMOKE)
+    idx = VectorIndex(emb)
+    path = str(tmp_path / "vindex")
+    idx.save(path)
+    n_lists_before = spark.read.parquet(f"{path}/corpus_lists").count()
+
+    tomb_ids = [0, 3, 7]
+    loaded = VectorIndex.load(spark, path)
+    loaded.retract(
+        spark.createDataFrame([(i,) for i in tomb_ids], "vec_id long")
+    )
+    loaded.retract_saved(path)
+    # ground truth from a FRESH in-session build (same training data →
+    # same quantizers), filtered out-of-band — not from a reload, whose
+    # tombstones are already landed
+    want = _retracted_expected(VectorIndex(emb), emb, tomb_ids)
+
+    served = VectorIndex.load(spark, path)
+    got = _rows(served.search(_probes(emb), 3, nprobe=2))
+    assert got == want
+
+    from lp_etl_plugins_spark.maintenance import check_vector_index
+
+    assert check_vector_index(spark, path)["ok"]
+
+    rep = VectorIndex.compact(spark, path)
+    assert rep["corpus_lists"]["rows"] == n_lists_before - len(tomb_ids)
+    assert spark.read.parquet(f"{path}/tombstones").count() == 0
+    after = VectorIndex.load(spark, path)
+    assert after._tombstones is None  # cleared log loads as no filter
+    assert _rows(after.search(_probes(emb), 3, nprobe=2)) == want
+    assert check_vector_index(spark, path)["ok"]
+
+
+def test_retract_saved_replay_is_idempotent(spark, tmp_path):
+    """The crash contract: a replayed retraction re-appends its ids;
+    duplicate tombstone rows change no serving result and the probe
+    stays green (set semantics, no high-water mark needed)."""
+    emb = IV._emb(spark, SF_SMOKE)
+    idx = VectorIndex(emb)
+    path = str(tmp_path / "vindex")
+    idx.save(path)
+
+    tombs = spark.createDataFrame([(2,), (4,)], "vec_id long")
+    first = VectorIndex.load(spark, path)
+    first.retract(tombs)
+    first.retract_saved(path)
+    want = _rows(VectorIndex.load(spark, path).search(_probes(emb), 3, nprobe=2))
+
+    # the replay: same delta, landed again (e.g. the caller crashed
+    # after the append but before acking upstream)
+    replay = VectorIndex.load(spark, path)
+    replay._tomb_delta = tombs.select(F.col("vec_id").alias("id"))
+    replay.retract_saved(path)
+    assert (
+        spark.read.parquet(f"{path}/tombstones").count()
+        > spark.read.parquet(f"{path}/tombstones").select("id").distinct().count()
+    )
+    got = _rows(VectorIndex.load(spark, path).search(_probes(emb), 3, nprobe=2))
+    assert got == want
+
+    from lp_etl_plugins_spark.maintenance import check_vector_index
+
+    assert check_vector_index(spark, path)["ok"]
+
+
+def test_compact_crash_windows_converge(spark, tmp_path):
+    """Each window of compact()'s write order leaves a serving-correct
+    state the probe accepts, and a compact replay finishes the job:
+    (a) corpus_lists rewritten, codes not; (b) both rewritten, log not
+    cleared."""
+    from lp_etl_plugins_spark.maintenance import check_vector_index
+    from lp_etl_plugins_spark.textops import _rewrite_parquet_dir
+
+    emb = IV._emb(spark, SF_SMOKE)
+    idx = VectorIndex(emb)
+    path = str(tmp_path / "vindex")
+    idx.save(path)
+    loaded = VectorIndex.load(spark, path)
+    loaded.retract(spark.createDataFrame([(1,), (6,)], "vec_id long"))
+    loaded.retract_saved(path)
+    fresh = VectorIndex(emb)
+    want = _retracted_expected(fresh, emb, [1, 6])
+
+    # window (a): only corpus_lists swapped (simulate the partial
+    # compact by performing its first rewrite alone)
+    tombs = spark.read.parquet(f"{path}/tombstones").select("id").distinct()
+    _rewrite_parquet_dir(
+        spark,
+        f"{path}/corpus_lists",
+        spark.read.parquet(f"{path}/corpus_lists").join(
+            F.broadcast(tombs), "id", "left_anti"
+        ),
+        1 << 20,
+    )
+    assert _rows(VectorIndex.load(spark, path).search(_probes(emb), 3, nprobe=2)) == want
+    assert check_vector_index(spark, path)["ok"]
+
+    # the replay converges: codes rewritten, log cleared
+    VectorIndex.compact(spark, path)
+    assert spark.read.parquet(f"{path}/tombstones").count() == 0
+    assert (
+        spark.read.parquet(f"{path}/codes")
+        .filter(F.col("neighbor_id").isin([1, 6]))
+        .count()
+        == 0
+    )
+    assert _rows(VectorIndex.load(spark, path).search(_probes(emb), 3, nprobe=2)) == want
+    assert check_vector_index(spark, path)["ok"]
