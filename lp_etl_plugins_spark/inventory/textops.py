@@ -2244,6 +2244,89 @@ def t40_incremental_trigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def t41_lm_retraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LM DELETION through the persisted lifecycle
+    (``TrigramLM.retract`` / ``retract_saved``, round 9) — the
+    retraction leg of the incremental gates, and the proof the
+    document-frequency model's additivity runs BOTH ways: train + save
+    over the half corpus, ``load`` + ``retract`` a slice
+    (doc_id % 11 == 5; one NEGATIVE per-doc-distinct gram segment
+    under the retraction-sequence commit protocol — never a retrain),
+    ``compact`` (the negative segment and any zeroed vocab rows
+    resolve physically), and score surviving probe docs from the
+    RELOADED model. The oracle retrains from scratch on the corpus
+    MINUS the retracted slice — a direct hash gate on
+    subtract == rebuild through persistence and compaction. Runs on
+    the half corpus (doc_id % 2 == 0), mirroring t40's proportionate
+    pricing. → (source, n_docs, avg_logprob) for the probe docs."""
+    import shutil
+    import tempfile
+
+    docs = (
+        _docs(spark, sf_dir)
+        .filter(F.col("doc_id") % 2 == 0)
+        .select("doc_id", "source", "text")
+    )
+    tmp = tempfile.mkdtemp(prefix="t41_lm_")
+    try:
+        T.TrigramLM(docs, "text", "doc_id").save(tmp)
+        lm = T.TrigramLM.load(spark, tmp)
+        lm.retract(docs.filter(F.col("doc_id") % 11 == 5))
+        lm.retract_saved(tmp)
+        T.TrigramLM.compact(spark, tmp)
+        probe = docs.filter(
+            (F.col("doc_id") % 10 == 0) & (F.col("doc_id") % 11 != 5)
+        )
+        scored = T.TrigramLM.load(spark, tmp).score(probe, "text", "doc_id")
+        joined = probe.select(
+            F.col("doc_id").alias("id"), "source"
+        ).join(scored, "id")
+        n = F.count(F.lit(1))
+        out = joined.groupBy("source").agg(
+            n.alias("n_docs"),
+            F.round(
+                F.sum(F.round(F.col("doc_lp") * 1e6).cast("bigint")).cast(
+                    "double"
+                )
+                / (n * 1e6),
+                6,
+            ).alias("avg_logprob"),
+        )
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+T41_SQL = """
+WITH d AS (
+  SELECT doc_id, source, text FROM documents
+  WHERE doc_id % 2 = 0 AND doc_id % 11 != 5
+),
+grams AS (
+  SELECT DISTINCT doc_id AS id, substring(lower(trim(text)), i, 3) AS g
+  FROM d, unnest(generate_series(1, length(lower(trim(text))) - 2)) t(i)
+),
+cnt AS (SELECT g, count(*) AS c FROM grams GROUP BY g),
+tot AS (SELECT sum(c)::BIGINT AS n_total, count(*) AS v FROM cnt),
+sg AS (
+  SELECT id, round(log2((c + 1)::DOUBLE / (n_total + v)), 6) AS logp
+  FROM grams JOIN cnt USING (g) CROSS JOIN tot
+  WHERE id % 10 = 0
+),
+pd AS (
+  SELECT id,
+         round(sum(round(logp * 1000000)::BIGINT)::DOUBLE / (count(*) * 1000000), 6)
+           AS doc_lp
+  FROM sg GROUP BY id
+)
+SELECT dd.source, count(*) AS n_docs,
+       round(sum(round(pd.doc_lp * 1000000)::BIGINT)::DOUBLE / (count(*) * 1000000), 6)
+         AS avg_logprob
+FROM pd JOIN d dd ON dd.doc_id = pd.id
+GROUP BY dd.source
+"""
+
+
 T40_SQL = """
 WITH d AS (SELECT doc_id, source, text FROM documents WHERE doc_id % 2 = 0),
 grams AS (
@@ -2313,6 +2396,7 @@ QUERIES = {
     "t38_incremental_repeat_stats": t38_incremental_repeat_stats,
     "t39_lsh_pairs_capped": t39_lsh_pairs_capped,
     "t40_incremental_trigram_lm": t40_incremental_trigram_lm,
+    "t41_lm_retraction": t41_lm_retraction,
 }
 
 ORACLES = {
@@ -2357,4 +2441,5 @@ ORACLES = {
     "t38_incremental_repeat_stats": T38_SQL,
     "t39_lsh_pairs_capped": T39_SQL,
     "t40_incremental_trigram_lm": T40_SQL,
+    "t41_lm_retraction": T41_SQL,
 }

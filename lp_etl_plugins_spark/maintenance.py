@@ -302,12 +302,15 @@ def check_media_index(spark: SparkSession, path: str) -> dict:
 def check_trigram_lm(spark: SparkSession, path: str) -> dict:
     """Integrity probe over a saved :class:`textops.TrigramLM`: the
     count log is THE model, so its invariants are the model's —
-    non-empty vocabulary, no null grams, every document-frequency
-    count positive, one count row per (gram, segment), and — the
-    round-9 segmented form's torn-append signal — no segment rows
-    stamped beyond the meta high-water mark (uncommitted rows from a
-    crash between an absorber's segment append and its meta stamp;
-    replay the delta to repair)."""
+    non-empty vocabulary, no null grams, segment-sign discipline
+    (positive/base segments carry positive counts, retraction
+    segments negative ones), one count row per (gram, segment), no
+    segment rows beyond either commit stamp (the id high-water mark
+    for updates, the retraction sequence for retractions — uncommitted
+    rows from a crash between a segment append and its meta commit;
+    replay the delta to repair), no NEGATIVE merged committed count
+    (the double-subtraction signature), and ledger rows within the
+    committed retraction sequence."""
     v: dict[str, int] = {}
     if not T._parquet_dir_exists(f"{path}/counts"):
         _bad(v, "stage_missing_counts", 1)
@@ -315,29 +318,67 @@ def check_trigram_lm(spark: SparkSession, path: str) -> dict:
     from .textops import TrigramLM
 
     counts = TrigramLM._raw_counts(spark, path)
-    stamp = None
+    stamp, n_retr = None, 0
     if T._parquet_dir_exists(f"{path}/meta"):
-        stamp = T._read_control_row(f"{path}/meta").get("max_id")
+        m = T._read_control_row(f"{path}/meta")
+        stamp = m.get("max_id")
+        n_retr = int(m.get("n_retractions") or 0)
     row = counts.agg(
         F.count(F.lit(1)).alias("n"),
         # count(DISTINCT a, b) drops rows with ANY null column — a
-        # pre-segmented model's all-null src would zero the distinct
+        # pre-segmented model's all-null src needs a sentinel (below
+        # any real retraction sequence)
         F.count_distinct(
-            "g", F.coalesce("src", F.lit(-1)).alias("src")
+            "g", F.coalesce("src", F.lit(-(1 << 62))).alias("src")
         ).alias("d"),
-        F.sum((F.col("c") <= 0).cast("bigint")).alias("bad_c"),
+        F.sum(
+            (
+                (F.coalesce("src", F.lit(0)) >= 0) & (F.col("c") <= 0)
+            ).cast("bigint")
+        ).alias("bad_pos"),
+        F.sum(
+            ((F.col("src") < 0) & (F.col("c") >= 0)).cast("bigint")
+        ).alias("bad_neg"),
         F.sum(F.col("g").isNull().cast("bigint")).alias("null_g"),
         F.sum(
-            (F.col("src") > F.lit(stamp).cast("bigint")).cast("bigint")
+            (
+                (F.col("src") > F.lit(stamp).cast("bigint"))
+                | (F.col("src") < F.lit(-n_retr).cast("bigint"))
+            ).cast("bigint")
         ).alias("unstamped"),
     ).first()
     if int(row["n"]) == 0:
         _bad(v, "empty_vocabulary", 1)
-    _bad(v, "nonpositive_counts", int(row["bad_c"] or 0))
+    _bad(v, "nonpositive_counts", int(row["bad_pos"] or 0))
+    _bad(v, "nonnegative_retraction_counts", int(row["bad_neg"] or 0))
     _bad(v, "null_grams", int(row["null_g"] or 0))
     _bad(v, "duplicate_gram_rows", int(row["n"]) - int(row["d"]))
     if stamp is not None:
         _bad(v, "uncommitted_segment_rows", int(row["unstamped"] or 0))
+        if n_retr or T._parquet_dir_exists(f"{path}/retracted"):
+            merged = TrigramLM._committed(counts, stamp, n_retr).groupBy(
+                "g"
+            ).agg(F.sum("c").alias("c"))
+            _bad(
+                v,
+                "negative_merged_counts",
+                merged.filter(F.col("c") < 0).count(),
+            )
+    if T._parquet_dir_exists(f"{path}/retracted"):
+        led = spark.read.parquet(f"{path}/retracted")
+        _bad(
+            v,
+            "uncommitted_ledger_rows",
+            led.filter(F.col("rseq") > n_retr).count(),
+        )
+        if stamp is not None:
+            _bad(
+                v,
+                "retracted_id_beyond_stamp",
+                led.filter(
+                    (F.col("rseq") <= n_retr) & (F.col("id") > int(stamp))
+                ).count(),
+            )
     return {"ok": not v, "violations": v}
 
 
@@ -385,7 +426,7 @@ def _stage_dirs(path: str, family: str, existing_only: bool = True) -> list[str]
     elif family == "RepeatIndex":
         subs = ("postings", "spans")
     elif family == "TrigramLM":
-        subs = ("counts",)
+        subs = ("counts", "retracted")
     elif family == "VectorIndex":
         from .vectorops import VectorIndex
 

@@ -2780,7 +2780,10 @@ class TrigramLM:
     grams and are absent from score output (mirrored by the oracle's
     unnest)."""
 
-    _META_SCHEMA = "n int, text_col string, id_col string, max_id bigint"
+    _META_SCHEMA = (
+        "n int, text_col string, id_col string, max_id bigint, "
+        "n_retractions int"
+    )
 
     def __init__(
         self,
@@ -2810,6 +2813,13 @@ class TrigramLM:
         self._delta: dict | None = None
         self.builds: dict[str, int] = {"grams": 0, "counts": 0}
         self.updates = 0
+        # retraction state (round 9): committed retraction count (the
+        # negative-segment commit protocol's sequence), the ledger of
+        # retracted doc ids (double-retraction refusal), and the
+        # pending delta retract_saved lands
+        self.n_retractions = 0
+        self._retracted_ids: DataFrame | None = None
+        self._retract_delta: dict | None = None
 
     def _gram_frame(self, df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         return df.select(
@@ -2976,6 +2986,230 @@ class TrigramLM:
         self.updates += 1
         return self
 
+    def retract(
+        self,
+        docs: DataFrame,
+        text_col: str | None = None,
+        id_col: str | None = None,
+    ) -> "TrigramLM":
+        """Remove previously-ingested documents from the model — the
+        deletion half :meth:`update`'s additivity gives for free
+        mathematically (``counts(corpus) ⊖ counts(retracted)`` EQUALS
+        retraining on ``corpus ∖ retracted`` exactly, because the
+        document-frequency table is additive over disjoint doc sets;
+        oracle-gated as t41), landed as a NEGATIVE per-doc-distinct
+        gram segment: one retracted-delta-sized explode plus a
+        vocab-sized merge, never a corpus rescan. A gram whose merged
+        count reaches zero leaves the vocabulary (and the smoothing
+        normalizer), exactly as a rebuild would drop it.
+
+        The caller passes the documents WITH their original text (the
+        model stores no corpus, so the subtraction needs the texts —
+        the same contract as the reference deletion flow of any
+        count-based sketch). Ids already retracted are refused loudly
+        (double subtraction would corrupt counts — the in-memory
+        ledger mirrors the saved one); :meth:`retract_saved` lands the
+        delta on a persisted model under the retraction-sequence
+        commit protocol. Mutates and returns ``self``."""
+        icol = id_col or self._id_col
+        tcol = text_col or self._text_col
+        ids = (
+            docs.select(F.col(icol).cast("long").alias("id"))
+            .distinct()
+            .localCheckpoint()
+        )
+        if self._retracted_ids is not None:
+            n_dead = ids.join(self._retracted_ids, "id", "left_semi").count()
+            if n_dead:
+                raise ValueError(
+                    f"TrigramLM.retract: {n_dead} id(s) were already "
+                    "retracted — subtracting a document twice corrupts "
+                    "the document-frequency counts"
+                )
+        if self.max_id is None and self._df is not None:
+            # pin the allocation high-water mark BEFORE the corpus
+            # view shrinks: retraction never un-allocates an id (the
+            # absorber's monotone contract relies on that)
+            row = self._df.agg(F.max(self._id_col)).first()
+            self.max_id = None if row[0] is None else int(row[0])
+        neg = (
+            self._gram_frame(docs, tcol, icol)
+            .groupBy("g")
+            .agg((-F.count(F.lit(1))).alias("__dc"))
+            .localCheckpoint(eager=False)
+        )
+        merged = (
+            self.counts.join(neg, "g", "full")
+            .select(
+                "g",
+                (
+                    F.coalesce("c", F.lit(0)) + F.coalesce("__dc", F.lit(0))
+                ).alias("c"),
+            )
+            .filter(F.col("c") != 0)
+        )
+        self._counts = (
+            merged.localCheckpoint(eager=False) if self._checkpoint else merged
+        )
+        if self._df is not None:
+            self._df = self._df.join(
+                ids.withColumnRenamed("id", self._id_col),
+                self._id_col,
+                "left_anti",
+            )
+            self._grams = None  # re-derive lazily over the shrunk corpus
+        seg = neg.select("g", F.col("__dc").alias("c"))
+        prev = self._retract_delta
+        if prev is not None:
+            # ACCUMULATE across chained retract() calls (the same
+            # family-wide rule update() follows): retract_saved lands
+            # ONE combined segment
+            seg = (
+                prev["counts"].unionByName(seg)
+                .groupBy("g")
+                .agg(F.sum("c").alias("c"))
+                .localCheckpoint(eager=False)
+            )
+            ids = prev["ids"].unionByName(ids)
+        self._retract_delta = {"counts": seg, "ids": ids}
+        self._retracted_ids = (
+            ids
+            if self._retracted_ids is None
+            else self._retracted_ids.unionByName(ids).localCheckpoint(
+                eager=False
+            )
+        )
+        return self
+
+    def retract_saved(self, path: str) -> None:
+        """Land the pending :meth:`retract` delta on a :meth:`save`-d
+        model directory under the RETRACTION-SEQUENCE commit protocol
+        (the negative mirror of :meth:`append_saved`'s high-water
+        stamp, which cannot gate retractions — retracted ids sit at or
+        below the mark by definition):
+
+        1. the negative segment lands stamped ``src = -(k+1)`` where
+           ``k`` is meta's committed ``n_retractions``;
+        2. the ledger (``retracted``: doc_id, rseq) appends the ids at
+           ``rseq = k+1``;
+        3. meta commits ``n_retractions = k+1``.
+
+        Readers serve only committed rows (positive ``src`` ≤ the id
+        stamp, negative ``src`` with ``-src`` ≤ ``n_retractions``), so
+        a crash after any prefix of {segment, ledger, meta} leaves the
+        served counts EXACTLY the pre-retract state; the replay purges
+        the uncommitted rows (rename-aside rewrite of the committed
+        subset) and re-lands. A replay that finds its ids fully in the
+        COMMITTED ledger skips idempotently; a partial overlap is a
+        caller bug, raised. Single-writer-fenced (see :mod:`..lease`)."""
+        if self._retract_delta is None:
+            raise ValueError(
+                "TrigramLM.retract_saved: no retract() delta to land — "
+                "call retract(docs) first"
+            )
+        from .lease import dir_lease
+
+        with dir_lease(path, role="TrigramLM.retract_saved"):
+            self._retract_saved_unfenced(path)
+
+    def _retract_saved_unfenced(self, path: str) -> None:
+        _recover_swapped_dir(f"{path}/counts")
+        m = _read_control_row(f"{path}/meta")
+        stamp = m.get("max_id")
+        if stamp is None:
+            raise ValueError(
+                "TrigramLM.retract_saved: the saved model has no max_id "
+                "high-water mark — re-save() from the corpus (which "
+                "stamps it) before retracting"
+            )
+        n_r = int(m.get("n_retractions") or 0)
+        spark = self._retract_delta["counts"].sparkSession
+        raw = self._raw_counts(spark, path)
+        if raw.filter(F.col("src") > int(stamp)).limit(1).count():
+            raise ValueError(
+                "TrigramLM.retract_saved: unstamped UPDATE segment rows on "
+                "disk — a previous append crashed before its meta stamp; "
+                "replay that delta (append_saved(repair=True) via the "
+                "absorber) before retracting"
+            )
+        ledger_path = f"{path}/retracted"
+        has_ledger = _parquet_dir_exists(ledger_path)
+        if has_ledger:
+            _recover_swapped_dir(ledger_path)
+        if raw.filter(F.col("src") < -n_r).limit(1).count():
+            # a previous retract_saved crashed between its segment
+            # append and its meta commit — purge the uncommitted rows
+            # (both sides), then land fresh
+            _rewrite_parquet_dir(
+                spark,
+                f"{path}/counts",
+                self._committed(raw, stamp, n_r),
+                1 << 20,
+            )
+            if has_ledger:
+                led = spark.read.parquet(ledger_path)
+                if led.filter(F.col("rseq") > n_r).limit(1).count():
+                    _rewrite_parquet_dir(
+                        spark,
+                        ledger_path,
+                        led.filter(F.col("rseq") <= n_r),
+                        1 << 20,
+                    )
+        ids = self._retract_delta["ids"]
+        row = ids.agg(
+            F.count(F.lit(1)).alias("n"), F.max("id").alias("hi")
+        ).first()
+        if row["hi"] is None:
+            self._retract_delta = None
+            return  # empty delta — nothing to land
+        if int(row["hi"]) > int(stamp):
+            raise ValueError(
+                "TrigramLM.retract_saved: delta contains id(s) above the "
+                f"saved high-water mark {stamp} — those documents were "
+                "never ingested into this model"
+            )
+        if has_ledger:
+            committed_led = spark.read.parquet(ledger_path).filter(
+                F.col("rseq") <= n_r
+            )
+            n_in = ids.join(
+                committed_led.select("id"), "id", "left_semi"
+            ).count()
+            if n_in == int(row["n"]):
+                self._retract_delta = None
+                return  # fully-committed replay — already landed
+            if n_in:
+                raise ValueError(
+                    f"TrigramLM.retract_saved: {n_in} of {row['n']} delta "
+                    "id(s) are already retracted on disk — a partial "
+                    "overlap double-subtracts; retract only new ids"
+                )
+        rseq = n_r + 1
+        self._retract_delta["counts"].select(
+            "g", "c", F.lit(-rseq).cast("bigint").alias("src")
+        ).write.mode("append").parquet(f"{path}/counts")
+        ids.select(
+            "id", F.lit(rseq).cast("bigint").alias("rseq")
+        ).write.mode("append").parquet(ledger_path)
+        self.max_id = int(stamp)
+        self.n_retractions = rseq
+        self._write_meta(path)
+        self._retract_delta = None
+
+    @staticmethod
+    def _committed(raw: DataFrame, stamp, n_retractions: int) -> DataFrame:
+        """The committed subset of the segment log: unstamped legacy
+        rows, positive segments within the id high-water mark, and
+        negative (retraction) segments within the committed retraction
+        sequence."""
+        if stamp is None:
+            return raw
+        return raw.filter(
+            F.col("src").isNull()
+            | ((F.col("src") >= 0) & (F.col("src") <= int(stamp)))
+            | ((F.col("src") < 0) & (-F.col("src") <= int(n_retractions)))
+        )
+
     def save(self, path: str) -> None:
         """Persist the count table + meta as parquet — the LM twin of
         ``DedupIndex.save``: train once per corpus snapshot, score
@@ -3003,6 +3237,23 @@ class TrigramLM:
         self.counts.select(
             "g", "c", F.lit(hi).cast("bigint").alias("src")
         ).write.mode("overwrite").parquet(f"{path}/counts")
+        if self._retracted_ids is not None:
+            # the counts above are already retraction-merged (one
+            # positive segment), but the ledger must survive the
+            # snapshot so later retractions keep refusing re-deletes;
+            # rseq 0 ≤ any n_retractions — always committed
+            self._retracted_ids.select(
+                "id", F.lit(0).cast("bigint").alias("rseq")
+            ).write.mode("overwrite").parquet(f"{path}/retracted")
+        elif _parquet_dir_exists(f"{path}/retracted"):
+            # a retraction-free snapshot over a directory that had a
+            # ledger: a stale ledger would refuse legitimate ids
+            import shutil
+
+            shutil.rmtree(_local_path(f"{path}/retracted"))
+        # the snapshot holds ONE positive segment (retractions already
+        # merged in) — the retraction sequence restarts
+        self.n_retractions = 0
         self._write_meta(path)
 
     def _write_meta(self, path: str) -> None:
@@ -3011,7 +3262,13 @@ class TrigramLM:
         # column names scores/updates the right columns after load()
         _write_control_parquet(
             f"{path}/meta",
-            [(self._n, self._text_col, self._id_col, self.max_id)],
+            [(
+                self._n,
+                self._text_col,
+                self._id_col,
+                self.max_id,
+                int(self.n_retractions),
+            )],
             self._META_SCHEMA,
         )
 
@@ -3046,16 +3303,26 @@ class TrigramLM:
         lm._checkpoint = True
         hi = m.get("max_id")
         lm.max_id = None if hi is None else int(hi)
-        raw = cls._raw_counts(spark, path)
-        if lm.max_id is not None:
-            raw = raw.filter(
-                F.col("src").isNull() | (F.col("src") <= lm.max_id)
-            )
+        lm.n_retractions = int(m.get("n_retractions") or 0)
+        raw = cls._committed(
+            cls._raw_counts(spark, path), lm.max_id, lm.n_retractions
+        )
         lm._counts = (
             raw.groupBy("g")
             .agg(F.sum("c").alias("c"))
+            # a fully-retracted gram merges to 0 — out of the
+            # vocabulary (and the smoothing normalizer), as a rebuild
+            # would have it
+            .filter(F.col("c") != 0)
             .localCheckpoint(eager=False)
         )
+        lm._retracted_ids = None
+        lm._retract_delta = None
+        if _parquet_dir_exists(f"{path}/retracted"):
+            led = spark.read.parquet(f"{path}/retracted").filter(
+                F.col("rseq") <= lm.n_retractions
+            )
+            lm._retracted_ids = led.select("id")
         lm._delta = None
         lm.builds = {"grams": 0, "counts": 0}
         lm.updates = 0
@@ -3096,6 +3363,10 @@ class TrigramLM:
             )
         m = _read_control_row(f"{path}/meta")
         stamp = m.get("max_id")
+        # the trailing meta rewrite re-writes EVERY field — sync the
+        # retraction sequence from disk so an in-session object never
+        # clobbers committed retractions back to uncommitted
+        self.n_retractions = int(m.get("n_retractions") or 0)
         if stamp is None:
             raise ValueError(
                 "TrigramLM.append_saved: the saved model has no max_id "
@@ -3124,8 +3395,10 @@ class TrigramLM:
             # purge's rename-aside swap — recover the surviving copy
             _recover_swapped_dir(f"{path}/counts")
             spark = self._delta["counts"].sparkSession
-            committed = self._raw_counts(spark, path).filter(
-                F.col("src").isNull() | (F.col("src") <= int(stamp))
+            committed = self._committed(
+                self._raw_counts(spark, path),
+                stamp,
+                int(m.get("n_retractions") or 0),
             )
             _rewrite_parquet_dir(spark, f"{path}/counts", committed, 1 << 20)
         self._delta["counts"].select(
@@ -3233,26 +3506,41 @@ class TrigramLM:
     ) -> dict:
         m = _read_control_row(f"{path}/meta")
         stamp = m.get("max_id")
+        n_r = int(m.get("n_retractions") or 0)
         raw = cls._raw_counts(spark, path)
-        if stamp is not None and raw.filter(F.col("src") > int(stamp)).limit(
-            1
-        ).count():
+        if stamp is not None and raw.filter(
+            (F.col("src") > int(stamp)) | (F.col("src") < -n_r)
+        ).limit(1).count():
             raise ValueError(
-                "TrigramLM.compact: unstamped segment rows on disk — a "
-                "previous append crashed before its meta stamp; replay "
-                "that delta (the streamed absorber's repair mode "
-                "converges it) before compacting"
+                "TrigramLM.compact: uncommitted segment rows on disk — a "
+                "previous append (or retraction) crashed before its meta "
+                "stamp; replay that delta (append_saved(repair=True) via "
+                "the absorber, or retract_saved with the same ids) before "
+                "compacting"
             )
         merged = (
             raw.groupBy("g")
             .agg(F.sum("c").alias("c"))
+            # fully-retracted grams merge to 0 — resolved out, exactly
+            # as the committed read view drops them
+            .filter(F.col("c") != 0)
             .select("g", "c", F.lit(stamp).cast("bigint").alias("src"))
         )
-        return {
+        out = {
             "counts": _rewrite_parquet_dir(
                 spark, f"{path}/counts", merged, target_rows_per_file
             )
         }
+        if _parquet_dir_exists(f"{path}/retracted"):
+            out["retracted"] = _rewrite_parquet_dir(
+                spark,
+                f"{path}/retracted",
+                spark.read.parquet(f"{path}/retracted").filter(
+                    F.col("rseq") <= n_r
+                ),
+                target_rows_per_file,
+            )
+        return out
 
 
 def weighted_sample(

@@ -259,7 +259,7 @@ def test_absorber_repairs_crash_windows(spark, tmp_path):
     probe = M.vacuum(spark, [cases[1]]).collect()[0]
     assert not probe["ok"]
     assert "uncommitted_segment_rows" in probe["violations"]
-    with pytest.raises(ValueError, match="unstamped segment rows"):
+    with pytest.raises(ValueError, match="uncommitted segment rows"):
         TrigramLM.compact(spark, cases[1])
 
     for case in cases:
@@ -322,3 +322,193 @@ def test_trigram_chained_appends_equal_rebuild_property(
         tuple(r) for r in TrigramLM(docs, "text", "doc_id").counts.collect()
     )
     assert got == want
+
+
+# ------------------------------------------------------------- retraction
+# The deletion half (round 9): counts are additive over disjoint doc
+# sets, so retraction is a NEGATIVE per-doc-distinct segment under the
+# retraction-sequence commit protocol (src = -rseq, committed by
+# meta.n_retractions, ids bound in the `retracted` ledger).
+
+
+def _ids_df(spark, docs, pred):
+    return docs.filter(pred).select(F.col("doc_id").alias("id"))
+
+
+def test_retract_equals_rebuild_in_memory_and_persisted(spark, tmp_path):
+    """subtract == rebuild, both for the in-memory model and through
+    save → retract → retract_saved → load; scores agree too; a gram
+    unique to the retracted docs leaves the vocabulary."""
+    docs = _docs(spark)
+    sub = docs.filter("doc_id % 11 = 5")
+    keep = docs.filter("doc_id % 11 != 5")
+    want = sorted(
+        tuple(r) for r in TrigramLM(keep, "text", "doc_id").counts.collect()
+    )
+
+    mem = TrigramLM(docs, "text", "doc_id").retract(sub)
+    assert sorted(tuple(r) for r in mem.counts.collect()) == want
+    want_scores = sorted(
+        tuple(r) for r in TrigramLM(keep, "text", "doc_id").score().collect()
+    )
+    assert sorted(tuple(r) for r in mem.score().collect()) == want_scores
+
+    path = str(tmp_path / "lm")
+    TrigramLM(docs, "text", "doc_id").save(path)
+    lm = TrigramLM.load(spark, path)
+    lm.retract(sub.localCheckpoint())
+    lm.retract_saved(path)
+    assert _counts_view(spark, path) == want
+    assert M.check_trigram_lm(spark, path)["ok"]
+    assert _read_control_row(f"{path}/meta")["n_retractions"] == 1
+    # max_id did not shrink: retraction never un-allocates ids
+    assert _read_control_row(f"{path}/meta")["max_id"] == docs.agg(
+        F.max("doc_id")
+    ).first()[0]
+
+
+def test_retract_refusals(spark, tmp_path):
+    """Double retraction (in-memory and on-disk ledger), partial
+    overlap, and never-ingested ids are all loud refusals."""
+    docs = _docs(spark)
+    sub = docs.filter("doc_id % 11 = 5")
+    path = str(tmp_path / "lm")
+    TrigramLM(docs, "text", "doc_id").save(path)
+
+    lm = TrigramLM.load(spark, path)
+    lm.retract(sub.localCheckpoint())
+    with pytest.raises(ValueError, match="already\n?\\s*retracted"):
+        lm.retract(sub.localCheckpoint())
+    lm.retract_saved(path)
+
+    # on-disk ledger refuses a fresh object's partial overlap
+    lm2 = TrigramLM.load(spark, path)
+    with pytest.raises(ValueError, match="already retracted"):
+        lm2.retract(docs.filter("doc_id % 11 = 5").localCheckpoint())
+    # ... and a hand-built partial-overlap delta at the protocol level
+    lm3 = TrigramLM.load(spark, path)
+    lm3._retract_delta = {
+        "counts": spark.createDataFrame([], "g string, c bigint"),
+        "ids": _ids_df(spark, docs, "doc_id % 11 = 5 or doc_id % 11 = 6"),
+    }
+    with pytest.raises(ValueError, match="partial overlap"):
+        lm3.retract_saved(path)
+
+    # never-ingested ids (beyond the stamp)
+    lm4 = TrigramLM.load(spark, path)
+    lm4._retract_delta = {
+        "counts": spark.createDataFrame([], "g string, c bigint"),
+        "ids": spark.createDataFrame([(10_000_000,)], "id bigint"),
+    }
+    with pytest.raises(ValueError, match="never ingested"):
+        lm4.retract_saved(path)
+
+
+def test_retract_saved_replay_and_crash_windows(spark, tmp_path):
+    """Every prefix of {negative segment, ledger, meta} converges:
+    uncommitted rows are invisible to readers (served counts == the
+    pre-retract state), the probe reports them, compact refuses, and
+    the retract_saved replay purges + re-lands to exactly the clean
+    state. A fully-committed replay skips idempotently."""
+    docs = _docs(spark)
+    sub = docs.filter("doc_id % 11 = 5").localCheckpoint()
+    keep = docs.filter("doc_id % 11 != 5")
+    path = str(tmp_path / "lm")
+    TrigramLM(docs, "text", "doc_id").save(path)
+    pre = _counts_view(spark, path)
+    want = sorted(
+        tuple(r) for r in TrigramLM(keep, "text", "doc_id").counts.collect()
+    )
+
+    def neg_seg():
+        lm = TrigramLM.load(spark, path)
+        return (
+            lm._gram_frame(sub.select(F.col("id").alias("doc_id"))
+                           if "id" in sub.columns else sub, "text", "doc_id")
+            .groupBy("g")
+            .agg((-F.count(F.lit(1))).alias("c"))
+        )
+
+    # window 1: negative segment landed (src=-1), no ledger, no meta
+    neg_seg().select(
+        "g", "c", F.lit(-1).cast("bigint").alias("src")
+    ).write.mode("append").parquet(f"{path}/counts")
+    assert _counts_view(spark, path) == pre  # uncommitted → invisible
+    res = M.check_trigram_lm(spark, path)
+    assert not res["ok"] and "uncommitted_segment_rows" in res["violations"]
+    with pytest.raises(ValueError, match="uncommitted"):
+        TrigramLM.compact(spark, path)
+
+    # window 2: + ledger rows landed (rseq=1), meta still k=0
+    sub.select(F.col("doc_id").alias("id")).withColumn(
+        "rseq", F.lit(1).cast("bigint")
+    ).write.mode("append").parquet(f"{path}/retracted")
+    assert _counts_view(spark, path) == pre
+    res = M.check_trigram_lm(spark, path)
+    assert not res["ok"]
+    assert "uncommitted_ledger_rows" in res["violations"]
+
+    # the replay: purges both uncommitted halves, re-lands, commits
+    lm = TrigramLM.load(spark, path)
+    assert lm._retracted_ids is None or lm._retracted_ids.first() is None
+    lm.retract(sub)
+    lm.retract_saved(path)
+    assert _counts_view(spark, path) == want
+    assert M.check_trigram_lm(spark, path)["ok"]
+    m = _read_control_row(f"{path}/meta")
+    assert m["n_retractions"] == 1
+    led = spark.read.parquet(f"{path}/retracted")
+    assert led.filter("rseq > 1").count() == 0
+    assert led.count() == sub.count()
+
+    # window 3: fully-committed replay skips without touching state
+    lm2 = TrigramLM.load(spark, path)
+    lm2._retract_delta = {
+        "counts": spark.createDataFrame([], "g string, c bigint"),
+        "ids": sub.select(F.col("doc_id").alias("id")),
+    }
+    lm2.retract_saved(path)
+    assert _counts_view(spark, path) == want
+    assert spark.read.parquet(f"{path}/retracted").count() == sub.count()
+
+    # compact resolves the committed retraction physically
+    TrigramLM.compact(spark, path)
+    assert _counts_view(spark, path) == want
+    raw = TrigramLM._raw_counts(spark, path)
+    assert raw.filter("src < 0").count() == 0
+    assert M.check_trigram_lm(spark, path)["ok"]
+
+
+def test_retract_then_update_interleave(spark, tmp_path):
+    """Retraction and streamed-style appends compose: retract old
+    docs, append new ones, final view == rebuild on (keep ∪ new);
+    the absorber's meta rewrite preserves the committed retraction
+    sequence (the n_retractions clobber guard)."""
+    docs = _docs(spark)
+    base = docs.filter("doc_id < 400")
+    sub = base.filter("doc_id % 7 = 3").localCheckpoint()
+    new = docs.filter("doc_id >= 400")
+    path = str(tmp_path / "lm")
+    TrigramLM(base, "text", "doc_id").save(path)
+
+    lm = TrigramLM.load(spark, path)
+    lm.retract(sub)
+    lm.retract_saved(path)
+
+    # an IN-SESSION object (never load()-ed) appends next — its meta
+    # rewrite must not clobber n_retractions back to 0
+    lm2 = TrigramLM.load(spark, path)
+    lm2.update(new)
+    lm2.append_saved(path)
+    assert _read_control_row(f"{path}/meta")["n_retractions"] == 1
+
+    want = sorted(
+        tuple(r)
+        for r in TrigramLM(
+            docs.filter("doc_id >= 400 or (doc_id < 400 and doc_id % 7 != 3)"),
+            "text",
+            "doc_id",
+        ).counts.collect()
+    )
+    assert _counts_view(spark, path) == want
+    assert M.check_trigram_lm(spark, path)["ok"]
