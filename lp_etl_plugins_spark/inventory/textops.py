@@ -2154,6 +2154,70 @@ T38_SQL = (
 )
 
 
+def t42_repeat_retraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring index DELETION (``RepeatIndex.retract``, round
+    9) — t38's flip machinery run backwards: build the persisted
+    detector over the half corpus (doc_id % 2 == 0), then retract the
+    doc_id % 7 == 3 slice — grams whose surviving distinct-doc count
+    drops 2 → 1 un-repeat positions in their single surviving doc, so
+    exactly those touched docs re-evaluate against the surviving
+    counts (this residue touches real docs at the driver's sf0.01, so
+    the hard gate exercises the backward re-evaluation, not just the
+    tombstone filter). The emitted aggregate reads the post-retraction
+    spans view; the oracle recomputes the stats from scratch over the
+    SURVIVING corpus — a direct hash gate on retract == rebuild for
+    the exact-substring family (crash windows, replay idempotence,
+    and the compact resolution are pinned in
+    tests/test_repeat_retraction.py).
+    → (n_flagged, n_spans_total, repeat_words_total, max_span,
+    frac_chk)."""
+    import shutil
+    import tempfile
+
+    docs = (
+        _docs(spark, sf_dir)
+        .filter(F.col("doc_id") % 2 == 0)
+        .select("doc_id", "text")
+    )
+    keep = docs.filter(F.col("doc_id") % 7 != 3)
+    tmp = tempfile.mkdtemp(prefix="t42_repeat_")
+    try:
+        idx = T.RepeatIndex.build(spark, docs, tmp, "text", "doc_id")
+        idx.retract(
+            docs.filter(F.col("doc_id") % 7 == 3).select(
+                F.col("doc_id").alias("id")
+            ),
+            old_docs=keep,
+        )
+        out = idx.spans().agg(
+            F.count(F.lit(1)).alias("n_flagged"),
+            F.sum("n_spans").alias("n_spans_total"),
+            F.sum("repeat_words").alias("repeat_words_total"),
+            F.max("max_span_words").alias("max_span"),
+            F.sum(F.round(F.col("repeat_frac") * 1e6).cast("long")).alias(
+                "frac_chk"
+            ),
+        )
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+T42_SQL = (
+    "SELECT count(*)::BIGINT AS n_flagged,\n"
+    "       sum(n_spans)::BIGINT AS n_spans_total,\n"
+    "       sum(repeat_words)::BIGINT AS repeat_words_total,\n"
+    "       max(max_span_words)::BIGINT AS max_span,\n"
+    "       sum(round(repeat_frac * 1000000)::BIGINT)::BIGINT AS frac_chk\n"
+    "FROM (\n"
+    + T37_SQL.replace(
+        "FROM documents",
+        "FROM documents WHERE doc_id % 2 = 0 AND doc_id % 7 != 3",
+    )
+    + ") perdoc"
+)
+
+
 def t39_lsh_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The LSH skew cap (textops.pairs_from_band_frame /
     DedupIndex(max_band_size=...)), oracle-gated on the REAL corpus:
@@ -2397,6 +2461,7 @@ QUERIES = {
     "t39_lsh_pairs_capped": t39_lsh_pairs_capped,
     "t40_incremental_trigram_lm": t40_incremental_trigram_lm,
     "t41_lm_retraction": t41_lm_retraction,
+    "t42_repeat_retraction": t42_repeat_retraction,
 }
 
 ORACLES = {
@@ -2442,4 +2507,5 @@ ORACLES = {
     "t39_lsh_pairs_capped": T39_SQL,
     "t40_incremental_trigram_lm": T40_SQL,
     "t41_lm_retraction": T41_SQL,
+    "t42_repeat_retraction": T42_SQL,
 }

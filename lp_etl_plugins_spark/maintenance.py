@@ -245,6 +245,21 @@ def check_repeat_index(spark: SparkSession, path: str) -> dict:
         .join(postings.select("id"), "id", "left_anti")
         .count(),
     )
+    if T._parquet_dir_exists(f"{path}/retracted"):
+        n_retr = int(m.get("n_retractions") or 0)
+        led = spark.read.parquet(f"{path}/retracted")
+        _bad(
+            v,
+            "uncommitted_ledger_rows",
+            led.filter(F.col("rseq") > n_retr).count(),
+        )
+        _bad(
+            v,
+            "retracted_id_beyond_max_doc",
+            led.filter(
+                (F.col("rseq") <= n_retr) & (F.col("id") > hi)
+            ).count(),
+        )
     return {"ok": not v, "violations": v}
 
 
@@ -424,7 +439,7 @@ def _stage_dirs(path: str, family: str, existing_only: bool = True) -> list[str]
 
         subs = DedupIndex._STAGES
     elif family == "RepeatIndex":
-        subs = ("postings", "spans")
+        subs = ("postings", "spans", "retracted")
     elif family == "TrigramLM":
         subs = ("counts", "retracted")
     elif family == "VectorIndex":

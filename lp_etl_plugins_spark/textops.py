@@ -932,7 +932,7 @@ class RepeatIndex:
 
     _META_SCHEMA = (
         "text_col string, id_col string, span_n int, "
-        "max_doc_id bigint, n_updates int"
+        "max_doc_id bigint, n_updates int, n_retractions int"
     )
     _SPAN_COLS = (
         "id", "n_spans", "repeat_words", "max_span_words",
@@ -946,20 +946,49 @@ class RepeatIndex:
 
     # ------------------------------------------------------------- views
 
+    def _tombstones(self) -> DataFrame | None:
+        """Committed retraction set (``retracted`` ledger rows within
+        the meta sequence), or None when no retraction ever ran — the
+        fast path stays zero-cost."""
+        p = f"{self._path}/retracted"
+        if not _parquet_dir_exists(p):
+            return None
+        n_r = int(self.meta.get("n_retractions") or 0)
+        return (
+            self._spark.read.parquet(p)
+            .filter(F.col("rseq") <= n_r)
+            .select("id")
+        )
+
     def postings(self) -> DataFrame:
-        return self._spark.read.parquet(f"{self._path}/postings")
+        out = self._spark.read.parquet(f"{self._path}/postings")
+        t = self._tombstones()
+        if t is not None:
+            # retraction sets are deletion-sized — broadcast anti-join,
+            # no shuffle added; compact() resolves them physically
+            out = out.join(F.broadcast(t), "id", "left_anti")
+        return out
 
     def spans(self) -> DataFrame:
         """Live per-doc repeated-span stats — last-wins over the
         generation-stamped log, exactly
-        :func:`repeated_substring_spans` over everything indexed."""
+        :func:`repeated_substring_spans` over everything indexed,
+        minus retracted docs and minus zero-span DELETE sentinels (a
+        re-evaluated doc that lost its last repeat upserts an
+        ``n_spans = 0`` row — presence in this view means ≥ 1 span,
+        matching the build contract)."""
         log = self._spark.read.parquet(f"{self._path}/spans")
         w = W.partitionBy("id").orderBy(F.col("gen").desc())
-        return (
+        out = (
             log.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1)
             .select(*self._SPAN_COLS)
+            .filter(F.col("n_spans") > 0)
         )
+        t = self._tombstones()
+        if t is not None:
+            out = out.join(F.broadcast(t), "id", "left_anti")
+        return out
 
     # ------------------------------------------------------ construction
 
@@ -1011,12 +1040,16 @@ class RepeatIndex:
             futs[2].result()
         meta["max_doc_id"] = -1 if max_doc_id is None else int(max_doc_id)
         meta["n_updates"] = 0
+        meta["n_retractions"] = 0
         st._write_meta()
         return st
 
     @classmethod
     def load(cls, spark, path: str) -> "RepeatIndex":
-        return cls(spark, path, _read_control_row(f"{path}/meta"))
+        meta = _read_control_row(f"{path}/meta")
+        # metas written before the retraction protocol lack the field
+        meta["n_retractions"] = int(meta.get("n_retractions") or 0)
+        return cls(spark, path, meta)
 
     def _write_meta(self) -> None:
         m = self.meta
@@ -1051,6 +1084,31 @@ class RepeatIndex:
         dpos = self._pos(delta_docs, m["text_col"], m["id_col"], span_n)
         d_post = dpos.select("g", "id").distinct().localCheckpoint(eager=False)
         d_ids = delta_docs.select(F.col(m["id_col"]).alias("id")).distinct()
+
+        if _parquet_dir_exists(f"{p}/retracted"):
+            led = spark.read.parquet(f"{p}/retracted")
+            n_r = int(m.get("n_retractions") or 0)
+            if led.filter(F.col("rseq") > n_r).limit(1).count():
+                raise ValueError(
+                    "RepeatIndex.update: uncommitted retraction ledger rows "
+                    "on disk — a previous retract() crashed mid-protocol; "
+                    "replay that retraction (retract with the same ids) "
+                    "before updating, or its purge would misattribute this "
+                    "update's span generation"
+                )
+            n_dead = (
+                led.filter(F.col("rseq") <= n_r)
+                .select("id")
+                .join(d_ids, "id", "left_semi")
+                .count()
+            )
+            if n_dead:
+                raise ValueError(
+                    f"RepeatIndex.update: {n_dead} delta id(s) collide with "
+                    "retracted ids — a retracted id stays dead (the "
+                    "tombstone filter would hide the re-ingested rows); "
+                    "allocate fresh ids for re-added content"
+                )
 
         # the three read-only probes — delta bounds/dup check, the
         # id-disjointness contract count, and the d_post-pin +
@@ -1184,6 +1242,218 @@ class RepeatIndex:
             "spans_rewritten": int(n_spans),
         }
 
+    # ---------------------------------------------------------- retraction
+
+    def retract(self, ids: DataFrame, old_docs: DataFrame) -> dict:
+        """Remove indexed documents — :meth:`update`'s flip machinery
+        run BACKWARDS: retracting a doc can flip a stored gram's
+        distinct-document count 2 → 1, un-repeating positions in the
+        single SURVIVING doc that holds it, so exactly those touched
+        docs are re-evaluated against the surviving counts (their
+        texts come from ``old_docs``, the same caller contract as
+        update — the index stores postings, not texts; the RETRACTED
+        docs' texts are NOT needed, their postings are stored). Cost
+        is bounded by the retracted docs' postings plus the flipped
+        grams' survivors — never a corpus re-scan; ``retract(r)``
+        equals ``build(corpus ∖ r)`` on the views (oracle-gated, t42).
+
+        Persistence mirrors :class:`TrigramLM`'s retraction-sequence
+        commit (the id high-water mark cannot gate deletions): the
+        ``retracted`` ledger appends the ids at ``rseq = k+1``, span
+        re-evaluations land as ``gen = n_updates+1`` upserts (a doc
+        that lost its LAST repeat gets an ``n_spans = 0`` DELETE
+        sentinel — the spans view filters it), and meta commits both
+        counters last. A replay purges its own uncommitted halves
+        (identified by the uncommitted ledger rows) and re-lands; a
+        fully-committed replay skips idempotently; retracted ids stay
+        dead (update refuses their reuse). Postings/span rows of
+        retracted docs stay physical until :meth:`compact` resolves
+        them — reads filter via a broadcast anti-join, bounded by the
+        maintenance cadence. Single-writer-fenced."""
+        from .lease import dir_lease
+
+        with dir_lease(self._path, role="RepeatIndex.retract"):
+            return self._retract_unfenced(ids, old_docs)
+
+    def _retract_unfenced(self, ids: DataFrame, old_docs: DataFrame) -> dict:
+        spark, p, m = self._spark, self._path, self.meta
+        n_u = int(m["n_updates"])
+        n_r = int(m.get("n_retractions") or 0)
+        r_ids = (
+            ids.select(F.col(ids.columns[0]).cast("long").alias("id"))
+            .distinct()
+            .localCheckpoint()
+        )
+        n_ids = r_ids.count()
+        if n_ids == 0:
+            return {"retracted": 0, "touched_old": 0, "spans_rewritten": 0}
+        hi = r_ids.agg(F.max("id")).first()[0]
+        if int(hi) > int(m["max_doc_id"]):
+            raise ValueError(
+                "RepeatIndex.retract: delta contains id(s) above the indexed "
+                f"high-water mark {m['max_doc_id']} — those documents were "
+                "never ingested into this index"
+            )
+        led_path = f"{p}/retracted"
+        led = None
+        if _parquet_dir_exists(led_path):
+            _recover_swapped_dir(led_path)
+            led = spark.read.parquet(led_path)
+            unc = led.filter(F.col("rseq") > n_r).select("id").distinct()
+            if unc.limit(1).count():
+                # a previous retraction crashed mid-protocol; only its
+                # own replay (identical id set) may purge and re-land
+                if (
+                    unc.join(r_ids, "id", "left_anti").limit(1).count()
+                    or r_ids.join(unc, "id", "left_anti").limit(1).count()
+                ):
+                    raise ValueError(
+                        "RepeatIndex.retract: uncommitted ledger rows from "
+                        "a DIFFERENT torn retraction are on disk — replay "
+                        "that retraction (same ids) before this one"
+                    )
+                _recover_swapped_dir(f"{p}/spans")
+                _rewrite_parquet_dir(
+                    spark, led_path, led.filter(F.col("rseq") <= n_r), 1 << 20
+                )
+                _rewrite_parquet_dir(
+                    spark,
+                    f"{p}/spans",
+                    spark.read.parquet(f"{p}/spans").filter(
+                        F.col("gen") <= n_u
+                    ),
+                    1 << 20,
+                )
+                led = spark.read.parquet(led_path)
+        if (
+            spark.read.parquet(f"{p}/spans")
+            .filter(F.col("gen") > n_u)
+            .limit(1)
+            .count()
+        ):
+            raise ValueError(
+                "RepeatIndex.retract: span rows beyond the committed "
+                "generation with no matching retraction ledger — a torn "
+                "UPDATE is on disk; replay that batch (the streaming "
+                "absorber's redo) before retracting"
+            )
+        if led is not None:
+            committed = led.filter(F.col("rseq") <= n_r).select("id")
+            n_in = r_ids.join(committed, "id", "left_semi").count()
+            if n_in == n_ids:
+                return {
+                    "retracted": 0,
+                    "touched_old": 0,
+                    "spans_rewritten": 0,
+                    "replayed": True,
+                }
+            if n_in:
+                raise ValueError(
+                    f"RepeatIndex.retract: {n_in} of {n_ids} id(s) are "
+                    "already retracted — a partial overlap would "
+                    "re-evaluate against wrong counts; retract only new ids"
+                )
+
+        # ---- flips: grams whose surviving distinct-doc count drops to 1
+        stored = self.postings()  # committed tombstones already filtered
+        r_post = stored.join(
+            F.broadcast(r_ids), "id", "left_semi"
+        ).localCheckpoint(eager=False)
+        r_grams = r_post.select("g").distinct()
+        c_all = (
+            stored.join(r_grams, "g", "left_semi")
+            .groupBy("g")
+            .agg(F.count(F.lit(1)).alias("ct"))
+        )
+        c_r = r_post.groupBy("g").agg(F.count(F.lit(1)).alias("cr"))
+        flipped = (
+            c_all.join(c_r, "g")
+            .filter(F.col("ct") - F.col("cr") == 1)
+            .select("g")
+        )
+        affected = (
+            stored.join(flipped, "g", "left_semi")
+            .join(F.broadcast(r_ids), "id", "left_anti")
+            .select("id")
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+        n_affected = affected.count()
+
+        gen = n_u + 1
+        upsert = None
+        n_upsert = 0
+        if n_affected:
+            icol, tcol, span_n = m["id_col"], m["text_col"], m["span_n"]
+            eval_docs = old_docs.join(
+                affected.withColumnRenamed("id", icol), icol, "left_semi"
+            ).join(
+                r_ids.withColumnRenamed("id", icol), icol, "left_anti"
+            )
+            n_eval = eval_docs.select(icol).distinct().count()
+            if n_eval != n_affected:
+                raise ValueError(
+                    "RepeatIndex.retract: old_docs is missing texts for "
+                    f"{n_affected - n_eval} of {n_affected} touched docs — "
+                    "re-evaluation against partial texts would silently "
+                    "under-count surviving repeats"
+                )
+            eval_pos = self._pos(eval_docs, tcol, icol, span_n).localCheckpoint(
+                eager=False
+            )
+            e_grams = eval_pos.select("g").distinct()
+            surv = stored.join(F.broadcast(r_ids), "id", "left_anti")
+            c_surv = (
+                surv.join(e_grams, "g", "left_semi")
+                .groupBy("g")
+                .agg(F.count(F.lit(1)).alias("cs"))
+            )
+            rep_g = c_surv.filter(F.col("cs") >= 2).select("g")
+            shared = eval_pos.join(rep_g, "g").select("id", "n_words", "pos")
+            new_spans = _island_spans(shared, span_n).withColumn(
+                "gen", F.lit(gen)
+            )
+            # a touched doc that lost its LAST repeat emits no island
+            # row — upsert the DELETE sentinel so the stale row stops
+            # winning the last-wins merge
+            sentinel = affected.join(
+                new_spans.select("id"), "id", "left_anti"
+            ).select(
+                "id",
+                *[
+                    F.lit(0).cast(new_spans.schema[c].dataType).alias(c)
+                    for c in (
+                        "n_spans",
+                        "repeat_words",
+                        "max_span_words",
+                        "max_span_start",
+                    )
+                ],
+                F.lit(0.0).cast("double").alias("repeat_frac"),
+                F.lit(gen).cast(new_spans.schema["gen"].dataType).alias("gen"),
+            )
+            upsert = new_spans.unionByName(sentinel).localCheckpoint(
+                eager=False
+            )
+            n_upsert = upsert.count()
+
+        # ---- the commit: ledger (uncommitted until the meta bump),
+        # span upserts, then meta — see the crash-window reasoning in
+        # the docstring
+        r_ids.select(
+            "id", F.lit(n_r + 1).cast("bigint").alias("rseq")
+        ).write.mode("append").parquet(led_path)
+        if upsert is not None:
+            upsert.write.mode("append").parquet(f"{p}/spans")
+        m["n_updates"] = gen
+        m["n_retractions"] = n_r + 1
+        self._write_meta()
+        return {
+            "retracted": int(n_ids),
+            "touched_old": int(n_affected),
+            "spans_rewritten": int(n_upsert),
+        }
+
     # ---------------------------------------------------------- streaming
 
     @classmethod
@@ -1282,14 +1552,42 @@ class RepeatIndex:
             )
 
     def _compact_unfenced(self, *, target_rows_per_file: int = 1 << 20) -> dict:
-        spark, p = self._spark, self._path
+        spark, p, m = self._spark, self._path, self.meta
         log = spark.read.parquet(f"{p}/spans")
+        n_u = int(m["n_updates"])
+        n_r = int(m.get("n_retractions") or 0)
+        # refuse uncommitted rows of either protocol: resolving the
+        # last-wins merge would COMMIT a torn write's shadow row (and
+        # destroy the committed row the replay needs) — the same
+        # guard class as CurationState.compact's pending-marker refuse
+        torn = bool(log.filter(F.col("gen") > n_u).limit(1).count())
+        has_led = _parquet_dir_exists(f"{p}/retracted")
+        if not torn and has_led:
+            torn = bool(
+                spark.read.parquet(f"{p}/retracted")
+                .filter(F.col("rseq") > n_r)
+                .limit(1)
+                .count()
+            )
+        if torn:
+            raise ValueError(
+                "RepeatIndex.compact: uncommitted span generations or "
+                "ledger rows on disk — a previous update/retraction "
+                "crashed before its meta commit; replay that delta before "
+                "compacting"
+            )
         w = W.partitionBy("id").orderBy(F.col("gen").desc())
         resolved = (
             log.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1)
             .drop("__rn")
+            # DELETE sentinels are safe to drop once the shadowed rows
+            # they beat are dropped by the same resolve
+            .filter(F.col("n_spans") > 0)
         )
+        t = self._tombstones()
+        if t is not None:
+            resolved = resolved.join(F.broadcast(t), "id", "left_anti")
         out = {
             "spans": _rewrite_parquet_dir(
                 spark, f"{p}/spans", resolved, target_rows_per_file
@@ -1298,6 +1596,15 @@ class RepeatIndex:
                 spark, f"{p}/postings", self.postings(), target_rows_per_file
             ),
         }
+        if has_led:
+            out["retracted"] = _rewrite_parquet_dir(
+                spark,
+                f"{p}/retracted",
+                spark.read.parquet(f"{p}/retracted").filter(
+                    F.col("rseq") <= n_r
+                ),
+                target_rows_per_file,
+            )
         return out
 
 
