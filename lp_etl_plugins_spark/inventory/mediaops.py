@@ -464,6 +464,44 @@ def m10_incremental_phash_clusters(spark: SparkSession, sf_dir: str) -> DataFram
 M10_SQL = M9_SQL
 
 
+def m12_media_retraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-index DELETION (``MediaIndex.retract``, round 9) —
+    the media member of the retraction family (v19 vectors, t41 LM,
+    t42 substrings, t43 near-dup text): build a fresh index over the
+    synthetic corpus, retract the media_id % 7 == 3 slice (NO media
+    bytes touched — the phash stage is content-complete for deletion
+    exactly as it is for updates), and summarize the post-retraction
+    clusters. Monotone stages filter by broadcast anti-join; the
+    cluster stage re-runs components over the affected clusters'
+    surviving pairs (a retracted bridge image splits its cluster). The
+    oracle recomputes phash → bands → verified pairs → recursive-CTE
+    components over the SURVIVING corpus — a direct hash gate on
+    retract == rebuild. Builds its own index (retract mutates; the
+    session-shared substrate must stay pristine for m6/m7/m9/m10).
+    → (cluster, n_media)."""
+    media = synthetic_media(spark, _N_MEDIA)
+    idx = MediaIndex(media)
+    idx.clusters  # force, so retract exercises the relabel path
+    idx.retract(
+        media.filter(F.col("media_id") % 7 == 3).select(
+            F.col("media_id").alias("id")
+        )
+    )
+    return idx.clusters.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_media")
+    )
+
+
+# M9's pipeline with the surviving-corpus filter applied where the
+# banded corpus enters (training-free — every stage is per-item or
+# pairwise, so the filter placement is exact)
+M12_SQL = M9_SQL.replace(
+    "FROM bits, unnest([0, 1, 2, 3]) t(b)",
+    "FROM bits, unnest([0, 1, 2, 3]) t(b)\n  WHERE i % 7 != 3",
+)
+assert M12_SQL != M9_SQL  # the anchor must keep matching
+
+
 def m11_phash_neardup_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The media skew cap (multimodal.MediaIndex(max_band_size=...)),
     oracle-gated: nine byte-identical blobs (blob 0 plus eight planted
@@ -549,6 +587,7 @@ QUERIES = {
     "m9_phash_clusters": m9_phash_clusters,
     "m10_incremental_phash_clusters": m10_incremental_phash_clusters,
     "m11_phash_neardup_capped": m11_phash_neardup_capped,
+    "m12_media_retraction": m12_media_retraction,
 }
 
 ORACLES: dict[str, str] = {
@@ -563,4 +602,5 @@ ORACLES: dict[str, str] = {
     "m9_phash_clusters": M9_SQL,
     "m10_incremental_phash_clusters": M10_SQL,
     "m11_phash_neardup_capped": M11_SQL,
+    "m12_media_retraction": M12_SQL,
 }

@@ -2218,6 +2218,41 @@ T42_SQL = (
 )
 
 
+def t43_dedup_retraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup index DELETION (``DedupIndex.retract``, round 9) —
+    completing the retraction family across every index (vector v19,
+    LM t41, exact-substring t42, and here the LSH/cluster member): a
+    fresh index is built over the corpus, the doc_id % 7 == 3 slice is
+    retracted, and the post-retraction CANDIDATE clusters are
+    summarized. The monotone stages filter by a broadcast anti-join;
+    the cluster stages re-run connected components over exactly the
+    AFFECTED clusters' surviving edge subgraphs (a retracted bridge
+    doc SPLITS its cluster — the case a label filter cannot express;
+    the split itself is pinned in tests/test_dedup_retraction.py). The
+    oracle recomputes clusters from scratch over the surviving corpus
+    with the recursive-CTE transitive closure — a direct hash gate on
+    retract == rebuild. Builds its own index (retract mutates;
+    the t0 session-shared substrate must stay pristine for t3/t4/t10/
+    t26/t39). → (cluster, n_docs)."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    idx = T.DedupIndex(docs, "text", "doc_id")
+    idx.clusters  # force, so retract exercises the relabel path
+    idx.retract(
+        docs.filter(F.col("doc_id") % 7 == 3).select(
+            F.col("doc_id").alias("id")
+        )
+    )
+    return idx.clusters.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+
+
+T43_SQL = T10_SQL.replace(
+    "FROM documents", "FROM documents WHERE doc_id % 7 != 3"
+)
+assert T43_SQL != T10_SQL  # the anchor must keep matching
+
+
 def t39_lsh_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The LSH skew cap (textops.pairs_from_band_frame /
     DedupIndex(max_band_size=...)), oracle-gated on the REAL corpus:
@@ -2462,6 +2497,7 @@ QUERIES = {
     "t40_incremental_trigram_lm": t40_incremental_trigram_lm,
     "t41_lm_retraction": t41_lm_retraction,
     "t42_repeat_retraction": t42_repeat_retraction,
+    "t43_dedup_retraction": t43_dedup_retraction,
 }
 
 ORACLES = {
@@ -2508,4 +2544,5 @@ ORACLES = {
     "t40_incremental_trigram_lm": T40_SQL,
     "t41_lm_retraction": T41_SQL,
     "t42_repeat_retraction": T42_SQL,
+    "t43_dedup_retraction": T43_SQL,
 }

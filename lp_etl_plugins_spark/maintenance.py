@@ -81,19 +81,53 @@ def check_dedup_index(spark: SparkSession, path: str) -> dict:
     check engages only when its stages exist (stage-subset saves are
     legitimate — ``save(stages=...)``); a pairs directory with no
     verified sibling is reported, because every full save writes
-    both."""
+    both. With a retraction ledger present, the cross-stage checks run
+    over the LIVE view (rows minus committed tombstones) — the
+    invariant that holds before, during, and after compact()'s
+    physical resolution; uncommitted ledger rows are themselves
+    reported (the torn-retraction signal)."""
     v: dict[str, int] = {}
     has = {
         s: T._parquet_dir_exists(f"{path}/{s}") for s in T.DedupIndex._STAGES
     }
-    pairs = spark.read.parquet(f"{path}/pairs") if has["pairs"] else None
+    tombs = None
+    if T._parquet_dir_exists(f"{path}/retracted"):
+        n_retr = 0
+        if T._parquet_dir_exists(f"{path}/meta"):
+            n_retr = int(
+                T._read_control_row(f"{path}/meta").get("n_retractions") or 0
+            )
+        led = spark.read.parquet(f"{path}/retracted")
+        _bad(
+            v,
+            "uncommitted_ledger_rows",
+            led.filter(F.col("rseq") > n_retr).count(),
+        )
+        t = led.filter(F.col("rseq") <= n_retr).select("id").distinct()
+        if t.first() is not None:
+            tombs = t
+
+    def _live(df, *cols):
+        if tombs is None or df is None:
+            return df
+        for c in cols:
+            df = df.join(
+                F.broadcast(tombs.withColumnRenamed("id", c)), c, "left_anti"
+            )
+        return df
+
+    pairs = (
+        _live(spark.read.parquet(f"{path}/pairs"), "id_a", "id_b")
+        if has["pairs"]
+        else None
+    )
     if has["pairs"] and not has["verified"]:
         # every full save writes verified beside pairs, so its absence
         # next to a pairs directory is a torn save regardless of
         # whether verified_clusters made it to disk
         _bad(v, "stage_missing_verified", 1)
     if has["verified"] and pairs is not None:
-        verified = spark.read.parquet(f"{path}/verified")
+        verified = _live(spark.read.parquet(f"{path}/verified"), "id_a", "id_b")
         _bad(
             v,
             "verified_not_in_pairs",
@@ -102,7 +136,7 @@ def check_dedup_index(spark: SparkSession, path: str) -> dict:
             .count(),
         )
     if has["bands"] and pairs is not None:
-        b_ids = spark.read.parquet(f"{path}/bands").select(
+        b_ids = _live(spark.read.parquet(f"{path}/bands"), "id").select(
             F.col("id").alias("id_a")
         )
         ends = pairs.select("id_a").unionByName(
@@ -113,7 +147,9 @@ def check_dedup_index(spark: SparkSession, path: str) -> dict:
         if not has["verified"]:
             _bad(v, "stage_missing_verified", 1)
         else:
-            verified = spark.read.parquet(f"{path}/verified")
+            verified = _live(
+                spark.read.parquet(f"{path}/verified"), "id_a", "id_b"
+            )
             vc_ids = spark.read.parquet(f"{path}/verified_clusters").select("id")
             v_ids = verified.select(F.col("id_a").alias("id")).unionByName(
                 verified.select(F.col("id_b").alias("id"))
@@ -282,6 +318,34 @@ def check_media_index(spark: SparkSession, path: str) -> dict:
     ph = spark.read.parquet(f"{path}/phash")
     pairs = spark.read.parquet(f"{path}/pairs")
     clusters = spark.read.parquet(f"{path}/clusters")
+    if T._parquet_dir_exists(f"{path}/retracted"):
+        # cross-stage checks run over the LIVE view (rows minus
+        # committed tombstones) — consistent before, during, and after
+        # compact()'s physical resolution; uncommitted ledger rows are
+        # the torn-retraction signal
+        n_retr = int(m.get("n_retractions") or 0)
+        led = spark.read.parquet(f"{path}/retracted")
+        _bad(
+            v,
+            "uncommitted_ledger_rows",
+            led.filter(F.col("rseq") > n_retr).count(),
+        )
+        t = led.filter(F.col("rseq") <= n_retr).select("id").distinct()
+        if t.first() is not None:
+            ph = ph.join(
+                F.broadcast(t.withColumnRenamed("id", "media_id")),
+                "media_id",
+                "left_anti",
+            )
+            pairs = pairs.join(
+                F.broadcast(t.withColumnRenamed("id", "id_a")),
+                "id_a",
+                "left_anti",
+            ).join(
+                F.broadcast(t.withColumnRenamed("id", "id_b")),
+                "id_b",
+                "left_anti",
+            )
     _bad(
         v,
         "duplicate_phash_ids",
@@ -437,7 +501,7 @@ def _stage_dirs(path: str, family: str, existing_only: bool = True) -> list[str]
     elif family == "DedupIndex":
         from .textops import DedupIndex
 
-        subs = DedupIndex._STAGES
+        subs = DedupIndex._STAGES + ("retracted",)
     elif family == "RepeatIndex":
         subs = ("postings", "spans", "retracted")
     elif family == "TrigramLM":
@@ -449,7 +513,7 @@ def _stage_dirs(path: str, family: str, existing_only: bool = True) -> list[str]
     else:
         from .multimodal import MediaIndex
 
-        subs = MediaIndex._STAGES
+        subs = MediaIndex._STAGES + ("retracted",)
     return [
         f"{path}/{s}"
         for s in subs

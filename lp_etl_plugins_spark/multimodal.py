@@ -486,7 +486,7 @@ class MediaIndex:
     _STAGES = ("phash", "pairs", "clusters")
     _META_SCHEMA = (
         "id_col string, n_bands int, max_hamming int, max_band_size int, "
-        "max_id bigint"
+        "max_id bigint, n_retractions int"
     )
 
     def __init__(
@@ -523,6 +523,10 @@ class MediaIndex:
         self.builds: dict[str, int] = dict.fromkeys(self._STAGES, 0)
         self.updates = 0
         self.max_id: int | None = None  # set by save()/load()/append_saved()
+        # retraction state (round 9, the DedupIndex protocol)
+        self.n_retractions = 0
+        self._retracted_ids: DataFrame | None = None
+        self._tomb_delta: DataFrame | None = None
 
     def _hash_media(self, media: DataFrame) -> DataFrame:
         return perceptual_hash(
@@ -659,6 +663,20 @@ class MediaIndex:
         ``update(delta)`` == ``build(old ∪ delta)`` stage-for-stage."""
         from .textops import _cap_band_groups, connected_components
 
+        if self._retracted_ids is not None:
+            n_dead = (
+                new_media.select(F.col(self._id_col).alias("id"))
+                .join(F.broadcast(self._retracted_ids), "id", "left_semi")
+                .count()
+            )
+            if n_dead:
+                raise ValueError(
+                    f"MediaIndex.update: {n_dead} delta id(s) collide with "
+                    "retracted ids — a retracted id stays dead (the "
+                    "tombstone filter would hide the re-ingested rows); "
+                    "allocate fresh ids for re-added content"
+                )
+
         old_ph = self.phash
         old_pairs = self.pairs
         new_ph = self._hash_media(new_media).localCheckpoint()
@@ -717,6 +735,217 @@ class MediaIndex:
         self.updates += 1
         return self
 
+    def retract(self, ids: DataFrame) -> "MediaIndex":
+        """Remove media items — the media member of the retraction
+        family (``DedupIndex.retract`` applied to the perceptual
+        index, and like it needing NO media bytes: the phash stage is
+        content-complete the same way it is for updates). The monotone
+        stages filter by a broadcast anti-join; the cluster stage
+        re-runs connected components over exactly the AFFECTED
+        clusters' surviving pairs — a retracted bridge image SPLITS
+        its cluster, the case a label filter cannot express.
+        ``retract(r)`` equals ``build(corpus ∖ r)`` stage-for-stage
+        under exact mining (oracle-gated, m12); with ``max_band_size``
+        set the documented monotone cap semantics carry over. Double
+        retraction and reuse are refused. Mutates and returns
+        ``self``; :meth:`retract_saved` lands the delta."""
+        from .textops import connected_components
+
+        t = (
+            ids.select(F.col(ids.columns[0]).cast("long").alias("id"))
+            .distinct()
+            .localCheckpoint()
+        )
+        if self._retracted_ids is not None:
+            n_dead = t.join(
+                F.broadcast(self._retracted_ids), "id", "left_semi"
+            ).count()
+            if n_dead:
+                raise ValueError(
+                    f"MediaIndex.retract: {n_dead} id(s) were already "
+                    "retracted — double deletion would re-filter and "
+                    "re-label against wrong state"
+                )
+        if self.max_id is not None:
+            hi = t.agg(F.max("id")).first()[0]
+            if int(hi) > int(self.max_id):
+                raise ValueError(
+                    "MediaIndex.retract: delta contains id(s) above the "
+                    f"indexed high-water mark {self.max_id} — never "
+                    "ingested into this index"
+                )
+        elif self._df is not None:
+            row = self._df.agg(F.max(self._id_col)).first()
+            self.max_id = None if row[0] is None else int(row[0])
+        if self._phash is not None:
+            self._phash = self._phash.join(
+                F.broadcast(t.withColumnRenamed("id", "media_id")),
+                "media_id",
+                "left_anti",
+            ).select("media_id", "phash")
+        if self._pairs is not None:
+            self._pairs = self._pairs.join(
+                F.broadcast(t.withColumnRenamed("id", "id_a")),
+                "id_a",
+                "left_anti",
+            ).join(
+                F.broadcast(t.withColumnRenamed("id", "id_b")),
+                "id_b",
+                "left_anti",
+            ).select("id_a", "id_b", "hamming")
+        if self._clusters is not None:
+            if self._pairs is None:
+                raise ValueError(
+                    "MediaIndex.retract: the clusters stage is loaded but "
+                    "pairs is missing — the affected clusters cannot be "
+                    "re-labeled"
+                )
+            lbl = self._clusters
+            aff = (
+                lbl.join(F.broadcast(t), "id", "left_semi")
+                .select("cluster")
+                .distinct()
+            )
+            keepers = lbl.join(aff, "cluster", "left_anti").select(
+                "id", "cluster"
+            )
+            aff_members = lbl.join(aff, "cluster", "left_semi").select("id")
+            sub_edges = self._pairs.select("id_a", "id_b").join(
+                aff_members.withColumnRenamed("id", "id_a"),
+                "id_a",
+                "left_semi",
+            )
+            relabeled = connected_components(sub_edges)
+            self._clusters = keepers.unionByName(relabeled).localCheckpoint(
+                eager=False
+            )
+        if self._df is not None:
+            self._df = self._df.join(
+                t.withColumnRenamed("id", self._id_col),
+                self._id_col,
+                "left_anti",
+            )
+        self._retracted_ids = (
+            t
+            if self._retracted_ids is None
+            else self._retracted_ids.unionByName(t).localCheckpoint(
+                eager=False
+            )
+        )
+        self._tomb_delta = (
+            t
+            if self._tomb_delta is None
+            else self._tomb_delta.unionByName(t).localCheckpoint(eager=False)
+        )
+        return self
+
+    def retract_saved(self, path: str) -> None:
+        """Land the pending :meth:`retract` delta under the
+        retraction-sequence commit (the family protocol — see
+        ``DedupIndex.retract_saved``): ledger rows first at
+        ``rseq = k+1``, the relabeled clusters overwrite (the stage
+        ``append_saved`` already rewrites wholesale), meta commits
+        last. Readers filter by the COMMITTED ledger, so every crash
+        prefix leaves the monotone views pre-retract; the same-ids
+        replay purges its uncommitted rows, re-derives clusters from
+        the filtered pairs (drop-don't-trust), and re-lands; a
+        committed replay skips. Single-writer-fenced."""
+        if self._tomb_delta is None:
+            raise ValueError(
+                "MediaIndex.retract_saved: no retract() delta to land — "
+                "call retract(ids) first"
+            )
+        from .lease import dir_lease
+
+        with dir_lease(path, role="MediaIndex.retract_saved"):
+            self._retract_saved_locked(path)
+
+    def _retract_saved_locked(self, path: str) -> None:
+        from .textops import (
+            _parquet_dir_exists,
+            _read_control_row,
+            _recover_swapped_dir,
+            _rewrite_parquet_dir,
+            connected_components,
+        )
+
+        spark = self._tomb_delta.sparkSession
+        m = _read_control_row(f"{path}/meta")
+        stamp = m.get("max_id")
+        if stamp is None:
+            raise ValueError(
+                "MediaIndex.retract_saved: the saved index has no max_id "
+                "high-water mark — re-save() the index before retracting"
+            )
+        n_r = int(m.get("n_retractions") or 0)
+        ids = self._tomb_delta
+        row = ids.agg(
+            F.count(F.lit(1)).alias("n"), F.max("id").alias("hi")
+        ).first()
+        if row["hi"] is None:
+            self._tomb_delta = None
+            return
+        if int(row["hi"]) > int(stamp):
+            raise ValueError(
+                "MediaIndex.retract_saved: delta contains id(s) above the "
+                f"saved high-water mark {stamp} — never ingested"
+            )
+        led_path = f"{path}/retracted"
+        replay_torn = False
+        if _parquet_dir_exists(led_path):
+            _recover_swapped_dir(led_path)
+            led = spark.read.parquet(led_path)
+            unc = led.filter(F.col("rseq") > n_r).select("id").distinct()
+            if unc.limit(1).count():
+                if (
+                    unc.join(ids, "id", "left_anti").limit(1).count()
+                    or ids.join(unc, "id", "left_anti").limit(1).count()
+                ):
+                    raise ValueError(
+                        "MediaIndex.retract_saved: uncommitted ledger rows "
+                        "from a DIFFERENT torn retraction are on disk — "
+                        "replay that retraction (same ids) before this one"
+                    )
+                replay_torn = True
+                _rewrite_parquet_dir(
+                    spark, led_path, led.filter(F.col("rseq") <= n_r), 1 << 20
+                )
+            committed = (
+                spark.read.parquet(led_path)
+                .filter(F.col("rseq") <= n_r)
+                .select("id")
+            )
+            n_in = ids.join(committed, "id", "left_semi").count()
+            if n_in == int(row["n"]):
+                self._tomb_delta = None
+                return
+            if n_in:
+                raise ValueError(
+                    f"MediaIndex.retract_saved: {n_in} of {row['n']} delta "
+                    "id(s) are already retracted on disk — retract only "
+                    "new ids"
+                )
+        if replay_torn and self._pairs is not None:
+            # drop-don't-trust: the crashed attempt may have torn the
+            # clusters overwrite — re-derive from the filtered pairs
+            self._clusters = connected_components(
+                self._pairs.select("id_a", "id_b")
+            )
+        ids.select(
+            "id", F.lit(n_r + 1).cast("bigint").alias("rseq")
+        ).write.mode("append").parquet(led_path)
+        if self._clusters is not None:
+            # EAGER pin before the overwrite — the relabel plan reads
+            # this very directory
+            self._clusters = self._clusters.localCheckpoint()
+            self._clusters.write.mode("overwrite").parquet(
+                f"{path}/clusters"
+            )
+        self.max_id = int(stamp)
+        self.n_retractions = n_r + 1
+        self._write_meta(path)
+        self._tomb_delta = None
+
     def save(self, path: str) -> None:
         """Persist all stages + meta under ``path`` (forces any
         not-yet-built stage) — the cross-session form. Meta records
@@ -725,7 +954,22 @@ class MediaIndex:
         for stage in self._STAGES:
             getattr(self, stage).write.mode("overwrite").parquet(f"{path}/{stage}")
         hi = self.phash.agg(F.max("media_id")).first()[0]
+        if self.max_id is not None:
+            # never shrink: a retraction may have removed the max-id
+            # item, but its id stays allocated
+            hi = self.max_id if hi is None else max(int(hi), self.max_id)
         self.max_id = None if hi is None else int(hi)
+        from .textops import _local_path, _parquet_dir_exists
+
+        if self._retracted_ids is not None:
+            self._retracted_ids.select(
+                "id", F.lit(0).cast("bigint").alias("rseq")
+            ).write.mode("overwrite").parquet(f"{path}/retracted")
+        elif _parquet_dir_exists(f"{path}/retracted"):
+            import shutil
+
+            shutil.rmtree(_local_path(f"{path}/retracted"))
+        self.n_retractions = 0
         self._write_meta(path)
 
     def _write_meta(self, path: str) -> None:
@@ -740,6 +984,7 @@ class MediaIndex:
                     self._max_hamming,
                     self._max_band_size,
                     self.max_id,
+                    int(self.n_retractions),
                 )
             ],
             self._META_SCHEMA,
@@ -767,6 +1012,38 @@ class MediaIndex:
             setattr(idx, f"_{stage}", spark.read.parquet(f"{path}/{stage}"))
         idx.builds = dict.fromkeys(cls._STAGES, 0)
         idx.updates = 0
+        from .textops import _parquet_dir_exists
+
+        idx.n_retractions = int(m.get("n_retractions") or 0)
+        idx._retracted_ids = None
+        idx._tomb_delta = None
+        if _parquet_dir_exists(f"{path}/retracted"):
+            t = (
+                spark.read.parquet(f"{path}/retracted")
+                .filter(F.col("rseq") <= idx.n_retractions)
+                .select("id")
+                .distinct()
+            )
+            if t.first() is not None:
+                # committed retractions filter the monotone stages at
+                # load (broadcast anti-joins); clusters were rewritten
+                # by retract_saved and already exclude them
+                t = t.localCheckpoint()
+                idx._retracted_ids = t
+                idx._phash = idx._phash.join(
+                    F.broadcast(t.withColumnRenamed("id", "media_id")),
+                    "media_id",
+                    "left_anti",
+                ).select("media_id", "phash")
+                idx._pairs = idx._pairs.join(
+                    F.broadcast(t.withColumnRenamed("id", "id_a")),
+                    "id_a",
+                    "left_anti",
+                ).join(
+                    F.broadcast(t.withColumnRenamed("id", "id_b")),
+                    "id_b",
+                    "left_anti",
+                ).select("id_a", "id_b", "hamming")
         return idx
 
     def append_saved(self, path: str) -> None:
@@ -803,6 +1080,27 @@ class MediaIndex:
             self._append_saved_locked(path)
 
     def _append_saved_locked(self, path: str) -> None:
+        from .textops import _parquet_dir_exists, _read_control_row
+
+        if _parquet_dir_exists(f"{path}/retracted"):
+            # sync the retraction sequence so the trailing meta rewrite
+            # never clobbers committed retractions; refuse to
+            # interleave with a torn retraction (its replay owns the
+            # purge)
+            m = _read_control_row(f"{path}/meta")
+            self.n_retractions = int(m.get("n_retractions") or 0)
+            spark = self._delta["phash"].sparkSession
+            if (
+                spark.read.parquet(f"{path}/retracted")
+                .filter(F.col("rseq") > self.n_retractions)
+                .limit(1)
+                .count()
+            ):
+                raise ValueError(
+                    "MediaIndex.append_saved: uncommitted retraction "
+                    "ledger rows on disk — replay that retraction (same "
+                    "ids) before appending"
+                )
         pairs_delta = self._delta["pairs"].localCheckpoint()
         clusters = self.clusters.localCheckpoint()
         self._delta["phash"].write.mode("append").parquet(f"{path}/phash")
@@ -884,10 +1182,14 @@ class MediaIndex:
             missing.write.mode("append").parquet(f"{path}/pairs")
         from .textops import connected_components
 
-        all_pairs = spark.read.parquet(f"{path}/pairs")
-        clusters = connected_components(
-            all_pairs.select("id_a", "id_b")
-        ).localCheckpoint()
+        # live pair set = the LOADED (committed-tombstone-filtered,
+        # pre-append listing) pairs plus the just-mined missing delta —
+        # NOT a raw re-read, which would resurrect retracted endpoints
+        # into the cluster rewrite
+        all_pairs = idx.pairs.select("id_a", "id_b").unionByName(
+            missing.select("id_a", "id_b")
+        )
+        clusters = connected_components(all_pairs).localCheckpoint()
         clusters.write.mode("overwrite").parquet(f"{path}/clusters")
         hi = full_ph.agg(F.max("media_id")).first()[0]
         idx.max_id = int(hi)
@@ -905,26 +1207,73 @@ class MediaIndex:
         """Re-layout a :meth:`save`-d directory to size-targeted files
         — same contract as DedupIndex/VectorIndex.compact: appends
         leave O(updates) small files whose open/footer cost every
-        later read pays; all stages here are complete-on-disk (no
-        tombstones, clusters rewritten at append time), so this is a
-        pure file re-layout — a re-``load`` serves identical frames
+        later read pays. With a committed retraction ledger present,
+        the rewrite also RESOLVES it (phash/pairs drop retracted rows;
+        clusters were already rewritten by retract_saved; the ledger
+        re-lays and is retained so reuse keeps being refused), and
+        UNCOMMITTED ledger rows refuse — resolving around a torn
+        retraction would race its replay. Otherwise a pure file
+        re-layout — a re-``load`` serves identical frames
         (test-asserted). Meta untouched. In-memory objects over
         ``path`` are STALE afterwards.
         → ``{stage: {"rows", "files_before", "files_after"}}``.
         Single-writer-fenced (see :mod:`.lease`)."""
         from .lease import dir_lease
-        from .textops import _rewrite_parquet_dir
+        from .textops import (
+            _parquet_dir_exists,
+            _read_control_row,
+            _rewrite_parquet_dir,
+        )
 
         with dir_lease(path, role="MediaIndex.compact"):
-            return {
-                stage: _rewrite_parquet_dir(
+            tombs = None
+            led_path = f"{path}/retracted"
+            if _parquet_dir_exists(led_path):
+                n_r = int(
+                    _read_control_row(f"{path}/meta").get("n_retractions")
+                    or 0
+                )
+                led = spark.read.parquet(led_path)
+                if led.filter(F.col("rseq") > n_r).limit(1).count():
+                    raise ValueError(
+                        "MediaIndex.compact: uncommitted retraction ledger "
+                        "rows on disk — replay that retraction (same ids) "
+                        "before compacting"
+                    )
+                t = led.filter(F.col("rseq") <= n_r).select("id").distinct()
+                if t.first() is not None:
+                    tombs = t.localCheckpoint()
+            out = {}
+            for stage in cls._STAGES:
+                df = spark.read.parquet(f"{path}/{stage}")
+                cols = df.columns
+                if tombs is not None and stage == "phash":
+                    df = df.join(
+                        F.broadcast(tombs.withColumnRenamed("id", "media_id")),
+                        "media_id",
+                        "left_anti",
+                    ).select(*cols)
+                elif tombs is not None and stage == "pairs":
+                    df = df.join(
+                        F.broadcast(tombs.withColumnRenamed("id", "id_a")),
+                        "id_a",
+                        "left_anti",
+                    ).join(
+                        F.broadcast(tombs.withColumnRenamed("id", "id_b")),
+                        "id_b",
+                        "left_anti",
+                    ).select(*cols)
+                out[stage] = _rewrite_parquet_dir(
+                    spark, f"{path}/{stage}", df, target_rows_per_file
+                )
+            if _parquet_dir_exists(led_path):
+                out["retracted"] = _rewrite_parquet_dir(
                     spark,
-                    f"{path}/{stage}",
-                    spark.read.parquet(f"{path}/{stage}"),
+                    led_path,
+                    spark.read.parquet(led_path),
                     target_rows_per_file,
                 )
-                for stage in cls._STAGES
-            }
+            return out
 
 
 def foreach_batch_add(spark: SparkSession, index_path: str):

@@ -965,8 +965,11 @@ class RepeatIndex:
         t = self._tombstones()
         if t is not None:
             # retraction sets are deletion-sized — broadcast anti-join,
-            # no shuffle added; compact() resolves them physically
-            out = out.join(F.broadcast(t), "id", "left_anti")
+            # no shuffle added; compact() resolves them physically.
+            # (Column re-select: the USING-column join promotes the
+            # key to the front.)
+            cols = out.columns
+            out = out.join(F.broadcast(t), "id", "left_anti").select(*cols)
         return out
 
     def spans(self) -> DataFrame:
@@ -2206,6 +2209,12 @@ class DedupIndex:
         self.builds: dict[str, int] = dict.fromkeys(self._STAGES, 0)
         self.updates = 0
         self.max_doc_id: int | None = None  # stamped by save()/load()
+        # retraction state (round 9): committed retraction count, the
+        # in-memory ledger (double-retraction refusal), the pending
+        # retract_saved delta
+        self.n_retractions = 0
+        self._retracted_ids: DataFrame | None = None
+        self._tomb_delta: DataFrame | None = None
 
     @property
     def bands(self) -> DataFrame:
@@ -2271,7 +2280,7 @@ class DedupIndex:
     _META_SCHEMA = (
         "text_col string, id_col string, shingle_n int, k int, bands int, "
         "rows int, threshold double, max_band_size int, max_doc_id bigint, "
-        "hash_family string"
+        "hash_family string, n_retractions int"
     )
 
     @property
@@ -2330,7 +2339,25 @@ class DedupIndex:
             hi = src.agg(F.max(self._id_col)).first()[0]
         else:
             hi = self.bands.agg(F.max("id")).first()[0]
+        if self.max_doc_id is not None:
+            # never shrink: retraction may have removed the max-id doc
+            # from the corpus view, but its id stays allocated
+            hi = self.max_doc_id if hi is None else max(int(hi), self.max_doc_id)
         self.max_doc_id = None if hi is None else int(hi)
+        if self._retracted_ids is not None:
+            # the stages above are already retraction-filtered, but
+            # the ledger must survive the snapshot so reuse keeps
+            # being refused; rseq 0 is always committed
+            self._retracted_ids.select(
+                "id", F.lit(0).cast("bigint").alias("rseq")
+            ).write.mode("overwrite").parquet(f"{path}/retracted")
+        elif _parquet_dir_exists(f"{path}/retracted"):
+            import shutil
+
+            shutil.rmtree(_local_path(f"{path}/retracted"))
+        # the snapshot's stages carry no retracted rows — the sequence
+        # restarts
+        self.n_retractions = 0
         self._write_meta(path)
 
     def _write_meta(self, path: str) -> None:
@@ -2348,6 +2375,7 @@ class DedupIndex:
                     self._max_band_size,
                     self.max_doc_id,
                     self._hash_family,
+                    int(self.n_retractions),
                 )
             ],
             self._META_SCHEMA,
@@ -2388,6 +2416,47 @@ class DedupIndex:
                 setattr(idx, f"_{stage}", None)
         idx.builds = dict.fromkeys(cls._STAGES, 0)
         idx.updates = 0
+        idx.n_retractions = int(m.get("n_retractions") or 0)
+        idx._retracted_ids = None
+        idx._tomb_delta = None
+        if _parquet_dir_exists(f"{path}/retracted"):
+            t = (
+                spark.read.parquet(f"{path}/retracted")
+                .filter(F.col("rseq") <= idx.n_retractions)
+                .select("id")
+                .distinct()
+            )
+            if t.first() is not None:
+                # committed retractions filter the monotone stages at
+                # load (broadcast anti-joins — deletion-sized sets);
+                # the label stages were rewritten by retract_saved and
+                # already exclude them. compact() resolves physically.
+                t = t.localCheckpoint()
+                idx._retracted_ids = t
+                if idx._bands is not None:
+                    idx._bands = idx._bands.join(
+                        F.broadcast(t), "id", "left_anti"
+                    )
+                for s in ("pairs", "verified"):
+                    fr = getattr(idx, f"_{s}")
+                    if fr is not None:
+                        setattr(
+                            idx,
+                            f"_{s}",
+                            fr.join(
+                                F.broadcast(
+                                    t.withColumnRenamed("id", "id_a")
+                                ),
+                                "id_a",
+                                "left_anti",
+                            ).join(
+                                F.broadcast(
+                                    t.withColumnRenamed("id", "id_b")
+                                ),
+                                "id_b",
+                                "left_anti",
+                            ).select(*fr.columns),
+                        )
         return idx
 
     def update(self, new_docs: DataFrame, old_docs: DataFrame | None = None) -> "DedupIndex":
@@ -2417,6 +2486,19 @@ class DedupIndex:
         monotone; a group that outgrew the cap stops yielding NEW
         pairs. Mutates and returns ``self``; stages never built (and
         not loaded) stay lazy and will derive from the merged state."""
+        if self._retracted_ids is not None:
+            n_dead = (
+                new_docs.select(F.col(self._id_col).alias("id"))
+                .join(F.broadcast(self._retracted_ids), "id", "left_semi")
+                .count()
+            )
+            if n_dead:
+                raise ValueError(
+                    f"DedupIndex.update: {n_dead} delta id(s) collide with "
+                    "retracted ids — a retracted id stays dead (the "
+                    "tombstone filter would hide the re-ingested rows); "
+                    "allocate fresh ids for re-added content"
+                )
         old = old_docs if old_docs is not None else self._df
         # old state FIRST — after the merge below, the lazy properties
         # would rebuild from merged inputs instead
@@ -2538,6 +2620,251 @@ class DedupIndex:
         self.updates += 1
         return self
 
+    def retract(self, ids: DataFrame) -> "DedupIndex":
+        """Remove documents from the index — the deletion half of the
+        append-only contract, needing NO document text (unlike
+        :meth:`update`): the monotone stages are per-doc/per-pair rows
+        (filtered by a broadcast anti-join), and the cluster stages
+        are re-derived for exactly the AFFECTED components — a cluster
+        containing a retracted doc can SPLIT when that doc was the
+        bridge, so its surviving members re-run connected components
+        over the surviving edge subgraph (bounded by the affected
+        clusters, never the corpus), while every untouched cluster
+        keeps its stored label. ``retract(r)`` equals
+        ``build(corpus ∖ r)`` stage-for-stage under the default
+        (uncapped) configuration — oracle-gated (t43). With
+        ``max_band_size`` set the index keeps its documented MONOTONE
+        cap semantics: already-mined pairs touching survivors stay,
+        but a band group that a retraction shrinks back under the cap
+        does not retro-mine (exactly mirroring update's
+        never-retract-mined-pairs rule).
+
+        Ids must not be already retracted (double deletion is refused
+        — in memory and against the saved ledger); :meth:`update`
+        refuses their reuse afterwards. Mutates and returns ``self``;
+        :meth:`retract_saved` lands the delta on a saved directory."""
+        t = (
+            ids.select(F.col(ids.columns[0]).cast("long").alias("id"))
+            .distinct()
+            .localCheckpoint()
+        )
+        if self._retracted_ids is not None:
+            n_dead = t.join(
+                F.broadcast(self._retracted_ids), "id", "left_semi"
+            ).count()
+            if n_dead:
+                raise ValueError(
+                    f"DedupIndex.retract: {n_dead} id(s) were already "
+                    "retracted — double deletion would re-filter and "
+                    "re-label against wrong state"
+                )
+        if self.max_doc_id is not None:
+            hi = t.agg(F.max("id")).first()[0]
+            if int(hi) > int(self.max_doc_id):
+                raise ValueError(
+                    "DedupIndex.retract: delta contains id(s) above the "
+                    f"indexed high-water mark {self.max_doc_id} — those "
+                    "documents were never ingested into this index"
+                )
+        elif self._df is not None:
+            # pin the allocation mark BEFORE the corpus view shrinks —
+            # retraction never un-allocates an id
+            row = self._df.agg(F.max(self._id_col)).first()
+            self.max_doc_id = None if row[0] is None else int(row[0])
+        if self._bands is not None:
+            self._bands = self._bands.join(F.broadcast(t), "id", "left_anti")
+        for s in ("pairs", "verified"):
+            fr = getattr(self, f"_{s}")
+            if fr is not None:
+                # the USING-column anti-joins promote the join key to
+                # the front — restore the stage's column order
+                setattr(
+                    self,
+                    f"_{s}",
+                    fr.join(
+                        F.broadcast(t.withColumnRenamed("id", "id_a")),
+                        "id_a",
+                        "left_anti",
+                    ).join(
+                        F.broadcast(t.withColumnRenamed("id", "id_b")),
+                        "id_b",
+                        "left_anti",
+                    ).select(*fr.columns),
+                )
+        # affected-cluster relabel: components are closed under their
+        # edges, so restricting the (already-filtered) edge set to the
+        # affected clusters' surviving members captures every edge
+        # that can influence their new labels
+        for stage, edges in (
+            ("clusters", self._pairs),
+            ("verified_clusters", self._verified),
+        ):
+            lbl = getattr(self, f"_{stage}")
+            if lbl is None:
+                continue  # excluded stage, or dropped-to-rederive: the
+                # lazy property re-derives from the filtered edges
+            if edges is None:
+                raise ValueError(
+                    f"DedupIndex.retract: the {stage} stage is loaded but "
+                    "its edge stage was excluded at save time — the "
+                    "affected clusters cannot be re-labeled; re-save the "
+                    "index including the edge stage"
+                )
+            aff = (
+                lbl.join(F.broadcast(t), "id", "left_semi")
+                .select("cluster")
+                .distinct()
+            )
+            keepers = lbl.join(aff, "cluster", "left_anti").select(
+                "id", "cluster"
+            )
+            aff_members = lbl.join(aff, "cluster", "left_semi").select("id")
+            sub_edges = edges.select("id_a", "id_b").join(
+                aff_members.withColumnRenamed("id", "id_a"),
+                "id_a",
+                "left_semi",
+            )
+            relabeled = connected_components(sub_edges)
+            setattr(
+                self,
+                f"_{stage}",
+                keepers.unionByName(relabeled).localCheckpoint(eager=False),
+            )
+        if self._df is not None:
+            self._df = self._df.join(
+                t.withColumnRenamed("id", self._id_col),
+                self._id_col,
+                "left_anti",
+            )
+        self._retracted_ids = (
+            t
+            if self._retracted_ids is None
+            else self._retracted_ids.unionByName(t).localCheckpoint(
+                eager=False
+            )
+        )
+        self._tomb_delta = (
+            t
+            if self._tomb_delta is None
+            else self._tomb_delta.unionByName(t).localCheckpoint(eager=False)
+        )
+        return self
+
+    def retract_saved(self, path: str) -> None:
+        """Land the pending :meth:`retract` delta on a :meth:`save`-d
+        index directory under the retraction-sequence commit protocol
+        (the family form — :class:`TrigramLM`/:class:`RepeatIndex`):
+        ledger rows land first at ``rseq = k+1`` (uncommitted until
+        meta), the relabeled cluster stages overwrite (bounded by the
+        clustered subset — the same wholesale rewrite
+        :meth:`append_saved` already performs for them), and meta
+        commits ``n_retractions = k+1`` last. Readers filter by the
+        COMMITTED ledger only, so a crash after any prefix leaves the
+        monotone views exactly pre-retract (a torn label overwrite is
+        identifiable by the uncommitted ledger rows and re-derived by
+        the replay — the ``rollback_unstamped`` drop-don't-trust rule).
+        A fully-committed replay skips idempotently; a different torn
+        retraction is refused. Single-writer-fenced."""
+        if self._tomb_delta is None:
+            raise ValueError(
+                "DedupIndex.retract_saved: no retract() delta to land — "
+                "call retract(ids) first"
+            )
+        from .lease import dir_lease
+
+        with dir_lease(path, role="DedupIndex.retract_saved"):
+            self._retract_saved_unfenced(path)
+
+    def _retract_saved_unfenced(self, path: str) -> None:
+        spark = self._tomb_delta.sparkSession
+        m = _read_control_row(f"{path}/meta")
+        stamp = m.get("max_doc_id")
+        if stamp is None:
+            raise ValueError(
+                "DedupIndex.retract_saved: the saved index has no "
+                "max_doc_id high-water mark (meta predates it) — re-save() "
+                "the index (which stamps it) before retracting"
+            )
+        n_r = int(m.get("n_retractions") or 0)
+        ids = self._tomb_delta
+        row = ids.agg(F.count(F.lit(1)).alias("n"), F.max("id").alias("hi")).first()
+        if row["hi"] is None:
+            self._tomb_delta = None
+            return
+        if int(row["hi"]) > int(stamp):
+            raise ValueError(
+                "DedupIndex.retract_saved: delta contains id(s) above the "
+                f"saved high-water mark {stamp} — never ingested"
+            )
+        led_path = f"{path}/retracted"
+        replay_torn = False
+        if _parquet_dir_exists(led_path):
+            _recover_swapped_dir(led_path)
+            led = spark.read.parquet(led_path)
+            unc = led.filter(F.col("rseq") > n_r).select("id").distinct()
+            if unc.limit(1).count():
+                if (
+                    unc.join(ids, "id", "left_anti").limit(1).count()
+                    or ids.join(unc, "id", "left_anti").limit(1).count()
+                ):
+                    raise ValueError(
+                        "DedupIndex.retract_saved: uncommitted ledger rows "
+                        "from a DIFFERENT torn retraction are on disk — "
+                        "replay that retraction (same ids) before this one"
+                    )
+                replay_torn = True
+                _rewrite_parquet_dir(
+                    spark, led_path, led.filter(F.col("rseq") <= n_r), 1 << 20
+                )
+            committed = (
+                spark.read.parquet(led_path)
+                .filter(F.col("rseq") <= n_r)
+                .select("id")
+            )
+            n_in = ids.join(committed, "id", "left_semi").count()
+            if n_in == int(row["n"]):
+                self._tomb_delta = None
+                return  # fully-committed replay — already landed
+            if n_in:
+                raise ValueError(
+                    f"DedupIndex.retract_saved: {n_in} of {row['n']} delta "
+                    "id(s) are already retracted on disk — a partial "
+                    "overlap relabels against wrong state; retract only "
+                    "new ids"
+                )
+        if replay_torn:
+            # the crashed attempt may have torn a label overwrite — the
+            # drop-don't-trust rule: re-derive both label stages from
+            # the (retract()-filtered) edge frames rather than trusting
+            # anything retract() read from disk
+            for stage, edges in (
+                ("clusters", self._pairs),
+                ("verified_clusters", self._verified),
+            ):
+                if edges is not None:
+                    setattr(
+                        self,
+                        f"_{stage}",
+                        connected_components(edges.select("id_a", "id_b")),
+                    )
+        ids.select(
+            "id", F.lit(n_r + 1).cast("bigint").alias("rseq")
+        ).write.mode("append").parquet(led_path)
+        for stage in ("clusters", "verified_clusters"):
+            frame = getattr(self, f"_{stage}")
+            if frame is not None:
+                # EAGER pin before the overwrite: the relabel plan
+                # reads this very directory (keepers come from the
+                # loaded stage), and mode("overwrite") deletes the
+                # input files before the lazy plan would evaluate
+                frame = frame.localCheckpoint()
+                setattr(self, f"_{stage}", frame)
+                frame.write.mode("overwrite").parquet(f"{path}/{stage}")
+        self.max_doc_id = int(stamp)
+        self.n_retractions = n_r + 1
+        self._write_meta(path)
+        self._tomb_delta = None
+
     def rollback_unstamped(self, stamp: int) -> tuple[str, ...]:
         """Drop landed-but-unstamped rows (ids beyond ``stamp``, the
         meta high-water mark) from the LOADED monotone stages, and
@@ -2617,6 +2944,27 @@ class DedupIndex:
                 "DedupIndex.append_saved: no update() delta to append — "
                 "call update(new_docs) first"
             )
+        if _parquet_dir_exists(f"{path}/retracted"):
+            # the trailing meta rewrite re-writes every field — sync
+            # the retraction sequence from disk so an in-session
+            # object never clobbers committed retractions back to
+            # uncommitted; and refuse to interleave with a torn
+            # retraction (its replay owns the purge)
+            m = _read_control_row(f"{path}/meta")
+            self.n_retractions = int(m.get("n_retractions") or 0)
+            spark = self._delta["bands"].sparkSession
+            if (
+                spark.read.parquet(f"{path}/retracted")
+                .filter(F.col("rseq") > self.n_retractions)
+                .limit(1)
+                .count()
+            ):
+                raise ValueError(
+                    "DedupIndex.append_saved: uncommitted retraction "
+                    "ledger rows on disk — a previous retract_saved "
+                    "crashed mid-protocol; replay that retraction (same "
+                    "ids) before appending"
+                )
 
         def _append(delta: "DataFrame", stage: str, keys: list) -> None:
             if repair:
@@ -2818,16 +3166,59 @@ class DedupIndex:
         is STALE afterwards (its plans captured the old file
         listings); re-``load`` to keep using the index.
 
+        With a committed retraction ledger present, the rewrite also
+        RESOLVES it: bands/pairs/verified drop rows touching retracted
+        ids (the label stages were already rewritten by
+        ``retract_saved``), and the ledger re-lays to its committed
+        subset — retained so id reuse keeps being refused. Refuses
+        (ValueError) on UNCOMMITTED ledger rows: resolving around a
+        torn retraction would race its replay.
+
         → ``{stage: {"rows": n, "files_before": b, "files_after": a}}``
         for the stages present on disk."""
+        tombs = None
+        led_path = f"{path}/retracted"
+        if _parquet_dir_exists(led_path):
+            n_r = int(
+                _read_control_row(f"{path}/meta").get("n_retractions") or 0
+            )
+            led = spark.read.parquet(led_path)
+            if led.filter(F.col("rseq") > n_r).limit(1).count():
+                raise ValueError(
+                    "DedupIndex.compact: uncommitted retraction ledger "
+                    "rows on disk — a previous retract_saved crashed "
+                    "mid-protocol; replay that retraction (same ids) "
+                    "before compacting"
+                )
+            t = led.filter(F.col("rseq") <= n_r).select("id").distinct()
+            if t.first() is not None:
+                tombs = t.localCheckpoint()
         out: dict[str, dict] = {}
         for stage in cls._STAGES:
             if not _parquet_dir_exists(f"{path}/{stage}"):
                 continue
+            df = spark.read.parquet(f"{path}/{stage}")
+            if tombs is not None and stage == "bands":
+                df = df.join(F.broadcast(tombs), "id", "left_anti")
+            elif tombs is not None and stage in ("pairs", "verified"):
+                cols = df.columns
+                df = df.join(
+                    F.broadcast(tombs.withColumnRenamed("id", "id_a")),
+                    "id_a",
+                    "left_anti",
+                ).join(
+                    F.broadcast(tombs.withColumnRenamed("id", "id_b")),
+                    "id_b",
+                    "left_anti",
+                ).select(*cols)
             out[stage] = _rewrite_parquet_dir(
+                spark, f"{path}/{stage}", df, target_rows_per_file
+            )
+        if _parquet_dir_exists(led_path):
+            out["retracted"] = _rewrite_parquet_dir(
                 spark,
-                f"{path}/{stage}",
-                spark.read.parquet(f"{path}/{stage}"),
+                led_path,
+                spark.read.parquet(led_path),
                 target_rows_per_file,
             )
         return out

@@ -952,7 +952,9 @@ class VectorIndex:
         cl = self.corpus_lists
         if self._tombstones is None:
             return cl
-        return cl.join(F.broadcast(self._tombstones), "id", "left_anti")
+        return cl.join(
+            F.broadcast(self._tombstones), "id", "left_anti"
+        ).select(*cl.columns)
 
     def search(self, probes: DataFrame, k: int, nprobe: int = 2) -> DataFrame:
         """IVF-PQ ADC top-k for EXTERNAL query vectors against the
@@ -1259,8 +1261,11 @@ class VectorIndex:
             out = {}
             for stage in cls._STAGES:
                 df = spark.read.parquet(f"{path}/{stage}")
+                cols = df.columns
                 if tombs is not None and stage == "corpus_lists":
-                    df = df.join(F.broadcast(tombs), "id", "left_anti")
+                    df = df.join(
+                        F.broadcast(tombs), "id", "left_anti"
+                    ).select(*cols)
                 elif tombs is not None and stage == "codes":
                     df = df.join(
                         F.broadcast(
@@ -1268,7 +1273,7 @@ class VectorIndex:
                         ),
                         "neighbor_id",
                         "left_anti",
-                    )
+                    ).select(*cols)
                 out[stage] = _rewrite_parquet_dir(
                     spark, f"{path}/{stage}", df, target_rows_per_file
                 )
