@@ -760,6 +760,15 @@ class MediaIndex:
             n_dead = t.join(
                 F.broadcast(self._retracted_ids), "id", "left_semi"
             ).count()
+            if n_dead == t.count():
+                # full replay of a committed retraction — idempotent:
+                # no mutation; retract_saved's ledger check skips
+                self._tomb_delta = (
+                    t
+                    if self._tomb_delta is None
+                    else self._tomb_delta.unionByName(t)
+                )
+                return self
             if n_dead:
                 raise ValueError(
                     f"MediaIndex.retract: {n_dead} id(s) were already "

@@ -2652,6 +2652,15 @@ class DedupIndex:
             n_dead = t.join(
                 F.broadcast(self._retracted_ids), "id", "left_semi"
             ).count()
+            if n_dead == t.count():
+                # full replay of a committed retraction — idempotent:
+                # no mutation; retract_saved's ledger check skips
+                self._tomb_delta = (
+                    t
+                    if self._tomb_delta is None
+                    else self._tomb_delta.unionByName(t)
+                )
+                return self
             if n_dead:
                 raise ValueError(
                     f"DedupIndex.retract: {n_dead} id(s) were already "
@@ -3718,6 +3727,17 @@ class TrigramLM:
         )
         if self._retracted_ids is not None:
             n_dead = ids.join(self._retracted_ids, "id", "left_semi").count()
+            if n_dead == ids.count():
+                # full replay of a committed retraction — idempotent:
+                # no subtraction, and retract_saved's ledger check
+                # skips the landing (the lazy delta is never evaluated)
+                self._retract_delta = self._retract_delta or {
+                    "counts": ids.sparkSession.createDataFrame(
+                        [], "g string, c bigint"
+                    ),
+                    "ids": ids,
+                }
+                return self
             if n_dead:
                 raise ValueError(
                     f"TrigramLM.retract: {n_dead} id(s) were already "

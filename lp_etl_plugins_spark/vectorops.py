@@ -1093,14 +1093,35 @@ class VectorIndex:
             .distinct()
             .localCheckpoint()
         )
-        n_unknown = tombs.join(
+        not_live = tombs.join(
             self.live_lists().select("id"), "id", "left_anti"
-        ).count()
-        if n_unknown:
+        ).localCheckpoint(eager=False)
+        n_not_live = not_live.count()
+        if n_not_live:
+            n_dead = (
+                not_live.join(F.broadcast(self._tombstones), "id", "left_semi")
+                .count()
+                if self._tombstones is not None
+                else 0
+            )
+            if n_dead == n_not_live == tombs.count():
+                # the WHOLE batch is already retracted — the replay of
+                # a committed retraction (at-least-once orchestration);
+                # idempotent: no state mutation, and the pending delta
+                # re-lands as duplicate tombstone rows, which the set
+                # semantics absorb
+                self._tomb_delta = (
+                    tombs
+                    if self._tomb_delta is None
+                    else self._tomb_delta.unionByName(tombs)
+                )
+                return self
             raise ValueError(
-                f"VectorIndex.retract: {n_unknown} id(s) are not live corpus "
-                "vectors (unknown, or already retracted) — a deletion "
-                "request that silently misses is worse than an error"
+                f"VectorIndex.retract: {n_not_live} id(s) are not live "
+                f"corpus vectors ({n_dead} already retracted, "
+                f"{n_not_live - n_dead} unknown) — a deletion request that "
+                "silently misses (or partially re-deletes) is worse than "
+                "an error"
             )
         self._tombstones = (
             tombs

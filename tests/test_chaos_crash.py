@@ -325,3 +325,123 @@ def test_chaos_crash_compact_preserves_views(spark, tmp_path_factory, data):
     _compact(spark, family, case)  # re-run from the torn state
     assert _views(spark, family, case) == want, (family, n, "post-redo")
     shutil.rmtree(case, ignore_errors=True)
+
+
+# ------------------------------------------------------- retraction chaos
+# The deletion protocols (round 9) under the same kill-zone: a crash
+# after ANY prefix of {ledger, negative-segment/span/label writes,
+# meta} must leave a state whose SAME-IDS replay converges to exactly
+# the clean-retract snapshot. This is what keeps the
+# retraction-sequence commit honest as the write sets evolve.
+
+RETRACT_FAMILIES = ("dedup", "trigram", "vector", "media", "repeat")
+
+_RENV: dict[str, dict] = {}
+
+
+def _retract_env(spark, tmp_path_factory) -> dict[str, dict]:
+    if _RENV:
+        return _RENV
+    root = tmp_path_factory.mktemp("chaos_retract_templates")
+    docs = _docs(spark)
+    d_base = docs.filter("doc_id < 300")
+    d_sub = d_base.filter("doc_id % 9 = 2").localCheckpoint()
+    d_ids = d_sub.select(F.col("doc_id").alias("id")).localCheckpoint()
+    d_keep = d_base.filter("doc_id % 9 != 2").localCheckpoint()
+    emb = _emb(spark)
+    e_base = emb.filter("vec_id < 400")
+    e_ids = e_base.filter("vec_id % 9 = 2").select(
+        F.col("vec_id").alias("id")
+    ).localCheckpoint()
+    media = synthetic_media(spark, 150)
+    m_ids = media.filter("media_id % 9 = 2").select(
+        F.col("media_id").alias("id")
+    ).localCheckpoint()
+
+    def _op(family: str):
+        if family == "dedup":
+            def run(case):
+                idx = DedupIndex.load(spark, f"{case}/idx")
+                idx.retract(d_ids)
+                idx.retract_saved(f"{case}/idx")
+        elif family == "trigram":
+            def run(case):
+                lm = TrigramLM.load(spark, f"{case}/lm")
+                lm.retract(d_sub)
+                lm.retract_saved(f"{case}/lm")
+        elif family == "vector":
+            def run(case):
+                idx = V.VectorIndex.load(spark, f"{case}/vidx")
+                idx.retract(e_ids)
+                idx.retract_saved(f"{case}/vidx")
+        elif family == "media":
+            def run(case):
+                idx = MediaIndex.load(spark, f"{case}/midx")
+                idx.retract(m_ids)
+                idx.retract_saved(f"{case}/midx")
+        else:  # repeat
+            def run(case):
+                idx = T.RepeatIndex.load(spark, f"{case}/ridx")
+                idx.retract(d_ids, old_docs=d_keep)
+        return run
+
+    def build(family: str):
+        if family == "repeat":
+            tpl = str(root / family)
+            os.makedirs(tpl)
+            T.RepeatIndex.build(spark, d_base, f"{tpl}/ridx", "text", "doc_id")
+        else:
+            # reuse the absorb templates (pristine post-save states)
+            tpl = _chaos_env(spark, tmp_path_factory)[family].template
+        clean = str(root / f"{family}_clean")
+        shutil.copytree(tpl, clean)
+        with crash_after(10**9) as state:
+            _op(family)(clean)
+        writes = 10**9 - state["left"]
+        assert writes >= 1, (family, writes)
+        return {
+            "template": tpl,
+            "op": _op(family),
+            "max_writes": writes,
+            "clean_snap": _snap(spark, clean),
+        }
+
+    for fam in RETRACT_FAMILIES:
+        _RENV[fam] = build(fam)
+    return _RENV
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.function_scoped_fixture,
+        HealthCheck.too_slow,
+    ],
+)
+@given(st.data())
+def test_chaos_crash_retract_replay_converges(spark, tmp_path_factory, data):
+    env = _retract_env(spark, tmp_path_factory)
+    family = data.draw(st.sampled_from(RETRACT_FAMILIES))
+    spec = env[family]
+    # max_writes - 1: the uncrashed run is the committed-replay case,
+    # exercised separately in the per-family tests (for the set-
+    # semantics vector family a gratuitous replay adds benign
+    # duplicate tombstone rows, which a file-level snapshot flags)
+    n = data.draw(st.integers(min_value=0, max_value=spec["max_writes"] - 1))
+
+    case = str(tmp_path_factory.mktemp(f"chaosr_{family}"))
+    shutil.rmtree(case)
+    shutil.copytree(spec["template"], case)
+
+    crashed = False
+    with crash_after(n):
+        try:
+            spec["op"](case)
+        except SimulatedCrash:
+            crashed = True
+    assert crashed, (family, n)  # n < max_writes must kill
+
+    spec["op"](case)  # the same-ids replay
+    assert _snap(spark, case) == spec["clean_snap"], (family, n)
+    shutil.rmtree(case, ignore_errors=True)

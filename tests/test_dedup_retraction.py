@@ -179,8 +179,16 @@ def test_compact_resolves_then_update_composes(spark, tmp_path):
         DedupIndex.load(spark, p).update(
             docs.filter(SUB).limit(1), old_docs=keep
         )
+    # full-batch re-retract = the at-least-once replay: idempotent
+    idem = DedupIndex.load(spark, p)
+    idem.retract(sub_ids)
+    idem.retract_saved(p)
+    assert _read_control_row(f"{p}/meta")["n_retractions"] == 1
+    # PARTIAL overlap is the caller bug that refuses
     with pytest.raises(ValueError, match="already\n?\\s*retracted"):
-        DedupIndex.load(spark, p).retract(sub_ids)
+        DedupIndex.load(spark, p).retract(
+            sub_ids.unionByName(spark.createDataFrame([(0,)], "id long"))
+        )
 
     new = spark.createDataFrame(
         [(10_000_001, "fresh appended document with its own new words")],

@@ -91,12 +91,20 @@ def test_crash_windows_replay_and_compact(spark, tmp_path):
     assert M.check_media_index(spark, p)["ok"]
     assert spark.read.parquet(f"{p}/retracted").count() == sub.count()
 
-    # committed replay skips; double retract and reuse are refused
+    # committed replay skips (both the hand-built delta form and the
+    # natural load → retract → retract_saved flow); partial overlap
+    # and id reuse are refused
     r2 = MediaIndex.load(spark, p)
     r2._tomb_delta = sub
     r2.retract_saved(p)
+    r3 = MediaIndex.load(spark, p)
+    r3.retract(sub)
+    r3.retract_saved(p)
+    assert _read_control_row(f"{p}/meta")["n_retractions"] == 1
     with pytest.raises(ValueError, match="already\n?\\s*retracted"):
-        MediaIndex.load(spark, p).retract(sub)
+        MediaIndex.load(spark, p).retract(
+            sub.unionByName(spark.createDataFrame([(0,)], "id long"))
+        )
     with pytest.raises(ValueError, match="retracted ids"):
         MediaIndex.load(spark, p).update(media.filter("media_id % 7 = 3"))
 

@@ -377,14 +377,16 @@ def test_retract_refusals(spark, tmp_path):
 
     lm = TrigramLM.load(spark, path)
     lm.retract(sub.localCheckpoint())
+    pre = sorted(tuple(r) for r in lm.counts.collect())
+    # full-batch re-retract = the at-least-once replay: idempotent
+    lm.retract(sub.localCheckpoint())
+    assert sorted(tuple(r) for r in lm.counts.collect()) == pre
+    # PARTIAL overlap is the caller bug that refuses
     with pytest.raises(ValueError, match="already\n?\\s*retracted"):
-        lm.retract(sub.localCheckpoint())
+        lm.retract(
+            docs.filter("doc_id % 11 = 5 or doc_id % 11 = 6").localCheckpoint()
+        )
     lm.retract_saved(path)
-
-    # on-disk ledger refuses a fresh object's partial overlap
-    lm2 = TrigramLM.load(spark, path)
-    with pytest.raises(ValueError, match="already retracted"):
-        lm2.retract(docs.filter("doc_id % 11 = 5").localCheckpoint())
     # ... and a hand-built partial-overlap delta at the protocol level
     lm3 = TrigramLM.load(spark, path)
     lm3._retract_delta = {

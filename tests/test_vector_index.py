@@ -483,19 +483,25 @@ def test_retract_filters_serving(spark):
     assert idx.builds["pq_codebook"] == 1
 
 
-def test_retract_unknown_or_double_raises(spark):
-    """A deletion request that names a non-live id is a caller bug —
-    loud, never a silent no-op; a second retraction of the same id is
-    equally dead-on-arrival."""
+def test_retract_unknown_or_partial_double_raises(spark):
+    """A deletion request that names an UNKNOWN id is a caller bug —
+    loud, never a silent no-op. Re-deleting a FULLY-retracted batch is
+    the at-least-once replay and no-ops idempotently; a PARTIAL
+    overlap (mixing retracted and live ids) is a caller bug again."""
     import pytest
 
     emb = IV._emb(spark, SF_SMOKE)
     idx = VectorIndex(emb)
-    with pytest.raises(ValueError, match="not live"):
+    with pytest.raises(ValueError, match="unknown"):
         idx.retract(spark.createDataFrame([(10_000_000,)], "vec_id long"))
     idx.retract(spark.createDataFrame([(0,)], "vec_id long"))
+    before = _rows(idx.search(_probes(emb), 3, nprobe=2))
+    # full replay: idempotent no-op
+    idx.retract(spark.createDataFrame([(0,)], "vec_id long"))
+    assert _rows(idx.search(_probes(emb), 3, nprobe=2)) == before
+    # partial overlap: refused
     with pytest.raises(ValueError, match="not live"):
-        idx.retract(spark.createDataFrame([(0,)], "vec_id long"))
+        idx.retract(spark.createDataFrame([(0,), (5,)], "vec_id long"))
 
 
 def test_update_refuses_retracted_id_reuse(spark):
