@@ -671,6 +671,15 @@ def vacuum(
                 viol = ";".join(
                     filter(None, [viol, "lease_contention_skipped_compact=1"])
                 )
+            except ValueError:
+                # the family's compact refused (uncommitted update or
+                # retraction rows — reachable only under
+                # compact_unhealthy=True, since the probe marks those
+                # states not-ok): the sweep's contract is
+                # report-don't-crash, and the refusal is the report
+                viol = ";".join(
+                    filter(None, [viol, "compact_refused_torn_state=1"])
+                )
         worst_after = (
             max((T._count_data_files(d) for d in dirs), default=0)
             if compacted

@@ -163,3 +163,24 @@ def test_update_after_retraction_composes_and_repair_respects_tombstones(
     for s in STAGES:
         assert _rows(getattr(healed, s)) == _rows(getattr(want_idx, s)), s
     assert M.check_media_index(spark, p)["ok"]
+
+
+def test_vacuum_reports_torn_retraction_instead_of_crashing(spark, tmp_path):
+    """The sweep's report-don't-crash contract under
+    compact_unhealthy=True: a torn retraction makes the family compact
+    refuse, and vacuum records compact_refused_torn_state instead of
+    dying mid-sweep."""
+    media = synthetic_media(spark, 200)
+    p = str(tmp_path / "idx")
+    MediaIndex(media).save(p)
+    # torn state: uncommitted ledger rows, meta not bumped
+    _sub_ids(media).select(
+        "id", F.lit(1).cast("bigint").alias("rseq")
+    ).write.mode("append").parquet(f"{p}/retracted")
+
+    row = M.vacuum(
+        spark, [p], max_files_per_substrate=0, compact_unhealthy=True
+    ).collect()[0]
+    assert not row["ok"] and not row["compacted"]
+    assert "uncommitted_ledger_rows" in row["violations"]
+    assert "compact_refused_torn_state=1" in row["violations"]
