@@ -1353,3 +1353,32 @@ def foreach_batch_add(spark: SparkSession, index_path: str):
         idx.append_saved(index_path)
 
     return absorb
+
+
+def foreach_batch_retract(spark: SparkSession, index_path: str):
+    """Structured-Streaming DELETION feed into a saved media index —
+    the deletion twin of :func:`foreach_batch_add` (takedown / opt-out
+    streams): each micro-batch of media ids lands as one
+    :meth:`MediaIndex.retract` + :meth:`MediaIndex.retract_saved`,
+    touching NO media bytes (the phash stage is content-complete for
+    deletion). At-least-once safety: committed-ledger ids are
+    pre-filtered (replays and duplicate requests absorb silently), a
+    torn previous landing is purged-and-relanded by retract_saved's
+    protocol."""
+
+    def absorb(batch_df: DataFrame, batch_id: int) -> None:
+        idx = MediaIndex.load(spark, index_path)
+        ids = batch_df.select(
+            F.col(batch_df.columns[0]).cast("long").alias("id")
+        ).distinct()
+        if idx._retracted_ids is not None:
+            ids = ids.join(
+                F.broadcast(idx._retracted_ids), "id", "left_anti"
+            )
+        ids = ids.localCheckpoint()
+        if ids.first() is None:
+            return  # fully absorbed already
+        idx.retract(ids)
+        idx.retract_saved(index_path)
+
+    return absorb

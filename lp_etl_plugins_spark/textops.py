@@ -1536,6 +1536,49 @@ class RepeatIndex:
 
         return absorb
 
+    @classmethod
+    def foreach_batch_retract(cls, spark, index_path: str, corpus_path: str):
+        """Structured-Streaming DELETION feed — the deletion twin of
+        :meth:`foreach_batch_update` (opt-out / takedown streams): a
+        ``(batch_df, batch_id) -> None`` function for
+        ``writeStream.foreachBatch`` landing each micro-batch of doc
+        ids as one :meth:`retract`. At-least-once safety: ids already
+        in the committed ledger (a replayed batch, or duplicate
+        deletion requests across batches) are pre-filtered, so every
+        replay converges and repeats absorb silently; a torn previous
+        landing is purged-and-relanded by retract's own protocol (the
+        pre-filter makes the replay's fresh set equal the torn
+        attempt's, which is what its same-ids rule requires).
+        ``corpus_path`` is the co-maintained corpus log — touched
+        survivors' texts come from it (the retracted docs' own texts
+        are never needed)."""
+
+        def absorb(batch_df: "DataFrame", batch_id: int) -> None:
+            idx = cls.load(spark, index_path)
+            ids = batch_df.select(
+                F.col(batch_df.columns[0]).cast("long").alias("id")
+            ).distinct()
+            t = idx._tombstones()
+            if t is not None:
+                ids = ids.join(F.broadcast(t), "id", "left_anti")
+            ids = ids.localCheckpoint()
+            if ids.first() is None:
+                return  # fully absorbed already
+            icol = idx.meta["id_col"]
+            corpus = spark.read.parquet(corpus_path)
+            old = corpus.join(
+                ids.withColumnRenamed("id", icol), icol, "left_anti"
+            )
+            if t is not None:
+                old = old.join(
+                    F.broadcast(t.withColumnRenamed("id", icol)),
+                    icol,
+                    "left_anti",
+                )
+            idx.retract(ids, old_docs=old)
+
+        return absorb
+
     # ------------------------------------------------------------ compact
 
     def compact(self, *, target_rows_per_file: int = 1 << 20) -> dict:
@@ -3132,6 +3175,35 @@ class DedupIndex:
         return absorb
 
     @classmethod
+    def foreach_batch_retract(cls, spark, index_path: str):
+        """Structured-Streaming DELETION feed — the deletion twin of
+        :meth:`foreach_batch_update` (opt-out / takedown streams): each
+        micro-batch of doc ids lands as one :meth:`retract` +
+        :meth:`retract_saved`. At-least-once safety: committed-ledger
+        ids are pre-filtered (replays and duplicate requests absorb
+        silently), and a torn previous landing is purged-and-relanded
+        by retract_saved's own protocol — the pre-filter makes the
+        replay's fresh set equal the torn attempt's. Needs no corpus:
+        the index stores its own edges."""
+
+        def absorb(batch_df: "DataFrame", batch_id: int) -> None:
+            idx = cls.load(spark, index_path)
+            ids = batch_df.select(
+                F.col(batch_df.columns[0]).cast("long").alias("id")
+            ).distinct()
+            if idx._retracted_ids is not None:
+                ids = ids.join(
+                    F.broadcast(idx._retracted_ids), "id", "left_anti"
+                )
+            ids = ids.localCheckpoint()
+            if ids.first() is None:
+                return  # fully absorbed already
+            idx.retract(ids)
+            idx.retract_saved(index_path)
+
+        return absorb
+
+    @classmethod
     def compact(
         cls, spark, path: str, *, target_rows_per_file: int = 1 << 20
     ) -> dict:
@@ -4187,6 +4259,40 @@ class TrigramLM:
             )
             lm.update(batch_df)
             lm.append_saved(lm_path, repair=redo)
+
+        return absorb
+
+    @classmethod
+    def foreach_batch_retract(cls, spark, lm_path: str):
+        """Structured-Streaming DELETION feed — the LM member of the
+        deletion-absorber family: each micro-batch carries the
+        documents to retract WITH their original texts (the model
+        stores no corpus, and the negative segment needs the grams),
+        landing as one :meth:`retract` + :meth:`retract_saved`.
+        At-least-once safety: docs whose ids sit in the committed
+        ledger are pre-filtered (replays and duplicate deletion
+        requests absorb silently — never a double subtraction), and a
+        torn previous landing is purged-and-relanded by
+        retract_saved's protocol."""
+
+        def absorb(batch_df: "DataFrame", batch_id: int) -> None:
+            lm = cls.load(spark, lm_path)
+            docs = batch_df
+            if lm._retracted_ids is not None:
+                docs = docs.join(
+                    F.broadcast(
+                        lm._retracted_ids.withColumnRenamed(
+                            "id", lm._id_col
+                        )
+                    ),
+                    lm._id_col,
+                    "left_anti",
+                )
+            docs = docs.localCheckpoint()
+            if docs.first() is None:
+                return  # fully absorbed already
+            lm.retract(docs)
+            lm.retract_saved(lm_path)
 
         return absorb
 

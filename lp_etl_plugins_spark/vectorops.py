@@ -1443,6 +1443,40 @@ def foreach_batch_add(spark, index_path: str):
     return absorb
 
 
+def foreach_batch_retract(spark, index_path: str):
+    """Structured-Streaming DELETION feed into a saved vector index —
+    the deletion twin of :func:`foreach_batch_add` (real pipelines
+    consume opt-out / takedown streams the same way they consume
+    ingestion streams): a ``(batch_df, batch_id) -> None`` function
+    for ``writeStream.foreachBatch`` that lands each micro-batch of
+    corpus ids as one O(delta) :meth:`VectorIndex.retract` +
+    :meth:`VectorIndex.retract_saved`.
+
+    At-least-once safety comes from the tombstone SET semantics plus a
+    pre-filter: ids already tombstoned (a replayed batch, a duplicate
+    deletion request across batches, or the landed half of a torn
+    multi-file append) are dropped before retract(), so every replay
+    converges and duplicate requests are absorbed silently — the loud
+    unknown-id refusal stays for ids that were never in the corpus."""
+
+    def absorb(batch_df: DataFrame, batch_id: int) -> None:
+        idx = VectorIndex.load(spark, index_path)
+        ids = batch_df.select(
+            F.col(batch_df.columns[0]).cast("long").alias("id")
+        ).distinct()
+        if idx._tombstones is not None:
+            ids = ids.join(
+                F.broadcast(idx._tombstones), "id", "left_anti"
+            )
+        ids = ids.localCheckpoint()
+        if ids.first() is None:
+            return  # fully absorbed already
+        idx.retract(ids)
+        idx.retract_saved(index_path)
+
+    return absorb
+
+
 def label_centroids(
     embeddings: DataFrame, label_col: str = "label", vec_col: str = "embedding"
 ) -> DataFrame:
