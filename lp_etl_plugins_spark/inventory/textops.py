@@ -2157,8 +2157,8 @@ T38_SQL = (
 def t42_repeat_retraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-substring index DELETION (``RepeatIndex.retract``, round
     9) — t38's flip machinery run backwards: build the persisted
-    detector over the half corpus (doc_id % 2 == 0), then retract the
-    doc_id % 7 == 3 slice — grams whose surviving distinct-doc count
+    detector over the one-third corpus (doc_id % 3 == 0), then retract
+    the doc_id % 7 == 3 slice — grams whose surviving distinct-doc count
     drops 2 → 1 un-repeat positions in their single surviving doc, so
     exactly those touched docs re-evaluate against the surviving
     counts (this residue touches real docs at the driver's sf0.01, so
@@ -2176,7 +2176,7 @@ def t42_repeat_retraction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = (
         _docs(spark, sf_dir)
-        .filter(F.col("doc_id") % 2 == 0)
+        .filter(F.col("doc_id") % 3 == 0)
         .select("doc_id", "text")
     )
     keep = docs.filter(F.col("doc_id") % 7 != 3)
@@ -2212,7 +2212,7 @@ T42_SQL = (
     "FROM (\n"
     + T37_SQL.replace(
         "FROM documents",
-        "FROM documents WHERE doc_id % 2 = 0 AND doc_id % 7 != 3",
+        "FROM documents WHERE doc_id % 3 = 0 AND doc_id % 7 != 3",
     )
     + ") perdoc"
 )
@@ -2356,14 +2356,16 @@ def t41_lm_retraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     RELOADED model. The oracle retrains from scratch on the corpus
     MINUS the retracted slice — a direct hash gate on
     subtract == rebuild through persistence and compaction. Runs on
-    the half corpus (doc_id % 2 == 0), mirroring t40's proportionate
-    pricing. → (source, n_docs, avg_logprob) for the probe docs."""
+    the one-third corpus (doc_id % 3 == 0) — t40 holds the update-side
+    signal on the half corpus; this entry only needs the deletion
+    protocol priced proportionately.
+    → (source, n_docs, avg_logprob) for the probe docs."""
     import shutil
     import tempfile
 
     docs = (
         _docs(spark, sf_dir)
-        .filter(F.col("doc_id") % 2 == 0)
+        .filter(F.col("doc_id") % 3 == 0)
         .select("doc_id", "source", "text")
     )
     tmp = tempfile.mkdtemp(prefix="t41_lm_")
@@ -2399,7 +2401,7 @@ def t41_lm_retraction(spark: SparkSession, sf_dir: str) -> DataFrame:
 T41_SQL = """
 WITH d AS (
   SELECT doc_id, source, text FROM documents
-  WHERE doc_id % 2 = 0 AND doc_id % 11 != 5
+  WHERE doc_id % 3 = 0 AND doc_id % 11 != 5
 ),
 grams AS (
   SELECT DISTINCT doc_id AS id, substring(lower(trim(text)), i, 3) AS g
