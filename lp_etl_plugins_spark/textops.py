@@ -1357,23 +1357,31 @@ class RepeatIndex:
                     "re-evaluate against wrong counts; retract only new ids"
                 )
 
-        # ---- flips: grams whose surviving distinct-doc count drops to 1
+        # ---- flips: grams whose surviving distinct-doc count drops to 1.
+        # Each postings consumer below is a full scan of the postings
+        # log (the fixed-size touched set must be LOCATED — scans are
+        # the irreducible linear term, measured scan-bound in
+        # SCALE.md's retraction table), so the per-gram total and
+        # retracted counts fuse into ONE conditional aggregate instead
+        # of two passes.
         stored = self.postings()  # committed tombstones already filtered
         r_post = stored.join(
             F.broadcast(r_ids), "id", "left_semi"
         ).localCheckpoint(eager=False)
         r_grams = r_post.select("g").distinct()
-        c_all = (
+        flag = r_ids.withColumn("__r", F.lit(1))
+        g_counts = (
             stored.join(r_grams, "g", "left_semi")
+            .join(F.broadcast(flag), "id", "left")
             .groupBy("g")
-            .agg(F.count(F.lit(1)).alias("ct"))
+            .agg(
+                F.count(F.lit(1)).alias("ct"),
+                F.sum(F.coalesce("__r", F.lit(0))).alias("cr"),
+            )
         )
-        c_r = r_post.groupBy("g").agg(F.count(F.lit(1)).alias("cr"))
-        flipped = (
-            c_all.join(c_r, "g")
-            .filter(F.col("ct") - F.col("cr") == 1)
-            .select("g")
-        )
+        flipped = g_counts.filter(
+            F.col("ct") - F.col("cr") == 1
+        ).select("g")
         affected = (
             stored.join(flipped, "g", "left_semi")
             .join(F.broadcast(r_ids), "id", "left_anti")
@@ -1393,7 +1401,14 @@ class RepeatIndex:
             ).join(
                 r_ids.withColumnRenamed("id", icol), icol, "left_anti"
             )
-            n_eval = eval_docs.select(icol).distinct().count()
+            eval_pos = self._pos(eval_docs, tcol, icol, span_n).localCheckpoint(
+                eager=False
+            )
+            # completeness from eval_pos itself — one corpus scan, not
+            # two: every affected doc HOLDS a flipped-gram posting, so
+            # it is ≥ span_n words and must appear in the gram frame;
+            # a missing id can only mean old_docs lacks its text
+            n_eval = eval_pos.select("id").distinct().count()
             if n_eval != n_affected:
                 raise ValueError(
                     "RepeatIndex.retract: old_docs is missing texts for "
@@ -1401,9 +1416,6 @@ class RepeatIndex:
                     "re-evaluation against partial texts would silently "
                     "under-count surviving repeats"
                 )
-            eval_pos = self._pos(eval_docs, tcol, icol, span_n).localCheckpoint(
-                eager=False
-            )
             e_grams = eval_pos.select("g").distinct()
             surv = stored.join(F.broadcast(r_ids), "id", "left_anti")
             c_surv = (
