@@ -480,6 +480,101 @@ _CHECKS = {
 }
 
 
+def _purge_torn_retraction(
+    spark: SparkSession, path: str, family: str
+) -> bool:
+    """Restore the exact pre-retract state after a retraction whose
+    writer died PERMANENTLY: purge the uncommitted ledger rows and
+    every derived write the torn attempt may have landed, re-deriving
+    the wholesale-overwritten label stages from the committed edge
+    sets (the torn overwrite itself cannot be trusted — the
+    drop-don't-trust rule). Caller must hold the directory lease: that
+    is what guarantees no retraction is concurrently in flight, making
+    an uncommitted ledger row definitively ABANDONED rather than
+    mid-protocol. The lost retraction was never acknowledged upstream
+    (its meta commit is what acknowledges), so an at-least-once
+    deletion feed re-sends it. Returns True when something was purged."""
+    from .textops import (
+        DedupIndex,
+        TrigramLM,
+        _parquet_dir_exists,
+        _read_control_row,
+        _rewrite_parquet_dir,
+    )
+
+    led_path = f"{path}/retracted"
+    if family not in (
+        "DedupIndex", "MediaIndex", "RepeatIndex", "TrigramLM"
+    ) or not _parquet_dir_exists(led_path):
+        # VectorIndex's single-append protocol has no uncommitted
+        # representation; CurationState's retractions ride its own
+        # pending-marker machinery
+        return False
+    m = _read_control_row(f"{path}/meta")
+    n_r = int(m.get("n_retractions") or 0)
+    led = spark.read.parquet(led_path)
+    if not led.filter(F.col("rseq") > n_r).limit(1).count():
+        return False
+    _rewrite_parquet_dir(
+        spark, led_path, led.filter(F.col("rseq") <= n_r), 1 << 20
+    )
+    if family == "TrigramLM":
+        raw = TrigramLM._raw_counts(spark, path)
+        _rewrite_parquet_dir(
+            spark,
+            f"{path}/counts",
+            raw.filter(
+                F.col("src").isNull() | (F.col("src") >= -n_r)
+            ),
+            1 << 20,
+        )
+        return True
+    if family == "RepeatIndex":
+        # a torn UPDATE cannot coexist here: update() refuses to run
+        # over uncommitted ledger rows, and retract() purges its own
+        # span generations before re-landing — so every gen beyond the
+        # committed counter belongs to the abandoned retraction
+        n_u = int(m["n_updates"])
+        _rewrite_parquet_dir(
+            spark,
+            f"{path}/spans",
+            spark.read.parquet(f"{path}/spans").filter(
+                F.col("gen") <= n_u
+            ),
+            1 << 20,
+        )
+        return True
+    # cluster families: monotone stages were never touched by the torn
+    # attempt, but the label overwrites may have landed (possibly torn
+    # themselves) — re-derive from the committed-filtered edges
+    idx = (
+        DedupIndex.load(spark, path)
+        if family == "DedupIndex"
+        else __import__(
+            "lp_etl_plugins_spark.multimodal", fromlist=["MediaIndex"]
+        ).MediaIndex.load(spark, path)
+    )
+    from .textops import connected_components
+
+    if family == "DedupIndex":
+        for stage, edges in (
+            ("clusters", idx._pairs),
+            ("verified_clusters", idx._verified),
+        ):
+            if edges is not None and _parquet_dir_exists(f"{path}/{stage}"):
+                lbl = connected_components(
+                    edges.select("id_a", "id_b")
+                ).localCheckpoint()
+                lbl.write.mode("overwrite").parquet(f"{path}/{stage}")
+    else:
+        if idx._pairs is not None:
+            lbl = connected_components(
+                idx._pairs.select("id_a", "id_b")
+            ).localCheckpoint()
+            lbl.write.mode("overwrite").parquet(f"{path}/clusters")
+    return True
+
+
 def _stage_candidates(path: str, family: str) -> list[str]:
     """Every directory the family's lifecycle can swap via
     rename-aside — stage dirs plus the control-plane metas — whether
@@ -587,6 +682,7 @@ def vacuum(
     target_rows_per_file: int = 1 << 20,
     compact_unhealthy: bool = False,
     recover_swaps: bool = False,
+    purge_torn_retractions: bool = False,
     lease_wait_seconds: float = 0.0,
 ) -> DataFrame:
     """The nightly maintenance sweep: for each path, detect the index
@@ -610,6 +706,18 @@ def vacuum(
     (their repair needs the delta, which only the absorber's replay
     has). Default off so the report-only contract stays available for
     forensic sweeps.
+
+    ``purge_torn_retractions=True`` (late round 9) performs the other
+    mechanical repair: an ABANDONED torn retraction (uncommitted
+    ledger rows whose writer died permanently — under the lease, no
+    retraction can be concurrently mid-protocol) is rolled back to the
+    exact pre-retract state (uncommitted ledger + derived rows purged,
+    wholesale-overwritten label stages re-derived from the committed
+    edges), and the probe re-runs. The lost deletion was never
+    acknowledged (the meta commit is the acknowledgement), so an
+    at-least-once deletion feed re-sends it. Default off: when the
+    writer might merely be slow-crashed-and-restarting, its own replay
+    is the cheaper repair.
 
     ``lease_wait_seconds`` (round 9) bounds how long the sweep will
     WAIT for a live writer's directory lease before skipping: the
@@ -653,7 +761,30 @@ def vacuum(
                          None, False, None, recovered))
             continue
         res = _CHECKS[family](spark, path)
+        purged = False
+        if (
+            purge_torn_retractions
+            and not res["ok"]
+            and "uncommitted_ledger_rows" in res["violations"]
+        ):
+            from .lease import LeaseContention, dir_lease
+
+            try:
+                with dir_lease(
+                    path,
+                    role="maintenance.purge_torn_retraction",
+                    wait_seconds=lease_wait_seconds,
+                ):
+                    purged = _purge_torn_retraction(spark, path, family)
+            except LeaseContention:
+                pass  # a live writer owns the path; its replay repairs
+            if purged:
+                res = _CHECKS[family](spark, path)
         viol = ";".join(f"{k}={n}" for k, n in sorted(res["violations"].items()))
+        if purged:
+            viol = ";".join(
+                filter(None, [viol, "purged_torn_retraction=1"])
+            )
         dirs = _stage_dirs(path, family)
         worst = max((T._count_data_files(d) for d in dirs), default=0)
         compacted = False

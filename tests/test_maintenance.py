@@ -277,3 +277,137 @@ def test_vacuum_recover_swaps_repairs_mid_swap_states(spark, tmp_path):
     # idempotent
     row = M.vacuum(spark, [p], recover_swaps=True).collect()[0]
     assert row["recovered"] == 0 and row["ok"]
+
+
+def test_vacuum_purges_abandoned_torn_retractions(spark, tmp_path):
+    """purge_torn_retractions=True rolls an ABANDONED torn retraction
+    back to the exact pre-retract state — uncommitted ledger + derived
+    rows purged, torn label overwrites re-derived from the committed
+    edges — across the ledgered families in one sweep; a LIVE writer's
+    lease makes the sweep skip (its replay owns the repair)."""
+    from lp_etl_plugins_spark.inventory.textops import _docs
+    from lp_etl_plugins_spark.lease import dir_lease
+    from lp_etl_plugins_spark.textops import connected_components
+
+    docs = _docs(spark, SF_SMOKE).select("doc_id", "text")
+    sub = docs.filter("doc_id % 7 = 3")
+    sub_ids = sub.select(F.col("doc_id").alias("id")).localCheckpoint()
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    # --- DedupIndex: the hard case — ledger landed AND the label
+    # overwrite landed (post-retract labels), meta did not
+    dp = str(tmp_path / "didx")
+    DedupIndex(docs, "text", "doc_id").save(dp)
+    pre_dedup = {
+        s: rows(getattr(DedupIndex.load(spark, dp), s))
+        for s in DedupIndex._STAGES
+    }
+    sub_ids.select("id", F.lit(1).cast("bigint").alias("rseq")).write.mode(
+        "append"
+    ).parquet(f"{dp}/retracted")
+    torn_labels = connected_components(
+        spark.read.parquet(f"{dp}/pairs")
+        .join(sub_ids.withColumnRenamed("id", "id_a"), "id_a", "left_anti")
+        .join(sub_ids.withColumnRenamed("id", "id_b"), "id_b", "left_anti")
+        .select("id_a", "id_b")
+    ).localCheckpoint()
+    torn_labels.write.mode("overwrite").parquet(f"{dp}/clusters")
+
+    # --- TrigramLM: negative segment + ledger landed, meta did not
+    lp = str(tmp_path / "lm")
+    TrigramLM(docs, "text", "doc_id").save(lp)
+    pre_lm = rows(TrigramLM.load(spark, lp)._counts)
+    lm = TrigramLM(docs, "text", "doc_id")
+    neg = (
+        lm._gram_frame(sub, "text", "doc_id")
+        .groupBy("g")
+        .agg((-F.count(F.lit(1))).alias("c"))
+    )
+    neg.select("g", "c", F.lit(-1).cast("bigint").alias("src")).write.mode(
+        "append"
+    ).parquet(f"{lp}/counts")
+    sub_ids.select("id", F.lit(1).cast("bigint").alias("rseq")).write.mode(
+        "append"
+    ).parquet(f"{lp}/retracted")
+
+    # --- RepeatIndex: ledger + a gen-1 span row landed, meta did not
+    rp = str(tmp_path / "ridx")
+    RepeatIndex.build(spark, docs, rp, "text", "doc_id")
+    pre_spans = rows(RepeatIndex.load(spark, rp).spans())
+    sub_ids.select("id", F.lit(1).cast("bigint").alias("rseq")).write.mode(
+        "append"
+    ).parquet(f"{rp}/retracted")
+    spark.read.parquet(f"{rp}/spans").limit(1).withColumn(
+        "gen", F.lit(1)
+    ).write.mode("append").parquet(f"{rp}/spans")
+
+    report = {
+        r["path"]: r
+        for r in M.vacuum(
+            spark, [dp, lp, rp], purge_torn_retractions=True
+        ).collect()
+    }
+    for p in (dp, lp, rp):
+        assert report[p]["ok"], report[p]
+        assert "purged_torn_retraction=1" in report[p]["violations"]
+    served = DedupIndex.load(spark, dp)
+    for s in DedupIndex._STAGES:
+        assert rows(getattr(served, s)) == pre_dedup[s], s
+    assert rows(TrigramLM.load(spark, lp)._counts) == pre_lm
+    assert rows(RepeatIndex.load(spark, rp).spans()) == pre_spans
+
+    # --- live writer: the lease makes the sweep skip-and-report
+    sub_ids.select("id", F.lit(1).cast("bigint").alias("rseq")).write.mode(
+        "append"
+    ).parquet(f"{dp}/retracted")
+    with dir_lease(dp, role="absorber"):
+        row = M.vacuum(
+            spark, [dp], purge_torn_retractions=True
+        ).collect()[0]
+    assert not row["ok"]
+    assert "uncommitted_ledger_rows" in row["violations"]
+    assert "purged_torn_retraction" not in row["violations"]
+    # writer gone: the next sweep purges
+    row = M.vacuum(spark, [dp], purge_torn_retractions=True).collect()[0]
+    assert row["ok"] and "purged_torn_retraction=1" in row["violations"]
+
+
+def test_vacuum_purge_handles_media_and_noop_paths(spark, tmp_path):
+    """The MediaIndex branch of the purge (single label stage) and the
+    no-op guarantees: a healthy path and a committed-retraction path
+    are untouched by purge_torn_retractions=True."""
+    media = synthetic_media(spark, 120)
+    sub_ids = media.filter("media_id % 7 = 3").select(
+        F.col("media_id").alias("id")
+    ).localCheckpoint()
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    mp = str(tmp_path / "midx")
+    MediaIndex(media).save(mp)
+    pre = {s: rows(getattr(MediaIndex.load(spark, mp), s))
+           for s in MediaIndex._STAGES}
+    sub_ids.select("id", F.lit(1).cast("bigint").alias("rseq")).write.mode(
+        "append"
+    ).parquet(f"{mp}/retracted")
+    row = M.vacuum(spark, [mp], purge_torn_retractions=True).collect()[0]
+    assert row["ok"] and "purged_torn_retraction=1" in row["violations"]
+    served = MediaIndex.load(spark, mp)
+    for s in MediaIndex._STAGES:
+        assert rows(getattr(served, s)) == pre[s], s
+
+    # committed retraction: NOT purged (rseq ≤ n_retractions is state,
+    # not a tear)
+    idx = MediaIndex.load(spark, mp)
+    idx.retract(sub_ids)
+    idx.retract_saved(mp)
+    want = {s: rows(getattr(MediaIndex.load(spark, mp), s))
+            for s in MediaIndex._STAGES}
+    row = M.vacuum(spark, [mp], purge_torn_retractions=True).collect()[0]
+    assert row["ok"] and "purged_torn_retraction" not in row["violations"]
+    served = MediaIndex.load(spark, mp)
+    for s in MediaIndex._STAGES:
+        assert rows(getattr(served, s)) == want[s], s
