@@ -80,7 +80,7 @@ _META_SCHEMA = (
     "jaccard_threshold double, gram_n int, max_df_frac double, max_df int, "
     "contain_threshold double, max_band_size int, max_doc_id bigint, "
     "n_working bigint, n_bench bigint, n_updates int, n_compactions int, "
-    "gram_hash_family string"
+    "gram_hash_family string, n_retractions int"
 )
 # tombstones carry the high-water mark of the update that wrote them
 # (src_max_id) so a crashed update's landed-but-unstamped retractions
@@ -88,7 +88,27 @@ _META_SCHEMA = (
 # docs are OLD canonicals, below the stamp). Pre-round-8 logs lack the
 # column; the explicit-schema read yields NULL there, which every
 # stamp filter treats as "committed long ago".
-_TOMB_SCHEMA = "doc_id bigint, src_max_id bigint"
+#
+# Round 10 (pipeline-level retraction) adds two columns, again with
+# NULL-compatible explicit-schema reads over mixed old/new layouts:
+# ``rseq`` stamps rows written by :meth:`CurationState.retract` (NULL
+# = written by an update; committed iff rseq <= meta.n_retractions),
+# and ``res`` marks a RESURRECTION record — a previously displaced
+# canonical whose displacer was retracted re-enters the live set via
+# an APPEND-only counter-record (never a physical tombstone delete,
+# which would be unreconstructable after a crash). Per-doc resolution
+# is last-event-wins ordered by (src_max_id watermark, res): update
+# tombstones carry their delta's hi (strictly growing), retraction
+# rows carry the CURRENT max_doc_id, and a later re-displacement
+# necessarily carries a larger hi — so the watermark order IS the
+# event order, with res winning the one legal tie (a resurrection of
+# a tombstone written at the current watermark).
+_TOMB_SCHEMA = "doc_id bigint, src_max_id bigint, rseq bigint, res boolean"
+# the working log likewise: src_rseq stamps canonical rows APPENDED by
+# a retraction (a survivor elected canonical after its cluster lost
+# the old winner); NULL = written by build/update (committed via the
+# pending-marker protocol), non-NULL committed iff <= n_retractions
+_WORK_SCHEMA = "doc_id bigint, source string, text string, src_rseq bigint"
 _GRAM_SCHEMA = "id bigint, g bigint"
 # hashes likewise carry the doc that introduced each text hash
 # (src_id) — exact dedup's anti-join still keys on h alone, but a
@@ -161,6 +181,32 @@ def foreach_batch_update(spark: SparkSession, state_path: str):
     return absorb
 
 
+def foreach_batch_retract(spark: SparkSession, state_path: str):
+    """Structured-Streaming DELETION absorber for a saved curation
+    state — the pipeline member of the ``foreach_batch_retract``
+    family: a ``(batch_df, batch_id) -> None`` function for
+    ``writeStream.foreachBatch`` that retracts each micro-batch of
+    doc ids (first column, castable to long) as one
+    :meth:`CurationState.retract` sequence. At-least-once safety is
+    the retraction-sequence protocol itself: a fully REPLAYED batch
+    finds its ids committed in the root ledger and skips
+    idempotently; a crash inside the write sequence leaves
+    uncommitted ledger rows whose same-ids replay repairs and
+    re-lands; a batch PARTIALLY overlapping committed retractions
+    raises (re-deriving against half-retracted state), so a deletion
+    feed must keep batch boundaries stable across restarts — exactly
+    the contract the per-family absorbers document
+    (streamed == one-batch equality is test-asserted in
+    tests/test_retraction_absorbers.py)."""
+
+    def absorb(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.limit(1).count() == 0:
+            return
+        CurationState.load(spark, state_path).retract(batch_df)
+
+    return absorb
+
+
 class CurationState:
     """Handle over a saved curation state directory. Construct with
     :meth:`build` (initial corpus) or :meth:`load` (existing state);
@@ -176,22 +222,102 @@ class CurationState:
 
     # ------------------------------------------------------------- views
 
+    def _has_ledger(self) -> bool:
+        return T._parquet_dir_exists(f"{self._path}/retracted")
+
+    def _root_ledger(self) -> DataFrame:
+        """The pipeline retraction ledger (doc_id, rseq) — rows beyond
+        meta's committed ``n_retractions`` belong to an in-flight or
+        torn :meth:`retract`."""
+        return self._spark.read.parquet(f"{self._path}/retracted")
+
+    def _committed_retracted(self) -> DataFrame | None:
+        """Committed retracted doc ids, or None when the state has no
+        ledger (the common case — every read path below is then
+        byte-identical to the pre-retraction plans, pay-for-play)."""
+        if not self._has_ledger():
+            return None
+        n_r = int(self.meta.get("n_retractions") or 0)
+        return (
+            self._root_ledger()
+            .filter(F.col("rseq") <= n_r)
+            .select("doc_id")
+            .distinct()
+        )
+
     def indexed(self) -> DataFrame:
-        """The filtered + exact-deduped corpus the dedup index covers."""
-        return self._spark.read.parquet(f"{self._path}/indexed")
+        """The filtered + exact-deduped corpus the dedup index covers,
+        minus committed retractions (physical rows stay until
+        :meth:`compact` resolves them — one broadcast anti-join, paid
+        only when a ledger exists)."""
+        df = self._spark.read.parquet(f"{self._path}/indexed")
+        t = self._committed_retracted()
+        if t is not None:
+            df = df.join(F.broadcast(t), "doc_id", "left_anti")
+        return df
 
     def _tombstones(self) -> DataFrame:
         return self._spark.read.schema(_TOMB_SCHEMA).parquet(
             f"{self._path}/tombstones"
         )
 
-    def working(self) -> DataFrame:
-        """Live canonical documents: the working append log minus the
-        tombstoned (displaced) canonicals — merge-on-read."""
-        return (
-            self._spark.read.parquet(f"{self._path}/working")
-            .join(self._tombstones(), "doc_id", "left_anti")
+    def _working_log(self) -> DataFrame:
+        return self._spark.read.schema(_WORK_SCHEMA).parquet(
+            f"{self._path}/working"
         )
+
+    def _dead_docs(self, *, stamp: int | None = None) -> DataFrame:
+        """Doc ids whose EFFECTIVE tombstone state is dead: committed
+        tombstone rows, resolved against committed resurrection
+        records (last event by the src_max_id watermark wins, ``res``
+        winning the one legal same-watermark tie — see the
+        ``_TOMB_SCHEMA`` note). ``stamp`` reconstructs the pre-crash
+        state for update's repair mode (rows stamped beyond it are the
+        crashed update's). Without a retraction ledger this is the
+        plain tombstone id set — the original single-anti-join plan."""
+        t = self._tombstones()
+        if stamp is not None:
+            t = t.filter(
+                F.col("src_max_id").isNull()
+                | (F.col("src_max_id") <= int(stamp))
+            )
+        if not self._has_ledger():
+            return t.select("doc_id")
+        n_r = int(self.meta.get("n_retractions") or 0)
+        t = t.filter(F.col("rseq").isNull() | (F.col("rseq") <= n_r))
+        if not n_r:
+            # no committed retraction → no committed res rows exist
+            return t.select("doc_id")
+        last = t.groupBy("doc_id").agg(
+            F.max(
+                F.struct(
+                    F.coalesce("src_max_id", F.lit(-1)).alias("w"),
+                    F.coalesce(F.col("res"), F.lit(False))
+                    .cast("int")
+                    .alias("r"),
+                )
+            ).alias("last")
+        )
+        return last.filter(F.col("last.r") == 0).select("doc_id")
+
+    def working(self, *, stamp: int | None = None) -> DataFrame:
+        """Live canonical documents: the working append log minus the
+        effectively tombstoned (displaced and not resurrected)
+        canonicals — merge-on-read. Canonical rows a retraction
+        appended are served only once that retraction committed
+        (``src_rseq`` gate); ``stamp`` is update-repair's pre-crash
+        reconstruction."""
+        log = self._working_log()
+        if self._has_ledger():
+            n_r = int(self.meta.get("n_retractions") or 0)
+            log = log.filter(
+                F.col("src_rseq").isNull() | (F.col("src_rseq") <= n_r)
+            )
+        if stamp is not None:
+            log = log.filter(F.col("doc_id") <= int(stamp))
+        return log.join(
+            self._dead_docs(stamp=stamp), "doc_id", "left_anti"
+        ).select("doc_id", "source", "text")
 
     def contamination(self) -> DataFrame:
         """Live contamination evidence pairs (train_id, bench_id,
@@ -299,16 +425,62 @@ class CurationState:
                 bad(f"substrate_missing_{sub}", 1)
         if v and any(k.startswith("substrate_missing_") for k in v):
             return {"ok": False, "violations": v}
+        dead_src = self._committed_retracted()
+        if self._has_ledger():
+            # pipeline-retraction probes: uncommitted ledger rows are
+            # the torn-retract signal (same name every family's probe
+            # uses, so vacuum's purge trigger generalizes), and the
+            # derived uncommitted writes it vouches for
+            n_rr = int(m.get("n_retractions") or 0)
+            led = self._root_ledger()
+            bad(
+                "uncommitted_ledger_rows",
+                led.filter(F.col("rseq") > n_rr).count(),
+            )
+            bad(
+                "retracted_id_beyond_stamp",
+                led.filter(
+                    (F.col("rseq") <= n_rr)
+                    & (F.col("doc_id") > int(m["max_doc_id"]))
+                ).count(),
+            )
+            bad(
+                "uncommitted_working_adds",
+                self._working_log()
+                .filter(F.col("src_rseq") > n_rr)
+                .count(),
+            )
+            tomb_raw = self._tombstones()
+            bad(
+                "uncommitted_tombstone_rows",
+                tomb_raw.filter(F.col("rseq") > n_rr).count(),
+            )
+            # a committed resurrection must counter an actual
+            # tombstone — an orphan means the log was hand-edited or a
+            # repair path broke
+            res_c = tomb_raw.filter(
+                F.coalesce("res", F.lit(False))
+                & (F.col("rseq").isNull() | (F.col("rseq") <= n_rr))
+            ).select("doc_id")
+            tomb_c = tomb_raw.filter(
+                ~F.coalesce("res", F.lit(False))
+            ).select("doc_id")
+            bad(
+                "resurrection_orphans",
+                res_c.join(tomb_c, "doc_id", "left_anti").count(),
+            )
         indexed = self.indexed()
         live = self.working()
         ids = indexed.groupBy("doc_id").count().filter(F.col("count") > 1)
         bad("duplicate_indexed_ids", ids.count())
-        h = (
-            spark.read.schema(_HASH_SCHEMA)
-            .parquet(f"{p}/hashes")
-            .select("h")
-            .distinct()
-        )
+        h = spark.read.schema(_HASH_SCHEMA).parquet(f"{p}/hashes")
+        if dead_src is not None:
+            h = h.join(
+                F.broadcast(dead_src.withColumnRenamed("doc_id", "src_id")),
+                "src_id",
+                "left_anti",
+            )
+        h = h.select("h").distinct()
         ih = indexed.select(F.md5("text").alias("h")).distinct()
         bad("hashes_missing", ih.join(h, "h", "left_anti").count())
         bad("hashes_orphaned", h.join(ih, "h", "left_anti").count())
@@ -366,6 +538,15 @@ class CurationState:
         idx_path = f"{p}/index"
         if index_stages and T._parquet_dir_exists(f"{idx_path}/bands"):
             bands = spark.read.parquet(f"{idx_path}/bands")
+            if dead_src is not None:
+                # index rows of retracted docs stay physical until
+                # compact resolves them — the cross-substrate
+                # invariants hold over the LIVE view
+                bands = bands.join(
+                    F.broadcast(dead_src.withColumnRenamed("doc_id", "id")),
+                    "id",
+                    "left_anti",
+                )
             b_ids = bands.select(F.col("id").alias("doc_id")).distinct()
             bad(
                 "band_orphans",
@@ -386,6 +567,15 @@ class CurationState:
                 bad("index_stage_missing_pairs", 1)
                 return {"ok": not v, "violations": v}
             pairs = spark.read.parquet(f"{idx_path}/pairs")
+            if dead_src is not None:
+                for side in ("id_a", "id_b"):
+                    pairs = pairs.join(
+                        F.broadcast(
+                            dead_src.withColumnRenamed("doc_id", side)
+                        ),
+                        side,
+                        "left_anti",
+                    )
             if cooccupancy:
                 cooc = (
                     bands.alias("x")
@@ -408,6 +598,15 @@ class CurationState:
                 bad("index_stage_missing_verified", 1)
                 return {"ok": not v, "violations": v}
             verified = spark.read.parquet(f"{idx_path}/verified")
+            if dead_src is not None:
+                for side in ("id_a", "id_b"):
+                    verified = verified.join(
+                        F.broadcast(
+                            dead_src.withColumnRenamed("doc_id", side)
+                        ),
+                        side,
+                        "left_anti",
+                    )
             bad(
                 "verified_not_in_pairs",
                 verified.select("id_a", "id_b")
@@ -474,12 +673,27 @@ class CurationState:
         state ROOT lease, so a concurrent update/absorber is refused
         instead of its appends being dropped by these swaps."""
         if self._read_pending() is not None:
-            raise ValueError(
+            raise T.TornStateError(
                 "CurationState.compact: a pending update marker is on disk — "
                 "a previous update crashed mid-write; replay that delta "
                 "(update with the same batch) before compacting, or the "
                 "rewrite destroys the tombstone log the repair needs"
             )
+        if self._has_ledger():
+            n_rr = int(self.meta.get("n_retractions") or 0)
+            if (
+                self._root_ledger()
+                .filter(F.col("rseq") > n_rr)
+                .limit(1)
+                .count()
+            ):
+                raise T.TornStateError(
+                    "CurationState.compact: uncommitted retraction ledger "
+                    "rows on disk — a previous retract() crashed "
+                    "mid-protocol; replay that retraction (same ids) "
+                    "before compacting, or the rewrites destroy the "
+                    "repair's evidence"
+                )
         from .lease import dir_lease
 
         with dir_lease(self._path, role="CurationState.compact"):
@@ -490,26 +704,50 @@ class CurationState:
     def _compact_unfenced(self, *, target_rows_per_file: int = 1 << 20) -> dict:
         spark, p = self._spark, self._path
         out: dict[str, dict] = {}
-        tombs = self._tombstones()
+        has_led = self._has_ledger()
         out["working"] = T._rewrite_parquet_dir(
             spark, f"{p}/working", self.working(), target_rows_per_file
         )
         live_grams = (
             spark.read.schema(_GRAM_SCHEMA)
             .parquet(f"{p}/grams")
-            .join(tombs.withColumnRenamed("doc_id", "id"), "id", "left_anti")
+            .join(
+                self._dead_docs().withColumnRenamed("doc_id", "id"),
+                "id",
+                "left_anti",
+            )
         )
         out["grams"] = T._rewrite_parquet_dir(
             spark, f"{p}/grams", live_grams, target_rows_per_file
         )
-        # tombstones resolved into working/grams above — clear the log
+        # tombstones (and resurrection records) resolved into
+        # working/grams above — clear the log
         T._write_control_parquet(f"{p}/tombstones", [], _TOMB_SCHEMA)
         out["tombstones"] = {"rows": 0, "files_before": None, "files_after": None}
-        for sub in ("indexed", "hashes"):
-            out[sub] = T._rewrite_parquet_dir(
+        # indexed resolves committed retractions physically; hashes is
+        # recomputed from the live indexed set when a ledger exists
+        # (this also retires legacy NULL-src_id hash rows of retracted
+        # texts — the one suppression the view filter cannot lift)
+        out["indexed"] = T._rewrite_parquet_dir(
+            spark, f"{p}/indexed", self.indexed(), target_rows_per_file
+        )
+        hashes_frame = (
+            self.indexed()
+            .groupBy(F.md5("text").alias("h"))
+            .agg(F.min("doc_id").alias("src_id"))
+            if has_led
+            else spark.read.parquet(f"{p}/hashes")
+        )
+        out["hashes"] = T._rewrite_parquet_dir(
+            spark, f"{p}/hashes", hashes_frame, target_rows_per_file
+        )
+        if has_led:
+            # re-lay and RETAIN the ledger: retract()'s idempotent-
+            # replay detection and update's reuse refusal key on it
+            out["retracted"] = T._rewrite_parquet_dir(
                 spark,
-                f"{p}/{sub}",
-                spark.read.parquet(f"{p}/{sub}"),
+                f"{p}/retracted",
+                self._root_ledger(),
                 target_rows_per_file,
             )
         out["contam"] = T._rewrite_parquet_dir(
@@ -676,6 +914,7 @@ class CurationState:
         meta["n_bench"] = wrow_acc["nb"]
         meta["n_updates"] = 0
         meta["n_compactions"] = 0
+        meta["n_retractions"] = 0
         st._write_meta()
         return st
 
@@ -690,6 +929,9 @@ class CurationState:
         meta.setdefault("max_band_size", None)
         # states saved before the gram hash family existed are md5
         meta.setdefault("gram_hash_family", "md5")
+        # states saved before pipeline retraction existed
+        if meta.get("n_retractions") is None:
+            meta["n_retractions"] = 0
         return cls(spark, path, meta)
 
     def _write_meta(self) -> None:
@@ -863,6 +1105,21 @@ class CurationState:
                 f"{m['max_doc_id']}; exact-dedup keep-first and index "
                 "id-disjointness both require append-only ids"
             )
+        if self._has_ledger():
+            n_rr = int(m.get("n_retractions") or 0)
+            if (
+                self._root_ledger()
+                .filter(F.col("rseq") > n_rr)
+                .limit(1)
+                .count()
+            ):
+                raise ValueError(
+                    "CurationState.update: uncommitted retraction ledger "
+                    "rows on disk — a previous retract() crashed "
+                    "mid-protocol; replay that retraction (retract with "
+                    "the same ids) before updating, or its derived writes "
+                    "would be misattributed to this delta"
+                )
 
         # -- commit protocol: a matching pending marker means the
         #    previous attempt at THIS delta crashed mid-write — run in
@@ -904,6 +1161,18 @@ class CurationState:
         if repair:
             hashes = hashes.filter(
                 F.col("src_id").isNull() | (F.col("src_id") <= stamp)
+            )
+        dead_src = self._committed_retracted()
+        if dead_src is not None:
+            # a retracted doc's text hash no longer suppresses
+            # re-ingestion — build(corpus ∖ r) would ingest the text
+            # fresh. (Legacy pre-round-8 hash rows with NULL src_id
+            # keep suppressing until compact() recomputes hashes from
+            # the live indexed set.)
+            hashes = hashes.join(
+                F.broadcast(dead_src.withColumnRenamed("doc_id", "src_id")),
+                "src_id",
+                "left_anti",
             )
         # lazy: the index update's band build is the next action and
         # materializes this (and every later consumer reads the
@@ -953,18 +1222,7 @@ class CurationState:
             vc.select("doc_id"), "doc_id", "left_anti"
         )
         new_canon = winners.unionByName(singletons).localCheckpoint(eager=False)
-        old_live = self.working() if not repair else (
-            self._spark.read.parquet(f"{p}/working")
-            .filter(F.col("doc_id") <= stamp)
-            .join(
-                self._tombstones().filter(
-                    F.col("src_max_id").isNull()
-                    | (F.col("src_max_id") <= stamp)
-                ),
-                "doc_id",
-                "left_anti",
-            )
-        )
+        old_live = self.working(stamp=stamp if repair else None)
         # lazy: the fused adds/retracts aggregate below is the
         # materializing action for both frames
         adds = new_canon.join(
@@ -1011,14 +1269,13 @@ class CurationState:
         #    (working set < max_df/max_df_frac docs), where it is
         #    trivially cheap.
         g_all = spark.read.schema(_GRAM_SCHEMA).parquet(f"{p}/grams")
-        tomb_old = self._tombstones()
         if repair:
             g_all = g_all.filter(F.col("id") <= stamp)
-            tomb_old = tomb_old.filter(
-                F.col("src_max_id").isNull() | (F.col("src_max_id") <= stamp)
-            )
         g_old_live = g_all.join(
-            tomb_old.withColumnRenamed("doc_id", "id"), "id", "left_anti"
+            self._dead_docs(stamp=stamp if repair else None)
+            .withColumnRenamed("doc_id", "id"),
+            "id",
+            "left_anti",
         )
         # retraction-free fast path (the common daily delta): every
         # retract-derived branch below is PROVABLY empty, so its joins
@@ -1284,9 +1541,15 @@ class CurationState:
                 retracts.select(
                     "doc_id",
                     F.lit(int(bounds["hi"])).cast("bigint").alias("src_max_id"),
+                    F.lit(None).cast("bigint").alias("rseq"),
+                    F.lit(False).alias("res"),
                 ),
                 "tombstones",
-                ["doc_id"],
+                # keyed per EVENT, not per doc: a doc resurrected by a
+                # retraction can be displaced again by a later update,
+                # and a doc_id-only repair guard would silently skip
+                # that second, legitimate tombstone
+                ["doc_id", "src_max_id"],
             ),
             lambda: _append(g_add, "grams", ["id", "g"]),
             # the one non-append write: rename-aside swap, so a
@@ -1325,4 +1588,493 @@ class CurationState:
             "contam_pairs": n_pairs_after,
             "contam_pairs_added": n_pairs_after - n_pairs_before,
             "n_working": n_working_new,
+        }
+
+    # ----------------------------------------------------------- retract
+
+    def retract(self, ids: DataFrame) -> dict:
+        """Pipeline-level deletion (round 10 — VERDICT r9 Next #1):
+        remove documents from EVERY substrate the state maintains —
+        indexed/hashes (view-filtered by the root ledger, resolved by
+        :meth:`compact`), the embedded :class:`textops.DedupIndex`
+        (its own ``retract``/``retract_saved``, affected-cluster
+        relabel included), the working set (retracted canonicals
+        tombstone; their clusters' surviving members re-elect a
+        canonical, including the SPLIT case where one cluster yields
+        several new winners; a canonical an earlier update DISPLACED
+        is RESURRECTED via an append-only counter-record when its
+        displacer is retracted), grams (newly elected canonicals'
+        postings append; dead postings tombstone-filter until
+        compact), and contamination (pairs touching retracted
+        canonicals die; newly live canonicals mine incrementally; df
+        flips in BOTH directions — a gram crossing under the cap
+        re-mines its full posting list, stored pairs whose every
+        witnessing gram crossed over re-check reachability — exactly
+        as :meth:`update` handles the mirror-image arrivals).
+
+        ``retract(r) == build(corpus ∖ r)`` on every view (indexed /
+        working / contamination / curated), oracle-gated (t44), with
+        ONE documented exact-dedup caveat: a retracted doc that
+        SHADOWED an exact-duplicate text (keep-first winner whose
+        loser was never ingested) cannot resurrect the loser — the
+        state never stored it. The loser's text is no longer
+        suppressed (the hash dies with the retracted doc), so a
+        RE-INGESTED copy takes its place, which is the rebuild-forward
+        semantics a takedown needs.
+
+        COMMIT PROTOCOL (the family retraction-sequence protocol
+        lifted to the multi-substrate state, composed with the
+        pending-marker machinery): the root ledger rows land FIRST at
+        ``rseq = k+1`` (uncommitted until the meta bump — they are
+        the torn-retract signal, playing the role update's ``pending``
+        marker plays), then the index's own fenced
+        ``retract_saved`` (self-repairing, idempotent when already
+        committed), then the derived writes — working appends stamped
+        ``src_rseq = k+1``, tombstone/resurrection rows stamped
+        ``rseq = k+1`` (readers serve neither until commit), gram
+        appends (anti-join-guarded on replay), the contam rename-aside
+        swap (recomputed deterministically from committed state, so a
+        replay converges) — and meta commits ``n_retractions = k+1``
+        LAST. A same-ids replay repairs and re-lands; a fully
+        committed replay skips idempotently; partial overlap and a
+        DIFFERENT torn retraction raise; ``update``/``compact`` refuse
+        while uncommitted ledger rows exist. Retracted ids stay dead:
+        the monotone-ingestion contract refuses their reuse by
+        construction. Single-writer-fenced on the state root.
+
+        Cost is bounded by the retracted docs' cluster neighborhoods
+        plus the touched grams' posting lists — never the corpus: the
+        affected post-components are exactly the post-retract clusters
+        of the retracted docs' DIRECT verified neighbors (every
+        component of a split cluster keeps at least one such neighbor
+        — the edge leaving the component led to a retracted doc), so
+        no full component re-run happens here beyond what
+        ``DedupIndex.retract`` already bounds."""
+        from .lease import dir_lease
+
+        with dir_lease(self._path, role="CurationState.retract"):
+            return self._retract_unfenced(ids)
+
+    def _retract_unfenced(self, ids: DataFrame) -> dict:
+        spark, p, m = self._spark, self._path, self.meta
+        n_r = int(m.get("n_retractions") or 0)
+        stamp = int(m["max_doc_id"])
+        r = (
+            ids.select(F.col(ids.columns[0]).cast("long").alias("doc_id"))
+            .distinct()
+            .localCheckpoint()
+        )
+        n_ids = r.count()
+        noop = {
+            "retracted": 0, "working_retracts": 0, "working_adds": 0,
+            "resurrected": 0, "contam_pairs": None, "n_working": int(m["n_working"]),
+        }
+        if n_ids == 0:
+            return noop
+        hi = int(r.agg(F.max("doc_id")).first()[0])
+        if hi > stamp:
+            raise ValueError(
+                "CurationState.retract: delta contains id(s) above the "
+                f"ingested high-water mark {stamp} — those documents were "
+                "never ingested into this state"
+            )
+        if self._read_pending() is not None:
+            raise ValueError(
+                "CurationState.retract: a pending update marker is on disk "
+                "— a previous update crashed mid-write; replay that delta "
+                "(update with the same batch) before retracting"
+            )
+        led_path = f"{p}/retracted"
+        repair = False
+        if T._parquet_dir_exists(led_path):
+            T._recover_swapped_dir(led_path)
+            led = self._root_ledger()
+            unc = led.filter(F.col("rseq") > n_r).select("doc_id").distinct()
+            if unc.limit(1).count():
+                if (
+                    unc.join(r, "doc_id", "left_anti").limit(1).count()
+                    or r.join(unc, "doc_id", "left_anti").limit(1).count()
+                ):
+                    raise ValueError(
+                        "CurationState.retract: uncommitted ledger rows "
+                        "from a DIFFERENT torn retraction are on disk — "
+                        "replay that retraction (same ids) before this one"
+                    )
+                repair = True
+            committed = led.filter(F.col("rseq") <= n_r).select("doc_id")
+            n_in = r.join(committed, "doc_id", "left_semi").count()
+            if n_in == n_ids:
+                out = dict(noop)
+                out["replayed"] = True
+                return out
+            if n_in:
+                raise ValueError(
+                    f"CurationState.retract: {n_in} of {n_ids} id(s) are "
+                    "already retracted on disk — a partial overlap "
+                    "re-derives against wrong state; retract only new ids"
+                )
+        if repair:
+            # the one non-append write is the contam swap — recover the
+            # between-renames crash window before reading it
+            T._recover_swapped_dir(f"{p}/contam")
+
+        # ---- derivation (committed views throughout; every frame
+        #      below is replay-deterministic, which is what makes the
+        #      anti-join-guarded re-land converge)
+        prior = self._committed_retracted()
+        # pre-retract verified edges from the PHYSICAL rows: the
+        # loaded index hides edges of already-committed retractions —
+        # including THIS one's on a repair replay after the index half
+        # committed — so the neighbor set reads raw and filters only
+        # the retractions committed BEFORE this op
+        raw_v = spark.read.parquet(f"{p}/index/verified").select(
+            "id_a", "id_b"
+        )
+        if prior is not None:
+            pr = prior.join(r, "doc_id", "left_anti")
+            for side in ("id_a", "id_b"):
+                raw_v = raw_v.join(
+                    F.broadcast(pr.withColumnRenamed("doc_id", side)),
+                    side,
+                    "left_anti",
+                )
+        nbr = (
+            raw_v.join(
+                F.broadcast(r.withColumnRenamed("doc_id", "id_a")),
+                "id_a",
+                "left_semi",
+            )
+            .select(F.col("id_b").alias("doc_id"))
+            .unionByName(
+                raw_v.join(
+                    F.broadcast(r.withColumnRenamed("doc_id", "id_b")),
+                    "id_b",
+                    "left_semi",
+                ).select(F.col("id_a").alias("doc_id"))
+            )
+            .distinct()
+            .join(F.broadcast(r), "doc_id", "left_anti")
+            .localCheckpoint()
+        )
+        idx = self.dedup_index()
+        idx.retract(r)  # in-memory (idempotent no-op when the index
+        # half already committed on a previous attempt — the replay
+        # flag makes retract_saved skip below)
+        post_lbl = idx._verified_clusters.withColumnRenamed("id", "doc_id")
+        aff_cl = (
+            post_lbl.join(F.broadcast(nbr), "doc_id", "left_semi")
+            .select("cluster")
+            .distinct()
+        )
+        aff_ids = (
+            post_lbl.join(aff_cl, "cluster", "left_semi")
+            .select("doc_id")
+            .unionByName(nbr)
+            .distinct()
+            .localCheckpoint()
+        )
+        old_indexed = self.indexed()
+        aff_docs = old_indexed.join(F.broadcast(aff_ids), "doc_id", "left_semi")
+        winners = self._canonicals(
+            aff_docs, idx._verified_clusters
+        ).localCheckpoint()
+        live = self.working()
+        dead_log = self._dead_docs().localCheckpoint()
+        in_log = self._working_log()
+        if self._has_ledger():
+            in_log = in_log.filter(
+                F.col("src_rseq").isNull() | (F.col("src_rseq") <= n_r)
+            )
+        in_log = in_log.select("doc_id")
+        adds_append = winners.join(in_log, "doc_id", "left_anti").localCheckpoint()
+        resurrect = winners.join(
+            F.broadcast(dead_log), "doc_id", "left_semi"
+        ).localCheckpoint()
+        retracts_w = (
+            live.join(F.broadcast(r), "doc_id", "left_semi")
+            .select("doc_id", "source")
+            .localCheckpoint()
+        )
+        is_bench = (F.col("source") == m["bench_source"]).cast("bigint")
+        ar_rows = {
+            int(row["__add"]): row
+            for row in adds_append.select("source")
+            .unionByName(resurrect.select("source"))
+            .select(F.lit(1).alias("__add"), is_bench.alias("__b"))
+            .unionByName(
+                retracts_w.select(F.lit(0).alias("__add"), is_bench.alias("__b"))
+            )
+            .groupBy("__add")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("__b").alias("nb"))
+            .collect()
+        }
+
+        def _cnt(side: int, field: str) -> int:
+            row = ar_rows.get(side)
+            return int(row[field] or 0) if row is not None else 0
+
+        n_adds, n_retracts = _cnt(1, "n"), _cnt(0, "n")
+        bench_delta = _cnt(1, "nb") - _cnt(0, "nb")
+        n_working_new = int(m["n_working"]) - n_retracts + n_adds
+
+        # ---- decontamination: the mirror image of update's arrival
+        #      machinery — retracted canonicals leave, elected/
+        #      resurrected canonicals enter, dfs move BOTH ways
+        g_all = spark.read.schema(_GRAM_SCHEMA).parquet(f"{p}/grams")
+        if repair:
+            # gram rows keyed by an appended winner can only be a
+            # crashed attempt's (those docs were never in the log) —
+            # purge them from the read; resurrected docs' rows are
+            # committed history and stay
+            g_all = g_all.join(
+                F.broadcast(
+                    adds_append.select(F.col("doc_id").alias("id"))
+                ),
+                "id",
+                "left_anti",
+            )
+        g_old_live = g_all.join(
+            dead_log.withColumnRenamed("doc_id", "id"), "id", "left_anti"
+        )
+        retr_ids = retracts_w.select(F.col("doc_id").alias("id"))
+        no_retracts = n_retracts == 0
+        g_after = (
+            g_old_live
+            if no_retracts
+            else g_old_live.join(F.broadcast(retr_ids), "id", "left_anti")
+        )
+        g_add_new = self._gram_frame(adds_append).localCheckpoint(eager=False)
+        g_res = g_all.join(
+            F.broadcast(resurrect.select(F.col("doc_id").alias("id"))),
+            "id",
+            "left_semi",
+        )
+        g_add_mine = g_add_new.unionByName(g_res).localCheckpoint(eager=False)
+        g_new = g_after.unionByName(g_add_mine)
+        cap_old = _df_cap(m["max_df"], m["max_df_frac"], max(int(m["n_working"]), 1))
+        cap_new = _df_cap(m["max_df"], m["max_df_frac"], max(n_working_new, 1))
+        stored = self.contamination()
+        stored_ids = stored.select(F.col("train_id").alias("id")).unionByName(
+            stored.select(F.col("bench_id").alias("id"))
+        )
+        g_ret = (
+            None
+            if no_retracts
+            else g_old_live.join(F.broadcast(retr_ids), "id", "left_semi")
+        )
+        ch_add = g_add_mine.groupBy("g").agg(F.count(F.lit(1)).alias("ca"))
+        if cap_new == cap_old:
+            restricted = g_add_mine.select("g")
+            if g_ret is not None:
+                restricted = restricted.unionByName(g_ret.select("g"))
+            restricted = (
+                restricted.unionByName(
+                    g_new.join(
+                        F.broadcast(stored_ids), "id", "left_semi"
+                    ).select("g")
+                )
+                .distinct()
+                .localCheckpoint()
+            )
+            df_old = (
+                g_old_live.join(F.broadcast(restricted), "g", "left_semi")
+                .groupBy("g")
+                .agg(F.count(F.lit(1)).alias("df_o"))
+            )
+        else:
+            df_old = g_old_live.groupBy("g").agg(
+                F.count(F.lit(1)).alias("df_o")
+            )
+        df_new = df_old.join(ch_add, "g", "full")
+        if g_ret is not None:
+            ch_ret = g_ret.groupBy("g").agg(F.count(F.lit(1)).alias("cr"))
+            df_new = df_new.join(ch_ret, "g", "full")
+        df_new = (
+            df_new.select(
+                "g",
+                "df_o",
+                (
+                    F.coalesce("df_o", F.lit(0))
+                    + F.coalesce("ca", F.lit(0))
+                    - (
+                        F.lit(0)
+                        if no_retracts
+                        else F.coalesce("cr", F.lit(0))
+                    )
+                ).alias("df_n"),
+            )
+            .filter(F.col("df_n") > 0)
+            .localCheckpoint()
+        )
+        allowed = df_new.filter(F.col("df_n") <= cap_new).select("g")
+        # retraction's common case IS the flip case (dfs shrink), so
+        # the full-posting re-mine branch stays on unless provably
+        # impossible (no retracts, same cap — then dfs only grew)
+        no_flips = no_retracts and cap_new == cap_old
+        ga = g_add_mine.join(F.broadcast(allowed), "g", "left_semi")
+        gn_allowed = g_new.join(F.broadcast(allowed), "g", "left_semi")
+        cand_delta = (
+            ga.alias("a")
+            .join(gn_allowed.alias("b"), "g")
+            .filter(F.col("a.id") != F.col("b.id"))
+            .select(
+                F.least("a.id", "b.id").alias("id_a"),
+                F.greatest("a.id", "b.id").alias("id_b"),
+            )
+            .distinct()
+        )
+        if no_flips:
+            cand = cand_delta
+        else:
+            flipped = df_new.filter(
+                (F.col("df_n") <= cap_new) & (F.col("df_o") > cap_old)
+            ).select("g")
+            postings_f = (
+                g_new.join(F.broadcast(flipped), "g", "left_semi")
+                .groupBy("g")
+                .agg(F.sort_array(F.collect_list("id")).alias("ids"))
+            )
+            cand = cand_delta.unionByName(T.posting_pairs(postings_f)).distinct()
+        working_new = live.select("doc_id", "source", "text")
+        if not no_retracts:
+            working_new = working_new.join(
+                F.broadcast(retracts_w.select("doc_id")), "doc_id", "left_anti"
+            )
+        working_new = working_new.unionByName(
+            adds_append.select("doc_id", "source", "text")
+        ).unionByName(resurrect.select("doc_id", "source", "text"))
+        flags = working_new.select(
+            F.col("doc_id").alias("id"),
+            (F.col("source") == m["bench_source"]).alias("__b"),
+        )
+        mixed = (
+            cand.join(
+                flags.select(F.col("id").alias("id_a"), F.col("__b").alias("ba")),
+                "id_a",
+            )
+            .join(
+                flags.select(F.col("id").alias("id_b"), F.col("__b").alias("bb")),
+                "id_b",
+            )
+            .filter(F.col("ba") != F.col("bb"))
+            .drop("bb")
+        )
+        pair_ids = mixed.select(F.col("id_a").alias("doc_id")).unionByName(
+            mixed.select(F.col("id_b").alias("doc_id"))
+        )
+        sets = T.hashed_gram_sets(
+            working_new.join(pair_ids, "doc_id", "left_semi"),
+            "text",
+            "doc_id",
+            m["gram_n"],
+            m.get("gram_hash_family", "md5"),
+        ).localCheckpoint(eager=False)
+        new_pairs = self._orient(
+            T._containment_verified(mixed, sets, m["contain_threshold"])
+        )
+        stored_live = (
+            stored
+            if no_retracts
+            else stored.join(
+                F.broadcast(
+                    retracts_w.select(F.col("doc_id").alias("train_id"))
+                ),
+                "train_id",
+                "left_anti",
+            ).join(
+                F.broadcast(
+                    retracts_w.select(F.col("doc_id").alias("bench_id"))
+                ),
+                "bench_id",
+                "left_anti",
+            )
+        )
+        g_stored = gn_allowed.join(F.broadcast(stored_ids), "id", "left_semi")
+        reach = (
+            stored_live.alias("s")
+            .join(g_stored.alias("x"), F.col("s.train_id") == F.col("x.id"))
+            .join(
+                g_stored.alias("y"),
+                (F.col("s.bench_id") == F.col("y.id"))
+                & (F.col("x.g") == F.col("y.g")),
+            )
+            .select("s.train_id", "s.bench_id")
+        )
+        # unconditional pair-key dedup: a repair replay re-mines pairs
+        # a crashed attempt's completed contam swap already stored,
+        # and the flip re-mine regenerates stored old×old pairs —
+        # containment is text-deterministic, so survivors are
+        # value-identical
+        contam_final = (
+            stored_live.join(reach, ["train_id", "bench_id"], "left_semi")
+            .unionByName(new_pairs)
+            .dropDuplicates(["train_id", "bench_id"])
+            .localCheckpoint(eager=False)
+        )
+        n_pairs_after = contam_final.count()
+
+        # ---- the commit (see the protocol note in the docstring)
+        if not repair:
+            r.select(
+                "doc_id", F.lit(n_r + 1).cast("bigint").alias("rseq")
+            ).write.mode("append").parquet(led_path)
+        idx.retract_saved(f"{p}/index")
+
+        def _guarded(delta: DataFrame, sub: str, keys: list[str], on: DataFrame) -> None:
+            if repair:
+                delta = delta.join(on.select(*keys), keys, "left_anti").localCheckpoint()
+            delta.write.mode("append").parquet(f"{p}/{sub}")
+
+        tomb_rows = retracts_w.select(
+            "doc_id",
+            F.lit(stamp).cast("bigint").alias("src_max_id"),
+            F.lit(n_r + 1).cast("bigint").alias("rseq"),
+            F.lit(False).alias("res"),
+        ).unionByName(
+            resurrect.select(
+                "doc_id",
+                F.lit(stamp).cast("bigint").alias("src_max_id"),
+                F.lit(n_r + 1).cast("bigint").alias("rseq"),
+                F.lit(True).alias("res"),
+            )
+        )
+        from concurrent.futures import ThreadPoolExecutor
+
+        writes = (
+            lambda: _guarded(
+                adds_append.select(
+                    "doc_id", "source", "text",
+                    F.lit(n_r + 1).cast("bigint").alias("src_rseq"),
+                ),
+                "working",
+                ["doc_id"],
+                self._working_log(),
+            ),
+            lambda: _guarded(
+                tomb_rows, "tombstones", ["doc_id", "rseq", "res"],
+                self._tombstones(),
+            ),
+            lambda: _guarded(
+                g_add_new, "grams", ["id", "g"],
+                spark.read.schema(_GRAM_SCHEMA).parquet(f"{p}/grams"),
+            ),
+            lambda: T._rewrite_parquet_dir(
+                spark, f"{p}/contam", contam_final, 1 << 20,
+                n_rows=n_pairs_after,
+            ),
+        )
+        with ThreadPoolExecutor(max_workers=len(writes)) as pool:
+            for fut in [pool.submit(w) for w in writes]:
+                fut.result()
+        m["n_retractions"] = n_r + 1
+        m["n_working"] = int(n_working_new)
+        m["n_bench"] = int(m["n_bench"] + bench_delta)
+        self._write_meta()
+        return {
+            "retracted": int(n_ids),
+            "working_retracts": n_retracts,
+            "working_adds": n_adds,
+            "resurrected": int(resurrect.count()),
+            "contam_pairs": int(n_pairs_after),
+            "n_working": int(n_working_new),
         }

@@ -503,21 +503,34 @@ def _purge_torn_retraction(
     )
 
     led_path = f"{path}/retracted"
+    if family == "CurationState":
+        return _complete_torn_pipeline_retraction(spark, path)
     if family not in (
         "DedupIndex", "MediaIndex", "RepeatIndex", "TrigramLM"
     ) or not _parquet_dir_exists(led_path):
         # VectorIndex's single-append protocol has no uncommitted
-        # representation; CurationState's retractions ride its own
-        # pending-marker machinery
+        # representation
+        return False
+    if not _parquet_dir_exists(f"{path}/meta"):
+        # the meta is mid-swap (or the state is torn beyond this
+        # repair's scope) — report-only sweeps must not crash here;
+        # recover_swaps renames the meta back first
         return False
     m = _read_control_row(f"{path}/meta")
     n_r = int(m.get("n_retractions") or 0)
     led = spark.read.parquet(led_path)
     if not led.filter(F.col("rseq") > n_r).limit(1).count():
         return False
-    _rewrite_parquet_dir(
-        spark, led_path, led.filter(F.col("rseq") <= n_r), 1 << 20
-    )
+    # ORDER: repair every derived write the torn attempt may have
+    # landed FIRST, and rewrite the ledger to its committed subset
+    # LAST — the ledger purge is this rollback's commit point. The
+    # uncommitted ledger rows are the ONLY signal that torn derived
+    # state exists; purging them first would erase that signal, so a
+    # crash in between would leave torn labels/orphan generations
+    # served silently forever. With repair-first, a crash before the
+    # final purge leaves the uncommitted rows in place and the next
+    # sweep (or the writer's own replay) re-runs the idempotent
+    # repair.
     if family == "TrigramLM":
         raw = TrigramLM._raw_counts(spark, path)
         _rewrite_parquet_dir(
@@ -528,8 +541,7 @@ def _purge_torn_retraction(
             ),
             1 << 20,
         )
-        return True
-    if family == "RepeatIndex":
+    elif family == "RepeatIndex":
         # a torn UPDATE cannot coexist here: update() refuses to run
         # over uncommitted ledger rows, and retract() purges its own
         # span generations before re-landing — so every gen beyond the
@@ -543,39 +555,86 @@ def _purge_torn_retraction(
             ),
             1 << 20,
         )
-        return True
-    # cluster families: monotone stages were never touched by the torn
-    # attempt, but the label overwrites may have landed (possibly torn
-    # themselves) — re-derive from the committed-filtered edges
-    idx = (
-        DedupIndex.load(spark, path)
-        if family == "DedupIndex"
-        else __import__(
-            "lp_etl_plugins_spark.multimodal", fromlist=["MediaIndex"]
-        ).MediaIndex.load(spark, path)
-    )
-    from .textops import connected_components
-
-    if family == "DedupIndex":
-        for stage, edges in (
-            ("clusters", idx._pairs),
-            ("verified_clusters", idx._verified),
-        ):
-            if edges is not None and _parquet_dir_exists(f"{path}/{stage}"):
-                lbl = connected_components(
-                    edges.select("id_a", "id_b")
-                ).localCheckpoint()
-                lbl.write.mode("overwrite").parquet(f"{path}/{stage}")
     else:
-        if idx._pairs is not None:
-            lbl = connected_components(
-                idx._pairs.select("id_a", "id_b")
-            ).localCheckpoint()
-            lbl.write.mode("overwrite").parquet(f"{path}/clusters")
+        # cluster families: monotone stages were never touched by the
+        # torn attempt, but the label overwrites may have landed
+        # (possibly torn themselves) — re-derive from the
+        # committed-filtered edges (load() filters the stages by
+        # rseq <= meta's committed counter, so the uncommitted ledger
+        # rows still on disk do not leak into the repair)
+        idx = (
+            DedupIndex.load(spark, path)
+            if family == "DedupIndex"
+            else __import__(
+                "lp_etl_plugins_spark.multimodal", fromlist=["MediaIndex"]
+            ).MediaIndex.load(spark, path)
+        )
+        from .textops import connected_components
+
+        if family == "DedupIndex":
+            for stage, edges in (
+                ("clusters", idx._pairs),
+                ("verified_clusters", idx._verified),
+            ):
+                if edges is not None and _parquet_dir_exists(
+                    f"{path}/{stage}"
+                ):
+                    lbl = connected_components(
+                        edges.select("id_a", "id_b")
+                    ).localCheckpoint()
+                    lbl.write.mode("overwrite").parquet(f"{path}/{stage}")
+        else:
+            if idx._pairs is not None:
+                lbl = connected_components(
+                    idx._pairs.select("id_a", "id_b")
+                ).localCheckpoint()
+                lbl.write.mode("overwrite").parquet(f"{path}/clusters")
+    _rewrite_parquet_dir(
+        spark, led_path, led.filter(F.col("rseq") <= n_r), 1 << 20
+    )
     return True
 
 
-def _stage_candidates(path: str, family: str) -> list[str]:
+def _complete_torn_pipeline_retraction(spark: SparkSession, path: str) -> bool:
+    """The CurationState member of the torn-retraction repair — and
+    deliberately the OPPOSITE direction from the standalone families:
+    it rolls the abandoned retraction FORWARD (replays it) instead of
+    back. Two reasons. First, the root ledger's uncommitted rows
+    preserve the full intent (the exact ids), so the sweep CAN finish
+    the job — ``CurationState.retract``'s same-ids replay converges
+    from any crash prefix; the family ledgers also hold ids, but
+    their documented contract is that the never-acknowledged deletion
+    is re-sent by the at-least-once feed, and rollback restores the
+    exact pre-retract state the feed expects. Second, rollback is not
+    even WELL-DEFINED here: the embedded DedupIndex's own retraction
+    may have already committed (its meta bumped), and un-retracting a
+    committed index retraction would violate that family's
+    retracted-ids-stay-dead contract. Deletion is the one lifecycle
+    op where completing is always the safe repair — a takedown must
+    converge to DELETED. Caller holds the root lease; the replay's
+    inner index lease is a distinct scope."""
+    from .incremental import CurationState
+    from .textops import _parquet_dir_exists
+
+    led_path = f"{path}/retracted"
+    if not _parquet_dir_exists(led_path) or not _parquet_dir_exists(
+        f"{path}/meta"
+    ):
+        return False
+    st = CurationState.load(spark, path)
+    n_r = int(st.meta.get("n_retractions") or 0)
+    unc = (
+        spark.read.parquet(led_path)
+        .filter(F.col("rseq") > n_r)
+        .select("doc_id")
+        .distinct()
+        .localCheckpoint()
+    )
+    if unc.first() is None:
+        return False
+    st._retract_unfenced(unc)  # the same-ids replay — caller holds
+    # the root lease, so the fenced entry would self-deadlock
+    return True
     """Every directory the family's lifecycle can swap via
     rename-aside — stage dirs plus the control-plane metas — whether
     or not it currently exists (the recovery sweep needs the MISSING
@@ -591,8 +650,9 @@ def _stage_candidates(path: str, family: str) -> list[str]:
 def _stage_dirs(path: str, family: str, existing_only: bool = True) -> list[str]:
     if family == "CurationState":
         subs = ("indexed", "hashes", "working", "tombstones", "grams",
-                "contam", "index/bands", "index/pairs", "index/verified",
-                "index/verified_clusters")
+                "contam", "retracted", "index/bands", "index/pairs",
+                "index/verified", "index/verified_clusters",
+                "index/retracted")
     elif family == "DedupIndex":
         from .textops import DedupIndex
 
@@ -719,6 +779,15 @@ def vacuum(
     writer might merely be slow-crashed-and-restarting, its own replay
     is the cheaper repair.
 
+    For a **CurationState** the same flag repairs in the OPPOSITE
+    direction — it rolls the abandoned pipeline retraction FORWARD
+    (replays it from the ids its root ledger preserved) rather than
+    back, because the embedded index's own retraction may already
+    have committed and cannot be un-retracted; see
+    :func:`_complete_torn_pipeline_retraction`. A repair the replay
+    itself refuses (e.g. a pending update marker that must replay
+    first) is reported as ``torn_retraction_repair_refused``.
+
     ``lease_wait_seconds`` (round 9) bounds how long the sweep will
     WAIT for a live writer's directory lease before skipping: the
     default 0 keeps the fail-fast report-and-move-on behavior, while a
@@ -762,6 +831,7 @@ def vacuum(
             continue
         res = _CHECKS[family](spark, path)
         purged = False
+        repair_err = None
         if (
             purge_torn_retractions
             and not res["ok"]
@@ -778,6 +848,11 @@ def vacuum(
                     purged = _purge_torn_retraction(spark, path, family)
             except LeaseContention:
                 pass  # a live writer owns the path; its replay repairs
+            except ValueError:
+                # the repair itself refused (e.g. the CurationState
+                # roll-forward found a pending UPDATE marker that must
+                # replay first) — report, never crash the sweep
+                repair_err = "torn_retraction_repair_refused=1"
             if purged:
                 res = _CHECKS[family](spark, path)
         viol = ";".join(f"{k}={n}" for k, n in sorted(res["violations"].items()))
@@ -785,6 +860,8 @@ def vacuum(
             viol = ";".join(
                 filter(None, [viol, "purged_torn_retraction=1"])
             )
+        if purge_torn_retractions and not purged and repair_err:
+            viol = ";".join(filter(None, [viol, repair_err]))
         dirs = _stage_dirs(path, family)
         worst = max((T._count_data_files(d) for d in dirs), default=0)
         compacted = False
@@ -802,12 +879,15 @@ def vacuum(
                 viol = ";".join(
                     filter(None, [viol, "lease_contention_skipped_compact=1"])
                 )
-            except ValueError:
-                # the family's compact refused (uncommitted update or
-                # retraction rows — reachable only under
-                # compact_unhealthy=True, since the probe marks those
-                # states not-ok): the sweep's contract is
-                # report-don't-crash, and the refusal is the report
+            except T.TornStateError:
+                # the family's compact refused over torn state
+                # (uncommitted update or retraction rows — reachable
+                # only under compact_unhealthy=True, since the probe
+                # marks those states not-ok): the sweep's contract is
+                # report-don't-crash, and the refusal is the report.
+                # The dedicated type means an unrelated ValueError (a
+                # bad argument, a corrupt meta) propagates instead of
+                # being mislabeled as this refusal.
                 viol = ";".join(
                     filter(None, [viol, "compact_refused_torn_state=1"])
                 )

@@ -756,18 +756,24 @@ class MediaIndex:
             .distinct()
             .localCheckpoint()
         )
+        n_t = t.count()
+        if n_t == 0:
+            # mirror RepeatIndex._retract_unfenced's n_ids==0 branch:
+            # an empty delta is a no-op, not an int(None) TypeError
+            # from the high-water-mark aggregate below
+            return self
         if self._retracted_ids is not None:
             n_dead = t.join(
                 F.broadcast(self._retracted_ids), "id", "left_semi"
             ).count()
-            if n_dead == t.count():
-                # full replay of a committed retraction — idempotent:
-                # no mutation; retract_saved's ledger check skips
-                self._tomb_delta = (
-                    t
-                    if self._tomb_delta is None
-                    else self._tomb_delta.unionByName(t)
-                )
+            if n_dead == n_t:
+                # full replay of an already-retracted set — idempotent:
+                # no mutation, and NOT unioned into _tomb_delta (the
+                # ids are committed; unioning would make a later
+                # retract_saved refuse on partial ledger overlap when
+                # genuine new ids are also pending) — the flag lets
+                # retract_saved skip when the replay is all there is
+                self._tomb_replayed = True
                 return self
             if n_dead:
                 raise ValueError(
@@ -860,6 +866,11 @@ class MediaIndex:
         the filtered pairs (drop-don't-trust), and re-lands; a
         committed replay skips. Single-writer-fenced."""
         if self._tomb_delta is None:
+            if getattr(self, "_tomb_replayed", False):
+                # the only pending retract() was a full replay of
+                # already-committed ids — idempotent skip
+                self._tomb_replayed = False
+                return
             raise ValueError(
                 "MediaIndex.retract_saved: no retract() delta to land — "
                 "call retract(ids) first"
@@ -868,6 +879,7 @@ class MediaIndex:
 
         with dir_lease(path, role="MediaIndex.retract_saved"):
             self._retract_saved_locked(path)
+        self._tomb_replayed = False
 
     def _retract_saved_locked(self, path: str) -> None:
         from .textops import (
@@ -901,6 +913,7 @@ class MediaIndex:
             )
         led_path = f"{path}/retracted"
         replay_torn = False
+        committed_full = None
         if _parquet_dir_exists(led_path):
             _recover_swapped_dir(led_path)
             led = spark.read.parquet(led_path)
@@ -916,15 +929,10 @@ class MediaIndex:
                         "replay that retraction (same ids) before this one"
                     )
                 replay_torn = True
-                _rewrite_parquet_dir(
-                    spark, led_path, led.filter(F.col("rseq") <= n_r), 1 << 20
-                )
-            committed = (
-                spark.read.parquet(led_path)
-                .filter(F.col("rseq") <= n_r)
-                .select("id")
-            )
-            n_in = ids.join(committed, "id", "left_semi").count()
+            committed_full = led.filter(F.col("rseq") <= n_r)
+            n_in = ids.join(
+                committed_full.select("id"), "id", "left_semi"
+            ).count()
             if n_in == int(row["n"]):
                 self._tomb_delta = None
                 return
@@ -934,21 +942,37 @@ class MediaIndex:
                     "id(s) are already retracted on disk — retract only "
                     "new ids"
                 )
+        fresh = ids.select(
+            "id", F.lit(n_r + 1).cast("bigint").alias("rseq")
+        )
         if replay_torn and self._pairs is not None:
             # drop-don't-trust: the crashed attempt may have torn the
             # clusters overwrite — re-derive from the filtered pairs
             self._clusters = connected_components(
                 self._pairs.select("id_a", "id_b")
             )
-        ids.select(
-            "id", F.lit(n_r + 1).cast("bigint").alias("rseq")
-        ).write.mode("append").parquet(led_path)
+        if not replay_torn:
+            # fresh landing: uncommitted ledger rows go down FIRST —
+            # they signal a crash tearing the clusters overwrite below
+            fresh.write.mode("append").parquet(led_path)
         if self._clusters is not None:
             # EAGER pin before the overwrite — the relabel plan reads
             # this very directory
             self._clusters = self._clusters.localCheckpoint()
             self._clusters.write.mode("overwrite").parquet(
                 f"{path}/clusters"
+            )
+        if replay_torn:
+            # replay: the torn attempt's own uncommitted rows already
+            # signal the tear, so clusters were repaired FIRST and the
+            # ledger rewrites LAST — one atomic swap to committed ∪
+            # fresh. An earlier purge would erase the only signal
+            # while torn clusters persist (the round-9 ADVICE window).
+            _rewrite_parquet_dir(
+                spark,
+                led_path,
+                committed_full.unionByName(fresh),
+                1 << 20,
             )
         self.max_id = int(stamp)
         self.n_retractions = n_r + 1
@@ -1229,6 +1253,7 @@ class MediaIndex:
         Single-writer-fenced (see :mod:`.lease`)."""
         from .lease import dir_lease
         from .textops import (
+            TornStateError,
             _parquet_dir_exists,
             _read_control_row,
             _rewrite_parquet_dir,
@@ -1244,7 +1269,7 @@ class MediaIndex:
                 )
                 led = spark.read.parquet(led_path)
                 if led.filter(F.col("rseq") > n_r).limit(1).count():
-                    raise ValueError(
+                    raise TornStateError(
                         "MediaIndex.compact: uncommitted retraction ledger "
                         "rows on disk — replay that retraction (same ids) "
                         "before compacting"

@@ -29,7 +29,19 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+
+class TornStateError(ValueError):
+    """A maintenance operation refused to run over torn on-disk state
+    (uncommitted update/retraction rows whose writer crashed
+    mid-protocol): the rewrite would destroy the very evidence the
+    replay repair needs. Raised by every family's ``compact()``;
+    ``maintenance.vacuum`` catches exactly this type (never a generic
+    ``ValueError``, which would mislabel an unrelated bad argument as
+    a torn-state refusal)."""
+
+
 __all__ = [
+    "TornStateError",
     "normalized_words",
     "shingles",
     "exact_dedup",
@@ -1315,10 +1327,15 @@ class RepeatIndex:
                         "a DIFFERENT torn retraction are on disk — replay "
                         "that retraction (same ids) before this one"
                     )
+                # ORDER: purge the orphan span generations FIRST and
+                # the ledger LAST — the uncommitted ledger rows are
+                # the only signal the orphan gens exist, so purging
+                # the ledger first would (on a crash in between) leave
+                # the orphans to be misread as a torn UPDATE by the
+                # gen-check below on the next attempt. Spans-first is
+                # idempotent: a crash before the ledger purge re-enters
+                # this branch and the gen filter is a no-op.
                 _recover_swapped_dir(f"{p}/spans")
-                _rewrite_parquet_dir(
-                    spark, led_path, led.filter(F.col("rseq") <= n_r), 1 << 20
-                )
                 _rewrite_parquet_dir(
                     spark,
                     f"{p}/spans",
@@ -1326,6 +1343,9 @@ class RepeatIndex:
                         F.col("gen") <= n_u
                     ),
                     1 << 20,
+                )
+                _rewrite_parquet_dir(
+                    spark, led_path, led.filter(F.col("rseq") <= n_r), 1 << 20
                 )
                 led = spark.read.parquet(led_path)
         if (
@@ -1628,7 +1648,7 @@ class RepeatIndex:
                 .count()
             )
         if torn:
-            raise ValueError(
+            raise TornStateError(
                 "RepeatIndex.compact: uncommitted span generations or "
                 "ledger rows on disk — a previous update/retraction "
                 "crashed before its meta commit; replay that delta before "
@@ -2703,18 +2723,27 @@ class DedupIndex:
             .distinct()
             .localCheckpoint()
         )
+        n_t = t.count()
+        if n_t == 0:
+            # mirror RepeatIndex._retract_unfenced's n_ids==0 branch:
+            # an empty delta is a no-op, not an int(None) TypeError
+            # from the high-water-mark aggregate below
+            return self
         if self._retracted_ids is not None:
             n_dead = t.join(
                 F.broadcast(self._retracted_ids), "id", "left_semi"
             ).count()
-            if n_dead == t.count():
-                # full replay of a committed retraction — idempotent:
-                # no mutation; retract_saved's ledger check skips
-                self._tomb_delta = (
-                    t
-                    if self._tomb_delta is None
-                    else self._tomb_delta.unionByName(t)
-                )
+            if n_dead == n_t:
+                # full replay of an already-retracted set — idempotent:
+                # no mutation, and NOT unioned into the pending
+                # _tomb_delta (those ids are committed; unioning them
+                # would make a later retract_saved see a partial
+                # overlap with the on-disk ledger and refuse when a
+                # DIFFERENT retract() in the same session left genuine
+                # new ids pending). The flag lets retract_saved skip
+                # idempotently when the replay is the ONLY thing
+                # pending.
+                self._tomb_replayed = True
                 return self
             if n_dead:
                 raise ValueError(
@@ -2830,6 +2859,11 @@ class DedupIndex:
         A fully-committed replay skips idempotently; a different torn
         retraction is refused. Single-writer-fenced."""
         if self._tomb_delta is None:
+            if getattr(self, "_tomb_replayed", False):
+                # the only pending retract() was a full replay of
+                # already-committed ids — idempotent skip
+                self._tomb_replayed = False
+                return
             raise ValueError(
                 "DedupIndex.retract_saved: no retract() delta to land — "
                 "call retract(ids) first"
@@ -2838,6 +2872,7 @@ class DedupIndex:
 
         with dir_lease(path, role="DedupIndex.retract_saved"):
             self._retract_saved_unfenced(path)
+        self._tomb_replayed = False
 
     def _retract_saved_unfenced(self, path: str) -> None:
         spark = self._tomb_delta.sparkSession
@@ -2862,6 +2897,7 @@ class DedupIndex:
             )
         led_path = f"{path}/retracted"
         replay_torn = False
+        committed_full = None
         if _parquet_dir_exists(led_path):
             _recover_swapped_dir(led_path)
             led = spark.read.parquet(led_path)
@@ -2877,15 +2913,10 @@ class DedupIndex:
                         "replay that retraction (same ids) before this one"
                     )
                 replay_torn = True
-                _rewrite_parquet_dir(
-                    spark, led_path, led.filter(F.col("rseq") <= n_r), 1 << 20
-                )
-            committed = (
-                spark.read.parquet(led_path)
-                .filter(F.col("rseq") <= n_r)
-                .select("id")
-            )
-            n_in = ids.join(committed, "id", "left_semi").count()
+            committed_full = led.filter(F.col("rseq") <= n_r)
+            n_in = ids.join(
+                committed_full.select("id"), "id", "left_semi"
+            ).count()
             if n_in == int(row["n"]):
                 self._tomb_delta = None
                 return  # fully-committed replay — already landed
@@ -2896,6 +2927,9 @@ class DedupIndex:
                     "overlap relabels against wrong state; retract only "
                     "new ids"
                 )
+        fresh = ids.select(
+            "id", F.lit(n_r + 1).cast("bigint").alias("rseq")
+        )
         if replay_torn:
             # the crashed attempt may have torn a label overwrite — the
             # drop-don't-trust rule: re-derive both label stages from
@@ -2911,9 +2945,11 @@ class DedupIndex:
                         f"_{stage}",
                         connected_components(edges.select("id_a", "id_b")),
                     )
-        ids.select(
-            "id", F.lit(n_r + 1).cast("bigint").alias("rseq")
-        ).write.mode("append").parquet(led_path)
+        else:
+            # fresh landing: the uncommitted ledger rows go down FIRST
+            # — they are the signal that a crash tore the label
+            # overwrites below
+            fresh.write.mode("append").parquet(led_path)
         for stage in ("clusters", "verified_clusters"):
             frame = getattr(self, f"_{stage}")
             if frame is not None:
@@ -2924,6 +2960,20 @@ class DedupIndex:
                 frame = frame.localCheckpoint()
                 setattr(self, f"_{stage}", frame)
                 frame.write.mode("overwrite").parquet(f"{path}/{stage}")
+        if replay_torn:
+            # replay: the torn attempt's uncommitted rows already
+            # signal the tear, so the labels were repaired FIRST
+            # (above) and the ledger rewrites LAST — one atomic swap
+            # to committed ∪ fresh, replacing the torn rows. Purging
+            # the torn rows any earlier would erase the only signal
+            # while the torn labels persist (the round-9 ADVICE
+            # crash window).
+            _rewrite_parquet_dir(
+                spark,
+                led_path,
+                committed_full.unionByName(fresh),
+                1 << 20,
+            )
         self.max_doc_id = int(stamp)
         self.n_retractions = n_r + 1
         self._write_meta(path)
@@ -3277,7 +3327,7 @@ class DedupIndex:
             )
             led = spark.read.parquet(led_path)
             if led.filter(F.col("rseq") > n_r).limit(1).count():
-                raise ValueError(
+                raise TornStateError(
                     "DedupIndex.compact: uncommitted retraction ledger "
                     "rows on disk — a previous retract_saved crashed "
                     "mid-protocol; replay that retraction (same ids) "
@@ -3940,23 +3990,30 @@ class TrigramLM:
             _recover_swapped_dir(ledger_path)
         if raw.filter(F.col("src") < -n_r).limit(1).count():
             # a previous retract_saved crashed between its segment
-            # append and its meta commit — purge the uncommitted rows
-            # (both sides), then land fresh
+            # append and its meta commit — purge the uncommitted
+            # segment rows (they are self-describing: src < -n_r),
+            # then land fresh
             _rewrite_parquet_dir(
                 spark,
                 f"{path}/counts",
                 self._committed(raw, stamp, n_r),
                 1 << 20,
             )
-            if has_ledger:
-                led = spark.read.parquet(ledger_path)
-                if led.filter(F.col("rseq") > n_r).limit(1).count():
-                    _rewrite_parquet_dir(
-                        spark,
-                        ledger_path,
-                        led.filter(F.col("rseq") <= n_r),
-                        1 << 20,
-                    )
+        if has_ledger:
+            # the ledger purge runs on its OWN condition (not nested
+            # under the segment check): a crash between the segment
+            # purge above and this purge on a previous replay leaves
+            # uncommitted ledger rows with clean counts, and the
+            # fresh re-land below would otherwise duplicate them at
+            # the same rseq
+            led = spark.read.parquet(ledger_path)
+            if led.filter(F.col("rseq") > n_r).limit(1).count():
+                _rewrite_parquet_dir(
+                    spark,
+                    ledger_path,
+                    led.filter(F.col("rseq") <= n_r),
+                    1 << 20,
+                )
         ids = self._retract_delta["ids"]
         row = ids.agg(
             F.count(F.lit(1)).alias("n"), F.max("id").alias("hi")
@@ -4347,7 +4404,7 @@ class TrigramLM:
         if stamp is not None and raw.filter(
             (F.col("src") > int(stamp)) | (F.col("src") < -n_r)
         ).limit(1).count():
-            raise ValueError(
+            raise TornStateError(
                 "TrigramLM.compact: uncommitted segment rows on disk — a "
                 "previous append (or retraction) crashed before its meta "
                 "stamp; replay that delta (append_saved(repair=True) via "

@@ -445,3 +445,65 @@ def test_chaos_crash_retract_replay_converges(spark, tmp_path_factory, data):
     spec["op"](case)  # the same-ids replay
     assert _snap(spark, case) == spec["clean_snap"], (family, n)
     shutil.rmtree(case, ignore_errors=True)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.function_scoped_fixture,
+        HealthCheck.too_slow,
+    ],
+)
+@given(st.data())
+def test_chaos_crash_retract_replay_itself_crashes(
+    spark, tmp_path_factory, data
+):
+    """Second-order kill zone (round-9 ADVICE): the REPLAY of a torn
+    retraction runs its own purge/repair write sequence — re-derived
+    label overwrites, span/segment purges, the ledger rewrite — and a
+    crash after ANY prefix of THOSE writes must still leave a state
+    whose next same-ids replay converges. This is the window the
+    first-order test cannot reach (it only kills the first attempt):
+    with the old purge-ledger-first ordering, a kill between the
+    replay's ledger purge and its derived-state repair erased the
+    only torn-state signal while the torn state persisted — the
+    repair-first / ledger-purge-last ordering this test pins makes
+    every such prefix re-enterable."""
+    env = _retract_env(spark, tmp_path_factory)
+    family = data.draw(st.sampled_from(RETRACT_FAMILIES))
+    spec = env[family]
+    n1 = data.draw(
+        st.integers(min_value=0, max_value=spec["max_writes"] - 1)
+    )
+    # the replay's write sequence can be longer than the clean one
+    # (purge rewrites precede the re-land) — draw over a padded range
+    # and only keep runs where the second kill actually fired
+    n2 = data.draw(
+        st.integers(min_value=0, max_value=spec["max_writes"] + 4)
+    )
+
+    case = str(tmp_path_factory.mktemp(f"chaosrr_{family}"))
+    shutil.rmtree(case)
+    shutil.copytree(spec["template"], case)
+
+    with crash_after(n1):
+        try:
+            spec["op"](case)
+        except SimulatedCrash:
+            pass
+
+    crashed2 = False
+    with crash_after(n2):
+        try:
+            spec["op"](case)  # the replay — also in the kill zone
+        except SimulatedCrash:
+            crashed2 = True
+
+    if crashed2:
+        # only re-replay when the second attempt actually died — a
+        # gratuitous replay over a COMMITTED retraction is the
+        # set-semantics caveat the first-order test documents
+        spec["op"](case)
+    assert _snap(spark, case) == spec["clean_snap"], (family, n1, n2)
+    shutil.rmtree(case, ignore_errors=True)
