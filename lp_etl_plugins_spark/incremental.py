@@ -706,7 +706,12 @@ class CurationState:
         out: dict[str, dict] = {}
         has_led = self._has_ledger()
         out["working"] = T._rewrite_parquet_dir(
-            spark, f"{p}/working", self.working(), target_rows_per_file
+            spark,
+            f"{p}/working",
+            self.working().withColumn(
+                "src_rseq", F.lit(None).cast("bigint")
+            ),
+            target_rows_per_file,
         )
         live_grams = (
             spark.read.schema(_GRAM_SCHEMA)
@@ -872,7 +877,9 @@ class CurationState:
             ).write.mode("overwrite").parquet(f"{path}/hashes")
 
         def _index_and_working() -> None:
-            working = cls._canonicals(indexed, idx.verified_clusters)
+            working = cls._canonicals(indexed, idx.verified_clusters).withColumn(
+                "src_rseq", F.lit(None).cast("bigint")
+            )
             # curation never reads candidate-pair components — skip
             # that stage's build + write entirely (deletion decisions
             # use VERIFIED clusters only)
@@ -1517,11 +1524,17 @@ class CurationState:
         #    overlapped they cost ~the slowest one.
         def _append(delta: DataFrame, sub: str, keys: list[str]) -> None:
             if repair:
-                delta = delta.join(
-                    spark.read.parquet(f"{p}/{sub}").select(*keys),
-                    keys,
-                    "left_anti",
-                ).localCheckpoint()
+                # restore the delta's column order after the
+                # key-promoting anti-join — uniform file layouts
+                delta = (
+                    delta.join(
+                        spark.read.parquet(f"{p}/{sub}").select(*keys),
+                        keys,
+                        "left_anti",
+                    )
+                    .select(*delta.columns)
+                    .localCheckpoint()
+                )
             delta.write.mode("append").parquet(f"{p}/{sub}")
 
         for s in idx_labels:
@@ -1536,7 +1549,14 @@ class CurationState:
                 "hashes",
                 ["h"],
             ),
-            lambda: _append(adds, "working", ["doc_id"]),
+            lambda: _append(
+                adds.select(
+                    "doc_id", "source", "text",
+                    F.lit(None).cast("bigint").alias("src_rseq"),
+                ),
+                "working",
+                ["doc_id"],
+            ),
             lambda: _append(
                 retracts.select(
                     "doc_id",
@@ -2022,7 +2042,14 @@ class CurationState:
 
         def _guarded(delta: DataFrame, sub: str, keys: list[str], on: DataFrame) -> None:
             if repair:
-                delta = delta.join(on.select(*keys), keys, "left_anti").localCheckpoint()
+                # the USING-column anti-join promotes keys to the
+                # front — restore the delta's column order so every
+                # file in the log shares one layout
+                delta = (
+                    delta.join(on.select(*keys), keys, "left_anti")
+                    .select(*delta.columns)
+                    .localCheckpoint()
+                )
             delta.write.mode("append").parquet(f"{p}/{sub}")
 
         tomb_rows = retracts_w.select(

@@ -2253,6 +2253,90 @@ T43_SQL = T10_SQL.replace(
 assert T43_SQL != T10_SQL  # the anchor must keep matching
 
 
+def t44_pipeline_retraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIPELINE-level deletion (``CurationState.retract``, round 10) —
+    the capstone of the retraction family: the five per-index retract
+    ops (t41/t42/t43/v19/m12) composed into one takedown against the
+    full persistent curation state. A state is built over the
+    doc_id % 8 == 1 slice, then the % 7 == 3 sub-slice is retracted:
+    indexed/hashes view-filter via the root ledger, the embedded
+    DedupIndex runs its own fenced retraction (affected-cluster
+    relabel included), retracted canonicals tombstone while their
+    clusters' SURVIVORS re-elect winners (split clusters elect one
+    per component), and contamination re-derives with bidirectional
+    df flips — all under the root retraction-sequence commit. The
+    oracle recomputes the identical per-source stats from a
+    from-scratch DuckDB pipeline over the SURVIVORS — a direct hash
+    gate on ``retract == build(corpus ∖ r)`` for the entire pipeline,
+    mirroring t36's update == rebuild gate.
+
+    The retraction set excludes docs whose text is exactly duplicated
+    in the slice (in BOTH engines): the one documented exact-dedup
+    caveat — a retracted keep-first WINNER cannot resurrect the loser
+    its hash suppressed, because the state never stored the loser
+    (``incremental.CurationState.retract`` docstring). Builds its own
+    state (retract mutates; the session-shared t36-class substrates
+    must stay pristine). → (source, n_working, n_contaminated,
+    n_curated) for training sources."""
+    import shutil
+    import tempfile
+
+    from .. import incremental as INC
+
+    docs = (
+        _docs(spark, sf_dir)
+        .filter(F.col("doc_id") % 8 == 1)
+        .select("doc_id", "source", "text")
+    )
+    uniq = docs.groupBy("text").count().filter("count = 1").select("text")
+    r = (
+        docs.filter(F.col("doc_id") % 7 == 3)
+        .join(uniq, "text", "left_semi")
+        .select("doc_id")
+    )
+    tmp = tempfile.mkdtemp(prefix="t44_state_")
+    try:
+        st = INC.CurationState.build(spark, docs, tmp)
+        st.retract(r)
+        st = INC.CurationState.load(spark, tmp)
+        flagged = (
+            st.contamination()
+            .select(F.col("train_id").alias("doc_id"))
+            .distinct()
+            .withColumn("__c", F.lit(True))
+        )
+        out = (
+            st.working()
+            .filter(F.col("source") != "src0")
+            .join(flagged, "doc_id", "left")
+            .groupBy("source")
+            .agg(
+                F.count(F.lit(1)).alias("n_working"),
+                F.count("__c").alias("n_contaminated"),
+                (F.count(F.lit(1)) - F.count("__c")).alias("n_curated"),
+            )
+        )
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+# surgical twin of T36_SQL: retarget the slice at % 8 == 1 and insert
+# the survivor filter as a sibling CTE (the single `FROM qslice`
+# consumer repoints at it) — the oracle is then the from-scratch
+# pipeline over corpus ∖ r
+T44_SQL = T36_SQL.replace(
+    "  SELECT doc_id, source, text FROM documents WHERE doc_id % 8 = 0\n",
+    "  SELECT doc_id, source, text FROM documents WHERE doc_id % 8 = 1\n"
+    "),\n"
+    "qsurv AS (\n"
+    "  SELECT doc_id, source, text FROM qslice\n"
+    "  WHERE NOT (doc_id % 7 = 3 AND text IN (\n"
+    "    SELECT text FROM qslice GROUP BY text HAVING count(*) = 1))\n",
+).replace("FROM qslice) b", "FROM qsurv) b")
+assert T44_SQL != T36_SQL and "qsurv" in T44_SQL  # anchors must hold
+
+
 def t39_lsh_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The LSH skew cap (textops.pairs_from_band_frame /
     DedupIndex(max_band_size=...)), oracle-gated on the REAL corpus:
@@ -2500,6 +2584,7 @@ QUERIES = {
     "t41_lm_retraction": t41_lm_retraction,
     "t42_repeat_retraction": t42_repeat_retraction,
     "t43_dedup_retraction": t43_dedup_retraction,
+    "t44_pipeline_retraction": t44_pipeline_retraction,
 }
 
 ORACLES = {
@@ -2547,4 +2632,5 @@ ORACLES = {
     "t41_lm_retraction": T41_SQL,
     "t42_repeat_retraction": T42_SQL,
     "t43_dedup_retraction": T43_SQL,
+    "t44_pipeline_retraction": T44_SQL,
 }

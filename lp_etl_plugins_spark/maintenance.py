@@ -296,6 +296,32 @@ def check_repeat_index(spark: SparkSession, path: str) -> dict:
                 (F.col("rseq") <= n_retr) & (F.col("id") > hi)
             ).count(),
         )
+    if (
+        m.get("counts_seg") is not None
+        and T._parquet_dir_exists(f"{path}/gram_counts")
+    ):
+        # counts-substrate probes (round 10): structural invariants as
+        # one aggregate each; a full recount equals a postings scan —
+        # exactly what the substrate exists to avoid — so staleness is
+        # guarded by compact's invalidate/validate meta protocol, not
+        # the nightly probe
+        gc = spark.read.parquet(f"{path}/gram_counts")
+        row = gc.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("g").alias("d"),
+            F.sum((F.col("c") <= 0).cast("bigint")).alias("bad"),
+        ).first()
+        _bad(v, "duplicate_count_grams", int(row["n"]) - int(row["d"]))
+        _bad(v, "nonpositive_gram_counts", int(row["bad"] or 0))
+        _bad(
+            v,
+            "postings_seg_beyond_updates",
+            spark.read.schema(
+                "g string, id bigint, seg bigint"
+            ).parquet(f"{path}/postings")
+            .filter(F.col("seg") > int(m["n_updates"]))
+            .count(),
+        )
     return {"ok": not v, "violations": v}
 
 
@@ -635,6 +661,9 @@ def _complete_torn_pipeline_retraction(spark: SparkSession, path: str) -> bool:
     st._retract_unfenced(unc)  # the same-ids replay — caller holds
     # the root lease, so the fenced entry would self-deadlock
     return True
+
+
+def _stage_candidates(path: str, family: str) -> list[str]:
     """Every directory the family's lifecycle can swap via
     rename-aside — stage dirs plus the control-plane metas — whether
     or not it currently exists (the recovery sweep needs the MISSING
@@ -658,13 +687,17 @@ def _stage_dirs(path: str, family: str, existing_only: bool = True) -> list[str]
 
         subs = DedupIndex._STAGES + ("retracted",)
     elif family == "RepeatIndex":
-        subs = ("postings", "spans", "retracted")
+        subs = ("postings", "spans", "retracted", "gram_counts")
     elif family == "TrigramLM":
         subs = ("counts", "retracted")
     elif family == "VectorIndex":
         from .vectorops import VectorIndex
 
-        subs = VectorIndex._STAGES + ("tombstones",)
+        subs = (
+            VectorIndex._STAGES
+            + VectorIndex._REFINE_STAGES
+            + ("tombstones",)
+        )
     else:
         from .multimodal import MediaIndex
 

@@ -44,5 +44,11 @@ def get_spark(app_name: str = "lp_etl_plugins_spark", cpus: int | None = None) -
         # structs) spend more time in that chatter than in Catalyst;
         # disabling it measured ~2× faster plan construction.
         .config("spark.python.sql.dataFrameDebugging.enabled", "false")
+        # literal IN filters push to parquet as-is up to this many
+        # values (beyond it Spark degrades the pushdown to a min/max
+        # range, which hash-distributed keys make useless) — the
+        # RepeatIndex retraction's flipped-gram locate relies on IN
+        # pushdown over the g-sorted compacted layout to prune files
+        .config("spark.sql.parquet.pushdown.inFilterThreshold", "2048")
     )
     return builder.getOrCreate()

@@ -944,8 +944,19 @@ class RepeatIndex:
 
     _META_SCHEMA = (
         "text_col string, id_col string, span_n int, "
-        "max_doc_id bigint, n_updates int, n_retractions int"
+        "max_doc_id bigint, n_updates int, n_retractions int, "
+        "counts_seg int"
     )
+    # postings rows carry the update segment that wrote them (seg):
+    # build/compact write seg=0, update k appends seg=k. gram_counts
+    # (g, c) is the per-gram live document count as of the segment
+    # meta's counts_seg covers — valid iff counts_seg IS NOT NULL
+    # (compact invalidates it before its rewrites and re-validates
+    # after, so every crash prefix falls back to the exact scan path).
+    # Explicit-schema reads keep legacy (g, id)-only layouts readable
+    # (seg -> NULL, which only ever happens with no gram_counts dir —
+    # the fallback branch).
+    _POST_SCHEMA = "g string, id bigint, seg bigint"
     _SPAN_COLS = (
         "id", "n_spans", "repeat_words", "max_span_words",
         "max_span_start", "repeat_frac",
@@ -972,8 +983,13 @@ class RepeatIndex:
             .select("id")
         )
 
+    def _raw_postings(self) -> DataFrame:
+        return self._spark.read.schema(self._POST_SCHEMA).parquet(
+            f"{self._path}/postings"
+        )
+
     def postings(self) -> DataFrame:
-        out = self._spark.read.parquet(f"{self._path}/postings")
+        out = self._raw_postings().select("g", "id")
         t = self._tombstones()
         if t is not None:
             # retraction sets are deletion-sized — broadcast anti-join,
@@ -1041,6 +1057,7 @@ class RepeatIndex:
             lambda: docs.agg(F.max(id_col)).first()[0],
             lambda: pos.select("g", "id")
             .distinct()
+            .withColumn("seg", F.lit(0).cast("bigint"))
             .write.mode("overwrite")
             .parquet(f"{path}/postings"),
             lambda: repeated_substring_spans(docs, text_col, id_col, span_n)
@@ -1053,9 +1070,18 @@ class RepeatIndex:
             max_doc_id = futs[0].result()
             futs[1].result()
             futs[2].result()
+        # the retraction fast path's count substrate (round 10): live
+        # per-gram doc counts, read from the just-sealed postings files
+        # (cheaper than re-gramming), valid for seg <= 0
+        spark.read.schema(cls._POST_SCHEMA).parquet(
+            f"{path}/postings"
+        ).groupBy("g").agg(F.count(F.lit(1)).alias("c")).write.mode(
+            "overwrite"
+        ).parquet(f"{path}/gram_counts")
         meta["max_doc_id"] = -1 if max_doc_id is None else int(max_doc_id)
         meta["n_updates"] = 0
         meta["n_retractions"] = 0
+        meta["counts_seg"] = 0
         st._write_meta()
         return st
 
@@ -1064,6 +1090,9 @@ class RepeatIndex:
         meta = _read_control_row(f"{path}/meta")
         # metas written before the retraction protocol lack the field
         meta["n_retractions"] = int(meta.get("n_retractions") or 0)
+        # metas written before the counts substrate existed: no valid
+        # counts (the retract fast path falls back to exact scans)
+        meta["counts_seg"] = meta.get("counts_seg")
         return cls(spark, path, meta)
 
     def _write_meta(self) -> None:
@@ -1241,7 +1270,10 @@ class RepeatIndex:
         with ThreadPoolExecutor(max_workers=2) as pool:
             for fut in [
                 pool.submit(
-                    d_post.write.mode("append").parquet, f"{p}/postings"
+                    d_post.withColumn(
+                        "seg", F.lit(gen).cast("bigint")
+                    ).write.mode("append").parquet,
+                    f"{p}/postings",
                 ),
                 pool.submit(
                     new_spans.write.mode("append").parquet, f"{p}/spans"
@@ -1377,34 +1409,101 @@ class RepeatIndex:
                     "re-evaluate against wrong counts; retract only new ids"
                 )
 
-        # ---- flips: grams whose surviving distinct-doc count drops to 1.
-        # Each postings consumer below is a full scan of the postings
-        # log (the fixed-size touched set must be LOCATED — scans are
-        # the irreducible linear term, measured scan-bound in
-        # SCALE.md's retraction table), so the per-gram total and
-        # retracted counts fuse into ONE conditional aggregate instead
-        # of two passes.
+        # ---- flips: grams whose surviving distinct-doc count drops
+        # to 1. Round 10 (VERDICT r9 Next #3) cut the locate cost from
+        # FOUR full postings scans to ONE: with the maintained
+        # gram_counts substrate (counts_seg-validated), per-gram live
+        # totals come from counts arithmetic — base counts + the
+        # post-compact tail segments − tombstoned base rows — instead
+        # of postings aggregates, and the flipped-gram locate runs as
+        # a literal IN filter over the g-SORTED compacted layout, so
+        # parquet file/row-group statistics prune the scan. The one
+        # irreducible full scan left is locating the retracted docs'
+        # own posting rows (id-keyed against a g-sorted layout). A
+        # state without valid counts (pre-compact legacy, or a crash
+        # inside compact's invalidate window) takes the exact
+        # fused-aggregate fallback — slower, identical rows.
         stored = self.postings()  # committed tombstones already filtered
         r_post = stored.join(
             F.broadcast(r_ids), "id", "left_semi"
         ).localCheckpoint(eager=False)
         r_grams = r_post.select("g").distinct()
-        flag = r_ids.withColumn("__r", F.lit(1))
-        g_counts = (
-            stored.join(r_grams, "g", "left_semi")
-            .join(F.broadcast(flag), "id", "left")
-            .groupBy("g")
-            .agg(
-                F.count(F.lit(1)).alias("ct"),
-                F.sum(F.coalesce("__r", F.lit(0))).alias("cr"),
-            )
+        have_counts = m.get("counts_seg") is not None and _parquet_dir_exists(
+            f"{p}/gram_counts"
         )
+        if have_counts:
+            cseg = int(m["counts_seg"])
+            raw = self._raw_postings()
+            tombs = self._tombstones()
+
+            def _live_counts(G: DataFrame) -> DataFrame:
+                """(g, ct) live doc counts for grams in ``G``:
+                counts base + post-counts_seg tail − tombstoned base
+                rows (stale tombstones self-correct: their rows are
+                physically gone, so the correction counts zero)."""
+                base = spark.read.parquet(f"{p}/gram_counts").join(
+                    G, "g", "left_semi"
+                )
+                tail = raw.filter(F.col("seg") > cseg).join(
+                    G, "g", "left_semi"
+                )
+                corr = None
+                if tombs is not None:
+                    tail = tail.join(F.broadcast(tombs), "id", "left_anti")
+                    corr = (
+                        raw.filter(F.col("seg") <= cseg)
+                        .join(F.broadcast(tombs), "id", "left_semi")
+                        .join(G, "g", "left_semi")
+                        .groupBy("g")
+                        .agg(F.count(F.lit(1)).alias("dc"))
+                    )
+                tailc = tail.groupBy("g").agg(F.count(F.lit(1)).alias("tc"))
+                out = base.join(tailc, "g", "full")
+                expr = F.coalesce("c", F.lit(0)) + F.coalesce("tc", F.lit(0))
+                if corr is not None:
+                    out = out.join(corr, "g", "full")
+                    expr = expr - F.coalesce("dc", F.lit(0))
+                return out.select("g", expr.alias("ct")).filter(
+                    F.col("ct") > 0
+                )
+
+            cr_g = r_post.groupBy("g").agg(F.count(F.lit(1)).alias("cr"))
+            g_counts = _live_counts(r_grams).join(cr_g, "g", "left").select(
+                "g", "ct", F.coalesce("cr", F.lit(0)).alias("cr")
+            )
+        else:
+            flag = r_ids.withColumn("__r", F.lit(1))
+            g_counts = (
+                stored.join(r_grams, "g", "left_semi")
+                .join(F.broadcast(flag), "id", "left")
+                .groupBy("g")
+                .agg(
+                    F.count(F.lit(1)).alias("ct"),
+                    F.sum(F.coalesce("__r", F.lit(0))).alias("cr"),
+                )
+            )
         flipped = g_counts.filter(
             F.col("ct") - F.col("cr") == 1
         ).select("g")
+        if have_counts:
+            # flipped is bounded by the retracted docs' gram set and
+            # in practice tiny — collect it and push a LITERAL IN
+            # filter so the g-sorted layout's file statistics prune
+            # (a semi join cannot prune parquet files); beyond the
+            # literal budget, fall back to the join
+            f_list = [row["g"] for row in flipped.limit(2049).collect()]
+            if len(f_list) <= 2048:
+                cand_rows = (
+                    stored.filter(F.col("g").isin(f_list))
+                    if f_list
+                    else stored.filter(F.lit(False))
+                )
+            else:
+                cand_rows = stored.join(flipped, "g", "left_semi")
+        else:
+            cand_rows = stored.join(flipped, "g", "left_semi")
         affected = (
-            stored.join(flipped, "g", "left_semi")
-            .join(F.broadcast(r_ids), "id", "left_anti")
+            cand_rows.join(F.broadcast(r_ids), "id", "left_anti")
             .select("id")
             .distinct()
             .localCheckpoint(eager=False)
@@ -1437,12 +1536,24 @@ class RepeatIndex:
                     "under-count surviving repeats"
                 )
             e_grams = eval_pos.select("g").distinct()
-            surv = stored.join(F.broadcast(r_ids), "id", "left_anti")
-            c_surv = (
-                surv.join(e_grams, "g", "left_semi")
-                .groupBy("g")
-                .agg(F.count(F.lit(1)).alias("cs"))
-            )
+            if have_counts:
+                # survivor counts by ARITHMETIC — live total minus the
+                # retracted docs' own rows — replacing the full
+                # survivors scan with a counts-substrate read
+                cr_e = r_post.groupBy("g").agg(
+                    F.count(F.lit(1)).alias("crr")
+                )
+                c_surv = _live_counts(e_grams).join(cr_e, "g", "left").select(
+                    "g",
+                    (F.col("ct") - F.coalesce("crr", F.lit(0))).alias("cs"),
+                )
+            else:
+                surv = stored.join(F.broadcast(r_ids), "id", "left_anti")
+                c_surv = (
+                    surv.join(e_grams, "g", "left_semi")
+                    .groupBy("g")
+                    .agg(F.count(F.lit(1)).alias("cs"))
+                )
             rep_g = c_surv.filter(F.col("cs") >= 2).select("g")
             shared = eval_pos.join(rep_g, "g").select("id", "n_words", "pos")
             new_spans = _island_spans(shared, span_n).withColumn(
@@ -1666,14 +1777,41 @@ class RepeatIndex:
         t = self._tombstones()
         if t is not None:
             resolved = resolved.join(F.broadcast(t), "id", "left_anti")
+        # counts protocol (round 10): INVALIDATE counts_seg first —
+        # the postings rewrite below folds every segment to 0 and
+        # resolves tombstones, which changes exactly what the stored
+        # gram_counts cover; a crash after any prefix then leaves the
+        # retract fast path disabled (falling back to exact scans)
+        # instead of silently wrong. Re-VALIDATE only after both the
+        # folded postings and the recounted gram_counts landed.
+        m["counts_seg"] = None
+        self._write_meta()
+        live_post = (
+            self.postings()
+            .withColumn("seg", F.lit(0).cast("bigint"))
+            .localCheckpoint()
+        )
         out = {
             "spans": _rewrite_parquet_dir(
                 spark, f"{p}/spans", resolved, target_rows_per_file
             ),
+            # g-sorted layout: tight per-file min/max on the gram key,
+            # so the retraction's flipped-gram locate prunes files
             "postings": _rewrite_parquet_dir(
-                spark, f"{p}/postings", self.postings(), target_rows_per_file
+                spark,
+                f"{p}/postings",
+                live_post,
+                target_rows_per_file,
+                order_by=["g"],
             ),
         }
+        counts = live_post.groupBy("g").agg(F.count(F.lit(1)).alias("c"))
+        if _parquet_dir_exists(f"{p}/gram_counts"):
+            out["gram_counts"] = _rewrite_parquet_dir(
+                spark, f"{p}/gram_counts", counts, target_rows_per_file
+            )
+        else:
+            counts.write.mode("overwrite").parquet(f"{p}/gram_counts")
         if has_led:
             out["retracted"] = _rewrite_parquet_dir(
                 spark,
@@ -1683,6 +1821,8 @@ class RepeatIndex:
                 ),
                 target_rows_per_file,
             )
+        m["counts_seg"] = int(m["n_updates"])
+        self._write_meta()
         return out
 
 
@@ -2128,6 +2268,7 @@ def _rewrite_parquet_dir(
     frame: DataFrame,
     target_rows_per_file: int,
     n_rows: int | None = None,
+    order_by: list[str] | None = None,
 ) -> dict:
     """Replace ``path``'s parquet contents with ``frame`` laid out as
     ``ceil(rows / target_rows_per_file)`` files: write the new layout
@@ -2151,6 +2292,17 @@ def _rewrite_parquet_dir(
     import os
     import shutil
 
+    def _laid_out(fr: DataFrame, parts: int) -> DataFrame:
+        if order_by:
+            # range-partitioned + sorted layout: per-file min/max
+            # column statistics become TIGHT on the order keys, so a
+            # later literal/IN pushdown prunes files and row groups
+            # (the retraction locate-scan treatment — SCALE.md)
+            return fr.repartitionByRange(parts, *order_by).sortWithinPartitions(
+                *order_by
+            )
+        return fr.repartition(parts)
+
     if n_rows is not None:
         # caller already knows the count (e.g. update()'s fused metrics
         # job counted the checkpointed frame) — skip the persist+count
@@ -2160,7 +2312,7 @@ def _rewrite_parquet_dir(
         local = _local_path(path)
         tmp = local + ".__compact__"
         shutil.rmtree(tmp, ignore_errors=True)
-        frame.repartition(parts).write.mode("overwrite").parquet(tmp)
+        _laid_out(frame, parts).write.mode("overwrite").parquet(tmp)
     else:
         frame = frame.persist()
         try:
@@ -2169,7 +2321,7 @@ def _rewrite_parquet_dir(
             local = _local_path(path)
             tmp = local + ".__compact__"
             shutil.rmtree(tmp, ignore_errors=True)
-            frame.repartition(parts).write.mode("overwrite").parquet(tmp)
+            _laid_out(frame, parts).write.mode("overwrite").parquet(tmp)
         finally:
             frame.unpersist()
     files_before = _count_data_files(path)
@@ -2932,14 +3084,19 @@ class DedupIndex:
         )
         if replay_torn:
             # the crashed attempt may have torn a label overwrite — the
-            # drop-don't-trust rule: re-derive both label stages from
+            # drop-don't-trust rule: re-derive the label stages from
             # the (retract()-filtered) edge frames rather than trusting
-            # anything retract() read from disk
+            # anything retract() read from disk. Only stages the index
+            # actually CARRIES: a stage excluded at save time
+            # (save(stages=...) — e.g. CurationState's index has no
+            # candidate-pair clusters) must not be materialized by the
+            # repair, or the replay invents a directory the clean run
+            # never wrote
             for stage, edges in (
                 ("clusters", self._pairs),
                 ("verified_clusters", self._verified),
             ):
-                if edges is not None:
+                if edges is not None and getattr(self, f"_{stage}") is not None:
                     setattr(
                         self,
                         f"_{stage}",

@@ -853,6 +853,12 @@ class VectorIndex:
     (test-asserted)."""
 
     _STAGES = ("ivf_centroids", "ivf_norms", "pq_codebook", "pq_norms", "corpus_lists", "codes")
+    # OPTIONAL refine stages (round 10 — the two-stage serving path):
+    # per-dimension SQ8 codebook (one broadcast row) + int8 codes per
+    # corpus vector. Not part of _STAGES so pre-round-10 saved layouts
+    # keep loading; save() writes them whenever they are buildable,
+    # load() picks them up when the directories exist.
+    _REFINE_STAGES = ("sq8_cb", "sq8_codes")
     _META_SCHEMA = "id_col string, vec_col string, m int, dims int, max_id bigint"
 
     def __init__(
@@ -870,9 +876,11 @@ class VectorIndex:
         self._vec_col = vec_col
         self._m = m
         self._dims = dims
-        for stage in self._STAGES:
+        for stage in self._STAGES + self._REFINE_STAGES:
             setattr(self, f"_{stage}", None)
-        self.builds: dict[str, int] = dict.fromkeys(self._STAGES, 0)
+        self.builds: dict[str, int] = dict.fromkeys(
+            self._STAGES + self._REFINE_STAGES, 0
+        )
         self.max_id: int | None = None  # set by save()/load()/append_saved()
         self._tombstones: DataFrame | None = None  # retract() filter set
         self._tomb_delta: DataFrame | None = None  # pending retract_saved
@@ -995,6 +1003,113 @@ class VectorIndex:
             .select("probe_id", "neighbor_id", "adist2", "rank")
         )
 
+    # -------------------------------------------- two-stage refine (r10)
+
+    @property
+    def sq8_cb(self) -> DataFrame:
+        """The SQ8 refine codebook: ONE broadcast row of per-dimension
+        (lo, rng, step) arrays over the training corpus (frozen after
+        build, like the coarse/PQ quantizers — out-of-range delta
+        values clamp, the standard SQ contract)."""
+        if self._sq8_cb is None:
+            if self._df is None:
+                raise ValueError(
+                    "VectorIndex.sq8_cb: this loaded index has no refine "
+                    "stages on disk and no corpus to build them from — "
+                    "re-save() the index from the corpus to enable "
+                    "search_rerank"
+                )
+            self.builds["sq8_cb"] += 1
+            self._sq8_cb = sq8_codebook(self._df, self._vec_col).localCheckpoint()
+        return self._sq8_cb
+
+    @property
+    def sq8_codes(self) -> DataFrame:
+        """Per-vector SQ8 refine codes (id, q: array<int>) — dims int8
+        values, 4× smaller than the raw floats, read ONLY for the
+        shortlisted candidates of :meth:`search_rerank`."""
+        if self._sq8_codes is None:
+            if self._df is None:
+                raise ValueError(
+                    "VectorIndex.sq8_codes: this loaded index has no refine "
+                    "stages on disk — re-save() from the corpus"
+                )
+            self.builds["sq8_codes"] += 1
+            cb = self.sq8_cb
+            self._sq8_codes = (
+                self._df.crossJoin(F.broadcast(cb))
+                .select(
+                    F.col(self._id_col).alias("id"),
+                    sq8_encode(
+                        F.col(self._vec_col), F.col("lo"), F.col("rng")
+                    ).alias("q"),
+                )
+                .localCheckpoint()
+            )
+        return self._sq8_codes
+
+    def search_rerank(
+        self, probes: DataFrame, k: int, nprobe: int = 8, shortlist: int = 128
+    ) -> DataFrame:
+        """TWO-STAGE serving (VERDICT r9 Next #2): the IVF-PQ ADC
+        stage shortlists ``shortlist`` ≫ k candidates per probe
+        (cheap — m small ints per candidate), then the SQ8 refine
+        codes re-rank EXACTLY those candidates by reconstructed
+        squared L2 (near-exact — error ≤ step/2 per dimension), and
+        the top ``k`` survive. The round-9 adversarial study measured
+        the production m=16 ADC at recall@3 0.50 while its CANDIDATE
+        set ceiling at nprobe=8 is 0.93–0.97 (the loss is PQ
+        distortion AFTER candidate selection, not list misses) and
+        standalone SQ8 at 0.97 — so the standard FAISS-style
+        refine-stage composition recovers the gap: PQ pays the scan,
+        SQ8 pays only the shortlist. Per-probe refine cost is
+        ``shortlist × dims`` int8 reads — independent of corpus size,
+        which is what makes the 100 TB story: the shortlist gather is
+        a broadcast-able id set against the (compact-maintained)
+        ``sq8_codes`` stage, no corpus shuffle. Retraction composes
+        unchanged: stage 1 serves from :meth:`live_lists`, so dead
+        ids never reach the refine join.
+        → (probe_id, neighbor_id, rdist2, rank ≤ k), rdist2 = exact
+        L2² against the SQ8-reconstructed vector, 1e-6-rounded."""
+        sl = self.search(probes, shortlist, nprobe=nprobe).select(
+            "probe_id", "neighbor_id"
+        )
+        cb = self.sq8_cb
+        recon = F.zip_with(
+            F.zip_with(F.col("q"), F.col("step"), lambda q, s: q * s),
+            F.col("lo"),
+            lambda x, l: x + l,
+        )
+        rv = (
+            self.sq8_codes.withColumnRenamed("id", "neighbor_id")
+            .crossJoin(F.broadcast(cb))
+            .select("neighbor_id", recon.alias("rv"))
+        )
+        pv = probes.select(
+            F.col(self._id_col).alias("probe_id"),
+            F.transform(F.col(self._vec_col), lambda x: x.cast("double")).alias(
+                "pv"
+            ),
+        )
+        rdist2 = F.round(
+            F.aggregate(
+                F.zip_with("pv", "rv", lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        )
+        win = W.partitionBy("probe_id").orderBy(
+            F.col("rdist2"), F.col("neighbor_id")
+        )
+        return (
+            sl.join(rv, "neighbor_id")
+            .join(F.broadcast(pv), "probe_id")
+            .select("probe_id", "neighbor_id", rdist2.alias("rdist2"))
+            .withColumn("rank", F.row_number().over(win))
+            .filter(F.col("rank") <= k)
+        )
+
     def update(self, new_vectors: DataFrame) -> "VectorIndex":
         """Frozen-quantizer delta append — the vector twin of
         :meth:`lp_etl_plugins_spark.textops.DedupIndex.update` and the
@@ -1050,12 +1165,36 @@ class VectorIndex:
         # deltas' rows while the meta stamp covers their ids. The
         # SERVED state merges only the CURRENT delta (old_lists/old_codes
         # already contain the earlier ones).
+        new_sq8 = None
+        if self._sq8_codes is not None or self._df is not None:
+            # refine stages active: encode the delta against the
+            # FROZEN SQ8 codebook (out-of-range values clamp — the
+            # standard frozen-quantizer contract)
+            cb = self.sq8_cb
+            new_sq8 = (
+                new_vectors.crossJoin(F.broadcast(cb))
+                .select(
+                    F.col(self._id_col).alias("id"),
+                    sq8_encode(
+                        F.col(self._vec_col), F.col("lo"), F.col("rng")
+                    ).alias("q"),
+                )
+                .localCheckpoint(eager=False)
+            )
         prev = getattr(self, "_delta", None)
         self._delta = {
             "corpus_lists": prev["corpus_lists"].unionByName(new_lists)
             if prev else new_lists,
             "codes": prev["codes"].unionByName(new_codes) if prev else new_codes,
         }
+        if new_sq8 is not None:
+            prev_sq8 = prev.get("sq8_codes") if prev else None
+            self._delta["sq8_codes"] = (
+                prev_sq8.unionByName(new_sq8) if prev_sq8 is not None else new_sq8
+            )
+            self._sq8_codes = self.sq8_codes.unionByName(
+                new_sq8
+            ).localCheckpoint(eager=False)
         self._corpus_lists = old_lists.unionByName(new_lists).localCheckpoint(
             eager=False
         )
@@ -1171,6 +1310,14 @@ class VectorIndex:
         :func:`foreach_batch_add`'s streamed ingestion."""
         for stage in self._STAGES:
             getattr(self, stage).write.mode("overwrite").parquet(f"{path}/{stage}")
+        if self._df is not None or self._sq8_codes is not None:
+            # the refine stages ride along whenever buildable — a
+            # loaded-without-refine index re-saved without a corpus
+            # keeps its (refine-less) layout
+            for stage in self._REFINE_STAGES:
+                getattr(self, stage).write.mode("overwrite").parquet(
+                    f"{path}/{stage}"
+                )
         if self._tombstones is not None:
             # retractions are part of the snapshot; a fresh save with
             # none leaves no tombstones dir (absence == empty set, the
@@ -1226,10 +1373,21 @@ class VectorIndex:
             self._append_saved_locked(path)
 
     def _append_saved_locked(self, path: str) -> None:
+        from .textops import _parquet_dir_exists
+
         self._delta["corpus_lists"].write.mode("append").parquet(
             f"{path}/corpus_lists"
         )
         self._delta["codes"].write.mode("append").parquet(f"{path}/codes")
+        if self._delta.get("sq8_codes") is not None and _parquet_dir_exists(
+            f"{path}/sq8_codes"
+        ):
+            # refine codes append only onto a layout that HAS refine
+            # stages (a refine-less saved layout stays refine-less —
+            # re-save() from the corpus upgrades it)
+            self._delta["sq8_codes"].write.mode("append").parquet(
+                f"{path}/sq8_codes"
+            )
         hi = self._delta["corpus_lists"].agg(F.max("id")).first()[0]
         if hi is not None:
             old = getattr(self, "max_id", None)
@@ -1279,11 +1437,15 @@ class VectorIndex:
                 t = spark.read.parquet(tomb_dir).select("id").distinct()
                 if t.first() is not None:
                     tombs = t.localCheckpoint()
+            stages = list(cls._STAGES) + [
+                s for s in cls._REFINE_STAGES
+                if _parquet_dir_exists(f"{path}/{s}")
+            ]
             out = {}
-            for stage in cls._STAGES:
+            for stage in stages:
                 df = spark.read.parquet(f"{path}/{stage}")
                 cols = df.columns
-                if tombs is not None and stage == "corpus_lists":
+                if tombs is not None and stage in ("corpus_lists", "sq8_codes"):
                     df = df.join(
                         F.broadcast(tombs), "id", "left_anti"
                     ).select(*cols)
@@ -1328,8 +1490,17 @@ class VectorIndex:
         idx.max_id = None if hi is None else int(hi)
         for stage in cls._STAGES:
             setattr(idx, f"_{stage}", spark.read.parquet(f"{path}/{stage}"))
-        idx.builds = dict.fromkeys(cls._STAGES, 0)
         from .textops import _parquet_dir_exists
+
+        for stage in cls._REFINE_STAGES:
+            setattr(
+                idx,
+                f"_{stage}",
+                spark.read.parquet(f"{path}/{stage}")
+                if _parquet_dir_exists(f"{path}/{stage}")
+                else None,
+            )
+        idx.builds = dict.fromkeys(cls._STAGES + cls._REFINE_STAGES, 0)
 
         idx._tombstones = None
         idx._tomb_delta = None
@@ -1426,6 +1597,32 @@ def foreach_batch_add(spark, index_path: str):
                 and n_lists == n_batch
                 and n_codes == n_batch * int(idx._m)
             ):
+                if idx._sq8_codes is not None:
+                    # the refine stage appends AFTER codes — a crash in
+                    # that window leaves lists/codes full but sq8 rows
+                    # missing (or a torn subset); unlike lists/codes
+                    # the repair needs no refusal: the batch IS the
+                    # replay, so the missing rows re-encode against
+                    # the frozen SQ8 codebook and land via an id
+                    # anti-join (row-exact, idempotent)
+                    have = idx._sq8_codes.filter(
+                        F.col("id") > idx.max_id
+                    ).select("id")
+                    miss = batch_df.join(
+                        have.withColumnRenamed("id", idx._id_col),
+                        idx._id_col,
+                        "left_anti",
+                    )
+                    if miss.first() is not None:
+                        cb = idx.sq8_cb
+                        miss.crossJoin(F.broadcast(cb)).select(
+                            F.col(idx._id_col).alias("id"),
+                            sq8_encode(
+                                F.col(idx._vec_col), F.col("lo"), F.col("rng")
+                            ).alias("q"),
+                        ).write.mode("append").parquet(
+                            f"{index_path}/sq8_codes"
+                        )
                 idx.max_id = int(disk_hi)
                 idx._write_meta(index_path)
                 return  # batch fully landed; only the meta stamp was lost

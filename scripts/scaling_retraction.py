@@ -34,14 +34,24 @@ FACTORS = (1, 8, 64)
 N_RETRACT = 200  # fixed deletion set (base-replica ids)
 
 
+ALL_FAMILIES = ("dedup", "repeat", "trigram", "vector", "media", "curation")
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
+    ap.add_argument(
+        "--families",
+        default=",".join(ALL_FAMILIES),
+        help="comma list from: " + ",".join(ALL_FAMILIES),
+    )
     args = ap.parse_args()
+    fams = tuple(args.families.split(","))
 
     from pyspark.sql import functions as F
 
     from lp_etl_plugins_spark import scaling
+    from lp_etl_plugins_spark.incremental import CurationState
     from lp_etl_plugins_spark.multimodal import MediaIndex, synthetic_media
     from lp_etl_plugins_spark.session import get_spark
     from lp_etl_plugins_spark.tables import load_table
@@ -85,80 +95,110 @@ def main() -> None:
         keep = docs.filter(~r_pred)
 
         # --- DedupIndex
-        p = os.path.join(base, f"dedup_x{f}")
-        t0 = time.perf_counter()
-        DedupIndex(docs, "text", "doc_id").save(p)
-        build_s = time.perf_counter() - t0
-        idx = DedupIndex.load(spark, p)
-        t0 = time.perf_counter()
-        idx.retract(r_ids)
-        idx.retract_saved(p)
-        rec("dedup", f, n_docs=n_docs, n_retract=n_r,
-            build_s=build_s, retract_s=time.perf_counter() - t0)
+        if "dedup" in fams:
+            p = os.path.join(base, f"dedup_x{f}")
+            t0 = time.perf_counter()
+            DedupIndex(docs, "text", "doc_id").save(p)
+            build_s = time.perf_counter() - t0
+            idx = DedupIndex.load(spark, p)
+            t0 = time.perf_counter()
+            idx.retract(r_ids)
+            idx.retract_saved(p)
+            rec("dedup", f, n_docs=n_docs, n_retract=n_r,
+                build_s=build_s, retract_s=time.perf_counter() - t0)
 
         # --- RepeatIndex
-        p = os.path.join(base, f"repeat_x{f}")
-        t0 = time.perf_counter()
-        RepeatIndex.build(spark, docs, p, "text", "doc_id")
-        build_s = time.perf_counter() - t0
-        idx = RepeatIndex.load(spark, p)
-        t0 = time.perf_counter()
-        m = idx.retract(r_ids, old_docs=keep)
-        rec("repeat", f, n_docs=n_docs, n_retract=n_r, build_s=build_s,
-            retract_s=time.perf_counter() - t0,
-            touched_old=m["touched_old"])
+        if "repeat" in fams:
+            p = os.path.join(base, f"repeat_x{f}")
+            t0 = time.perf_counter()
+            RepeatIndex.build(spark, docs, p, "text", "doc_id")
+            build_s = time.perf_counter() - t0
+            idx = RepeatIndex.load(spark, p)
+            t0 = time.perf_counter()
+            m = idx.retract(r_ids, old_docs=keep)
+            rec("repeat", f, n_docs=n_docs, n_retract=n_r, build_s=build_s,
+                retract_s=time.perf_counter() - t0,
+                touched_old=m["touched_old"])
 
         # --- TrigramLM (needs the retracted docs' texts)
-        p = os.path.join(base, f"lm_x{f}")
-        t0 = time.perf_counter()
-        TrigramLM(docs, "text", "doc_id").save(p)
-        build_s = time.perf_counter() - t0
-        lm = TrigramLM.load(spark, p)
-        r_docs = docs.filter(r_pred).localCheckpoint()
-        t0 = time.perf_counter()
-        lm.retract(r_docs)
-        lm.retract_saved(p)
-        rec("trigram", f, n_docs=n_docs, n_retract=n_r,
-            build_s=build_s, retract_s=time.perf_counter() - t0)
+        if "trigram" in fams:
+            p = os.path.join(base, f"lm_x{f}")
+            t0 = time.perf_counter()
+            TrigramLM(docs, "text", "doc_id").save(p)
+            build_s = time.perf_counter() - t0
+            lm = TrigramLM.load(spark, p)
+            r_docs = docs.filter(r_pred).localCheckpoint()
+            t0 = time.perf_counter()
+            lm.retract(r_docs)
+            lm.retract_saved(p)
+            rec("trigram", f, n_docs=n_docs, n_retract=n_r,
+                build_s=build_s, retract_s=time.perf_counter() - t0)
 
         # --- VectorIndex
-        emb = scaling.inflate_embeddings(emb0, f)
-        epath = os.path.join(base, f"emb_x{f}.parquet")
-        emb.write.mode("overwrite").parquet(epath)
-        emb = spark.read.parquet(epath)
-        ev_pred = (F.col("vec_id") % f == 0) & (
-            F.col("vec_id") < N_RETRACT * f
-        )
-        ev_ids = emb.filter(ev_pred).select(
-            F.col("vec_id").alias("id")
-        ).localCheckpoint()
-        p = os.path.join(base, f"vec_x{f}")
-        t0 = time.perf_counter()
-        VectorIndex(emb).save(p)
-        build_s = time.perf_counter() - t0
-        vidx = VectorIndex.load(spark, p)
-        t0 = time.perf_counter()
-        vidx.retract(ev_ids)
-        vidx.retract_saved(p)
-        rec("vector", f, n_docs=emb.count(), n_retract=ev_ids.count(),
-            build_s=build_s, retract_s=time.perf_counter() - t0)
+        if "vector" in fams:
+            emb = scaling.inflate_embeddings(emb0, f)
+            epath = os.path.join(base, f"emb_x{f}.parquet")
+            emb.write.mode("overwrite").parquet(epath)
+            emb = spark.read.parquet(epath)
+            ev_pred = (F.col("vec_id") % f == 0) & (
+                F.col("vec_id") < N_RETRACT * f
+            )
+            ev_ids = emb.filter(ev_pred).select(
+                F.col("vec_id").alias("id")
+            ).localCheckpoint()
+            p = os.path.join(base, f"vec_x{f}")
+            t0 = time.perf_counter()
+            VectorIndex(emb).save(p)
+            build_s = time.perf_counter() - t0
+            vidx = VectorIndex.load(spark, p)
+            t0 = time.perf_counter()
+            vidx.retract(ev_ids)
+            vidx.retract_saved(p)
+            rec("vector", f, n_docs=emb.count(), n_retract=ev_ids.count(),
+                build_s=build_s, retract_s=time.perf_counter() - t0)
 
         # --- MediaIndex (the synthetic corpus scales by item count)
-        media = synthetic_media(spark, 200 * f)
-        m_ids = media.filter(
-            (F.col("media_id") % f == 0)
-            & (F.col("media_id") < N_RETRACT * f // 4)
-        ).select(F.col("media_id").alias("id")).localCheckpoint()
-        p = os.path.join(base, f"media_x{f}")
-        t0 = time.perf_counter()
-        MediaIndex(media).save(p)
-        build_s = time.perf_counter() - t0
-        midx = MediaIndex.load(spark, p)
-        t0 = time.perf_counter()
-        midx.retract(m_ids)
-        midx.retract_saved(p)
-        rec("media", f, n_docs=200 * f, n_retract=m_ids.count(),
-            build_s=build_s, retract_s=time.perf_counter() - t0)
+        if "media" in fams:
+            media = synthetic_media(spark, 200 * f)
+            m_ids = media.filter(
+                (F.col("media_id") % f == 0)
+                & (F.col("media_id") < N_RETRACT * f // 4)
+            ).select(F.col("media_id").alias("id")).localCheckpoint()
+            p = os.path.join(base, f"media_x{f}")
+            t0 = time.perf_counter()
+            MediaIndex(media).save(p)
+            build_s = time.perf_counter() - t0
+            midx = MediaIndex.load(spark, p)
+            t0 = time.perf_counter()
+            midx.retract(m_ids)
+            midx.retract_saved(p)
+            rec("media", f, n_docs=200 * f, n_retract=m_ids.count(),
+                build_s=build_s, retract_s=time.perf_counter() - t0)
+
+        # --- CurationState (round 10: pipeline-level blast radius —
+        # the takedown path through EVERY substrate: root ledger,
+        # embedded index retraction + affected-cluster relabel,
+        # canonical re-election, tombstones, incremental decontam)
+        if "curation" in fams:
+            cdocs = docs.withColumn("source", F.lit("src1"))
+            # keep a bench source so the contamination leg is live
+            cdocs = cdocs.withColumn(
+                "source",
+                F.when(F.col("doc_id") % 11 == 0, F.lit("src0")).otherwise(
+                    F.col("source")
+                ),
+            )
+            p = os.path.join(base, f"curation_x{f}")
+            t0 = time.perf_counter()
+            CurationState.build(spark, cdocs, p)
+            build_s = time.perf_counter() - t0
+            st = CurationState.load(spark, p)
+            t0 = time.perf_counter()
+            mres = st.retract(r_ids.withColumnRenamed("id", "doc_id"))
+            rec("curation", f, n_docs=n_docs, n_retract=n_r,
+                build_s=build_s, retract_s=time.perf_counter() - t0,
+                working_retracts=mres["working_retracts"],
+                working_adds=mres["working_adds"])
 
     def alpha(family: str) -> float:
         t1 = results[family][FACTORS[0]]["retract_s"]
@@ -169,7 +209,7 @@ def main() -> None:
     print("\n| family | corpus x1 → x64 | build x1 → x64 s | "
           "retract (fixed delta) x1 → x64 s | α(retract) |")
     print("|---|---|---|---|---|")
-    for fam in ("dedup", "repeat", "trigram", "vector", "media"):
+    for fam in [x for x in ALL_FAMILIES if x in results]:
         r1, r64 = results[fam][1], results[fam][64]
         print(f"| {fam} | {r1['n_docs']:,} → {r64['n_docs']:,} "
               f"| {r1['build_s']} → {r64['build_s']} "

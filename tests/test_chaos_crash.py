@@ -198,9 +198,13 @@ def _chaos_env(spark, tmp_path_factory) -> dict[str, _Spec]:
 
 def _vector_manual_repair(spark, path: str) -> None:
     """The absorber's documented 'repair the index directory': purge
-    rows beyond the meta stamp from both monotone stages."""
+    rows beyond the meta stamp from the monotone stages (the SQ8
+    refine stage included when the layout carries it)."""
     stamp = int(T._read_control_row(f"{path}/meta")["max_id"])
-    for stage, idc in (("corpus_lists", "id"), ("codes", "neighbor_id")):
+    stages = [("corpus_lists", "id"), ("codes", "neighbor_id")]
+    if T._parquet_dir_exists(f"{path}/sq8_codes"):
+        stages.append(("sq8_codes", "id"))
+    for stage, idc in stages:
         T._rewrite_parquet_dir(
             spark,
             f"{path}/{stage}",
@@ -334,7 +338,9 @@ def test_chaos_crash_compact_preserves_views(spark, tmp_path_factory, data):
 # the clean-retract snapshot. This is what keeps the
 # retraction-sequence commit honest as the write sets evolve.
 
-RETRACT_FAMILIES = ("dedup", "trigram", "vector", "media", "repeat")
+RETRACT_FAMILIES = (
+    "dedup", "trigram", "vector", "media", "repeat", "curation"
+)
 
 _RENV: dict[str, dict] = {}
 
@@ -379,10 +385,15 @@ def _retract_env(spark, tmp_path_factory) -> dict[str, dict]:
                 idx = MediaIndex.load(spark, f"{case}/midx")
                 idx.retract(m_ids)
                 idx.retract_saved(f"{case}/midx")
-        else:  # repeat
+        elif family == "repeat":
             def run(case):
                 idx = T.RepeatIndex.load(spark, f"{case}/ridx")
                 idx.retract(d_ids, old_docs=d_keep)
+        else:  # curation — the round-10 pipeline-level retraction:
+            # root ledger + index retract_saved + working/tombstone/
+            # gram/contam writes + meta, all inside the kill zone
+            def run(case):
+                INC.CurationState.load(spark, f"{case}/state").retract(d_ids)
         return run
 
     def build(family: str):

@@ -29,7 +29,9 @@ def test_stages_build_exactly_once(spark):
     idx = VectorIndex(emb)
     for _ in range(2):
         idx.search(_probes(emb), 3).collect()
-    assert idx.builds == dict.fromkeys(VectorIndex._STAGES, 1)
+    assert {k: idx.builds[k] for k in VectorIndex._STAGES} == dict.fromkeys(
+        VectorIndex._STAGES, 1
+    )
     assert idx.codes is idx.codes
 
 
@@ -48,7 +50,9 @@ def test_loaded_index_serves_identically(spark, tmp_path):
     loaded = VectorIndex.load(spark, path)
     got = _rows(loaded.search(probes, 3, nprobe=2))
     assert got == want
-    assert loaded.builds == dict.fromkeys(VectorIndex._STAGES, 0)
+    assert {k: loaded.builds[k] for k in VectorIndex._STAGES} == dict.fromkeys(
+        VectorIndex._STAGES, 0
+    )
     # a second nprobe setting still agrees between built and loaded
     assert _rows(loaded.search(probes, 2, nprobe=1)) == _rows(
         built.search(probes, 2, nprobe=1)
@@ -80,7 +84,9 @@ def test_update_appends_under_frozen_quantizers(spark, tmp_path):
     ref.save(path)
     loaded = VectorIndex.load(spark, path)
     loaded.update(delta)
-    assert loaded.builds == dict.fromkeys(VectorIndex._STAGES, 0)
+    assert {k: loaded.builds[k] for k in VectorIndex._STAGES} == dict.fromkeys(
+        VectorIndex._STAGES, 0
+    )
 
     # appended stages = base stages ∪ delta encodings, ids disjoint
     got_ids = {r["id"] for r in loaded.corpus_lists.select("id").collect()}
@@ -248,8 +254,11 @@ def test_compact_saved_vector_index_pure_relayout(spark, tmp_path):
     assert files_before >= 2  # base + appended delta
 
     metrics = VectorIndex.compact(spark, path)
-    assert set(metrics) == set(VectorIndex._STAGES)
-    for s in VectorIndex._STAGES:
+    # the refine stages (round 10) compact alongside when present
+    assert set(metrics) == set(
+        VectorIndex._STAGES + VectorIndex._REFINE_STAGES
+    )
+    for s in VectorIndex._STAGES + VectorIndex._REFINE_STAGES:
         assert metrics[s]["files_after"] == 1, s
     assert metrics["codes"]["files_before"] == files_before
 
@@ -391,6 +400,12 @@ def test_compressed_ann_recall_floors(spark):
     # claim is hollow
     prod = VectorIndex(emb, m=16)
     assert _recall(exact_l2_ext, prod.search(ext, 3, nprobe=2)) >= 0.38
+    # the v20 TWO-STAGE path (round 10): PQ shortlist + SQ8 re-rank
+    # must sit FAR above the single-stage ADC — measured 0.967 @
+    # sf0.001 / 0.90 @ sf0.01 (candidate ceiling 0.93–0.97 at
+    # nprobe=8; the ADC's 0.50 was ordering distortion, which the
+    # refine stage removes). Floor just under the measured value.
+    assert _recall(exact_l2_ext, prod.search_rerank(ext, 3)) >= 0.90
     base = emb.filter(F.col("vec_id") % 8 != 7)
     upd = VectorIndex(base).update(emb.filter(F.col("vec_id") % 8 == 7).drop("label"))
     assert _recall(exact_l2_ext, upd.search(ext, 3, nprobe=2)) >= 0.35
@@ -631,3 +646,76 @@ def test_compact_crash_windows_converge(spark, tmp_path):
     )
     assert _rows(VectorIndex.load(spark, path).search(_probes(emb), 3, nprobe=2)) == want
     assert check_vector_index(spark, path)["ok"]
+
+
+def test_rerank_refine_stage_lifecycle(spark, tmp_path):
+    """The round-10 two-stage serving path through the FULL index
+    lifecycle: save/load round-trips the optional refine stages
+    (sq8_cb + sq8_codes), a loaded index re-ranks identically to the
+    in-session build, update() encodes deltas against the FROZEN SQ8
+    codebook and append_saved lands them, retraction filters the
+    shortlist (v19 semantics unchanged — a retracted true neighbor
+    never reaches the refine join), and compact() resolves sq8_codes
+    physically."""
+    emb = IV._emb(spark, SF_SMOKE).localCheckpoint()
+    ext = IV._external_probes(emb)
+    path = str(tmp_path / "vidx")
+
+    idx = VectorIndex(emb, m=16)
+    want = sorted(
+        tuple(r) for r in idx.search_rerank(ext, 3).collect()
+    )
+    idx.save(path)
+    loaded = VectorIndex.load(spark, path)
+    assert loaded._sq8_codes is not None  # refine stages round-trip
+    got = sorted(tuple(r) for r in loaded.search_rerank(ext, 3).collect())
+    assert got == want
+
+    # frozen-codebook delta: update == fresh encode of the union
+    base = emb.filter(F.col("vec_id") % 8 != 7)
+    delta = emb.filter(F.col("vec_id") % 8 == 7).drop("label")
+    up = VectorIndex(base, m=16)
+    up.sq8_codes  # force refine build pre-update (frozen cb)
+    up.update(delta)
+    p2 = str(tmp_path / "vidx2")
+    VectorIndex(base, m=16).save(p2)
+    lup = VectorIndex.load(spark, p2)
+    lup.update(delta)
+    lup.append_saved(p2)
+    served = VectorIndex.load(spark, p2)
+    # appended refine codes present for every delta id
+    n_delta = delta.count()
+    assert (
+        spark.read.parquet(f"{p2}/sq8_codes")
+        .join(delta.select(F.col("vec_id").alias("id")), "id", "left_semi")
+        .count()
+        == n_delta
+    )
+    assert sorted(
+        tuple(r) for r in served.search_rerank(ext, 3).collect()
+    ) == sorted(tuple(r) for r in up.search_rerank(ext, 3).collect())
+
+    # retraction composes: kill a served top-1 neighbor, re-rank must
+    # not surface it
+    top1 = VectorIndex.load(spark, path).search_rerank(ext, 1).collect()[0]
+    dead = top1["neighbor_id"]
+    loaded = VectorIndex.load(spark, path)
+    loaded.retract(spark.createDataFrame([(dead,)], "id bigint"))
+    loaded.retract_saved(path)
+    served = VectorIndex.load(spark, path)
+    post = served.search_rerank(ext, 3).collect()
+    assert all(r["neighbor_id"] != dead for r in post)
+    want_post = sorted(tuple(r) for r in post)
+
+    # compact resolves the refine stage physically, views preserved
+    VectorIndex.compact(spark, path)
+    assert (
+        spark.read.parquet(f"{path}/sq8_codes")
+        .filter(F.col("id") == dead)
+        .count()
+        == 0
+    )
+    assert sorted(
+        tuple(r)
+        for r in VectorIndex.load(spark, path).search_rerank(ext, 3).collect()
+    ) == want_post
