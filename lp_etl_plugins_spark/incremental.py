@@ -755,6 +755,9 @@ class CurationState:
                 self._root_ledger(),
                 target_rows_per_file,
             )
+            T._stamp_resolved_retractions(
+                p, int(self.meta.get("n_retractions") or 0)
+            )
         out["contam"] = T._rewrite_parquet_dir(
             spark, f"{p}/contam", self.contamination(), target_rows_per_file
         )

@@ -54,7 +54,13 @@ def detect_family(path: str) -> str | None:
     def present(m: str) -> bool:
         return any(
             T._parquet_dir_exists(f"{path}/{m}{suffix}")
-            for suffix in ("", ".__old__", ".__compact__")
+            for suffix in (
+                "", ".__old__", ".__compact__",
+                # a VectorIndex coarse-quantizer retrain caught between
+                # its per-stage renames leaves the live dir missing with
+                # these complete copies beside it — still the family
+                ".__retrain__", ".__retrain_old__",
+            )
         )
 
     # the meta's own control-plane swap has the same between-renames
@@ -191,6 +197,13 @@ def check_vector_index(
     from .vectorops import VectorIndex
 
     v: dict[str, int] = {}
+    if T._parquet_dir_exists(f"{path}/{VectorIndex._RETRAIN_MARKER}"):
+        # a committed-but-unfinished coarse retrain: stages may span
+        # two quantizer generations, so cross-stage probes over the
+        # mix would be meaningless — report the torn state (the repair
+        # is repair_torn_retrain / vacuum(recover_swaps=True))
+        _bad(v, "retrain_pending", 1)
+        return {"ok": False, "violations": v}
     missing = [
         s for s in VectorIndex._STAGES if not T._parquet_dir_exists(f"{path}/{s}")
     ]
@@ -239,10 +252,15 @@ def check_vector_index(
         F.max("count").alias("mx"), F.count(F.lit(1)).alias("nl")
     ).first()
     if (
-        int(row["n"]) > 0
-        and int(bal["nl"] or 0) > 1
+        int(row["n"]) > 1
         and int(bal["mx"] or 0) > degenerate_list_frac * int(row["n"])
     ):
+        # round 10: no `nl > 1` guard — a multi-vector corpus collapsed
+        # into ONE surviving list is the degenerate condition at its
+        # worst (nprobe cannot prune at all), and it is exactly the
+        # state an honest retrain leaves a point-mass corpus in; the
+        # probe must keep reporting it rather than treat single-list
+        # as intentional
         _bad(v, "coarse_assignment_degenerate", 1)
     return {"ok": not v, "violations": v}
 
@@ -709,6 +727,62 @@ def _stage_dirs(path: str, family: str, existing_only: bool = True) -> list[str]
     ]
 
 
+# The substrate each family's tombstone anti-join FILTERS (the live
+# view's denominator), and the ledger directory that feeds it. The
+# ratio ledger-rows / primary-rows is the scale-free "tombstone
+# pressure" vacuum compacts on (scripts/retraction_read_amp.py is the
+# measured curve behind the default threshold).
+_TOMBSTONE_LEDGER = {
+    "CurationState": ("retracted", "indexed"),
+    "DedupIndex": ("retracted", "clusters"),
+    "RepeatIndex": ("retracted", "spans"),
+    "TrigramLM": ("retracted", "counts"),
+    "VectorIndex": ("tombstones", "corpus_lists"),
+    "MediaIndex": ("retracted", "phash"),
+}
+
+
+def _tombstone_pressure(
+    spark: SparkSession, path: str, family: str
+) -> float | None:
+    """Ledger rows as a fraction of the primary substrate's rows —
+    None when the family has no ledger directory (the pay-for-play
+    fast path: absence means the read plans carry no anti-join at
+    all, so there is nothing to compact away)."""
+    led, prim = _TOMBSTONE_LEDGER[family]
+    if not T._parquet_dir_exists(f"{path}/{led}"):
+        return None
+    led_df = spark.read.parquet(f"{path}/{led}")
+    if family != "VectorIndex":
+        # these families RETAIN the ledger after compaction (it is
+        # their replay-refusal / audit record); rows at or below the
+        # compact-written resolution stamp are already folded into
+        # the substrates and carry no per-read cost — count only the
+        # unresolved tail, else the threshold re-fires forever on an
+        # already-resolved ledger. The stamp is clamped to the meta's
+        # committed counter so a stale stamp from a previous state
+        # incarnation (sequence restart at save) can't hide live rows.
+        resolved = 0
+        if T._parquet_dir_exists(f"{path}/retracted_resolved"):
+            resolved = int(
+                T._read_control_row(f"{path}/retracted_resolved")[
+                    "resolved_rseq"
+                ]
+                or 0
+            )
+        n_committed = int(
+            T._read_control_row(f"{path}/meta").get("n_retractions") or 0
+        )
+        led_df = led_df.filter(F.col("rseq") > min(resolved, n_committed))
+    n_led = led_df.count()
+    if not n_led:
+        return None
+    if not T._parquet_dir_exists(f"{path}/{prim}"):
+        return None
+    n_prim = spark.read.parquet(f"{path}/{prim}").count()
+    return n_led / max(n_prim, 1)
+
+
 def _recover_family_swaps(path: str, family: str) -> int:
     """Perform the one-rename recovery for every substrate caught
     between a rename-aside swap's two renames (no live directory, a
@@ -776,6 +850,8 @@ def vacuum(
     compact_unhealthy: bool = False,
     recover_swaps: bool = False,
     purge_torn_retractions: bool = False,
+    retrain_degenerate=None,
+    max_tombstone_frac: float | None = 0.25,
     lease_wait_seconds: float = 0.0,
 ) -> DataFrame:
     """The nightly maintenance sweep: for each path, detect the index
@@ -821,6 +897,38 @@ def vacuum(
     itself refuses (e.g. a pending update marker that must replay
     first) is reported as ``torn_retraction_repair_refused``.
 
+    ``retrain_degenerate`` (round 10) turns the vector family's
+    ``coarse_assignment_degenerate`` report into an opt-in
+    remediation: pass the corpus embeddings DataFrame (the saved
+    artifacts never hold raw vectors — the serving contract — so only
+    the caller can supply them) and a VectorIndex path whose probe
+    flags degeneracy is retrained under the lease via
+    :meth:`vectorops.VectorIndex.retrain_coarse` (balanced hash
+    re-seed + Lloyd rounds, rebuild semantics, marker-fenced
+    roll-forward swap), then re-probed. The report row gains
+    ``retrained_coarse=1``; a corpus whose geometry is genuinely
+    collapsed (a point-mass cloud no quantizer can split) re-probes
+    degenerate and gains ``retrain_ineffective=1`` instead of a false
+    health bill. Default None keeps report-only.
+
+    ``max_tombstone_frac`` (round 10) adds the RETRACTION analogue of
+    the file-count threshold: every committed retraction appends rows
+    to the family's tombstone ledger, and every live-view read pays a
+    broadcast anti-join against it until a compaction physically
+    resolves the deletions — bounded by maintenance cadence, which
+    this threshold IS. When the ledger holds more than this fraction
+    of the primary substrate's rows (see ``_TOMBSTONE_LEDGER`` for
+    the per-family pair), the sweep compacts even if the file counts
+    are low, and the report row notes ``tombstone_pressure=1``. The
+    default 0.25 comes from the measured read-amplification curve
+    (``scripts/retraction_read_amp.py``, SCALE.md): the anti-join
+    itself stays cheap (broadcast build ∝ ledger rows) so the curve
+    is flat until the ledger's own file count and broadcast size
+    start to bite; 25% keeps both an order of magnitude below the
+    corpus while triggering well before the per-read tax compounds.
+    Pass None to disable (forensic sweeps). A ledger-free path pays
+    nothing — absence of the directory IS the fast path.
+
     ``lease_wait_seconds`` (round 9) bounds how long the sweep will
     WAIT for a live writer's directory lease before skipping: the
     default 0 keeps the fail-fast report-and-move-on behavior, while a
@@ -852,7 +960,16 @@ def vacuum(
                     role="maintenance.recover_swaps",
                     wait_seconds=lease_wait_seconds,
                 ):
-                    recovered = _recover_family_swaps(path, family)
+                    if family == "VectorIndex":
+                        # a committed-but-unfinished coarse retrain
+                        # rolls forward here (pure renames) so the
+                        # generic swap recovery below never sees its
+                        # .__retrain__* windows
+                        from .vectorops import VectorIndex
+
+                        if VectorIndex.repair_torn_retrain(spark, path):
+                            recovered += 1
+                    recovered += _recover_family_swaps(path, family)
             except LeaseContention:
                 pass  # a live writer owns the path; its replay repairs
         if not T._parquet_dir_exists(f"{path}/meta"):
@@ -888,7 +1005,38 @@ def vacuum(
                 repair_err = "torn_retraction_repair_refused=1"
             if purged:
                 res = _CHECKS[family](spark, path)
+        retrained = False
+        retrain_ineffective = False
+        if (
+            retrain_degenerate is not None
+            and family == "VectorIndex"
+            and "coarse_assignment_degenerate" in res["violations"]
+        ):
+            from .lease import LeaseContention, dir_lease
+            from .vectorops import VectorIndex
+
+            try:
+                with dir_lease(
+                    path,
+                    role="maintenance.retrain_degenerate",
+                    wait_seconds=lease_wait_seconds,
+                ):
+                    VectorIndex._retrain_coarse_unfenced(
+                        spark, path, retrain_degenerate
+                    )
+                retrained = True
+            except LeaseContention:
+                pass  # a live writer owns the path; next sweep retrains
+            if retrained:
+                res = _CHECKS[family](spark, path)
+                retrain_ineffective = (
+                    "coarse_assignment_degenerate" in res["violations"]
+                )
         viol = ";".join(f"{k}={n}" for k, n in sorted(res["violations"].items()))
+        if retrained:
+            viol = ";".join(filter(None, [viol, "retrained_coarse=1"]))
+        if retrain_ineffective:
+            viol = ";".join(filter(None, [viol, "retrain_ineffective=1"]))
         if purged:
             viol = ";".join(
                 filter(None, [viol, "purged_torn_retraction=1"])
@@ -898,7 +1046,19 @@ def vacuum(
         dirs = _stage_dirs(path, family)
         worst = max((T._count_data_files(d) for d in dirs), default=0)
         compacted = False
-        if worst > max_files_per_substrate and (res["ok"] or compact_unhealthy):
+        pressure = (
+            _tombstone_pressure(spark, path, family)
+            if max_tombstone_frac is not None
+            else None
+        )
+        over_pressure = (
+            pressure is not None and pressure > max_tombstone_frac
+        )
+        if over_pressure:
+            viol = ";".join(filter(None, [viol, "tombstone_pressure=1"]))
+        if (
+            worst > max_files_per_substrate or over_pressure
+        ) and (res["ok"] or compact_unhealthy):
             from .lease import LeaseContention, waiting
 
             try:

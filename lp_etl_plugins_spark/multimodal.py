@@ -1307,6 +1307,9 @@ class MediaIndex:
                     spark.read.parquet(led_path),
                     target_rows_per_file,
                 )
+                from .textops import _stamp_resolved_retractions
+
+                _stamp_resolved_retractions(path, n_r)
             return out
 
 

@@ -1821,6 +1821,7 @@ class RepeatIndex:
                 ),
                 target_rows_per_file,
             )
+            _stamp_resolved_retractions(p, n_r)
         m["counts_seg"] = int(m["n_updates"])
         self._write_meta()
         return out
@@ -2218,6 +2219,26 @@ def _write_control_parquet(path: str, rows: list, schema: str) -> None:
         shutil.rmtree(old)
     else:
         os.rename(tmp, local)
+
+
+def _stamp_resolved_retractions(path: str, resolved_rseq: int) -> None:
+    """Sidecar resolution stamp (round 10) written by every family
+    ``compact()`` that physically resolves committed retractions
+    while RETAINING the ledger as its audit / replay-refusal record:
+    rows with ``rseq <= resolved_rseq`` are already folded into the
+    substrates (their anti-joins are no-ops), rows above it are
+    committed-but-unresolved and still carry a real per-read tax.
+    :func:`maintenance._tombstone_pressure` counts only the latter,
+    so the tombstone-threshold compaction trigger can't re-fire
+    forever on an already-resolved ledger. One control-plane row;
+    consumers clamp to the meta's current ``n_retractions`` so a
+    stale stamp from a previous state incarnation (sequence restart
+    at a fresh ``save()``) can never hide live rows."""
+    _write_control_parquet(
+        f"{path}/retracted_resolved",
+        [(int(resolved_rseq),)],
+        "resolved_rseq bigint",
+    )
 
 
 def _read_control_row(path: str) -> dict:
@@ -3521,6 +3542,7 @@ class DedupIndex:
                 spark.read.parquet(led_path),
                 target_rows_per_file,
             )
+            _stamp_resolved_retractions(path, n_r)
         return out
 
 
@@ -4590,6 +4612,7 @@ class TrigramLM:
                 ),
                 target_rows_per_file,
             )
+            _stamp_resolved_retractions(path, n_r)
         return out
 
 

@@ -401,6 +401,55 @@ def _ivf_ranked(
     )
 
 
+def quantile_seed_assignment(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_lists: int = 10,
+) -> DataFrame:
+    """Deterministic, SPREAD k-means initialization: bucket each
+    vector by which quantile of the corpus's 1-D projection (the
+    component sum — projection onto the all-ones direction) it falls
+    in. Random/hash seeding makes every initial centroid ≈ the global
+    mean (each bucket is a uniform sample), so Lloyd's first
+    reassignment sends whole clusters to whichever look-alike
+    centroid wins by noise and most lists DIE — measured on a
+    10-cluster corpus, hash init collapsed 10 lists to 2 and the PQ
+    codebook (seeded per list) collapsed with them. Quantile seeding
+    starts every list non-empty with n/k corpus vectors spread along
+    the projection, which Lloyd then refines against full geometry.
+
+    Scale: the cut points come from ``percentile_approx`` (one
+    distributed aggregate → n_lists-1 driver-side doubles, broadcast
+    back as a literal array) — no global sort, no single-partition
+    window, so the init costs one scan at any corpus size.
+    → (id, seed) with n_lists distinct seeds (fewer if the projection
+    has point masses — which no seeding could split)."""
+    proj = F.aggregate(
+        F.col(vec_col).cast("array<double>"),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    fracs = F.array(
+        *[F.lit(i / n_lists) for i in range(1, int(n_lists))]
+    )
+    row = (
+        embeddings.select(
+            F.percentile_approx(proj, fracs, F.lit(10_000)).alias("cuts")
+        ).first()
+    )
+    cuts = [float(c) for c in (row["cuts"] or []) if c is not None]
+    cut_arr = F.array(*[F.lit(c) for c in cuts])
+    seed = (
+        F.size(F.filter(cut_arr, lambda c: c <= proj))
+        if cuts
+        else F.lit(0)
+    )
+    return embeddings.select(
+        F.col(id_col).alias("id"), seed.cast("bigint").alias("seed")
+    )
+
+
 def kmeans_refine(
     embeddings: DataFrame,
     seed_col: str = "label",
@@ -1470,10 +1519,253 @@ class VectorIndex:
                 }
             return out
 
+    # ------------------------------------------------------------------
+    # Coarse-quantizer retrain (round 10 — the remediation for
+    # maintenance.check_vector_index's coarse_assignment_degenerate
+    # report; FAISS's reindex guidance turned into a fenced operation).
+    _RETRAIN_MARKER = "retrain_pending"
+
+    @classmethod
+    def _retrain_stages(cls, path: str) -> list[str]:
+        from .textops import _parquet_dir_exists
+
+        return list(cls._STAGES) + [
+            s
+            for s in cls._REFINE_STAGES
+            if _parquet_dir_exists(f"{path}/{s}")
+            or _parquet_dir_exists(f"{path}/{s}.__retrain__")
+        ]
+
+    @classmethod
+    def _finish_retrain(cls, path: str) -> None:
+        """The committed half of a retrain: per-stage rename-aside
+        swaps, resolved-tombstone clear, marker removal LAST (the
+        commit). Pure renames + one control-plane write — replayable
+        from any crash prefix; only called with the marker present."""
+        import os
+        import shutil
+
+        from .textops import (
+            _local_path,
+            _parquet_dir_exists,
+            _write_control_parquet,
+        )
+
+        for s in cls._retrain_stages(path):
+            live = _local_path(f"{path}/{s}")
+            staged = live + ".__retrain__"
+            aside = live + ".__retrain_old__"
+            if os.path.isdir(staged):
+                if os.path.isdir(live):
+                    shutil.rmtree(aside, ignore_errors=True)
+                    os.rename(live, aside)
+                os.rename(staged, live)
+            elif not os.path.isdir(live):
+                # staging already renamed in can't coexist with a
+                # missing live dir; the only legal owner is the aside
+                if not os.path.isdir(aside):
+                    raise FileNotFoundError(
+                        f"VectorIndex retrain: {path}/{s} is missing and "
+                        "neither staging nor aside copy survives"
+                    )
+                os.rename(aside, live)
+            shutil.rmtree(aside, ignore_errors=True)
+        if _parquet_dir_exists(f"{path}/tombstones"):
+            # the retrained stages were built from the LIVE corpus, so
+            # committed tombstones are resolved; a crash before this
+            # clear is view-identical (the ids are absent, the
+            # anti-join is a no-op) — clearing keeps the fast
+            # no-tombstone load path
+            _write_control_parquet(f"{path}/tombstones", [], "id bigint")
+        shutil.rmtree(_local_path(f"{path}/{cls._RETRAIN_MARKER}"))
+
+    @classmethod
+    def repair_torn_retrain(cls, spark, path: str) -> bool:
+        """Converge a crashed :meth:`retrain_coarse`. Without the
+        ``retrain_pending`` marker any leftover ``.__retrain__``
+        staging is an ABANDONED pre-commit attempt — the live index
+        was never touched, so the staging is purged. With the marker,
+        every staging directory was complete when the marker landed
+        (it is written after the last staging write), so the repair
+        rolls FORWARD via :meth:`_finish_retrain`. Returns True when
+        anything was repaired. Callers hold the directory lease
+        (vacuum does; :meth:`retrain_coarse` runs it on entry under
+        its own)."""
+        import os
+        import shutil
+
+        from .textops import _local_path, _parquet_dir_exists
+
+        if _parquet_dir_exists(f"{path}/{cls._RETRAIN_MARKER}"):
+            cls._finish_retrain(path)
+            return True
+        purged = False
+        for s in cls._retrain_stages(path):
+            for suffix in (".__retrain__", ".__retrain_old__"):
+                d = _local_path(f"{path}/{s}{suffix}")
+                if os.path.isdir(d):
+                    if not os.path.isdir(_local_path(f"{path}/{s}")):
+                        # defensive: no marker means no swap ever
+                        # started, so a missing live stage alongside a
+                        # surviving copy can only be manual damage —
+                        # restore rather than destroy the last copy
+                        os.rename(d, _local_path(f"{path}/{s}"))
+                    else:
+                        shutil.rmtree(d)
+                    purged = True
+        return purged
+
+    @classmethod
+    def retrain_coarse(
+        cls, spark, path: str, corpus: DataFrame, *,
+        n_iter: int = 2, n_lists: int | None = None,
+    ) -> dict:
+        """Retrain a saved index's coarse quantizer over ``corpus``
+        and swap the retrained artifact set in — the remediation for
+        :func:`maintenance.check_vector_index`'s
+        ``coarse_assignment_degenerate`` report (one list holding
+        most of the corpus, so nprobe stops pruning).
+
+        The saved artifacts never include raw embeddings (the serving
+        contract), so the caller supplies the corpus frame — the same
+        source that built the index. Committed retractions are
+        anti-joined out here, so a takedown stays deleted through the
+        retrain and the resolved tombstone log clears with the swap.
+
+        Seeding: the degenerate per-label means are exactly what went
+        wrong, so the retrain re-seeds from the deterministic
+        projection-quantile partition (:func:`quantile_seed_assignment`
+        — spread initial centroids, one distributed aggregate, no
+        global sort) and runs ``n_iter`` Lloyd rounds
+        (:func:`kmeans_refine`) — the final lists depend on the corpus
+        geometry, not the poisoned seed labels. REBUILD semantics: every stage (coarse codebook, PQ
+        codebooks, lists, codes, and the SQ8 refine stages when the
+        saved layout has them) is rebuilt from the live corpus seeded
+        by the refined assignment — identical to a from-scratch build
+        with that seeding (hash-gated in tests). Meta is untouched:
+        retrain allocates no ids and changes no m/dims.
+
+        A genuinely collapsed corpus (a point-mass cloud) stays in
+        one list under ANY quantizer — the retrain still swaps, and a
+        re-probe keeps reporting degeneracy; ``vacuum`` surfaces that
+        as ``retrain_ineffective`` instead of pretending health.
+
+        Crash contract (marker-fenced roll-forward): all new stages
+        stage COMPLETELY under ``{stage}.__retrain__`` before the
+        ``retrain_pending`` marker commits the swap sequence; a crash
+        before the marker leaves the live index untouched (staging
+        purged by the next retrain / :meth:`repair_torn_retrain`), a
+        crash after it converges forward from any prefix
+        (:meth:`_finish_retrain` — also run by
+        ``vacuum(recover_swaps=True)``). :meth:`load` refuses a
+        marker-present state rather than serve mixed generations.
+        Single-writer-fenced (see :mod:`.lease`)."""
+        from .lease import dir_lease
+
+        with dir_lease(path, role="VectorIndex.retrain_coarse"):
+            return cls._retrain_coarse_unfenced(
+                spark, path, corpus, n_iter=n_iter, n_lists=n_lists
+            )
+
+    @classmethod
+    def _retrain_coarse_unfenced(
+        cls, spark, path: str, corpus: DataFrame, *,
+        n_iter: int = 2, n_lists: int | None = None,
+    ) -> dict:
+        import shutil
+
+        from .textops import (
+            _local_path,
+            _parquet_dir_exists,
+            _read_control_row,
+            _write_control_parquet,
+        )
+
+        cls.repair_torn_retrain(spark, path)
+        m = _read_control_row(f"{path}/meta")
+        id_col, vec_col = m["id_col"], m["vec_col"]
+        live = corpus
+        if _parquet_dir_exists(f"{path}/tombstones"):
+            t = (
+                spark.read.parquet(f"{path}/tombstones")
+                .select(F.col("id").alias(id_col))
+                .distinct()
+            )
+            if t.first() is not None:
+                live = corpus.join(F.broadcast(t), id_col, "left_anti")
+        if n_lists is None:
+            # the saved coarse CODEBOOK's list count — the build-time
+            # parameter — not corpus_lists' surviving bucket count: a
+            # degenerate assignment collapses the latter (most lists
+            # empty), and retraining at the collapsed count would
+            # under-partition the healthy corpus
+            n_lists = max(
+                1,
+                spark.read.parquet(f"{path}/ivf_centroids")
+                .select("seed")
+                .distinct()
+                .count(),
+            )
+        init = quantile_seed_assignment(
+            live, id_col=id_col, vec_col=vec_col, n_lists=int(n_lists)
+        )
+        seeded = live.join(
+            init.select(
+                F.col("id").alias(id_col), F.col("seed").alias("__retrain_seed")
+            ),
+            on=id_col,
+        )
+        assign = kmeans_refine(
+            seeded, "__retrain_seed", id_col, vec_col, n_iter=n_iter
+        )
+        retrained = live.join(
+            assign.select(
+                F.col("id").alias(id_col),
+                F.col("bucket").alias("__retrain_seed"),
+            ),
+            on=id_col,
+        )
+        idx = cls(
+            retrained,
+            seed_col="__retrain_seed",
+            id_col=id_col,
+            vec_col=vec_col,
+            m=int(m["m"]),
+            dims=int(m["dims"]),
+        )
+        stages = cls._retrain_stages(path)
+        for s in stages:
+            staged = f"{path}/{s}.__retrain__"
+            shutil.rmtree(_local_path(staged), ignore_errors=True)
+            getattr(idx, s).write.mode("overwrite").parquet(staged)
+        # commit point: every staging directory is complete on disk
+        _write_control_parquet(
+            f"{path}/{cls._RETRAIN_MARKER}",
+            [(int(n_lists), int(n_iter))],
+            "n_lists int, n_iter int",
+        )
+        cls._finish_retrain(path)
+        return {"n_lists": int(n_lists), "n_iter": int(n_iter),
+                "stages": stages}
+
     @classmethod
     def load(cls, spark, path: str) -> "VectorIndex":
         """Re-open a :meth:`save`-d index; serves the parquet frames
-        directly (build counters stay 0, no corpus needed)."""
+        directly (build counters stay 0, no corpus needed). Refuses a
+        directory caught mid-:meth:`retrain_coarse` swap (the marker
+        means stages may span two quantizer generations — serving
+        that mix is silently wrong); the repair is one
+        :meth:`repair_torn_retrain` / ``vacuum(recover_swaps=True)``
+        away and purely mechanical."""
+        from .textops import TornStateError, _parquet_dir_exists
+
+        if _parquet_dir_exists(f"{path}/{cls._RETRAIN_MARKER}"):
+            raise TornStateError(
+                f"VectorIndex.load: {path} holds a committed but "
+                "unfinished coarse-quantizer retrain (retrain_pending "
+                "marker) — run VectorIndex.repair_torn_retrain or "
+                "vacuum(recover_swaps=True) to roll it forward first"
+            )
         idx = cls.__new__(cls)
         idx._df = None
         idx._seed_col = None

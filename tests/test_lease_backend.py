@@ -1,0 +1,247 @@
+"""The lease backend seam (VERDICT r9 next #5).
+
+``lease._acquire_once`` is written against four primitives
+(try-create-exclusive / observe / break-if-unchanged / release);
+``PosixLeaseBackend`` binds them to the local filesystem, and an
+object-store deployment plugs a conditional-write (If-None-Match /
+If-Match CAS) implementation. These tests prove the seam carries the
+whole protocol: an injected in-memory CAS backend — the shape of an
+object store's conditional ops, with NO rename and NO inode identity
+— passes the same mutual-exclusion, staleness, TOCTOU, and
+bounded-wait contracts the POSIX tests pin in ``tests/test_lease.py``.
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+
+import pytest
+
+from lp_etl_plugins_spark.lease import (
+    LeaseContention,
+    PosixLeaseBackend,
+    dir_lease,
+    get_lease_backend,
+    set_lease_backend,
+    using_lease_backend,
+)
+
+
+class CasLeaseBackend:
+    """In-memory conditional-write backend — the object-store shape:
+    every operation is an atomic compare-and-swap on a versioned
+    object (token = generation counter, the ETag analogue). One lock
+    models the store's own linearizable conditional ops; there is no
+    rename, no inode, no mtime — staleness rides the stored create
+    time, identity rides the generation."""
+
+    def __init__(self):
+        self._lock = threading.Lock()
+        self._store: dict[str, tuple[int, float, str]] = {}  # gen, t, payload
+        self._gen = 0
+
+    def try_create_exclusive(self, lease: str, payload: str) -> bool:
+        with self._lock:
+            if lease in self._store:
+                return False
+            self._gen += 1
+            self._store[lease] = (self._gen, time.time(), payload)
+            return True
+
+    def observe(self, lease: str):
+        with self._lock:
+            row = self._store.get(lease)
+            if row is None:
+                return None
+            gen, t, _ = row
+            return (gen, time.time() - t)
+
+    def read_holder(self, lease: str) -> str:
+        with self._lock:
+            row = self._store.get(lease)
+            return row[2].strip() if row else ""
+
+    def break_if_unchanged(self, lease: str, token) -> str:
+        with self._lock:
+            row = self._store.get(lease)
+            if row is None:
+                return "gone"
+            if row[0] != token:
+                return "changed"
+            del self._store[lease]
+            return "broken"
+
+    def release(self, lease: str) -> None:
+        with self._lock:
+            self._store.pop(lease, None)
+
+    # test helpers ----------------------------------------------------
+    def plant_stale(self, lease: str, age_seconds: float) -> None:
+        with self._lock:
+            self._gen += 1
+            self._store[lease] = (
+                self._gen, time.time() - age_seconds, "crashed pid=1"
+            )
+
+    def held(self, lease: str) -> bool:
+        with self._lock:
+            return lease in self._store
+
+
+def _lease_name(tmp_path) -> str:
+    return str(tmp_path / "idx") + ".__lease__"
+
+
+def test_default_backend_is_posix_and_scope_restores():
+    assert isinstance(get_lease_backend(), PosixLeaseBackend)
+    fake = CasLeaseBackend()
+    with using_lease_backend(fake) as b:
+        assert get_lease_backend() is b is fake
+    assert isinstance(get_lease_backend(), PosixLeaseBackend)
+
+
+def test_injected_backend_acquire_contend_release(tmp_path):
+    fake = CasLeaseBackend()
+    path = str(tmp_path / "idx")
+    with using_lease_backend(fake):
+        with dir_lease(path, role="absorber"):
+            assert fake.held(_lease_name(tmp_path))
+            with pytest.raises(LeaseContention, match="absorber"):
+                with dir_lease(path, role="compact"):
+                    pass
+        assert not fake.held(_lease_name(tmp_path))
+        # released — a new writer acquires
+        with dir_lease(path, role="compact"):
+            pass
+
+
+def test_injected_backend_stale_break(tmp_path):
+    """A ttl-expired lease from a crashed writer is broken via the
+    backend's conditional delete, then re-acquired — no POSIX rename
+    involved."""
+    fake = CasLeaseBackend()
+    path = str(tmp_path / "idx")
+    fake.plant_stale(_lease_name(tmp_path), age_seconds=7200)
+    with using_lease_backend(fake):
+        with pytest.raises(LeaseContention):
+            with dir_lease(path, role="w", ttl_seconds=100_000):
+                pass  # not stale at this ttl — refused
+        with dir_lease(path, role="w", ttl_seconds=3600):
+            assert fake.held(_lease_name(tmp_path))
+    assert not fake.held(_lease_name(tmp_path))
+
+
+def test_injected_backend_lost_stale_break_race(tmp_path):
+    """The TOCTOU shape the POSIX backend closes with inode identity:
+    between observe and break, the stale lease is replaced by a FRESH
+    one (generation changed) — the backend reports "changed" and the
+    acquire surfaces contention instead of stealing the new writer's
+    lease."""
+    fake = CasLeaseBackend()
+    path = str(tmp_path / "idx")
+    lease = _lease_name(tmp_path)
+    fake.plant_stale(lease, age_seconds=7200)
+
+    real_break = fake.break_if_unchanged
+    raced = {"done": False}
+
+    def racing_break(l, token):
+        if not raced["done"]:
+            raced["done"] = True
+            # a concurrent writer re-acquires between observe and break
+            fake.release(l)
+            assert fake.try_create_exclusive(l, "fresh writer")
+        return real_break(l, token)
+
+    fake.break_if_unchanged = racing_break
+    with using_lease_backend(fake):
+        with pytest.raises(LeaseContention, match="stale-break race"):
+            with dir_lease(path, role="w", ttl_seconds=3600):
+                pass
+    # the fresh writer's lease survived the failed break
+    assert fake.held(lease)
+    assert fake.read_holder(lease) == "fresh writer"
+
+
+def test_injected_backend_thread_storm(tmp_path):
+    """The round-8 storm test against the seam: 16 threads x 25
+    attempts with a planted stale lease; at no instant two holders."""
+    fake = CasLeaseBackend()
+    path = str(tmp_path / "idx")
+    fake.plant_stale(_lease_name(tmp_path), age_seconds=7200)
+
+    lock = threading.Lock()
+    state = {"holders": 0, "max_holders": 0, "acquired": 0}
+    start = threading.Event()
+
+    def worker():
+        start.wait(10)
+        for _ in range(25):
+            try:
+                with dir_lease(path, role="stress", ttl_seconds=3600):
+                    with lock:
+                        state["holders"] += 1
+                        state["acquired"] += 1
+                        state["max_holders"] = max(
+                            state["max_holders"], state["holders"]
+                        )
+                    time.sleep(0.002)
+                    with lock:
+                        state["holders"] -= 1
+            except LeaseContention:
+                time.sleep(0.001)
+
+    with using_lease_backend(fake):
+        threads = [threading.Thread(target=worker) for _ in range(16)]
+        for t in threads:
+            t.start()
+        start.set()
+        for t in threads:
+            t.join(60)
+
+    assert state["acquired"] >= 1
+    assert state["max_holders"] == 1, state
+    assert not fake.held(_lease_name(tmp_path))
+
+
+def test_injected_backend_bounded_wait(tmp_path):
+    """wait_seconds composes with an injected backend: a waiter polls
+    through the seam until the holder releases."""
+    fake = CasLeaseBackend()
+    path = str(tmp_path / "idx")
+    release = threading.Event()
+    held = threading.Event()
+
+    with using_lease_backend(fake):
+
+        def hold():
+            with dir_lease(path, role="absorber"):
+                held.set()
+                release.wait(30)
+
+        t = threading.Thread(target=hold)
+        t.start()
+        assert held.wait(10)
+        timer = threading.Timer(0.3, release.set)
+        timer.start()
+        t0 = time.monotonic()
+        with dir_lease(path, role="vacuum", wait_seconds=10):
+            waited = time.monotonic() - t0
+        t.join(10)
+        timer.cancel()
+    assert 0.1 <= waited < 10
+
+
+def test_set_lease_backend_process_global(tmp_path):
+    """set_lease_backend installs for every later acquisition (the
+    deployment entry point); restore the default afterwards."""
+    fake = CasLeaseBackend()
+    prev = get_lease_backend()
+    set_lease_backend(fake)
+    try:
+        with dir_lease(str(tmp_path / "idx"), role="w"):
+            assert fake.held(_lease_name(tmp_path))
+    finally:
+        set_lease_backend(prev)
+    assert get_lease_backend() is prev

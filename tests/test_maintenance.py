@@ -411,3 +411,91 @@ def test_vacuum_purge_handles_media_and_noop_paths(spark, tmp_path):
     served = MediaIndex.load(spark, mp)
     for s in MediaIndex._STAGES:
         assert rows(getattr(served, s)) == want[s], s
+
+
+def test_vacuum_tombstone_pressure_triggers_and_settles(spark, tmp_path):
+    """Round 10 (VERDICT r9 #6): the retraction analogue of the
+    file-count threshold. A committed retraction ledger above
+    ``max_tombstone_frac`` of the primary substrate triggers the
+    sweep's compaction even with tidy file counts; after the compact
+    resolves the deletions the trigger SETTLES — for VectorIndex
+    because the log clears, for the ledger-RETAINING families because
+    compact stamps ``retracted_resolved`` and only the unresolved
+    tail counts (without the stamp the threshold would re-fire on the
+    audit ledger forever)."""
+    from lp_etl_plugins_spark.inventory.textops import _docs
+    from lp_etl_plugins_spark.inventory.vectorops import _emb
+    from lp_etl_plugins_spark.textops import _parquet_dir_exists
+
+    # --- VectorIndex: log-clearing family ---
+    emb = _emb(spark, SF_SMOKE)
+    vp = str(tmp_path / "vidx")
+    VectorIndex(emb).save(vp)
+    dead = emb.select("vec_id").filter(F.col("vec_id") % 3 == 0)  # ~33%
+    idx = VectorIndex.load(spark, vp).retract(dead)
+    idx.retract_saved(vp)
+
+    row = M.vacuum(spark, [vp]).collect()[0]
+    assert row["compacted"], row
+    assert "tombstone_pressure=1" in row["violations"]
+    row = M.vacuum(spark, [vp]).collect()[0]
+    assert not row["compacted"], row
+    assert "tombstone_pressure" not in row["violations"]
+
+    # --- DedupIndex: ledger-retaining family ---
+    docs = _docs(spark, SF_SMOKE).select("doc_id", "source", "text").filter(
+        "doc_id < 300"
+    )
+    dp = str(tmp_path / "didx")
+    DedupIndex(docs, "text", "doc_id").save(dp)
+    didx = DedupIndex.load(spark, dp)
+    didx.retract(docs.select("doc_id").filter("doc_id % 3 = 0"))
+    didx.retract_saved(dp)
+
+    row = M.vacuum(spark, [dp]).collect()[0]
+    assert row["compacted"], row
+    assert "tombstone_pressure=1" in row["violations"]
+    # the audit ledger survives the compact, but the resolution stamp
+    # keeps the trigger from re-firing on it
+    assert _parquet_dir_exists(f"{dp}/retracted")
+    assert spark.read.parquet(f"{dp}/retracted").count() > 0
+    assert _parquet_dir_exists(f"{dp}/retracted_resolved")
+    row = M.vacuum(spark, [dp]).collect()[0]
+    assert not row["compacted"], row
+    assert "tombstone_pressure" not in row["violations"]
+
+    # a retraction AFTER the stamp counts again (rseq above it)
+    didx = DedupIndex.load(spark, dp)
+    didx.retract(docs.select("doc_id").filter("doc_id % 3 = 1"))
+    didx.retract_saved(dp)
+    row = M.vacuum(spark, [dp]).collect()[0]
+    assert row["compacted"], row
+    assert "tombstone_pressure=1" in row["violations"]
+
+
+def test_vacuum_tombstone_pressure_below_threshold_and_disabled(
+    spark, tmp_path
+):
+    """A small ledger (below the fraction) does not trigger; passing
+    max_tombstone_frac=None disables the trigger entirely (forensic
+    sweeps)."""
+    from lp_etl_plugins_spark.inventory.vectorops import _emb
+
+    emb = _emb(spark, SF_SMOKE)
+    vp = str(tmp_path / "vidx")
+    VectorIndex(emb).save(vp)
+    dead = emb.select("vec_id").filter(F.col("vec_id") % 50 == 0)  # ~2%
+    idx = VectorIndex.load(spark, vp).retract(dead)
+    idx.retract_saved(vp)
+    row = M.vacuum(spark, [vp]).collect()[0]
+    assert not row["compacted"]
+    assert "tombstone_pressure" not in row["violations"]
+
+    big = emb.select("vec_id").filter(
+        (F.col("vec_id") % 3 == 1) & (F.col("vec_id") % 50 != 0)
+    )
+    idx = VectorIndex.load(spark, vp).retract(big)
+    idx.retract_saved(vp)
+    row = M.vacuum(spark, [vp], max_tombstone_frac=None).collect()[0]
+    assert not row["compacted"]
+    assert "tombstone_pressure" not in row["violations"]

@@ -356,6 +356,7 @@ def test_no_accidental_cross_products(spark):
         "v1_knn_bruteforce",
         "v8_ann_recall",
         "v15_knn_sq8",  # 1-row SQ8 codebook crossJoin + broadcast probes (v1 shape)
+        "v20_vector_serving_rerank",  # same 1-row SQ8 codebook crossJoin in the refine stage
         "m5_media_knn",
     }
     flagged = {}
