@@ -2539,6 +2539,75 @@ GROUP BY dd.source
 """
 
 
+def t45_asof_trigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF (time-travel) read over the TrigramLM segment log
+    (round 10): the stamped segments every committed write already
+    lands ARE a history axis, so ``load(as_of_id=H)`` serves the model
+    exactly as it stood after the last commit at or below ``H`` — the
+    reproducibility read a training pipeline needs ("score with the
+    LM run X used", "diff the vocabulary before/after batch B").
+    Protocol here: train + save the base third (doc_id ≤ max//3 of
+    the % 3 == 2 slice), absorb two further segments via
+    update + append_saved (… ≤ 2·max//3, then the tail), retract the
+    % 11 == 5 sub-slice of the BASE (one committed negative segment),
+    and serve the as-of view at the two-thirds mark. Deletions apply
+    at EVERY as-of point (never resurrected — the load refuses points
+    that predate a retracted doc's ingestion instead of serving them
+    wrong), so the oracle retrains from scratch on exactly
+    ids ≤ 2·max//3 minus the retracted base slice — a direct hash
+    gate on as-of == rebuild(prefix ∖ retracted). → the full served
+    count table (g, c)."""
+    import shutil
+    import tempfile
+
+    docs = (
+        _docs(spark, sf_dir)
+        .filter(F.col("doc_id") % 3 == 2)
+        .select("doc_id", "source", "text")
+    )
+    hi = int(docs.agg(F.max("doc_id")).first()[0])
+    c1, c2 = hi // 3, (2 * hi) // 3
+    tmp = tempfile.mkdtemp(prefix="t45_asof_")
+    try:
+        T.TrigramLM(
+            docs.filter(F.col("doc_id") <= c1), "text", "doc_id"
+        ).save(tmp)
+        for lo, up in ((c1, c2), (c2, hi)):
+            lm = T.TrigramLM.load(spark, tmp)
+            lm.update(
+                docs.filter((F.col("doc_id") > lo) & (F.col("doc_id") <= up))
+            )
+            lm.append_saved(tmp)
+        lm = T.TrigramLM.load(spark, tmp)
+        lm.retract(
+            docs.filter((F.col("doc_id") <= c1) & (F.col("doc_id") % 11 == 5))
+        )
+        lm.retract_saved(tmp)
+        view = T.TrigramLM.load(spark, tmp, as_of_id=c2)
+        return view._counts.select("g", "c").localCheckpoint()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+T45_SQL = """
+WITH d0 AS (
+  SELECT doc_id, lower(trim(text)) AS t FROM documents WHERE doc_id % 3 = 2
+),
+cuts AS (
+  SELECT max(doc_id) // 3 AS c1, (2 * max(doc_id)) // 3 AS c2 FROM d0
+),
+d AS (
+  SELECT doc_id, t FROM d0, cuts
+  WHERE doc_id <= c2 AND NOT (doc_id <= c1 AND doc_id % 11 = 5)
+),
+grams AS (
+  SELECT DISTINCT doc_id, substring(t, i, 3) AS g
+  FROM d, unnest(generate_series(1, length(t) - 2)) t2(i)
+)
+SELECT g, count(*) AS c FROM grams GROUP BY g
+"""
+
+
 QUERIES = {
     "t0_dedup_index_stats": t0_dedup_index_stats,
     "t1_exact_dedup": t1_exact_dedup,
@@ -2585,6 +2654,7 @@ QUERIES = {
     "t42_repeat_retraction": t42_repeat_retraction,
     "t43_dedup_retraction": t43_dedup_retraction,
     "t44_pipeline_retraction": t44_pipeline_retraction,
+    "t45_asof_trigram_lm": t45_asof_trigram_lm,
 }
 
 ORACLES = {
@@ -2633,4 +2703,5 @@ ORACLES = {
     "t42_repeat_retraction": T42_SQL,
     "t43_dedup_retraction": T43_SQL,
     "t44_pipeline_retraction": T44_SQL,
+    "t45_asof_trigram_lm": T45_SQL,
 }

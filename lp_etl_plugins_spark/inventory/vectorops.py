@@ -1282,6 +1282,54 @@ SELECT probe_id, neighbor_id, adist2, rank FROM (
 """
 
 
+def v21_vector_asof_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF (time-travel) serving for the vector index (round 10):
+    ``VectorIndex.load(as_of_id=H)`` serves the index exactly as it
+    stood at ingestion high-water ``H`` — the corpus stages are
+    monotone-id appends, so historical membership is an intrinsic
+    ``id ≤ H`` filter with no extra bookkeeping (the reproducibility
+    read a training pipeline needs: "which vectors did run X serve").
+    Retractions are deliberately NOT time-travelable: committed
+    tombstones apply at every as-of point, so a takedown never
+    resurrects in a historical view. Protocol here: build + save over
+    the half corpus (vec_id ≤ max/2), stream the rest in via
+    update + append_saved, retract the % 13 == 4 slice of the BASE,
+    then serve the as-of view AT the original half mark — the oracle
+    recomputes the membership the historical point must serve:
+    ids ≤ cut minus the retracted slice (deletions included — the
+    GDPR stance), never any appended-later id. → (id)."""
+    import shutil
+    import tempfile
+
+    emb = _emb(spark, sf_dir)
+    hi = emb.agg(F.max("vec_id")).first()[0]
+    cut = int(hi) // 2
+    tmp = tempfile.mkdtemp(prefix="v21_asof_")
+    try:
+        V.VectorIndex(emb.filter(F.col("vec_id") <= cut)).save(tmp)
+        idx = V.VectorIndex.load(spark, tmp)
+        idx.update(emb.filter(F.col("vec_id") > cut).drop("label"))
+        idx.append_saved(tmp)
+        idx = V.VectorIndex.load(spark, tmp)
+        idx.retract(
+            emb.filter(
+                (F.col("vec_id") <= cut) & (F.col("vec_id") % 13 == 4)
+            ).select(F.col("vec_id").alias("id"))
+        )
+        idx.retract_saved(tmp)
+        view = V.VectorIndex.load(spark, tmp, as_of_id=cut)
+        return view.live_lists().select("id").localCheckpoint()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+V21_SQL = """
+SELECT vec_id AS id
+FROM embeddings, (SELECT max(vec_id) // 2 AS cut FROM embeddings) c
+WHERE vec_id <= cut AND NOT (vec_id % 13 = 4)
+"""
+
+
 QUERIES = {
     "v0_vector_index_serving": v0_vector_index_serving,
     "v1_knn_bruteforce": v1_knn_bruteforce,
@@ -1304,6 +1352,7 @@ QUERIES = {
     "v18_vector_serving_production": v18_vector_serving_production,
     "v19_vector_retraction": v19_vector_retraction,
     "v20_vector_serving_rerank": v20_vector_serving_rerank,
+    "v21_vector_asof_membership": v21_vector_asof_membership,
 }
 
 ORACLES = {
@@ -1328,4 +1377,5 @@ ORACLES = {
     "v18_vector_serving_production": V18_SQL,
     "v19_vector_retraction": V19_SQL,
     "v20_vector_serving_rerank": V20_SQL,
+    "v21_vector_asof_membership": V21_SQL,
 }

@@ -3840,6 +3840,9 @@ class TrigramLM:
         self.n_retractions = 0
         self._retracted_ids: DataFrame | None = None
         self._retract_delta: dict | None = None
+        # a load(as_of_id=...) historical view is read-only against
+        # the original log (round 10); None everywhere else
+        self._as_of: int | None = None
 
     def _gram_frame(self, df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         return df.select(
@@ -4133,6 +4136,7 @@ class TrigramLM:
         subset) and re-lands. A replay that finds its ids fully in the
         COMMITTED ledger skips idempotently; a partial overlap is a
         caller bug, raised. Single-writer-fenced (see :mod:`..lease`)."""
+        self._refuse_if_as_of("retract_saved")
         if self._retract_delta is None:
             raise ValueError(
                 "TrigramLM.retract_saved: no retract() delta to land — "
@@ -4321,14 +4325,38 @@ class TrigramLM:
         return raw
 
     @classmethod
-    def load(cls, spark, path: str) -> "TrigramLM":
+    def load(cls, spark, path: str, *, as_of_id: int | None = None) -> "TrigramLM":
         """Re-open a :meth:`save`-d model; scoring needs no training
         corpus (build counters stay 0). ``score()`` with no frame is
         unavailable on a loaded model — pass the frame to score.
         Serves the COMMITTED segments (rows stamped ≤ the meta
         high-water mark) merged on read; a torn append's unstamped
         rows are invisible, so a crashed absorber never skews
-        scores."""
+        scores.
+
+        ``as_of_id`` (round 10) serves the HISTORICAL view at an
+        ingestion high-water mark ``H``: positive segments with
+        ``src ≤ H`` — i.e. the model exactly as it stood after the
+        last commit at or below ``H`` — with the segment log itself as
+        the time axis (no extra bookkeeping: every committed write is
+        already a stamped segment). Two deliberate refusals:
+
+        - the history FLOOR is the oldest positive segment — a
+          :meth:`save` or :meth:`compact` merges history into one
+          segment, so earlier points are gone (the Delta-style trade:
+          time travel is bounded by the maintenance cadence);
+        - RETRACTIONS are never time-travelable. Committed negative
+          segments apply at every as-of point (a takedown must erase
+          the doc from historical views too — serving a pre-deletion
+          snapshot would resurrect it), and because negative segments
+          are batch-granular, an as-of point that predates a
+          retracted doc's ingestion cannot apply its batch and is
+          REFUSED rather than served wrong (``H`` must cover the
+          retraction ledger's id high-water).
+
+        An as-of model is READ-ONLY: every mutation entry refuses
+        (forking history from a past point would corrupt the single
+        linear segment log the protocol maintains)."""
         lm = cls.__new__(cls)
         lm._df = None
         m = _read_control_row(f"{path}/meta")
@@ -4342,6 +4370,9 @@ class TrigramLM:
         hi = m.get("max_id")
         lm.max_id = None if hi is None else int(hi)
         lm.n_retractions = int(m.get("n_retractions") or 0)
+        lm._as_of = None
+        if as_of_id is not None:
+            return cls._load_as_of(spark, path, lm, int(as_of_id))
         raw = cls._committed(
             cls._raw_counts(spark, path), lm.max_id, lm.n_retractions
         )
@@ -4366,9 +4397,77 @@ class TrigramLM:
         lm.updates = 0
         return lm
 
+    @classmethod
+    def _load_as_of(cls, spark, path: str, lm: "TrigramLM", h: int) -> "TrigramLM":
+        """The :meth:`load` ``as_of_id`` leg — see load's docstring
+        for the semantics and the two refusal rules it implements."""
+        raw = cls._raw_counts(spark, path)
+        if raw.filter(F.col("src").isNull()).limit(1).count():
+            raise ValueError(
+                "TrigramLM.load(as_of_id=...): the count log predates "
+                "the stamped segment form (null src rows) — no history "
+                "axis exists; re-save() to stamp a base segment"
+            )
+        stamp = lm.max_id if lm.max_id is not None else h
+        cut = min(h, int(stamp))
+        pos = raw.filter((F.col("src") >= 0) & (F.col("src") <= cut))
+        bounds = pos.agg(F.max("src").alias("b")).first()
+        if bounds["b"] is None:
+            floor = raw.filter(F.col("src") >= 0).agg(F.min("src")).first()[0]
+            raise ValueError(
+                f"TrigramLM.load(as_of_id={h}): no committed segment at "
+                f"or below that mark — the history floor is {floor} "
+                "(save()/compact() merge earlier history away)"
+            )
+        boundary = int(bounds["b"])
+        neg = raw.filter(
+            (F.col("src") < 0) & (-F.col("src") <= int(lm.n_retractions))
+        )
+        lm._retracted_ids = None
+        if _parquet_dir_exists(f"{path}/retracted"):
+            led = spark.read.parquet(f"{path}/retracted").filter(
+                F.col("rseq") <= int(lm.n_retractions)
+            )
+            led_hi = led.agg(F.max("id")).first()[0]
+            if led_hi is not None and int(led_hi) > boundary:
+                raise ValueError(
+                    f"TrigramLM.load(as_of_id={h}): the committed "
+                    f"retraction ledger reaches doc id {int(led_hi)}, "
+                    f"beyond the served boundary {boundary} — deletions "
+                    "are not time-travelable (a historical view must "
+                    "not resurrect a retracted doc), and negative "
+                    "segments are batch-granular, so this point cannot "
+                    "be served; pass as_of_id >= the ledger high-water"
+                )
+            lm._retracted_ids = led.select("id")
+        lm._counts = (
+            pos.unionByName(neg)
+            .groupBy("g")
+            .agg(F.sum("c").alias("c"))
+            .filter(F.col("c") != 0)
+            .localCheckpoint(eager=False)
+        )
+        lm.max_id = boundary
+        lm._as_of = h
+        lm._retract_delta = None
+        lm._delta = None
+        lm.builds = {"grams": 0, "counts": 0}
+        lm.updates = 0
+        return lm
+
+    def _refuse_if_as_of(self, op: str) -> None:
+        if getattr(self, "_as_of", None) is not None:
+            raise ValueError(
+                f"TrigramLM.{op}: this model is a READ-ONLY historical "
+                f"view (load(as_of_id={self._as_of})) — mutating it "
+                "would fork the linear segment log; load() the current "
+                "state to mutate"
+            )
+
     def append_saved(self, path: str, *, repair: bool = False) -> None:
         """Single-writer-fenced entry (see :mod:`..lease`) over
         :meth:`_append_saved_unfenced`."""
+        self._refuse_if_as_of("append_saved")
         from .lease import dir_lease
 
         with dir_lease(path, role="TrigramLM.append_saved"):

@@ -933,6 +933,18 @@ class VectorIndex:
         self.max_id: int | None = None  # set by save()/load()/append_saved()
         self._tombstones: DataFrame | None = None  # retract() filter set
         self._tomb_delta: DataFrame | None = None  # pending retract_saved
+        # a load(as_of_id=...) historical view is read-only against
+        # the original directory (round 10); None everywhere else
+        self._as_of: int | None = None
+
+    def _refuse_if_as_of(self, op: str) -> None:
+        if getattr(self, "_as_of", None) is not None:
+            raise ValueError(
+                f"VectorIndex.{op}: this index is a READ-ONLY historical "
+                f"view (load(as_of_id={self._as_of})) — mutating the "
+                "original directory from a past point would fork the "
+                "monotone id log; load() the current state to mutate"
+            )
 
     def _coarse(self) -> tuple[DataFrame, DataFrame]:
         if self._ivf_centroids is None:
@@ -1338,6 +1350,7 @@ class VectorIndex:
         next :meth:`compact`) — no high-water mark, no repair mode.
         Single-writer-fenced (see :mod:`.lease`) so a concurrent
         compaction's tombstone-clear cannot drop a landing delta."""
+        self._refuse_if_as_of("retract_saved")
         if self._tomb_delta is None:
             raise ValueError(
                 "VectorIndex.retract_saved: no retract() delta to land — "
@@ -1411,6 +1424,7 @@ class VectorIndex:
         Single-writer-fenced (see :mod:`.lease`): a concurrent
         compact/vacuum on the same directory is refused loudly instead
         of racing the rename-aside swap."""
+        self._refuse_if_as_of("append_saved")
         if not getattr(self, "_delta", None):
             raise ValueError(
                 "VectorIndex.append_saved: no update() delta to append — "
@@ -1749,14 +1763,36 @@ class VectorIndex:
                 "stages": stages}
 
     @classmethod
-    def load(cls, spark, path: str) -> "VectorIndex":
+    def load(cls, spark, path: str, *, as_of_id: int | None = None) -> "VectorIndex":
         """Re-open a :meth:`save`-d index; serves the parquet frames
         directly (build counters stay 0, no corpus needed). Refuses a
         directory caught mid-:meth:`retrain_coarse` swap (the marker
         means stages may span two quantizer generations — serving
         that mix is silently wrong); the repair is one
         :meth:`repair_torn_retrain` / ``vacuum(recover_swaps=True)``
-        away and purely mechanical."""
+        away and purely mechanical.
+
+        ``as_of_id`` (round 10) serves the HISTORICAL index at an
+        ingestion high-water mark ``H``: the corpus stages
+        (``corpus_lists``/``codes``/``sq8_codes``) are monotone-id
+        appends, so the membership at any past point is an intrinsic
+        ``id ≤ H`` filter — no extra bookkeeping, no history floor
+        (compaction purges only tombstoned rows, which every as-of
+        point filters anyway). Two deliberate semantics:
+
+        - RETRACTIONS apply at EVERY as-of point (tombstones are a
+          pure id set here, so this is exact per-id, not
+          batch-granular like the LM's negative segments): a takedown
+          must erase the vector from historical views too;
+        - after :meth:`retrain_coarse` the MEMBERSHIP at ``H`` is
+          exact but the encodings are the current quantizer
+          generation's (a rebuild-semantics retrain re-encodes
+          history; keeping per-generation codes would be snapshot
+          retention, a storage trade this engine does not make).
+
+        An as-of index is READ-ONLY against the original directory:
+        the ``*_saved`` mutations refuse (appending from a historical
+        view would fork the monotone id log)."""
         from .textops import TornStateError, _parquet_dir_exists
 
         if _parquet_dir_exists(f"{path}/{cls._RETRAIN_MARKER}"):
@@ -1802,6 +1838,16 @@ class VectorIndex:
             # retractions — keep the fast identity path
             if t.first() is not None:
                 idx._tombstones = t
+        idx._as_of = None
+        if as_of_id is not None:
+            h = int(as_of_id)
+            idx._corpus_lists = idx._corpus_lists.filter(F.col("id") <= h)
+            idx._codes = idx._codes.filter(F.col("neighbor_id") <= h)
+            if idx._sq8_codes is not None:
+                idx._sq8_codes = idx._sq8_codes.filter(F.col("id") <= h)
+            if idx.max_id is not None:
+                idx.max_id = min(idx.max_id, h)
+            idx._as_of = h
         return idx
 
 

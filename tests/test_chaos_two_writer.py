@@ -1,0 +1,260 @@
+"""Two-writer randomized chaos (VERDICT r9 #7).
+
+The single-writer chaos property kills ONE writer at arbitrary write
+points; the lease tests exercise DETERMINISTIC two-thread schedules.
+This composes them: Hypothesis draws a schedule of the three
+lifecycle mutations {absorber append, retract, compact} across TWO
+driver threads (assignment, per-op ordering, per-op start delays) AND
+an optional crash point over the combined write sequence, then
+asserts the only possible outcomes are
+
+- serialize — the op committed; its effect is in the final state;
+- refuse    — the op raised loudly (``LeaseContention``, the
+  documented torn-state refusals, or the injected crash) and a
+  sequential replay of exactly the refused/crashed ops converges;
+- converge  — after those replays, the LIVE views equal the
+  canonical sequential run's views, regardless of which interleaving
+  actually happened.
+
+Never silent loss: an op either lands in full or raises — the final
+live view must be byte-identical to append→retract→compact run
+sequentially on a fresh copy. The three mutations are chosen
+view-commutative by construction (the append's ids are disjoint from
+the base, the retraction targets base ids only, compaction is
+view-preserving), which is what makes ONE sequential reference valid
+for every schedule; the per-family hash gates (update == rebuild,
+retract == build(survivors), compact view-identity) are what make
+commutativity a theorem rather than a hope.
+
+Views are LIVE views, not file snapshots: the commit ORDER legitimately
+changes segment stamps, rseq numbering, and whether compaction
+resolved the tombstones physically — none of which a reader sees.
+"""
+
+from __future__ import annotations
+
+import shutil
+import threading
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from lp_etl_plugins_spark import textops as T
+from lp_etl_plugins_spark import vectorops as V
+from lp_etl_plugins_spark.lease import LeaseContention
+from lp_etl_plugins_spark.textops import DedupIndex, TornStateError, TrigramLM
+
+from test_chaos_crash import (
+    SimulatedCrash,
+    _chaos_env,
+    _docs,
+    _emb,
+    _key,
+    _vector_manual_repair,
+    crash_after,
+)
+
+TW_FAMILIES = ("trigram", "dedup", "vector")
+OP_ORDER = ("append", "retract", "compact")
+
+# During the STORM any exception is an acceptable outcome — loud is
+# the whole contract (LeaseContention, the torn-state refusals, the
+# injected crash, and Spark's own FileNotFound when a compact's
+# rename-aside sweeps files out from under a concurrent reader's
+# plan). Silent loss is what the final view-equality gate detects;
+# an op that "succeeded" while dropping rows fails THERE, not here.
+_REFUSALS = (LeaseContention, TornStateError, SimulatedCrash, ValueError, RuntimeError)
+
+
+def _rows(df) -> list:
+    return sorted((tuple(r) for r in df.collect()), key=_key)
+
+
+def _live_views(spark, family: str, case: str) -> dict:
+    """Order-free LIVE views: what a reader is served, independent of
+    segment layout, rseq numbering, and physical tombstone resolution."""
+    if family == "trigram":
+        lm = TrigramLM.load(spark, f"{case}/lm")
+        live = (
+            lm._counts.groupBy("g")
+            .agg(F.sum("c").alias("c"))
+            .filter(F.col("c") != 0)
+        )
+        return {"counts": _rows(live)}
+    if family == "dedup":
+        idx = DedupIndex.load(spark, f"{case}/idx")
+        return {
+            "verified": _rows(idx.verified),
+            "clusters": _rows(idx.verified_clusters),
+        }
+    idx = V.VectorIndex.load(spark, f"{case}/vidx")
+    lists = idx.live_lists()
+    codes = idx.codes.join(
+        lists.select(F.col("id").alias("neighbor_id")), "neighbor_id", "left_semi"
+    )
+    return {"lists": _rows(lists), "codes": _rows(codes)}
+
+
+_TWENV: dict[str, dict] = {}
+
+
+def _tw_env(spark, tmp_path_factory) -> dict[str, dict]:
+    if _TWENV:
+        return _TWENV
+    base_env = _chaos_env(spark, tmp_path_factory)
+    root = tmp_path_factory.mktemp("two_writer_templates")
+
+    docs = _docs(spark)
+    d_sub = docs.filter("doc_id < 300 and doc_id % 9 = 2").localCheckpoint()
+    d_ids = d_sub.select(F.col("doc_id").alias("id")).localCheckpoint()
+    e_ids = (
+        _emb(spark)
+        .filter("vec_id < 400 and vec_id % 9 = 2")
+        .select(F.col("vec_id").alias("id"))
+        .localCheckpoint()
+    )
+
+    def _ops(family: str, spec) -> dict:
+        if family == "trigram":
+            return {
+                "append": lambda case: spec.make_absorb(case)(spec.delta, 0),
+                "retract": lambda case: (
+                    lambda lm: (lm.retract(d_sub), lm.retract_saved(f"{case}/lm"))
+                )(TrigramLM.load(spark, f"{case}/lm")),
+                "compact": lambda case: TrigramLM.compact(spark, f"{case}/lm"),
+            }
+        if family == "dedup":
+            return {
+                "append": lambda case: spec.make_absorb(case)(spec.delta, 0),
+                "retract": lambda case: (
+                    lambda idx: (idx.retract(d_ids), idx.retract_saved(f"{case}/idx"))
+                )(DedupIndex.load(spark, f"{case}/idx")),
+                "compact": lambda case: DedupIndex.compact(spark, f"{case}/idx"),
+            }
+        return {
+            "append": lambda case: spec.make_absorb(case)(spec.delta, 0),
+            "retract": lambda case: (
+                lambda idx: (idx.retract(e_ids), idx.retract_saved(f"{case}/vidx"))
+            )(V.VectorIndex.load(spark, f"{case}/vidx")),
+            "compact": lambda case: V.VectorIndex.compact(spark, f"{case}/vidx"),
+        }
+
+    def build(family: str) -> dict:
+        spec = base_env[family]
+        ops = _ops(family, spec)
+        ref = str(root / f"{family}_ref")
+        shutil.copytree(spec.template, ref)
+        with crash_after(10**9) as state:
+            for name in OP_ORDER:
+                ops[name](ref)
+        writes = 10**9 - state["left"]
+        assert writes >= 3, (family, writes)
+        return {
+            "template": spec.template,
+            "ops": ops,
+            "max_writes": writes,
+            "ref_views": _live_views(spark, family, ref),
+        }
+
+    built = {fam: build(fam) for fam in TW_FAMILIES}
+    _TWENV.update(built)  # assign only after EVERY family built — a
+    # partial cache from a failed build must not leak into reruns
+    return _TWENV
+
+
+def _repair(spark, family: str, case: str, ops: dict, outcomes: dict) -> None:
+    """Sequential replay of every op that did not commit, in the
+    documented order (retraction first — its uncommitted ledger is
+    what blocks update/compact), with the vector family's documented
+    torn-append manual repair as the one sanctioned escalation."""
+    failed = [n for n in ("retract", "append", "compact") if outcomes[n] != "ok"]
+    last: BaseException | None = None
+    for _attempt in range(3):
+        still = []
+        for name in failed:
+            try:
+                ops[name](case)
+            except Exception as exc:  # noqa: BLE001 — bounded retries,
+                # re-raised below if the replay never converges
+                if family == "vector" and "torn append" in str(exc):
+                    _vector_manual_repair(spark, f"{case}/vidx")
+                still.append(name)
+                last = exc
+            else:
+                outcomes[name] = "ok"
+        if not still:
+            return
+        failed = still
+    raise AssertionError(
+        f"{family}: repair did not converge for {failed}"
+    ) from last
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.function_scoped_fixture,
+        HealthCheck.too_slow,
+        HealthCheck.data_too_large,
+    ],
+)
+@given(st.data())
+def test_two_writer_chaos_serialize_refuse_or_converge(
+    spark, tmp_path_factory, data
+):
+    env = _tw_env(spark, tmp_path_factory)
+    family = data.draw(st.sampled_from(TW_FAMILIES))
+    spec = env[family]
+
+    perm = data.draw(st.permutations(OP_ORDER))
+    split = data.draw(st.integers(min_value=0, max_value=3))
+    delays = {
+        name: data.draw(st.sampled_from((0.0, 0.05, 0.2)), label=f"delay_{name}")
+        for name in OP_ORDER
+    }
+    crash_at = data.draw(
+        st.one_of(
+            st.none(),
+            st.integers(min_value=0, max_value=spec["max_writes"] + 4),
+        )
+    )
+
+    case = str(tmp_path_factory.mktemp(f"tw_{family}"))
+    shutil.rmtree(case)
+    shutil.copytree(spec["template"], case)
+
+    outcomes: dict[str, object] = {}
+    barrier = threading.Barrier(2, timeout=60)
+
+    def runner(names: tuple[str, ...]) -> None:
+        try:
+            barrier.wait()
+        except threading.BrokenBarrierError:
+            pass
+        for name in names:
+            threading.Event().wait(delays[name])
+            try:
+                spec["ops"][name](case)
+            except Exception as exc:  # noqa: BLE001 — loud IS the contract
+                outcomes[name] = f"{type(exc).__name__}: {exc}"
+            else:
+                outcomes[name] = "ok"
+
+    t1 = threading.Thread(target=runner, args=(tuple(perm[:split]),))
+    t2 = threading.Thread(target=runner, args=(tuple(perm[split:]),))
+    with crash_after(10**9 if crash_at is None else crash_at):
+        t1.start()
+        t2.start()
+        t1.join(300)
+        t2.join(300)
+    assert not t1.is_alive() and not t2.is_alive(), (family, outcomes)
+    assert set(outcomes) == set(OP_ORDER), (family, outcomes)
+
+    _repair(spark, family, case, spec["ops"], outcomes)
+
+    got = _live_views(spark, family, case)
+    assert got == spec["ref_views"], (family, perm, split, crash_at, outcomes)
+    shutil.rmtree(case, ignore_errors=True)
