@@ -107,17 +107,36 @@ def main() -> None:
             rec("dedup", f, n_docs=n_docs, n_retract=n_r,
                 build_s=build_s, retract_s=time.perf_counter() - t0)
 
-        # --- RepeatIndex
+        # --- RepeatIndex. Round 10: retract is timed AFTER compact —
+        # the g-sorted postings layout + resolved gram_counts the
+        # locate fast path prunes against land on the maintenance
+        # cadence (that IS the deployment shape: nightly compact,
+        # takedowns against the compacted index) — and as min-of-2 on
+        # fresh copies (retract mutates, so trials need their own
+        # directory; this family's number is the contested scan-bound
+        # one, so it gets the noise discipline).
         if "repeat" in fams:
+            import shutil
+
             p = os.path.join(base, f"repeat_x{f}")
             t0 = time.perf_counter()
             RepeatIndex.build(spark, docs, p, "text", "doc_id")
             build_s = time.perf_counter() - t0
-            idx = RepeatIndex.load(spark, p)
             t0 = time.perf_counter()
-            m = idx.retract(r_ids, old_docs=keep)
+            RepeatIndex.load(spark, p).compact()
+            compact_s = time.perf_counter() - t0
+            trials = []
+            for t in range(2):
+                pt = os.path.join(base, f"repeat_x{f}_t{t}")
+                shutil.copytree(p, pt)
+                idx = RepeatIndex.load(spark, pt)
+                t0 = time.perf_counter()
+                m = idx.retract(r_ids, old_docs=keep)
+                trials.append(time.perf_counter() - t0)
+                shutil.rmtree(pt, ignore_errors=True)
             rec("repeat", f, n_docs=n_docs, n_retract=n_r, build_s=build_s,
-                retract_s=time.perf_counter() - t0,
+                compact_s=compact_s, retract_s=min(trials),
+                retract_trials=[round(x, 2) for x in trials],
                 touched_old=m["touched_old"])
 
         # --- TrigramLM (needs the retracted docs' texts)
@@ -190,7 +209,11 @@ def main() -> None:
             )
             p = os.path.join(base, f"curation_x{f}")
             t0 = time.perf_counter()
-            CurationState.build(spark, cdocs, p)
+            # inflate_documents' per-replica word tags defeat the
+            # n-gram lang-ID (uniformly 'unknown' at every factor) —
+            # gate on that label so the corpus composition stays
+            # factor-stable instead of filtering to empty
+            CurationState.build(spark, cdocs, p, lang="unknown")
             build_s = time.perf_counter() - t0
             st = CurationState.load(spark, p)
             t0 = time.perf_counter()
