@@ -1372,10 +1372,13 @@ class VectorIndex:
         :func:`foreach_batch_add`'s streamed ingestion."""
         for stage in self._STAGES:
             getattr(self, stage).write.mode("overwrite").parquet(f"{path}/{stage}")
-        if self._df is not None or self._sq8_codes is not None:
-            # the refine stages ride along whenever buildable — a
-            # loaded-without-refine index re-saved without a corpus
-            # keeps its (refine-less) layout
+        if self._sq8_codes is not None:
+            # the refine stages ride along when MATERIALIZED (a
+            # search_rerank or an explicit .sq8_codes forces the
+            # build) — never force-built here: most serving layouts
+            # don't pay the two-stage path, and a default-on refine
+            # encode taxed every index build ~1.3× in the round-10
+            # bench (v15–v19 inflation) for stages nothing read
             for stage in self._REFINE_STAGES:
                 getattr(self, stage).write.mode("overwrite").parquet(
                     f"{path}/{stage}"

@@ -41,9 +41,11 @@ from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
+from lp_etl_plugins_spark import incremental as INC
 from lp_etl_plugins_spark import textops as T
 from lp_etl_plugins_spark import vectorops as V
 from lp_etl_plugins_spark.lease import LeaseContention
+from lp_etl_plugins_spark.multimodal import MediaIndex, synthetic_media
 from lp_etl_plugins_spark.textops import DedupIndex, TornStateError, TrigramLM
 
 from test_chaos_crash import (
@@ -56,7 +58,7 @@ from test_chaos_crash import (
     crash_after,
 )
 
-TW_FAMILIES = ("trigram", "dedup", "vector")
+TW_FAMILIES = ("trigram", "dedup", "vector", "curation", "media")
 OP_ORDER = ("append", "retract", "compact")
 
 # During the STORM any exception is an acceptable outcome — loud is
@@ -89,6 +91,20 @@ def _live_views(spark, family: str, case: str) -> dict:
             "verified": _rows(idx.verified),
             "clusters": _rows(idx.verified_clusters),
         }
+    if family == "curation":
+        st = INC.CurationState.load(spark, f"{case}/state")
+        return {
+            "working": _rows(st.working().drop("src_rseq")),
+            "curated": _rows(st.curated().drop("src_rseq")),
+            "contam": _rows(st.contamination()),
+        }
+    if family == "media":
+        idx = MediaIndex.load(spark, f"{case}/midx")
+        return {
+            "phash": _rows(idx.phash),
+            "pairs": _rows(idx.pairs),
+            "clusters": _rows(idx.clusters),
+        }
     idx = V.VectorIndex.load(spark, f"{case}/vidx")
     lists = idx.live_lists()
     codes = idx.codes.join(
@@ -116,7 +132,33 @@ def _tw_env(spark, tmp_path_factory) -> dict[str, dict]:
         .localCheckpoint()
     )
 
+    d_doc_ids = d_sub.select("doc_id").localCheckpoint()
+    m_ids = (
+        synthetic_media(spark, 200)
+        .filter("media_id < 150 and media_id % 9 = 2")
+        .select(F.col("media_id").alias("id"))
+        .localCheckpoint()
+    )
+
     def _ops(family: str, spec) -> dict:
+        if family == "curation":
+            return {
+                "append": lambda case: spec.make_absorb(case)(spec.delta, 0),
+                "retract": lambda case: INC.CurationState.load(
+                    spark, f"{case}/state"
+                ).retract(d_doc_ids),
+                "compact": lambda case: INC.CurationState.load(
+                    spark, f"{case}/state"
+                ).compact(),
+            }
+        if family == "media":
+            return {
+                "append": lambda case: spec.make_absorb(case)(spec.delta, 0),
+                "retract": lambda case: (
+                    lambda idx: (idx.retract(m_ids), idx.retract_saved(f"{case}/midx"))
+                )(MediaIndex.load(spark, f"{case}/midx")),
+                "compact": lambda case: MediaIndex.compact(spark, f"{case}/midx"),
+            }
         if family == "trigram":
             return {
                 "append": lambda case: spec.make_absorb(case)(spec.delta, 0),

@@ -12,6 +12,7 @@ from __future__ import annotations
 from conftest import SF_SMOKE
 from pyspark.sql import functions as F
 
+from lp_etl_plugins_spark import textops as T
 from lp_etl_plugins_spark.vectorops import VectorIndex
 from lp_etl_plugins_spark.inventory import vectorops as IV
 
@@ -254,11 +255,11 @@ def test_compact_saved_vector_index_pure_relayout(spark, tmp_path):
     assert files_before >= 2  # base + appended delta
 
     metrics = VectorIndex.compact(spark, path)
-    # the refine stages (round 10) compact alongside when present
-    assert set(metrics) == set(
-        VectorIndex._STAGES + VectorIndex._REFINE_STAGES
-    )
-    for s in VectorIndex._STAGES + VectorIndex._REFINE_STAGES:
+    # refine is OPT-IN (materialize-then-save, round 10): this layout
+    # never forced it, so compact sees exactly the core stages — the
+    # refine-ful compaction is covered by the rerank lifecycle test
+    assert set(metrics) == set(VectorIndex._STAGES)
+    for s in VectorIndex._STAGES:
         assert metrics[s]["files_after"] == 1, s
     assert metrics["codes"]["files_before"] == files_before
 
@@ -679,6 +680,19 @@ def test_rerank_refine_stage_lifecycle(spark, tmp_path):
     up.update(delta)
     p2 = str(tmp_path / "vidx2")
     VectorIndex(base, m=16).save(p2)
+    lup = VectorIndex.load(spark, p2)
+    lup.update(delta)
+    lup.append_saved(p2)
+    # a layout saved WITHOUT materialized refine stages stays
+    # refine-less through update/append (opt-in contract): no sq8 dir
+    assert not T._parquet_dir_exists(f"{p2}/sq8_codes")
+    # re-save WITH the refine stages materialized — the opt-in path
+    import shutil
+
+    shutil.rmtree(p2)
+    vp2 = VectorIndex(base, m=16)
+    vp2.sq8_codes  # materialize refine pre-save (the opt-in)
+    vp2.save(p2)
     lup = VectorIndex.load(spark, p2)
     lup.update(delta)
     lup.append_saved(p2)

@@ -276,7 +276,9 @@ def test_retrain_kill_points_converge(spark, tmp_path):
     with crash_after(10_000) as state:
         VectorIndex.retrain_coarse(spark, probe, corpus, n_iter=1, n_lists=10)
     total_writes = 10_000 - state["left"]
-    assert total_writes >= 9  # 8 stages + marker (+ tombstone clear)
+    # 6 core stages + marker; refine is opt-in (round 10) so this
+    # layout carries no sq8 stages (+2 when it does, +1 tombstone clear)
+    assert total_writes >= 7
 
     for kill in range(total_writes):
         case = str(tmp_path / f"kill{kill}")
