@@ -97,12 +97,18 @@ _META_SCHEMA = (
 # canonical whose displacer was retracted re-enters the live set via
 # an APPEND-only counter-record (never a physical tombstone delete,
 # which would be unreconstructable after a crash). Per-doc resolution
-# is last-event-wins ordered by (src_max_id watermark, res): update
-# tombstones carry their delta's hi (strictly growing), retraction
-# rows carry the CURRENT max_doc_id, and a later re-displacement
-# necessarily carries a larger hi — so the watermark order IS the
-# event order, with res winning the one legal tie (a resurrection of
-# a tombstone written at the current watermark).
+# is last-event-wins ordered by (src_max_id watermark, rseq, res):
+# update tombstones carry their delta's hi (strictly growing) at
+# rseq NULL→0, retraction rows carry the CURRENT max_doc_id at their
+# committed rseq — retractions never advance the id watermark, so
+# CONSECUTIVE retractions share it and rseq is the tiebreaker that
+# keeps event order total (without it, R1's resurrection of doc X
+# would outrank R2's later retraction of X and the takedown would
+# silently not take — the round-10 review find). res stays the final
+# struct field: one retraction never writes a tombstone AND a
+# resurrection for the same doc, so (w, rseq) is already total per
+# doc, and res only settles degenerate duplicates (an at-least-once
+# replay landing the same event twice) deterministically.
 _TOMB_SCHEMA = "doc_id bigint, src_max_id bigint, rseq bigint, res boolean"
 # the working log likewise: src_rseq stamps canonical rows APPENDED by
 # a retraction (a survivor elected canonical after its cluster lost
@@ -269,9 +275,10 @@ class CurationState:
     def _dead_docs(self, *, stamp: int | None = None) -> DataFrame:
         """Doc ids whose EFFECTIVE tombstone state is dead: committed
         tombstone rows, resolved against committed resurrection
-        records (last event by the src_max_id watermark wins, ``res``
-        winning the one legal same-watermark tie — see the
-        ``_TOMB_SCHEMA`` note). ``stamp`` reconstructs the pre-crash
+        records — last event wins, ordered by
+        (src_max_id watermark, rseq, res); rseq is what keeps the
+        order total across CONSECUTIVE retractions, which share the
+        id watermark (see the ``_TOMB_SCHEMA`` note). ``stamp`` reconstructs the pre-crash
         state for update's repair mode (rows stamped beyond it are the
         crashed update's). Without a retraction ledger this is the
         plain tombstone id set — the original single-anti-join plan."""
@@ -292,6 +299,10 @@ class CurationState:
             F.max(
                 F.struct(
                     F.coalesce("src_max_id", F.lit(-1)).alias("w"),
+                    # retractions never advance the id watermark, so
+                    # consecutive retractions tie on w — rseq keeps
+                    # the event order total (update rows sort at 0)
+                    F.coalesce("rseq", F.lit(0)).cast("bigint").alias("q"),
                     F.coalesce(F.col("res"), F.lit(False))
                     .cast("int")
                     .alias("r"),
@@ -1525,13 +1536,28 @@ class CurationState:
         #    included. Serial, the six writes were ~40% of update's
         #    warm wall (each a small job that leaves local[32] idle);
         #    overlapped they cost ~the slowest one.
+        _SUB_SCHEMAS = {
+            "working": _WORK_SCHEMA,
+            "tombstones": _TOMB_SCHEMA,
+            "grams": _GRAM_SCHEMA,
+            "hashes": _HASH_SCHEMA,
+        }
+
         def _append(delta: DataFrame, sub: str, keys: list[str]) -> None:
             if repair:
                 # restore the delta's column order after the
-                # key-promoting anti-join — uniform file layouts
+                # key-promoting anti-join — uniform file layouts.
+                # Explicit-schema read where the substrate has grown
+                # columns over rounds: schema inference samples ONE
+                # footer (mergeSchema off), so a legacy file without
+                # e.g. src_max_id would make the key select raise and
+                # kill the repair the crash contract depends on
+                reader = spark.read
+                if sub in _SUB_SCHEMAS:
+                    reader = reader.schema(_SUB_SCHEMAS[sub])
                 delta = (
                     delta.join(
-                        spark.read.parquet(f"{p}/{sub}").select(*keys),
+                        reader.parquet(f"{p}/{sub}").select(*keys),
                         keys,
                         "left_anti",
                     )

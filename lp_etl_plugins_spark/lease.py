@@ -137,21 +137,55 @@ class PosixLeaseBackend:
         if (moved.st_ino, moved.st_mtime) != token:
             try:
                 os.link(uniq, lease)  # fails rather than clobbers
+                os.unlink(uniq)
             except FileExistsError:
+                # a THIRD writer created a new lease between the
+                # rename and the restore link. Do NOT unlink uniq:
+                # that would destroy the displaced fresh writer's
+                # lease file entirely, and its conditional release
+                # (below) could then never detect the displacement.
+                # The file leaks as *.broken.* evidence instead —
+                # mutual exclusion for the displaced writer was
+                # already lost at the rename (the POSIX residual a
+                # CAS backend's conditional DELETE closes); what this
+                # branch guarantees is that the loss stays DETECTABLE
+                # (round-10 review find).
                 pass
-            os.unlink(uniq)
             return "changed"
         os.unlink(uniq)
         return "broken"
 
-    def release(self, lease: str) -> None:
-        """Remove the held lease; a missing file is fine (a breaker
-        expired it mid-operation — the ttl already vouched the risk).
-        Object store: unconditional ``DELETE``."""
+    def release(self, lease: str, token=None) -> None:
+        """Remove the held lease. With ``token`` (the holder's observe
+        token from acquisition), the removal is CONDITIONAL: a lease
+        file that is no longer ours — a breaker expired us and a new
+        writer acquired — is left in place instead of being yanked
+        from under the new holder (the unconditional unlink was the
+        second half of the round-10 restore-window find). POSIX has no
+        conditional unlink, so this is the same rename-and-verify
+        dance as :meth:`break_if_unchanged`; a missing file is fine
+        (a breaker expired us — the ttl already vouched the risk).
+        Object store: ``DELETE If-Match: <token>``."""
+        if token is None:
+            try:
+                os.unlink(lease)
+            except FileNotFoundError:
+                pass
+            return
+        uniq = f"{lease}.release.{os.getpid()}.{threading.get_ident()}"
         try:
-            os.unlink(lease)
+            os.rename(lease, uniq)
         except FileNotFoundError:
-            pass
+            return
+        moved = os.stat(uniq)
+        if (moved.st_ino, moved.st_mtime) != token:
+            try:
+                os.link(uniq, lease)
+                os.unlink(uniq)
+            except FileExistsError:
+                pass  # same leak-as-evidence contract as the breaker
+            return
+        os.unlink(uniq)
 
 
 _BACKEND = PosixLeaseBackend()
@@ -262,7 +296,7 @@ def dir_lease(
     deadline = time.monotonic() + budget
     while True:
         try:
-            _acquire_once(lease, path, role, ttl_seconds)
+            my_token = _acquire_once(lease, path, role, ttl_seconds)
             break
         except LeaseContention:
             now = time.monotonic()
@@ -273,19 +307,21 @@ def dir_lease(
     try:
         yield
     finally:
-        backend.release(lease)
+        # conditional: if a breaker expired us and a NEW writer
+        # acquired, leave ITS lease in place instead of yanking it
+        backend.release(lease, my_token)
 
 
 def _acquire_once(
     lease: str, path: str, role: str, ttl_seconds: float
-) -> None:
+):
     """One acquire attempt (create, or break a stale lease and
-    create): returns holding the lease, raises
-    :class:`LeaseContention` otherwise. Serialized process-wide by
-    ``_ACQUIRE_LOCK`` (never held across the caller's operation).
-    Written entirely against the four :class:`PosixLeaseBackend`
-    primitives, so an injected conditional-write backend gets the
-    identical protocol."""
+    create): returns the holder's observe token on success (the
+    conditional-release anchor), raises :class:`LeaseContention`
+    otherwise. Serialized process-wide by ``_ACQUIRE_LOCK`` (never
+    held across the caller's operation). Written entirely against the
+    four :class:`PosixLeaseBackend` primitives, so an injected
+    conditional-write backend gets the identical protocol."""
     backend = _BACKEND
     acquired = False
     with _ACQUIRE_LOCK:
@@ -323,8 +359,15 @@ def _acquire_once(
                     "writer that re-acquired first — retry later"
                 )
             # "broken" — loop back to the create
-    if not acquired:
-        raise LeaseContention(
-            f"{role}: could not acquire the lease on {path} after "
-            "stale-break retries — a writer keeps re-acquiring it"
-        )
+        if acquired:
+            # capture OUR token while still inside the acquire lock —
+            # the conditional-release anchor. (A cross-process breaker
+            # racing this observe would make us capture an impostor's
+            # token; the failure direction is a release no-op, never a
+            # stolen unlink.)
+            obs = backend.observe(lease)
+            return obs[0] if obs is not None else None
+    raise LeaseContention(
+        f"{role}: could not acquire the lease on {path} after "
+        "stale-break retries — a writer keeps re-acquiring it"
+    )

@@ -909,7 +909,17 @@ def vacuum(
     ``retrained_coarse=1``; a corpus whose geometry is genuinely
     collapsed (a point-mass cloud no quantizer can split) re-probes
     degenerate and gains ``retrain_ineffective=1`` instead of a false
-    health bill. Default None keeps report-only.
+    health bill. Accepts either a dict ``{index_path: corpus_frame}``
+    (the general form — each index retrains from ITS corpus) or a
+    bare DataFrame, legal only when the sweep holds a single
+    VectorIndex path (a bare frame fanned across several indexes
+    would silently rebuild them from the wrong corpus). An
+    ineffective retrain stamps a ``retrain_ineffective`` control
+    marker carrying the index's id high-water mark: later sweeps SKIP
+    the (full-rebuild-cost) retrain while the mark is unchanged —
+    reported as ``retrain_suppressed=1`` — and retry automatically
+    once new vectors land (the mark goes stale); an effective retrain
+    clears it. Default None keeps report-only.
 
     ``max_tombstone_frac`` (round 10) adds the RETRACTION analogue of
     the file-count threshold: every committed retraction appends rows
@@ -1007,6 +1017,7 @@ def vacuum(
                 res = _CHECKS[family](spark, path)
         retrained = False
         retrain_ineffective = False
+        retrain_suppressed = False
         if (
             retrain_degenerate is not None
             and family == "VectorIndex"
@@ -1015,28 +1026,74 @@ def vacuum(
             from .lease import LeaseContention, dir_lease
             from .vectorops import VectorIndex
 
-            try:
-                with dir_lease(
-                    path,
-                    role="maintenance.retrain_degenerate",
-                    wait_seconds=lease_wait_seconds,
-                ):
-                    VectorIndex._retrain_coarse_unfenced(
-                        spark, path, retrain_degenerate
+            # the corpus is PER PATH: a dict maps each index directory
+            # to its own training frame; the bare-DataFrame shorthand
+            # is only legal when the sweep holds a single vector path
+            # (round-10 review find — one corpus silently rebuilding
+            # OTHER indexes is corpus replacement, not maintenance)
+            if isinstance(retrain_degenerate, dict):
+                corpus = retrain_degenerate.get(path)
+            else:
+                n_vec = sum(
+                    1 for q in paths if detect_family(q) == "VectorIndex"
+                )
+                if n_vec > 1:
+                    raise ValueError(
+                        "vacuum(retrain_degenerate=...): a bare corpus "
+                        f"DataFrame with {n_vec} VectorIndex paths in the "
+                        "sweep is ambiguous — pass a dict "
+                        "{index_path: corpus_frame} so each index "
+                        "retrains from ITS corpus"
                     )
-                retrained = True
-            except LeaseContention:
-                pass  # a live writer owns the path; next sweep retrains
+                corpus = retrain_degenerate
+            # backoff: a prior INEFFECTIVE retrain at the same id
+            # high-water mark means the corpus geometry has not
+            # changed — skip the full-rebuild-cost retrain until new
+            # vectors land (the stamp goes stale), instead of paying
+            # it every sweep forever (round-10 review find)
+            suppress_marker = f"{path}/retrain_ineffective"
+            cur_hi = T._read_control_row(f"{path}/meta").get("max_id")
+            suppressed = False
+            if corpus is not None and T._parquet_dir_exists(suppress_marker):
+                prior = T._read_control_row(suppress_marker).get("max_id")
+                if prior == cur_hi:
+                    suppressed = True
+                    retrain_suppressed = True
+            if corpus is not None and not suppressed:
+                try:
+                    with dir_lease(
+                        path,
+                        role="maintenance.retrain_degenerate",
+                        wait_seconds=lease_wait_seconds,
+                    ):
+                        VectorIndex._retrain_coarse_unfenced(
+                            spark, path, corpus
+                        )
+                    retrained = True
+                except LeaseContention:
+                    pass  # a live writer owns the path; next sweep retrains
             if retrained:
                 res = _CHECKS[family](spark, path)
                 retrain_ineffective = (
                     "coarse_assignment_degenerate" in res["violations"]
                 )
+                if retrain_ineffective:
+                    T._write_control_parquet(
+                        suppress_marker,
+                        [(None if cur_hi is None else int(cur_hi),)],
+                        "max_id bigint",
+                    )
+                elif T._parquet_dir_exists(suppress_marker):
+                    import shutil
+
+                    shutil.rmtree(T._local_path(suppress_marker))
         viol = ";".join(f"{k}={n}" for k, n in sorted(res["violations"].items()))
         if retrained:
             viol = ";".join(filter(None, [viol, "retrained_coarse=1"]))
         if retrain_ineffective:
             viol = ";".join(filter(None, [viol, "retrain_ineffective=1"]))
+        if retrain_suppressed:
+            viol = ";".join(filter(None, [viol, "retrain_suppressed=1"]))
         if purged:
             viol = ";".join(
                 filter(None, [viol, "purged_torn_retraction=1"])

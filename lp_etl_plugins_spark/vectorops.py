@@ -1227,10 +1227,14 @@ class VectorIndex:
         # SERVED state merges only the CURRENT delta (old_lists/old_codes
         # already contain the earlier ones).
         new_sq8 = None
-        if self._sq8_codes is not None or self._df is not None:
-            # refine stages active: encode the delta against the
+        if self._sq8_codes is not None:
+            # refine stages MATERIALIZED: encode the delta against the
             # FROZEN SQ8 codebook (out-of-range values clamp — the
-            # standard frozen-quantizer contract)
+            # standard frozen-quantizer contract). Not forced on a
+            # corpus-backed index that never built them (refine is
+            # opt-in; update() merges _df, so a LATER .sq8_codes /
+            # search_rerank builds complete codes from the merged
+            # corpus — nothing is lost by skipping here)
             cb = self.sq8_cb
             new_sq8 = (
                 new_vectors.crossJoin(F.broadcast(cb))

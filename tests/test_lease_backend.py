@@ -72,9 +72,16 @@ class CasLeaseBackend:
             del self._store[lease]
             return "broken"
 
-    def release(self, lease: str) -> None:
+    def release(self, lease: str, token=None) -> None:
+        # DELETE If-Match: <token> — the CAS form of the conditional
+        # release; None keeps the unconditional legacy behavior
         with self._lock:
-            self._store.pop(lease, None)
+            row = self._store.get(lease)
+            if row is None:
+                return
+            if token is not None and row[0] != token:
+                return  # not ours anymore — a new holder owns it
+            del self._store[lease]
 
     # test helpers ----------------------------------------------------
     def plant_stale(self, lease: str, age_seconds: float) -> None:
@@ -245,3 +252,88 @@ def test_set_lease_backend_process_global(tmp_path):
     finally:
         set_lease_backend(prev)
     assert get_lease_backend() is prev
+
+
+def test_posix_release_is_conditional_on_holder_token(tmp_path):
+    """The round-10 restore-window find, release half: a writer whose
+    lease was expired-and-broken must NOT yank the NEW holder's lease
+    on its way out. POSIX has no conditional unlink, so release(token)
+    runs the same rename-and-verify dance as the breaker."""
+    import os
+
+    from lp_etl_plugins_spark.lease import PosixLeaseBackend
+
+    be = PosixLeaseBackend()
+    lease = _lease_name(tmp_path)
+    assert be.try_create_exclusive(lease, "w1\n")
+    w1_token = be.observe(lease)[0]
+    # a breaker expires w1 and a new writer w2 acquires
+    os.unlink(lease)
+    assert be.try_create_exclusive(lease, "w2\n")
+    # w1's conditional release must leave w2's lease in place
+    be.release(lease, w1_token)
+    assert os.path.exists(lease)
+    assert be.read_holder(lease) == "w2"
+    # w2's own conditional release removes it
+    w2_token = be.observe(lease)[0]
+    be.release(lease, w2_token)
+    assert not os.path.exists(lease)
+
+
+def test_posix_breaker_restore_detects_fresh_and_restores(tmp_path):
+    """break_if_unchanged on a lease REPLACED between observe and
+    break: identity mismatch detected, the fresh lease restored via
+    the no-clobber link, no evidence files left behind."""
+    import glob
+    import os
+
+    from lp_etl_plugins_spark.lease import PosixLeaseBackend
+
+    be = PosixLeaseBackend()
+    lease = _lease_name(tmp_path)
+    assert be.try_create_exclusive(lease, "stale\n")
+    stale_token = be.observe(lease)[0]
+    os.unlink(lease)
+    assert be.try_create_exclusive(lease, "fresh\n")
+    out = be.break_if_unchanged(lease, stale_token)
+    assert out == "changed"
+    assert be.read_holder(lease) == "fresh"
+    assert not glob.glob(f"{lease}.broken.*")
+
+
+def test_posix_breaker_restore_collision_preserves_evidence(
+    tmp_path, monkeypatch
+):
+    """The round-10 restore-window find, breaker half: when the
+    no-clobber restore link collides with a third writer's fresh
+    lease (simulated by a link that raises FileExistsError), the
+    displaced writer's file must SURVIVE as *.broken.* evidence
+    instead of being silently destroyed — its conditional release can
+    then still detect the displacement."""
+    import glob
+    import os
+
+    from lp_etl_plugins_spark.lease import PosixLeaseBackend
+
+    be = PosixLeaseBackend()
+    lease = _lease_name(tmp_path)
+    assert be.try_create_exclusive(lease, "stale\n")
+    stale_token = be.observe(lease)[0]
+    os.unlink(lease)
+    assert be.try_create_exclusive(lease, "fresh\n")
+
+    real_link = os.link
+
+    def colliding_link(src, dst, **kw):
+        # the third writer wins the path between rename and restore
+        raise FileExistsError(dst)
+
+    monkeypatch.setattr(os, "link", colliding_link)
+    out = be.break_if_unchanged(lease, stale_token)
+    monkeypatch.setattr(os, "link", real_link)
+    assert out == "changed"
+    # the displaced fresh lease survives as evidence, not destroyed
+    evidence = glob.glob(f"{lease}.broken.*")
+    assert len(evidence) == 1
+    with open(evidence[0]) as f:
+        assert f.read().strip() == "fresh"

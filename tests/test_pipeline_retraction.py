@@ -129,6 +129,74 @@ def test_resurrection_and_compact(spark, tmp_path):
     )
 
 
+def test_retract_after_resurrect_same_watermark(spark, tmp_path):
+    """The round-10 review find: retractions never advance the id
+    watermark, so a resurrection (retraction R1) and a LATER
+    retraction of the resurrected doc (R2) stamp tombstone rows with
+    the SAME src_max_id — without rseq in the last-event-wins order,
+    R1's resurrection outranked R2's tombstone and the takedown
+    silently did not take (the doc stayed served by working()/
+    curated() and compact() baked the divergence in). Pins: two
+    consecutive retractions with no intervening update, the second
+    targeting docs the first resurrected — the resurrected docs must
+    be GONE, views equal to a from-scratch rebuild over the
+    survivors, before AND after compact."""
+    docs = _docs(spark)
+    lo = docs.agg(F.expr("percentile(doc_id, 0.7)")).first()[0]
+    base = docs.filter(F.col("doc_id") <= lo)
+    delta = docs.filter(F.col("doc_id") > lo).localCheckpoint()
+    p = str(tmp_path / "state")
+    INC.CurationState.build(spark, base, p)
+    INC.CurationState.load(spark, p).update(delta)
+    st = INC.CurationState.load(spark, p)
+    tombs = st._tombstones().select("doc_id")
+    assert tombs.first() is not None, "corpus produced no displacement"
+    vc = st.dedup_index().verified_clusters.withColumnRenamed("id", "doc_id")
+    disp_cl = vc.join(tombs, "doc_id", "left_semi").select("cluster").distinct()
+    displacers = (
+        vc.join(disp_cl, "cluster", "left_semi")
+        .join(st.working().select("doc_id"), "doc_id", "left_semi")
+        .select("doc_id")
+        .localCheckpoint()
+    )
+
+    # R1: retract the displacers — resurrects the displaced docs
+    res1 = st.retract(displacers)
+    assert res1["resurrected"] > 0
+    st2 = INC.CurationState.load(spark, p)
+    resurrected = (
+        st2._tombstones()
+        .filter(F.col("res") & (F.col("rseq") == 1))
+        .select("doc_id")
+        .distinct()
+        .localCheckpoint()
+    )
+    assert resurrected.first() is not None
+    # the resurrected docs are live again
+    assert (
+        st2.working().join(resurrected, "doc_id", "left_semi").count()
+        == resurrected.count()
+    )
+
+    # R2: retract the RESURRECTED docs — same id watermark as R1
+    st2.retract(resurrected)
+    st3 = INC.CurationState.load(spark, p)
+    assert (
+        st3.working().join(resurrected, "doc_id", "left_semi").first()
+        is None
+    ), "a committed takedown must not be outranked by an older resurrection"
+    keep = docs.join(displacers, "doc_id", "left_anti").join(
+        resurrected, "doc_id", "left_anti"
+    )
+    want = _views(INC.CurationState.build(spark, keep, str(tmp_path / "want")))
+    _assert_views_equal(_views(st3), want, "post-R2")
+    assert st3.check()["ok"]
+    st3.compact()
+    st4 = INC.CurationState.load(spark, p)
+    _assert_views_equal(_views(st4), want, "post-compact")
+    assert st4.check()["ok"]
+
+
 def test_refusals(spark, tmp_path):
     docs = _docs(spark)
     p = str(tmp_path / "state")

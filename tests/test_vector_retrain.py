@@ -252,6 +252,23 @@ def test_vacuum_retrain_ineffective_on_point_mass(spark, tmp_path):
     assert "retrain_ineffective=1" in row["violations"]
     assert "coarse_assignment_degenerate=1" in row["violations"]
 
+    # backoff (round 10): the ineffective retrain stamped a marker at
+    # the current id high-water, so the NEXT sweep skips the
+    # full-rebuild-cost retrain instead of paying it nightly forever
+    row2 = M.vacuum(spark, [p], retrain_degenerate=corpus).collect()[0]
+    assert "retrain_suppressed=1" in row2["violations"]
+    assert "retrained_coarse=1" not in row2["violations"]
+    # the dict form maps corpora per path; a missing path just skips
+    row3 = M.vacuum(
+        spark, [p], retrain_degenerate={"other/path": corpus}
+    ).collect()[0]
+    assert "retrained_coarse=1" not in row3["violations"]
+    # a bare frame over MULTIPLE vector paths is ambiguous — refuse
+    p2 = str(tmp_path / "vidx2")
+    _save(corpus, p2)
+    with pytest.raises(ValueError, match="ambiguous"):
+        M.vacuum(spark, [p, p2], retrain_degenerate=corpus).collect()
+
 
 def test_retrain_kill_points_converge(spark, tmp_path):
     """Chaos over the retrain write sequence at driver-write
