@@ -165,13 +165,27 @@ class PosixLeaseBackend:
         conditional unlink, so this is the same rename-and-verify
         dance as :meth:`break_if_unchanged`; a missing file is fine
         (a breaker expired us — the ttl already vouched the risk).
-        Object store: ``DELETE If-Match: <token>``."""
+        Object store: ``DELETE If-Match: <token>``.
+
+        Round-11 advice fix: the identity check runs on an OBSERVE
+        FIRST — when the lease at the path is already not ours (a
+        breaker expired us and a new writer acquired), return without
+        touching it at all. The previous order renamed first, so every
+        displaced writer's exit momentarily removed the live holder's
+        lease (a third writer could acquire in that window, and the
+        restore link could collide, leaking the HOLDER's file as
+        ``*.release.*`` evidence). The rename-and-verify dance now
+        runs only when the observed token equals ours, confining the
+        unavoidable POSIX observe→rename window to genuine races."""
         if token is None:
             try:
                 os.unlink(lease)
             except FileNotFoundError:
                 pass
             return
+        obs = self.observe(lease)
+        if obs is None or obs[0] != token:
+            return  # not ours (or gone) — nothing to release
         uniq = f"{lease}.release.{os.getpid()}.{threading.get_ident()}"
         try:
             os.rename(lease, uniq)
@@ -364,9 +378,15 @@ def _acquire_once(
             # the conditional-release anchor. (A cross-process breaker
             # racing this observe would make us capture an impostor's
             # token; the failure direction is a release no-op, never a
-            # stolen unlink.)
+            # stolen unlink.) A None observe — the lease vanished
+            # between create and observe — returns a NEVER-MATCHING
+            # sentinel, not None: None would select release()'s
+            # UNCONDITIONAL unlink path, i.e. exactly the stolen-unlink
+            # of a new holder's lease this machinery exists to prevent
+            # (round-11 advice fix); the sentinel makes the conditional
+            # release a no-op instead.
             obs = backend.observe(lease)
-            return obs[0] if obs is not None else None
+            return obs[0] if obs is not None else object()
     raise LeaseContention(
         f"{role}: could not acquire the lease on {path} after "
         "stale-break retries — a writer keeps re-acquiring it"

@@ -1051,12 +1051,16 @@ def vacuum(
             # changed — skip the full-rebuild-cost retrain until new
             # vectors land (the stamp goes stale), instead of paying
             # it every sweep forever (round-10 review find)
-            suppress_marker = f"{path}/retrain_ineffective"
+            suppress_marker = f"{path}/{VectorIndex._RETRAIN_SUPPRESS}"
             cur_hi = T._read_control_row(f"{path}/meta").get("max_id")
             suppressed = False
             if corpus is not None and T._parquet_dir_exists(suppress_marker):
                 prior = T._read_control_row(suppress_marker).get("max_id")
-                if prior == cur_hi:
+                # a legacy meta has no high-water mark — prior and cur
+                # are BOTH None, which is identity of ignorance, not
+                # evidence the geometry is unchanged; never suppress on
+                # it (round-11 advice fix)
+                if cur_hi is not None and prior == cur_hi:
                     suppressed = True
                     retrain_suppressed = True
             if corpus is not None and not suppressed:
@@ -1069,24 +1073,29 @@ def vacuum(
                         VectorIndex._retrain_coarse_unfenced(
                             spark, path, corpus
                         )
-                    retrained = True
+                        retrained = True
+                        # probe + marker writes INSIDE the lease
+                        # (round-11 advice fix): written after release,
+                        # a concurrent append could land between the
+                        # probe and the stamp, and the marker would
+                        # suppress retrains over geometry it never saw
+                        res = _CHECKS[family](spark, path)
+                        retrain_ineffective = (
+                            "coarse_assignment_degenerate"
+                            in res["violations"]
+                        )
+                        if retrain_ineffective:
+                            T._write_control_parquet(
+                                suppress_marker,
+                                [(None if cur_hi is None else int(cur_hi),)],
+                                "max_id bigint",
+                            )
+                        elif T._parquet_dir_exists(suppress_marker):
+                            import shutil
+
+                            shutil.rmtree(T._local_path(suppress_marker))
                 except LeaseContention:
                     pass  # a live writer owns the path; next sweep retrains
-            if retrained:
-                res = _CHECKS[family](spark, path)
-                retrain_ineffective = (
-                    "coarse_assignment_degenerate" in res["violations"]
-                )
-                if retrain_ineffective:
-                    T._write_control_parquet(
-                        suppress_marker,
-                        [(None if cur_hi is None else int(cur_hi),)],
-                        "max_id bigint",
-                    )
-                elif T._parquet_dir_exists(suppress_marker):
-                    import shutil
-
-                    shutil.rmtree(T._local_path(suppress_marker))
         viol = ";".join(f"{k}={n}" for k, n in sorted(res["violations"].items()))
         if retrained:
             viol = ";".join(filter(None, [viol, "retrained_coarse=1"]))

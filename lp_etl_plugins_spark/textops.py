@@ -2163,6 +2163,18 @@ def _local_path(path: str) -> str:
     return path[len("file:"):] if path.startswith("file:") else path
 
 
+def _same_dir(a: str, b: str) -> bool:
+    """True when two directory paths resolve to the same filesystem
+    location — the as-of branch guard's equality test (``save`` from a
+    historical view must refuse its own source; a relative spelling or
+    a symlink must not slip past the check)."""
+    import os
+
+    return os.path.realpath(os.path.abspath(_local_path(a))) == os.path.realpath(
+        os.path.abspath(_local_path(b))
+    )
+
+
 def _single_partition_df(spark, rows: list, schema: str) -> DataFrame:
     """1-slice ``createDataFrame`` for control-plane frames (meta rows,
     empty log initializers). The default path parallelizes a tiny
@@ -4266,7 +4278,21 @@ class TrigramLM:
         merge :meth:`update` performs in memory, resolved at read.
         The stamp is what makes a torn append IDENTIFIABLE (rows
         beyond the meta mark are uncommitted) — the same src-stamp
-        repair contract as ``CurationState``'s hash log."""
+        repair contract as ``CurationState``'s hash log.
+
+        From an as-of view, saving to a NEW path branches the
+        historical state (deliberate); saving to the view's own SOURCE
+        directory refuses — it would overwrite the live segment log
+        with the boundary-filtered view, destroying every post-``H``
+        segment and resetting the retraction sequence."""
+        src = getattr(self, "_as_of_src", None)
+        if src is not None and _same_dir(src, path):
+            raise ValueError(
+                f"TrigramLM.save: this model is an as-of view of {src} — "
+                "overwriting its own source would destroy every segment "
+                f"past the as-of boundary (as_of_id={self._as_of}); "
+                "save(new_path) to branch the historical state instead"
+            )
         hi = self.max_id
         if hi is None and self._df is not None:
             # the stamp covers DOC ids, not gram rows — a corpus of
@@ -4354,9 +4380,13 @@ class TrigramLM:
           REFUSED rather than served wrong (``H`` must cover the
           retraction ledger's id high-water).
 
-        An as-of model is READ-ONLY: every mutation entry refuses
-        (forking history from a past point would corrupt the single
-        linear segment log the protocol maintains)."""
+        An as-of model is READ-ONLY against its SOURCE directory: the
+        ``*_saved`` mutation entries refuse, and :meth:`save` refuses
+        the source path itself (overwriting the live log with the
+        boundary-filtered view would destroy every post-``H`` segment
+        — the round-10 advice gap). ``save(new_path)`` is the
+        deliberate escape hatch: it BRANCHES the historical view into
+        a fresh directory, leaving the source untouched."""
         lm = cls.__new__(cls)
         lm._df = None
         m = _read_control_row(f"{path}/meta")
@@ -4449,6 +4479,7 @@ class TrigramLM:
         )
         lm.max_id = boundary
         lm._as_of = h
+        lm._as_of_src = path  # save() refuses this target (see load)
         lm._retract_delta = None
         lm._delta = None
         lm.builds = {"grams": 0, "counts": 0}

@@ -248,3 +248,39 @@ def test_vector_asof_view_is_readonly(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="READ-ONLY historical"):
         view2.retract_saved(path)
+
+
+def test_trigram_asof_save_refuses_own_source(spark, tmp_path):
+    """The round-10 advice gap: save() from an as-of view targeting the
+    view's OWN source directory would overwrite the live segment log
+    with the boundary-filtered single segment (destroying every post-H
+    segment, resetting n_retractions, rewriting the ledger at rseq 0).
+    It must refuse — while save(new_path) keeps branching (covered by
+    test_trigram_asof_view_is_readonly)."""
+    docs, path, c1, _c2, hi = _staged_lm(spark, tmp_path)
+    view = TrigramLM.load(spark, path, as_of_id=c1)
+    with pytest.raises(ValueError, match="as-of view"):
+        view.save(path)
+    # a sneaky spelling of the same location refuses too
+    with pytest.raises(ValueError, match="as-of view"):
+        view.save(path + "/")
+    # the source survives untouched: the full state still serves at
+    # its real high-water mark
+    assert TrigramLM.load(spark, path).max_id == hi
+
+
+def test_vector_asof_save_refuses_own_source(spark, tmp_path):
+    """VectorIndex twin of the save-guard: overwriting the source with
+    the id<=H filtered frames would destroy every post-H vector."""
+    emb, path, c1, hi = _staged_vidx(spark, tmp_path)
+    view = VectorIndex.load(spark, path, as_of_id=c1)
+    with pytest.raises(ValueError, match="as-of view"):
+        view.save(path)
+    # branching to a NEW path still works and carries only <=H members
+    branch = str(tmp_path / "branch")
+    view.save(branch)
+    got = VectorIndex.load(spark, branch)
+    assert int(got.corpus_lists.agg(F.max("id")).first()[0]) <= c1
+    # the source still serves the full membership
+    full = VectorIndex.load(spark, path)
+    assert int(full.corpus_lists.agg(F.max("id")).first()[0]) == hi

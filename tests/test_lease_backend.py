@@ -337,3 +337,80 @@ def test_posix_breaker_restore_collision_preserves_evidence(
     assert len(evidence) == 1
     with open(evidence[0]) as f:
         assert f.read().strip() == "fresh"
+
+
+def test_posix_release_foreign_token_never_renames(tmp_path, monkeypatch):
+    """Round-11 advice fix: release(token) must OBSERVE FIRST and
+    return when the lease is already not ours — the old order renamed
+    the live holder's lease away before the identity check, opening a
+    window where a third writer could acquire (and the restore link
+    could collide, leaking the HOLDER's lease as *.release.*
+    evidence). White-box: a foreign-token release performs zero
+    renames."""
+    import glob
+    import os
+
+    from lp_etl_plugins_spark import lease as L
+
+    be = L.PosixLeaseBackend()
+    lease = _lease_name(tmp_path)
+    assert be.try_create_exclusive(lease, "w1\n")
+    w1_token = be.observe(lease)[0]
+    os.unlink(lease)  # a breaker expires w1
+    assert be.try_create_exclusive(lease, "w2\n")  # new holder
+
+    renames = []
+    real_rename = os.rename
+
+    def recording_rename(src, dst):
+        renames.append((src, dst))
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(L.os, "rename", recording_rename)
+    be.release(lease, w1_token)
+    assert renames == []  # w2's lease was never touched, even briefly
+    assert be.read_holder(lease) == "w2"
+    assert not glob.glob(f"{lease}.release.*")
+    # and the holder's OWN release still removes it (rename path runs)
+    w2_token = be.observe(lease)[0]
+    be.release(lease, w2_token)
+    assert renames and not os.path.exists(lease)
+
+
+def test_acquire_vanished_observe_release_cannot_yank_new_holder(tmp_path):
+    """Round-11 advice fix: _acquire_once's post-create observe can
+    find NO lease (a pathological vanish between create and observe);
+    returning None there routed dir_lease's exit through release's
+    UNCONDITIONAL unlink — exactly the stolen-unlink of a new holder's
+    lease the conditional release exists to prevent. The None observe
+    now yields a never-matching sentinel, so the exit release no-ops."""
+    import os
+
+    from lp_etl_plugins_spark.lease import (
+        PosixLeaseBackend,
+        dir_lease,
+        using_lease_backend,
+    )
+
+    class VanishingObserve(PosixLeaseBackend):
+        def __init__(self):
+            self.vanished = False
+
+        def observe(self, lease):
+            if not self.vanished:
+                self.vanished = True
+                return None  # the post-create observe finds nothing
+            return super().observe(lease)
+
+    be = VanishingObserve()
+    path = str(tmp_path / "idx")
+    lease = path + ".__lease__"
+    with using_lease_backend(be):
+        with dir_lease(path, role="w1"):
+            # mid-operation: a breaker expires w1, a new writer acquires
+            os.unlink(lease)
+            assert be.try_create_exclusive(lease, "w2\n")
+    # w1's exit must leave w2's lease in place
+    assert os.path.exists(lease)
+    assert PosixLeaseBackend().read_holder(lease) == "w2"
+    os.unlink(lease)

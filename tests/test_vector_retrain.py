@@ -366,9 +366,14 @@ def test_mid_swap_rename_windows_roll_forward(spark, tmp_path):
         dims=DIMS,
     )
     for s in stages:
-        getattr(idx, s).write.mode("overwrite").parquet(
-            f"{case}/{s}.__retrain__"
-        )
+        frame = getattr(idx, s)
+        if s == "codes":
+            # mirror the production staging write (round-11 serving
+            # layout: bucket-attached, bucket-sorted)
+            frame = idx._codes_with_bucket(frame).sort("bucket", "neighbor_id")
+        elif s == "sq8_codes":
+            frame = frame.sort("id")
+        frame.write.mode("overwrite").parquet(f"{case}/{s}.__retrain__")
     T._write_control_parquet(
         f"{case}/{VectorIndex._RETRAIN_MARKER}", [(10, 1)], "n_lists int, n_iter int"
     )
@@ -399,3 +404,54 @@ def test_mid_swap_rename_windows_roll_forward(spark, tmp_path):
         assert int(row["recovered"]) >= 1
         assert _stage_snapshot(spark, c) == want, window
         VectorIndex.load(spark, c)  # marker gone, serves the new state
+
+
+def test_suppression_skipped_when_meta_has_no_high_water(spark, tmp_path):
+    """Round-11 advice fix: the backoff compared prior == cur_hi, which
+    also matches when BOTH are None (a legacy meta without max_id) —
+    identity of ignorance, not evidence the geometry is unchanged. With
+    no high-water axis the retrain must RUN, not stay suppressed."""
+    corpus = _pointmass_corpus(spark)
+    p = str(tmp_path / "vidx")
+    _save(corpus, p)
+    row = M.vacuum(spark, [p], retrain_degenerate=corpus).collect()[0]
+    assert "retrain_ineffective=1" in row["violations"]
+    # rewrite meta and marker to the legacy (no high-water) shape
+    m = T._read_control_row(f"{p}/meta")
+    T._write_control_parquet(
+        f"{p}/meta",
+        [(m["id_col"], m["vec_col"], int(m["m"]), int(m["dims"]), None)],
+        VectorIndex._META_SCHEMA,
+    )
+    T._write_control_parquet(
+        f"{p}/{VectorIndex._RETRAIN_SUPPRESS}", [(None,)], "max_id bigint"
+    )
+    row2 = M.vacuum(spark, [p], retrain_degenerate=corpus).collect()[0]
+    assert "retrained_coarse=1" in row2["violations"]
+    assert "retrain_suppressed" not in row2["violations"]
+
+
+def test_compact_resolving_tombstones_clears_retrain_backoff(spark, tmp_path):
+    """Round-11 advice fix: compact() physically resolving tombstones
+    CHANGES the live geometry (meta's max_id records allocation and
+    does not move), so a standing retrain_ineffective marker must
+    clear — while a pure re-layout compact (no tombstones resolved)
+    leaves it standing."""
+    corpus = _pointmass_corpus(spark)
+    p = str(tmp_path / "vidx")
+    _save(corpus, p)
+    M.vacuum(spark, [p], retrain_degenerate=corpus).collect()
+    marker = f"{p}/{VectorIndex._RETRAIN_SUPPRESS}"
+    assert T._parquet_dir_exists(marker)
+
+    # a pure re-layout compact keeps the marker (geometry unchanged)
+    VectorIndex.compact(spark, p)
+    assert T._parquet_dir_exists(marker)
+
+    # a tombstone-resolving compact clears it
+    idx = VectorIndex.load(spark, p)
+    dead = spark.range(5).select((F.col("id") * 3 + 1).alias("vec_id"))
+    idx.retract(dead)
+    idx.retract_saved(p)
+    VectorIndex.compact(spark, p)
+    assert not T._parquet_dir_exists(marker)
