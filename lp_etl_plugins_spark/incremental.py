@@ -124,6 +124,20 @@ _GRAM_SCHEMA = "id bigint, g bigint"
 _HASH_SCHEMA = "h string, src_id bigint"
 _CONTAM_SCHEMA = "train_id bigint, bench_id bigint, containment double"
 _PENDING_SCHEMA = "lo bigint, hi bigint"
+# The as-of MANIFEST (round 11 — VERDICT r10 Next #3): one appended
+# row per commit (build/update/retract/compact) recording the
+# reproducibility pin "the exact corpus run X trained on": the
+# ingestion high-water mark and the lifecycle counters at that commit.
+# ``mseq`` = n_updates + n_retractions + n_compactions (one commit
+# advances exactly one counter, so the sum is a dense commit sequence).
+# Crash contract (src-stamp pattern): the row is appended BEFORE the
+# meta stamp, so a torn commit's row carries counters beyond meta and
+# the committed-gate read (`manifest()`) never serves it; a replayed
+# repair re-appends the identical row, deduped on read.
+_MANIFEST_SCHEMA = (
+    "mseq bigint, op string, max_doc_id bigint, n_updates bigint, "
+    "n_retractions bigint, n_compactions bigint, n_working bigint"
+)
 
 
 def _df_cap(max_df: int, max_df_frac: float, n: int) -> int:
@@ -256,6 +270,7 @@ class CurationState:
         minus committed retractions (physical rows stay until
         :meth:`compact` resolves them — one broadcast anti-join, paid
         only when a ledger exists)."""
+        self._refuse_if_as_of("indexed")
         df = self._spark.read.parquet(f"{self._path}/indexed")
         t = self._committed_retracted()
         if t is not None:
@@ -317,7 +332,10 @@ class CurationState:
         canonicals — merge-on-read. Canonical rows a retraction
         appended are served only once that retraction committed
         (``src_rseq`` gate); ``stamp`` is update-repair's pre-crash
-        reconstruction."""
+        reconstruction — and, round 11, the :meth:`as_of` pin (a
+        pinned view defaults it to the manifest row's high-water)."""
+        if stamp is None:
+            stamp = getattr(self, "_pin_stamp", None)
         log = self._working_log()
         if self._has_ledger():
             n_r = int(self.meta.get("n_retractions") or 0)
@@ -334,6 +352,7 @@ class CurationState:
         """Live contamination evidence pairs (train_id, bench_id,
         containment). Rewritten per update, so every stored pair
         references live working docs only."""
+        self._refuse_if_as_of("contamination")
         return self._spark.read.schema(_CONTAM_SCHEMA).parquet(
             f"{self._path}/contam"
         )
@@ -341,6 +360,7 @@ class CurationState:
     def curated(self) -> DataFrame:
         """The curated corpus view: live canonicals, benchmark source
         excluded, contaminated docs excluded."""
+        self._refuse_if_as_of("curated")
         flagged = self.contamination().select(
             F.col("train_id").alias("doc_id")
         ).distinct()
@@ -354,7 +374,140 @@ class CurationState:
         """(Re-)open the persisted near-dup index. Always a fresh load:
         after an update appended delta rows, a previously loaded
         object's file listings are stale."""
+        self._refuse_if_as_of("dedup_index")
         return T.DedupIndex.load(self._spark, f"{self._path}/index")
+
+    # --------------------------------------------- as-of manifest (r11)
+
+    def _append_manifest(self, op: str) -> None:
+        """Append this commit's manifest row — called at every commit
+        point with ``self.meta`` already advanced, immediately BEFORE
+        ``_write_meta`` (the commit): a crash between the two leaves a
+        row whose counters exceed meta, which the committed-gate read
+        never serves; the replayed repair re-lands the identical row
+        PHYSICALLY IDEMPOTENTLY (the file name IS the mseq, so a
+        replay overwrites instead of duplicating — file-level
+        snapshots stay byte-identical across replays, the chaos
+        suite's convergence standard). One driver-side pyarrow file
+        write — control-plane cost, no Spark job, no corpus scan."""
+        m = self.meta
+        nc = int(m.get("n_compactions") or 0)
+        mseq = int(m["n_updates"]) + int(m["n_retractions"]) + nc
+        row = (
+            mseq,
+            op,
+            int(m["max_doc_id"]),
+            int(m["n_updates"]),
+            int(m["n_retractions"]),
+            nc,
+            int(m["n_working"]),
+        )
+        T._append_control_parquet(
+            f"{self._path}/manifest",
+            [row],
+            _MANIFEST_SCHEMA,
+            name=f"part-mseq-{mseq:012d}.parquet",
+        )
+
+    def manifest(self) -> DataFrame:
+        """The COMMITTED commit log: (mseq, op, max_doc_id, n_updates,
+        n_retractions, n_compactions, n_working), one row per
+        build/update/retract/compact commit — the reproducibility axis
+        "which corpus state did run X train on". Rows whose counters
+        exceed the meta stamp belong to a torn commit and are
+        invisible; replay duplicates collapse via distinct. A state
+        saved before round 11 has no manifest directory and yields the
+        empty frame (history starts at its next commit)."""
+        m = self.meta
+        if not T._parquet_dir_exists(f"{self._path}/manifest"):
+            return self._spark.createDataFrame([], _MANIFEST_SCHEMA)
+        return (
+            self._spark.read.schema(_MANIFEST_SCHEMA)
+            .parquet(f"{self._path}/manifest")
+            .filter(
+                (F.col("n_updates") <= int(m["n_updates"]))
+                & (F.col("n_retractions") <= int(m["n_retractions"]))
+                & (F.col("n_compactions") <= int(m.get("n_compactions") or 0))
+            )
+            .distinct()
+        )
+
+    def as_of(self, mseq: int) -> "CurationState":
+        """Pin the pipeline at a committed manifest point — the
+        CurationState member of the round-10 as-of family, built the
+        same cheap way (existing stamps, no new bookkeeping): the
+        working log is an append-only doc-id-monotone log whose
+        displacement tombstones carry their update's watermark
+        (``src_max_id``), so the MEMBERSHIP at commit ``mseq`` is the
+        existing ``working(stamp=H)`` reconstruction (update-repair's
+        own machinery).
+
+        Two refusals keep the pin exact rather than approximately
+        wrong (the family's never-serve-wrong rule):
+
+        - a RETRACTION after the pin refuses: a takedown applies at
+          every as-of point, but its cluster re-elections were computed
+          over the CURRENT corpus geometry — the ``≤ H`` sub-corpus's
+          re-election could differ and the cluster stages keep no
+          history to replay it (the documented snapshot-retention
+          trade);
+        - a COMPACT after the pin refuses: compaction physically purges
+          the displaced rows and resolved tombstones the stamp
+          reconstruction reads — the history floor is the maintenance
+          cadence, exactly like the LM's segment merge.
+
+        The view is READ-ONLY and serves MEMBERSHIP only:
+        :meth:`working` (pinned) and :meth:`manifest` (truncated at
+        the pin — the view's meta counters ARE the pin). The cluster- and
+        contamination-backed reads (:meth:`curated`,
+        :meth:`contamination`, :meth:`dedup_index`, :meth:`indexed`)
+        refuse — their substrates are rewritten in place per update
+        (same trade as above). To pin an LM or vector index built over
+        this pipeline's docs, pass the manifest row's ``max_doc_id``
+        as their ``load(as_of_id=...)`` — the shared monotone doc-id
+        axis is what makes the members compose."""
+        rows = self.manifest().filter(F.col("mseq") == int(mseq)).collect()
+        if not rows:
+            raise ValueError(
+                f"CurationState.as_of({mseq}): no committed manifest row "
+                "with that mseq — see manifest() for the pinnable commits "
+                "(states from before the manifest existed have history "
+                "only from their first post-upgrade commit)"
+            )
+        row = rows[0]
+        if int(row["n_retractions"]) != int(self.meta["n_retractions"]):
+            raise ValueError(
+                f"CurationState.as_of({mseq}): "
+                f"{int(self.meta['n_retractions']) - int(row['n_retractions'])} "
+                "retraction(s) postdate this pin — takedowns apply at every "
+                "as-of point, and their cluster re-elections cannot be "
+                "replayed against the pinned sub-corpus (the cluster stages "
+                "keep no history); pin a commit at or after the last "
+                "retraction"
+            )
+        if int(row["n_compactions"]) != int(self.meta.get("n_compactions") or 0):
+            raise ValueError(
+                f"CurationState.as_of({mseq}): a compact() postdates this "
+                "pin — compaction physically purges the displaced rows the "
+                "stamp reconstruction reads (the history floor is the "
+                "maintenance cadence); pin a commit after the compact"
+            )
+        view = CurationState(self._spark, self._path, dict(self.meta))
+        view._as_of = int(mseq)
+        view._pin_stamp = int(row["max_doc_id"])
+        view.meta["max_doc_id"] = int(row["max_doc_id"])
+        view.meta["n_working"] = int(row["n_working"])
+        view.meta["n_updates"] = int(row["n_updates"])
+        return view
+
+    def _refuse_if_as_of(self, op: str) -> None:
+        if getattr(self, "_as_of", None) is not None:
+            raise ValueError(
+                f"CurationState.{op}: this state is a READ-ONLY as-of "
+                f"view (as_of({self._as_of})) — it serves the pinned "
+                "working membership only; load() the current state for "
+                "mutations and the cluster/contamination reads"
+            )
 
     # ------------------------------------------------- pending marker
     # The commit protocol of update(): a driver-side `pending` marker
@@ -705,6 +858,7 @@ class CurationState:
                     "before compacting, or the rewrites destroy the "
                     "repair's evidence"
                 )
+        self._refuse_if_as_of("compact")
         from .lease import dir_lease
 
         with dir_lease(self._path, role="CurationState.compact"):
@@ -776,6 +930,7 @@ class CurationState:
             spark, f"{p}/index", target_rows_per_file=target_rows_per_file
         )
         self.meta["n_compactions"] = int(self.meta.get("n_compactions") or 0) + 1
+        self._append_manifest("compact")
         self._write_meta()
         return out
 
@@ -936,6 +1091,7 @@ class CurationState:
         meta["n_updates"] = 0
         meta["n_compactions"] = 0
         meta["n_retractions"] = 0
+        st._append_manifest("build")
         st._write_meta()
         return st
 
@@ -1096,6 +1252,7 @@ class CurationState:
         (the index half additionally takes ``<root>/index`` through
         ``DedupIndex.append_saved`` — distinct scopes, no self-
         contention)."""
+        self._refuse_if_as_of("update")
         from .lease import dir_lease
 
         with dir_lease(self._path, role="CurationState.update"):
@@ -1620,6 +1777,7 @@ class CurationState:
         m["n_working"] = int(n_working_new)
         m["n_bench"] = int(m["n_bench"] + bench_delta)
         m["n_updates"] = int(m["n_updates"]) + 1
+        self._append_manifest("update")
         self._write_meta()
         self._clear_pending()
         return {
@@ -1699,6 +1857,7 @@ class CurationState:
         — the edge leaving the component led to a retracted doc), so
         no full component re-run happens here beyond what
         ``DedupIndex.retract`` already bounds."""
+        self._refuse_if_as_of("retract")
         from .lease import dir_lease
 
         with dir_lease(self._path, role="CurationState.retract"):
@@ -2125,6 +2284,7 @@ class CurationState:
         m["n_retractions"] = n_r + 1
         m["n_working"] = int(n_working_new)
         m["n_bench"] = int(m["n_bench"] + bench_delta)
+        self._append_manifest("retract")
         self._write_meta()
         return {
             "retracted": int(n_ids),

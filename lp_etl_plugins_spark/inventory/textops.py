@@ -2608,6 +2608,83 @@ SELECT g, count(*) AS c FROM grams GROUP BY g
 """
 
 
+def t46_asof_curation_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline-level AS-OF pin (round 11 — VERDICT r10 Next #3,
+    ``CurationState.as_of`` over the commit MANIFEST): every
+    build/update/retract/compact commit appends a manifest row
+    (mseq, op, ingestion high-water, lifecycle counters), and
+    ``as_of(mseq)`` serves the WORKING membership exactly as it stood
+    at that commit via the working log's existing displacement stamps
+    (``working(stamp=H)`` — no new bookkeeping, the round-10 as-of
+    recipe applied to the pipeline). Protocol here: build the state
+    over the first 90% of the % 8 == 2 slice (monotone cutoff), absorb
+    the tail as a delta (which displaces pre-cut canonicals —
+    cluster merges + higher-quality near-dups), then pin mseq 0. The
+    oracle recomputes the per-source canonical counts from a
+    from-scratch DuckDB pipeline over ONLY the prefix corpus — a
+    direct hash gate on ``as_of(commit) == build(prefix)``, the
+    historical-axis twin of t36's update == rebuild gate. Cluster and
+    contamination reads REFUSE on the pinned view (their substrates
+    are rewritten in place — the documented snapshot-retention trade),
+    so the pin serves membership: → (source, n_working) for training
+    sources. Builds its own state (a declared one-time gate, like
+    t36/t44/t45)."""
+    import shutil
+    import tempfile
+
+    from .. import incremental as INC
+
+    docs = (
+        _docs(spark, sf_dir)
+        .filter(F.col("doc_id") % 8 == 2)
+        .select("doc_id", "source", "text")
+    )
+    hi = int(docs.agg(F.max("doc_id")).first()[0])
+    cut = (hi * 9) // 10
+    tmp = tempfile.mkdtemp(prefix="t46_asof_state_")
+    try:
+        st = INC.CurationState.build(
+            spark, docs.filter(F.col("doc_id") <= cut), tmp
+        )
+        st.update(docs.filter(F.col("doc_id") > cut))
+        view = st.as_of(0)
+        out = (
+            view.working()
+            .filter(F.col("source") != "src0")
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_working"))
+        )
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+# surgical twin of T36_SQL: retarget the slice at the % 8 == 2 PREFIX
+# (ids at or below the 90% cutoff — the corpus as of commit 0) and
+# strip the contamination columns from the final select (the pinned
+# view serves membership; its contamination reads refuse). The unused
+# decontamination CTEs are definitions only — DuckDB never executes
+# an unreferenced CTE.
+T46_SQL = T36_SQL.replace(
+    "  SELECT doc_id, source, text FROM documents WHERE doc_id % 8 = 0\n",
+    "  SELECT doc_id, source, text FROM documents WHERE doc_id % 8 = 2\n"
+    "    AND doc_id <= (SELECT (max(doc_id) * 9) // 10\n"
+    "                   FROM documents WHERE doc_id % 8 = 2)\n",
+).replace(
+    """SELECT w.source, count(*)::BIGINT AS n_working,
+       count(c.doc_id)::BIGINT AS n_contaminated,
+       (count(*) - count(c.doc_id))::BIGINT AS n_curated
+FROM working w LEFT JOIN contam c ON c.doc_id = w.doc_id
+WHERE w.source != 'src0'
+GROUP BY w.source""",
+    """SELECT w.source, count(*)::BIGINT AS n_working
+FROM working w
+WHERE w.source != 'src0'
+GROUP BY w.source""",
+)
+assert T46_SQL != T36_SQL and "n_contaminated" not in T46_SQL  # anchors
+
+
 QUERIES = {
     "t0_dedup_index_stats": t0_dedup_index_stats,
     "t1_exact_dedup": t1_exact_dedup,
@@ -2655,6 +2732,7 @@ QUERIES = {
     "t43_dedup_retraction": t43_dedup_retraction,
     "t44_pipeline_retraction": t44_pipeline_retraction,
     "t45_asof_trigram_lm": t45_asof_trigram_lm,
+    "t46_asof_curation_manifest": t46_asof_curation_manifest,
 }
 
 ORACLES = {
@@ -2704,4 +2782,5 @@ ORACLES = {
     "t43_dedup_retraction": T43_SQL,
     "t44_pipeline_retraction": T44_SQL,
     "t45_asof_trigram_lm": T45_SQL,
+    "t46_asof_curation_manifest": T46_SQL,
 }

@@ -9,10 +9,13 @@ CODEC NOTICE: PNG is decoded for real — a vendored pure-stdlib
 decoder (:func:`_decode_png`: zlib inflate + per-scanline unfilter)
 handles 8-bit non-interlaced gray/RGB/palette/alpha images with no
 third-party dependency, so one genuine container decodes end-to-end
-in every environment. Other real containers (JPEG/GIF/BMP/RIFF
-magics) route to Pillow when present and raise a crisp
-NotImplementedError otherwise — they are NEVER fed to the fake
-codec. Blobs without a container magic use a DETERMINISTIC FAKE
+in every environment. BASELINE GRAYSCALE JPEG likewise decodes for
+real (round 11 — :func:`_decode_jpeg_pixels`: marker parse, canonical
+Huffman entropy decode with byte-stuffing and restart markers,
+dequant, de-zigzag, orthonormal IDCT); color / progressive / 12-bit
+JPEG and the other real containers (GIF/BMP/RIFF magics) route to
+Pillow when present and raise a crisp NotImplementedError otherwise —
+they are NEVER fed to the fake codec. Blobs without a container magic use a DETERMINISTIC FAKE
 codec that reads the 5-byte header this module's own
 :func:`synthetic_media` writes (w_hi, w_lo, h_hi, h_lo, channels);
 that path stays the oracle-parity substrate. Every DataFrame-level
@@ -217,6 +220,432 @@ def encode_png(width: int, height: int, channels: int, payload: bytes) -> bytes:
     )
 
 
+# ------------------------------------------------ baseline JPEG (r11)
+# The declared Pillow-free residual closed for the profile that
+# matters at corpus scale: BASELINE sequential (SOF0) GRAYSCALE JPEG
+# decodes for real — pure stdlib + numpy (marker parse, canonical
+# Huffman entropy decode with byte-stuffing and restart markers,
+# dequant, de-zigzag, orthonormal 8×8 IDCT, level shift). Color /
+# progressive / 12-bit profiles keep the Pillow-or-refuse contract
+# (NotImplementedError falls through to Pillow exactly like the PNG
+# decoder's exotic shapes). `encode_jpeg_gray` is the fixture twin —
+# it writes its own canonical Huffman tables (any valid DHT is legal;
+# no dependence on the Annex K defaults), so round-trip tests pin the
+# decoder against analytic DCT ground truth in every environment.
+
+
+def _jpeg_zigzag() -> list:
+    """Scan-position → block-index map, generated (not transcribed):
+    diagonal s runs (0,s)…(s,0) with odd diagonals descending rows."""
+    out = []
+    for s in range(15):
+        rng = range(s + 1)
+        for r in rng if s % 2 == 1 else reversed(rng):
+            c = s - r
+            if r < 8 and c < 8:
+                out.append(r * 8 + c)
+    return out
+
+
+_JPEG_ZZ = _jpeg_zigzag()
+
+
+def _jpeg_dct_matrix():
+    """The orthonormal 8-point DCT-II basis T: F = T·(X−128)·Tᵀ is
+    exactly JPEG's ¼·C(u)C(v)ΣΣ…, and the inverse is Tᵀ·F·T."""
+    import math
+
+    import numpy as np
+
+    T = np.zeros((8, 8))
+    for u in range(8):
+        cu = math.sqrt(0.5) if u == 0 else 1.0
+        for x in range(8):
+            T[u, x] = 0.5 * cu * math.cos((2 * x + 1) * u * math.pi / 16)
+    return T
+
+
+class _JpegBitReader:
+    """MSB-first bit reader over entropy-coded data: un-stuffs
+    0xFF00, stops at any non-RST marker, and exposes the byte-aligned
+    restart sync the MCU loop calls at DRI boundaries."""
+
+    def __init__(self, buf: bytes, pos: int) -> None:
+        self.buf = buf
+        self.pos = pos
+        self.bits: list = []
+        self.ended = False
+
+    def _fill(self) -> None:
+        if self.ended or self.pos >= len(self.buf):
+            self.ended = True
+            return
+        b = self.buf[self.pos]
+        if b == 0xFF:
+            nxt = self.buf[self.pos + 1] if self.pos + 1 < len(self.buf) else 0xD9
+            if nxt == 0x00:
+                self.pos += 2
+            elif 0xD0 <= nxt <= 0xD7:
+                # restart marker reached mid-read: the MCU loop must
+                # consume it via sync_restart; report end-of-segment
+                self.ended = True
+                return
+            else:
+                self.ended = True  # EOI / next segment
+                return
+        else:
+            self.pos += 1
+        self.bits.extend((b >> k) & 1 for k in range(7, -1, -1))
+
+    def read_bit(self) -> int:
+        if not self.bits:
+            self._fill()
+            if not self.bits:
+                raise ValueError("JPEG entropy data truncated")
+        return self.bits.pop(0)
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def sync_restart(self) -> None:
+        """Consume the byte-aligned RSTn marker between restart
+        intervals and re-arm the reader."""
+        self.bits.clear()
+        self.ended = False
+        while self.pos + 1 < len(self.buf):
+            if (
+                self.buf[self.pos] == 0xFF
+                and 0xD0 <= self.buf[self.pos + 1] <= 0xD7
+            ):
+                self.pos += 2
+                return
+            self.pos += 1
+        raise ValueError("JPEG: expected restart marker, hit end of data")
+
+
+def _jpeg_huff_decoder(bits16: list, vals: bytes):
+    """Canonical JPEG Huffman table → decode fn. Codes are assigned
+    in increasing order within each length, lengths 1..16."""
+    table = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits16[length - 1]):
+            table[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+
+    def decode(rd: "_JpegBitReader") -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | rd.read_bit()
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("JPEG: invalid Huffman code in entropy data")
+
+    return decode
+
+
+def _jpeg_extend(v: int, size: int) -> int:
+    """ITU T.81 EXTEND: map the `size`-bit magnitude field back to the
+    signed coefficient."""
+    if size == 0:
+        return 0
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def _decode_jpeg_pixels(data: bytes) -> tuple[int, int, int, bytes]:
+    """Baseline sequential GRAYSCALE JPEG → (w, h, 1, pixels).
+    Refuses (NotImplementedError) anything outside that profile —
+    progressive/other SOFs, multi-component (color) scans, 12-bit
+    precision — so the Pillow-or-refuse contract holds there."""
+    import numpy as np
+
+    qt: dict[int, list] = {}
+    dc_tabs: dict[int, object] = {}
+    ac_tabs: dict[int, object] = {}
+    w = h = None
+    comp_tq = None
+    dri = 0
+    scan_at = None
+    dc_sel = ac_sel = 0
+    i = 2
+    while i + 1 < len(data):
+        if data[i] != 0xFF:
+            raise ValueError(f"JPEG: expected marker at offset {i}")
+        marker = data[i + 1]
+        if marker == 0xD9:
+            break
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
+            i += 2
+            continue
+        L = int.from_bytes(data[i + 2 : i + 4], "big")
+        seg = data[i + 4 : i + 2 + L]
+        if marker == 0xDB:  # DQT, possibly several tables
+            j = 0
+            while j < len(seg):
+                pq, tq = seg[j] >> 4, seg[j] & 15
+                j += 1
+                if pq == 0:
+                    qt[tq] = list(seg[j : j + 64])
+                    j += 64
+                else:
+                    qt[tq] = [
+                        int.from_bytes(seg[j + 2 * k : j + 2 * k + 2], "big")
+                        for k in range(64)
+                    ]
+                    j += 128
+        elif marker == 0xC0:  # SOF0 — the supported frame type
+            prec = seg[0]
+            h = int.from_bytes(seg[1:3], "big")
+            w = int.from_bytes(seg[3:5], "big")
+            ncomp = seg[5]
+            if prec != 8:
+                raise NotImplementedError(
+                    f"baseline JPEG decoder: {prec}-bit precision "
+                    "unsupported — install Pillow"
+                )
+            if ncomp != 1:
+                raise NotImplementedError(
+                    f"baseline JPEG decoder: {ncomp}-component (color) "
+                    "scans unsupported — install Pillow"
+                )
+            comp_tq = seg[8]
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"baseline JPEG decoder: SOF{marker - 0xC0} "
+                "(progressive/extended) unsupported — install Pillow"
+            )
+        elif marker == 0xC4:  # DHT, possibly several tables
+            j = 0
+            while j < len(seg):
+                tc, th = seg[j] >> 4, seg[j] & 15
+                bits16 = list(seg[j + 1 : j + 17])
+                n = sum(bits16)
+                vals = bytes(seg[j + 17 : j + 17 + n])
+                dec = _jpeg_huff_decoder(bits16, vals)
+                (dc_tabs if tc == 0 else ac_tabs)[th] = dec
+                j += 17 + n
+        elif marker == 0xDD:  # DRI
+            dri = int.from_bytes(seg[0:2], "big")
+        elif marker == 0xDA:  # SOS
+            ns = seg[0]
+            if ns != 1:
+                raise NotImplementedError(
+                    "baseline JPEG decoder: interleaved multi-component "
+                    "scan unsupported — install Pillow"
+                )
+            dc_sel, ac_sel = seg[2] >> 4, seg[2] & 15
+            scan_at = i + 2 + L
+            break
+        i += 2 + L
+    if w is None or scan_at is None or comp_tq not in qt:
+        raise ValueError("JPEG: missing SOF0/SOS/DQT segments")
+    q = np.array(qt[comp_tq], dtype=np.float64)
+    T = _jpeg_dct_matrix()
+    zz = _JPEG_ZZ
+    mx, my = (w + 7) // 8, (h + 7) // 8
+    out = np.zeros((my * 8, mx * 8), dtype=np.uint8)
+    rd = _JpegBitReader(data, scan_at)
+    dc_dec, ac_dec = dc_tabs[dc_sel], ac_tabs[ac_sel]
+    pred = 0
+    for m in range(mx * my):
+        if dri and m and m % dri == 0:
+            rd.sync_restart()
+            pred = 0
+        coefs = np.zeros(64, dtype=np.float64)
+        size = dc_dec(rd)
+        pred += _jpeg_extend(rd.receive(size), size)
+        coefs[0] = pred
+        k = 1
+        while k < 64:
+            rs = ac_dec(rd)
+            run, size = rs >> 4, rs & 15
+            if size == 0:
+                if run == 15:
+                    k += 16
+                    continue
+                break  # EOB
+            k += run
+            coefs[k] = _jpeg_extend(rd.receive(size), size)
+            k += 1
+        block = np.zeros(64, dtype=np.float64)
+        block[zz] = coefs * q[np.arange(64)]
+        px = T.T @ block.reshape(8, 8) @ T
+        px = np.clip(np.round(px + 128.0), 0, 255).astype(np.uint8)
+        r, c = (m // mx) * 8, (m % mx) * 8
+        out[r : r + 8, c : c + 8] = px
+    return w, h, 1, out[:h, :w].tobytes()
+
+
+def _jpeg_canonical_table(symbols: list) -> tuple[list, bytes]:
+    """A valid DHT for exactly the symbols used: all codes at one
+    length L with 2^L − 1 ≥ |S| (the all-ones code stays unused, as
+    T.81 requires). → (bits16, vals)."""
+    syms = sorted(set(symbols)) or [0]
+    L = max(2, (len(syms)).bit_length())
+    while (1 << L) - 1 < len(syms):
+        L += 1
+    bits16 = [0] * 16
+    bits16[L - 1] = len(syms)
+    return bits16, bytes(syms)
+
+
+def encode_jpeg_gray(
+    width: int,
+    height: int,
+    payload: bytes,
+    *,
+    quant: list | None = None,
+    restart_interval: int = 0,
+) -> bytes:
+    """Baseline sequential grayscale JPEG writer — the fixture twin of
+    :func:`_decode_jpeg_pixels` (as :func:`encode_png` is for the PNG
+    decoder): orthonormal forward DCT, quantization (default all-ones
+    — near-lossless, so round-trips assert tight pixel tolerance),
+    per-image canonical Huffman tables, optional restart markers."""
+    import numpy as np
+
+    if len(payload) != width * height:
+        raise ValueError("encode_jpeg_gray: payload size != width*height")
+    q = list(quant) if quant is not None else [1] * 64
+    if len(q) != 64 or not all(1 <= v <= 255 for v in q):
+        raise ValueError("encode_jpeg_gray: quant must be 64 values in 1..255")
+    T = _jpeg_dct_matrix()
+    zz = _JPEG_ZZ
+    img = np.frombuffer(bytes(payload), dtype=np.uint8).reshape(height, width)
+    mx, my = (width + 7) // 8, (height + 7) // 8
+    padded = np.zeros((my * 8, mx * 8), dtype=np.float64)
+    padded[:height, :width] = img
+    if width % 8:
+        padded[:height, width:] = padded[:height, width - 1 : width]
+    if height % 8:
+        padded[height:, :] = padded[height - 1 : height, :]
+    qv = np.array(q, dtype=np.float64)
+
+    def _size(v: int) -> int:
+        return abs(v).bit_length()
+
+    # pass 1: quantized coefficients + the symbol sets actually used
+    blocks = []
+    pred = 0
+    dc_syms: list = []
+    ac_syms: list = []
+    for m in range(mx * my):
+        if restart_interval and m and m % restart_interval == 0:
+            pred = 0
+        r, c = (m // mx) * 8, (m % mx) * 8
+        F = T @ (padded[r : r + 8, c : c + 8] - 128.0) @ T.T
+        coefs = np.round(F.reshape(64)[zz] / qv).astype(np.int64)
+        diff = int(coefs[0]) - pred
+        pred = int(coefs[0])
+        dc_syms.append(_size(diff))
+        run = 0
+        acs = []
+        for k in range(1, 64):
+            v = int(coefs[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                acs.append((0xF0, 0, 0))
+                run -= 16
+            acs.append(((run << 4) | _size(v), v, _size(v)))
+            run = 0
+        if run:
+            acs.append((0x00, 0, 0))  # EOB
+        ac_syms.extend(sym for sym, _v, _s in acs)
+        blocks.append((diff, acs))
+    dc_bits, dc_vals = _jpeg_canonical_table(dc_syms)
+    ac_bits, ac_vals = _jpeg_canonical_table(ac_syms)
+
+    def codes(bits16: list, vals: bytes) -> dict:
+        out = {}
+        code = 0
+        k = 0
+        for length in range(1, 17):
+            for _ in range(bits16[length - 1]):
+                out[vals[k]] = (length, code)
+                code += 1
+                k += 1
+            code <<= 1
+        return out
+
+    dc_code, ac_code = codes(dc_bits, dc_vals), codes(ac_bits, ac_vals)
+
+    class _W:
+        def __init__(self):
+            self.out = bytearray()
+            self.acc = 0
+            self.n = 0
+
+        def put(self, length: int, value: int) -> None:
+            for k in range(length - 1, -1, -1):
+                self.acc = (self.acc << 1) | ((value >> k) & 1)
+                self.n += 1
+                if self.n == 8:
+                    self.out.append(self.acc)
+                    if self.acc == 0xFF:
+                        self.out.append(0x00)  # byte stuffing
+                    self.acc = 0
+                    self.n = 0
+
+        def flush(self) -> None:
+            if self.n:
+                self.acc = (self.acc << (8 - self.n)) | ((1 << (8 - self.n)) - 1)
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)
+                self.acc = 0
+                self.n = 0
+
+    wtr = _W()
+    rst = 0
+    for m, (diff, acs) in enumerate(blocks):
+        if restart_interval and m and m % restart_interval == 0:
+            wtr.flush()
+            wtr.out += bytes([0xFF, 0xD0 + rst])
+            rst = (rst + 1) % 8
+        s = _size(diff)
+        ln, cd = dc_code[s]
+        wtr.put(ln, cd)
+        if s:
+            wtr.put(s, diff if diff > 0 else diff + (1 << s) - 1)
+        for sym, v, sz in acs:
+            ln, cd = ac_code[sym]
+            wtr.put(ln, cd)
+            if sz:
+                wtr.put(sz, v if v > 0 else v + (1 << sz) - 1)
+    wtr.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, bytes([0x00]) + bytes(q))
+    out += seg(
+        0xC0,
+        bytes([8])
+        + height.to_bytes(2, "big")
+        + width.to_bytes(2, "big")
+        + bytes([1, 1, 0x11, 0]),
+    )
+    out += seg(0xC4, bytes([0x00]) + bytes(dc_bits) + dc_vals)
+    out += seg(0xC4, bytes([0x10]) + bytes(ac_bits) + ac_vals)
+    if restart_interval:
+        out += seg(0xDD, restart_interval.to_bytes(2, "big"))
+    out += seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    out += wtr.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 def _decode_blob(data: bytes) -> tuple[int, int, int, float]:
     """→ (width, height, channels, mean pixel/payload byte).
 
@@ -249,6 +678,13 @@ def _pixels_blob(data: bytes) -> tuple[int, int, int, bytes]:
             if _PILImage is None:
                 raise
             # fall through to the Pillow branch below
+    if data.startswith(b"\xff\xd8"):
+        try:
+            return _decode_jpeg_pixels(data)
+        except NotImplementedError:
+            if _PILImage is None:
+                raise
+            # exotic profile (color/progressive/12-bit): Pillow below
     if _is_real_image(data):
         if _PILImage is None:
             raise NotImplementedError(

@@ -2233,6 +2233,45 @@ def _write_control_parquet(path: str, rows: list, schema: str) -> None:
         os.rename(tmp, local)
 
 
+def _append_control_parquet(
+    path: str, rows: list, schema: str, name: str | None = None
+) -> None:
+    """Driver-side APPEND of control-plane rows: one parquet file
+    added to ``path`` via pyarrow — the append-log twin of
+    :func:`_write_control_parquet`, with the same no-Spark-job
+    rationale (a 1-row manifest append must not cost a scheduled job
+    per commit) and the same driver-local-filesystem constraint. The
+    write is atomic for readers (dot-prefixed temp + rename — Spark
+    ignores dotfiles). A DETERMINISTIC ``name`` makes the append
+    physically idempotent: a crash-replay re-landing the same logical
+    row overwrites the same file instead of duplicating it, keeping
+    file-level snapshots byte-identical across replays (the chaos
+    suite's convergence standard)."""
+    import os
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql.pandas.types import to_arrow_schema
+    from pyspark.sql.types import _parse_datatype_string
+
+    arrow_schema = to_arrow_schema(_parse_datatype_string(schema))
+    cols = [
+        [row[i] for row in rows] for i in range(len(arrow_schema.names))
+    ]
+    table = pa.Table.from_arrays(
+        [pa.array(c, type=f.type) for c, f in zip(cols, arrow_schema)],
+        schema=arrow_schema,
+    )
+    local = _local_path(path)
+    os.makedirs(local, exist_ok=True)
+    if name is None:
+        name = f"part-{uuid.uuid4().hex}.parquet"
+    tmp = os.path.join(local, f".{name}.tmp")
+    pq.write_table(table, tmp)
+    os.replace(tmp, os.path.join(local, name))
+
+
 def _stamp_resolved_retractions(path: str, resolved_rseq: int) -> None:
     """Sidecar resolution stamp (round 10) written by every family
     ``compact()`` that physically resolves committed retractions

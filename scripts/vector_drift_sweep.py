@@ -1,0 +1,66 @@
+"""Round-11 vector-family drift sweep (VERDICT r10 Next #4).
+
+The round-10 driver artifact showed the small vector queries
+(v0/v2/v7/v8/v9/v11/v12) 1.26-1.43x up vs their r9 anchors while the
+rest of the surface improved — plausibly ambient (the r10 window was
+documented 1.14x noisy), but the family-shaped concentration
+coincided with the SQ8-refine/rerank work touching the shared
+vector_index substrate. This sweep isolates the signal: each watch
+query runs MIN-OF-3 on an otherwise idle box at sf0.1, compared
+against the exact r9 anchors recovered from BENCH_r09.json's qv
+array. Result table goes to BASELINE.md.
+
+Run:  python scripts/vector_drift_sweep.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+# r9 anchors recovered from BENCH_r09.json (parsed.qv aligned to the
+# sorted 156-name list of that round) — the judge's own numbers
+R9_ANCHORS = {
+    "v0_vector_index_serving": 2.707,
+    "v2_knn_bucketed": 0.350,
+    "v7_knn_ivf_nprobe2": 0.690,
+    "v8_ann_recall": 0.670,
+    "v9_semantic_clusters": 0.370,
+    "v11_knn_pq": 1.192,
+    "v12_knn_ivf_pq": 1.730,
+}
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    from lp_etl_plugins_spark.session import get_spark
+
+    import __spark_entry__ as entry
+
+    spark = get_spark("drift_sweep", cpus=32)
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entry.queries()
+    # warm the session-shared substrates once (the bench does the
+    # same; the anchors are warm numbers)
+    for name in R9_ANCHORS:
+        qs[name](spark, sf_dir).collect()
+    rows = []
+    for name, anchor in R9_ANCHORS.items():
+        best = None
+        for _ in range(3):
+            t0 = time.perf_counter()
+            qs[name](spark, sf_dir).collect()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        rows.append((name, anchor, best, best / anchor))
+        print(
+            f"{name:35s} r9={anchor:.3f}  now(min3)={best:.3f}  "
+            f"ratio={best / anchor:.2f}",
+            flush=True,
+        )
+    print(json.dumps({n: round(b, 4) for n, _a, b, _r in rows}))
+
+
+if __name__ == "__main__":
+    main()
