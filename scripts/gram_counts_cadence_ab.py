@@ -49,9 +49,7 @@ def main() -> None:
 
     spark = get_spark("gram_counts_ab", cpus=32)
     spark.sparkContext.setLogLevel("ERROR")
-    docs0 = load_table(spark, args.sf, "documents").select(
-        "doc_id", "text"
-    )
+    docs0 = load_table(spark, args.sf, "documents")
     rows = []
     for f in (int(x) for x in args.factors.split(",")):
         docs = scaling.inflate_documents(docs0, f).select(

@@ -16,8 +16,11 @@ Run:  python scripts/vector_drift_sweep.py [sf_dir]
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 # r9 anchors recovered from BENCH_r09.json (parsed.qv aligned to the
 # sorted 156-name list of that round) — the judge's own numbers
