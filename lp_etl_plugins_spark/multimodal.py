@@ -9,10 +9,12 @@ CODEC NOTICE: PNG is decoded for real — a vendored pure-stdlib
 decoder (:func:`_decode_png`: zlib inflate + per-scanline unfilter)
 handles 8-bit non-interlaced gray/RGB/palette/alpha images with no
 third-party dependency, so one genuine container decodes end-to-end
-in every environment. BASELINE GRAYSCALE JPEG likewise decodes for
+in every environment. BASELINE JPEG likewise decodes for
 real (round 11 — :func:`_decode_jpeg_pixels`: marker parse, canonical
 Huffman entropy decode with byte-stuffing and restart markers,
-dequant, de-zigzag, orthonormal IDCT); color / progressive / 12-bit
+dequant, de-zigzag, orthonormal IDCT; GRAYSCALE and interleaved
+YCbCr COLOR at any integer sampling incl. 4:2:0, JFIF BT.601
+convert); progressive / 12-bit / CMYK
 JPEG and the other real containers (GIF/BMP/RIFF magics) route to
 Pillow when present and raise a crisp NotImplementedError otherwise —
 they are NEVER fed to the fake codec. Blobs without a container magic use a DETERMINISTIC FAKE
@@ -359,21 +361,51 @@ def _jpeg_extend(v: int, size: int) -> int:
     return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
 
 
-def _decode_jpeg_pixels(data: bytes) -> tuple[int, int, int, bytes]:
-    """Baseline sequential GRAYSCALE JPEG → (w, h, 1, pixels).
-    Refuses (NotImplementedError) anything outside that profile —
-    progressive/other SOFs, multi-component (color) scans, 12-bit
-    precision — so the Pillow-or-refuse contract holds there."""
+def _jpeg_decode_block(rd, dc_dec, ac_dec, pred: int, q, T, zz):
+    """One entropy-coded 8×8 block → (spatial uint8-range float
+    array BEFORE level clip, new DC predictor)."""
     import numpy as np
 
-    qt: dict[int, list] = {}
+    coefs = np.zeros(64, dtype=np.float64)
+    size = dc_dec(rd)
+    pred += _jpeg_extend(rd.receive(size), size)
+    coefs[0] = pred
+    k = 1
+    while k < 64:
+        rs = ac_dec(rd)
+        run, size = rs >> 4, rs & 15
+        if size == 0:
+            if run == 15:
+                k += 16
+                continue
+            break  # EOB
+        k += run
+        coefs[k] = _jpeg_extend(rd.receive(size), size)
+        k += 1
+    block = np.zeros(64, dtype=np.float64)
+    block[zz] = coefs * q
+    px = T.T @ block.reshape(8, 8) @ T + 128.0
+    return px, pred
+
+
+def _decode_jpeg_pixels(data: bytes) -> tuple[int, int, int, bytes]:
+    """Baseline sequential (SOF0, 8-bit) JPEG → (w, h, c, pixels):
+    GRAYSCALE (1 component) and interleaved YCbCr COLOR (3
+    components, any integer sampling — 4:4:4 / 4:2:2 / 4:2:0; JFIF
+    BT.601 color convert, replicate upsample). Refuses
+    (NotImplementedError) anything outside that profile —
+    progressive/other SOFs, 12-bit precision, CMYK, non-interleaved
+    color scans — so the Pillow-or-refuse contract holds there."""
+    import numpy as np
+
+    qt: dict[int, np.ndarray] = {}
     dc_tabs: dict[int, object] = {}
     ac_tabs: dict[int, object] = {}
     w = h = None
-    comp_tq = None
+    comps: list = []  # (cid, hs, vs, tq) in SOF order
+    scan_sel: dict[int, tuple[int, int]] = {}  # cid -> (dc_sel, ac_sel)
     dri = 0
     scan_at = None
-    dc_sel = ac_sel = 0
     i = 2
     while i + 1 < len(data):
         if data[i] != 0xFF:
@@ -392,13 +424,16 @@ def _decode_jpeg_pixels(data: bytes) -> tuple[int, int, int, bytes]:
                 pq, tq = seg[j] >> 4, seg[j] & 15
                 j += 1
                 if pq == 0:
-                    qt[tq] = list(seg[j : j + 64])
+                    qt[tq] = np.array(list(seg[j : j + 64]), dtype=np.float64)
                     j += 64
                 else:
-                    qt[tq] = [
-                        int.from_bytes(seg[j + 2 * k : j + 2 * k + 2], "big")
-                        for k in range(64)
-                    ]
+                    qt[tq] = np.array(
+                        [
+                            int.from_bytes(seg[j + 2 * k : j + 2 * k + 2], "big")
+                            for k in range(64)
+                        ],
+                        dtype=np.float64,
+                    )
                     j += 128
         elif marker == 0xC0:  # SOF0 — the supported frame type
             prec = seg[0]
@@ -410,12 +445,15 @@ def _decode_jpeg_pixels(data: bytes) -> tuple[int, int, int, bytes]:
                     f"baseline JPEG decoder: {prec}-bit precision "
                     "unsupported — install Pillow"
                 )
-            if ncomp != 1:
+            if ncomp not in (1, 3):
                 raise NotImplementedError(
-                    f"baseline JPEG decoder: {ncomp}-component (color) "
-                    "scans unsupported — install Pillow"
+                    f"baseline JPEG decoder: {ncomp}-component scans "
+                    "(CMYK?) unsupported — install Pillow"
                 )
-            comp_tq = seg[8]
+            for ci in range(ncomp):
+                cid = seg[6 + 3 * ci]
+                hv = seg[7 + 3 * ci]
+                comps.append((cid, hv >> 4, hv & 15, seg[8 + 3 * ci]))
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
@@ -436,52 +474,66 @@ def _decode_jpeg_pixels(data: bytes) -> tuple[int, int, int, bytes]:
             dri = int.from_bytes(seg[0:2], "big")
         elif marker == 0xDA:  # SOS
             ns = seg[0]
-            if ns != 1:
+            if ns != len(comps):
                 raise NotImplementedError(
-                    "baseline JPEG decoder: interleaved multi-component "
-                    "scan unsupported — install Pillow"
+                    "baseline JPEG decoder: non-interleaved multi-scan "
+                    "color unsupported — install Pillow"
                 )
-            dc_sel, ac_sel = seg[2] >> 4, seg[2] & 15
+            for si in range(ns):
+                cid = seg[1 + 2 * si]
+                sel = seg[2 + 2 * si]
+                scan_sel[cid] = (sel >> 4, sel & 15)
             scan_at = i + 2 + L
             break
         i += 2 + L
-    if w is None or scan_at is None or comp_tq not in qt:
-        raise ValueError("JPEG: missing SOF0/SOS/DQT segments")
-    q = np.array(qt[comp_tq], dtype=np.float64)
+    if w is None or scan_at is None or not comps:
+        raise ValueError("JPEG: missing SOF0/SOS segments")
     T = _jpeg_dct_matrix()
     zz = _JPEG_ZZ
-    mx, my = (w + 7) // 8, (h + 7) // 8
-    out = np.zeros((my * 8, mx * 8), dtype=np.uint8)
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mx = (w + 8 * hmax - 1) // (8 * hmax)
+    my = (h + 8 * vmax - 1) // (8 * vmax)
+    planes = {
+        cid: np.zeros((my * vs * 8, mx * hs * 8), dtype=np.float64)
+        for cid, hs, vs, _tq in comps
+    }
     rd = _JpegBitReader(data, scan_at)
-    dc_dec, ac_dec = dc_tabs[dc_sel], ac_tabs[ac_sel]
-    pred = 0
+    preds = {cid: 0 for cid, *_ in comps}
     for m in range(mx * my):
         if dri and m and m % dri == 0:
             rd.sync_restart()
-            pred = 0
-        coefs = np.zeros(64, dtype=np.float64)
-        size = dc_dec(rd)
-        pred += _jpeg_extend(rd.receive(size), size)
-        coefs[0] = pred
-        k = 1
-        while k < 64:
-            rs = ac_dec(rd)
-            run, size = rs >> 4, rs & 15
-            if size == 0:
-                if run == 15:
-                    k += 16
-                    continue
-                break  # EOB
-            k += run
-            coefs[k] = _jpeg_extend(rd.receive(size), size)
-            k += 1
-        block = np.zeros(64, dtype=np.float64)
-        block[zz] = coefs * q[np.arange(64)]
-        px = T.T @ block.reshape(8, 8) @ T
-        px = np.clip(np.round(px + 128.0), 0, 255).astype(np.uint8)
-        r, c = (m // mx) * 8, (m % mx) * 8
-        out[r : r + 8, c : c + 8] = px
-    return w, h, 1, out[:h, :w].tobytes()
+            preds = {cid: 0 for cid in preds}
+        myx, mxx = m // mx, m % mx
+        for cid, hs, vs, tq in comps:
+            dc_dec = dc_tabs[scan_sel[cid][0]]
+            ac_dec = ac_tabs[scan_sel[cid][1]]
+            for by in range(vs):
+                for bx in range(hs):
+                    px, preds[cid] = _jpeg_decode_block(
+                        rd, dc_dec, ac_dec, preds[cid], qt[tq], T, zz
+                    )
+                    r = (myx * vs + by) * 8
+                    c = (mxx * hs + bx) * 8
+                    planes[cid][r : r + 8, c : c + 8] = px
+    if len(comps) == 1:
+        out = np.clip(np.round(planes[comps[0][0]]), 0, 255).astype(np.uint8)
+        return w, h, 1, out[:h, :w].tobytes()
+    # color: replicate-upsample each plane to full MCU-grid resolution,
+    # crop, BT.601 inverse convert
+    full = {}
+    for cid, hs, vs, _tq in comps:
+        p = planes[cid]
+        p = np.repeat(np.repeat(p, vmax // vs, axis=0), hmax // hs, axis=1)
+        full[cid] = p[:h, :w]
+    y_, cb, cr = (full[c[0]] for c in comps)
+    r_ = y_ + 1.402 * (cr - 128.0)
+    g_ = y_ - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b_ = y_ + 1.772 * (cb - 128.0)
+    rgb = np.stack(
+        [np.clip(np.round(ch), 0, 255) for ch in (r_, g_, b_)], axis=-1
+    ).astype(np.uint8)
+    return w, h, 3, rgb.tobytes()
 
 
 def _jpeg_canonical_table(symbols: list) -> tuple[list, bytes]:
@@ -517,8 +569,6 @@ def encode_jpeg_gray(
     q = list(quant) if quant is not None else [1] * 64
     if len(q) != 64 or not all(1 <= v <= 255 for v in q):
         raise ValueError("encode_jpeg_gray: quant must be 64 values in 1..255")
-    T = _jpeg_dct_matrix()
-    zz = _JPEG_ZZ
     img = np.frombuffer(bytes(payload), dtype=np.uint8).reshape(height, width)
     mx, my = (width + 7) // 8, (height + 7) // 8
     padded = np.zeros((my * 8, mx * 8), dtype=np.float64)
@@ -529,118 +579,279 @@ def encode_jpeg_gray(
         padded[height:, :] = padded[height - 1 : height, :]
     qv = np.array(q, dtype=np.float64)
 
-    def _size(v: int) -> int:
-        return abs(v).bit_length()
-
-    # pass 1: quantized coefficients + the symbol sets actually used
-    blocks = []
+    stream = []
     pred = 0
-    dc_syms: list = []
-    ac_syms: list = []
+    rst = 0
     for m in range(mx * my):
         if restart_interval and m and m % restart_interval == 0:
-            pred = 0
-        r, c = (m // mx) * 8, (m % mx) * 8
-        F = T @ (padded[r : r + 8, c : c + 8] - 128.0) @ T.T
-        coefs = np.round(F.reshape(64)[zz] / qv).astype(np.int64)
-        diff = int(coefs[0]) - pred
-        pred = int(coefs[0])
-        dc_syms.append(_size(diff))
-        run = 0
-        acs = []
-        for k in range(1, 64):
-            v = int(coefs[k])
-            if v == 0:
-                run += 1
-                continue
-            while run > 15:
-                acs.append((0xF0, 0, 0))
-                run -= 16
-            acs.append(((run << 4) | _size(v), v, _size(v)))
-            run = 0
-        if run:
-            acs.append((0x00, 0, 0))  # EOB
-        ac_syms.extend(sym for sym, _v, _s in acs)
-        blocks.append((diff, acs))
-    dc_bits, dc_vals = _jpeg_canonical_table(dc_syms)
-    ac_bits, ac_vals = _jpeg_canonical_table(ac_syms)
-
-    def codes(bits16: list, vals: bytes) -> dict:
-        out = {}
-        code = 0
-        k = 0
-        for length in range(1, 17):
-            for _ in range(bits16[length - 1]):
-                out[vals[k]] = (length, code)
-                code += 1
-                k += 1
-            code <<= 1
-        return out
-
-    dc_code, ac_code = codes(dc_bits, dc_vals), codes(ac_bits, ac_vals)
-
-    class _W:
-        def __init__(self):
-            self.out = bytearray()
-            self.acc = 0
-            self.n = 0
-
-        def put(self, length: int, value: int) -> None:
-            for k in range(length - 1, -1, -1):
-                self.acc = (self.acc << 1) | ((value >> k) & 1)
-                self.n += 1
-                if self.n == 8:
-                    self.out.append(self.acc)
-                    if self.acc == 0xFF:
-                        self.out.append(0x00)  # byte stuffing
-                    self.acc = 0
-                    self.n = 0
-
-        def flush(self) -> None:
-            if self.n:
-                self.acc = (self.acc << (8 - self.n)) | ((1 << (8 - self.n)) - 1)
-                self.out.append(self.acc)
-                if self.acc == 0xFF:
-                    self.out.append(0x00)
-                self.acc = 0
-                self.n = 0
-
-    wtr = _W()
-    rst = 0
-    for m, (diff, acs) in enumerate(blocks):
-        if restart_interval and m and m % restart_interval == 0:
-            wtr.flush()
-            wtr.out += bytes([0xFF, 0xD0 + rst])
+            stream.append(("R", rst))
             rst = (rst + 1) % 8
-        s = _size(diff)
-        ln, cd = dc_code[s]
+            pred = 0
+        r0, c0 = (m // mx) * 8, (m % mx) * 8
+        pred, dc, acs = _jpeg_fdct_block_tokens(
+            padded[r0 : r0 + 8, c0 : c0 + 8], qv, pred
+        )
+        stream.append(("L", dc, acs))
+    dc_tab = _jpeg_canonical_table(
+        [t[1][0] for t in stream if t[0] != "R"]
+    )
+    ac_tab = _jpeg_canonical_table(
+        [sym for t in stream if t[0] != "R" for sym, _v, _s in t[2]]
+    )
+    dc_code = _jpeg_canonical_codes(*dc_tab)
+    ac_code = _jpeg_canonical_codes(*ac_tab)
+    wtr = _JpegBitWriter()
+    for tok in stream:
+        if tok[0] == "R":
+            wtr.flush()
+            wtr.out += bytes([0xFF, 0xD0 + tok[1]])
+            continue
+        _cls, (sz, diff), acs = tok
+        ln, cd = dc_code[sz]
         wtr.put(ln, cd)
-        if s:
-            wtr.put(s, diff if diff > 0 else diff + (1 << s) - 1)
-        for sym, v, sz in acs:
+        if sz:
+            wtr.put(sz, diff if diff > 0 else diff + (1 << sz) - 1)
+        for sym, v, vsz in acs:
             ln, cd = ac_code[sym]
             wtr.put(ln, cd)
-            if sz:
-                wtr.put(sz, v if v > 0 else v + (1 << sz) - 1)
+            if vsz:
+                wtr.put(vsz, v if v > 0 else v + (1 << vsz) - 1)
     wtr.flush()
 
-    def seg(marker: int, body: bytes) -> bytes:
-        return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
-
     out = bytearray(b"\xff\xd8")
-    out += seg(0xDB, bytes([0x00]) + bytes(q))
-    out += seg(
+    out += _jpeg_seg(0xDB, bytes([0x00]) + bytes(q))
+    out += _jpeg_seg(
         0xC0,
         bytes([8])
         + height.to_bytes(2, "big")
         + width.to_bytes(2, "big")
         + bytes([1, 1, 0x11, 0]),
     )
-    out += seg(0xC4, bytes([0x00]) + bytes(dc_bits) + dc_vals)
-    out += seg(0xC4, bytes([0x10]) + bytes(ac_bits) + ac_vals)
+    out += _jpeg_seg(0xC4, bytes([0x00]) + bytes(dc_tab[0]) + dc_tab[1])
+    out += _jpeg_seg(0xC4, bytes([0x10]) + bytes(ac_tab[0]) + ac_tab[1])
     if restart_interval:
-        out += seg(0xDD, restart_interval.to_bytes(2, "big"))
-    out += seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+        out += _jpeg_seg(0xDD, restart_interval.to_bytes(2, "big"))
+    out += _jpeg_seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    out += wtr.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+class _JpegBitWriter:
+    """MSB-first entropy writer with 0xFF byte stuffing."""
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, length: int, value: int) -> None:
+        for k in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> k) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)
+                self.acc = 0
+                self.n = 0
+
+    def flush(self) -> None:
+        if self.n:
+            self.acc = (self.acc << (8 - self.n)) | ((1 << (8 - self.n)) - 1)
+            self.out.append(self.acc)
+            if self.acc == 0xFF:
+                self.out.append(0x00)
+            self.acc = 0
+            self.n = 0
+
+
+def _jpeg_canonical_codes(bits16: list, vals: bytes) -> dict:
+    out = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits16[length - 1]):
+            out[vals[k]] = (length, code)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _jpeg_seg(marker: int, body: bytes) -> bytes:
+    return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+
+def _jpeg_fdct_block_tokens(block, qv, pred: int):
+    """Forward-DCT one level-shifted 8×8 block, quantize, zigzag, and
+    emit its entropy TOKENS: → (new_pred, dc_token, ac_tokens) with
+    dc_token = (size, value) and ac_tokens = [(sym, value, size)]."""
+    import numpy as np
+
+    T = _jpeg_dct_matrix()
+    F_ = T @ (block - 128.0) @ T.T
+    coefs = np.round(F_.reshape(64)[_JPEG_ZZ] / qv).astype(np.int64)
+    diff = int(coefs[0]) - pred
+    pred = int(coefs[0])
+    acs = []
+    run = 0
+    for k in range(1, 64):
+        v = int(coefs[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            acs.append((0xF0, 0, 0))
+            run -= 16
+        sz = abs(v).bit_length()
+        acs.append(((run << 4) | sz, v, sz))
+        run = 0
+    if run:
+        acs.append((0x00, 0, 0))  # EOB
+    return pred, (abs(diff).bit_length(), diff), acs
+
+
+def encode_jpeg_rgb(
+    width: int,
+    height: int,
+    payload: bytes,
+    *,
+    quant_luma: list | None = None,
+    quant_chroma: list | None = None,
+    sampling: int = 2,
+    restart_interval: int = 0,
+) -> bytes:
+    """Baseline sequential COLOR JPEG writer — interleaved YCbCr with
+    luma sampling ``sampling``×``sampling`` (2 = the real-corpus
+    4:2:0, 1 = 4:4:4), JFIF BT.601 convert, box-mean chroma
+    subsample, per-image canonical Huffman tables (luma + chroma
+    classes), optional restart markers. The fixture twin of the color
+    leg of :func:`_decode_jpeg_pixels`. ``payload`` is interleaved
+    RGB, ``width*height*3`` bytes."""
+    import numpy as np
+
+    if len(payload) != width * height * 3:
+        raise ValueError("encode_jpeg_rgb: payload size != width*height*3")
+    if sampling not in (1, 2):
+        raise ValueError("encode_jpeg_rgb: sampling must be 1 or 2")
+    ql = list(quant_luma) if quant_luma is not None else [1] * 64
+    qc = list(quant_chroma) if quant_chroma is not None else [1] * 64
+    for q in (ql, qc):
+        if len(q) != 64 or not all(1 <= v <= 255 for v in q):
+            raise ValueError("encode_jpeg_rgb: quant must be 64 values in 1..255")
+    rgb = (
+        np.frombuffer(bytes(payload), dtype=np.uint8)
+        .reshape(height, width, 3)
+        .astype(np.float64)
+    )
+    r_, g_, b_ = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    y_ = 0.299 * r_ + 0.587 * g_ + 0.114 * b_
+    cb = -0.168736 * r_ - 0.331264 * g_ + 0.5 * b_ + 128.0
+    cr = 0.5 * r_ - 0.418688 * g_ - 0.081312 * b_ + 128.0
+    s = sampling
+    mx = (width + 8 * s - 1) // (8 * s)
+    my = (height + 8 * s - 1) // (8 * s)
+
+    def _pad(plane, ph, pw):
+        out = np.zeros((ph, pw), dtype=np.float64)
+        h0, w0 = plane.shape
+        out[:h0, :w0] = plane
+        if w0 < pw:
+            out[:h0, w0:] = out[:h0, w0 - 1 : w0]
+        if h0 < ph:
+            out[h0:, :] = out[h0 - 1 : h0, :]
+        return out
+
+    ypad = _pad(y_, my * s * 8, mx * s * 8)
+    if s == 2:
+        # box-mean 2×2 subsample (pad odd dims by edge replication
+        # first so the mean window is always full)
+        cpl = []
+        for p in (cb, cr):
+            p2 = _pad(p, (height + 1) // 2 * 2, (width + 1) // 2 * 2)
+            sub = (
+                p2[0::2, 0::2] + p2[1::2, 0::2] + p2[0::2, 1::2] + p2[1::2, 1::2]
+            ) / 4.0
+            cpl.append(_pad(sub, my * 8, mx * 8))
+        cbp, crp = cpl
+    else:
+        cbp, crp = _pad(cb, my * 8, mx * 8), _pad(cr, my * 8, mx * 8)
+
+    qlv = np.array(ql, dtype=np.float64)
+    qcv = np.array(qc, dtype=np.float64)
+    # one MCU walk producing the token stream (+ restart boundaries)
+    stream: list = []  # ("R", rst_idx) or (cls, dc_token, ac_tokens)
+    preds = {"Y": 0, "Cb": 0, "Cr": 0}
+    rst = 0
+    for m in range(mx * my):
+        if restart_interval and m and m % restart_interval == 0:
+            stream.append(("R", rst))
+            rst = (rst + 1) % 8
+            preds = {"Y": 0, "Cb": 0, "Cr": 0}
+        myx, mxx = m // mx, m % mx
+        for by in range(s):
+            for bx in range(s):
+                r0, c0 = (myx * s + by) * 8, (mxx * s + bx) * 8
+                preds["Y"], dc, acs = _jpeg_fdct_block_tokens(
+                    ypad[r0 : r0 + 8, c0 : c0 + 8], qlv, preds["Y"]
+                )
+                stream.append(("L", dc, acs))
+        for name, plane in (("Cb", cbp), ("Cr", crp)):
+            r0, c0 = myx * 8, mxx * 8
+            preds[name], dc, acs = _jpeg_fdct_block_tokens(
+                plane[r0 : r0 + 8, c0 : c0 + 8], qcv, preds[name]
+            )
+            stream.append(("C", dc, acs))
+    # canonical tables per (class, dc/ac)
+    dc_syms = {"L": [], "C": []}
+    ac_syms = {"L": [], "C": []}
+    for tok in stream:
+        if tok[0] == "R":
+            continue
+        cls, dc, acs = tok
+        dc_syms[cls].append(dc[0])
+        ac_syms[cls].extend(sym for sym, _v, _s in acs)
+    tabs = {}
+    for cls in ("L", "C"):
+        tabs[("dc", cls)] = _jpeg_canonical_table(dc_syms[cls])
+        tabs[("ac", cls)] = _jpeg_canonical_table(ac_syms[cls])
+    codes = {k: _jpeg_canonical_codes(*v) for k, v in tabs.items()}
+    wtr = _JpegBitWriter()
+    for tok in stream:
+        if tok[0] == "R":
+            wtr.flush()
+            wtr.out += bytes([0xFF, 0xD0 + tok[1]])
+            continue
+        cls, (sz, diff), acs = tok
+        ln, cd = codes[("dc", cls)][sz]
+        wtr.put(ln, cd)
+        if sz:
+            wtr.put(sz, diff if diff > 0 else diff + (1 << sz) - 1)
+        for sym, v, vsz in acs:
+            ln, cd = codes[("ac", cls)][sym]
+            wtr.put(ln, cd)
+            if vsz:
+                wtr.put(vsz, v if v > 0 else v + (1 << vsz) - 1)
+    wtr.flush()
+
+    out = bytearray(b"\xff\xd8")
+    out += _jpeg_seg(0xDB, bytes([0x00]) + bytes(ql))
+    out += _jpeg_seg(0xDB, bytes([0x01]) + bytes(qc))
+    out += _jpeg_seg(
+        0xC0,
+        bytes([8])
+        + height.to_bytes(2, "big")
+        + width.to_bytes(2, "big")
+        + bytes([3, 1, (s << 4) | s, 0, 2, 0x11, 1, 3, 0x11, 1]),
+    )
+    out += _jpeg_seg(0xC4, bytes([0x00]) + bytes(tabs[("dc", "L")][0]) + tabs[("dc", "L")][1])
+    out += _jpeg_seg(0xC4, bytes([0x01]) + bytes(tabs[("dc", "C")][0]) + tabs[("dc", "C")][1])
+    out += _jpeg_seg(0xC4, bytes([0x10]) + bytes(tabs[("ac", "L")][0]) + tabs[("ac", "L")][1])
+    out += _jpeg_seg(0xC4, bytes([0x11]) + bytes(tabs[("ac", "C")][0]) + tabs[("ac", "C")][1])
+    if restart_interval:
+        out += _jpeg_seg(0xDD, restart_interval.to_bytes(2, "big"))
+    out += _jpeg_seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
     out += wtr.out
     out += b"\xff\xd9"
     return bytes(out)

@@ -1,9 +1,10 @@
-"""Baseline grayscale JPEG codec (round 11 — VERDICT r10 Next #7,
-the declared Pillow-free residual closed for the profile that carries
-real corpora's grayscale lane): `_decode_jpeg_pixels` decodes
-baseline sequential (SOF0) single-component JPEG with pure
-stdlib + numpy; `encode_jpeg_gray` is the fixture twin writing its
-OWN canonical Huffman tables (no Annex K transcription to trust).
+"""Baseline JPEG codec (round 11 — VERDICT r10 Next #7, the declared
+Pillow-free residual CLOSED): `_decode_jpeg_pixels` decodes baseline
+sequential (SOF0) JPEG with pure stdlib + numpy — grayscale AND
+interleaved YCbCr color at any integer sampling (4:4:4 / 4:2:0),
+JFIF BT.601 convert; `encode_jpeg_gray` / `encode_jpeg_rgb` are the
+fixture twins writing their OWN canonical Huffman tables (no Annex K
+transcription to trust).
 
 Ground truth is ANALYTIC where possible, never circular through the
 decoder's own IDCT:
@@ -15,7 +16,7 @@ decoder's own IDCT:
 - random round-trips at all-ones quantization bound |err| ≤ 2 LSB
   (forward/inverse rounding only), across non-multiple-of-8 shapes
   and restart intervals;
-- refusals: progressive (SOF2), color (3-component SOF0), 12-bit
+- refusals: progressive (SOF2), CMYK (4-component SOF0), 12-bit
   precision — NotImplementedError (→ Pillow-or-refuse dispatch);
 - integration: JPEG blobs flow through `_decode_blob` and the
   `perceptual_hash` mapInPandas path like any decodable container.
@@ -122,20 +123,20 @@ def test_refusals_route_to_pillow_or_refuse():
     prog[i + 1] = 0xC2
     with pytest.raises(NotImplementedError, match="progressive|SOF"):
         MM._decode_jpeg_pixels(bytes(prog))
-    # color: 3-component SOF0 (rewrite the component count + length)
+    # CMYK: 4-component SOF0 (rewrite the component count + length)
     sof = blob[i : i + 2 + 2 + int.from_bytes(blob[i + 2 : i + 4], "big")]
     body = bytearray(sof[4:])
-    body[5] = 3
-    body += bytes([2, 0x11, 0, 3, 0x11, 0])
-    color = (
+    body[5] = 4
+    body += bytes([2, 0x11, 0, 3, 0x11, 0, 4, 0x11, 0])
+    cmyk = (
         bytes(blob[:i])
         + b"\xff\xc0"
         + (len(body) + 2).to_bytes(2, "big")
         + bytes(body)
         + bytes(blob[i + len(sof) :])
     )
-    with pytest.raises(NotImplementedError, match="color|component"):
-        MM._decode_jpeg_pixels(color)
+    with pytest.raises(NotImplementedError, match="component"):
+        MM._decode_jpeg_pixels(cmyk)
     # 12-bit precision
     deep = blob.copy()
     deep[i + 4] = 12
@@ -170,3 +171,101 @@ def test_jpeg_flows_through_decode_and_phash_paths(spark):
     assert len(ph[1]) == 64 and set(ph[1]) <= {"0", "1"}
     assert ph[1] == ph[2]
     assert ph[1] != ph[3]
+
+
+def test_color_roundtrip_444_and_420(spark=None):
+    """Interleaved YCbCr color (round-11 second half): 4:4:4 random
+    content round-trips within YCbCr-conversion rounding; 4:2:0 on
+    chroma-smooth content within the same bound; R=G=B through the
+    color path stays gray."""
+    rng = np.random.default_rng(5)
+    # 4:4:4 random — only the BT.601 forward/inverse rounding in play
+    rgb = rng.integers(0, 256, size=(24, 17, 3), dtype=np.uint8)
+    blob = MM.encode_jpeg_rgb(17, 24, rgb.tobytes(), sampling=1)
+    w, h, c, px = MM._decode_jpeg_pixels(blob)
+    assert (w, h, c) == (17, 24, 3)
+    got = np.frombuffer(px, np.uint8).reshape(24, 17, 3).astype(int)
+    assert np.abs(got - rgb.astype(int)).max() <= 3
+
+    # 4:2:0 chroma-smooth — constant chroma planes survive the box
+    # subsample + replicate upsample exactly
+    ys, xs = np.mgrid[0:16, 0:16]
+    smooth = np.stack(
+        [8 * (xs // 2), 8 * (ys // 2), np.full_like(xs, 128)], -1
+    ).astype(np.uint8)
+    blob = MM.encode_jpeg_rgb(16, 16, smooth.tobytes(), sampling=2)
+    w, h, c, px = MM._decode_jpeg_pixels(blob)
+    got = np.frombuffer(px, np.uint8).reshape(16, 16, 3).astype(int)
+    assert np.abs(got - smooth.astype(int)).max() <= 2
+
+    # gray-in-color consistency
+    g = rng.integers(0, 256, size=(11, 13), dtype=np.uint8)
+    grgb = np.repeat(g[:, :, None], 3, axis=2)
+    blob = MM.encode_jpeg_rgb(13, 11, grgb.tobytes(), sampling=1)
+    w, h, c, px = MM._decode_jpeg_pixels(blob)
+    got = np.frombuffer(px, np.uint8).reshape(11, 13, 3).astype(int)
+    assert np.abs(got - grgb.astype(int)).max() <= 2
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    w=st.integers(min_value=1, max_value=33),
+    h=st.integers(min_value=1, max_value=33),
+    seed=st.integers(min_value=0, max_value=2**31),
+    sampling=st.sampled_from([1, 2]),
+    rst=st.sampled_from([0, 2]),
+)
+def test_color_roundtrip_properties(w, h, seed, sampling, rst):
+    """Any shape (odd dims, sub-MCU sizes), both samplings, restart
+    intervals: decode returns the exact geometry and, at 4:4:4, the
+    content within conversion rounding (4:2:0 bounds only the luma
+    channel through Y: check via the grayscale projection)."""
+    rng = np.random.default_rng(seed)
+    rgb = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    blob = MM.encode_jpeg_rgb(
+        w, h, rgb.tobytes(), sampling=sampling, restart_interval=rst
+    )
+    ww, hh, c, px = MM._decode_jpeg_pixels(blob)
+    assert (ww, hh, c) == (w, h, 3)
+    got = np.frombuffer(px, np.uint8).reshape(h, w, 3).astype(int)
+    if sampling == 1:
+        assert np.abs(got - rgb.astype(int)).max() <= 3
+    else:
+        # analytic twin of the 4:2:0 pipeline (no decoder machinery):
+        # BT.601 forward, 2x2 box-mean chroma, replicate upsample,
+        # inverse, clip — the decoder must match it within the DCT
+        # and conversion rounding
+        f = rgb.astype(np.float64)
+        y_ = 0.299 * f[..., 0] + 0.587 * f[..., 1] + 0.114 * f[..., 2]
+        cb = -0.168736 * f[..., 0] - 0.331264 * f[..., 1] + 0.5 * f[..., 2] + 128
+        cr = 0.5 * f[..., 0] - 0.418688 * f[..., 1] - 0.081312 * f[..., 2] + 128
+
+        def box_up(p):
+            ph, pw = (h + 1) // 2 * 2, (w + 1) // 2 * 2
+            pad = np.zeros((ph, pw))
+            pad[:h, :w] = p
+            if w < pw:
+                pad[:h, w:] = pad[:h, w - 1 : w]
+            if h < ph:
+                pad[h:, :] = pad[h - 1 : h, :]
+            sub = (
+                pad[0::2, 0::2] + pad[1::2, 0::2]
+                + pad[0::2, 1::2] + pad[1::2, 1::2]
+            ) / 4.0
+            return np.repeat(np.repeat(sub, 2, axis=0), 2, axis=1)[:h, :w]
+
+        cbu, cru = box_up(cb), box_up(cr)
+        want = np.stack(
+            [
+                y_ + 1.402 * (cru - 128),
+                y_ - 0.344136 * (cbu - 128) - 0.714136 * (cru - 128),
+                y_ + 1.772 * (cbu - 128),
+            ],
+            axis=-1,
+        )
+        want = np.clip(np.round(want), 0, 255)
+        assert np.abs(got - want).max() <= 3

@@ -199,3 +199,51 @@ def test_member_composition_with_trigram_asof(spark, tmp_path):
         r[0]
         for r in st.working(stamp=h0).collect()
     }
+
+
+def test_member_composition_with_vector_asof(spark, tmp_path):
+    """The vector twin of the LM composition: an embedding index
+    ingesting alongside the pipeline on the same monotone id axis is
+    pinned by the manifest row's max_doc_id via its own
+    load(as_of_id=...) — together they answer "the exact corpus AND
+    index state run X trained on"."""
+    from lp_etl_plugins_spark.vectorops import VectorIndex
+
+    docs, cut = _split(spark)
+    p = str(tmp_path / "state")
+    st = INC.CurationState.build(spark, docs.filter(F.col("doc_id") <= cut), p)
+
+    # a deterministic per-doc embedding over the pipeline's id axis
+    def emb_of(frame):
+        vec = F.array(
+            *[
+                (F.pmod(F.xxhash64("doc_id", F.lit(i)), F.lit(1000)) / 1000.0)
+                .cast("float")
+                for i in range(16)
+            ]
+        )
+        return frame.select(
+            F.col("doc_id").alias("vec_id"),
+            (F.col("doc_id") % 8).cast("int").alias("label"),
+            vec.alias("embedding"),
+        )
+
+    vp = str(tmp_path / "vidx")
+    VectorIndex(emb_of(st.working()), m=4, dims=16).save(vp)
+    want_ids = {r[0] for r in st.working().select("doc_id").collect()}
+
+    st.update(docs.filter(F.col("doc_id") > cut))
+    vidx = VectorIndex.load(spark, vp)
+    vidx.update(
+        emb_of(st.working().filter(F.col("doc_id") > cut)).drop("label")
+    )
+    vidx.append_saved(vp)
+
+    h0 = int(st.manifest().filter("mseq = 0").first()["max_doc_id"])
+    pinned = VectorIndex.load(spark, vp, as_of_id=h0)
+    got_ids = {r[0] for r in pinned.live_lists().select("id").collect()}
+    assert got_ids == want_ids
+    # and both members agree with the pipeline pin on membership
+    assert got_ids == {
+        r[0] for r in st.as_of(0).working().select("doc_id").collect()
+    }
