@@ -1020,13 +1020,26 @@ class VectorIndex:
             return self._codes_nb
         return self._codes
 
-    # Literal-IN scan pruning pays one extra driver job per query
+    # Literal-IN scan pruning pays a fixed per-query driver cost
     # (materialize + collect the tiny pruning set); it engages only
     # when the on-disk stage is big enough that the bytes it skips
-    # dominate that fixed cost. 256 MB ≈ hundreds of row groups — far
-    # above any test corpus, far below one executor's scan quantum at
-    # production scale.
-    _PRUNE_STAGE_BYTES = 256 << 20
+    # dominate that cost. The two serving reads have VERY different
+    # fixed costs (measured, scripts/prune_tier_crossover.py):
+    # - search's probed-bucket collect materializes only the probe
+    #   fan (probes × centroids — tiny): the tier already wins 1.26×
+    #   at a 20 MB codes stage, so its gate sits at 32 MB;
+    # - search_rerank's shortlist collect materializes STAGE 1 (the
+    #   whole IVF-PQ search) before the final job — seconds of fixed
+    #   cost — while the sq8 stage it would prune is smaller than the
+    #   codes stage that stage 1 scans anyway, so the tier loses at
+    #   every locally measurable size (0.59× at 10 MB). Its gate sits
+    #   where the refine scan alone provably exceeds that fixed cost
+    #   (~multi-GB); below it the lazy broadcast semi-join is the
+    #   production shape (compute already O(shortlist)).
+    _PRUNE_CODES_BYTES = 32 << 20
+    _PRUNE_SQ8_BYTES = 4 << 30
+    # test/measurement override: when not None, applies to BOTH stages
+    _PRUNE_STAGE_BYTES: int | None = None
 
     def _prune_stage(self, stage: str) -> bool:
         """Should the literal-IN file-pruning path engage for this
@@ -1040,6 +1053,16 @@ class VectorIndex:
 
         from .textops import _local_path
 
+        override = getattr(self, "_PRUNE_STAGE_BYTES", None)
+        thresh = (
+            override
+            if override is not None
+            else (
+                self._PRUNE_CODES_BYTES
+                if stage == "codes"
+                else self._PRUNE_SQ8_BYTES
+            )
+        )
         d = _local_path(f"{path}/{stage}")
         try:
             total = sum(
@@ -1049,7 +1072,7 @@ class VectorIndex:
             )
         except OSError:
             return False
-        return total >= self._PRUNE_STAGE_BYTES
+        return total >= thresh
 
     def _codes_with_bucket(self, codes: DataFrame) -> DataFrame:
         """Attach each code row's coarse ``bucket`` (from
@@ -1094,7 +1117,7 @@ class VectorIndex:
         Against a LOADED bucket-layout index (round 11: :meth:`save`
         and :meth:`compact` write ``codes`` bucket-attached and
         bucket-sorted) whose codes stage is LARGE (≥
-        ``_PRUNE_STAGE_BYTES`` on disk), the probed buckets also push
+        ``_PRUNE_CODES_BYTES`` on disk), the probed buckets also push
         into the codes READ as a literal ``IN`` filter, so parquet
         file statistics prune the lists nothing probes — the scan
         cost becomes ~nprobe/n_lists of the codes stage at the FILE
@@ -1232,8 +1255,9 @@ class VectorIndex:
           corpus. Same structure as the r10 plan with the recon
           hoisted — one join FEWER (the pairs already carry
           probe_id), one stage-1 execution, no extra driver jobs.
-        - LARGE STAGES (≥ ``_PRUNE_STAGE_BYTES`` on disk): the
-          shortlist is pinned and its ids additionally push as a
+        - LARGE STAGES (≥ ``_PRUNE_SQ8_BYTES`` on disk — see the
+          class constants for why this gate sits far above search's):
+          the shortlist is pinned and its ids additionally push as a
           LITERAL ``IN`` (≤ 2048 — the RepeatIndex locate pattern) so
           parquet min/max stats over the id-sorted layout prune the
           refine READ at the file level too, not just the compute —

@@ -31,6 +31,11 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
     ap.add_argument("--factor", type=int, default=64)
+    ap.add_argument(
+        "--gate-mb", type=int, default=None,
+        help="override the auto side's _PRUNE_STAGE_BYTES (MB) to probe "
+        "the crossover below the production default",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -70,6 +75,8 @@ def main() -> None:
             f"(gate {VectorIndex._PRUNE_STAGE_BYTES >> 20} MB)"
         )
         auto = VectorIndex.load(spark, f"{tmp}/idx")
+        if args.gate_mb is not None:
+            auto._PRUNE_STAGE_BYTES = args.gate_mb << 20
         lazy = VectorIndex.load(spark, f"{tmp}/idx")
         lazy._PRUNE_STAGE_BYTES = 1 << 60  # force the lazy tier off-gate
 
