@@ -896,6 +896,17 @@ def _pixels_blob(data: bytes) -> tuple[int, int, int, bytes]:
             if _PILImage is None:
                 raise
             # exotic profile (color/progressive/12-bit): Pillow below
+        except ValueError as exc:
+            # structurally unparseable by the baseline decoder: Pillow
+            # (more tolerant, more profiles) may still decode it — and
+            # without Pillow the crisp refusal contract holds (the
+            # pre-codec behavior for every non-PNG container)
+            if _PILImage is None:
+                raise NotImplementedError(
+                    "JPEG blob is outside the baseline decoder's reach "
+                    f"({exc}) and no Pillow is available in this "
+                    "environment — install Pillow"
+                ) from exc
     if _is_real_image(data):
         if _PILImage is None:
             raise NotImplementedError(
