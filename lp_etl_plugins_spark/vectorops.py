@@ -1039,7 +1039,74 @@ class VectorIndex:
     _PRUNE_CODES_BYTES = 32 << 20
     _PRUNE_SQ8_BYTES = 4 << 30
     # test/measurement override: when not None, applies to BOTH stages
+    # (and to the WRITE-side layout gate below)
     _PRUNE_STAGE_BYTES: int | None = None
+
+    # WRITE-side twin of the read gates (round 11, second cut): the
+    # pruning layout itself is not free — codes pays a corpus_lists
+    # join plus a global sort per save/compact, sq8_codes a global
+    # sort — a fixed range-partitioning pass that buys nothing until
+    # the stage has enough FILES for min/max stats to skip (measured:
+    # v19 +~2 s / v21 +~1 s per lifecycle at sf0.1 from the
+    # unconditional first cut). The sorted layout is therefore written
+    # only when the stage could plausibly reach its READ gate, using a
+    # deliberately OVERESTIMATED bytes/row (parquet encodes these
+    # columns ~3× tighter — ~21 B/vector measured for m=16 codes at
+    # ×512), so the write side engages strictly BEFORE the read side
+    # ever could: a stage the read tier prunes is always sorted, a
+    # stage below it skips the layout cost. compact() upgrades any
+    # directory that crossed the gate through appends (the documented
+    # maintenance cadence).
+    _LAYOUT_SUB_ROW_BYTES = 4  # codes: (neighbor_id, sub, code) row
+    _LAYOUT_SQ8_DIM_BYTES = 4  # sq8_codes: one int8 dim, parquet-encoded
+
+    def _layout_stage(self, stage: str, n_vectors: int) -> bool:
+        """Should save() write the sorted pruning layout for this
+        stage? Estimated from the corpus row count already on hand —
+        no extra job, no directory needed (the index may be
+        in-memory-only at save time)."""
+        override = getattr(self, "_PRUNE_STAGE_BYTES", None)
+        if override is not None:
+            est = (
+                n_vectors * self._m * self._LAYOUT_SUB_ROW_BYTES
+                if stage == "codes"
+                else n_vectors * self._dims * self._LAYOUT_SQ8_DIM_BYTES
+            )
+            return est >= override
+        if stage == "codes":
+            est = n_vectors * self._m * self._LAYOUT_SUB_ROW_BYTES
+            return est >= self._PRUNE_CODES_BYTES
+        est = n_vectors * self._dims * self._LAYOUT_SQ8_DIM_BYTES
+        return est >= self._PRUNE_SQ8_BYTES
+
+    @classmethod
+    def _layout_dir_stage(cls, path: str, stage: str) -> bool:
+        """compact()/retrain_coarse() twin of :meth:`_layout_stage`:
+        the stage already exists on disk, so the gate reads its actual
+        size (one driver listdir) against the same thresholds."""
+        import os
+
+        from .textops import _local_path
+
+        override = cls._PRUNE_STAGE_BYTES
+        thresh = (
+            override
+            if override is not None
+            else (
+                cls._PRUNE_CODES_BYTES
+                if stage == "codes"
+                else cls._PRUNE_SQ8_BYTES
+            )
+        )
+        try:
+            total = sum(
+                e.stat().st_size
+                for e in os.scandir(_local_path(f"{path}/{stage}"))
+                if e.is_file() and not e.name.startswith((".", "_"))
+            )
+        except OSError:
+            return False
+        return total >= thresh
 
     def _prune_stage(self, stage: str) -> bool:
         """Should the literal-IN file-pruning path engage for this
@@ -1526,15 +1593,23 @@ class VectorIndex:
         :func:`foreach_batch_add`'s streamed ingestion.
 
         Serving-layout choices (round 11, the r10 judge's read-side
-        ask): ``codes`` lands WITH its coarse ``bucket`` attached and
+        ask): for stages large enough that the read-side pruning tier
+        could engage (:meth:`_layout_stage` — estimated from the
+        corpus row count with a deliberately conservative bytes/row),
+        ``codes`` lands WITH its coarse ``bucket`` attached and
         globally sorted on (bucket, neighbor_id) — range partitioning
         gives every file a tight bucket span, so :meth:`search`'s
         probed-bucket literal filter prunes whole files instead of
-        streaming the full PQ corpus per query batch; ``sq8_codes``
-        lands id-sorted so :meth:`search_rerank`'s shortlist
-        literal-IN prunes the refine read the same way. Both are pure
-        layout: row content, schemas-as-read semantics, and every
-        query hash are unchanged (bucket is dropped before scoring).
+        streaming the full PQ corpus per query batch — and
+        ``sq8_codes`` lands id-sorted so :meth:`search_rerank`'s
+        shortlist literal-IN prunes the refine read the same way.
+        Below the gate the layout's fixed cost (a join plus a global
+        sort per stage per save) buys nothing — single-file stages
+        have no files to skip — so the stages land as built;
+        :meth:`compact` upgrades a directory that later crosses the
+        gate. Either way it is pure layout: row content,
+        schemas-as-read semantics, and every query hash are unchanged
+        (bucket is dropped before scoring).
 
         From an as-of view, saving to a NEW path branches the
         historical membership (deliberate); saving to the view's own
@@ -1553,17 +1628,29 @@ class VectorIndex:
                     f"(as_of_id={self._as_of}); save(new_path) to branch "
                     "the historical state instead"
                 )
+        # one row over corpus_lists for the meta high-water mark AND
+        # the layout gate's row count (previously a separate max() job
+        # at the end of save)
+        bounds = self.corpus_lists.agg(
+            F.max("id").alias("hi"), F.count(F.lit(1)).alias("n")
+        ).first()
+        n_vectors = int(bounds["n"])
         for stage in self._STAGES:
             frame = getattr(self, stage)
             if stage == "codes":
                 # the property strips bucket; reuse the raw frame's
                 # buckets when it has them (a loaded bucket layout)
                 # instead of re-joining corpus_lists
-                if "bucket" in self._codes.columns:
+                if self._layout_stage("codes", n_vectors):
+                    if "bucket" in self._codes.columns:
+                        frame = self._codes
+                    else:
+                        frame = self._codes_with_bucket(frame)
+                    frame = frame.sort("bucket", "neighbor_id")
+                elif "bucket" in self._codes.columns:
+                    # below the gate but the loaded frame already has
+                    # buckets: keep the column (free), skip the sort
                     frame = self._codes
-                else:
-                    frame = self._codes_with_bucket(frame)
-                frame = frame.sort("bucket", "neighbor_id")
             frame.write.mode("overwrite").parquet(f"{path}/{stage}")
         if self._sq8_codes is not None:
             # the refine stages ride along when MATERIALIZED (a
@@ -1574,7 +1661,9 @@ class VectorIndex:
             # bench (v15–v19 inflation) for stages nothing read
             for stage in self._REFINE_STAGES:
                 frame = getattr(self, stage)
-                if stage == "sq8_codes":
+                if stage == "sq8_codes" and self._layout_stage(
+                    "sq8_codes", n_vectors
+                ):
                     frame = frame.sort("id")
                 frame.write.mode("overwrite").parquet(f"{path}/{stage}")
         if self._tombstones is not None:
@@ -1594,7 +1683,7 @@ class VectorIndex:
                 import shutil
 
                 shutil.rmtree(_local_path(f"{path}/tombstones"))
-        hi = self.corpus_lists.agg(F.max("id")).first()[0]
+        hi = bounds["hi"]
         self.max_id = None if hi is None else int(hi)
         self._write_meta(path)
 
@@ -1739,7 +1828,7 @@ class VectorIndex:
                 # lists prune files; sq8_codes id-sorted so the
                 # rerank shortlist's literal-IN prunes files
                 order_by = None
-                if stage == "codes":
+                if stage == "codes" and cls._layout_dir_stage(path, "codes"):
                     if "bucket" not in df.columns:
                         # corpus_lists precedes codes in _STAGES, so
                         # this reads the just-compacted (tombstone-
@@ -1753,7 +1842,9 @@ class VectorIndex:
                             "neighbor_id",
                         ).select("neighbor_id", "sub", "code", "bucket")
                     order_by = ["bucket", "neighbor_id"]
-                elif stage == "sq8_codes":
+                elif stage == "sq8_codes" and cls._layout_dir_stage(
+                    path, "sq8_codes"
+                ):
                     order_by = ["id"]
                 out[stage] = _rewrite_parquet_dir(
                     spark, f"{path}/{stage}", df, target_rows_per_file,
@@ -2009,12 +2100,16 @@ class VectorIndex:
             staged = f"{path}/{s}.__retrain__"
             shutil.rmtree(_local_path(staged), ignore_errors=True)
             frame = getattr(idx, s)
-            if s == "codes":
-                # keep the serving layout through a retrain (round 11)
+            if s == "codes" and cls._layout_dir_stage(path, "codes"):
+                # keep the serving layout through a retrain (round 11);
+                # gated by the PRE-retrain stage size — geometry, and
+                # therefore byte volume, carries across the re-encode
                 frame = idx._codes_with_bucket(frame).sort(
                     "bucket", "neighbor_id"
                 )
-            elif s == "sq8_codes":
+            elif s == "sq8_codes" and cls._layout_dir_stage(
+                path, "sq8_codes"
+            ):
                 frame = frame.sort("id")
             frame.write.mode("overwrite").parquet(staged)
         # commit point: every staging directory is complete on disk

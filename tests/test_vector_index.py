@@ -750,7 +750,17 @@ def test_serving_scan_pruning_tiers(spark, tmp_path):
     idx = VectorIndex(emb)
     idx.sq8_codes  # materialize the refine stages
     path = str(tmp_path / "vidx")
+    # the WRITE-side gate (round 11, second cut): a default save of a
+    # tiny corpus skips the pruning layout entirely — no bucket
+    # column, no global sort paid
+    plain_path = str(tmp_path / "vidx_plain")
+    idx.save(plain_path)
+    assert "bucket" not in spark.read.parquet(f"{plain_path}/codes").columns
+    # opt the layout in for the pruning-tier assertions below
+    idx._PRUNE_STAGE_BYTES = 0
     idx.save(path)
+    del idx._PRUNE_STAGE_BYTES
+    assert "bucket" in spark.read.parquet(f"{path}/codes").columns
     loaded = VectorIndex.load(spark, path)
 
     def plan(df):

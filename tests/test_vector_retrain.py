@@ -366,13 +366,9 @@ def test_mid_swap_rename_windows_roll_forward(spark, tmp_path):
         dims=DIMS,
     )
     for s in stages:
+        # mirror the production staging write: below the size gate the
+        # round-11 serving layout (bucket attach + sort) is skipped
         frame = getattr(idx, s)
-        if s == "codes":
-            # mirror the production staging write (round-11 serving
-            # layout: bucket-attached, bucket-sorted)
-            frame = idx._codes_with_bucket(frame).sort("bucket", "neighbor_id")
-        elif s == "sq8_codes":
-            frame = frame.sort("id")
         frame.write.mode("overwrite").parquet(f"{case}/{s}.__retrain__")
     T._write_control_parquet(
         f"{case}/{VectorIndex._RETRAIN_MARKER}", [(10, 1)], "n_lists int, n_iter int"
