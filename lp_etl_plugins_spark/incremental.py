@@ -1872,14 +1872,20 @@ class CurationState:
             .distinct()
             .localCheckpoint()
         )
-        n_ids = r.count()
+        # one fused pass over the (checkpointed, tiny) retraction set
+        # for the emptiness probe AND the high-water guard — was two
+        # driver jobs
+        bounds_r = r.agg(
+            F.count(F.lit(1)).alias("n"), F.max("doc_id").alias("hi")
+        ).first()
+        n_ids = int(bounds_r["n"])
         noop = {
             "retracted": 0, "working_retracts": 0, "working_adds": 0,
             "resurrected": 0, "contam_pairs": None, "n_working": int(m["n_working"]),
         }
         if n_ids == 0:
             return noop
-        hi = int(r.agg(F.max("doc_id")).first()[0])
+        hi = int(bounds_r["hi"])
         if hi > stamp:
             raise ValueError(
                 "CurationState.retract: delta contains id(s) above the "
@@ -1983,32 +1989,52 @@ class CurationState:
         )
         old_indexed = self.indexed()
         aff_docs = old_indexed.join(F.broadcast(aff_ids), "doc_id", "left_semi")
-        winners = self._canonicals(
-            aff_docs, idx._verified_clusters
-        ).localCheckpoint()
         live = self.working()
-        dead_log = self._dead_docs().localCheckpoint()
+        from concurrent.futures import ThreadPoolExecutor
+
+        # the three neighborhood-sized eager pins are independent of
+        # the canonical re-election — overlap their jobs from driver
+        # threads (each is a small job that leaves local[N] idle when
+        # run back-to-back; same §2.6 shape as the commit writes below)
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f_dead = pool.submit(lambda: self._dead_docs().localCheckpoint())
+            f_retr = pool.submit(
+                lambda: live.join(F.broadcast(r), "doc_id", "left_semi")
+                .select("doc_id", "source")
+                .localCheckpoint()
+            )
+            winners = self._canonicals(
+                aff_docs, idx._verified_clusters
+            ).localCheckpoint()
+            dead_log, retracts_w = f_dead.result(), f_retr.result()
         in_log = self._working_log()
         if self._has_ledger():
             in_log = in_log.filter(
                 F.col("src_rseq").isNull() | (F.col("src_rseq") <= n_r)
             )
         in_log = in_log.select("doc_id")
-        adds_append = winners.join(in_log, "doc_id", "left_anti").localCheckpoint()
-        resurrect = winners.join(
-            F.broadcast(dead_log), "doc_id", "left_semi"
-        ).localCheckpoint()
-        retracts_w = (
-            live.join(F.broadcast(r), "doc_id", "left_semi")
-            .select("doc_id", "source")
-            .localCheckpoint()
-        )
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            f_adds = pool.submit(
+                lambda: winners.join(
+                    in_log, "doc_id", "left_anti"
+                ).localCheckpoint()
+            )
+            resurrect = winners.join(
+                F.broadcast(dead_log), "doc_id", "left_semi"
+            ).localCheckpoint()
+            adds_append = f_adds.result()
         is_bench = (F.col("source") == m["bench_source"]).cast("bigint")
+        # one fused job over the three checkpointed frames; resurrect
+        # rows carry their own tag so the return-value count below
+        # needs no extra job
         ar_rows = {
             int(row["__add"]): row
-            for row in adds_append.select("source")
-            .unionByName(resurrect.select("source"))
-            .select(F.lit(1).alias("__add"), is_bench.alias("__b"))
+            for row in adds_append.select(
+                F.lit(1).alias("__add"), is_bench.alias("__b")
+            )
+            .unionByName(
+                resurrect.select(F.lit(2).alias("__add"), is_bench.alias("__b"))
+            )
             .unionByName(
                 retracts_w.select(F.lit(0).alias("__add"), is_bench.alias("__b"))
             )
@@ -2021,8 +2047,9 @@ class CurationState:
             row = ar_rows.get(side)
             return int(row[field] or 0) if row is not None else 0
 
-        n_adds, n_retracts = _cnt(1, "n"), _cnt(0, "n")
-        bench_delta = _cnt(1, "nb") - _cnt(0, "nb")
+        n_resurrected = _cnt(2, "n")
+        n_adds, n_retracts = _cnt(1, "n") + n_resurrected, _cnt(0, "n")
+        bench_delta = _cnt(1, "nb") + _cnt(2, "nb") - _cnt(0, "nb")
         n_working_new = int(m["n_working"]) - n_retracts + n_adds
 
         # ---- decontamination: the mirror image of update's arrival
@@ -2290,7 +2317,7 @@ class CurationState:
             "retracted": int(n_ids),
             "working_retracts": n_retracts,
             "working_adds": n_adds,
-            "resurrected": int(resurrect.count()),
+            "resurrected": int(n_resurrected),
             "contam_pairs": int(n_pairs_after),
             "n_working": int(n_working_new),
         }

@@ -4211,7 +4211,13 @@ class TrigramLM:
         n_r = int(m.get("n_retractions") or 0)
         spark = self._retract_delta["counts"].sparkSession
         raw = self._raw_counts(spark, path)
-        if raw.filter(F.col("src") > int(stamp)).limit(1).count():
+        # both torn-state probes in ONE pass over the count log (were
+        # two limit(1) jobs): unstamped update rows show as src above
+        # the stamp, uncommitted negative segments as src below -n_r
+        src_bounds = raw.agg(
+            F.max("src").alias("hi"), F.min("src").alias("lo")
+        ).first()
+        if src_bounds["hi"] is not None and int(src_bounds["hi"]) > int(stamp):
             raise ValueError(
                 "TrigramLM.retract_saved: unstamped UPDATE segment rows on "
                 "disk — a previous append crashed before its meta stamp; "
@@ -4222,7 +4228,7 @@ class TrigramLM:
         has_ledger = _parquet_dir_exists(ledger_path)
         if has_ledger:
             _recover_swapped_dir(ledger_path)
-        if raw.filter(F.col("src") < -n_r).limit(1).count():
+        if src_bounds["lo"] is not None and int(src_bounds["lo"]) < -n_r:
             # a previous retract_saved crashed between its segment
             # append and its meta commit — purge the uncommitted
             # segment rows (they are self-describing: src < -n_r),
@@ -4471,24 +4477,33 @@ class TrigramLM:
         """The :meth:`load` ``as_of_id`` leg — see load's docstring
         for the semantics and the two refusal rules it implements."""
         raw = cls._raw_counts(spark, path)
-        if raw.filter(F.col("src").isNull()).limit(1).count():
+        stamp = lm.max_id if lm.max_id is not None else h
+        cut = min(h, int(stamp))
+        # legacy probe + boundary + floor in ONE pass over the count
+        # log (were up to three driver jobs)
+        probe = raw.agg(
+            F.max(F.col("src").isNull().cast("int")).alias("has_null"),
+            F.max(
+                F.when(
+                    (F.col("src") >= 0) & (F.col("src") <= cut), F.col("src")
+                )
+            ).alias("b"),
+            F.min(F.when(F.col("src") >= 0, F.col("src"))).alias("floor"),
+        ).first()
+        if probe["has_null"]:
             raise ValueError(
                 "TrigramLM.load(as_of_id=...): the count log predates "
                 "the stamped segment form (null src rows) — no history "
                 "axis exists; re-save() to stamp a base segment"
             )
-        stamp = lm.max_id if lm.max_id is not None else h
-        cut = min(h, int(stamp))
         pos = raw.filter((F.col("src") >= 0) & (F.col("src") <= cut))
-        bounds = pos.agg(F.max("src").alias("b")).first()
-        if bounds["b"] is None:
-            floor = raw.filter(F.col("src") >= 0).agg(F.min("src")).first()[0]
+        if probe["b"] is None:
             raise ValueError(
                 f"TrigramLM.load(as_of_id={h}): no committed segment at "
-                f"or below that mark — the history floor is {floor} "
+                f"or below that mark — the history floor is {probe['floor']} "
                 "(save()/compact() merge earlier history away)"
             )
-        boundary = int(bounds["b"])
+        boundary = int(probe["b"])
         neg = raw.filter(
             (F.col("src") < 0) & (-F.col("src") <= int(lm.n_retractions))
         )
