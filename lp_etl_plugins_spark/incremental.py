@@ -981,12 +981,23 @@ class CurationState:
         contain_threshold: float = 0.8,
         max_band_size: int | None = None,
         gram_hash_family: str = "md5",
+        max_doc_id: int | None = None,
     ) -> "CurationState":
         """Run the full pipeline over ``docs`` (columns doc_id, source,
         text; extra columns ignored) and persist every substrate under
         ``path``. Stage order matches curation.curate_corpus: lang →
         quality → [redact] → exact dedup → near-dup canonical →
-        decontaminate."""
+        decontaminate.
+
+        ``max_doc_id`` (round 12, optional): the ingestion high-water
+        mark, when the caller already knows it — skips one full-corpus
+        aggregate scan. Must be >= the true max doc_id of ``docs`` and
+        < every future delta id; a monotone-cutoff builder (build over
+        ids <= cut, update with ids > cut) passes ``cut``. Every
+        consumer of the stamp compares it against event watermarks
+        that are either <= the true max or > the first delta id, so
+        any value in [true max, first delta id) yields identical
+        views (update monotone check, repair stamps, as-of pins)."""
         meta = {
             "lang": lang,
             "min_quality": float(min_quality),
@@ -1016,9 +1027,20 @@ class CurationState:
             "gram_hash_family": gram_hash_family,
         }
         st = cls(spark, path, meta)
-        max_doc_id = docs.agg(F.max("doc_id")).first()[0]
+        from concurrent.futures import ThreadPoolExecutor
+
         indexed = cls._exact_dedup(st._filtered(docs))
-        indexed.write.mode("overwrite").parquet(f"{path}/indexed")
+        if max_doc_id is None:
+            # the high-water agg and the indexed write are independent
+            # full passes over ``docs`` — overlap them (guide §2.6)
+            with ThreadPoolExecutor(max_workers=1) as pool:
+                f_max = pool.submit(
+                    lambda: docs.agg(F.max("doc_id")).first()[0]
+                )
+                indexed.write.mode("overwrite").parquet(f"{path}/indexed")
+                max_doc_id = f_max.result()
+        else:
+            indexed.write.mode("overwrite").parquet(f"{path}/indexed")
         indexed = spark.read.parquet(f"{path}/indexed")
         idx = T.DedupIndex(
             indexed,
@@ -1031,12 +1053,16 @@ class CurationState:
             threshold=jaccard_threshold,
             max_band_size=max_band_size,
         )
-        from concurrent.futures import ThreadPoolExecutor
-
         # independent writes overlap from driver threads (build has no
         # crash contract to preserve — a torn build is rebuilt): the
-        # hashes projection only needs the sealed indexed/ files, while
-        # the index+working chain runs its own jobs.
+        # hashes projection only needs the sealed indexed/ files, and
+        # once the stage chain is materialized (forcing
+        # verified_clusters runs bands → pairs → verified through the
+        # component search's own action), the index save and the
+        # working write are independent of each other too — round 12
+        # widened the r11 two-way pool to hashes ∥ index-save ∥
+        # working (guide §2.6; save's four stage writes additionally
+        # overlap internally — textops.DedupIndex.save).
         # (h, src_id): still one row per distinct text hash (the
         # anti-join consumers key on h alone) — src_id, the doc that
         # introduced the hash, is the replay stamp (_HASH_SCHEMA note)
@@ -1045,21 +1071,28 @@ class CurationState:
                 F.min("doc_id").alias("src_id")
             ).write.mode("overwrite").parquet(f"{path}/hashes")
 
-        def _index_and_working() -> None:
-            working = cls._canonicals(indexed, idx.verified_clusters).withColumn(
-                "src_rseq", F.lit(None).cast("bigint")
-            )
-            # curation never reads candidate-pair components — skip
-            # that stage's build + write entirely (deletion decisions
-            # use VERIFIED clusters only)
+        # curation never reads candidate-pair components — skip that
+        # stage's build + write entirely (deletion decisions use
+        # VERIFIED clusters only)
+        working = cls._canonicals(indexed, idx.verified_clusters).withColumn(
+            "src_rseq", F.lit(None).cast("bigint")
+        )
+
+        def _save_index() -> None:
             idx.save(
                 f"{path}/index",
                 stages=("bands", "pairs", "verified", "verified_clusters"),
             )
+
+        def _working() -> None:
             working.write.mode("overwrite").parquet(f"{path}/working")
 
-        with ThreadPoolExecutor(max_workers=2) as pool:
-            for fut in [pool.submit(_hashes), pool.submit(_index_and_working)]:
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            for fut in [
+                pool.submit(_hashes),
+                pool.submit(_save_index),
+                pool.submit(_working),
+            ]:
                 fut.result()
         working = spark.read.parquet(f"{path}/working")
         T._write_control_parquet(f"{path}/tombstones", [], _TOMB_SCHEMA)
@@ -1595,6 +1628,13 @@ class CurationState:
             .join(flags.select(F.col("id").alias("id_b"), F.col("__b").alias("bb")), "id_b")
             .filter(F.col("ba") != F.col("bb"))
             .drop("bb")
+            # pinned: consumed by BOTH the gram-set pass (via pair_ids)
+            # and the containment verify — unpinned, the whole
+            # delta-mine DAG above (allowed filter, candidate join,
+            # flag joins) re-executed once per consumer (round-12 job
+            # census: the two consumers held 36 of update's 91 driver
+            # jobs). Delta-bounded rows, so the pin is small.
+            .localCheckpoint(eager=False)
         )
         # no distinct: left_semi consumer
         pair_ids = mixed.select(F.col("id_a").alias("doc_id")).unionByName(
@@ -1625,8 +1665,12 @@ class CurationState:
         )
         # reachability recheck: a stored pair survives only if it still
         # shares an under-cap gram — a fresh rebuild would not even
-        # candidate it otherwise
-        g_stored = gn_allowed.join(F.broadcast(stored_ids), "id", "left_semi")
+        # candidate it otherwise. Pinned: the x/y self-join below reads
+        # it twice, and each unpinned read is a fresh scan of the full
+        # grams log (stored-pair-bounded rows, so the pin is small)
+        g_stored = gn_allowed.join(
+            F.broadcast(stored_ids), "id", "left_semi"
+        ).localCheckpoint(eager=False)
         reach = (
             stored_live.alias("s")
             .join(g_stored.alias("x"), F.col("s.train_id") == F.col("x.id"))
@@ -2003,9 +2047,20 @@ class CurationState:
                 .select("doc_id", "source")
                 .localCheckpoint()
             )
-            winners = self._canonicals(
-                aff_docs, idx._verified_clusters
-            ).localCheckpoint()
+            try:
+                winners = self._canonicals(
+                    aff_docs, idx._verified_clusters
+                ).localCheckpoint()
+            except BaseException:
+                # surface the main-thread failure promptly instead of
+                # blocking in __exit__ until both submitted checkpoint
+                # jobs finish with their results never retrieved
+                # (advice r11 #4); cancel what hasn't started and
+                # swallow the secondaries — the primary error is the
+                # one the caller must see
+                for f in (f_dead, f_retr):
+                    f.cancel()
+                raise
             dead_log, retracts_w = f_dead.result(), f_retr.result()
         in_log = self._working_log()
         if self._has_ledger():
@@ -2193,6 +2248,10 @@ class CurationState:
             )
             .filter(F.col("ba") != F.col("bb"))
             .drop("bb")
+            # pinned for the same two-consumer reason as update's
+            # mixed (gram-set pass + containment verify re-executed
+            # the delta-mine DAG once each — round-12 job census)
+            .localCheckpoint(eager=False)
         )
         pair_ids = mixed.select(F.col("id_a").alias("doc_id")).unionByName(
             mixed.select(F.col("id_b").alias("doc_id"))
@@ -2224,7 +2283,11 @@ class CurationState:
                 "left_anti",
             )
         )
-        g_stored = gn_allowed.join(F.broadcast(stored_ids), "id", "left_semi")
+        # pinned: the x/y self-join reads it twice (same treatment as
+        # update's g_stored — stored-pair-bounded rows)
+        g_stored = gn_allowed.join(
+            F.broadcast(stored_ids), "id", "left_semi"
+        ).localCheckpoint(eager=False)
         reach = (
             stored_live.alias("s")
             .join(g_stored.alias("x"), F.col("s.train_id") == F.col("x.id"))

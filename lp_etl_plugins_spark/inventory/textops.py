@@ -1859,6 +1859,55 @@ FROM assigned GROUP BY split
 )
 
 
+_CURATION_STATES: dict = {}
+
+
+def curation_state(spark: SparkSession, sf_dir: str):
+    """The per-(session, corpus) shared PERSISTENT curation state —
+    the lifecycle twin of :func:`dedup_index` (VERDICT r11 Next #7):
+    build ``incremental.CurationState`` over the first-90% monotone
+    prefix of the doc_id % 8 == 0 slice, then absorb the held-out
+    tail as a delta. TWO declared gates read this one state: t36
+    (``update == full rebuild``, live reads) and t46
+    (``as_of(commit 0) == build(prefix)``, pinned reads) — exactly
+    the production shape, where one curation state serves every
+    consumer and is never rebuilt per query. Keyed by applicationId
+    so a restarted context never sees another context's directory;
+    the state directory lives for the session (removed at interpreter
+    exit). The DuckDB oracles are unchanged in kind: each recomputes
+    its gate's expected answer from scratch. The ingestion high-water
+    hint (``max_doc_id=cut``) skips the builder's own max scan — the
+    cutoff agg here already bounded it (build's docstring for why any
+    value in [true max, first delta id) is view-identical)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    st = _CURATION_STATES.get(key)
+    if st is None:
+        import atexit
+        import shutil
+        import tempfile
+
+        from .. import incremental as INC
+
+        docs = (
+            _docs(spark, sf_dir)
+            .filter(F.col("doc_id") % 8 == 0)
+            .select("doc_id", "source", "text")
+        )
+        # 1-row max aggregate to place the monotone cutoff — same
+        # sanctioned driver-action class as the other 1-row agg
+        # consumers
+        hi = docs.agg(F.max("doc_id")).first()[0]
+        cut = (hi * 9) // 10
+        tmp = tempfile.mkdtemp(prefix="t36_state_")
+        atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+        st = INC.CurationState.build(
+            spark, docs.filter(F.col("doc_id") <= cut), tmp, max_doc_id=cut
+        )
+        st.update(docs.filter(F.col("doc_id") > cut))
+        _CURATION_STATES[key] = st
+    return st
+
+
 def t36_incremental_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end incremental curation (`incremental.CurationState`) —
     the daily-delta capstone: build the persistent curation state over
@@ -1885,50 +1934,35 @@ def t36_incremental_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     at %8 rather than shrinking further: at the driver's sf0.01 the
     %8 delta still exercises a contamination-pair addition, while a
     %16 delta absorbs nothing but plain adds — a weaker gate for ~1 s.
+    Round 12: the state is the session-shared :func:`curation_state`
+    (build + update identical to the former inline protocol; the
+    same slice, cutoff, and reads, so this entry's rows are
+    bit-identical) — t46's as-of gate pins the SAME state instead of
+    constructing a second one from scratch (VERDICT r11 Next #7).
     → (source, n_working, n_contaminated, n_curated) for training
     sources."""
-    import shutil
-    import tempfile
-
-    from .. import incremental as INC
-
-    docs = (
-        _docs(spark, sf_dir)
-        .filter(F.col("doc_id") % 8 == 0)
-        .select("doc_id", "source", "text")
+    st = curation_state(spark, sf_dir)
+    flagged = (
+        st.contamination()
+        .select(F.col("train_id").alias("doc_id"))
+        .distinct()
+        .withColumn("__c", F.lit(True))
     )
-    # 1-row max aggregate to place the monotone cutoff — same
-    # sanctioned driver-action class as the other 1-row agg consumers
-    hi = docs.agg(F.max("doc_id")).first()[0]
-    cut = (hi * 9) // 10
-    tmp = tempfile.mkdtemp(prefix="t36_state_")
-    try:
-        st = INC.CurationState.build(
-            spark, docs.filter(F.col("doc_id") <= cut), tmp
+    out = (
+        st.working()
+        .filter(F.col("source") != "src0")
+        .join(flagged, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_working"),
+            F.count("__c").alias("n_contaminated"),
+            (F.count(F.lit(1)) - F.count("__c")).alias("n_curated"),
         )
-        st.update(docs.filter(F.col("doc_id") > cut))
-        flagged = (
-            st.contamination()
-            .select(F.col("train_id").alias("doc_id"))
-            .distinct()
-            .withColumn("__c", F.lit(True))
-        )
-        out = (
-            st.working()
-            .filter(F.col("source") != "src0")
-            .join(flagged, "doc_id", "left")
-            .groupBy("source")
-            .agg(
-                F.count(F.lit(1)).alias("n_working"),
-                F.count("__c").alias("n_contaminated"),
-                (F.count(F.lit(1)) - F.count("__c")).alias("n_curated"),
-            )
-        )
-        # pin the (tiny) result before the state directory goes away —
-        # the driver collects AFTER this function returns
-        return out.localCheckpoint()
-    finally:
-        shutil.rmtree(tmp, ignore_errors=True)
+    )
+    # pin the (tiny) result — the driver collects AFTER this function
+    # returns, and pinning keeps the consumer from re-reading the
+    # merge-on-read views
+    return out.localCheckpoint()
 
 
 # _SH_SQL opens with "words AS (...)" — retarget its scan at dd
@@ -2616,60 +2650,43 @@ def t46_asof_curation_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``as_of(mseq)`` serves the WORKING membership exactly as it stood
     at that commit via the working log's existing displacement stamps
     (``working(stamp=H)`` — no new bookkeeping, the round-10 as-of
-    recipe applied to the pipeline). Protocol here: build the state
-    over the first 90% of the % 8 == 2 slice (monotone cutoff), absorb
-    the tail as a delta (which displaces pre-cut canonicals —
-    cluster merges + higher-quality near-dups), then pin mseq 0. The
-    oracle recomputes the per-source canonical counts from a
-    from-scratch DuckDB pipeline over ONLY the prefix corpus — a
-    direct hash gate on ``as_of(commit) == build(prefix)``, the
-    historical-axis twin of t36's update == rebuild gate. Cluster and
-    contamination reads REFUSE on the pinned view (their substrates
-    are rewritten in place — the documented snapshot-retention trade),
-    so the pin serves membership: → (source, n_working) for training
-    sources. Builds its own state (a declared one-time gate, like
-    t36/t44/t45)."""
-    import shutil
-    import tempfile
-
-    from .. import incremental as INC
-
-    docs = (
-        _docs(spark, sf_dir)
-        .filter(F.col("doc_id") % 8 == 2)
-        .select("doc_id", "source", "text")
+    recipe applied to the pipeline). Protocol (round 12, VERDICT r11
+    Next #7 — this entry was the bench's most expensive fixed cost at
+    13 s, 90% of it rebuilding a SECOND CurationState from scratch in
+    a tempdir): pin mseq 0 of the session-shared
+    :func:`curation_state` — the SAME build(prefix) + update(tail)
+    lifecycle over the % 8 == 0 slice that t36 gates, whose delta
+    displaces pre-cut canonicals (cluster merges + higher-quality
+    near-dups), so the pin still reconstructs real displacement
+    history, exactly as before. The oracle recomputes the per-source
+    canonical counts from a from-scratch DuckDB pipeline over ONLY
+    the prefix corpus — a direct hash gate on
+    ``as_of(commit) == build(prefix)``, the historical-axis twin of
+    t36's update == rebuild gate. Cluster and contamination reads
+    REFUSE on the pinned view (their substrates are rewritten in
+    place — the documented snapshot-retention trade), so the pin
+    serves membership: → (source, n_working) for training sources."""
+    view = curation_state(spark, sf_dir).as_of(0)
+    out = (
+        view.working()
+        .filter(F.col("source") != "src0")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_working"))
     )
-    hi = int(docs.agg(F.max("doc_id")).first()[0])
-    cut = (hi * 9) // 10
-    tmp = tempfile.mkdtemp(prefix="t46_asof_state_")
-    try:
-        st = INC.CurationState.build(
-            spark, docs.filter(F.col("doc_id") <= cut), tmp
-        )
-        st.update(docs.filter(F.col("doc_id") > cut))
-        view = st.as_of(0)
-        out = (
-            view.working()
-            .filter(F.col("source") != "src0")
-            .groupBy("source")
-            .agg(F.count(F.lit(1)).alias("n_working"))
-        )
-        return out.localCheckpoint()
-    finally:
-        shutil.rmtree(tmp, ignore_errors=True)
+    return out.localCheckpoint()
 
 
-# surgical twin of T36_SQL: retarget the slice at the % 8 == 2 PREFIX
-# (ids at or below the 90% cutoff — the corpus as of commit 0) and
-# strip the contamination columns from the final select (the pinned
-# view serves membership; its contamination reads refuse). The unused
+# surgical twin of T36_SQL: restrict the slice to its 90% PREFIX (ids
+# at or below the cutoff — the corpus as of commit 0) and strip the
+# contamination columns from the final select (the pinned view serves
+# membership; its contamination reads refuse). The unused
 # decontamination CTEs are definitions only — DuckDB never executes
 # an unreferenced CTE.
 T46_SQL = T36_SQL.replace(
     "  SELECT doc_id, source, text FROM documents WHERE doc_id % 8 = 0\n",
-    "  SELECT doc_id, source, text FROM documents WHERE doc_id % 8 = 2\n"
+    "  SELECT doc_id, source, text FROM documents WHERE doc_id % 8 = 0\n"
     "    AND doc_id <= (SELECT (max(doc_id) * 9) // 10\n"
-    "                   FROM documents WHERE doc_id % 8 = 2)\n",
+    "                   FROM documents WHERE doc_id % 8 = 0)\n",
 ).replace(
     """SELECT w.source, count(*)::BIGINT AS n_working,
        count(c.doc_id)::BIGINT AS n_contaminated,

@@ -903,9 +903,11 @@ def _pixels_blob(data: bytes) -> tuple[int, int, int, bytes]:
             # pre-codec behavior for every non-PNG container)
             if _PILImage is None:
                 raise NotImplementedError(
-                    "JPEG blob is outside the baseline decoder's reach "
+                    "baseline JPEG decoder rejected the blob "
                     f"({exc}) and no Pillow is available in this "
-                    "environment — install Pillow"
+                    "environment — install Pillow to ATTEMPT a more "
+                    "tolerant decode (genuinely malformed data will "
+                    "still fail there)"
                 ) from exc
     if _is_real_image(data):
         if _PILImage is None:

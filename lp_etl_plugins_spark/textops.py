@@ -2624,20 +2624,40 @@ class DedupIndex:
         directories to not-yet-built stages, which lazily derive from
         the loaded ones where possible (clusters from pairs) and raise
         where the corpus itself would be needed (bands/verified)."""
-        for stage in stages or self._STAGES:
-            getattr(self, stage).write.mode("overwrite").parquet(f"{path}/{stage}")
+        from concurrent.futures import ThreadPoolExecutor
+
+        # force the stage frames IN DEPENDENCY ORDER on this thread
+        # (bands → pairs → verified → [verified_]clusters — each
+        # getattr builds lazily from the previous), then run the
+        # writes CONCURRENTLY from driver threads: the frames are
+        # checkpoint-pinned by construction, so each write is an
+        # independent dump job that otherwise leaves local[N] idle
+        # (guide §2.6 — round 12; was a serial per-stage loop).
+        frames = [(s, getattr(self, s)) for s in (stages or self._STAGES)]
+
+        def _write(stage: str, frame: "DataFrame") -> None:
+            frame.write.mode("overwrite").parquet(f"{path}/{stage}")
+
         # the indexed-id high-water mark — the idempotence anchor for
         # foreach_batch_update's streamed ingestion. Stamped from the
         # CORPUS ids when the corpus is attached: bands only cover
         # shingle-able docs (≥ shingle_n words), so a corpus whose
         # max-id doc is short would understate the mark and leave that
         # batch permanently redo-replaying (the round-9 TrigramLM
-        # property test found this bug class — same fix here).
+        # property test found this bug class — same fix here). The
+        # agg is one more independent job — overlapped with the writes.
         src = self._df if self._df is not None else None
-        if src is not None:
-            hi = src.agg(F.max(self._id_col)).first()[0]
-        else:
-            hi = self.bands.agg(F.max("id")).first()[0]
+
+        def _hi():
+            if src is not None:
+                return src.agg(F.max(self._id_col)).first()[0]
+            return self.bands.agg(F.max("id")).first()[0]
+
+        with ThreadPoolExecutor(max_workers=len(frames) + 1) as pool:
+            f_hi = pool.submit(_hi)
+            for fut in [pool.submit(_write, s, fr) for s, fr in frames]:
+                fut.result()
+            hi = f_hi.result()
         if self.max_doc_id is not None:
             # never shrink: retraction may have removed the max-id doc
             # from the corpus view, but its id stays allocated

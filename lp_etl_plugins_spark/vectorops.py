@@ -1060,53 +1060,76 @@ class VectorIndex:
     _LAYOUT_SUB_ROW_BYTES = 4  # codes: (neighbor_id, sub, code) row
     _LAYOUT_SQ8_DIM_BYTES = 4  # sq8_codes: one int8 dim, parquet-encoded
 
-    def _layout_stage(self, stage: str, n_vectors: int) -> bool:
-        """Should save() write the sorted pruning layout for this
-        stage? Estimated from the corpus row count already on hand —
-        no extra job, no directory needed (the index may be
-        in-memory-only at save time)."""
-        override = getattr(self, "_PRUNE_STAGE_BYTES", None)
-        if override is not None:
-            est = (
-                n_vectors * self._m * self._LAYOUT_SUB_ROW_BYTES
-                if stage == "codes"
-                else n_vectors * self._dims * self._LAYOUT_SQ8_DIM_BYTES
-            )
-            return est >= override
-        if stage == "codes":
-            est = n_vectors * self._m * self._LAYOUT_SUB_ROW_BYTES
-            return est >= self._PRUNE_CODES_BYTES
-        est = n_vectors * self._dims * self._LAYOUT_SQ8_DIM_BYTES
-        return est >= self._PRUNE_SQ8_BYTES
+    # parquet encodes the pruning-layout columns ~3× tighter than the
+    # write-side row estimate above (measured ~21 B/vector for m=16
+    # codes at ×512) — the factor that reconciles the ESTIMATED write
+    # gate with the ACTUAL-bytes maintenance gate (advice r11 #2)
+    _LAYOUT_ENCODE_FACTOR = 3
 
-    @classmethod
-    def _layout_dir_stage(cls, path: str, stage: str) -> bool:
-        """compact()/retrain_coarse() twin of :meth:`_layout_stage`:
-        the stage already exists on disk, so the gate reads its actual
-        size (one driver listdir) against the same thresholds."""
+    @staticmethod
+    def _stage_threshold(holder, stage: str) -> int:
+        """Shared gate-threshold resolution for the read-pruning,
+        write-layout, and maintenance gates (advice r11 #1): honors
+        the ``_PRUNE_STAGE_BYTES`` override at whatever level it is
+        visible on ``holder`` — instance (the documented test knob)
+        for instance-method gates, CLASS-LEVEL ONLY for the
+        classmethod maintenance gates (compact/retrain have no
+        instance; an instance-level override cannot reach them)."""
+        override = getattr(holder, "_PRUNE_STAGE_BYTES", None)
+        if override is not None:
+            return override
+        return (
+            holder._PRUNE_CODES_BYTES
+            if stage == "codes"
+            else holder._PRUNE_SQ8_BYTES
+        )
+
+    @staticmethod
+    def _dir_stage_bytes(path: str, stage: str) -> int | None:
+        """Actual on-disk bytes of a stage directory — one driver
+        listdir, no Spark job; None when the directory is absent."""
         import os
 
         from .textops import _local_path
 
-        override = cls._PRUNE_STAGE_BYTES
-        thresh = (
-            override
-            if override is not None
-            else (
-                cls._PRUNE_CODES_BYTES
-                if stage == "codes"
-                else cls._PRUNE_SQ8_BYTES
-            )
-        )
         try:
-            total = sum(
+            return sum(
                 e.stat().st_size
                 for e in os.scandir(_local_path(f"{path}/{stage}"))
                 if e.is_file() and not e.name.startswith((".", "_"))
             )
         except OSError:
+            return None
+
+    def _layout_stage(self, stage: str, n_vectors: int) -> bool:
+        """Should save() write the sorted pruning layout for this
+        stage? Estimated from the corpus row count already on hand —
+        no extra job, no directory needed (the index may be
+        in-memory-only at save time)."""
+        est = (
+            n_vectors * self._m * self._LAYOUT_SUB_ROW_BYTES
+            if stage == "codes"
+            else n_vectors * self._dims * self._LAYOUT_SQ8_DIM_BYTES
+        )
+        return est >= self._stage_threshold(self, stage)
+
+    @classmethod
+    def _layout_dir_stage(cls, path: str, stage: str) -> bool:
+        """compact()/retrain_coarse() twin of :meth:`_layout_stage`:
+        the stage already exists on disk, so the gate reads its actual
+        size (one driver listdir). Actual bytes are compared against
+        the threshold scaled DOWN by the parquet encode factor, so the
+        maintenance gate agrees with save()'s ~3×-overestimated write
+        gate — without this, a stage in the [threshold/3, threshold)
+        actual-size window had its just-paid-for sorted layout silently
+        dropped by the next compact/retrain (advice r11 #2). Honors
+        the CLASS-level ``_PRUNE_STAGE_BYTES`` override only — these
+        callers are classmethods with no instance (documented in
+        :meth:`_stage_threshold`)."""
+        total = cls._dir_stage_bytes(path, stage)
+        if total is None:
             return False
-        return total >= thresh
+        return total >= cls._stage_threshold(cls, stage) // cls._LAYOUT_ENCODE_FACTOR
 
     def _prune_stage(self, stage: str) -> bool:
         """Should the literal-IN file-pruning path engage for this
@@ -1116,30 +1139,10 @@ class VectorIndex:
         path = getattr(self, "_path", None)
         if path is None:
             return False
-        import os
-
-        from .textops import _local_path
-
-        override = getattr(self, "_PRUNE_STAGE_BYTES", None)
-        thresh = (
-            override
-            if override is not None
-            else (
-                self._PRUNE_CODES_BYTES
-                if stage == "codes"
-                else self._PRUNE_SQ8_BYTES
-            )
-        )
-        d = _local_path(f"{path}/{stage}")
-        try:
-            total = sum(
-                e.stat().st_size
-                for e in os.scandir(d)
-                if e.is_file() and not e.name.startswith((".", "_"))
-            )
-        except OSError:
+        total = self._dir_stage_bytes(path, stage)
+        if total is None:
             return False
-        return total >= thresh
+        return total >= self._stage_threshold(self, stage)
 
     def _codes_with_bucket(self, codes: DataFrame) -> DataFrame:
         """Attach each code row's coarse ``bucket`` (from
@@ -1828,7 +1831,13 @@ class VectorIndex:
                 # lists prune files; sq8_codes id-sorted so the
                 # rerank shortlist's literal-IN prunes files
                 order_by = None
-                if stage == "codes" and cls._layout_dir_stage(path, "codes"):
+                # keep an existing bucket layout even when the gate
+                # reads below threshold (advice r11 #2 — a layout that
+                # was already paid for is never silently dropped)
+                if stage == "codes" and (
+                    "bucket" in df.columns
+                    or cls._layout_dir_stage(path, "codes")
+                ):
                     if "bucket" not in df.columns:
                         # corpus_lists precedes codes in _STAGES, so
                         # this reads the just-compacted (tombstone-
@@ -2100,10 +2109,15 @@ class VectorIndex:
             staged = f"{path}/{s}.__retrain__"
             shutil.rmtree(_local_path(staged), ignore_errors=True)
             frame = getattr(idx, s)
-            if s == "codes" and cls._layout_dir_stage(path, "codes"):
+            if s == "codes" and (
+                "bucket" in spark.read.parquet(f"{path}/{s}").columns
+                or cls._layout_dir_stage(path, "codes")
+            ):
                 # keep the serving layout through a retrain (round 11);
                 # gated by the PRE-retrain stage size — geometry, and
-                # therefore byte volume, carries across the re-encode
+                # therefore byte volume, carries across the re-encode —
+                # and by an already-present bucket layout (advice r11
+                # #2: a paid-for layout is never silently dropped)
                 frame = idx._codes_with_bucket(frame).sort(
                     "bucket", "neighbor_id"
                 )

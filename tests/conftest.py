@@ -7,6 +7,31 @@ from lp_etl_plugins_spark.session import get_spark
 SF_SMOKE = "/root/testdata/sf0.001"
 SF_CORRECT = "/root/testdata/sf0.01"
 
+# Fail-fast ordering for the default verification lane: the driver's
+# verify window is finite, so the files that gate query CORRECTNESS
+# run first — the oracle-parity mirror of all declared queries, then
+# the incremental/retraction lifecycle invariants. Everything else
+# keeps collection order. (VERDICT r11 #1: the window expired at ~40%
+# of the suite, leaving oracle parity unexecuted.)
+_PRIORITY_FILES = (
+    "test_oracle_parity.py",
+    "test_incremental.py",
+    "test_repeat_index.py",
+    "test_trigram_lifecycle.py",
+    "test_vector_index.py",
+    "test_pipeline_retraction.py",
+    "test_curation_asof.py",
+)
+
+
+def pytest_collection_modifyitems(config, items):
+    rank = {name: i for i, name in enumerate(_PRIORITY_FILES)}
+
+    def key(item):
+        return rank.get(item.path.name, len(_PRIORITY_FILES))
+
+    items.sort(key=key)
+
 
 @pytest.fixture(scope="session")
 def spark():

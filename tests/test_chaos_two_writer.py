@@ -58,6 +58,11 @@ from test_chaos_crash import (
     crash_after,
 )
 
+# Heavy chaos/property battery: excluded from the default
+# verification lane (pytest.ini) so oracle parity always completes
+# inside the driver window; run with `pytest -m slow`.
+pytestmark = pytest.mark.slow
+
 TW_FAMILIES = ("trigram", "dedup", "vector", "curation", "media")
 OP_ORDER = ("append", "retract", "compact")
 
