@@ -1638,6 +1638,13 @@ class VectorIndex:
             F.max("id").alias("hi"), F.count(F.lit(1)).alias("n")
         ).first()
         n_vectors = int(bounds["n"])
+        # force every stage frame first (each property pins an EAGER
+        # checkpoint, so after this loop the writes below are pure
+        # dump jobs over sealed blocks), then run the writes
+        # CONCURRENTLY from driver threads — a serial per-stage loop
+        # left local[N] idle per small write (guide §2.6, round 12;
+        # same treatment as textops.DedupIndex.save)
+        frames: list[tuple[str, DataFrame]] = []
         for stage in self._STAGES:
             frame = getattr(self, stage)
             if stage == "codes":
@@ -1654,7 +1661,7 @@ class VectorIndex:
                     # below the gate but the loaded frame already has
                     # buckets: keep the column (free), skip the sort
                     frame = self._codes
-            frame.write.mode("overwrite").parquet(f"{path}/{stage}")
+            frames.append((stage, frame))
         if self._sq8_codes is not None:
             # the refine stages ride along when MATERIALIZED (a
             # search_rerank or an explicit .sq8_codes forces the
@@ -1668,15 +1675,21 @@ class VectorIndex:
                     "sq8_codes", n_vectors
                 ):
                     frame = frame.sort("id")
-                frame.write.mode("overwrite").parquet(f"{path}/{stage}")
+                frames.append((stage, frame))
         if self._tombstones is not None:
             # retractions are part of the snapshot; a fresh save with
             # none leaves no tombstones dir (absence == empty set, the
             # legacy-layout reading load() already does)
-            self._tombstones.write.mode("overwrite").parquet(
-                f"{path}/tombstones"
-            )
-        else:
+            frames.append(("tombstones", self._tombstones))
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _write(stage: str, frame: DataFrame) -> None:
+            frame.write.mode("overwrite").parquet(f"{path}/{stage}")
+
+        with ThreadPoolExecutor(max_workers=len(frames)) as pool:
+            for fut in [pool.submit(_write, s, fr) for s, fr in frames]:
+                fut.result()
+        if self._tombstones is None:
             from .textops import _local_path, _parquet_dir_exists
 
             if _parquet_dir_exists(f"{path}/tombstones"):

@@ -33,11 +33,6 @@ from hypothesis import strategies as st
 
 from lp_etl_plugins_spark import multimodal as MM
 
-# Heavy chaos/property battery: excluded from the default
-# verification lane (pytest.ini) so oracle parity always completes
-# inside the driver window; run with `pytest -m slow`.
-pytestmark = pytest.mark.slow
-
 
 
 def _decode(blob):

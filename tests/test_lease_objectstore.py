@@ -36,11 +36,6 @@ from lp_etl_plugins_spark.lease import (
     using_lease_backend,
 )
 
-# Heavy chaos/property battery: excluded from the default
-# verification lane (pytest.ini) so oracle parity always completes
-# inside the driver window; run with `pytest -m slow`.
-pytestmark = pytest.mark.slow
-
 
 class EtagStore:
     """A linearizable conditional-write object store with HTTP-shaped

@@ -15,13 +15,6 @@ from pyspark.sql import functions as F
 from lp_etl_plugins_spark import model
 from lp_etl_plugins_spark.functions.text import iri_encode, slugify
 
-# Heavy chaos/property battery: excluded from the default
-# verification lane (pytest.ini) so oracle parity always completes
-# inside the driver window; run with `pytest -m slow`.
-import pytest
-
-pytestmark = pytest.mark.slow
-
 
 _SETTINGS = dict(
     max_examples=5,
