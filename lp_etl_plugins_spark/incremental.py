@@ -1169,11 +1169,19 @@ class CurationState:
 
     @staticmethod
     def _exact_dedup(d: DataFrame) -> DataFrame:
-        w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+        """Keep-first per exact text hash. min_by aggregate, not a
+        row_number window (round 12, guide §2.3/§2.4): the aggregate
+        PARTIALLY REDUCES map-side — duplicate texts collapse to one
+        row per map partition before the exchange, and no per-group
+        sort runs after it — where the window shuffled and sorted
+        every row to discard all but one per group. Row-set identical:
+        doc_id is unique, so min_by's winner is exactly the window's
+        rn=1 row."""
+        cols = d.columns
         return (
-            d.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .drop("__rn")
+            d.groupBy(F.md5("text").alias("__h"))
+            .agg(F.min_by(F.struct(*cols), F.col("doc_id")).alias("__r"))
+            .select(*[F.col(f"__r.{c}").alias(c) for c in cols])
         )
 
     @staticmethod
