@@ -2655,10 +2655,13 @@ def t46_asof_curation_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     13 s, 90% of it rebuilding a SECOND CurationState from scratch in
     a tempdir): pin mseq 0 of the session-shared
     :func:`curation_state` — the SAME build(prefix) + update(tail)
-    lifecycle over the % 8 == 0 slice that t36 gates, whose delta
-    displaces pre-cut canonicals (cluster merges + higher-quality
-    near-dups), so the pin still reconstructs real displacement
-    history, exactly as before. The oracle recomputes the per-source
+    lifecycle over the % 8 == 0 slice that t36 gates. On this corpus
+    the delta's reconstruction work is the adds axis (measured at
+    every SF: the tail delta displaces no pre-cut canonical on EITHER
+    the former % 8 == 2 protocol or this one — 0 tombstones — so the
+    retarget surrenders no gate strength; the displacement-stamp axis
+    of the pin is property-tested on crafted corpora in
+    tests/test_curation_asof.py). The oracle recomputes the per-source
     canonical counts from a from-scratch DuckDB pipeline over ONLY
     the prefix corpus — a direct hash gate on
     ``as_of(commit) == build(prefix)``, the historical-axis twin of

@@ -650,6 +650,27 @@ def pq_refined_codebook(
     codebook is checkpointed so round N replays nothing.
     → (cent: (seed, sub, dim, c), cent_norm: (seed, sub, c2)) —
     drop-in for the unrefined codebooks, broadcast-sized."""
+    cent, cent_norm, _ = _pq_refined_parts(
+        embeddings, seed_col, id_col, vec_col, m, dims, n_iter
+    )
+    return cent, cent_norm
+
+
+def _pq_refined_parts(
+    embeddings: DataFrame,
+    seed_col: str,
+    id_col: str,
+    vec_col: str,
+    m: int,
+    dims: int,
+    n_iter: int,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """:func:`pq_refined_codebook` plus the CHECKPOINT-PINNED exploded
+    dimension view it trained over (``plain``: (id, dim, sub, v)) —
+    so a caller that immediately re-encodes the corpus against the
+    refined codebooks (:func:`knn_pq_refined`) reuses the one corpus
+    explode instead of paying a second full posexplode pass
+    (guide §2.4 — round 12)."""
     sub_dim = dims // m
     cdims = _sub_split(
         embeddings, id_col, vec_col, sub_dim, seed_col
@@ -669,7 +690,7 @@ def pq_refined_codebook(
         cent, cent_norm = _pq_codebook_from_dims(seeded)
         cent = cent.localCheckpoint()
         cent_norm = cent_norm.localCheckpoint(eager=False)
-    return cent, cent_norm
+    return cent, cent_norm, plain
 
 
 def knn_pq_refined(
@@ -690,13 +711,13 @@ def knn_pq_refined(
     measured, not assumed: see SCALE.md §ANN recall and the floor in
     tests/test_vector_index.py.
     → (probe_id, neighbor_id, adist2, rank ≤ k), self excluded."""
-    cent, cent_norm = pq_refined_codebook(
+    cent, cent_norm, plain = _pq_refined_parts(
         embeddings, seed_col, id_col, vec_col, m, dims, n_iter
     )
     sub_dim = dims // m
-    codes = _pq_encode(
-        _pq_sub_dist(_sub_split(embeddings, id_col, vec_col, sub_dim), cent, cent_norm)
-    )
+    # re-encode against the REFINED codebooks from the training pass's
+    # pinned explode — a second full corpus posexplode bought nothing
+    codes = _pq_encode(_pq_sub_dist(plain, cent, cent_norm))
     lut = _pq_sub_dist(
         _sub_split(probes, id_col, vec_col, sub_dim), cent, cent_norm
     ).select(F.col("id").alias("probe_id"), "sub", "code", F.col("d2").alias("pd2"))

@@ -795,3 +795,53 @@ def test_serving_scan_pruning_tiers(spark, tmp_path):
     s_want = _rows(idx.search(probes, 3, nprobe=2))
     assert _rows(loaded.search(probes, 3, nprobe=2)) == s_want
     assert _rows(forced.search(probes, 3, nprobe=2)) == s_want
+
+
+def test_update_sq8_delta_only_encode(spark):
+    """VERDICT r11 Next #5: an update() on an index with materialized
+    refine stages encodes ONLY the delta against the frozen SQ8
+    codebook — no rebuild of the stage (builds counter pinned), no
+    re-encode of unchanged vectors (the pending delta holds exactly
+    the delta's rows), and the merged stage is old ∪ delta."""
+    emb = IV._emb(spark, SF_SMOKE)
+    base = emb.filter(F.col("vec_id") % 7 != 3)
+    delta = emb.filter(F.col("vec_id") % 7 == 3).drop("label")
+    n_base, n_delta = base.count(), delta.count()
+    assert n_delta > 0
+
+    idx = VectorIndex(base)
+    idx.sq8_codes  # materialize the refine stages over the BASE
+    assert idx.builds["sq8_cb"] == 1 and idx.builds["sq8_codes"] == 1
+
+    idx.update(delta)
+    # frozen quantizers: no stage rebuilt by the update
+    assert idx.builds["sq8_cb"] == 1 and idx.builds["sq8_codes"] == 1
+    # the pending append is delta-only — update never re-encodes the
+    # base corpus (write amplification gate, guide §6)
+    assert idx._delta["sq8_codes"].count() == n_delta
+    assert idx._delta["codes"].count() == n_delta * 4
+    assert idx._delta["corpus_lists"].count() == n_delta
+    # the served stage is the union
+    assert idx.sq8_codes.count() == n_base + n_delta
+
+
+def test_pq_refined_single_corpus_explode(spark):
+    """knn_pq_refined's final corpus re-encode reuses the training
+    pass's checkpoint-pinned dimension explode (round 12): exactly one
+    posexplode of the embeddings source remains in the plan — a second
+    full corpus explode pass was pure waste (guide §2.4)."""
+    import re
+
+    emb = IV._emb(spark, SF_SMOKE)
+    probes = _probes(emb)
+    from lp_etl_plugins_spark import vectorops as V
+
+    df = V.knn_pq_refined(emb, probes, 3, m=4, dims=64, n_iter=1)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    # probe explode + (at most one) corpus explode; the corpus side
+    # otherwise appears as checkpoint scans (ExistingRDD)
+    n_explodes = len(re.findall(r"\bGenerate posexplode", plan))
+    assert n_explodes <= 2, f"corpus re-exploded: {n_explodes} posexplodes"
+    assert "ExistingRDD" in plan  # the pinned training explode is read
