@@ -249,7 +249,7 @@ class CurationState:
         """The pipeline retraction ledger (doc_id, rseq) — rows beyond
         meta's committed ``n_retractions`` belong to an in-flight or
         torn :meth:`retract`."""
-        return self._spark.read.parquet(f"{self._path}/retracted")
+        return T._read_parquet_pinned(self._spark, f"{self._path}/retracted")
 
     def _committed_retracted(self) -> DataFrame | None:
         """Committed retracted doc ids, or None when the state has no
@@ -271,7 +271,7 @@ class CurationState:
         :meth:`compact` resolves them — one broadcast anti-join, paid
         only when a ledger exists)."""
         self._refuse_if_as_of("indexed")
-        df = self._spark.read.parquet(f"{self._path}/indexed")
+        df = T._read_parquet_pinned(self._spark, f"{self._path}/indexed")
         t = self._committed_retracted()
         if t is not None:
             df = df.join(F.broadcast(t), "doc_id", "left_anti")
@@ -1041,7 +1041,7 @@ class CurationState:
                 max_doc_id = f_max.result()
         else:
             indexed.write.mode("overwrite").parquet(f"{path}/indexed")
-        indexed = spark.read.parquet(f"{path}/indexed")
+        indexed = T._read_parquet_pinned(spark, f"{path}/indexed")
         idx = T.DedupIndex(
             indexed,
             "text",
@@ -1094,7 +1094,7 @@ class CurationState:
                 pool.submit(_working),
             ]:
                 fut.result()
-        working = spark.read.parquet(f"{path}/working")
+        working = T._read_parquet_pinned(spark, f"{path}/working")
         T._write_control_parquet(f"{path}/tombstones", [], _TOMB_SCHEMA)
         wrow_acc: dict = {}
 
@@ -1993,7 +1993,7 @@ class CurationState:
         # including THIS one's on a repair replay after the index half
         # committed — so the neighbor set reads raw and filters only
         # the retractions committed BEFORE this op
-        raw_v = spark.read.parquet(f"{p}/index/verified").select(
+        raw_v = T._read_parquet_pinned(spark, f"{p}/index/verified").select(
             "id_a", "id_b"
         )
         if prior is not None:

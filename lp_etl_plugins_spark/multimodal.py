@@ -1701,8 +1701,10 @@ class MediaIndex:
         idx._max_band_size = m.get("max_band_size")
         hi = m["max_id"]
         idx.max_id = None if hi is None else int(hi)
+        from .textops import _read_parquet_pinned
+
         for stage in cls._STAGES:
-            setattr(idx, f"_{stage}", spark.read.parquet(f"{path}/{stage}"))
+            setattr(idx, f"_{stage}", _read_parquet_pinned(spark, f"{path}/{stage}"))
         idx.builds = dict.fromkeys(cls._STAGES, 0)
         idx.updates = 0
         from .textops import _parquet_dir_exists
@@ -1712,7 +1714,7 @@ class MediaIndex:
         idx._tomb_delta = None
         if _parquet_dir_exists(f"{path}/retracted"):
             t = (
-                spark.read.parquet(f"{path}/retracted")
+                _read_parquet_pinned(spark, f"{path}/retracted")
                 .filter(F.col("rseq") <= idx.n_retractions)
                 .select("id")
                 .distinct()

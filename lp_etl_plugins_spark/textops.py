@@ -978,7 +978,7 @@ class RepeatIndex:
             return None
         n_r = int(self.meta.get("n_retractions") or 0)
         return (
-            self._spark.read.parquet(p)
+            _read_parquet_pinned(self._spark, p)
             .filter(F.col("rseq") <= n_r)
             .select("id")
         )
@@ -1008,7 +1008,7 @@ class RepeatIndex:
         re-evaluated doc that lost its last repeat upserts an
         ``n_spans = 0`` row — presence in this view means ≥ 1 span,
         matching the build contract)."""
-        log = self._spark.read.parquet(f"{self._path}/spans")
+        log = _read_parquet_pinned(self._spark, f"{self._path}/spans")
         w = W.partitionBy("id").orderBy(F.col("gen").desc())
         out = (
             log.withColumn("__rn", F.row_number().over(w))
@@ -2292,6 +2292,34 @@ def _stamp_resolved_retractions(path: str, resolved_rseq: int) -> None:
     )
 
 
+def _read_parquet_pinned(spark, path: str) -> DataFrame:
+    """``spark.read.parquet`` with the schema pre-read DRIVER-SIDE from
+    one footer (pyarrow) — Spark 4's schema inference launches a small
+    Spark job per bare read (~0.1–0.2 s of fixed scheduling on
+    local[32], measured), and the index ``load()`` paths open 5–8
+    stage directories each, so inference jobs alone out-cost the
+    actual reads (round 12, guide §1/§2: driver-job cadence). Reads
+    the FIRST data file's footer, matching what inference samples with
+    mergeSchema off (substrate directories are schema-uniform by
+    construction; sites with cross-round schema growth already pass
+    explicit DDL schemas). Falls back to the bare read when no data
+    file exists (same behavior either way: inference over an empty
+    directory raises in both paths)."""
+    import os
+
+    import pyarrow.parquet as pq
+    from pyspark.sql.pandas.types import from_arrow_schema
+
+    local = _local_path(path)
+    for root, _, files in os.walk(local):
+        for f in sorted(files):
+            if f.startswith(("_", ".")) or f.endswith(".crc"):
+                continue
+            arrow = pq.read_schema(os.path.join(root, f))
+            return spark.read.schema(from_arrow_schema(arrow)).parquet(path)
+    return spark.read.parquet(path)
+
+
 def _read_control_row(path: str) -> dict:
     """Driver-side read of a 1-row control-plane parquet directory
     (the meta tables every index family writes) via pyarrow — the
@@ -2729,7 +2757,7 @@ class DedupIndex:
 
         for stage in cls._STAGES:
             try:
-                setattr(idx, f"_{stage}", spark.read.parquet(f"{path}/{stage}"))
+                setattr(idx, f"_{stage}", _read_parquet_pinned(spark, f"{path}/{stage}"))
             except AnalysisException:
                 # stage was excluded at save time (save(stages=...))
                 setattr(idx, f"_{stage}", None)
@@ -2740,7 +2768,7 @@ class DedupIndex:
         idx._tomb_delta = None
         if _parquet_dir_exists(f"{path}/retracted"):
             t = (
-                spark.read.parquet(f"{path}/retracted")
+                _read_parquet_pinned(spark, f"{path}/retracted")
                 .filter(F.col("rseq") <= idx.n_retractions)
                 .select("id")
                 .distinct()
@@ -4410,7 +4438,7 @@ class TrigramLM:
         """The segment log with the compat ``src`` column (models
         saved before the segmented form have none — all rows are
         base/committed)."""
-        raw = spark.read.parquet(f"{path}/counts")
+        raw = _read_parquet_pinned(spark, f"{path}/counts")
         if "src" not in raw.columns:
             raw = raw.withColumn("src", F.lit(None).cast("bigint"))
         return raw

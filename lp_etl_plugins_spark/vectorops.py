@@ -2224,15 +2224,17 @@ class VectorIndex:
         # unknown (None) — the first save()/append_saved() stamps it
         hi = m.get("max_id")
         idx.max_id = None if hi is None else int(hi)
+        from .textops import _read_parquet_pinned
+
         for stage in cls._STAGES:
-            setattr(idx, f"_{stage}", spark.read.parquet(f"{path}/{stage}"))
+            setattr(idx, f"_{stage}", _read_parquet_pinned(spark, f"{path}/{stage}"))
         from .textops import _parquet_dir_exists
 
         for stage in cls._REFINE_STAGES:
             setattr(
                 idx,
                 f"_{stage}",
-                spark.read.parquet(f"{path}/{stage}")
+                _read_parquet_pinned(spark, f"{path}/{stage}")
                 if _parquet_dir_exists(f"{path}/{stage}")
                 else None,
             )
@@ -2242,7 +2244,9 @@ class VectorIndex:
         idx._tombstones = None
         idx._tomb_delta = None
         if _parquet_dir_exists(f"{path}/tombstones"):
-            t = spark.read.parquet(f"{path}/tombstones").select("id").distinct()
+            t = _read_parquet_pinned(
+                spark, f"{path}/tombstones"
+            ).select("id").distinct()
             # an empty log (a compact()'s cleared state) serves as no
             # retractions — keep the fast identity path
             if t.first() is not None:
